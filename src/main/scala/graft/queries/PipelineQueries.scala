@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** Pipeline-shaped queries: streaming-equivalent windowed aggregation and
+  * sessionization over `events`, manifest hashing/validation over
+  * `documents`, vocabulary broadcast-join resolution (J1), and multimodal
+  * binary-column plumbing.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(s, dir) else Tables.table(s, dir, name)
+
+  /** Fixture vocabulary for J1 resolution (replaces the reference's live
+    * SPARQL endpoint, razu/concept_resolver.py:65-114). */
+  val langVocab: Seq[(String, String)] = Seq(
+    "en" -> "English", "de" -> "German", "fr" -> "French",
+    "es" -> "Spanish", "zh" -> "Chinese", "nl" -> "Dutch")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling-window aggregation (batch-equivalent of the Structured
+    // Streaming pipeline in graft.streaming): 1-hour windows per type
+    "q30_windowed_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+
+    // Sessionization: 30-minute-gap sessions per user (lag + running sum —
+    // the batch shape of flatMapGroupsWithState session windows)
+    "q31_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      t(s, dir, "events")
+        .withColumn("brk",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs,
+            lit(1L)).otherwise(lit(0L)))
+        .withColumn("sess", sum("brk").over(w))
+        .groupBy("user_id", "sess").agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max("cnt").as("max_session_events"))
+        .orderBy("user_id")
+    }),
+
+    // H1/H3 — content hash + stored-vs-computed validation
+    // (razu/util.py:155-163, razu/manifest.py:204-215)
+    "q32_doc_manifest" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("md5hash"),
+          length(col("text")).cast("long").as("size"),
+          when(length(col("text")) === col("n_chars"), lit("valid"))
+            .otherwise(lit("mismatch")).as("status"))
+        .orderBy("doc_id")),
+
+    // J1 — vocabulary broadcast-join resolution with explicit miss marker
+    // (the reference hard-exits on a miss, razu/concept_resolver.py:114;
+    // distributed version surfaces misses as rows instead)
+    "q33_vocab_resolve" -> ((s, dir) => {
+      val vocab = broadcast(
+        s.createDataFrame(langVocab).toDF("lang", "lang_label"))
+      t(s, dir, "documents")
+        .join(vocab, Seq("lang"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lang_label"), lit("UNRESOLVED")).as("label"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal binary plumbing: opaque binary column + typed metadata
+    // (byte length, magic bytes, deterministic fake feature from the
+    // content prefix — the decode stub in graft.multimodal)
+    "q34_binary_meta" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"),
+          col("text"))
+        .select(col("doc_id"),
+          length(col("content")).cast("long").as("n_bytes"),
+          upper(hex(substring(col("content"), 1, 4))).as("magic"),
+          Hashing.polyHashCol(substring(col("text"), 1, 16)).as("fake_feature"))
+        .orderBy("doc_id")))
+
+  val oracles: Map[String, String] = Map(
+    "q30_windowed_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q31_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+        |  FROM x),
+        |g AS (SELECT user_id, sess, COUNT(*) AS cnt FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions, MAX(cnt) AS max_session_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q32_doc_manifest" ->
+      """SELECT doc_id, md5(text) AS md5hash,
+        |       CAST(length(text) AS BIGINT) AS size,
+        |       CASE WHEN length(text) = n_chars THEN 'valid'
+        |            ELSE 'mismatch' END AS status
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_vocab_resolve" -> {
+      val vals = langVocab.map { case (l, n) => s"('$l', '$n')" }.mkString(", ")
+      s"""WITH vocab(lang, lang_label) AS (VALUES $vals)
+         |SELECT doc_id, coalesce(v.lang_label, 'UNRESOLVED') AS label
+         |FROM documents d LEFT JOIN vocab v USING (lang)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q34_binary_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |       upper(hex(substr(text, 1, 4))) AS magic,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(substr(text, 1, 16), ''),
+        |           c -> CAST(ascii(c) AS BIGINT))),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS fake_feature
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,369 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ids.Identifiers
+import graft.functions.{DateTypes, Paths}
+import graft.ops.Relational
+import graft.sources.Tables
+
+/** Relational-core queries (SURVEY §2) over the driver testdata, each with
+  * a DuckDB oracle. Determinism rules shared by every query here:
+  * trailing ORDER BY on a unique key; double sums via decimal(18,2) casts
+  * (exact on both engines); timestamps emitted as formatted strings;
+  * row_number/count results cast to bigint on both sides.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(s, dir) else Tables.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1 — global min/max dates (csv2rdf.py:239-244 archive coverage)
+    "q01_minmax_dates" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        date_format(min("o_orderdate"), "yyyy-MM-dd").as("min_date"),
+        date_format(max("o_orderdate"), "yyyy-MM-dd").as("max_date"))),
+
+    // J2 — keyed equi-join + aggregate (csv2rdf.py:207-208 DROID lookup)
+    "q02_join_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // J4/F8 — manifest diff: new-or-changed left-join filter
+    // (tools/sip2localstorage.py:76-94, razu/edepot.py:87-106)
+    "q03_changed_or_new" -> ((s, dir) =>
+      Relational.changedOrNew(
+          t(s, dir, "orders"), t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"),
+          curHash = col("o_totalprice"), refHash = when(col("c_acctbal") >= 0, col("o_totalprice")))
+        .select("o_orderkey", "o_custkey").orderBy("o_orderkey")),
+
+    // F9/J5 — skip-if-exists anti-join (razu/edepot.py:137-142)
+    "q04_anti_join" -> ((s, dir) =>
+      Relational.antiJoin(t(s, dir, "customer"), t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .select("c_custkey").orderBy("c_custkey")),
+
+    // F3/J6 — has-referenced semi-join (razu/meta_resource.py:104-106)
+    "q05_semi_join" -> ((s, dir) =>
+      Relational.semiJoin(t(s, dir, "part"), t(s, dir, "lineitem"),
+          col("p_partkey") === col("l_partkey"))
+        .select("p_partkey", "p_name").orderBy("p_partkey")),
+
+    // T1 — set difference (logs/compare_manifest_to_s3.py:13-25)
+    "q06_except" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_partkey").as("part_key")).distinct()
+        .except(t(s, dir, "part").filter(col("p_size") < 30)
+          .select(col("p_partkey").as("part_key")))
+        .orderBy("part_key")),
+
+    // T3 — full-outer manifest reconciliation (razu/manifest.py:185-221)
+    "q07_reconcile" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val a = part.filter(pmod(col("p_partkey"), lit(11)) =!= 0)
+        .select(col("p_partkey").as("part_key"),
+          md5(col("p_name").cast("binary")).as("hash_a"))
+      val b = part.filter(pmod(col("p_partkey"), lit(7)) =!= 0)
+        .select(col("p_partkey").as("part_key"),
+          md5(when(pmod(col("p_partkey"), lit(5)) === 0, upper(col("p_name")))
+            .otherwise(col("p_name")).cast("binary")).as("hash_b"))
+      Relational.reconcile(a, b, "part_key", col("hash_a"), col("hash_b"))
+        .select("part_key", "status").orderBy("part_key")
+    }),
+
+    // W1 — ordered group-break detection (csv2rdf.py:90-114 serie breaks)
+    "q08_group_breaks" -> ((s, dir) =>
+      Relational.groupBreaks(t(s, dir, "events"),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")), col("event_type"))
+        .filter(col("is_break"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_breaks"))
+        .orderBy("user_id")),
+
+    // W2 — deterministic sequential id assignment (razu/incrementer.py:1-11)
+    "q09_seq_ids" -> ((s, dir) =>
+      Relational.sequentialIds(t(s, dir, "orders"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
+        .select("o_orderkey", "seq_id").orderBy("o_orderkey")),
+
+    // O3 — first match / LIMIT 1 (razu/concept_resolver.py:99)
+    "q10_first_match" -> ((s, dir) =>
+      t(s, dir, "orders").orderBy("o_orderdate", "o_orderkey").limit(1)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))),
+
+    // A2 — max numeric event id via regexp (preservation_events.py:34-38)
+    "q11_max_event_id" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(concat(lit("https://data.razu.nl/id/event/NL-WbDRAZU-G0321-661-e"),
+          col("event_id").cast("string")).as("subject"))
+        .agg(max(regexp_extract(col("subject"), "-e(\\d+)$", 1).cast("long"))
+          .as("max_event_id"))),
+
+    // A7 — deduplicated set (rdflib Graph set semantics)
+    "q12_distinct" -> ((s, dir) =>
+      Relational.distinctRows(
+          t(s, dir, "lineitem").select("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A6 — set accumulation (razu/meta_resource.py:221-222)
+    "q13_collect_set" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus"))))
+          .as("statuses"))
+        .orderBy("l_returnflag")),
+
+    // D1 — date_type dispatch (razu/util.py:9-30) over mixed-format strings
+    "q14_date_type" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val ds = when(pmod(col("o_orderkey"), lit(4)) === 0,
+          date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(pmod(col("o_orderkey"), lit(4)) === 1,
+          date_format(col("o_orderdate"), "yyyy"))
+        .when(pmod(col("o_orderkey"), lit(4)) === 2,
+          concat(dayofmonth(col("o_orderdate")).cast("string"), lit("-"),
+            month(col("o_orderdate")).cast("string"), lit("-"),
+            year(col("o_orderdate")).cast("string")))
+        .otherwise(concat(lit("not-a-date-"), col("o_orderkey").cast("string")))
+      o.withColumn("datestring", ds)
+        .select(col("o_orderkey"), col("datestring"),
+          DateTypes.dateValueCol(col("datestring")).as("value"),
+          coalesce(DateTypes.dateDatatypeCol(col("datestring")), lit(""))
+            .as("datatype"))
+        .orderBy("o_orderkey")
+    }),
+
+    // STR1/STR2/STR3 — id algebra: uid/uri/filename/storage-path + inverse
+    // (razu/identifiers.py:11-121)
+    "q15_id_algebra" -> ((s, dir) => {
+      val ids = Identifiers.default
+      t(s, dir, "orders").select(
+          col("o_orderkey"),
+          ids.uidCol(col("o_orderkey")).as("uid"),
+          ids.uriCol(col("o_orderkey")).as("uri"),
+          ids.filenameCol(col("o_orderkey")).as("filename"),
+          ids.storagePathCol(col("o_orderkey")).as("storage_path"))
+        .withColumn("extracted_id", ids.extractIdCol(col("filename")))
+        .orderBy("o_orderkey")
+    }),
+
+    // A5 — least of two timestamps (razu/sip.py:79-81)
+    "q16_least" -> ((s, dir) => {
+      val sentinel = lit("9999-01-01").cast("timestamp")
+      t(s, dir, "events").groupBy("user_id")
+        .agg(min(when(col("event_type") === "click", col("ts"))).as("c"),
+          min(when(col("event_type") === "view", col("ts"))).as("v"))
+        .select(col("user_id"),
+          date_format(least(coalesce(col("c"), sentinel), coalesce(col("v"), sentinel)),
+            "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+        .orderBy("user_id")
+    }),
+
+    // M2/MA2 — null-fill + safe int cast (csv2rdf.py:56) over JSON props
+    "q17_null_fill" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          coalesce(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"),
+            lit(0L)).as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // STR7 — string split + explode (razu/rdf_resource.py:72-77)
+    "q18_split_explode" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word")),
+
+    // MA1/STR2 — div/mod storage bucketing (razu/identifiers.py:79-86)
+    "q19_bucket_count" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(Identifiers.default.storagePathCol(col("o_orderkey")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // STR4/5/6/8 — path normalization + extension ops (razu/util.py:32-153)
+    "q20_path_ops" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val path = concat(lit("C:\\data\\bestanden\\"), col("p_brand"),
+        lit("\\file_"), col("p_partkey").cast("string"), lit(".tar.gz"))
+      p.select(col("p_partkey"), path.as("raw_path"))
+        .withColumn("norm", Paths.normalizePathCol(col("raw_path")))
+        .withColumn("base", Paths.basenameCol(col("norm")))
+        .select(col("p_partkey"), col("norm"), col("base"),
+          Paths.fullExtensionCol(col("base")).as("ext"),
+          Paths.filenameWithoutExtensionsCol(col("base")).as("stem"))
+        .orderBy("p_partkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_minmax_dates" ->
+      """SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+        |       strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+        |FROM orders""".stripMargin,
+
+    "q02_join_agg" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q03_changed_or_new" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey IS NULL OR c_acctbal < 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q04_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q06_except" ->
+      """SELECT DISTINCT l_partkey AS part_key FROM lineitem
+        |EXCEPT
+        |SELECT p_partkey AS part_key FROM part WHERE p_size < 30
+        |ORDER BY part_key""".stripMargin,
+
+    "q07_reconcile" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS part_key, md5(p_name) AS hash_a
+        |  FROM part WHERE p_partkey % 11 <> 0),
+        |b AS (
+        |  SELECT p_partkey AS part_key,
+        |         md5(CASE WHEN p_partkey % 5 = 0 THEN upper(p_name)
+        |                  ELSE p_name END) AS hash_b
+        |  FROM part WHERE p_partkey % 7 <> 0)
+        |SELECT part_key,
+        |       CASE WHEN hash_b IS NULL AND hash_a IS NOT NULL THEN 'missing'
+        |            WHEN hash_a IS NULL AND hash_b IS NOT NULL THEN 'extra'
+        |            WHEN hash_a <> hash_b THEN 'mismatch'
+        |            ELSE 'ok' END AS status
+        |FROM a FULL OUTER JOIN b USING (part_key)
+        |ORDER BY part_key""".stripMargin,
+
+    "q08_group_breaks" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_breaks
+        |FROM x WHERE prev IS NULL OR event_type <> prev
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q09_seq_ids" ->
+      """SELECT o_orderkey,
+        |       row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS seq_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q10_first_match" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 1""".stripMargin,
+
+    "q11_max_event_id" ->
+      """SELECT max(CAST(regexp_extract(
+        |  'https://data.razu.nl/id/event/NL-WbDRAZU-G0321-661-e' || CAST(event_id AS VARCHAR),
+        |  '-e(\d+)$', 1) AS BIGINT)) AS max_event_id
+        |FROM events""".stripMargin,
+
+    "q12_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q13_collect_set" ->
+      """SELECT l_returnflag,
+        |       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q14_date_type" -> {
+      val xsdDate = "http://www.w3.org/2001/XMLSchema#date"
+      val xsdGYear = "http://www.w3.org/2001/XMLSchema#gYear"
+      s"""WITH src AS (
+         |  SELECT o_orderkey,
+         |         CASE WHEN o_orderkey % 4 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+         |              WHEN o_orderkey % 4 = 1 THEN strftime(o_orderdate, '%Y')
+         |              WHEN o_orderkey % 4 = 2 THEN
+         |                CAST(date_part('day', o_orderdate) AS VARCHAR) || '-' ||
+         |                CAST(date_part('month', o_orderdate) AS VARCHAR) || '-' ||
+         |                CAST(date_part('year', o_orderdate) AS VARCHAR)
+         |              ELSE 'not-a-date-' || CAST(o_orderkey AS VARCHAR) END AS datestring
+         |  FROM orders)
+         |SELECT o_orderkey, datestring,
+         |       CASE WHEN regexp_matches(datestring, '^\\d{1,2}-\\d{1,2}-\\d{4}$$')
+         |            THEN printf('%s-%02d-%02d',
+         |                   regexp_extract(datestring, '^(\\d{1,2})-(\\d{1,2})-(\\d{4})$$', 3),
+         |                   CAST(regexp_extract(datestring, '^(\\d{1,2})-(\\d{1,2})-(\\d{4})$$', 2) AS INT),
+         |                   CAST(regexp_extract(datestring, '^(\\d{1,2})-(\\d{1,2})-(\\d{4})$$', 1) AS INT))
+         |            ELSE datestring END AS value,
+         |       CASE WHEN regexp_matches(datestring, '^\\d{4}-\\d{2}-\\d{2}$$') THEN '$xsdDate'
+         |            WHEN regexp_matches(datestring, '^\\d{4}$$') THEN '$xsdGYear'
+         |            WHEN regexp_matches(datestring, '^\\d{1,2}-\\d{1,2}-\\d{4}$$') THEN '$xsdDate'
+         |            ELSE '' END AS datatype
+         |FROM src ORDER BY o_orderkey""".stripMargin
+    },
+
+    "q15_id_algebra" ->
+      """SELECT o_orderkey,
+        |       'NL-WbDRAZU-G0321-661-' || CAST(o_orderkey AS VARCHAR) AS uid,
+        |       'https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-' || CAST(o_orderkey AS VARCHAR) AS uri,
+        |       'NL-WbDRAZU-G0321-661-' || CAST(o_orderkey AS VARCHAR) || '.meta.json' AS filename,
+        |       'NL-WbDRAZU/G0321/661/' ||
+        |         printf('%03d/%03d/', o_orderkey // 1000000, (o_orderkey % 1000000) // 1000) AS storage_path,
+        |       regexp_extract('NL-WbDRAZU-G0321-661-' || CAST(o_orderkey AS VARCHAR) || '.meta.json',
+        |                      'NL-WbDRAZU-G0321-661-([^-.]+)', 1) AS extracted_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q16_least" ->
+      """SELECT user_id,
+        |       strftime(least(
+        |         coalesce(min(CASE WHEN event_type = 'click' THEN ts END), TIMESTAMP '9999-01-01'),
+        |         coalesce(min(CASE WHEN event_type = 'view' THEN ts END), TIMESTAMP '9999-01-01')),
+        |         '%Y-%m-%d %H:%M:%S') AS first_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q17_null_fill" ->
+      """SELECT event_type,
+        |       SUM(coalesce(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT), 0)) AS sum_k,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q18_split_explode" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q19_bucket_count" ->
+      """SELECT 'NL-WbDRAZU/G0321/661/' ||
+        |         printf('%03d/%03d/', o_orderkey // 1000000, (o_orderkey % 1000000) // 1000) AS bucket,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q20_path_ops" ->
+      """WITH src AS (
+        |  SELECT p_partkey,
+        |         replace('C:\data\bestanden\' || p_brand || '\file_' ||
+        |                 CAST(p_partkey AS VARCHAR) || '.tar.gz', '\', '/') AS slashed
+        |  FROM part),
+        |n AS (
+        |  SELECT p_partkey,
+        |         regexp_extract(slashed, '(?:^|/)bestanden(?:/(.*))?$', 1) AS norm
+        |  FROM src)
+        |SELECT p_partkey, norm,
+        |       regexp_extract(norm, '[^/]*$', 0) AS base,
+        |       regexp_extract(regexp_extract(norm, '[^/]*$', 0), '^\.*[^.][^.]*?(\..*)$', 1) AS ext,
+        |       split_part(regexp_extract(norm, '[^/]*$', 0), '.', 1) AS stem
+        |FROM n ORDER BY p_partkey""".stripMargin)
+}

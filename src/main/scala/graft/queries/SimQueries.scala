@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+
+/** Similarity-search queries over `embeddings.parquet`. Determinism:
+  * similarities quantized to ×1e6 bigints before ranking, ties broken by
+  * neighbor id; dot products summed sequentially in double on both
+  * engines (zip_with/aggregate ↔ list_transform/list_reduce).
+  */
+object SimQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force exact cosine top-k (the ANN baseline): 20 query vectors
+    // broadcast against the corpus
+    "q27_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("id") < 20), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (the scale path): same queries, bucketed candidate
+    // generation — correctness gate is the recall scalatest vs q27; rows
+    // here are checked shape-only by the driver (no closed-form SQL oracle)
+    "q28_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e.filter(col("id") < 20), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Per-label embedding stats, quantize-then-sum so group aggregation
+    // order cannot introduce FP drift
+    "q29_embedding_stats" -> ((s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("label"),
+          floor(Similarity.normCol(col("embedding").cast("array<double>"))
+            * lit(1000000.0d)).cast("long").as("norm_e6"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("norm_e6").as("sum_norm_e6"))
+        .orderBy("label")))
+
+  private val dotSql =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |  list_transform(list_zip(qv, cv), p -> p[1] * p[2])), (a, b) -> a + b)""".stripMargin
+
+  private def normSql(v: String) =
+    s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform($v, x -> x * x)), (a, b) -> a + b))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q27_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(floor($dotSql / (${normSql("qv")} * ${normSql("cv")}) * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos_e6,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos_e6, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q29_embedding_stats" ->
+      s"""WITH x AS (
+         |  SELECT label,
+         |         CAST(floor(${normSql("embedding::DOUBLE[]")} * 1000000.0) AS BIGINT) AS norm_e6
+         |  FROM embeddings)
+         |SELECT label, COUNT(*) AS n, SUM(norm_e6) AS sum_norm_e6
+         |FROM x GROUP BY label ORDER BY label""".stripMargin)
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextAnalysis}
+
+/** LLM-training-data text-pipeline queries over `documents.parquet`, each
+  * with a DuckDB oracle that replicates the arithmetic exactly (portable
+  * polynomial hashes, scaled-integer ratios — see graft.functions.Hashing).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Shared oracle-SQL fragments (DuckDB dialect). */
+  private object Sql {
+    // normalized text: lower, trim, collapse whitespace (note DuckDB needs
+    // the 'g' flag; Spark regexp_replace is global by default)
+    val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+    // portable polynomial hash of a string expression
+    def poly(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+    // array of word hashes of the normalized text
+    val wordHashes =
+      s"list_transform(string_split($norm, ' '), w -> ${poly("w")})"
+    // k-shingle hashes from word-hash array `whs`
+    def shingles(whs: String, k: Int): String =
+      s"""[list_reduce(list_prepend(CAST(0 AS BIGINT), $whs[i:i+${k - 1}]),
+         |  (a, b) -> (a * 31 + b) % 1000000007)
+         | for i in range(1, greatest(len($whs) - ${k - 1}, 1) + 1)]""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-bucket keep-first (shuffle on content hash only)
+    "q21_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).select("doc_id").orderBy("doc_id")),
+
+    // Per-document text stats: tokens, punctuation, quality, language-ID,
+    // fingerprint — all integer-exact
+    "q22_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(docs(s, dir)).orderBy("doc_id")),
+
+    // Token histogram over the BPE-ish tokenizer
+    "q23_token_histogram" -> ((s, dir) =>
+      docs(s, dir)
+        .select((floor(TextAnalysis.bpeTokenCountCol(col("text")) / lit(20)) * 20)
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // MinHash-LSH near-dup candidate pairs: 3-word shingles, 16 hashes,
+    // 4 bands — band-bucket self-join, no crossJoin
+    "q24_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(docs(s, dir), k = 3, numHashes = 16,
+          bands = 4, portable = true)
+        .orderBy("doc_a", "doc_b")),
+
+    // n-gram Jaccard over consecutive-id pairs (linear demo of the
+    // pairwise expression; candidate pairs come from q24 at scale)
+    "q25_jaccard_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1).as("doc_b"))
+      Dedup.ngramJaccardScaled(d, pairs, k = 2, portable = true)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash (portable 30-bit variant — hash values are mod 1e9+7 so
+    // higher bits are structurally zero; the production path uses
+    // xxhash64 across all 64 bits)
+    "q26_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), bits = 30, portable = true)
+        .select(col("doc").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")))
+
+  val oracles: Map[String, String] = Map(
+    "q21_exact_dedup" ->
+      s"""WITH h AS (SELECT doc_id, md5(${Sql.norm}) AS hh FROM documents),
+         |r AS (SELECT doc_id,
+         |        row_number() OVER (PARTITION BY hh ORDER BY doc_id) AS rn
+         |      FROM h)
+         |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q22_text_stats" -> {
+      val words = s"string_split(${Sql.norm}, ' ')"
+      val nTok = s"CAST(len($words) AS BIGINT)"
+      val nBpe = """CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)"""
+      val punct = """CAST(floor(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) * 10000.0
+                    | / CAST(greatest(length(text), 1) AS DOUBLE)) AS BIGINT)""".stripMargin
+      val wordLenSum = s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($words, w -> CAST(length(w) AS BIGINT))), (a, b) -> a + b)"
+      val meanLen = s"CAST(floor(CAST($wordLenSum AS DOUBLE) * 10000.0 / CAST(greatest(len($words), 1) AS DOUBLE)) AS BIGINT)"
+      val quality =
+        s"""CAST(floor((least(CAST($nTok AS DOUBLE) / 50.0, 1.0) * 0.7 +
+           | least(CAST($punct AS DOUBLE) / 10000.0 * 20.0, 1.0) * 0.3) * 10000.0) AS BIGINT)""".stripMargin
+      // language-ID: whole-word stopword hits via the doubled-delimiter
+      // replace trick, argmax over "%08d:lang"-encoded scores
+      val doubled = s"replace(' ' || ${Sql.norm} || ' ', ' ', '  ')"
+      def hits(ws: Seq[String]): String = ws.map { w =>
+        val tok = s" $w "
+        s"CAST((length($doubled) - length(replace($doubled, '$tok', ''))) / ${tok.length} AS BIGINT)"
+      }.mkString("(", " + ", ")")
+      val scored = TextAnalysis.langMarkers.map { case (lang, ws) =>
+        s"printf('%08d:%s', ${hits(ws)}, '$lang')"
+      }.mkString("greatest(", ", ", ")")
+      val langPred =
+        s"CASE WHEN substr($scored, 1, 8) <> '00000000' THEN substr($scored, 10, 2) ELSE 'und' END"
+      s"""SELECT doc_id,
+         |  $nTok AS n_tokens,
+         |  $nBpe AS n_bpe_tokens,
+         |  $punct AS punct_ratio_e4,
+         |  $meanLen AS mean_word_len_e4,
+         |  $quality AS quality_e4,
+         |  $langPred AS lang_pred,
+         |  ${Sql.poly(Sql.norm)} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q23_token_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) / 20) * 20 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q24_minhash_pairs" -> {
+      val sig = (0 until 16).map { j =>
+        s"list_min(list_transform(shs, h -> (h * ${2 * j + 1} + ${j * 12345 + 678}) % 1000000007))"
+      }.mkString("[", ",\n    ", "]")
+      s"""WITH wh AS (SELECT doc_id, ${Sql.wordHashes} AS whs FROM documents),
+         |sh AS (SELECT doc_id, ${Sql.shingles("whs", 3)} AS shs FROM wh),
+         |sig AS (SELECT doc_id, $sig AS sg FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b.band,
+         |         array_to_string(sg[b.band * 4 + 1 : b.band * 4 + 4], '_') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q25_jaccard_pairs" ->
+      s"""WITH wh AS (SELECT doc_id, ${Sql.wordHashes} AS whs FROM documents),
+         |sh AS (SELECT doc_id, ${Sql.shingles("whs", 2)} AS shs FROM wh),
+         |shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM shd a JOIN shd b ON b.doc_id = a.doc_id + 1 AND a.sh = b.sh
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       CAST(floor(CAST(n_inter AS DOUBLE) * 10000.0 /
+         |         CAST(na.n + nb.n - n_inter AS DOUBLE)) AS BIGINT) AS jaccard_e4
+         |FROM inter
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q26_simhash" ->
+      s"""WITH wh AS (SELECT doc_id, ${Sql.wordHashes} AS whs FROM documents)
+         |SELECT doc_id,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END
+         |                         for h in whs]) > 0
+         |          THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
+         |     for i in range(0, 30)]),
+         |    (a, b) -> a + b) AS BIGINT) AS simhash
+         |FROM wh ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,100 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Similarity search over an embedding column (array<float>):
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Numeric discipline: dot products are computed left-to-right in double
+  * (zip_with + aggregate — sequential IEEE adds, so any engine that sums
+  * in list order reproduces them bit-for-bit), and similarities are
+  * quantized to ×1e6 bigints BEFORE ranking, so rankings and outputs are
+  * engine-stable (ties broken by neighbor id).
+  *
+  * Scale design (100 TB): brute-force is a broadcast of the (small) query
+  * set against a partitioned corpus — a map-side loop, no shuffle until the
+  * per-query top-k aggregate. The LSH variant buckets both sides by
+  * hyperplane sign pattern; candidate generation is an equi-join on the
+  * bucket key (shuffle on buckets, never an all-pairs product). IVF would
+  * swap the bucket key for a nearest-centroid id — same join shape.
+  */
+object Similarity {
+
+  /** Sequential dot product of two array<double> columns. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def normCol(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  /** Cosine similarity quantized to ×1e6 bigint. */
+  def cosineScaledCol(a: Column, b: Column): Column =
+    floor(dotCol(a, b) / (normCol(a) * normCol(b)) * lit(1000000.0d)).cast("long")
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (id, vec: array<float>). Queries are broadcast
+    * (assumed small); corpus stays partitioned. Output:
+    * (query_id, neighbor_id, cos_e6, rank). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("qv")))
+    val c = corpus.select(col("id").as("neighbor_id"),
+      col("vec").cast("array<double>").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineScaledCol(col("qv"), col("cv")).as("cos_e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component h[p][d] derived
+    * from the portable hash of "p:d", mapped to [-1, 1). Reproducible in
+    * any engine (and in tests) without RNG state. */
+  def hyperplane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      Hashing.polyHash(s"$p:$d").toDouble / Hashing.P * 2.0 - 1.0
+    }
+
+  /** Sign-pattern bucket key for a vector under `planes` hyperplanes. */
+  def bucketKeyCol(vec: Column, planes: Seq[Array[Double]]): Column =
+    concat_ws("", planes.map { pl =>
+      val proj = aggregate(
+        zip_with(vec, array(pl.map(lit): _*), (x, w) => x * w),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** LSH-bucketed ANN: multiple independent hash tables; candidates =
+    * equi-join on (table, bucket); exact cosine re-rank within candidates.
+    * Recall grows with `tables`; cost stays bucket-local. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planesPerTable: Int = 6, tables: Int = 8): DataFrame = {
+    val planeSets = (0 until tables).map { t =>
+      (t, (0 until planesPerTable).map(p => hyperplane(t * 131 + p, 64)))
+    }
+    def withBuckets(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      planeSets.map { case (t, planes) =>
+        df.select(col("id").as(idAs),
+          col("vec").cast("array<double>").as(vecAs),
+          lit(t).as("table"),
+          bucketKeyCol(col("vec").cast("array<double>"), planes).as("bucket"))
+      }.reduce(_ unionByName _)
+    val qb = withBuckets(queries, "query_id", "qv")
+    val cb = withBuckets(corpus, "neighbor_id", "cv")
+      .select("neighbor_id", "cv", "table", "bucket")
+    val cand = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineScaledCol(col("qv"), col("cv")).as("cos_e6"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

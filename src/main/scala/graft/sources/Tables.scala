@@ -1,0 +1,23 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Testdata table loaders. */
+object Tables {
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table is written with parquet TIMESTAMP(NANOS), which
+    * Spark has no native type for (PARQUET_TYPE_ILLEGAL). Read nanos as
+    * long (legacy conf) and truncate to microsecond timestamps — the same
+    * value DuckDB's epoch_us sees, so oracle comparisons stay exact.
+    * `div` is integer division: nanos ≈ 1.7e18 exceed double's 2^53
+    * mantissa, a `/`-based conversion would corrupt timestamps. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import graft.functions.Hashing
+import graft.ops.Relational
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy keep-first), MinHash+LSH banding, SimHash, and n-gram
+  * Jaccard — all shuffle-bucketed, never all-pairs.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup shuffles once on the content hash; keep-first is a
+  *     row_number window inside each hash bucket (no global sort).
+  *   - MinHash-LSH: docs → signatures (map-only) → explode to (band,
+  *     bandKey) — candidate pairs come from a self-equi-join on the band
+  *     key, so the shuffle is on band buckets; no crossJoin anywhere. Skewed
+  *     mega-buckets (boilerplate docs) can be salted or capped upstream.
+  *   - signature computation is partition-local compiled Scala via a typed
+  *     map (not nested higher-order Column functions: Spark evaluates HOF
+  *     lambdas interpreted, and nesting them re-evaluates the inner array
+  *     per outer element — quadratic per doc and orders of magnitude
+  *     slower than JIT'd code; measured as the bottleneck of the whole
+  *     suite). Normalization stays in codegen'd expressions.
+  *   - hashes: pluggable. `portable = true` uses the polynomial hash
+  *     (cross-engine reproducible — what the DuckDB oracle checks);
+  *     `false` uses xxhash64 with Spark's seed (bit-identical to the
+  *     `xxhash64` SQL function), the production path.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per normalized-text hash, keeping the
+    * lowest `idCol`. Returns the surviving rows. */
+  def exact(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
+    val hashed = docs.withColumn("__h", md5(TextAnalysis.normalizeCol(col(textCol))))
+    Relational.keepFirst(hashed, Seq(col("__h")), Seq(col(idCol))).drop("__h")
+  }
+
+  // ---- partition-local signature math (compiled, oracle-replicable) ----
+
+  /** xxhash64 of a string with Spark's default seed 42 — bit-identical to
+    * the `xxhash64` SQL function on a string column. */
+  def xxhash64String(s: String): Long = {
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  /** Word hashes of a pre-normalized text (split on single spaces —
+    * identical to Spark/DuckDB string_split semantics incl. the
+    * empty-string → [""] case). */
+  def wordHashes(norm: String, portable: Boolean): Array[Long] = {
+    val words = norm.split(" ", -1)
+    if (portable) words.map(Hashing.polyHash) else words.map(xxhash64String)
+  }
+
+  /** k-word shingle hashes from word hashes: fold (acc*31+h) mod P over
+    * each window. Replicates the oracle's list_reduce over whs[i:i+k-1];
+    * when n < k the single partial window is hashed as-is. */
+  def shingleHashes(wh: Array[Long], k: Int): Array[Long] = {
+    val n = math.max(wh.length - k + 1, 1)
+    Array.tabulate(n) { i =>
+      var acc = 0L
+      var j = i
+      val end = math.min(i + k, wh.length)
+      while (j < end) { acc = Math.floorMod(acc * 31 + wh(j), Hashing.P); j += 1 }
+      acc
+    }
+  }
+
+  /** MinHash signature: per reseed j, min over shingles of
+    * (h*(2j+1) + j*12345+678) mod P. */
+  def minhashSig(sh: Array[Long], numHashes: Int): Array[Long] =
+    Array.tabulate(numHashes) { j =>
+      var m = Long.MaxValue
+      var i = 0
+      while (i < sh.length) {
+        val v = Hashing.reseed(sh(i), j)
+        if (v < m) m = v
+        i += 1
+      }
+      m
+    }
+
+  /** SimHash: per bit, ±1 votes across word hashes; bit set iff votes>0. */
+  def simhashValue(wh: Array[Long], bits: Int): Long = {
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var votes = 0L
+      var i = 0
+      while (i < wh.length) {
+        votes += (if (((wh(i) >>> b) & 1L) == 1L) 1L else -1L)
+        i += 1
+      }
+      if (votes > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** (doc, sig: array<long>) MinHash signatures — one map-only pass;
+    * normalization codegen'd, hashing compiled. */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", k: Int = 3,
+                        numHashes: Int = 16,
+                        portable: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc"),
+        TextAnalysis.normalizeCol(col(textCol)).as("norm"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, norm) =>
+        (id, minhashSig(shingleHashes(wordHashes(norm, portable), k), numHashes))
+      })
+      .toDF("doc", "sig")
+  }
+
+  /** LSH banding: explode each signature into (doc, band, band_key) rows;
+    * band_key = the band's signature slice joined with '_'. */
+  def lshBands(docs: DataFrame, textCol: String, idCol: String,
+               k: Int, numHashes: Int, bands: Int,
+               portable: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    minhashSignatures(docs, textCol, idCol, k, numHashes, portable)
+      .select(col("doc"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("_",
+            transform(slice(col("sig"), b * lit(r) + lit(1), lit(r)),
+              x => x.cast("string"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
+  /** Near-duplicate candidate pairs via banded MinHash: self-equi-join on
+    * (band, band_key), a < b, distinct. The join shuffles on band buckets —
+    * never an all-pairs product. */
+  def minhashCandidatePairs(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id", k: Int = 3,
+                            numHashes: Int = 16, bands: Int = 4,
+                            portable: Boolean = true): DataFrame = {
+    val b = lshBands(docs, textCol, idCol, k, numHashes, bands, portable)
+    val l = b.select(col("band"), col("band_key"), col("doc").as("doc_a"))
+    val r = b.select(col("band"), col("band_key"), col("doc").as("doc_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** (doc, simhash) — 64-bit with xxhash64 word hashes in production;
+    * `bits = 30` with the portable hash for oracle-checked runs (the
+    * polynomial hash is mod 1e9+7, so only the low 30 bits carry signal). */
+  def simhash(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id", bits: Int = 64,
+              portable: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc"),
+        TextAnalysis.normalizeCol(col(textCol)).as("norm"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, norm) =>
+        (id, simhashValue(wordHashes(norm, portable), bits))
+      })
+      .toDF("doc", "simhash")
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hammingCol(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** n-gram Jaccard similarity ×1e4 between paired docs: distinct shingle
+    * sets compared via explode + inner-join group counts (portable; no
+    * array_intersect dialect dependence). `pairs` has (doc_a, doc_b);
+    * shingles computed from `docs`. */
+  def ngramJaccardScaled(docs: DataFrame, pairs: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         k: Int = 2, portable: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col(idCol).cast("long").as("doc"),
+        TextAnalysis.normalizeCol(col(textCol)).as("norm"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, norm) =>
+        (id, shingleHashes(wordHashes(norm, portable), k).distinct)
+      })
+      .toDF("doc", "shs")
+      .select(col("doc"), explode(col("shs")).as("sh"))
+    val sizes = sh.groupBy("doc").agg(count("*").as("n"))
+    val shA = sh.select(col("doc").as("doc_a"), col("sh"))
+    val shB = sh.select(col("doc").as("doc_b"), col("sh"))
+    val nA = sizes.select(col("doc").as("doc_a"), col("n").as("n_a"))
+    val nB = sizes.select(col("doc").as("doc_b"), col("n").as("n_b"))
+    pairs
+      .join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b", "sh")) // equi-join on shingle hash = set intersect
+      .groupBy("doc_a", "doc_b").agg(count("*").as("n_inter"))
+      .join(nA, Seq("doc_a")).join(nB, Seq("doc_b"))
+      .withColumn("jaccard_e4",
+        floor(col("n_inter").cast("double") * 10000.0
+          / (col("n_a") + col("n_b") - col("n_inter")).cast("double")).cast("long"))
+      .select("doc_a", "doc_b", "jaccard_e4")
+  }
+}

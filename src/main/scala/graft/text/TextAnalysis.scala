@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All pure Column expressions (whole-stage codegen; no UDFs) — every
+  * ratio is emitted as an integer scaled by 1e4 so results are
+  * bit-identical across engines (the DuckDB oracle replicates the exact
+  * arithmetic; a single IEEE double division is deterministic).
+  */
+object TextAnalysis {
+
+  /** Normalization used before hashing/dedup: lowercase, trim, collapse
+    * whitespace runs. */
+  def normalizeCol(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Whitespace tokens (array<string>). */
+  def wordsCol(text: Column): Column = split(normalizeCol(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCountCol(text: Column): Column = size(wordsCol(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric glyphs each count as one token — the standard cheap
+    * pre-tokenizer approximation. */
+  def bpeTokenCountCol(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation ratio ×1e4 as bigint (punct glyphs / total chars). */
+  def punctRatioScaledCol(text: Column): Column =
+    floor(size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+      .cast("double") * lit(10000.0) / greatest(length(text), lit(1)).cast("double"))
+      .cast("long")
+
+  /** Mean word length ×1e4 as bigint. */
+  def meanWordLenScaledCol(text: Column): Column = {
+    val w = wordsCol(text)
+    floor(aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double")
+      * lit(10000.0) / greatest(size(w), lit(1)).cast("double")).cast("long")
+  }
+
+  /** Stopword-hit count for one language: whole-word occurrences of each
+    * marker word, counted with the replace-length trick (portable to any
+    * SQL engine; no regex dialect drift). The text is space-padded and
+    * every boundary space doubled so adjacent occurrences ("the the")
+    * don't share a delimiter and non-overlapping replace counts exactly. */
+  def stopwordHitsCol(text: Column, stopwords: Seq[String]): Column = {
+    val padded = concat(lit(" "), normalizeCol(text), lit(" "))
+    val doubled = regexp_replace(padded, " ", "  ")
+    stopwords.map { sw =>
+      val tok = s" $sw " // alphanumeric marker — no regex metachars
+      ((length(doubled) - length(regexp_replace(doubled, tok, "")))
+        / lit(tok.length)).cast("long")
+    }.reduce(_ + _)
+  }
+
+  /** Language markers — tiny per-language stopword lists for the n-gram /
+    * stopword language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "nl" -> Seq("de", "het", "een", "en", "van"))
+
+  /** Predicted language = argmax over marker-hit counts. Scores are
+    * encoded as zero-padded "%08d:%s" strings so the argmax is a plain
+    * lexicographic `greatest` — deterministic tie-break (highest language
+    * code wins) and portable verbatim to the SQL oracle. 'und' when
+    * nothing hits. */
+  def langIdCol(text: Column): Column = {
+    val scored = langMarkers.map { case (lang, words) =>
+      format_string("%08d:%s", stopwordHitsCol(text, words), lit(lang))
+    }
+    val best = greatest(scored: _*)
+    when(substring(best, 1, 8) =!= "00000000",
+      substring(best, 10, 2)).otherwise(lit("und"))
+  }
+
+  /** Composite quality score ×1e4: rewards mid-length docs and real
+    * punctuation, penalizes very short docs — a cheap heuristic in the
+    * spirit of Gopher/C4 quality rules, fully expression-based. */
+  def qualityScoreScaledCol(text: Column): Column = {
+    val n = tokenCountCol(text).cast("double")
+    val lenScore = least(n / lit(50.0), lit(1.0))
+    val punct = punctRatioScaledCol(text).cast("double") / lit(10000.0)
+    val punctScore = least(punct * lit(20.0), lit(1.0))
+    floor((lenScore * lit(0.7) + punctScore * lit(0.3)) * lit(10000.0)).cast("long")
+  }
+
+  /** Document fingerprint: portable polynomial rolling hash of the
+    * normalized text (Hashing.polyHashCol) — stable across engines and
+    * runs, unlike xxhash64 which is Spark-specific (use
+    * `xxhash64(normalizeCol(text))` on the 100 TB path where cross-engine
+    * reproducibility is not required). */
+  def fingerprintCol(text: Column): Column =
+    Hashing.polyHashCol(normalizeCol(text))
+
+  /** Full per-document stats projection over a corpus. */
+  def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      tokenCountCol(t).cast("long").as("n_tokens"),
+      bpeTokenCountCol(t).cast("long").as("n_bpe_tokens"),
+      punctRatioScaledCol(t).as("punct_ratio_e4"),
+      meanWordLenScaledCol(t).as("mean_word_len_e4"),
+      qualityScoreScaledCol(t).as("quality_e4"),
+      langIdCol(t).as("lang_pred"),
+      fingerprintCol(t).as("fingerprint"))
+  }
+}

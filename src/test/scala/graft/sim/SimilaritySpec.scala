@@ -1,0 +1,89 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends graft.SparkSuite {
+
+  private def corpus = {
+    import spark.implicits._
+    // deterministic pseudo-vectors, 64-dim like the testdata embeddings
+    val rows = (0L until 200L).map { i =>
+      val v = Array.tabulate(64)(d =>
+        (graft.functions.Hashing.polyHash(s"$i:$d").toDouble
+          / graft.functions.Hashing.P).toFloat)
+      (i, v)
+    }
+    rows.toDF("id", "vec")
+  }
+
+  test("dot/norm/cosine columns match scala math") {
+    import spark.implicits._
+    val a = Array(1.0f, 2.0f, 2.0f)
+    val b = Array(2.0f, 0.0f, 0.0f)
+    val df = Seq((a, b)).toDF("a", "b")
+    val r = df.select(
+      Similarity.dotCol(col("a").cast("array<double>"), col("b").cast("array<double>")),
+      Similarity.normCol(col("a").cast("array<double>")),
+      Similarity.cosineScaledCol(col("a").cast("array<double>"),
+        col("b").cast("array<double>"))).collect().head
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(r.getLong(2) == math.floor(2.0 / (3.0 * 2.0) * 1e6).toLong)
+  }
+
+  test("brute-force top-k: self excluded, k rows per query, ranked desc") {
+    val q = corpus.filter(col("id") < 3)
+    val res = Similarity.bruteForceTopK(q, corpus, k = 5).collect()
+    assert(res.length == 15)
+    val byQuery = res.groupBy(_.getLong(0))
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(1)).distinct.length == 5)
+      assert(!rows.map(_.getLong(1)).contains(qid))
+      val cos = rows.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(cos.sameElements(cos.sortBy(-(_: Long))))
+    }
+  }
+
+  test("LSH recall ≥ 0.6 vs brute force on pseudo-corpus (gate for q28)") {
+    val q = corpus.filter(col("id") < 10)
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("LSH recall ≥ 0.9 on real embeddings sf0.001 (driver gate)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+}
+
+class FlagshipSpec extends graft.SparkSuite {
+
+  test("flagship E1 pipeline: >0 triples, linked bestand, dekking bnodes") {
+    val t = graft.etl.Flagship.run(spark, "/root/testdata/sf0.001").cache()
+    val n = t.count()
+    assert(n > 0)
+    val kinds = t.select("objectKind").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(kinds == Set("uri", "bnode", "literal"))
+    // every record links to its bestand and back
+    val fwd = t.filter(col("predicate") === (graft.rdf.NS.LDTO + "heeftRepresentatie")).count()
+    val back = t.filter(col("predicate") === (graft.rdf.NS.LDTO + "isRepresentatieVan")).count()
+    assert(fwd > 0 && fwd == back)
+    // dekkingInTijd bnodes have their begin date
+    val dek = t.filter(col("predicate") === (graft.rdf.NS.LDTO + "dekkingInTijd")).count()
+    val begin = t.filter(col("predicate") === (graft.rdf.NS.LDTO + "begin")).count()
+    assert(dek == begin && dek == fwd)
+    t.unpersist()
+  }
+}

@@ -1,0 +1,131 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+class DedupSpec extends graft.SparkSuite {
+
+  private def docsDF = {
+    import spark.implicits._
+    Seq(
+      (0L, "The quick brown fox jumps over the lazy dog"),
+      (1L, "the  quick   Brown fox jumps over the lazy dog"), // normalizes to #0
+      (2L, "a completely different document about spark engines"),
+      (3L, "The quick brown fox jumps over the lazy cat"), // near-dup of #0
+      (4L, "a completely different document about spark engines")) // exact dup of #2
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps first per normalized hash") {
+    val kept = Dedup.exact(docsDF).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L))
+  }
+
+  test("polyHash column == scala (ASCII)") {
+    import spark.implicits._
+    val inputs = Seq("hello", "the quick brown fox", "", "a")
+    val got = inputs.toDF("s").select(Hashing.polyHashCol(col("s"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == inputs.map(Hashing.polyHash))
+  }
+
+  test("xxhash64String == xxhash64 column") {
+    import spark.implicits._
+    val inputs = Seq("hello", "wereld", "", "ünïcode ok")
+    val got = inputs.toDF("s").select(xxhash64(col("s"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == inputs.map(Dedup.xxhash64String))
+  }
+
+  test("shingle hashes: rolling window fold, short-doc fallback") {
+    val wh = Array(5L, 7L, 11L)
+    val sh = Dedup.shingleHashes(wh, 2)
+    assert(sh.toSeq == Seq((5 * 31 + 7L) % Hashing.P, (7 * 31 + 11L) % Hashing.P))
+    // n < k → one partial window
+    assert(Dedup.shingleHashes(Array(5L), 3).toSeq == Seq(5L))
+  }
+
+  test("minhash signature is permutation-invariant min") {
+    val sh = Array(100L, 200L, 300L)
+    val sig = Dedup.minhashSig(sh, 4)
+    (0 until 4).foreach { j =>
+      assert(sig(j) == sh.map(h => Hashing.reseed(h, j)).min)
+    }
+  }
+
+  test("minhash LSH finds the near-dup pair, not the distinct pair") {
+    val pairs = Dedup.minhashCandidatePairs(docsDF, k = 3, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical after normalization
+    assert(pairs.contains((2L, 4L))) // exact dup
+    assert(pairs.contains((0L, 3L)) || pairs.contains((1L, 3L))) // near-dup
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming") {
+    val sh = Dedup.simhash(docsDF, bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh(2L) == sh(4L))
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(3L)) <= 16)
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) >
+      java.lang.Long.bitCount(sh(0L) ^ sh(3L)))
+  }
+
+  test("ngram jaccard: identical=10000, near-dup high, distinct zero-ish") {
+    import spark.implicits._
+    val pairs = Seq((0L, 1L), (0L, 3L), (0L, 2L)).toDF("doc_a", "doc_b")
+    val j = Dedup.ngramJaccardScaled(docsDF, pairs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(j((0L, 1L)) == 10000L)
+    assert(j((0L, 3L)) > 5000L)
+    assert(!j.contains((0L, 2L))) // no shared shingles → dropped by inner join
+  }
+}
+
+class TextAnalysisSpec extends graft.SparkSuite {
+
+  test("language ID picks the marker-heavy language") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog is of the house"),
+      (2L, "der Hund und die Katze ist das Haus und der Mann"),
+      (3L, "de man en de vrouw van het huis en een hond"),
+      (4L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langIdCol(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "nl")
+    assert(got(4L) == "und")
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    import spark.implicits._
+    val df = Seq("Hello, world! 42 tokens?").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCountCol(col("text")),
+      TextAnalysis.bpeTokenCountCol(col("text"))).collect().head
+    assert(r.getInt(0) == 4)
+    // Hello , world ! 42 tokens ? → 7
+    assert(r.getInt(1) == 7)
+  }
+
+  test("punct ratio and quality are scaled integers") {
+    import spark.implicits._
+    val df = Seq("abcde.").toDF("text")
+    val r = df.select(
+      TextAnalysis.punctRatioScaledCol(col("text")),
+      TextAnalysis.qualityScoreScaledCol(col("text"))).collect().head
+    assert(r.getLong(0) == 1666L) // 1/6 chars
+    assert(r.getLong(1) >= 0L && r.getLong(1) <= 10000L)
+  }
+
+  test("stopword hits count whole words incl. adjacent repeats") {
+    import spark.implicits._
+    val df = Seq("the the theater then the").toDF("text")
+    val r = df.select(TextAnalysis.stopwordHitsCol(col("text"), Seq("the")))
+      .collect().head
+    assert(r.getLong(0) == 3L)
+  }
+}
