@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 34 queries' worth of whole-stage-codegen classes overflow the default
+  // 240m code cache late in a run — C2 then bails out and hot loops drop
+  // to the interpreter (bench showed 4-12x slowdowns on late queries).
+  "-XX:ReservedCodeCacheSize=512m",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -31,6 +31,15 @@ import graft.ops.Relational
   */
 object Dedup {
 
+  /** Small inputs arrive as one parquet partition (a 2 MB file), which
+    * would serialize every typed map below onto one core. Widen to the
+    * session's parallelism when the source has fewer partitions; inputs
+    * that are already well-partitioned (the 100 TB case) pass through. */
+  private def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: canonical row per normalized-text hash, keeping the
     * lowest `idCol`. Returns the surviving rows. */
   def exact(docs: DataFrame, textCol: String = "text",
@@ -109,8 +118,8 @@ object Dedup {
                         portable: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc"),
-        TextAnalysis.normalizeCol(col(textCol)).as("norm"))
+    widen(docs.select(col(idCol).cast("long").as("doc"),
+        TextAnalysis.normalizeCol(col(textCol)).as("norm")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, norm) =>
         (id, minhashSig(shingleHashes(wordHashes(norm, portable), k), numHashes))
@@ -134,19 +143,32 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
   }
 
-  /** Near-duplicate candidate pairs via banded MinHash: self-equi-join on
-    * (band, band_key), a < b, distinct. The join shuffles on band buckets —
-    * never an all-pairs product. */
+  /** Near-duplicate candidate pairs via banded MinHash: group each
+    * (band, band_key) bucket and emit its member combinations (a < b),
+    * then distinct across bands. ONE signature pass (a self-join would
+    * recompute the uncached signature plan for each side), one shuffle on
+    * band buckets, never an all-pairs product across buckets. `maxBucket`
+    * caps degenerate buckets (boilerplate mega-clusters) — 0 = uncapped. */
   def minhashCandidatePairs(docs: DataFrame, textCol: String = "text",
                             idCol: String = "doc_id", k: Int = 3,
                             numHashes: Int = 16, bands: Int = 4,
-                            portable: Boolean = true): DataFrame = {
-    val b = lshBands(docs, textCol, idCol, k, numHashes, bands, portable)
-    val l = b.select(col("band"), col("band_key"), col("doc").as("doc_a"))
-    val r = b.select(col("band"), col("band_key"), col("doc").as("doc_b"))
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+                            portable: Boolean = true,
+                            maxBucket: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    lshBands(docs, textCol, idCol, k, numHashes, bands, portable)
+      .select(col("band"), col("band_key"), col("doc"))
+      .as[(Int, String, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (_, it) =>
+        val ds = it.map(_._3).toArray.sorted
+        val members = if (maxBucket > 0 && ds.length > maxBucket) ds.take(maxBucket) else ds
+        for {
+          i <- members.indices.iterator
+          j <- (i + 1) until members.length
+        } yield (members(i), members(j))
+      }
+      .toDF("doc_a", "doc_b").distinct()
   }
 
   /** (doc, simhash) — 64-bit with xxhash64 word hashes in production;
@@ -157,8 +179,8 @@ object Dedup {
               portable: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc"),
-        TextAnalysis.normalizeCol(col(textCol)).as("norm"))
+    widen(docs.select(col(idCol).cast("long").as("doc"),
+        TextAnalysis.normalizeCol(col(textCol)).as("norm")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, norm) =>
         (id, simhashValue(wordHashes(norm, portable), bits))
@@ -178,8 +200,8 @@ object Dedup {
                          k: Int = 2, portable: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = docs.select(col(idCol).cast("long").as("doc"),
-        TextAnalysis.normalizeCol(col(textCol)).as("norm"))
+    val sh = widen(docs.select(col(idCol).cast("long").as("doc"),
+        TextAnalysis.normalizeCol(col(textCol)).as("norm")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, norm) =>
         (id, shingleHashes(wordHashes(norm, portable), k).distinct)

@@ -101,17 +101,69 @@ object TextAnalysis {
   def fingerprintCol(text: Column): Column =
     Hashing.polyHashCol(normalizeCol(text))
 
-  /** Full per-document stats projection over a corpus. */
+  // ---- compiled batch stats (hot path) --------------------------------
+
+  /** Driver/executor-side normalization — replicates normalizeCol exactly:
+    * lowercase, trim SPACES only (Spark/DuckDB `trim` strips ' ', not all
+    * whitespace), collapse \s+ runs. */
+  def normalize(text: String): String = {
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    val trimmed = lower.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    trimmed.replaceAll("\\s+", " ")
+  }
+
+  private val bpePattern =
+    java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+  private val punctPattern = java.util.regex.Pattern.compile("[.,;:!?]")
+
+  private def countMatches(p: java.util.regex.Pattern, s: String): Long = {
+    val m = p.matcher(s)
+    var n = 0L
+    while (m.find()) n += 1
+    n
+  }
+
+  /** All per-document stats in one compiled pass — the arithmetic
+    * replicates the Column versions above operation-for-operation (same
+    * IEEE order, same floor/scale), which the DuckDB oracle also
+    * replicates; the Column↔compiled equivalence is scalatested. The
+    * interpreted-HOF Column path costs ~ms/doc (fingerprint + mean-length
+    * folds); this is the 100 TB path. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    docs.select(
-      col("doc_id"),
-      tokenCountCol(t).cast("long").as("n_tokens"),
-      bpeTokenCountCol(t).cast("long").as("n_bpe_tokens"),
-      punctRatioScaledCol(t).as("punct_ratio_e4"),
-      meanWordLenScaledCol(t).as("mean_word_len_e4"),
-      qualityScoreScaledCol(t).as("quality_e4"),
-      langIdCol(t).as("lang_pred"),
-      fingerprintCol(t).as("fingerprint"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = langMarkers.map { case (l, ws) => (l, ws.toSet) }
+    val prepped = {
+      val target = spark.sparkContext.defaultParallelism
+      val base = docs.select(col("doc_id").cast("long"), col(textCol).cast("string"))
+      if (base.rdd.getNumPartitions < target) base.repartition(target) else base
+    }
+    prepped.as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val norm = normalize(text)
+        val words = norm.split(" ", -1)
+        val nTok = words.length.toLong
+        val nBpe = countMatches(bpePattern, text)
+        val punct = math.floor(countMatches(punctPattern, text).toDouble
+          * 10000.0 / math.max(text.length, 1).toDouble).toLong
+        var wl = 0L
+        words.foreach(w => wl += w.length)
+        val meanLen = math.floor(wl.toDouble * 10000.0
+          / math.max(words.length, 1).toDouble).toLong
+        val lenScore = math.min(nTok.toDouble / 50.0, 1.0)
+        val punctScore = math.min(punct.toDouble / 10000.0 * 20.0, 1.0)
+        val quality = math.floor((lenScore * 0.7 + punctScore * 0.3) * 10000.0).toLong
+        // argmax over "%08d:lang" strings — identical tie-break to the
+        // Column/oracle lexicographic greatest
+        val scored = markers.map { case (lang, ws) =>
+          f"${words.count(ws.contains)}%08d:$lang"
+        }
+        val best = scored.max
+        val lang = if (!best.startsWith("00000000")) best.substring(9, 11) else "und"
+        (id, nTok, nBpe, punct, meanLen, quality, lang,
+          graft.functions.Hashing.polyHash(norm))
+      })
+      .toDF("doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio_e4",
+        "mean_word_len_e4", "quality_e4", "lang_pred", "fingerprint")
   }
 }

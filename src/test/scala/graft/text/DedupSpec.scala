@@ -129,3 +129,32 @@ class TextAnalysisSpec extends graft.SparkSuite {
     assert(r.getLong(0) == 3L)
   }
 }
+
+/** The compiled stats path must replicate the Column-expression versions
+  * operation-for-operation (both are oracle-checked arithmetic). */
+class StatsParitySpec extends graft.SparkSuite {
+  test("compiled stats == Column-expression stats") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox, jumps! Over the lazy dog."),
+      (2L, "  der Hund   und die Katze ist das Haus  "),
+      (3L, ""),
+      (4L, "een;twee;drie de het en van een ja nee 123 !?"),
+      (5L, "x")).toDF("doc_id", "text")
+    val t = col("text")
+    val colStats = docs.select(
+      col("doc_id"),
+      TextAnalysis.tokenCountCol(t).cast("long").as("n_tokens"),
+      TextAnalysis.bpeTokenCountCol(t).cast("long").as("n_bpe_tokens"),
+      TextAnalysis.punctRatioScaledCol(t).as("punct_ratio_e4"),
+      TextAnalysis.meanWordLenScaledCol(t).as("mean_word_len_e4"),
+      TextAnalysis.qualityScoreScaledCol(t).as("quality_e4"),
+      TextAnalysis.langIdCol(t).as("lang_pred"),
+      TextAnalysis.fingerprintCol(t).as("fingerprint"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val compiled = TextAnalysis.stats(docs)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(compiled == colStats)
+  }
+}
