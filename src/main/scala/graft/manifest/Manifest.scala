@@ -26,7 +26,9 @@ object Manifest {
 
   /** S6 + H1: recursive scan of `dir` → manifest rows. Column pruning
     * note: `md5(content)` forces reading file bytes; everything else comes
-    * from file status only. `ignore` = F13 ignore-list filter. */
+    * from file status only. `ignore` = F13 ignore-list filter.
+    * Re-scanning a directory the session has already listed requires
+    * `spark.catalog.refreshByPath(dir)` first (file-listing cache). */
   def scanDirectory(spark: SparkSession, dir: String,
                     ignore: Seq[String] = Nil): DataFrame = {
     val base = dir.stripSuffix("/") + "/"

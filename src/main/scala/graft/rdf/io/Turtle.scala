@@ -88,15 +88,19 @@ object Turtle {
     header + blocks(triples).orderBy("subject")
       .select("block").collect().map(_.getString(0)).mkString("\n")
 
-  /** Distributed single-file write: header partition + subject-ordered
-    * blocks through one text file (coalesce(1) like the reference's one
-    * output file; drop the coalesce for a sharded 100 TB dump). */
+  /** Single-file write: header then subject-ordered blocks through one
+    * text file (repartition(1) + sortWithinPartitions pins the physical
+    * line order; the reference emits one file too — shard by subject
+    * range instead for a 100 TB dump). */
   def write(triples: DataFrame, path: String): Unit = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val body = blocks(triples).orderBy("subject").select("block")
-      .as[String]
-    (Seq(header.stripSuffix("\n")).toDS.union(body))
-      .coalesce(1).write.mode("overwrite").text(path)
+    val body = blocks(triples)
+      .select(lit(1).as("ord"), col("subject"), col("block").as("text"))
+    val head = Seq((0, "", header.stripSuffix("\n"))).toDF("ord", "subject", "text")
+    head.unionByName(body)
+      .repartition(1).sortWithinPartitions("ord", "subject")
+      .select("text")
+      .write.mode("overwrite").text(path)
   }
 }
