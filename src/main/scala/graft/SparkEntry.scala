@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{PipelineQueries, RdfQueries, RelationalQueries, SimQueries, TextQueries}
+import graft.queries.{PipelineQueries, RdfQueries, RelationalQueries, SimQueries, StreamGeoQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,11 +24,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
-      SimQueries.queries ++ PipelineQueries.queries ++ RdfQueries.queries
+      SimQueries.queries ++ PipelineQueries.queries ++ RdfQueries.queries ++
+      StreamGeoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++
-      SimQueries.oracles ++ PipelineQueries.oracles ++ RdfQueries.oracles
+      SimQueries.oracles ++ PipelineQueries.oracles ++ RdfQueries.oracles ++
+      StreamGeoQueries.oracles
 }

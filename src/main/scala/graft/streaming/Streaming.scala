@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+
+/** Structured Streaming pipelines. The reference has no streaming
+  * machinery (SURVEY §2.13) — its closest constructs are the append-only
+  * PREMIS event log and incremental re-sync. These pipelines give the
+  * engine the continuous-ingest path: the same event analytics as the
+  * batch queries (q30/q31), expressed as streams, so a file-watching
+  * deployment gets identical numbers (scalatested equal to batch on an
+  * AvailableNow run).
+  *
+  * Scale: windowed aggregation state is bounded by the watermark;
+  * sessionization state is one small struct per active user key.
+  */
+object Streaming {
+
+  /** Streaming source over an events parquet directory (same NANOS
+    * timestamp handling as the batch loader graft.sources.Tables). */
+  def eventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    // FileStreamSource needs a directory: a single-file path becomes its
+    // parent dir + a glob filter on the file name
+    val f = new java.io.File(path)
+    val reader = spark.readStream.schema(schema)
+    val src =
+      if (f.isFile)
+        reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(path)
+    src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums per event type with a
+    * 2-hour watermark — the streaming form of q30. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user session summary state for mapGroupsWithState. */
+  final case class SessionSummary(userId: Long, nSessions: Long,
+                                  maxSessionEvents: Long)
+
+  /** Sessionization (30-minute gaps) via mapGroupsWithState — the
+    * streaming form of q31. With AvailableNow each key's full history
+    * arrives in one group; events are sorted in the function (stream
+    * delivery order is not guaranteed), then gap-split exactly like the
+    * batch window. */
+  def sessionize(events: DataFrame, gapMinutes: Long = 30): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[SessionSummary]) =>
+          val sorted = it.toSeq.sortBy(t => (t._2, t._3))
+          var nSessions = 0L
+          var maxLen = 0L
+          var curLen = 0L
+          var lastTs = Long.MinValue
+          sorted.foreach { case (_, ts, _) =>
+            if (lastTs == Long.MinValue || ts - lastTs > gapUs) {
+              nSessions += 1
+              curLen = 1
+            } else curLen += 1
+            if (curLen > maxLen) maxLen = curLen
+            lastTs = ts
+          }
+          val out = SessionSummary(userId, nSessions, maxLen)
+          state.update(out)
+          out
+      }
+  }
+
+  /** Run any streaming DataFrame to completion over the currently
+    * available data (Trigger.AvailableNow) into an in-memory table;
+    * returns the result. Complete mode for aggregations, Update for
+    * stateful maps. */
+  def runAvailableNow(stream: DataFrame, name: String,
+                      outputMode: String = "complete"): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

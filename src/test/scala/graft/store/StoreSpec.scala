@@ -1,0 +1,194 @@
+package graft.store
+
+import java.nio.file.{Files, Paths => JPaths}
+import org.apache.spark.sql.functions._
+
+class StoreSpec extends graft.SparkSuite {
+
+  private def filesDF = {
+    import spark.implicits._
+    Seq(
+      ("a/k1.bin", "payload-1".getBytes, Map("source" -> "unit test")),
+      ("k2.bin", "payload-2".getBytes, Map.empty[String, String]),
+      ("k3.bin", "payload-3".getBytes, Map.empty[String, String]))
+      .toDF("key", "content", "metadata")
+  }
+
+  test("K5/K6 upload + listing + H2 verify") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new LocalFsStore(root)
+    val (up, skipped) = Store.upload(filesDF, store, spark)
+    assert(up == 3 && skipped == 0)
+    assert(Files.readString(JPaths.get(root, "a/k1.bin")) == "payload-1")
+    // metadata sidecar is URL-encoded (STR9)
+    assert(Files.readString(JPaths.get(root, "a/k1.bin.meta"))
+      == "source=unit+test")
+    val listing = Store.listing(spark, root)
+    assert(listing.count() == 3)
+    import spark.implicits._
+    val manifest = Seq(
+      ("a/k1.bin", md5hex("payload-1")), ("k2.bin", "WRONG"),
+      ("missing.bin", "x")).toDF("key", "md5hash")
+    val v = Store.verifyUploads(manifest, listing).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Boolean]("verified")).toMap
+    assert(v == Map("a/k1.bin" -> true, "k2.bin" -> false, "missing.bin" -> false))
+  }
+
+  test("F9/J5 onlyIfNew skips existing keys via anti-join") {
+    val root = Files.createTempDirectory("graft-store2").toString
+    val store = new LocalFsStore(root)
+    Store.upload(filesDF.limit(2), store, spark)
+    spark.catalog.refreshByPath(root)
+    val existing = Store.listing(spark, root)
+    val (up, skipped) = Store.upload(filesDF, store, spark,
+      onlyIfNew = true, existing = Some(existing))
+    assert(up == 1 && skipped == 2)
+  }
+
+  test("K8 batched delete + verification anti-join") {
+    val root = Files.createTempDirectory("graft-store3").toString
+    val store = new LocalFsStore(root)
+    Store.upload(filesDF, store, spark)
+    import spark.implicits._
+    val toDelete = Seq("a/k1.bin", "k2.bin", "nonexistent.bin").toDF("key")
+    val survivors = Store.deleteByKeys(toDelete, store, spark, root, batchSize = 2)
+    assert(survivors.count() == 0)
+    spark.catalog.refreshByPath(root)
+    assert(Store.listing(spark, root).collect().map(_.getString(0)).toSeq
+      == Seq("k3.bin"))
+  }
+
+  test("K9 ACL sidecars") {
+    val root = Files.createTempDirectory("graft-store4").toString
+    val store = new LocalFsStore(root)
+    Store.upload(filesDF.limit(1), store, spark)
+    import spark.implicits._
+    Store.updateAcls(Seq("a/k1.bin").toDF("key"), store, "public-read")
+    assert(Files.readString(JPaths.get(root, "a/k1.bin.acl")) == "public-read")
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+}
+
+class GeoSpec extends graft.SparkSuite {
+  import graft.functions.Geo
+
+  test("G1 parse RD coordinate string (millimetre input)") {
+    assert(Geo.parseRdCoord("X 136669000 Y 451994996")
+      == (136669.0, 451994.996))
+  }
+
+  test("G2 RD->WGS84 hits known landmarks within ~1m") {
+    // OLV tower Amersfoort: RD (155000, 463000) = origin -> lat0/lon0
+    val (lat, lon) = Geo.rdToWgs84(155000, 463000)
+    assert(math.abs(lat - 52.15517440) < 1e-9)
+    assert(math.abs(lon - 5.38720621) < 1e-9)
+    // Westertoren Amsterdam: RD (120700.723, 487525.501) -> 52.37453, 4.88353
+    val (lat2, lon2) = Geo.rdToWgs84(120700.723, 487525.501)
+    assert(math.abs(lat2 - 52.374535) < 2e-5, s"lat2=$lat2")
+    assert(math.abs(lon2 - 4.883530) < 2e-5, s"lon2=$lon2")
+  }
+
+  test("G3 WKT polygon is a closed 5-point lon-lat ring") {
+    val wkt = Geo.wktPolygon((120000, 480000), (121000, 481000))
+    assert(wkt.startsWith("POLYGON(("))
+    val pts = wkt.stripPrefix("POLYGON((").stripSuffix("))").split(", ")
+    assert(pts.length == 5)
+    assert(pts.head == pts.last) // closed ring
+    val Array(lon, lat) = pts.head.split(" ").map(_.toDouble)
+    assert(lon > 4 && lon < 5 && lat > 52 && lat < 53)
+  }
+
+  test("Column geo == pure geo") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("X 136669000 Y 451994996", "X 120700723 Y 487525501")
+      .toDF("coord")
+    val p = Geo.parseRdCoordCol(col("coord"))
+    val rows = df.select(col("coord"),
+      p("x"), p("y"),
+      Geo.latCol(p("x"), p("y")), Geo.lonCol(p("x"), p("y"))).collect()
+    rows.foreach { r =>
+      val (x, y) = Geo.parseRdCoord(r.getString(0))
+      assert(r.getDouble(1) == x && r.getDouble(2) == y)
+      val (lat, lon) = Geo.rdToWgs84(x, y)
+      assert(r.getDouble(3) == lat, "lat parity")
+      assert(r.getDouble(4) == lon, "lon parity")
+    }
+  }
+}
+
+class MultimodalSpec extends graft.SparkSuite {
+  import graft.multimodal.Multimodal
+
+  private def mediaDF = {
+    import spark.implicits._
+    Seq(
+      (1L, Array[Byte](0x42, 0x4d, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)),
+      (2L, Array[Byte](-119, 0x50, 0x4e, 0x47, 13, 10, 26, 10, 0, 0)),
+      (3L, Array.empty[Byte]))
+      .toDF("key", "content")
+  }
+
+  test("media metadata: byte length + magic sniff, no decode") {
+    val m = Multimodal.mediaMeta(mediaDF).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(m(1L)._1 == 12L)
+    assert(m(1L)._2.startsWith("424D")) // BM
+    assert(m(2L)._2.startsWith("89504E47")) // PNG
+  }
+
+  test("decode stub: deterministic, schema-stable, empty-safe") {
+    val d1 = Multimodal.decodeImages(mediaDF, featureDim = 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Float](4))).toMap
+    val d2 = Multimodal.decodeImages(mediaDF, featureDim = 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Float](4))).toMap
+    assert(d1 == d2) // deterministic across runs
+    assert(d1(1L)._4.length == 8)
+    assert(d1(3L) == ((0, 0, 0, Seq.fill(8)(0f)))) // empty payload
+    assert(d1(1L) != d1(2L))
+  }
+
+  test("frame sampling explodes strided chunks") {
+    import spark.implicits._
+    val bytes = Array.tabulate(40000)(_.toByte)
+    val df = Seq((7L, bytes)).toDF("key", "content")
+    val frames = Multimodal.sampleFrames(df, frameSize = 4096, stride = 2)
+      .collect()
+    assert(frames.length == 5) // 40000 / 8192 rounded up
+    assert(frames.map(_.getInt(1)).toSeq == (0 until 5))
+    assert(frames.head.getAs[Array[Byte]](2).length == 4096)
+  }
+}
+
+class StreamingSpec extends graft.SparkSuite {
+  import graft.streaming.Streaming
+
+  test("streaming windowed agg == batch q30 on AvailableNow") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.runAvailableNow(
+      Streaming.windowedAgg(Streaming.eventStream(spark, s"$dir/events.parquet")),
+      s"t_${System.nanoTime()}")
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    val batch = graft.SparkEntry.queries("q30_windowed_agg")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionization == batch q31 on AvailableNow") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.runAvailableNow(
+      Streaming.sessionize(
+        Streaming.eventStream(spark, s"$dir/events.parquet")).toDF(),
+      s"s_${System.nanoTime()}", outputMode = "update")
+      .select("userId", "nSessions", "maxSessionEvents")
+      .orderBy("userId").collect().map(_.toSeq).toSeq
+    val batch = graft.SparkEntry.queries("q31_sessionize")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+}
