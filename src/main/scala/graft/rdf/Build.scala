@@ -112,14 +112,59 @@ object Build {
   def flatten(df: DataFrame, resource: RResource): DataFrame =
     flattenAll(df, Seq(resource))
 
+  /** Drop top-level/RNode-nested RSplit props (they go through the split
+    * union branch); RSplits inside explicit RLists stay on the transform
+    * path to keep list ordinals stable. */
+  private def stripSplits(props: Seq[(String, RObj)]): Seq[(String, RObj)] =
+    props.flatMap {
+      case (_, _: RSplit) => None
+      case (p, RNode(ps, c)) => Some(p -> RNode(stripSplits(ps), c))
+      case other => Some(other)
+    }
+
+  /** (subject, predicate, split, enclosing-condition) for every RSplit
+    * reachable outside RLists — subject/path derivation mirrors
+    * objTriples exactly so skolem ids stay identical. */
+  private def collectSplits(subject: Column, props: Seq[(String, RObj)],
+                            path: String, cond: Column): Seq[(Column, String, RSplit, Column)] =
+    props.flatMap {
+      case (p, s: RSplit) => Seq((subject, p, s, cond))
+      case (p, RNode(ps, c)) =>
+        val b = skolemCol(subject, s"$path/$p")
+        collectSplits(b, ps, s"$path/$p", cond && coalesce(c, lit(false)))
+      case _ => Nil
+    }
+
   /** Flatten several resource shapes per input row (e.g. record + bestand
-    * per CSV row, csv2rdf.py:117-227) in one pass. */
+    * per CSV row, csv2rdf.py:117-227).
+    *
+    * Codegen discipline (measured 30× on the flagship pipeline):
+    * null scalars ride through the explode and are dropped by a plain
+    * Filter AFTER it (an array-level higher-order `filter` is
+    * CodegenFallback and would interpret the whole per-row construction),
+    * and RSplit multi-value props (STR7) run as separate
+    * `explode(split(...))` union branches (the `transform`-to-struct HOF
+    * would likewise knock the Generate out of whole-stage codegen).
+    * Column pruning keeps each branch's scan narrow. */
   def flattenAll(df: DataFrame, resources: Seq[RResource]): DataFrame = {
+    val nullStr = lit(null).cast("string")
     val all = concat(resources.zipWithIndex.map { case (r, i) =>
-      resourceTriples(r.subject, r.props, s"#$i")
+      resourceTriples(r.subject, stripSplits(r.props), s"#$i")
     }: _*)
-    df.select(explode(filter(all, t => t.isNotNull)).as("t"))
+    val main = df.select(explode(all).as("t"))
+      .filter(col("t").isNotNull)
       .select(Triple.columns.map(c => col(s"t.$c")): _*)
+    val splitBranches = resources.zipWithIndex.flatMap { case (r, i) =>
+      collectSplits(r.subject, r.props, s"#$i", lit(true))
+    }.map { case (subj, pred, RSplit(v, sep), cond) =>
+      df.filter(cond)
+        .select(subj.as("subject"), lit(pred).as("predicate"),
+          explode(split(v, java.util.regex.Pattern.quote(sep))).as("objectValue"))
+        .select(col("subject"), col("predicate"), col("objectValue"),
+          lit(Triple.LITERAL).as("objectKind"),
+          nullStr.as("datatype"), nullStr.as("lang"))
+    }
+    (main +: splitBranches).reduce(_ unionByName _)
   }
 
   /** A7 — graph set semantics: collapse duplicate triples. */

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Physical-plan regression tests: the properties that matter at 100 TB
+  * (broadcasts, pushdown, codegen, shuffle counts) asserted against
+  * `.explain` output so a refactor can't silently de-optimize a plan. */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("flagship joins broadcast the dimension side") {
+    val p = plan(graft.etl.Flagship.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "vocab/dim joins must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("filter + projection push into the parquet scan") {
+    val df = Tables.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"),
+      s"filter must reach the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:"),
+      "scan must prune to the 2 projected columns")
+  }
+
+  test("anti/semi joins plan as broadcast or shuffled hash joins, never cartesian") {
+    val anti = plan(SparkEntry.queries("q04_anti_join")(spark, dir))
+    assert(anti.contains("LeftAnti"), anti)
+    val semi = plan(SparkEntry.queries("q05_semi_join")(spark, dir))
+    assert(semi.contains("LeftSemi"), semi)
+    assert(!anti.contains("CartesianProduct") && !semi.contains("CartesianProduct"))
+  }
+
+  test("exact dedup is one shuffle (hash partition on key), no global sort") {
+    val p = plan(graft.text.Dedup.exact(
+      spark.read.parquet(s"$dir/documents.parquet")))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 hash exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), "no global sort")
+  }
+
+  test("aggregations are partial+final hash aggregates (map-side combine)") {
+    val p = plan(Tables.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity")))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "partial + final hash aggregate expected")
+  }
+
+  test("flagship per-row triple construction stays in codegen") {
+    // the Generates (explode) must participate in whole-stage codegen —
+    // an interpreted generator cost 30x on this pipeline. AQE finalizes
+    // codegen stages at execution, so run the query first and assert on
+    // the final plan section.
+    // collect() (not write) so THIS DataFrame's QueryExecution is the one
+    // that runs — a write wraps the plan in its own QueryExecution and
+    // df's would stay un-finalized (no codegen stages to inspect)
+    val df = graft.etl.Flagship.run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val gens = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gens.nonEmpty, p)
+    gens.foreach { gen =>
+      assert(gen.replaceAll("^[:\\s+\\-]*", "").startsWith("*"),
+        s"Generate must be codegen'd: $gen")
+    }
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val p = plan(graft.sim.Similarity.bruteForceTopK(e.limit(20), e, 5))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries side must broadcast:\n$p")
+  }
+}
