@@ -35,9 +35,11 @@ final class Identifiers(val cfg: IdConfig) extends Serializable {
   /** e.g. "NL-WbDRAZU-G0321-661" (razu/identifiers.py:12-20) */
   val uidBase: String = s"${cfg.razuFileId}-${cfg.archiveCreatorId}-${cfg.archiveId}"
 
-  /** e.g. "https://g0321.opslag.razu.nl/" (razu/identifiers.py:23-28) */
+  /** e.g. "https://g0321.opslag.razu.nl/" (razu/identifiers.py:23-28).
+    * Locale.ROOT: default-locale lowercasing would corrupt the host for
+    * e.g. Turkish 'I'. */
   val cdnBaseUri: String =
-    s"https://${cfg.archiveCreatorId.toLowerCase}.${cfg.storageBaseDomain}/"
+    s"https://${cfg.archiveCreatorId.toLowerCase(java.util.Locale.ROOT)}.${cfg.storageBaseDomain}/"
 
   /** e.g. "https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661"
     * (razu/identifiers.py:53-60) */
@@ -76,6 +78,7 @@ final class Identifiers(val cfg: IdConfig) extends Serializable {
     * — div/mod bucketing keeps ≤1000 objects per prefix
     * (razu/identifiers.py:79-86, SURVEY §2.10 STR2). */
   def storagePathFromId(id: Long): String = {
+    require(id >= 0, s"storage paths are defined for non-negative ids, got $id")
     val millions = id / 1000000L
     val thousands = id % 1000000L / 1000L
     f"${cfg.razuFileId}/${cfg.archiveCreatorId}/${cfg.archiveId}/$millions%03d/$thousands%03d/"
@@ -128,12 +131,15 @@ final class Identifiers(val cfg: IdConfig) extends Serializable {
   def cdnUriCol(uid: Column, ext: Column): Column =
     concat(lit(cdnBaseUri), uid, lit("."), ext)
 
-  /** S3-style bucketed storage path column (STR2):
-    * format_string("%03d/%03d/", id/1e6, id%1e6/1e3) under the fixed root. */
+  /** S3-style bucketed storage path column (STR2). Integer `div` (not
+    * double `/`) keeps exactness above 2^53, and the id is required
+    * non-negative like the driver-side variant so both halves of the
+    * algebra agree. */
   def storagePathCol(id: Column): Column =
     format_string(
       s"${cfg.razuFileId}/${cfg.archiveCreatorId}/${cfg.archiveId}/%03d/%03d/",
-      floor(id / 1000000L), floor(pmod(id, lit(1000000L)) / 1000L))
+      call_function("div", id.cast("long"), lit(1000000L)),
+      call_function("div", pmod(id.cast("long"), lit(1000000L)), lit(1000L)))
 
   /** inverse extraction column: object id out of a filename/uri/path. */
   def extractIdCol(identifier: Column): Column =

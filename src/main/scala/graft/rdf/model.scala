@@ -30,7 +30,10 @@ object Triple {
   val BNODE = "bnode"
   val LITERAL = "literal"
 
-  /** Canonical schema, stable column order. */
+  /** Canonical schema, stable column order. Nullability here documents
+    * intent (subject/predicate/objectValue/objectKind are never null);
+    * Datasets built through the product encoder derive all-nullable
+    * string fields, so compare schemas by name+type, not nullability. */
   val schema: StructType = StructType(Seq(
     StructField("subject", StringType, nullable = false),
     StructField("predicate", StringType, nullable = false),
@@ -63,6 +66,7 @@ object NS {
   val SCHEMA = "http://schema.org/"
   val GEO = "http://www.opengis.net/ont/geosparql#"
   val PROV = "http://www.w3.org/ns/prov#"
+  val OWL = "http://www.w3.org/2002/07/owl#"
   val PREMIS = "http://www.loc.gov/premis/rdf/v3/"
   val LDTO = "https://data.razu.nl/def/ldto/"
   val MDTO = "http://www.nationaalarchief.nl/mdto#"
@@ -81,7 +85,7 @@ object NS {
 
   /** prefix → namespace, used by the Turtle/JSON-LD serializers. */
   val prefixes: Seq[(String, String)] = Seq(
-    "rdf" -> RDF, "rdfs" -> RDFS, "xsd" -> XSD, "skos" -> SKOS,
+    "rdf" -> RDF, "rdfs" -> RDFS, "owl" -> OWL, "xsd" -> XSD, "skos" -> SKOS,
     "dct" -> DCT, "schema" -> SCHEMA, "geo" -> GEO, "prov" -> PROV,
     "premis" -> PREMIS, "ldto" -> LDTO, "mdto" -> MDTO,
     "eror" -> EROR, "erar" -> ERAR, "eo" -> EO)

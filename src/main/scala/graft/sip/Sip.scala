@@ -1,0 +1,77 @@
+package graft.sip
+
+import java.nio.file.{Files, Paths => JPaths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.events.Events
+import graft.ids.Identifiers
+import graft.manifest.Manifest
+import graft.rdf.{Build, NS, Triple}
+import graft.rdf.io.JsonLd
+
+/** SIP packaging module — the E2 lifecycle (razu/sip.py) as DataFrame
+  * jobs over the triple model:
+  *
+  *   save:  resources (triples) → one JSON-LD file per root resource (K1)
+  *          → manifest from the written tree (S6+H1+K3)
+  *          → PREMIS metadata-modification events (K4)
+  *   load:  directory of *.meta.json (S5/S3/S4) → triple DF with ids
+  *          re-derived from filenames (STR3)
+  *
+  * The reference's deferred event queue disappears: event subjects are
+  * derived from the saved-resources DF in ordinary dependency order
+  * (SURVEY §3 E2 — "the queue disappears").
+  */
+object Sip {
+
+  /** K1 — write one JSON-LD file per root resource:
+    * <uid>.meta.json named via the id algebra. Files are written
+    * per-partition (distributed), not via a driver loop like
+    * csv2rdf.py:234-237's per-row save. Returns (root, filename). */
+  def saveResources(triples: DataFrame, dir: String,
+                    ids: Identifiers = Identifiers.default): DataFrame = {
+    Files.createDirectories(JPaths.get(dir))
+    val docs = JsonLd.documents(triples)
+      .withColumn("id", ids.extractIdCol(col("root")))
+      .withColumn("filename", ids.filenameCol(col("id")))
+    docs.select("filename", "json").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          Files.writeString(JPaths.get(dir, r.getString(0)), r.getString(1))
+        }
+    }
+    docs.select("root", "filename")
+  }
+
+  /** S5 — load a SIP directory: every *.meta.json parsed to triples with
+    * per-file bnode isolation; object ids re-derived from file names. */
+  def loadResources(spark: SparkSession, dir: String,
+                    ids: Identifiers = Identifiers.default): DataFrame =
+    JsonLd.read(spark, s"$dir/*.meta.json")
+
+  /** Full save lifecycle (sip.py:173-180): resources → files → manifest →
+    * events → eventlog. Returns the manifest DataFrame. */
+  def save(spark: SparkSession, triples: DataFrame, dir: String,
+           ids: Identifiers = Identifiers.default,
+           timestamp: String = java.time.Instant.now().toString): DataFrame = {
+    val written = saveResources(triples, dir, ids)
+    spark.catalog.refreshByPath(dir)
+
+    // manifest over the written tree (K3); the manifest/eventlog files
+    // themselves stay out (F13)
+    val manifest = Manifest.scanDirectory(spark, dir,
+      ignore = Seq(ids.manifestFilename, ids.eventlogFilename))
+    Manifest.saveJson(manifest, s"$dir/${ids.manifestFilename}")
+
+    // one metadata-modification event per written resource (sip.py:147-155)
+    val events = Events.emit(written, Seq(col("root")), Events.mmd,
+      subjectOf = col("root"), outcome = lit(true),
+      note = concat(lit("saved "), col("filename")),
+      timestamp = timestamp, ids = ids)
+    val eventJson = JsonLd.documents(events).orderBy("root")
+      .select("json").collect().map(_.getString(0))
+      .mkString("[\n", ",\n", "\n]")
+    Files.writeString(JPaths.get(dir, ids.eventlogFilename), eventJson)
+    manifest
+  }
+}
