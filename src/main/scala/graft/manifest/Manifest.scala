@@ -49,6 +49,43 @@ object Manifest {
     else scan.filter(!col("path").isin(ignore: _*))
   }
 
+  /** H1 scale path — streaming MD5 over file PATHS (no content column):
+    * `binaryFile` materializes whole files (4 GB soft cap via
+    * spark.sql.sources.binaryFile.maxLength); this variant lists paths
+    * cheaply and hashes each file in 8192-byte chunks executor-side
+    * (razu/util.py:155-163's chunked read), so arbitrarily large files
+    * hash in constant memory. */
+  def scanDirectoryStreaming(spark: SparkSession, dir: String,
+                             chunkSize: Int = 8192): DataFrame = {
+    import spark.implicits._
+    val base = dir.stripSuffix("/") + "/"
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(regexp_replace(col("path"), "^file:", "").as("abspath"),
+        col("length").cast("long").as("size"),
+        date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss").as("modified"))
+      // content column never selected → binaryFile reads status only
+      .as[(String, Long, String)]
+      .mapPartitions { it =>
+        val buf = new Array[Byte](chunkSize)
+        it.map { case (abspath, size, modified) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val in = java.nio.file.Files.newInputStream(
+            java.nio.file.Paths.get(abspath))
+          try {
+            var n = in.read(buf)
+            while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+          val hash = md.digest().map("%02x".format(_)).mkString
+          (abspath.substring(base.length), hash, size, modified)
+        }
+      }
+      .toDF("path", "md5hash", "size", "modified")
+      .withColumn("extension",
+        graft.functions.Paths.fullExtensionCol(col("path")))
+  }
+
   /** T3: reconcile a manifest against a directory scan:
     * status ∈ missing (manifest only) / extra (disk only) / mismatch / ok.
     * (razu/manifest.py:185-221.) */
