@@ -30,5 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 240m code cache late in a run — C2 then bails out and hot loops drop
   // to the interpreter (bench showed 4-12x slowdowns on late queries).
   "-XX:ReservedCodeCacheSize=512m",
+  // more JIT threads: the bench JVM generates hundreds of codegen classes
+  // while 32 executor threads saturate the cores; starved C2 queues left
+  // late queries semi-interpreted
+  "-XX:CICompilerCount=8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
