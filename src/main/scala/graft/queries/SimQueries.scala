@@ -47,7 +47,18 @@ object SimQueries {
             * lit(1000000.0d)).cast("long").as("norm_e6"))
         .groupBy("label")
         .agg(count(lit(1)).as("n"), sum("norm_e6").as("sum_norm_e6"))
-        .orderBy("label")))
+        .orderBy("label")),
+
+    // Embedding-cosine near-dup pairs, blocked by label — exact within
+    // blocks (the oracle-checkable blocked-dedup baseline; LSH-bucketed
+    // blocking is the unblocked scale path, recall-tested in scalatest)
+    "q39_embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupBlocked(
+          s.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id").as("id"), col("embedding").as("vec"),
+              col("label")),
+          "label", thresholdE6 = 300000L)
+        .orderBy("id_a", "id_b")))
 
   private val dotSql =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -80,5 +91,18 @@ object SimQueries {
          |         CAST(floor(${normSql("embedding::DOUBLE[]")} * 1000000.0) AS BIGINT) AS norm_e6
          |  FROM embeddings)
          |SELECT label, COUNT(*) AS n, SUM(norm_e6) AS sum_norm_e6
-         |FROM x GROUP BY label ORDER BY label""".stripMargin)
+         |FROM x GROUP BY label ORDER BY label""".stripMargin,
+
+    "q39_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         CAST(floor(
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])),
+         |             (acc, x) -> acc + x)
+         |           / (${normSql("a.v")} * ${normSql("b.v")}) * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos_e6 FROM p WHERE cos_e6 >= 300000
+         |ORDER BY id_a, id_b""".stripMargin)
 }

@@ -87,6 +87,46 @@ object Similarity {
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Embedding-cosine near-duplicate pairs with a blocking key: pairs
+    * within the same block whose cosine ≥ threshold — the classic
+    * blocked-dedup shape (block = label/shard/LSH bucket). The join
+    * shuffles on the block key only; exact within blocks, so it is
+    * DuckDB-oracle-checkable. For unblocked corpora use
+    * `nearDupLsh` (hyperplane buckets as blocks; recall < 1). */
+  def nearDupBlocked(emb: DataFrame, blockCol: String, thresholdE6: Long): DataFrame = {
+    val cosE6 = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) { dot += a(i) * b(i); i += 1 }
+      i = 0
+      while (i < a.length) { na += a(i) * a(i); i += 1 }
+      i = 0
+      while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0).toLong
+    }
+    val l = emb.select(col(blockCol).as("block"), col("id").as("id_a"),
+      col("vec").cast("array<double>").as("va"))
+    val r = emb.select(col(blockCol).as("block"), col("id").as("id_b"),
+      col("vec").cast("array<double>").as("vb"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosE6(col("va"), col("vb")).as("cos_e6"))
+      .filter(col("cos_e6") >= thresholdE6)
+  }
+
+  /** Scale path: near-dup pairs via hyperplane-bucket blocking (multiple
+    * tables for recall), threshold-filtered — no all-pairs product. */
+  def nearDupLsh(emb: DataFrame, thresholdE6: Long,
+                 planesPerTable: Int = 6, tables: Int = 8): DataFrame =
+    lshTopK(emb, emb, k = Int.MaxValue, planesPerTable, tables)
+      .filter(col("cos_e6") >= thresholdE6)
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cos_e6"))
+
   /** LSH-bucketed ANN: multiple independent hash tables; candidates =
     * equi-join on (table, bucket); exact cosine re-rank within candidates.
     * Recall grows with `tables`; cost stays bucket-local.

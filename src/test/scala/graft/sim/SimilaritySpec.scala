@@ -87,3 +87,27 @@ class FlagshipSpec extends graft.SparkSuite {
     t.unpersist()
   }
 }
+
+class NearDupSpec extends graft.SparkSuite {
+  import org.apache.spark.sql.functions._
+
+  test("blocked near-dup is exact within blocks; LSH path has recall ≥ 0.8") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val blocked = Similarity.nearDupBlocked(emb, "label", 300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs with the same threshold (ignoring blocks) via a
+    // single-block run = ground truth superset
+    val allPairs = Similarity.nearDupBlocked(
+        emb.withColumn("label", lit(1)), "label", 300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(allPairs))
+    if (allPairs.nonEmpty) {
+      val lsh = Similarity.nearDupLsh(emb, 300000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh.subsetOf(allPairs))
+      val recall = (lsh & allPairs).size.toDouble / allPairs.size
+      assert(recall >= 0.8, s"recall=$recall over ${allPairs.size} true pairs")
+    }
+  }
+}
