@@ -29,19 +29,16 @@ object Hashing {
   def polyHash(s: String): Long =
     s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
 
-  /** Column variant: identical arithmetic via the `aggregate` higher-order
-    * function over the string's characters. DuckDB replica:
+  /** Column variant — the native codegen'd expression
+    * (graft.expressions.PolyHash): identical arithmetic, compiled loop
+    * instead of an interpreted higher-order fold. DuckDB replica:
     * list_reduce(list_prepend(0, [ascii(c) for c in string_split(s,'')]),
     *             (a,b) -> (a*31+b) % 1000000007)
     *
-    * (Spark's `ascii` and DuckDB's `ascii` both return the leading
-    * codepoint; inputs are expected ASCII-safe.)
+    * (UTF-16 code units here vs DuckDB's codepoints — equal for ASCII/BMP
+    * inputs, which is what the corpus holds.)
     */
-  def polyHashCol(s: Column): Column =
-    aggregate(
-      split(s, ""),
-      lit(0L),
-      (acc, c) => pmod(acc * lit(31L) + ascii(c).cast("long"), lit(P)))
+  def polyHashCol(s: Column): Column = graft.expressions.PolyHash.col(s)
 
   /** Combine a sequence of pre-hashed values (e.g. word hashes into a
     * shingle hash): fold(acc*31 + h) mod P over an array<long> column.

@@ -158,3 +158,31 @@ class StatsParitySpec extends graft.SparkSuite {
     assert(compiled == colStats)
   }
 }
+
+/** Native PolyHash expression: SQL registration + codegen verification. */
+class PolyHashExprSpec extends graft.SparkSuite {
+  test("graft_polyhash usable from SQL via extension injection") {
+    import graft.expressions.PolyHash
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_polyhash", (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PolyHash(es.head), "built-in")
+    val r = spark.sql("SELECT graft_polyhash('hello') AS h").head().getLong(0)
+    assert(r == Hashing.polyHash("hello"))
+    // type check rejects non-strings
+    val err = intercept[Exception](spark.sql("SELECT graft_polyhash(42)").collect())
+    assert(err.getMessage.contains("string") || err.getMessage.contains("DATATYPE"))
+  }
+
+  test("PolyHash participates in whole-stage codegen") {
+    import spark.implicits._
+    val df = spark.range(100)
+      .select(Hashing.polyHashCol(concat(lit("doc"), col("id").cast("string"))).as("h"))
+      .groupBy().sum("h")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the projection holding graft_polyhash must be inside a codegen stage
+    val projLine = p.linesIterator.find(_.contains("graft_polyhash"))
+      .orElse(p.linesIterator.find(_.contains("Project"))).get
+    assert(projLine.replaceAll("^[:\\s+\\-]*", "").startsWith("*"), p)
+  }
+}
