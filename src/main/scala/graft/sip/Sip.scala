@@ -49,6 +49,20 @@ object Sip {
                     ids: Identifiers = Identifiers.default): DataFrame =
     JsonLd.read(spark, s"$dir/*.meta.json")
 
+  /** STR3/W2 — recover the highest object id from a SIP directory's
+    * file names (sip.py:186-203 re-derives ids on load_existing so the
+    * Incrementer can continue). 0 for an empty/missing directory. */
+  def maxResourceId(spark: SparkSession, dir: String,
+                    ids: Identifiers = Identifiers.default): Long = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) return 0L
+    val names = d.listFiles.map(_.getName)
+      .filter(_.endsWith(s".${ids.cfg.metadataSuffix}.${ids.cfg.metadataExtension}"))
+    if (names.isEmpty) 0L
+    else names.flatMap(n => scala.util.Try(
+      ids.extractIdFromFilename(n).toLong).toOption).foldLeft(0L)(math.max)
+  }
+
   /** Full save lifecycle (sip.py:173-180): resources → files → manifest →
     * events → eventlog. Returns the manifest DataFrame. */
   def save(spark: SparkSession, triples: DataFrame, dir: String,

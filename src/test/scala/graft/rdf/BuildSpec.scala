@@ -130,3 +130,20 @@ class BuildSpec extends graft.SparkSuite {
     assert(Build.dedup(df).count() == 1)
   }
 }
+
+/** RSplit nested inside an RList stays on the transform path with stable
+  * ordinals (the union branch only handles top-level/RNode splits). */
+class BuildSplitListSpec extends graft.SparkSuite {
+  import graft.rdf.Build._
+  import org.apache.spark.sql.functions._
+
+  test("RSplit inside RList emits one literal per element") {
+    import spark.implicits._
+    val one = Seq(1).toDF("row")
+    val r = RResource(lit("http://x/s"), Seq(
+      "http://x/p" -> RList(Seq(RLit(lit("first")), RSplit(lit("a;b"), ";")))))
+    val got = Build.flatten(one, r).select("objectValue").collect()
+      .map(_.getString(0)).toSet
+    assert(got == Set("first", "a", "b"))
+  }
+}

@@ -113,3 +113,17 @@ class SipSpec extends graft.SparkSuite {
     assert(loadedUri == originalUri)
   }
 }
+
+class SipIdRecoverySpec extends graft.SparkSuite {
+  test("STR3 max-id recovery from SIP filenames") {
+    import java.nio.file.{Files, Paths => JPaths}
+    val dir = Files.createTempDirectory("graft-sipids").toString
+    val ids = graft.ids.Identifiers.default
+    Seq(3L, 27L, 11L).foreach { id =>
+      Files.writeString(JPaths.get(dir, ids.filenameFromId(id.toString)), "{}")
+    }
+    Files.writeString(JPaths.get(dir, "unrelated.txt"), "x")
+    assert(graft.sip.Sip.maxResourceId(spark, dir) == 27L)
+    assert(graft.sip.Sip.maxResourceId(spark, dir + "/nonexistent") == 0L)
+  }
+}
