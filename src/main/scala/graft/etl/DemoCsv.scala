@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{DateTypes, Geo}
@@ -99,21 +98,11 @@ object DemoCsv {
       ("actor", col("Fotograaf naam"), "fotograaf_uri"))
       .foldLeft(joined0) { case (df, (vn, term, out)) => resolve(df, vn, term, out) }
 
-    // W1 + W2 — break detection and the interleaved id algebra
+    // W1 + W2 — break detection and the interleaved id algebra, via the
+    // scale-safe two-pass scan (no partition-less window)
     val order = orderCols.map(col)
-    val w = Window.orderBy(order: _*)
-    val withIds = joined
-      .withColumn("__rowIdx", row_number().over(w).cast("long"))
-      .withColumn("__brk",
-        coalesce(col("Serie") =!= lag(col("Serie"), 1).over(w), lit(true))
-          .cast("long"))
-      .withColumn("__cumB", sum("__brk").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__recordId", col("__cumB") + lit(2L) * col("__rowIdx"))
-      .withColumn("__bestandId", col("__recordId") + 1L)
-      .withColumn("__serieId", max(when(col("__brk") === 1L,
-        col("__recordId") - 1L)).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val withIds = graft.ops.Relational.interleavedSerieIds(
+      joined, order, col("Serie"))
 
     val archiveUri = ids.uriFromId("1")
     val serieSubj = ids.uriCol(col("__serieId"))

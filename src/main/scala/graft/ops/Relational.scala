@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** The reference's relational operator shapes (SURVEY §2), generalized as
   * reusable DataFrame combinators. Each is a thin declarative composition —
@@ -53,15 +54,29 @@ object Relational {
   }
 
   /** W2 — deterministic sequential id assignment (razu/incrementer.py:1-11):
-    * row_number over an explicit total order — NEVER
+    * ids follow an explicit total order — NEVER
     * monotonically_increasing_id (not stable across partitioning).
-    * Single global sort; at 100 TB assign per-partition offsets via
-    * zipWithIndex-style two-pass if one total order column is too hot.
+    *
+    * Scale-safe two-pass shape (NOT a partition-less `Window.orderBy`,
+    * which funnels every row through one task): range-repartition on the
+    * order keys, sort within partitions, then `zipWithIndex` — Spark's
+    * zipWithIndex runs a cheap count job for per-partition offsets and a
+    * second partition-local pass that assigns `offset + global index + 1`.
+    * Both passes reuse the one range shuffle; no stage sees more than a
+    * partition of data. Ids are deterministic when `order` is a total
+    * order (ties fall to range-partition placement, same as row_number).
     */
   def sequentialIds(df: DataFrame, order: Seq[Column],
-                    idCol: String = "seq_id", offset: Long = 0L): DataFrame =
-    df.withColumn(idCol,
-      row_number().over(Window.orderBy(order: _*)).cast("long") + offset)
+                    idCol: String = "seq_id", offset: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L + offset))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
 
   /** W1 — ordered group-break detection (serie breaks,
     * csv2rdf.py:90-114): flag rows where `groupCol` differs from its
@@ -88,4 +103,99 @@ object Relational {
     df.withColumn("__rn", row_number().over(
         Window.partitionBy(key: _*).orderBy(order: _*)))
       .filter(col("__rn") === 1).drop("__rn")
+
+  /** Per-partition summary for the two-pass interleaved scan: `first`/`last`
+    * are the serie keys at the partition edges (null = the cell was null),
+    * `internalBreaks` counts breaks at local rows >= 1, `lastBrkIdx` is the
+    * local index of the last internal break (-1 = none). */
+  private case class PartStat(pid: Int, n: Long, first: String, last: String,
+                              internalBreaks: Long, lastBrkIdx: Long)
+
+  private def isBreak(prev: String, cur: String): Boolean =
+    prev == null || cur == null || prev != cur
+
+  /** W1+W2 — the reference's interleaved Incrementer id algebra
+    * (razu/incrementer.py + csv2rdf.py row loop) as a scale-safe two-pass
+    * scan. Appends to every row, in the total order given by `order`:
+    *
+    *   __rowIdx    1-based global row number
+    *   __brk       1 when `serie` differs from its predecessor (null-safe:
+    *               either side null => break; first row => break)
+    *   __recordId  cumulative breaks (incl. this row) + 2 * __rowIdx
+    *   __serieId   most recent break row's __recordId - 1 (carried forward)
+    *   __bestandId __recordId + 1
+    *
+    * Shape: one range shuffle + partition-local sort, a stats pass
+    * collecting (count, edge serie values, internal breaks) per partition
+    * — O(numPartitions) at the driver — then a partition-local scan with
+    * broadcast incoming offsets. Replaces the previous partition-less
+    * window (every row through one task at 100x scale).
+    */
+  def interleavedSerieIds(df: DataFrame, order: Seq[Column],
+                          serie: Column): DataFrame = {
+    val spark = df.sparkSession
+    val keyed = df.withColumn("__serie_key", serie.cast("string"))
+    val sorted = keyed.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val serieIdx = sorted.schema.fieldIndex("__serie_key")
+    val rdd = sorted.rdd
+
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var first: String = null; var last: String = null
+      var internal = 0L; var lastBrk = -1L
+      it.foreach { row =>
+        val cur = row.getString(serieIdx)
+        if (n == 0L) first = cur
+        else if (isBreak(last, cur)) { internal += 1; lastBrk = n }
+        last = cur; n += 1
+      }
+      Iterator.single(PartStat(pid, n, first, last, internal, lastBrk))
+    }.collect().sortBy(_.pid)
+
+    // driver walk over O(numPartitions) stats: incoming (rows, breaks,
+    // previous serie, carried serieId) per partition
+    val incoming = Array.ofDim[(Long, Long, Boolean, String, Long)](stats.length)
+    var rowsBefore = 0L; var breaksBefore = 0L
+    var havePrev = false; var prevSerie: String = null; var carry = 0L
+    stats.foreach { s =>
+      incoming(s.pid) = (rowsBefore, breaksBefore, havePrev, prevSerie, carry)
+      if (s.n > 0) {
+        val firstBrk = !havePrev || isBreak(prevSerie, s.first)
+        val breaksIn = s.internalBreaks + (if (firstBrk) 1L else 0L)
+        if (breaksIn > 0) {
+          val lastBrkIdx = if (s.lastBrkIdx >= 0) s.lastBrkIdx else 0L
+          val cumBAtLast = breaksBefore + breaksIn
+          val rowIdxAtLast = rowsBefore + lastBrkIdx + 1
+          carry = cumBAtLast + 2 * rowIdxAtLast - 1
+        }
+        rowsBefore += s.n; breaksBefore += breaksIn
+        prevSerie = s.last; havePrev = true
+      }
+    }
+    val bc = spark.sparkContext.broadcast(incoming)
+
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField("__rowIdx", LongType, nullable = false),
+      StructField("__brk", LongType, nullable = false),
+      StructField("__recordId", LongType, nullable = false),
+      StructField("__serieId", LongType, nullable = false),
+      StructField("__bestandId", LongType, nullable = false)))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val (rows0, breaks0, havePrev0, prev0, carry0) = bc.value(pid)
+      var havePrev = havePrev0; var prev = prev0
+      var cumB = breaks0; var carried = carry0; var local = 0L
+      it.map { row =>
+        val cur = row.getString(serieIdx)
+        val brk = !havePrev || isBreak(prev, cur)
+        if (brk) cumB += 1
+        val rowIdx = rows0 + local + 1
+        val recordId = cumB + 2 * rowIdx
+        if (brk) carried = recordId - 1
+        havePrev = true; prev = cur; local += 1
+        Row.fromSeq(row.toSeq ++ Seq(rowIdx, if (brk) 1L else 0L,
+          recordId, carried, recordId + 1))
+      }
+    }
+    spark.createDataFrame(out, schema).drop("__serie_key")
+  }
 }

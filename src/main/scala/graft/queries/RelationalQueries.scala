@@ -336,7 +336,7 @@ object RelationalQueries {
 
     "q17_null_fill" ->
       """SELECT event_type,
-        |       SUM(coalesce(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT), 0)) AS sum_k,
+        |       CAST(SUM(coalesce(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT), 0)) AS BIGINT) AS sum_k,
         |       COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

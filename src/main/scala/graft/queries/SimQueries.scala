@@ -90,7 +90,7 @@ object SimQueries {
          |  SELECT label,
          |         CAST(floor(${normSql("embedding::DOUBLE[]")} * 1000000.0) AS BIGINT) AS norm_e6
          |  FROM embeddings)
-         |SELECT label, COUNT(*) AS n, SUM(norm_e6) AS sum_norm_e6
+         |SELECT label, COUNT(*) AS n, CAST(SUM(norm_e6) AS BIGINT) AS sum_norm_e6
          |FROM x GROUP BY label ORDER BY label""".stripMargin,
 
     "q39_embedding_neardup" ->

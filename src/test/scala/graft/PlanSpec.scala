@@ -73,6 +73,15 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("sequential-id queries have no partition-less WindowExec") {
+    // W2 rides the two-pass zipWithIndex scan; a partition-less window
+    // ("WindowExec: No Partition Defined") funnels all data into one task
+    Seq("q09_seq_ids", "q36_premis_events").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("Window"), s"$q must not use a window:\n$p")
+    }
+  }
+
   test("brute-force ANN broadcasts the query side") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Pins the scale-safe two-pass id scans to the window-function semantics
+  * they replaced (W2, razu/incrementer.py): same ids, no partition-less
+  * WindowExec in the plan. */
+class RelationalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("sequentialIds == row_number over the same total order") {
+    val df = (1 to 997).map(i => (i * 7919 % 1000, s"v$i")).toDF("k", "v")
+      .repartition(7) // scrambled input partitioning
+    val got = Relational.sequentialIds(df, Seq(col("k"), col("v")), "id", 10L)
+      .select("k", "v", "id")
+    val want = df.withColumn("id",
+      row_number().over(Window.orderBy(col("k"), col("v"))).cast("long") + 10L)
+      .select("k", "v", "id")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(got.count() == 997)
+  }
+
+  test("sequentialIds has no Window in its plan") {
+    val df = (1 to 100).toDF("k")
+    val p = Relational.sequentialIds(df, Seq(col("k")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+  }
+
+  test("sequentialIds on empty input") {
+    val df = Seq.empty[Int].toDF("k")
+    assert(Relational.sequentialIds(df, Seq(col("k"))).count() == 0)
+  }
+
+  private def windowReference(df: org.apache.spark.sql.DataFrame,
+                              order: Seq[org.apache.spark.sql.Column]) = {
+    // the exact pre-round-3 formula (DemoCsv.scala history): single
+    // global window — correct, just not scale-safe; used here as oracle
+    val w = Window.orderBy(order: _*)
+    df.withColumn("__rowIdx", row_number().over(w).cast("long"))
+      .withColumn("__brk",
+        coalesce(col("Serie") =!= lag(col("Serie"), 1).over(w), lit(true))
+          .cast("long"))
+      .withColumn("__cumB", sum("__brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__recordId", col("__cumB") + lit(2L) * col("__rowIdx"))
+      .withColumn("__bestandId", col("__recordId") + 1L)
+      .withColumn("__serieId", max(when(col("__brk") === 1L,
+        col("__recordId") - 1L)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__cumB")
+  }
+
+  test("interleavedSerieIds == the window formula (incl. null series)") {
+    // series with runs, singletons, and nulls (null => always a break)
+    val rows = (1 to 500).map { i =>
+      val serie: Integer =
+        if (i % 97 == 0) null else Integer.valueOf(i / 13)
+      (i, serie)
+    }
+    val df = rows.toDF("ord", "Serie").repartition(5)
+    val order = Seq(col("ord"))
+    val got = Relational.interleavedSerieIds(df, order, col("Serie"))
+      .select("ord", "__rowIdx", "__brk", "__recordId", "__serieId", "__bestandId")
+    val want = windowReference(df, order)
+      .select("ord", "__rowIdx", "__brk", "__recordId", "__serieId", "__bestandId")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("interleavedSerieIds plan has no Window, and ids restart correctly " +
+       "across many small partitions") {
+    val df = (1 to 40).map(i => (i, i / 4)).toDF("ord", "Serie")
+    val ids = Relational.interleavedSerieIds(df, Seq(col("ord")), col("Serie"))
+    val p = ids.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    val want = windowReference(df, Seq(col("ord")))
+      .select("ord", "__recordId", "__serieId")
+    assert(ids.select("ord", "__recordId", "__serieId")
+      .except(want).isEmpty)
+  }
+}

@@ -21,11 +21,11 @@ oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 def canon(df):
     cols = sorted(df.columns)
     df = df[cols]
-    # normalize values to strings; round floats to survive formatting noise
+    # normalize values to strings exactly like the driver (no float rounding:
+    # a DuckDB HUGEINT rendered "123.0" must mismatch Spark's "123")
     rows = []
     for t in df.itertuples(index=False):
-        rows.append(tuple(
-            (f"{v:.9g}" if isinstance(v, float) else str(v)) for v in t))
+        rows.append(tuple(str(v) for v in t))
     return cols, sorted(rows)
 
 fails = ok = 0
