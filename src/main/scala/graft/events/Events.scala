@@ -20,14 +20,23 @@ import graft.rdf.Build._
   */
 object Events {
 
-  /** PREMIS event-type IRIs used by the reference
-    * (preservation_events.py:105-182). */
+  /** The eight PREMIS event-type IRIs the reference emits
+    * (preservation_events.py:105-179; vocabulary:
+    * id.loc.gov/vocabulary/preservation/eventType.html). */
   val EventType = "http://id.loc.gov/vocabulary/preservation/eventType/"
-  val fil: String = EventType + "fil"
-  val fix: String = EventType + "fix"
-  val ine: String = EventType + "ine"
-  val mmd: String = EventType + "mmd"
-  val vir: String = EventType + "vir"
+  val fil: String = EventType + "fil" // filename_change
+  val fix: String = EventType + "fix" // fixity_check
+  val forId: String = EventType + "for" // format_identification ('for' is a Scala keyword)
+  val ine: String = EventType + "ine" // ingestion_end
+  val ins: String = EventType + "ins" // ingestion_start
+  val mes: String = EventType + "mes" // message_digest_calculation
+  val mem: String = EventType + "mem" // metadata_modification
+  val vir: String = EventType + "vir" // virus_check
+  val allEventTypes: Seq[String] = Seq(fil, fix, forId, ine, ins, mes, mem, vir)
+
+  /** The implementer actor every reference event carries as erar:imp
+    * (preservation_events.py:109 etc.). */
+  val razuActor = "https://data.razu.nl/id/actor/2bdb658a032a405d71c19159bd2bbb3a"
 
   def outcomeUri(success: Boolean): String =
     NS.EO + (if (success) "suc" else "fail")
@@ -51,22 +60,36 @@ object Events {
         && col("objectValue") === ine)
       .limit(1).count() > 0
 
-  /** Emit one event per row of `batch` as PREMIS triples.
+  /** Emit one event per row of `batch` as PREMIS triples
+    * (preservation_events.py:71-179: `_add` + the per-type emitters).
+    * Null-valued optional columns emit no triple (F1 semantics).
     *
-    * @param batch     one row per event
-    * @param order     explicit total order for sequential event ids (W2)
-    * @param eventType PREMIS event type IRI
-    * @param subjectOf column with the object URI the event is about
-    * @param outcome   boolean column → premis:outcome suc/fail
-    * @param note      optional outcome note column
-    * @param startId   ids start at startId+1 (recovered via maxEventId)
-    * @param timestamp ISO dateTime for prov:endedAtTime (driver-stamped
-    *                  once per batch, like the reference's per-run clock)
+    * @param batch       one row per event
+    * @param order       explicit total order for sequential event ids (W2)
+    * @param eventType   PREMIS event type IRI (one of [[allEventTypes]])
+    * @param subjectOf   column with the object URI the event is about
+    * @param outcome     boolean column → premis:outcome suc/fail
+    * @param note        optional premis:outcomeNote column
+    * @param startId     ids start at startId+1 (recovered via maxEventId)
+    * @param timestamp   ISO dateTime for prov:endedAtTime (driver-stamped
+    *                    once per batch, like the reference's per-run clock)
+    * @param tool        optional erar:exe tool URI column
+    *                    (preservation_events.py:78-81)
+    * @param startedAt   optional prov:startedAtTime ISO dateTime column
+    *                    (preservation_events.py:82-85)
+    * @param implementer erar:imp actor URI (every reference event carries
+    *                    one; null to omit)
+    * @param description optional prov:description column (mem events)
+    * @param generated   optional prov:generated result-URI column (mem
+    *                    events, preservation_events.py:166)
     */
   def emit(batch: DataFrame, order: Seq[Column], eventType: String,
            subjectOf: Column, outcome: Column, note: Column = lit(null),
            startId: Long = 0L,
            timestamp: String = java.time.Instant.now().toString,
+           tool: Column = lit(null), startedAt: Column = lit(null),
+           implementer: Column = lit(razuActor),
+           description: Column = lit(null), generated: Column = lit(null),
            ids: Identifiers = Identifiers.default): DataFrame = {
     val withId = Relational.sequentialIds(batch, order, "__eid", startId)
     val eventUri = concat(lit(ids.eventUriPrefix + "-e"), col("__eid"))
@@ -74,11 +97,17 @@ object Events {
       NS.rdfType -> RUri(lit(NS.PREMIS + "Event")),
       (NS.PREMIS + "eventType") -> RUri(lit(eventType)),
       (NS.EROR + "sou") -> RUri(subjectOf),
+      (NS.ERAR + "imp") -> RUri(implementer),
+      (NS.ERAR + "exe") -> RUri(tool),
+      (NS.PROV + "startedAtTime") -> RLit(startedAt,
+        datatype = lit(NS.xsdDateTime)),
       (NS.PROV + "endedAtTime") -> RLit(lit(timestamp),
         datatype = lit(NS.xsdDateTime)),
       (NS.PREMIS + "outcome") -> RUri(
         when(outcome, lit(outcomeUri(true))).otherwise(lit(outcomeUri(false)))),
-      (NS.PREMIS + "outcomeNote") -> RLit(note)))
+      (NS.PREMIS + "outcomeNote") -> RLit(note),
+      (NS.PROV + "description") -> RLit(description),
+      (NS.PROV + "generated") -> RUri(generated)))
     Build.flatten(withId, shape)
   }
 

@@ -84,10 +84,14 @@ final class Identifiers(val cfg: IdConfig) extends Serializable {
     f"${cfg.razuFileId}/${cfg.archiveCreatorId}/${cfg.archiveId}/$millions%03d/$thousands%03d/"
   }
 
-  /** inverse: ".../<uidBase>-<id>.meta.json" → id (razu/identifiers.py:88-91) */
-  def extractIdFromIdentifier(identifier: String): String =
-    identifier.split(s"$uidBase-")(1)
-      .split(s"\\.${cfg.metadataSuffix}\\.${cfg.metadataExtension}")(0)
+  /** inverse: ".../<uidBase>-<id>.meta.json" → id (razu/identifiers.py:88-91).
+    * Config-derived fragments are regex-quoted — the reference uses literal
+    * str.split, so a dot or dash in config must not act as a metacharacter. */
+  def extractIdFromIdentifier(identifier: String): String = {
+    import java.util.regex.Pattern
+    identifier.split(Pattern.quote(s"$uidBase-"))(1)
+      .split(Pattern.quote(s".${cfg.metadataSuffix}.${cfg.metadataExtension}"))(0)
+  }
 
   /** positional part extraction after razuFileId (razu/identifiers.py:107-121):
     * part 1 = source/creator id, 2 = archive id, 3 = object id. */
@@ -144,6 +148,17 @@ final class Identifiers(val cfg: IdConfig) extends Serializable {
   /** inverse extraction column: object id out of a filename/uri/path. */
   def extractIdCol(identifier: Column): Column =
     regexp_extract(identifier, s"\\Q$uidBase\\E-([^-.]+)", 1)
+
+  /** metadata-file URI column: cdn base + bucketed storage path +
+    * <uid>.meta.json (razu/meta_resource.py:108-110 metadata_file_uri).
+    * The reference buckets with `int(id)`; ids with a non-numeric suffix
+    * (e.g. the flagship's "35b" bestand variant) bucket by their numeric
+    * prefix instead of failing the ANSI cast. */
+  def metadataFileUriCol(id: Column): Column = {
+    val digits = regexp_extract(id.cast("string"), "^(\\d+)", 1)
+    val bucket = when(length(digits) > 0, digits.cast("long")).otherwise(lit(0L))
+    concat(lit(cdnBaseUri), storagePathCol(bucket), filenameCol(id))
+  }
 }
 
 object Identifiers {

@@ -23,7 +23,8 @@ object RdfQueries {
 
     // W2/X3 — PREMIS event emission with recovered-id continuation:
     // one fixity event per order, sequential ids after startId, outcome
-    // from a data predicate
+    // from a data predicate, with the tool (erar:exe), implementer
+    // (erar:imp) and prov:startedAtTime the reference's _add records
     "q36_premis_events" -> ((s, dir) => {
       val ids = graft.ids.Identifiers.default
       val batch = Tables.table(s, dir, "orders")
@@ -31,7 +32,9 @@ object RdfQueries {
       Events.emit(batch, Seq(col("o_orderkey")), Events.fix,
           subjectOf = ids.uriCol(col("o_orderkey")),
           outcome = col("ok"), startId = 100L,
-          timestamp = "2026-01-01T00:00:00Z")
+          timestamp = "2026-01-01T00:00:00Z",
+          tool = lit("https://data.razu.nl/id/tool/droid"),
+          startedAt = lit("2025-12-31T23:59:00Z"))
         .groupBy("predicate", "objectKind")
         .agg(count(lit(1)).as("n"),
           min("subject").as("min_subject"), max("subject").as("max_subject"))
@@ -82,6 +85,9 @@ object RdfQueries {
          |  SELECT s, '${NS.rdfType}' AS predicate, 'uri' AS objectKind FROM subj
          |  UNION ALL SELECT s, '${NS.PREMIS}eventType', 'uri' FROM subj
          |  UNION ALL SELECT s, '${NS.EROR}sou', 'uri' FROM subj
+         |  UNION ALL SELECT s, '${NS.ERAR}imp', 'uri' FROM subj
+         |  UNION ALL SELECT s, '${NS.ERAR}exe', 'uri' FROM subj
+         |  UNION ALL SELECT s, '${NS.PROV}startedAtTime', 'literal' FROM subj
          |  UNION ALL SELECT s, '${NS.PROV}endedAtTime', 'literal' FROM subj
          |  UNION ALL SELECT s, '${NS.PREMIS}outcome', 'uri' FROM subj)
          |SELECT predicate, objectKind, COUNT(*) AS n,

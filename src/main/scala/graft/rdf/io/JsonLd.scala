@@ -110,7 +110,14 @@ object JsonLd {
     val rootNode = mapper.readTree(json)
     val nodes: Seq[JsonNode] = rootNode match {
       case o: ObjectNode if o.has("@graph") => o.get("@graph").elements().asScala.toSeq
-      case a: ArrayNode => a.elements().asScala.toSeq
+      case a: ArrayNode =>
+        // an array may hold node objects OR whole @graph documents (the
+        // eventlog layout: a JSON array of per-event JSON-LD docs)
+        a.elements().asScala.toSeq.flatMap {
+          case o: ObjectNode if o.has("@graph") =>
+            o.get("@graph").elements().asScala.toSeq
+          case n => Seq(n)
+        }
       case o => Seq(o)
     }
     def remap(id: String): String =

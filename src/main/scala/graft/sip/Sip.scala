@@ -77,15 +77,58 @@ object Sip {
       ignore = Seq(ids.manifestFilename, ids.eventlogFilename))
     Manifest.saveJson(manifest, s"$dir/${ids.manifestFilename}")
 
-    // one metadata-modification event per written resource (sip.py:147-155)
-    val events = Events.emit(written, Seq(col("root")), Events.mmd,
+    // one metadata-modification (mem) event per written resource
+    // (sip.py:147-155: description + prov:generated = the metadata file)
+    val events = Events.emit(written, Seq(col("root")), Events.mem,
       subjectOf = col("root"), outcome = lit(true),
-      note = concat(lit("saved "), col("filename")),
+      description = lit("Metadata object created."),
+      generated = ids.metadataFileUriCol(ids.extractIdCol(col("root"))),
       timestamp = timestamp, ids = ids)
-    val eventJson = JsonLd.documents(events).orderBy("root")
-      .select("json").collect().map(_.getString(0))
-      .mkString("[\n", ",\n", "\n]")
-    Files.writeString(JPaths.get(dir, ids.eventlogFilename), eventJson)
+    saveEventlog(events, dir, ids)
     manifest
+  }
+
+  /** K4 — eventlog sink: the reference's single `<uid>.eventlog.json`
+    * JSON array (preservation_events.py:61-68), written WITHOUT collecting
+    * documents to the driver: docs stream through one executor task
+    * (coalesce(1) + partition-local sort for a deterministic doc order)
+    * into a temp dir, and the part file is renamed into place. A single
+    * parity file is inherently one writer; for event graphs too large for
+    * one file, use `Events.save` (partitioned JSON-LD) instead.
+    */
+  def saveEventlog(events: DataFrame, dir: String,
+                   ids: Identifiers = Identifiers.default): Unit = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tmp = JPaths.get(dir, s".${ids.eventlogFilename}.tmp").toString
+    val lines = JsonLd.documents(events)
+      .select("root", "json").as[(String, String)]
+      .coalesce(1).sortWithinPartitions("root")
+      .mapPartitions { it =>
+        // stream the JSON array shape: "[", doc "," ... doc, "]"
+        var prev: String = null
+        val body = it.map { case (_, json) =>
+          val out = if (prev == null) "[" else prev + ","
+          prev = json
+          out
+        }
+        val tail = Iterator.single(()).flatMap { _ =>
+          if (prev == null) Iterator.single("[") ++ Iterator.single("]")
+          else Iterator.single(prev) ++ Iterator.single("]")
+        }
+        body ++ tail
+      }
+    lines.write.mode("overwrite").text(tmp)
+    val part = new java.io.File(tmp).listFiles
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    Files.move(part.toPath, JPaths.get(dir, ids.eventlogFilename),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // clean the temp write dir (part + _SUCCESS + crc files)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(tmp))
   }
 }

@@ -111,6 +111,18 @@ class SipSpec extends graft.SparkSuite {
     val loadedUri = loaded.filter(!col("subject").startsWith("_:")
       && col("objectKind") =!= "bnode").count()
     assert(loadedUri == originalUri)
+    // K4 — the eventlog JSON array round-trips through JsonLd.read:
+    // one mem event per written resource, with tool-era properties
+    val eventTriples = graft.rdf.io.JsonLd.read(
+      spark, dir + "/" + ids.eventlogFilename)
+    val types = eventTriples
+      .filter(col("predicate") === (graft.rdf.NS.PREMIS + "eventType"))
+      .select("objectValue").distinct().collect().map(_.getString(0))
+    assert(types.toSeq == Seq(graft.events.Events.mem))
+    val nEvents = eventTriples.select("subject").distinct().count()
+    assert(nEvents == paths.length, s"one event per saved resource")
+    assert(eventTriples.filter(
+      col("predicate") === (graft.rdf.NS.PROV + "generated")).count() == nEvents)
   }
 }
 
