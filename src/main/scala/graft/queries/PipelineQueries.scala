@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
@@ -87,7 +87,49 @@ object PipelineQueries {
           length(col("content")).cast("long").as("n_bytes"),
           upper(hex(substring(col("content"), 1, 4))).as("magic"),
           Hashing.polyHashCol(substring(col("text"), 1, 16)).as("fake_feature"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // J1 full label-variant resolution (concept_resolver.py:86-100):
+    // vocabulary triple snapshot built from `nation` with prefLabel /
+    // altLabel@nl / notation / identifier@en variants plus a decoy
+    // altLabel duplicate of every prefLabel (precedence must pick the
+    // prefLabel concept); terms drawn per customer exercise each variant
+    // and a guaranteed miss
+    "q40_vocab_variants" -> ((s, dir) => {
+      import graft.rdf.NS
+      import graft.vocab.Vocab
+      val nation = t(s, dir, "nation")
+      def triples(pred: String, value: Column, lang: Option[String],
+                  subj: Column): DataFrame =
+        nation.select(subj.as("subject"), lit(pred).as("predicate"),
+          value.cast("string").as("objectValue"),
+          lit("literal").as("objectKind"),
+          lit(null).cast("string").as("datatype"),
+          lang.map(lit(_)).getOrElse(lit(null)).cast("string").as("lang"))
+      val uri = concat(lit("urn:nation:"), col("n_nationkey"))
+      val vocabTriples = triples(NS.SKOS + "prefLabel", col("n_name"), None, uri)
+        .unionByName(triples(NS.SKOS + "altLabel",
+          concat(lit("alt-"), lower(col("n_name"))), Some("nl"), uri))
+        .unionByName(triples(NS.SKOS + "notation",
+          col("n_nationkey").cast("string"), None, uri))
+        .unionByName(triples(NS.SCHEMA + "identifier",
+          concat(lit("id-"), col("n_nationkey")), Some("en"), uri))
+        .unionByName(triples(NS.SKOS + "altLabel", col("n_name"), None,
+          concat(lit("urn:dup:"), col("n_nationkey"))))
+      val terms = t(s, dir, "customer")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(4)) === 0, col("n_name"))
+            .when(pmod(col("c_custkey"), lit(4)) === 1,
+              concat(lit("alt-"), lower(col("n_name"))))
+            .when(pmod(col("c_custkey"), lit(4)) === 2,
+              col("n_nationkey").cast("string"))
+            .otherwise(concat(lit("missing-"), col("c_custkey"))).as("term"))
+      Vocab.resolve(terms, col("term"), Vocab.lookupTable(vocabTriples), "uri")
+        .select(col("c_custkey"),
+          coalesce(col("uri"), lit("UNRESOLVED")).as("uri"))
+        .orderBy("c_custkey")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q30_windowed_agg" ->
@@ -135,5 +177,32 @@ object PipelineQueries {
         |         list_transform(string_split(substr(text, 1, 16), ''),
         |           c -> CAST(ascii(c) AS BIGINT))),
         |         (a, b) -> (a * 31 + b) % 1000000007) AS fake_feature
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // precedence values = predicateIndex * 3 + langIndex (see
+    // graft.vocab.Vocab: predicates [prefLabel name label altLabel
+    // identifier notation] x langs [plain nl en])
+    "q40_vocab_variants" ->
+      """WITH vocab(uri, term, prec) AS (
+        |  SELECT 'urn:nation:' || n_nationkey, n_name, 0 FROM nation
+        |  UNION ALL SELECT 'urn:nation:' || n_nationkey, 'alt-' || lower(n_name), 10 FROM nation
+        |  UNION ALL SELECT 'urn:nation:' || n_nationkey, CAST(n_nationkey AS VARCHAR), 15 FROM nation
+        |  UNION ALL SELECT 'urn:nation:' || n_nationkey, 'id-' || n_nationkey, 14 FROM nation
+        |  UNION ALL SELECT 'urn:dup:' || n_nationkey, n_name, 9 FROM nation),
+        |best AS (
+        |  SELECT term, uri FROM (
+        |    SELECT term, uri,
+        |           row_number() OVER (PARTITION BY term ORDER BY prec, uri) AS rn
+        |    FROM vocab) WHERE rn = 1),
+        |terms AS (
+        |  SELECT c_custkey,
+        |         CASE c_custkey % 4
+        |           WHEN 0 THEN n_name
+        |           WHEN 1 THEN 'alt-' || lower(n_name)
+        |           WHEN 2 THEN CAST(n_nationkey AS VARCHAR)
+        |           ELSE 'missing-' || c_custkey END AS term
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT c_custkey, coalesce(b.uri, 'UNRESOLVED') AS uri
+        |FROM terms LEFT JOIN best b USING (term)
+        |ORDER BY c_custkey""".stripMargin)
 }
