@@ -134,50 +134,85 @@ object Similarity {
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
         col("cos_e6"))
 
-  /** LSH-bucketed ANN: multiple independent hash tables; candidates =
-    * equi-join on (table, bucket); exact cosine re-rank within candidates.
-    * Recall grows with `tables`; cost stays bucket-local.
-    *
-    * One typed pass per side computes ALL table bucket keys and the
-    * L2-normalized vector (compiled Scala — one scan instead of
-    * `tables` unions of interpreted hyperplane projections, measured 10×
-    * faster). Pairs are deduped BEFORE the cosine is computed, and the
-    * cosine over pre-normalized vectors is a compiled UDF dot product.
-    * The exploded rows carry the normalized vector inline (8×64 doubles
-    * per corpus row — fine at bench scale; at 100 TB store (id, table,
-    * bucket) compactly and co-bucket the vector store instead). */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              planesPerTable: Int = 6, tables: Int = 8): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val dim = 64
-    val planeSets: Array[Array[Array[Double]]] = Array.tabulate(tables) { t =>
+  private def planeSetsFor(planesPerTable: Int, tables: Int,
+                           dim: Int = 64): Array[Array[Array[Double]]] =
+    Array.tabulate(tables) { t =>
       Array.tabulate(planesPerTable)(p => hyperplane(t * 131 + p, dim))
     }
-    def prep(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      df.select(col("id").cast("long"), col("vec").cast("array<double>"))
-        .as[(Long, Array[Double])]
-        .mapPartitions(_.flatMap { case (id, v) =>
-          var ss = 0.0
-          var i = 0
-          while (i < v.length) { ss += v(i) * v(i); i += 1 }
-          val inv = if (ss == 0) 0.0 else 1.0 / math.sqrt(ss)
-          val vn = v.map(_ * inv)
-          // sign pattern is scale-invariant: raw and normalized agree
-          (0 until tables).iterator.map { t =>
-            val sb = new java.lang.StringBuilder(planesPerTable)
-            planeSets(t).foreach { pl =>
-              var proj = 0.0
-              var d = 0
-              while (d < v.length && d < pl.length) { proj += v(d) * pl(d); d += 1 }
-              sb.append(if (proj >= 0) '1' else '0')
-            }
-            (id, vn, t, sb.toString)
+
+  /** Compact LSH key table: one (id, table, bucket) row per hash table —
+    * NO vector payload rides the explode or the candidate shuffle (the
+    * 100 TB layout: exchanged rows are ~20 bytes instead of 8×64
+    * doubles). One typed pass computes all table keys (compiled Scala —
+    * one scan instead of `tables` unions of interpreted projections). */
+  private def lshKeys(df: DataFrame, idAs: String,
+                      planeSets: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nTables = planeSets.length
+    df.select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        (0 until nTables).iterator.map { t =>
+          val sb = new java.lang.StringBuilder(planeSets(t).length)
+          planeSets(t).foreach { pl =>
+            var proj = 0.0
+            var d = 0
+            while (d < v.length && d < pl.length) { proj += v(d) * pl(d); d += 1 }
+            sb.append(if (proj >= 0) '1' else '0')
           }
-        })
-        .toDF(idAs, vecAs, "table", "bucket")
-    val qb = prep(queries, "query_id", "qv")
-    val cb = prep(corpus, "neighbor_id", "cv")
+          (id, t, sb.toString)
+        }
+      })
+      .toDF(idAs, "table", "bucket")
+  }
+
+  /** L2-normalized vector table (id, vn) — the "vector store" side the
+    * candidate pairs re-join to fetch payloads. */
+  private def normalized(df: DataFrame, idAs: String,
+                         vecAs: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        var ss = 0.0
+        var i = 0
+        while (i < v.length) { ss += v(i) * v(i); i += 1 }
+        val inv = if (ss == 0) 0.0 else 1.0 / math.sqrt(ss)
+        (id, v.map(_ * inv))
+      })
+      .toDF(idAs, vecAs)
+  }
+
+  /** Candidate pair generation on COMPACT keys only: equi-join on
+    * (table, bucket), dedup across tables — every exchanged row is
+    * (id, table, bucket) / (query_id, neighbor_id); vectors never enter
+    * this subplan (PlanSpec asserts). */
+  def lshCandidates(queries: DataFrame, corpus: DataFrame,
+                    planesPerTable: Int = 6, tables: Int = 8): DataFrame = {
+    val planeSets = planeSetsFor(planesPerTable, tables)
+    val qk = lshKeys(queries, "query_id", planeSets)
+    val ck = lshKeys(corpus, "neighbor_id", planeSets)
+    qk.join(ck, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  /** LSH-bucketed ANN: multiple independent hash tables; candidates =
+    * compact equi-join on (table, bucket); exact cosine re-rank within
+    * candidates. Recall grows with `tables`; cost stays bucket-local.
+    *
+    * Vectors are fetched AFTER candidate dedup via two co-partitioned
+    * id-joins against the normalized vector table (sign patterns are
+    * scale-invariant, so raw and normalized bucket keys agree); the
+    * cosine over pre-normalized vectors is a compiled UDF dot product. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planesPerTable: Int = 6, tables: Int = 8): DataFrame = {
+    val cand = lshCandidates(queries, corpus, planesPerTable, tables)
+    val qv = normalized(queries, "query_id", "qv")
+    val cv = normalized(corpus, "neighbor_id", "cv")
     val dotE6 = udf { (a: Seq[Double], b: Seq[Double]) =>
       var s = 0.0
       var i = 0
@@ -185,13 +220,13 @@ object Similarity {
       while (i < n) { s += a(i) * b(i); i += 1 }
       math.floor(s * 1000000.0).toLong
     }
-    val cand = qb.join(cb, Seq("table", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         dotE6(col("qv"), col("cv")).as("cos_e6"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }

@@ -25,6 +25,25 @@ trait ObjectStore extends Serializable {
   def put(key: String, content: Array[Byte], metadata: Map[String, String]): Unit
   def delete(keys: Seq[String]): Unit
   def setAcl(key: String, acl: String): Unit
+
+  /** Open the stored object for reading (None = absent) — the "download
+    * for verification" path of the multipart-ETag fallback
+    * (s3storage.py:240-250). */
+  def open(key: String): Option[java.io.InputStream]
+
+  /** Streaming MD5 of a stored object (razu/s3storage.py:228-234's
+    * chunked calculate_md5); None if the object is absent. Constant
+    * memory regardless of object size. */
+  def md5Of(key: String, chunkSize: Int = 8192): Option[String] =
+    open(key).map { in =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = new Array[Byte](chunkSize)
+      try {
+        var n = in.read(buf)
+        while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      md.digest().map("%02x".format(_)).mkString
+    }
 }
 
 /** Local-FS store rooted at `root`; metadata/ACLs ride as sidecar files
@@ -53,6 +72,10 @@ final class LocalFsStore(root: String) extends ObjectStore {
     }
   override def setAcl(key: String, acl: String): Unit =
     Files.writeString(resolve(key + ".acl"), acl)
+  override def open(key: String): Option[java.io.InputStream] = {
+    val p = JPaths.get(root, key)
+    if (Files.exists(p)) Some(Files.newInputStream(p)) else None
+  }
 }
 
 object Store {
@@ -81,37 +104,108 @@ object Store {
              onlyIfNew: Boolean = false,
              existing: Option[DataFrame] = None): (Long, Long) = {
     val uploaded: LongAccumulator = spark.sparkContext.longAccumulator("uploaded")
-    val total = files.count()
-    val toSend =
+    val skipped: LongAccumulator = spark.sparkContext.longAccumulator("skipped")
+    // skip-existing rides the SAME job: a left join marks existing keys and
+    // the partition loop counts them into the second accumulator — no
+    // separate count() job per upload batch
+    val marked =
       if (onlyIfNew && existing.nonEmpty)
-        files.join(existing.get.select(col("key")), Seq("key"), "left_anti")
-      else files
-    val hasMeta = toSend.columns.contains("metadata")
-    toSend.select(col("key"), col("content"),
+        files.join(
+          existing.get.select(col("key")).withColumn("__exists", lit(true)),
+          Seq("key"), "left_outer")
+      else files.withColumn("__exists", lit(null).cast("boolean"))
+    val hasMeta = marked.columns.contains("metadata")
+    marked.select(col("key"), col("content"),
         if (hasMeta) col("metadata")
-        else map().cast("map<string,string>").as("metadata"))
+        else map().cast("map<string,string>").as("metadata"),
+        col("__exists"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         it.foreach { r =>
-          val md = Option(r.getMap[String, String](2))
-            .map(_.toMap).getOrElse(Map.empty)
-          store.put(r.getString(0), r.getAs[Array[Byte]](1), md)
-          uploaded.add(1)
+          if (!r.isNullAt(3) && r.getBoolean(3)) skipped.add(1)
+          else {
+            val md = Option(r.getMap[String, String](2))
+              .map(_.toMap).getOrElse(Map.empty)
+            store.put(r.getString(0), r.getAs[Array[Byte]](1), md)
+            uploaded.add(1)
+          }
         }
       }
-    (uploaded.value, total - uploaded.value)
+    (uploaded.value, skipped.value)
   }
 
   /** K8 — batched delete (1000 keys per call, edepot.py:216-228), then
-    * verify by re-list anti-join; returns keys that survived deletion. */
+    * verify by re-list anti-join; returns keys that survived deletion.
+    * `logPath` writes the reference's audit log
+    * (edepot.py:244-247: {"Deleted": [...], "Errors": [...],
+    * "NotDeleted": [...]}) — streamed through one executor task like the
+    * eventlog sink, never collected to the driver. */
   def deleteByKeys(keys: DataFrame, store: ObjectStore, spark: SparkSession,
-                   root: String, batchSize: Int = 1000): DataFrame = {
+                   root: String, batchSize: Int = 1000,
+                   logPath: Option[String] = None): DataFrame = {
     keys.select("key").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         it.map(_.getString(0)).grouped(batchSize)
           .foreach(batch => store.delete(batch.toSeq))
     }
     spark.catalog.refreshByPath(root)
-    keys.select("key").join(listing(spark, root), Seq("key"), "left_semi")
+    val survivors = keys.select("key")
+      .join(listing(spark, root), Seq("key"), "left_semi")
+    logPath.foreach(writeDeleteLog(keys, survivors, _))
+    survivors
+  }
+
+  /** The delete-log JSON (edepot.py:244-247). Status per requested key is
+    * a broadcastable semi/anti split against the post-delete listing;
+    * the single log file streams through one task (sorted for
+    * determinism) rather than a driver collect. Errors is always [] —
+    * the local store throws instead of returning per-key errors. */
+  private def writeDeleteLog(requested: DataFrame, survivors: DataFrame,
+                             path: String): Unit = {
+    val spark = requested.sparkSession
+    import spark.implicits._
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val status = requested.select("key")
+      .join(survivors.select(col("key")).withColumn("__kept", lit(true)),
+        Seq("key"), "left_outer")
+      .select(when(col("__kept"), lit("NotDeleted"))
+        .otherwise(lit("Deleted")).as("status"), col("key"))
+      .as[(String, String)]
+      .coalesce(1).sortWithinPartitions("status", "key")
+    val tmp = path + ".tmp"
+    status.mapPartitions { it =>
+      var inNotDeleted = false; var first = true
+      val head = Iterator.single("{\"Deleted\": [")
+      val body = it.flatMap { case (st, key) =>
+        val section =
+          if (st == "NotDeleted" && !inNotDeleted) {
+            inNotDeleted = true; first = true
+            Iterator.single("], \"Errors\": [], \"NotDeleted\": [")
+          } else Iterator.empty
+        val sep = if (first) { first = false; "" } else ","
+        section ++ Iterator.single(sep + esc(key))
+      }
+      val tail = Iterator.single(()).map { _ =>
+        if (inNotDeleted) "]}"
+        else "], \"Errors\": [], \"NotDeleted\": []}"
+      }
+      head ++ body ++ tail
+    }.write.mode("overwrite").text(tmp)
+    val part = new java.io.File(tmp).listFiles
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    Files.createDirectories(JPaths.get(path).toAbsolutePath.getParent)
+    Files.move(part.toPath, JPaths.get(path),
+      StandardCopyOption.REPLACE_EXISTING)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(tmp))
   }
 
   /** K9 — ACL update for every manifest key (edepot.py:271-304). */
@@ -122,12 +216,38 @@ object Store {
     }
 
   /** H2 — upload verification: manifest md5 vs listing etag
-    * (s3storage.py:219-255, single-part semantics). Returns rows with a
-    * boolean `verified`. */
-  def verifyUploads(manifest: DataFrame, listing: DataFrame): DataFrame =
-    manifest.join(listing, Seq("key"), "left_outer")
-      .withColumn("verified",
-        col("etag").isNotNull && col("etag") === col("md5hash"))
+    * (s3storage.py:219-255). Single-part etags compare directly; a
+    * multipart etag (contains '-': md5-of-part-md5s + part count) cannot,
+    * so those rows re-read the object through `store` and compare a
+    * streaming re-hash — the reference's download-and-recompute fallback
+    * (s3storage.py:240-250), executor-side and only for the multipart
+    * subset. Returns rows with a boolean `verified`; pass `store=None`
+    * to keep the old single-part-only behavior (multipart rows then
+    * verify false). */
+  def verifyUploads(manifest: DataFrame, listing: DataFrame,
+                    store: Option[ObjectStore] = None): DataFrame = {
+    val joined = manifest.join(listing, Seq("key"), "left_outer")
+    val isMultipart = col("etag").isNotNull && col("etag").contains("-")
+    store match {
+      case None =>
+        joined.withColumn("verified",
+          col("etag").isNotNull && !isMultipart && col("etag") === col("md5hash"))
+      case Some(st) =>
+        val spark = manifest.sparkSession
+        import spark.implicits._
+        val rehashed = joined.filter(isMultipart)
+          .select(col("key")).as[String]
+          .mapPartitions(_.map(k => (k, st.md5Of(k).orNull)))
+          .toDF("key", "__rehash")
+        joined.join(rehashed, Seq("key"), "left_outer")
+          .withColumn("verified",
+            when(col("etag").isNull, lit(false))
+              .when(!isMultipart, col("etag") === col("md5hash"))
+              .otherwise(col("__rehash").isNotNull
+                && col("__rehash") === col("md5hash")))
+          .drop("__rehash")
+    }
+  }
 
   /** K10 — diagnostic key-list text sink (edepot.py:174-196). */
   def writeKeyList(keys: DataFrame, path: String): Unit =

@@ -147,13 +147,22 @@ object Dedup {
     * (band, band_key) bucket and emit its member combinations (a < b),
     * then distinct across bands. ONE signature pass (a self-join would
     * recompute the uncached signature plan for each side), one shuffle on
-    * band buckets, never an all-pairs product across buckets. `maxBucket`
-    * caps degenerate buckets (boilerplate mega-clusters) — 0 = uncapped. */
+    * band buckets, never an all-pairs product across buckets.
+    *
+    * Skew guard (ON by default): a degenerate bucket — boilerplate text
+    * hashing thousands of documents into one (band, band_key) — would
+    * emit O(n²) pairs from one task. Buckets larger than `maxBucket`
+    * degrade to the STAR shape: every member pairs with the bucket's
+    * smallest id (O(n) pairs), so no member silently vanishes and
+    * cluster connectivity survives for dedup (connected components /
+    * keep-first both still see the whole cluster); only
+    * redundant intra-cluster pairs are skipped. Buckets at or under the
+    * cap keep exact all-pairs semantics. 0 = uncapped. */
   def minhashCandidatePairs(docs: DataFrame, textCol: String = "text",
                             idCol: String = "doc_id", k: Int = 3,
                             numHashes: Int = 16, bands: Int = 4,
                             portable: Boolean = true,
-                            maxBucket: Int = 0): DataFrame = {
+                            maxBucket: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     lshBands(docs, textCol, idCol, k, numHashes, bands, portable)
@@ -162,11 +171,15 @@ object Dedup {
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (_, it) =>
         val ds = it.map(_._3).toArray.sorted
-        val members = if (maxBucket > 0 && ds.length > maxBucket) ds.take(maxBucket) else ds
-        for {
-          i <- members.indices.iterator
-          j <- (i + 1) until members.length
-        } yield (members(i), members(j))
+        if (maxBucket > 0 && ds.length > maxBucket) {
+          val rep = ds.head
+          ds.iterator.drop(1).map(d => (rep, d))
+        } else {
+          for {
+            i <- ds.indices.iterator
+            j <- (i + 1) until ds.length
+          } yield (ds(i), ds(j))
+        }
       }
       .toDF("doc_a", "doc_b").distinct()
   }

@@ -89,4 +89,26 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"queries side must broadcast:\n$p")
   }
+
+  test("LSH candidate generation exchanges compact keys only, never vectors") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.ArrayType
+    // AQE wraps the plan and hides Exchange nodes from collect(); a plain
+    // plan is deterministic for this structural assertion
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // query side via a pushed-down filter (a limit would add its own
+      // SinglePartition exchange of raw vectors inside the fixture)
+      val df = graft.sim.Similarity.lshCandidates(e.filter(col("id") < 20), e)
+      val exec = df.queryExecution.executedPlan
+      val exchanges = exec.collect { case ex: Exchange => ex }
+      assert(exchanges.nonEmpty, exec.toString)
+      exchanges.foreach { ex =>
+        assert(!ex.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"vector column crosses a candidate exchange:\n$exec")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

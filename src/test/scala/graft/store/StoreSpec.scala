@@ -58,6 +58,65 @@ class StoreSpec extends graft.SparkSuite {
       == Seq("k3.bin"))
   }
 
+  test("H2 multipart-ETag fallback re-hashes through the store") {
+    val root = Files.createTempDirectory("graft-store5").toString
+    val store = new LocalFsStore(root)
+    Store.upload(filesDF, store, spark)
+    import spark.implicits._
+    // synthetic listing where k1/k2 carry multipart etags ('-' + part
+    // count) that can never equal an md5; k2's manifest hash is wrong so
+    // its re-hash must fail; k3 keeps the single-part path
+    val listing = Seq(
+      ("a/k1.bin", "0123456789abcdef0123456789abcdef-3"),
+      ("k2.bin", "0123456789abcdef0123456789abcdef-7"),
+      ("k3.bin", md5hex("payload-3"))).toDF("key", "etag")
+    val manifest = Seq(
+      ("a/k1.bin", md5hex("payload-1")),
+      ("k2.bin", "WRONG"),
+      ("k3.bin", md5hex("payload-3"))).toDF("key", "md5hash")
+    // without a store, multipart rows cannot verify
+    val noStore = Store.verifyUploads(manifest, listing).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Boolean]("verified")).toMap
+    assert(noStore == Map("a/k1.bin" -> false, "k2.bin" -> false, "k3.bin" -> true))
+    // with the store, k1 re-hashes to its true md5 and verifies
+    val v = Store.verifyUploads(manifest, listing, Some(store)).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Boolean]("verified")).toMap
+    assert(v == Map("a/k1.bin" -> true, "k2.bin" -> false, "k3.bin" -> true))
+  }
+
+  test("K8 delete log records Deleted / Errors / NotDeleted") {
+    val root = Files.createTempDirectory("graft-store6").toString
+    // a store that silently refuses to delete k2.bin, so the post-delete
+    // verification listing finds it and the log records it as NotDeleted
+    val base = new LocalFsStore(root)
+    val store = new ObjectStore {
+      override def put(key: String, content: Array[Byte],
+                       metadata: Map[String, String]): Unit =
+        base.put(key, content, metadata)
+      override def delete(keys: Seq[String]): Unit =
+        base.delete(keys.filterNot(_ == "k2.bin"))
+      override def setAcl(key: String, acl: String): Unit =
+        base.setAcl(key, acl)
+      override def open(key: String): Option[java.io.InputStream] =
+        base.open(key)
+    }
+    Store.upload(filesDF, store, spark)
+    import spark.implicits._
+    val log = JPaths.get(root + "-log", "delete_log.json").toString
+    val toDelete = Seq("a/k1.bin", "k2.bin").toDF("key")
+    val survivors = Store.deleteByKeys(toDelete, store, spark, root,
+      batchSize = 1, logPath = Some(log))
+    assert(survivors.collect().map(_.getString(0)).toSeq == Seq("k2.bin"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = mapper.readTree(Files.readString(JPaths.get(log)))
+    import scala.jdk.CollectionConverters._
+    assert(parsed.get("Deleted").elements().asScala.map(_.asText).toSeq
+      == Seq("a/k1.bin"))
+    assert(parsed.get("Errors").size() == 0)
+    assert(parsed.get("NotDeleted").elements().asScala.map(_.asText).toSeq
+      == Seq("k2.bin"))
+  }
+
   test("K9 ACL sidecars") {
     val root = Files.createTempDirectory("graft-store4").toString
     val store = new LocalFsStore(root)

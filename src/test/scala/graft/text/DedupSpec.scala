@@ -62,6 +62,30 @@ class DedupSpec extends graft.SparkSuite {
     assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
   }
 
+  test("skew guard: mega-buckets degrade to star pairs, cost stays linear") {
+    import spark.implicits._
+    // 60 identical boilerplate docs -> every band hashes all 60 into one
+    // bucket; uncapped that is C(60,2)=1770 pairs, capped it is the 59
+    // star pairs to the smallest id. Two distinct docs keep exact
+    // semantics alongside.
+    val boiler = (0L until 60L).map(i => (i, "common boilerplate header text"))
+    val rest = Seq((100L, "some unique document body"),
+      (101L, "some unique document body")) // small bucket: all-pairs kept
+    val docs = (boiler ++ rest).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidatePairs(docs, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val starPairs = (1L until 60L).map(i => (0L, i)).toSet
+    assert(capped.intersect(starPairs) == starPairs,
+      "every mega-bucket member must stay connected to the representative")
+    assert(capped.contains((100L, 101L)), "small buckets keep exact pairs")
+    // bounded: 59 star pairs + the one small-bucket pair, not 1770
+    assert(capped.size == 60, s"got ${capped.size} pairs")
+    // default cap (1000) leaves these small fixtures at exact semantics
+    val exact = Dedup.minhashCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 60 * 59 / 2 + 1)
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming") {
     val sh = Dedup.simhash(docsDF, bits = 64)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
