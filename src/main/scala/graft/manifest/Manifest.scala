@@ -111,13 +111,30 @@ object Manifest {
                     dateCol: String = "modified"): DataFrame =
     manifest.filter(col(dateCol).isNull || col(dateCol) >= lit(afterDate))
 
+  /** Internal column name → the reference's on-disk entry key
+    * (manifest.py:30-43 to_dict/from_dict), so saved manifests are
+    * interoperable with reference tooling. */
+  private val diskKeys = Map(
+    "md5hash" -> "MD5Hash", "md5date" -> "MD5HashDate",
+    "size" -> "FileSize", "modified" -> "LastModified",
+    "extension" -> "FileExtension")
+  private val diskKeysInverse = diskKeys.map(_.swap)
+
   /** K3: save as ONE JSON object {path: {entry…}} like the reference
-    * (manifest.py:164-173). Driver-assembled deliberately: a manifest is
-    * one metadata file; sorted for stable output. */
+    * (manifest.py:164-173), with the reference's entry key names
+    * (MD5Hash/MD5HashDate/FileSize/LastModified/FileExtension; extra
+    * columns pass through as-is, like the reference's **metadata).
+    * Driver-assembled deliberately: a manifest is one metadata file;
+    * sorted for stable output. */
   def saveJson(manifest: DataFrame, outFile: String): Unit = {
-    val rows = manifest.select(col("path"),
-        to_json(struct(manifest.columns.filter(_ != "path").map(col): _*))
-          .as("entry"))
+    val withDate =
+      if (manifest.columns.contains("md5date")) manifest
+      else manifest.withColumn("md5date", lit(null).cast("string"))
+    val entryCols = withDate.columns.filter(_ != "path")
+      .map(c => col(c).as(diskKeys.getOrElse(c, c)))
+    val rows = withDate.select(col("path"),
+        to_json(struct(entryCols: _*),
+          Map("ignoreNullFields" -> "false")).as("entry"))
       .orderBy("path")
       .collect()
     def q(s: String): String =
@@ -132,16 +149,23 @@ object Manifest {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
   }
 
-  /** S7: load a saved manifest JSON object back into rows. */
+  /** S7: load a saved manifest JSON object back into rows — the
+    * reference's key names on disk (manifest.py:41-43 from_dict) map
+    * back to the internal column names. */
   def loadJson(spark: SparkSession, file: String): DataFrame = {
     import org.apache.spark.sql.types._
     val entryType = StructType(Seq(
-      StructField("md5hash", StringType), StructField("size", LongType),
-      StructField("modified", StringType), StructField("extension", StringType)))
+      StructField("MD5Hash", StringType), StructField("MD5HashDate", StringType),
+      StructField("FileSize", LongType), StructField("LastModified", StringType),
+      StructField("FileExtension", StringType)))
     spark.read.option("wholetext", "true").text(file)
       .select(explode(from_json(col("value"),
         MapType(StringType, entryType))).as(Seq("path", "entry")))
-      .select(col("path"), col("entry.md5hash"), col("entry.size"),
-        col("entry.modified"), col("entry.extension"))
+      .select(col("path"),
+        col("entry.MD5Hash").as(diskKeysInverse("MD5Hash")),
+        col("entry.MD5HashDate").as(diskKeysInverse("MD5HashDate")),
+        col("entry.FileSize").as(diskKeysInverse("FileSize")),
+        col("entry.LastModified").as(diskKeysInverse("LastModified")),
+        col("entry.FileExtension").as(diskKeysInverse("FileExtension")))
   }
 }

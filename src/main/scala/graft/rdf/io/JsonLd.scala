@@ -103,45 +103,91 @@ object JsonLd {
   private def kindOf(id: String): String =
     if (id.startsWith("_:")) Triple.BNODE else Triple.URI
 
+  /** Prefix/term map from a document's `@context` (what rdflib's
+    * compacted serialization emits, razu/meta_resource.py:45-54 +
+    * meta_graph.py prefix binds): string values are namespace prefixes
+    * or term→IRI aliases; `{"@id": iri}` term definitions map the same
+    * way. Array/remote contexts are ignored (names pass through). */
+  private def contextMap(ctx: JsonNode): Map[String, String] = ctx match {
+    case o: ObjectNode =>
+      o.fields().asScala.flatMap { e =>
+        e.getValue match {
+          case v if v.isTextual => Some(e.getKey -> v.asText)
+          case v: ObjectNode if v.has("@id") =>
+            Some(e.getKey -> v.get("@id").asText)
+          case _ => None
+        }
+      }.toMap
+    case _ => Map.empty
+  }
+
+  /** Expand a possibly-compacted name: exact term alias, then
+    * `prefix:local` with a known prefix; keywords, absolute IRIs, and
+    * unknown names pass through. */
+  private def expand(name: String, ctx: Map[String, String]): String = {
+    if (name.startsWith("@") || ctx.isEmpty) return name
+    ctx.get(name) match {
+      case Some(iri) => iri
+      case None =>
+        val i = name.indexOf(':')
+        if (i <= 0) name
+        else ctx.get(name.substring(0, i)) match {
+          // "prefix:local" — but not "http://..." (// after the colon)
+          case Some(ns) if !name.startsWith("//", i + 1) =>
+            ns + name.substring(i + 1)
+          case _ => name
+        }
+    }
+  }
+
   /** Parse one JSON-LD document string into triples. `bnodeSuffix`
-    * disambiguates blank nodes across files (S4 remap). */
+    * disambiguates blank nodes across files (S4 remap). Handles the
+    * writer's expanded layout AND context-compacted documents
+    * (prefixed predicate/type/datatype names under an `@context`). */
   def parse(json: String, bnodeSuffix: String = ""): Seq[Triple] = {
     val mapper = new ObjectMapper()
     val rootNode = mapper.readTree(json)
-    val nodes: Seq[JsonNode] = rootNode match {
-      case o: ObjectNode if o.has("@graph") => o.get("@graph").elements().asScala.toSeq
+    // (context, node) pairs so per-document contexts in an array of
+    // @graph documents (the eventlog layout) stay with their own nodes
+    val nodes: Seq[(Map[String, String], JsonNode)] = rootNode match {
+      case o: ObjectNode if o.has("@graph") =>
+        val ctx = contextMap(o.get("@context"))
+        o.get("@graph").elements().asScala.toSeq.map((ctx, _))
       case a: ArrayNode =>
-        // an array may hold node objects OR whole @graph documents (the
-        // eventlog layout: a JSON array of per-event JSON-LD docs)
         a.elements().asScala.toSeq.flatMap {
           case o: ObjectNode if o.has("@graph") =>
-            o.get("@graph").elements().asScala.toSeq
-          case n => Seq(n)
+            val ctx = contextMap(o.get("@context"))
+            o.get("@graph").elements().asScala.toSeq.map((ctx, _))
+          case n => Seq((Map.empty[String, String], n))
         }
-      case o => Seq(o)
+      case o: ObjectNode if o.has("@context") =>
+        Seq((contextMap(o.get("@context")), o))
+      case o => Seq((Map.empty[String, String], o))
     }
     def remap(id: String): String =
       if (id.startsWith("_:") && bnodeSuffix.nonEmpty) s"$id-$bnodeSuffix" else id
     val out = mutable.ArrayBuffer[Triple]()
-    nodes.foreach { n =>
-      val subj = remap(Option(n.get("@id")).map(_.asText)
+    nodes.foreach { case (ctx, n) =>
+      val subj = remap(Option(n.get("@id")).map(v => expand(v.asText, ctx))
         .getOrElse(s"_:gen${math.abs(n.hashCode)}"))
       n.fields().asScala.foreach { e =>
         val (key, value) = (e.getKey, e.getValue)
         key match {
-          case "@id" => ()
+          case "@id" | "@context" => ()
           case "@type" =>
             val types = if (value.isArray) value.elements().asScala.toSeq else Seq(value)
-            types.foreach(t => out += Triple.uri(subj, NS.rdfType, t.asText))
-          case pred =>
+            types.foreach(t =>
+              out += Triple.uri(subj, NS.rdfType, expand(t.asText, ctx)))
+          case rawPred =>
+            val pred = expand(rawPred, ctx)
             val objs = if (value.isArray) value.elements().asScala.toSeq else Seq(value)
             objs.foreach {
               case o: ObjectNode if o.has("@id") =>
-                val id = remap(o.get("@id").asText)
+                val id = remap(expand(o.get("@id").asText, ctx))
                 out += Triple(subj, pred, id, kindOf(id), null, null)
               case o: ObjectNode if o.has("@value") =>
                 out += Triple.lit(subj, pred, o.get("@value").asText,
-                  Option(o.get("@type")).map(_.asText).orNull,
+                  Option(o.get("@type")).map(t => expand(t.asText, ctx)).orNull,
                   Option(o.get("@language")).map(_.asText).orNull)
               case v => // bare literal
                 out += Triple.lit(subj, pred, v.asText)

@@ -84,6 +84,12 @@ class ManifestSpec extends graft.SparkSuite {
     val b = loaded.select("path", "md5hash", "size").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(a == b)
+    // on-disk entry keys are the reference's format (manifest.py:30-43),
+    // so a reference-tooling user can read our manifests
+    val raw = Files.readString(java.nio.file.Paths.get(out))
+    Seq("MD5Hash", "MD5HashDate", "FileSize", "LastModified", "FileExtension")
+      .foreach(k => assert(raw.contains("\"" + k + "\""), s"missing $k"))
+    assert(!raw.contains("\"md5hash\"") && !raw.contains("\"size\""))
   }
 
   test("F7 date-threshold filter keeps nulls and newer entries") {

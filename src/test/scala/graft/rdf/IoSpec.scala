@@ -105,6 +105,41 @@ class JsonLdSpec extends graft.SparkSuite {
     assert(deduped.count() == 3 + 2 * 2)
   }
 
+  test("context-compacted documents (rdflib layout) expand to full IRIs") {
+    // what rdflib's json-ld serializer emits with bound prefixes
+    // (meta_resource.py:45-54): @context prefix map + prefixed names
+    val json =
+      """{
+        |  "@context": {
+        |    "ldto": "https://data.razu.nl/def/ldto/",
+        |    "premis": "http://www.loc.gov/premis/rdf/v3/",
+        |    "xsd": "http://www.w3.org/2001/XMLSchema#",
+        |    "naam": {"@id": "https://data.razu.nl/def/ldto/naam"}
+        |  },
+        |  "@graph": [{
+        |    "@id": "https://example.org/obj/1",
+        |    "@type": "ldto:Informatieobject",
+        |    "naam": [{"@value": "Titel"}],
+        |    "ldto:omvang": {"@value": "42", "@type": "xsd:integer"},
+        |    "premis:linked": {"@id": "ldto:Bestand"}
+        |  }]
+        |}""".stripMargin
+    val ts = JsonLd.parse(json)
+    val byPred = ts.groupBy(_.predicate)
+    assert(byPred.contains(NS.rdfType))
+    assert(byPred(NS.rdfType).head.objectValue == NS.LDTO + "Informatieobject")
+    // term alias expands
+    assert(byPred(NS.LDTO + "naam").head.objectValue == "Titel")
+    // prefixed predicate + prefixed datatype expand
+    val omvang = byPred(NS.LDTO + "omvang").head
+    assert(omvang.objectValue == "42" && omvang.datatype == NS.xsdInteger)
+    // prefixed @id object expands to a uri
+    val linked = byPred(NS.PREMIS + "linked").head
+    assert(linked.objectValue == NS.LDTO + "Bestand" && linked.objectKind == Triple.URI)
+    // absolute IRIs and unknown prefixes pass through untouched
+    assert(ts.forall(_.subject == "https://example.org/obj/1"))
+  }
+
   test("F12 invalid xsd:integer repair downgrades to plain literal") {
     import spark.implicits._
     val df = Seq(
