@@ -62,10 +62,17 @@ object DemoCsv {
       lpad(element_at(split(doosnummer, "-"), 2), 2, "0"),
       lpad(volgnummer.cast("string"), 3, "0"))
 
-  /** The full pipeline. `vocab`: (vocabulary, term, uri) snapshot for J1
-    * (the offline stand-in for the SPARQL endpoint; SURVEY §1.1 #8).
-    * Returns the complete triple graph (archive + series + records +
-    * bestanden). */
+  /** The full pipeline. `vocab` is the J1 vocabulary snapshot (the
+    * offline stand-in for the SPARQL endpoint; SURVEY §1.1 #8) in either
+    * shape:
+    *   - (vocabulary, term, uri): plain per-vocabulary term list, treated
+    *     as skos:prefLabel triples; or
+    *   - (vocabulary, subject, predicate, objectValue, objectKind, lang):
+    *     per-vocabulary label triples — full label-variant matching
+    *     (6 predicates × plain/@nl/@en, concept_resolver.py:86-100).
+    * Both route through graft.vocab.Vocab's deterministic-precedence
+    * lookup + broadcast join. Returns the complete triple graph
+    * (archive + series + records + bestanden). */
   def run(spark: SparkSession, metaCsv: String, droidCsv: String,
           vocab: DataFrame, orderCols: Seq[String] = Seq("Inventarisnummer"),
           ids: Identifiers = Identifiers.default): DataFrame = {
@@ -76,12 +83,20 @@ object DemoCsv {
       .select(col("NAME"), coalesce(expr("try_cast(SIZE AS BIGINT)"), lit(0L)).as("size"),
         col("MD5_HASH"), col("PUID"))
 
-    // J1 — broadcast vocabulary joins for concept-valued cells
+    // J1 — label-variant vocabulary resolution via graft.vocab (one
+    // ConceptResolver per vocabulary in the reference, csv2rdf.py:44-48)
     def resolve(df: DataFrame, vocabName: String, term: Column,
                 outCol: String): DataFrame = {
-      val v = broadcast(vocab.filter(col("vocabulary") === vocabName)
-        .select(col("term").as(s"__t_$outCol"), col("uri").as(outCol)))
-      df.join(v, term === col(s"__t_$outCol"), "left").drop(s"__t_$outCol")
+      val snapshot = vocab.filter(col("vocabulary") === vocabName)
+      val triples =
+        if (snapshot.columns.contains("predicate")) snapshot
+        else snapshot.select(col("uri").as("subject"),
+          lit(NS.SKOS + "prefLabel").as("predicate"),
+          col("term").as("objectValue"), lit("literal").as("objectKind"),
+          lit(null).cast("string").as("datatype"),
+          lit(null).cast("string").as("lang"))
+      graft.vocab.Vocab.resolve(df, term,
+        graft.vocab.Vocab.lookupTable(triples), outCol)
     }
 
     val keyed = meta.withColumn("__filename",

@@ -80,15 +80,57 @@ object Relational {
 
   /** W1 — ordered group-break detection (serie breaks,
     * csv2rdf.py:90-114): flag rows where `groupCol` differs from its
-    * predecessor in `order` within `partition`.
+    * predecessor in `order` within `partition`. With partition keys this
+    * is an ordinary partitioned window; with NO partition (one global
+    * sequence) it uses the same two-pass shape as [[interleavedSerieIds]]
+    * — range shuffle + per-partition edge values — instead of a
+    * partition-less window that would funnel all rows into one task.
     */
   def groupBreaks(df: DataFrame, partition: Seq[Column], order: Seq[Column],
-                  groupCol: Column, flag: String = "is_break"): DataFrame = {
-    val w =
-      if (partition.isEmpty) Window.orderBy(order: _*)
-      else Window.partitionBy(partition: _*).orderBy(order: _*)
-    df.withColumn(flag,
-      coalesce(groupCol =!= lag(groupCol, 1).over(w), lit(true)))
+                  groupCol: Column, flag: String = "is_break"): DataFrame =
+    if (partition.nonEmpty) {
+      val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+      df.withColumn(flag,
+        coalesce(groupCol =!= lag(groupCol, 1).over(w), lit(true)))
+    } else globalGroupBreaks(df, order, groupCol, flag)
+
+  private def globalGroupBreaks(df: DataFrame, order: Seq[Column],
+                                groupCol: Column, flag: String): DataFrame = {
+    val spark = df.sparkSession
+    val keyed = df.withColumn("__grp_key", groupCol.cast("string"))
+    val sorted = keyed.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val grpIdx = sorted.schema.fieldIndex("__grp_key")
+    val rdd = sorted.rdd
+    // pass 1: per-partition edge values (only first/last matter here)
+    val edges = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var first: String = null; var last: String = null
+      it.foreach { row =>
+        val cur = row.getString(grpIdx)
+        if (n == 0L) first = cur
+        last = cur; n += 1
+      }
+      Iterator.single((pid, n, first, last))
+    }.collect().sortBy(_._1)
+    val incoming = Array.ofDim[(Boolean, String)](edges.length)
+    var havePrev = false; var prev: String = null
+    edges.foreach { case (pid, n, first, last) =>
+      incoming(pid) = (havePrev, prev)
+      if (n > 0) { havePrev = true; prev = last }
+    }
+    val bc = spark.sparkContext.broadcast(incoming)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(flag, org.apache.spark.sql.types.BooleanType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var (havePrev, prev) = bc.value(pid)
+      it.map { row =>
+        val cur = row.getString(grpIdx)
+        val brk = !havePrev || isBreak(prev, cur)
+        havePrev = true; prev = cur
+        Row.fromSeq(row.toSeq :+ brk)
+      }
+    }
+    spark.createDataFrame(out, schema).drop("__grp_key")
   }
 
   /** A7 — set-semantics dedup of a triple-shaped (or any) DataFrame

@@ -38,6 +38,17 @@ object SimQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN (the centroid-bucketed scale path): deterministic spherical
+    // k-means codebook, nProbe inverted lists per query, exact re-rank —
+    // correctness gate is the recall scalatest vs q27, rows shape-only
+    "q41_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.sim.Ivf.ivfTopK(e.filter(col("id") < 20), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Per-label embedding stats, quantize-then-sum so group aggregation
     // order cannot introduce FP drift
     "q29_embedding_stats" -> ((s, dir) =>

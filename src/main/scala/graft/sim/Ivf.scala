@@ -1,0 +1,176 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the centroid
+  * counterpart to the hyperplane-LSH path in [[Similarity]]: train a
+  * small spherical k-means codebook, assign every corpus vector to its
+  * nearest centroid (the "inverted list"), probe only the `nProbe`
+  * closest lists per query, and exact-re-rank the candidates.
+  *
+  * Scale shape (the IVF promise at 100 TB):
+  *   - the codebook is tiny and BROADCAST — assignment is map-only;
+  *   - the probe join is an equi-join on `centroid` (shuffle bounded by
+  *     list sizes, never all-pairs);
+  *   - candidates are compact (query_id, centroid) / (centroid, id) keys;
+  *     vectors are fetched by co-partitioned id-join exactly like the
+  *     compact LSH layout.
+  *
+  * Determinism without RNG state (same discipline as
+  * [[Similarity.hyperplane]]): initial centroids are the `nCentroids`
+  * corpus vectors with the smallest ids, refined by `iters` Lloyd
+  * rounds (assign by max dot over normalized vectors → renormalized
+  * mean); ties break toward the lower centroid index. Any engine
+  * reproduces the same codebook from the same corpus.
+  */
+object Ivf {
+
+  /** Normalized (id, vn) — shared vector-store shape. */
+  private def normalized(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        var ss = 0.0
+        var i = 0
+        while (i < v.length) { ss += v(i) * v(i); i += 1 }
+        val inv = if (ss == 0) 0.0 else 1.0 / math.sqrt(ss)
+        (id, v.map(_ * inv))
+      })
+      .toDF(idAs, vecAs)
+  }
+
+  private def nearestCentroid(v: Array[Double],
+                              cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(v.length, ct.length)
+      while (i < n) { dot += v(i) * ct(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic spherical k-means codebook. Each Lloyd round is one
+    * aggregation job over the corpus (assign map-side against the
+    * broadcast codebook, partial sums combine); the codebook itself is
+    * driver-resident model state (nCentroids × dim doubles).
+    * An emptied centroid keeps its previous vector. */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int = 16,
+                     iters: Int = 3): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val norm = normalized(corpus, "id", "vn")
+    var cents: Array[Array[Double]] = norm.orderBy("id").limit(nCentroids)
+      .select("vn").as[Array[Double]].collect()
+    require(cents.nonEmpty, "IVF training needs a non-empty corpus")
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = norm.as[(Long, Array[Double])]
+        .mapPartitions { rows =>
+          val cs = bc.value
+          rows.map { case (_, v) => (nearestCentroid(v, cs), (v, 1L)) }
+        }
+        .rdd
+        .reduceByKey { (x: (Array[Double], Long), y: (Array[Double], Long)) =>
+          val s = x._1.clone()
+          var i = 0
+          while (i < s.length && i < y._1.length) { s(i) += y._1(i); i += 1 }
+          (s, x._2 + y._2)
+        }
+        .collect()
+      val next = cents.clone()
+      sums.foreach { case (c, (sum, n)) =>
+        var ss = 0.0
+        var i = 0
+        while (i < sum.length) { ss += sum(i) * sum(i); i += 1 }
+        val inv = if (ss == 0) 0.0 else 1.0 / math.sqrt(ss)
+        next(c) = sum.map(_ * inv)
+        val _ = n
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** (id, centroid) inverted-list assignment — map-only against the
+    * broadcast codebook. */
+  def assignments(corpus: DataFrame, cents: Array[Array[Double]],
+                  idAs: String = "id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    normalized(corpus, "id", "vn").as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (id, v) => (id, nearestCentroid(v, cs)) }
+      }
+      .toDF(idAs, "centroid")
+  }
+
+  /** Top-k cosine neighbours per query via nProbe inverted lists.
+    * Output: (query_id, neighbor_id, cos_e6, rank) — same contract as
+    * [[Similarity.lshTopK]]/[[Similarity.bruteForceTopK]]. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 8,
+              iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, nCentroids, iters)
+    val bc = spark.sparkContext.broadcast(cents)
+    // query → its nProbe nearest centroids (compact (query_id, centroid))
+    val probes = normalized(queries, "query_id", "qv")
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.flatMap { case (id, v) =>
+          cs.indices
+            .map { c =>
+              var dot = 0.0
+              var i = 0
+              val n = math.min(v.length, cs(c).length)
+              while (i < n) { dot += v(i) * cs(c)(i); i += 1 }
+              (c, dot)
+            }
+            .sortBy { case (c, d) => (-d, c) }
+            .take(nProbe)
+            .map { case (c, _) => (id, c) }
+        }
+      }
+      .toDF("query_id", "centroid")
+    val lists = assignments(corpus, cents, idAs = "neighbor_id")
+    val cand = probes.join(lists, Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    // vector fetch + exact re-rank (compiled dot over normalized vectors)
+    val qv = normalized(queries, "query_id", "qv")
+    val cv = normalized(corpus, "neighbor_id", "cv")
+    val dotE6 = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      math.floor(s * 1000000.0).toLong
+    }
+    val scored = cand
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotE6(col("qv"), col("cv")).as("cos_e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

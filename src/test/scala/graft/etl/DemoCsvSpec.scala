@@ -107,6 +107,29 @@ class DemoCsvSpec extends graft.SparkSuite {
     assert(bevat == 12)
   }
 
+  test("J1 triple-shaped vocab resolves through label variants (altLabel@nl)") {
+    import spark.implicits._
+    val skos = "http://www.w3.org/2004/02/skos/core#"
+    // same concepts, but Aviodrome is only reachable via altLabel@nl and
+    // zwartwit via skos:notation — the exact-prefLabel-only join of
+    // rounds 1-2 would miss both
+    val triplesVocab = Seq(
+      ("soort", "urn:soort:luchtfoto", skos + "prefLabel", "luchtfoto", "literal", null),
+      ("plaats", "urn:plaats:bunnik", skos + "prefLabel", "Bunnik", "literal", null),
+      ("plaats", "urn:plaats:odijk", skos + "prefLabel", "Odijk", "literal", null),
+      ("kleurtype", "urn:kleur:zwartwit", skos + "notation", "zwartwit", "literal", null),
+      ("actor", "urn:actor:aviodrome", skos + "altLabel", "Aviodrome", "literal", "nl"))
+      .toDF("vocabulary", "subject", "predicate", "objectValue", "objectKind", "lang")
+    val out = DemoCsv.run(spark, s"$dir/metadata.csv", s"$dir/droid.csv",
+      triplesVocab)
+    val creators = out.filter(col("predicate") === (NS.SCHEMA + "creator"))
+      .select("objectValue").distinct().collect().map(_.getString(0)).toSet
+    assert(creators == Set("urn:actor:aviodrome"))
+    val classif = out.filter(col("predicate") === (NS.LDTO + "classificatie"))
+      .select("objectValue").distinct().collect().map(_.getString(0)).toSet
+    assert(classif == Set("urn:soort:luchtfoto", "urn:kleur:zwartwit"))
+  }
+
   test("A1 archive coverage and G3 WKT geometry") {
     val begin = triples.filter(col("subject") ===
         graft.ids.Identifiers.default.uriFromId("1"))

@@ -69,6 +69,21 @@ class RelationalSpec extends SparkSuite {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("global groupBreaks == partition-less window formula, without a Window") {
+    val rows = (1 to 300).map { i =>
+      val g: Integer = if (i % 83 == 0) null else Integer.valueOf(i / 7)
+      (i, g)
+    }
+    val df = rows.toDF("ord", "g").repartition(5)
+    val got = Relational.groupBreaks(df, Seq.empty, Seq(col("ord")), col("g"))
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"))
+    val w = Window.orderBy(col("ord"))
+    val want = df.withColumn("is_break",
+      coalesce(col("g") =!= lag(col("g"), 1).over(w), lit(true)))
+    assert(got.select("ord", "is_break").except(want.select("ord", "is_break")).isEmpty)
+    assert(want.select("ord", "is_break").except(got.select("ord", "is_break")).isEmpty)
+  }
+
   test("interleavedSerieIds plan has no Window, and ids restart correctly " +
        "across many small partitions") {
     val df = (1 to 40).map(i => (i, i / 4)).toDF("ord", "Serie")

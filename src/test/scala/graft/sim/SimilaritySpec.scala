@@ -54,6 +54,41 @@ class SimilaritySpec extends graft.SparkSuite {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("IVF: codebook is deterministic; assignments cover the corpus") {
+    val cents1 = Ivf.trainCentroids(corpus, nCentroids = 8, iters = 2)
+    val cents2 = Ivf.trainCentroids(corpus, nCentroids = 8, iters = 2)
+    assert(cents1.length == 8)
+    assert(cents1.zip(cents2).forall { case (a, b) => a.sameElements(b) })
+    val assigned = Ivf.assignments(corpus, cents1)
+    assert(assigned.count() == 200)
+    val cids = assigned.select("centroid").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(cids.subsetOf((0 until 8).toSet) && cids.size > 1)
+  }
+
+  test("IVF recall ≥ 0.6 vs brute force on pseudo-corpus (gate for q41)") {
+    val q = corpus.filter(col("id") < 10)
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ivf.ivfTopK(q, corpus, k = 5,
+        nCentroids = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("IVF recall ≥ 0.9 on real embeddings sf0.001 (driver gate for q41)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ivf.ivfTopK(q, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("LSH recall ≥ 0.9 on real embeddings sf0.001 (driver gate)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
