@@ -78,6 +78,55 @@ final class LocalFsStore(root: String) extends ObjectStore {
   }
 }
 
+/** Hadoop-FileSystem-backed store: any scheme the cluster supports —
+  * `file://` (tested here), `hdfs://`, and `s3a://` for the reference's
+  * actual S3 deployment (razu/s3storage.py). Same K5–K10 flows with
+  * root = "s3a://bucket/prefix" and zero code change; `confOverrides`
+  * carries endpoint/credential properties (the s3a equivalents of
+  * s3storage.py:20-35's client config). The FileSystem handle is
+  * created lazily PER EXECUTOR (Hadoop Configuration is not
+  * serializable), so the store object ships in task closures like
+  * LocalFsStore. Metadata/ACLs ride as sidecar objects — the
+  * FileSystem API has no user-metadata; a native SDK client would
+  * override put/setAcl to use object metadata + ACL calls.
+  */
+final class HadoopFsStore(rootUri: String,
+                          confOverrides: Map[String, String] = Map.empty)
+    extends ObjectStore {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  @transient private lazy val fs: FileSystem = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    confOverrides.foreach { case (k, v) => conf.set(k, v) }
+    new HPath(rootUri).getFileSystem(conf)
+  }
+  private def p(key: String) = new HPath(rootUri.stripSuffix("/") + "/" + key)
+
+  private def write(key: String, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p(key), true) // creates parent prefixes
+    try out.write(bytes) finally out.close()
+  }
+  override def put(key: String, content: Array[Byte],
+                   metadata: Map[String, String]): Unit = {
+    write(key, content)
+    if (metadata.nonEmpty) {
+      val enc = metadata.toSeq.sortBy(_._1).map { case (k, v) =>
+        k + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString("\n")
+      write(key + ".meta", enc.getBytes("UTF-8"))
+    }
+  }
+  override def delete(keys: Seq[String]): Unit =
+    keys.foreach { k =>
+      fs.delete(p(k), false)
+      fs.delete(p(k + ".meta"), false)
+    }
+  override def setAcl(key: String, acl: String): Unit =
+    write(key + ".acl", acl.getBytes("UTF-8"))
+  override def open(key: String): Option[java.io.InputStream] =
+    if (fs.exists(p(key))) Some(fs.open(p(key))) else None
+}
+
 object Store {
 
   /** S10 — listing of the store as a DataFrame of keys (+ etag = md5).

@@ -117,6 +117,24 @@ class StoreSpec extends graft.SparkSuite {
       == Seq("k2.bin"))
   }
 
+  test("HadoopFsStore: same flows through the FileSystem API (file:// root)") {
+    val root = Files.createTempDirectory("graft-store-hfs").toString
+    val store = new HadoopFsStore("file://" + root)
+    val (up, skipped) = Store.upload(filesDF, store, spark)
+    assert(up == 3 && skipped == 0)
+    assert(Files.readString(JPaths.get(root, "a/k1.bin")) == "payload-1")
+    assert(Files.readString(JPaths.get(root, "a/k1.bin.meta"))
+      == "source=unit+test")
+    // open + streaming md5 (the multipart-verify path) work through Hadoop
+    assert(store.md5Of("k2.bin").contains(md5hex("payload-2")))
+    assert(store.md5Of("missing.bin").isEmpty)
+    store.setAcl("k2.bin", "public-read")
+    assert(Files.readString(JPaths.get(root, "k2.bin.acl")) == "public-read")
+    store.delete(Seq("a/k1.bin"))
+    assert(!Files.exists(JPaths.get(root, "a/k1.bin")))
+    assert(!Files.exists(JPaths.get(root, "a/k1.bin.meta")))
+  }
+
   test("K9 ACL sidecars") {
     val root = Files.createTempDirectory("graft-store4").toString
     val store = new LocalFsStore(root)
