@@ -116,4 +116,89 @@ object Events {
   def save(eventGraph: DataFrame, outDir: String): Unit =
     graft.rdf.io.JsonLd.documents(eventGraph)
       .write.mode("overwrite").json(outDir)
+
+  // ---- the reference's named emitters (preservation_events.py:105-179) —
+  // one thin batch wrapper per RazuPreservationEvents method, so a
+  // reference user maps each call 1:1. Each takes one row per event.
+
+  /** filename_change: outcomeNote "renamed <old> to <new>". */
+  def filenameChange(batch: DataFrame, order: Seq[Column], subjectOf: Column,
+                     originalFilename: Column, newFilename: Column,
+                     tool: Column = lit(null), startId: Long = 0L,
+                     timestamp: String = java.time.Instant.now().toString,
+                     ids: Identifiers = Identifiers.default): DataFrame =
+    emit(batch, order, fil, subjectOf, outcome = lit(true),
+      note = concat(lit("renamed "), originalFilename,
+        lit(" to "), newFilename),
+      startId = startId, timestamp = timestamp, tool = tool, ids = ids)
+
+  /** fixity_check: data-driven outcome. */
+  def fixityCheck(batch: DataFrame, order: Seq[Column], subjectOf: Column,
+                  isSuccessful: Column, tool: Column = lit(null),
+                  startedAt: Column = lit(null), startId: Long = 0L,
+                  timestamp: String = java.time.Instant.now().toString,
+                  ids: Identifiers = Identifiers.default): DataFrame =
+    emit(batch, order, fix, subjectOf, outcome = isSuccessful,
+      startId = startId, timestamp = timestamp, tool = tool,
+      startedAt = startedAt, ids = ids)
+
+  /** format_identification: the identified format as outcomeNote. */
+  def formatIdentification(batch: DataFrame, order: Seq[Column],
+                           subjectOf: Column, format: Column,
+                           tool: Column = lit(null),
+                           startedAt: Column = lit(null), startId: Long = 0L,
+                           timestamp: String = java.time.Instant.now().toString,
+                           ids: Identifiers = Identifiers.default): DataFrame =
+    emit(batch, order, forId, subjectOf, outcome = lit(true), note = format,
+      startId = startId, timestamp = timestamp, tool = tool,
+      startedAt = startedAt, ids = ids)
+
+  /** ingestion_start / ingestion_end. */
+  def ingestionStart(batch: DataFrame, order: Seq[Column], subjectOf: Column,
+                     tool: Column = lit(null), startId: Long = 0L,
+                     timestamp: String = java.time.Instant.now().toString,
+                     ids: Identifiers = Identifiers.default): DataFrame =
+    emit(batch, order, ins, subjectOf, outcome = lit(true),
+      startId = startId, timestamp = timestamp, tool = tool, ids = ids)
+
+  def ingestionEnd(batch: DataFrame, order: Seq[Column], subjectOf: Column,
+                   tool: Column = lit(null), startId: Long = 0L,
+                   timestamp: String = java.time.Instant.now().toString,
+                   ids: Identifiers = Identifiers.default): DataFrame =
+    emit(batch, order, ine, subjectOf, outcome = lit(true),
+      startId = startId, timestamp = timestamp, tool = tool, ids = ids)
+
+  /** message_digest_calculation: the hash as outcomeNote. */
+  def messageDigestCalculation(batch: DataFrame, order: Seq[Column],
+                               subjectOf: Column, hash: Column,
+                               tool: Column = lit(null),
+                               startedAt: Column = lit(null),
+                               startId: Long = 0L,
+                               timestamp: String = java.time.Instant.now().toString,
+                               ids: Identifiers = Identifiers.default): DataFrame =
+    emit(batch, order, mes, subjectOf, outcome = lit(true), note = hash,
+      startId = startId, timestamp = timestamp, tool = tool,
+      startedAt = startedAt, ids = ids)
+
+  /** metadata_modification: prov:description + prov:generated result. */
+  def metadataModification(batch: DataFrame, order: Seq[Column],
+                           subjectOf: Column, result: Column,
+                           description: Column = lit(""),
+                           tool: Column = lit(null), startId: Long = 0L,
+                           timestamp: String = java.time.Instant.now().toString,
+                           ids: Identifiers = Identifiers.default): DataFrame =
+    emit(batch, order, mem, subjectOf, outcome = lit(true),
+      description = description, generated = result,
+      startId = startId, timestamp = timestamp, tool = tool, ids = ids)
+
+  /** virus_check. */
+  def virusCheck(batch: DataFrame, order: Seq[Column], subjectOf: Column,
+                 isSuccessful: Column, note: Column = lit(""),
+                 tool: Column = lit(null), startedAt: Column = lit(null),
+                 startId: Long = 0L,
+                 timestamp: String = java.time.Instant.now().toString,
+                 ids: Identifiers = Identifiers.default): DataFrame =
+    emit(batch, order, vir, subjectOf, outcome = isSuccessful, note = note,
+      startId = startId, timestamp = timestamp, tool = tool,
+      startedAt = startedAt, ids = ids)
 }

@@ -1,0 +1,102 @@
+package graft.rdf.io
+
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.rdf.Triple
+
+/** DataSource V2 connector for JSON-LD: `spark.read.format("jsonld")
+  * .load(pathOrGlob)` yields the canonical triple DataFrame — the same
+  * rows as [[JsonLd.read]], but as a first-class Catalyst source:
+  * planning emits one InputPartition per file (parallelism = file
+  * count, the natural unit for one-resource-per-file SIP layouts), rows
+  * are produced directly as InternalRow (no Row round-trip), and the
+  * source composes with everything DataFrame (column pruning happens in
+  * the planner; the 6-column triple schema is fixed).
+  *
+  * Blank nodes are remapped per source file with the same path-hash
+  * suffix as [[JsonLd.read]] (S4 discipline), so unions of many SIP
+  * directories never collide.
+  */
+class JsonLdSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "jsonld"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Triple.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        "jsonld source requires a path: spark.read.format(\"jsonld\").load(path)"))
+    new JsonLdTable(path)
+  }
+}
+
+private[io] class JsonLdTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"jsonld($path)"
+  override def schema(): StructType = Triple.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = Triple.schema
+      override def description(): String = s"jsonld($path)"
+      override def toBatch: Batch = new JsonLdBatch(path)
+    }
+}
+
+private[io] class JsonLdBatch(path: String) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(new Configuration())
+    val matched: Array[FileStatus] =
+      Option(fs.globStatus(p)).getOrElse(Array.empty)
+    matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }.map(st => JsonLdInputPartition(st.getPath.toString): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonLdReaderFactory
+}
+
+private[io] case class JsonLdInputPartition(file: String) extends InputPartition
+
+private[io] class JsonLdReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[JsonLdInputPartition].file
+    new PartitionReader[InternalRow] {
+      private var it: Iterator[Triple] = _
+      private var current: Triple = _
+      private def u(s: String): UTF8String =
+        if (s == null) null else UTF8String.fromString(s)
+      override def next(): Boolean = {
+        if (it == null) {
+          val p = new HPath(file)
+          val fs = p.getFileSystem(new Configuration())
+          val in = fs.open(p)
+          val json =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val suffix = java.lang.Long.toHexString(
+            graft.text.Dedup.xxhash64String(file))
+          it = JsonLd.parse(json, suffix).iterator
+        }
+        if (it.hasNext) { current = it.next(); true } else false
+      }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          u(current.subject), u(current.predicate), u(current.objectValue),
+          u(current.objectKind), u(current.datatype), u(current.lang)))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -51,6 +51,41 @@ class EventsSpec extends SparkSuite {
     assert(one(NS.PREMIS + "outcome") == (Events.outcomeUri(true), "uri"))
   }
 
+  test("named emitters map 1:1 to the reference's event methods") {
+    val batch = Seq(("https://example.org/obj/1", true)).toDF("obj", "ok")
+    def typeOf(df: org.apache.spark.sql.DataFrame): String =
+      df.filter(col("predicate") === (NS.PREMIS + "eventType"))
+        .select("objectValue").head().getString(0)
+    val ts = "2026-01-01T00:00:00Z"
+    assert(typeOf(Events.filenameChange(batch, Seq(col("obj")), col("obj"),
+      lit("old.jpg"), lit("new.jpg"), timestamp = ts)) == Events.fil)
+    assert(typeOf(Events.fixityCheck(batch, Seq(col("obj")), col("obj"),
+      col("ok"), timestamp = ts)) == Events.fix)
+    assert(typeOf(Events.formatIdentification(batch, Seq(col("obj")),
+      col("obj"), lit("fmt/43"), timestamp = ts)) == Events.forId)
+    assert(typeOf(Events.ingestionStart(batch, Seq(col("obj")), col("obj"),
+      timestamp = ts)) == Events.ins)
+    assert(typeOf(Events.ingestionEnd(batch, Seq(col("obj")), col("obj"),
+      timestamp = ts)) == Events.ine)
+    assert(typeOf(Events.messageDigestCalculation(batch, Seq(col("obj")),
+      col("obj"), lit("abcd"), timestamp = ts)) == Events.mes)
+    assert(typeOf(Events.metadataModification(batch, Seq(col("obj")),
+      col("obj"), lit("https://example.org/f.meta.json"),
+      timestamp = ts)) == Events.mem)
+    assert(typeOf(Events.virusCheck(batch, Seq(col("obj")), col("obj"),
+      col("ok"), timestamp = ts)) == Events.vir)
+    // spot-check the per-type payloads
+    val fil = Events.filenameChange(batch, Seq(col("obj")), col("obj"),
+      lit("old.jpg"), lit("new.jpg"), timestamp = ts)
+    assert(fil.filter(col("predicate") === (NS.PREMIS + "outcomeNote"))
+      .select("objectValue").head().getString(0) == "renamed old.jpg to new.jpg")
+    val mem = Events.metadataModification(batch, Seq(col("obj")), col("obj"),
+      lit("https://example.org/f.meta.json"), timestamp = ts)
+    assert(mem.filter(col("predicate") === (NS.PROV + "generated"))
+      .select("objectValue").head().getString(0)
+      == "https://example.org/f.meta.json")
+  }
+
   test("optional properties emit nothing when null (F1 semantics)") {
     val batch = Seq(("https://example.org/obj/1", false)).toDF("obj", "ok")
     val preds = Events.emit(batch, Seq(col("obj")), Events.fix,

@@ -1,0 +1,68 @@
+package graft.rdf.io
+
+import java.nio.file.{Files, Paths => JPaths}
+import org.apache.spark.sql.functions._
+import graft.rdf.Triple
+
+/** The DSv2 "jsonld" source must return the same triples as the
+  * wholetext-based JsonLd.read, with one input partition per file. */
+class JsonLdSourceSpec extends graft.SparkSuite {
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft-jsonld-src").toString
+    val doc1 =
+      """{"@graph": [
+        |  {"@id": "https://example.org/r/1",
+        |   "@type": ["https://data.razu.nl/def/ldto/Informatieobject"],
+        |   "https://data.razu.nl/def/ldto/naam": [{"@value": "Titel 1"}],
+        |   "https://data.razu.nl/def/ldto/dekkingInTijd": [{"@id": "_:b0"}]},
+        |  {"@id": "_:b0",
+        |   "https://data.razu.nl/def/ldto/begin":
+        |     [{"@value": "1984-01-01",
+        |       "@type": "http://www.w3.org/2001/XMLSchema#date"}]}
+        |]}""".stripMargin
+    val doc2 =
+      """{"@graph": [
+        |  {"@id": "https://example.org/r/2",
+        |   "https://data.razu.nl/def/ldto/naam": [{"@value": "Titel 2", "@language": "nl"}],
+        |   "https://data.razu.nl/def/ldto/dekkingInTijd": [{"@id": "_:b0"}]},
+        |  {"@id": "_:b0",
+        |   "https://data.razu.nl/def/ldto/begin": [{"@value": "1990"}]}
+        |]}""".stripMargin
+    Files.writeString(JPaths.get(d, "r1.meta.json"), doc1)
+    Files.writeString(JPaths.get(d, "r2.meta.json"), doc2)
+    d
+  }
+
+  test("format(\"jsonld\") reads the same triples as JsonLd.read") {
+    val viaSource = spark.read.format("jsonld").load(s"$dir/*.meta.json")
+    val viaReader = JsonLd.read(spark, s"$dir/*.meta.json")
+    assert(viaSource.schema.fieldNames.toSeq == Triple.columns)
+    assert(viaSource.count() == viaReader.count())
+    // identical modulo the per-file bnode suffix (path rendering differs
+    // between Hadoop and input_file_name): compare with bnode ids masked
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("s", when(col("subject").startsWith("_:"), lit("_:"))
+        .otherwise(col("subject")))
+      .withColumn("o", when(col("objectKind") === "bnode", lit("_:"))
+        .otherwise(col("objectValue")))
+      .select("s", "predicate", "o", "objectKind", "datatype", "lang")
+      .collect().map(_.toSeq).toSet
+    assert(canon(viaSource) == canon(viaReader))
+    // per-file bnode isolation survives: the two _:b0 stay distinct
+    assert(viaSource.filter(col("subject").startsWith("_:"))
+      .select("subject").distinct().count() == 2)
+  }
+
+  test("one input partition per file") {
+    val df = spark.read.format("jsonld").load(s"$dir/*.meta.json")
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("directory load and empty glob") {
+    val df = spark.read.format("jsonld").load(dir)
+    assert(df.count() > 0)
+    val empty = spark.read.format("jsonld").load(s"$dir/*.nope")
+    assert(empty.count() == 0)
+  }
+}
