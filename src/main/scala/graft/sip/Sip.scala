@@ -1,6 +1,6 @@
 package graft.sip
 
-import java.nio.file.{Files, Paths => JPaths}
+import java.nio.file.{Paths => JPaths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.events.Events
@@ -27,17 +27,25 @@ object Sip {
   /** K1 — write one JSON-LD file per root resource:
     * <uid>.meta.json named via the id algebra. Files are written
     * per-partition (distributed), not via a driver loop like
-    * csv2rdf.py:234-237's per-row save. Returns (root, filename). */
+    * csv2rdf.py:234-237's per-row save, through the Hadoop FileSystem
+    * API so a SIP directory can live on any scheme (file://, hdfs://,
+    * s3a://) exactly like [[graft.store.HadoopFsStore]]. Returns
+    * (root, filename). */
   def saveResources(triples: DataFrame, dir: String,
                     ids: Identifiers = Identifiers.default): DataFrame = {
-    Files.createDirectories(JPaths.get(dir))
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = new HPath(dir)
+    base.getFileSystem(new org.apache.hadoop.conf.Configuration()).mkdirs(base)
     val docs = JsonLd.documents(triples)
       .withColumn("id", ids.extractIdCol(col("root")))
       .withColumn("filename", ids.filenameCol(col("id")))
     docs.select("filename", "json").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
+        val fs = new HPath(dir)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
         it.foreach { r =>
-          Files.writeString(JPaths.get(dir, r.getString(0)), r.getString(1))
+          val out = fs.create(new HPath(dir + "/" + r.getString(0)), true)
+          try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()
         }
     }
     docs.select("root", "filename")
@@ -51,12 +59,15 @@ object Sip {
 
   /** STR3/W2 — recover the highest object id from a SIP directory's
     * file names (sip.py:186-203 re-derives ids on load_existing so the
-    * Incrementer can continue). 0 for an empty/missing directory. */
+    * Incrementer can continue). 0 for an empty/missing directory.
+    * Hadoop FileSystem listing — works on any scheme. */
   def maxResourceId(spark: SparkSession, dir: String,
                     ids: Identifiers = Identifiers.default): Long = {
-    val d = new java.io.File(dir)
-    if (!d.isDirectory) return 0L
-    val names = d.listFiles.map(_.getName)
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) return 0L
+    val names = fs.listStatus(p).map(_.getPath.getName)
       .filter(_.endsWith(s".${ids.cfg.metadataSuffix}.${ids.cfg.metadataExtension}"))
     if (names.isEmpty) 0L
     else names.flatMap(n => scala.util.Try(
@@ -119,16 +130,16 @@ object Sip {
         body ++ tail
       }
     lines.write.mode("overwrite").text(tmp)
-    val part = new java.io.File(tmp).listFiles
+    // promote the part file through the Hadoop FileSystem API (any scheme)
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(tmp)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val part = fs.listStatus(new HPath(tmp)).map(_.getPath)
       .find(_.getName.startsWith("part-"))
       .getOrElse(sys.error(s"no part file written under $tmp"))
-    Files.move(part.toPath, JPaths.get(dir, ids.eventlogFilename),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // clean the temp write dir (part + _SUCCESS + crc files)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(tmp))
+    val dest = new HPath(dir + "/" + ids.eventlogFilename)
+    fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(new HPath(tmp), true)
   }
 }

@@ -1,6 +1,6 @@
 package graft.store
 
-import java.nio.file.{Files, Paths => JPaths, StandardCopyOption}
+import java.nio.file.{Files, Paths => JPaths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
@@ -244,17 +244,18 @@ object Store {
       }
       head ++ body ++ tail
     }.write.mode("overwrite").text(tmp)
-    val part = new java.io.File(tmp).listFiles
+    // promote the part file through the Hadoop FileSystem API (any scheme)
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(tmp)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val part = fs.listStatus(new HPath(tmp)).map(_.getPath)
       .find(_.getName.startsWith("part-"))
       .getOrElse(sys.error(s"no part file written under $tmp"))
-    Files.createDirectories(JPaths.get(path).toAbsolutePath.getParent)
-    Files.move(part.toPath, JPaths.get(path),
-      StandardCopyOption.REPLACE_EXISTING)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(tmp))
+    val dest = new HPath(path)
+    fs.mkdirs(dest.getParent)
+    fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(new HPath(tmp), true)
   }
 
   /** K9 — ACL update for every manifest key (edepot.py:271-304). */
