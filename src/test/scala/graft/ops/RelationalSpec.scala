@@ -34,6 +34,26 @@ class RelationalSpec extends SparkSuite {
     assert(Relational.sequentialIds(df, Seq(col("k"))).count() == 0)
   }
 
+  test("interleavedSerieIds and global groupBreaks on empty and 1-row input") {
+    val empty = Seq.empty[(Int, Integer)].toDF("ord", "Serie")
+    assert(Relational.interleavedSerieIds(empty, Seq(col("ord")),
+      col("Serie")).count() == 0)
+    assert(Relational.groupBreaks(empty, Seq.empty, Seq(col("ord")),
+      col("Serie")).count() == 0)
+    val one = Seq((1, Integer.valueOf(7))).toDF("ord", "Serie")
+    val ids = Relational.interleavedSerieIds(one, Seq(col("ord")), col("Serie"))
+      .select("__rowIdx", "__brk", "__recordId", "__serieId", "__bestandId")
+      .head()
+    // first row is always a break: rowIdx=1, cumB=1, record=1+2=3,
+    // serie=record-1=2, bestand=record+1=4 — the reference's
+    // archive=1/serie=2/record=3/bestand=4 opening sequence
+    assert(ids.getLong(0) == 1L && ids.getLong(1) == 1L)
+    assert(ids.getLong(2) == 3L && ids.getLong(3) == 2L && ids.getLong(4) == 4L)
+    val brk = Relational.groupBreaks(one, Seq.empty, Seq(col("ord")), col("Serie"))
+      .select("is_break").head().getBoolean(0)
+    assert(brk)
+  }
+
   private def windowReference(df: org.apache.spark.sql.DataFrame,
                               order: Seq[org.apache.spark.sql.Column]) = {
     // the exact pre-round-3 formula (DemoCsv.scala history): single
