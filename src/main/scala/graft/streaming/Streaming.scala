@@ -83,6 +83,35 @@ object Streaming {
       }
   }
 
+  /** Generic file stream over a parquet path (file or directory) —
+    * the document counterpart of [[eventStream]]. */
+  def fileStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val reader = spark.readStream.schema(schema)
+    if (f.isFile)
+      reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+    else reader.parquet(path)
+  }
+
+  /** In-stream exact dedup — the continuous-ingest form of
+    * `Dedup.exact` (q21): keep the first-arriving document per
+    * normalized-content hash. State is one entry per distinct hash;
+    * pass `eventTime = Some((tsCol, delay))` to bound it with a
+    * watermark (hashes older than the delay expire — the right setting
+    * for an append-only ingest where near-in-time duplicates dominate);
+    * None keeps exact global semantics with unbounded state. */
+  def dedupStream(docs: DataFrame, textCol: String = "text",
+                  eventTime: Option[(String, String)] = None): DataFrame = {
+    val hashed = docs.withColumn("__h",
+      md5(graft.text.TextAnalysis.normalizeCol(col(textCol))))
+    val bounded = eventTime match {
+      case Some((c, delay)) => hashed.withWatermark(c, delay)
+      case None => hashed
+    }
+    bounded.dropDuplicates("__h").drop("__h")
+  }
+
   /** Run any streaming DataFrame to completion over the currently
     * available data (Trigger.AvailableNow) into an in-memory table;
     * returns the result. Complete mode for aggregations, Update for

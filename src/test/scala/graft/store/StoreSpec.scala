@@ -256,6 +256,23 @@ class StreamingSpec extends graft.SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming exact dedup keeps the same distinct content set as batch") {
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    val streamed = Streaming.runAvailableNow(
+      Streaming.dedupStream(Streaming.fileStream(spark, path)),
+      s"d_${System.nanoTime()}", outputMode = "append")
+    val batch = graft.text.Dedup.exact(spark.read.parquet(path))
+    // keep-first picks a possibly different representative per duplicate
+    // group (arrival vs lowest-id), but the surviving CONTENT set and
+    // count must agree
+    assert(streamed.count() == batch.count())
+    import org.apache.spark.sql.functions.md5
+    def hashes(df: org.apache.spark.sql.DataFrame) = df
+      .select(md5(graft.text.TextAnalysis.normalizeCol(col("text"))).as("h"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(hashes(streamed) == hashes(batch))
+  }
+
   test("stateful sessionization == batch q31 on AvailableNow") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runAvailableNow(
