@@ -38,7 +38,10 @@ object Flagship {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       .join(vocab, col("c_nationkey") === col("n_nationkey"))
 
-    val orders = t("orders")
+    // widen the single-file scan before the 12x triple fan-out — at bench
+    // scale the parquet file has 1-2 row groups, which would run the whole
+    // explode stage on 1-2 cores (graft.sources.Tables.widen scale note)
+    val orders = graft.sources.Tables.widen(t("orders"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       // M2 — null-fill + cast (csv2rdf.py:56)
       .withColumn("omvang", coalesce(col("o_totalprice"), lit(0.0)).cast("long"))

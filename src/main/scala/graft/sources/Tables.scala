@@ -9,6 +9,19 @@ object Tables {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Single-file parquet inputs arrive with as few partitions as the
+    * file has row groups (1–2 at bench scale), which serializes every
+    * downstream map stage onto one or two cores. Widen to the session's
+    * parallelism when the source is under-partitioned; well-partitioned
+    * inputs (the 100 TB case: many files / row groups) pass through
+    * untouched. The round-robin exchange moves only the NARROW source
+    * rows — worth it when a fan-out (triple explode, signature math)
+    * multiplies work per row downstream. */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** The events table is written with parquet TIMESTAMP(NANOS), which
     * Spark has no native type for (PARQUET_TYPE_ILLEGAL). Read nanos as
     * long (legacy conf) and truncate to microsecond timestamps — the same

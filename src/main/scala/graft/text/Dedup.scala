@@ -32,13 +32,10 @@ import graft.ops.Relational
 object Dedup {
 
   /** Small inputs arrive as one parquet partition (a 2 MB file), which
-    * would serialize every typed map below onto one core. Widen to the
-    * session's parallelism when the source has fewer partitions; inputs
-    * that are already well-partitioned (the 100 TB case) pass through. */
-  private def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+    * would serialize every typed map below onto one core — shared widen
+    * helper (see its scale note). */
+  private def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.sources.Tables.widen(df)
 
   /** Exact dedup: canonical row per normalized-text hash, keeping the
     * lowest `idCol`. Returns the surviving rows. */
