@@ -22,16 +22,21 @@ import org.apache.spark.sql.functions._
   * [[Similarity.hyperplane]]): initial centroids are the `nCentroids`
   * corpus vectors with the smallest ids, refined by `iters` Lloyd
   * rounds (assign by max dot over normalized vectors → renormalized
-  * mean); ties break toward the lower centroid index. Any engine
-  * reproduces the same codebook from the same corpus.
+  * mean); ties break toward the lower centroid index. The codebook is
+  * reproducible for a fixed partitioning; across different partition
+  * counts the Lloyd sums commute only up to FP rounding (last-ulp
+  * centroid jitter), which the exact re-rank absorbs — rankings are
+  * computed from true cosines, never from the codebook.
   */
 object Ivf {
 
-  /** Normalized (id, vn) — shared vector-store shape. */
+  /** Normalized (id, vn) — shared vector-store shape (widened when a
+    * single-file scan would bottleneck the map stages on one core). */
   private def normalized(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id").cast("long"), col("vec").cast("array<double>"))
+    graft.sources.Tables.widen(df)
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions(_.map { case (id, v) =>
         var ss = 0.0
@@ -67,11 +72,23 @@ object Ivf {
     * An emptied centroid keeps its previous vector. */
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 16,
                      iters: Int = 3): Array[Array[Double]] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val norm = normalized(corpus, "id", "vn")
-    var cents: Array[Array[Double]] = norm.orderBy("id").limit(nCentroids)
-      .select("vn").as[Array[Double]].collect()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainFromNormalized(norm, nCentroids, iters)
+    finally norm.unpersist()
+  }
+
+  /** Lloyd rounds over an already-normalized (cached) corpus — the
+    * classic k-means pattern: normalize + cache ONCE, re-scan the cached
+    * vectors per iteration instead of re-reading + re-normalizing the
+    * source every round. */
+  private def trainFromNormalized(norm: DataFrame, nCentroids: Int,
+                                  iters: Int): Array[Array[Double]] = {
+    val spark = norm.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Double]] = norm.orderBy(norm.columns.head)
+      .limit(nCentroids)
+      .select(norm.columns(1)).as[Array[Double]].collect()
     require(cents.nonEmpty, "IVF training needs a non-empty corpus")
     var it = 0
     while (it < iters) {
@@ -107,11 +124,16 @@ object Ivf {
   /** (id, centroid) inverted-list assignment — map-only against the
     * broadcast codebook. */
   def assignments(corpus: DataFrame, cents: Array[Array[Double]],
-                  idAs: String = "id"): DataFrame = {
-    val spark = corpus.sparkSession
+                  idAs: String = "id"): DataFrame =
+    assignFromNormalized(normalized(corpus, "id", "vn"), cents, idAs)
+
+  private def assignFromNormalized(norm: DataFrame,
+                                   cents: Array[Array[Double]],
+                                   idAs: String): DataFrame = {
+    val spark = norm.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-    normalized(corpus, "id", "vn").as[(Long, Array[Double])]
+    norm.as[(Long, Array[Double])]
       .mapPartitions { rows =>
         val cs = bc.value
         rows.map { case (id, v) => (id, nearestCentroid(v, cs)) }
@@ -127,7 +149,11 @@ object Ivf {
               iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = trainCentroids(corpus, nCentroids, iters)
+    // normalize + cache the corpus ONCE — training (iters jobs), the
+    // inverted-list assignment, and the vector fetch all reuse it
+    val corpusNorm = normalized(corpus, "neighbor_id", "cv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainFromNormalized(corpusNorm, nCentroids, iters)
     val bc = spark.sparkContext.broadcast(cents)
     // query → its nProbe nearest centroids (compact (query_id, centroid))
     val probes = normalized(queries, "query_id", "qv")
@@ -149,14 +175,14 @@ object Ivf {
         }
       }
       .toDF("query_id", "centroid")
-    val lists = assignments(corpus, cents, idAs = "neighbor_id")
+    val lists = assignFromNormalized(corpusNorm, cents, idAs = "neighbor_id")
     val cand = probes.join(lists, Seq("centroid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
     // vector fetch + exact re-rank (compiled dot over normalized vectors)
     val qv = normalized(queries, "query_id", "qv")
-    val cv = normalized(corpus, "neighbor_id", "cv")
+    val cv = corpusNorm
     val dotE6 = udf { (a: Seq[Double], b: Seq[Double]) =>
       var s = 0.0
       var i = 0

@@ -38,13 +38,15 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (id, vec: array<float>). Queries are broadcast
-    * (assumed small); corpus stays partitioned. Output:
-    * (query_id, neighbor_id, cos_e6, rank). */
+    * (assumed small); corpus stays partitioned (widened when a
+    * single-file scan would run the |q|x|corpus| loop on one core).
+    * Output: (query_id, neighbor_id, cos_e6, rank). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("id").as("query_id"),
       col("vec").cast("array<double>").as("qv")))
-    val c = corpus.select(col("id").as("neighbor_id"),
-      col("vec").cast("array<double>").as("cv"))
+    val c = graft.sources.Tables.widen(corpus)
+      .select(col("id").as("neighbor_id"),
+        col("vec").cast("array<double>").as("cv"))
     // compiled UDF with the same left-to-right IEEE operation order as
     // cosineScaledCol / the DuckDB oracle's list_reduce — bit-identical
     // result, ~10x faster than interpreted HOF evaluation on the hot
@@ -150,7 +152,8 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val nTables = planeSets.length
-    df.select(col("id").cast("long"), col("vec").cast("array<double>"))
+    graft.sources.Tables.widen(df)
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions(_.flatMap { case (id, v) =>
         (0 until nTables).iterator.map { t =>
@@ -173,7 +176,8 @@ object Similarity {
                          vecAs: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id").cast("long"), col("vec").cast("array<double>"))
+    graft.sources.Tables.widen(df)
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions(_.map { case (id, v) =>
         var ss = 0.0
