@@ -31,6 +31,27 @@ object TextQueries {
       s"""[list_reduce(list_prepend(CAST(0 AS BIGINT), $whs[i:i+${k - 1}]),
          |  (a, b) -> (a * 31 + b) % 1000000007)
          | for i in range(1, greatest(len($whs) - ${k - 1}, 1) + 1)]""".stripMargin
+
+    // quality score + language-ID fragments (shared by q22 and q42)
+    val words = s"string_split($norm, ' ')"
+    val nTok = s"CAST(len($words) AS BIGINT)"
+    val punct = """CAST(floor(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) * 10000.0
+                  | / CAST(greatest(length(text), 1) AS DOUBLE)) AS BIGINT)""".stripMargin
+    val quality =
+      s"""CAST(floor((least(CAST($nTok AS DOUBLE) / 50.0, 1.0) * 0.7 +
+         | least(CAST($punct AS DOUBLE) / 10000.0 * 20.0, 1.0) * 0.3) * 10000.0) AS BIGINT)""".stripMargin
+    // language-ID: whole-word stopword hits via the doubled-delimiter
+    // replace trick, argmax over "%08d:lang"-encoded scores
+    private val doubled = s"replace(' ' || $norm || ' ', ' ', '  ')"
+    private def hits(ws: Seq[String]): String = ws.map { w =>
+      val tok = s" $w "
+      s"CAST((length($doubled) - length(replace($doubled, '$tok', ''))) / ${tok.length} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+    private val scoredLang = TextAnalysis.langMarkers.map { case (lang, ws) =>
+      s"printf('%08d:%s', ${hits(ws)}, '$lang')"
+    }.mkString("greatest(", ", ", ")")
+    val langPred =
+      s"CASE WHEN substr($scoredLang, 1, 8) <> '00000000' THEN substr($scoredLang, 10, 2) ELSE 'und' END"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -75,7 +96,15 @@ object TextQueries {
     "q26_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), bits = 30, portable = true)
         .select(col("doc").as("doc_id"), col("simhash"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // End-to-end corpus cleaning: quality+language gate -> exact dedup ->
+    // MinHash-LSH + Jaccard near-dup removal, every stage oracle-replicated
+    "q42_clean_corpus" -> ((s, dir) =>
+      graft.text.CleanCorpus.clean(docs(s, dir),
+          minQualityE4 = 3000, langs = Seq("en"),
+          jaccardThresholdE4 = 6000)
+        .select("doc_id").orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -86,35 +115,16 @@ object TextQueries {
          |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q22_text_stats" -> {
-      val words = s"string_split(${Sql.norm}, ' ')"
-      val nTok = s"CAST(len($words) AS BIGINT)"
       val nBpe = """CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)"""
-      val punct = """CAST(floor(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) * 10000.0
-                    | / CAST(greatest(length(text), 1) AS DOUBLE)) AS BIGINT)""".stripMargin
-      val wordLenSum = s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($words, w -> CAST(length(w) AS BIGINT))), (a, b) -> a + b)"
-      val meanLen = s"CAST(floor(CAST($wordLenSum AS DOUBLE) * 10000.0 / CAST(greatest(len($words), 1) AS DOUBLE)) AS BIGINT)"
-      val quality =
-        s"""CAST(floor((least(CAST($nTok AS DOUBLE) / 50.0, 1.0) * 0.7 +
-           | least(CAST($punct AS DOUBLE) / 10000.0 * 20.0, 1.0) * 0.3) * 10000.0) AS BIGINT)""".stripMargin
-      // language-ID: whole-word stopword hits via the doubled-delimiter
-      // replace trick, argmax over "%08d:lang"-encoded scores
-      val doubled = s"replace(' ' || ${Sql.norm} || ' ', ' ', '  ')"
-      def hits(ws: Seq[String]): String = ws.map { w =>
-        val tok = s" $w "
-        s"CAST((length($doubled) - length(replace($doubled, '$tok', ''))) / ${tok.length} AS BIGINT)"
-      }.mkString("(", " + ", ")")
-      val scored = TextAnalysis.langMarkers.map { case (lang, ws) =>
-        s"printf('%08d:%s', ${hits(ws)}, '$lang')"
-      }.mkString("greatest(", ", ", ")")
-      val langPred =
-        s"CASE WHEN substr($scored, 1, 8) <> '00000000' THEN substr($scored, 10, 2) ELSE 'und' END"
+      val wordLenSum = s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(${Sql.words}, w -> CAST(length(w) AS BIGINT))), (a, b) -> a + b)"
+      val meanLen = s"CAST(floor(CAST($wordLenSum AS DOUBLE) * 10000.0 / CAST(greatest(len(${Sql.words}), 1) AS DOUBLE)) AS BIGINT)"
       s"""SELECT doc_id,
-         |  $nTok AS n_tokens,
+         |  ${Sql.nTok} AS n_tokens,
          |  $nBpe AS n_bpe_tokens,
-         |  $punct AS punct_ratio_e4,
+         |  ${Sql.punct} AS punct_ratio_e4,
          |  $meanLen AS mean_word_len_e4,
-         |  $quality AS quality_e4,
-         |  $langPred AS lang_pred,
+         |  ${Sql.quality} AS quality_e4,
+         |  ${Sql.langPred} AS lang_pred,
          |  ${Sql.poly(Sql.norm)} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin
     },
@@ -168,5 +178,51 @@ object TextQueries {
          |          THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
          |     for i in range(0, 30)]),
          |    (a, b) -> a + b) AS BIGINT) AS simhash
-         |FROM wh ORDER BY doc_id""".stripMargin)
+         |FROM wh ORDER BY doc_id""".stripMargin,
+
+    "q42_clean_corpus" -> {
+      // composed from the q22 (quality/lang), q21 (dedup), q24 (bands),
+      // and q25 (jaccard) oracle fragments, each independently green
+      val sig = (0 until 16).map { j =>
+        s"list_min(list_transform(shs, h -> (h * ${2 * j + 1} + ${j * 12345 + 678}) % 1000000007))"
+      }.mkString("[", ",\n    ", "]")
+      s"""WITH gated AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${Sql.quality} >= 3000 AND ${Sql.langPred} IN ('en')),
+         |h AS (SELECT doc_id, text, md5(${Sql.norm}) AS hh FROM gated),
+         |r AS (SELECT doc_id, text,
+         |        row_number() OVER (PARTITION BY hh ORDER BY doc_id) AS rn
+         |      FROM h),
+         |kept AS (SELECT doc_id, text FROM r WHERE rn = 1),
+         |wh AS (SELECT doc_id, ${Sql.wordHashes} AS whs FROM kept),
+         |sh3 AS (SELECT doc_id, ${Sql.shingles("whs", 3)} AS shs FROM wh),
+         |sig AS (SELECT doc_id, $sig AS sg FROM sh3),
+         |bands AS (
+         |  SELECT doc_id, b.band,
+         |         array_to_string(sg[b.band * 4 + 1 : b.band * 4 + 4], '_') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sh2 AS (SELECT doc_id, ${Sql.shingles("whs", 2)} AS shs FROM wh),
+         |shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh2),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shd a ON a.doc_id = c.doc_a
+         |  JOIN shd b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  GROUP BY 1, 2),
+         |confirmed AS (
+         |  SELECT i.doc_b
+         |  FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.doc_a
+         |  JOIN sizes nb ON nb.doc_id = i.doc_b
+         |  WHERE CAST(floor(CAST(n_inter AS DOUBLE) * 10000.0 /
+         |          CAST(na.n + nb.n - n_inter AS DOUBLE)) AS BIGINT) >= 6000)
+         |SELECT doc_id FROM kept
+         |WHERE doc_id NOT IN (SELECT doc_b FROM confirmed)
+         |ORDER BY doc_id""".stripMargin
+    })
 }
