@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * batch-shaped decode / feature-extract / resize / frame-sample
   * operators.
   *
-  * The decode kernels are STUBS (this container ships no image/audio
-  * codecs): `decodeStub` derives a deterministic fake decode from the
-  * bytes themselves, so every piece of Spark-side plumbing — schema,
-  * partitioning, batch iteration shape, null/corrupt handling — is real
-  * and tested, and swapping in a real codec changes one function.
+  * IMAGE decode is REAL: [[decodeImage]] uses the JDK's javax.imageio
+  * (PNG/JPEG/BMP/GIF/WBMP — no external codec needed) and extracts
+  * dimensions, channel count, and a mean-luminance grid feature.
+  * Undecodable bytes degrade to the zero decode — the corrupt-input
+  * path every large-scale pipeline needs. AUDIO/VIDEO kernels remain
+  * deterministic stubs ([[decodeStub]]; the JDK ships no such codecs),
+  * with the partition-batch plumbing identical, so swapping in a codec
+  * changes one function.
   *
   * Batch shape: mapPartitions over row batches (the JVM analogue of
   * `mapInPandas` — per-partition setup happens once, rows stream
@@ -41,10 +44,46 @@ object Multimodal {
       length(col(binCol)).cast("long").as("n_bytes"),
       upper(hex(substring(col(binCol), 1, 8))).as("magic_hex"))
 
-  /** Deterministic stand-in for a real image decode: dimensions and an
-    * n-dim feature vector derived from the byte content. Replace the body
-    * with a codec call (e.g. TwelveMonkeys/javax.imageio) to go real —
-    * the signature and the partition-batch shape stay. */
+  /** Real image decode via the JDK's javax.imageio: returns
+    * (width, height, channels, features) where features is a
+    * `featureDim`-cell mean-luminance grid (row-major over a g×g grid,
+    * g = ceil(sqrt(featureDim)) — a classic cheap visual signature for
+    * near-dup blocking). Null/empty/undecodable bytes → the zero decode. */
+  def decodeImage(bytes: Array[Byte], featureDim: Int): (Int, Int, Int, Array[Float]) = {
+    val zero = (0, 0, 0, Array.fill(featureDim)(0f))
+    if (bytes == null || bytes.isEmpty) return zero
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return zero // unrecognized format
+      val w = img.getWidth
+      val h = img.getHeight
+      val channels = img.getColorModel.getNumComponents
+      val g = math.ceil(math.sqrt(featureDim.toDouble)).toInt
+      val feats = new Array[Float](featureDim)
+      val counts = new Array[Int](featureDim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000f
+          val cell = math.min(g - 1, y * g / h) * g + math.min(g - 1, x * g / w)
+          if (cell < featureDim) { feats(cell) += lum / 255f; counts(cell) += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < featureDim) { if (counts(i) > 0) feats(i) /= counts(i); i += 1 }
+      (w, h, channels, feats)
+    } catch { case scala.util.control.NonFatal(_) => zero }
+  }
+
+  /** Deterministic stand-in for codecs the JDK does not ship (audio
+    * frames, video streams): dimensions and an n-dim feature vector
+    * derived from the byte content. Same signature and partition-batch
+    * shape as the real [[decodeImage]]. */
   def decodeStub(bytes: Array[Byte], featureDim: Int): (Int, Int, Int, Array[Float]) = {
     if (bytes == null || bytes.isEmpty) return (0, 0, 0, Array.fill(featureDim)(0f))
     var h = 1125899906842597L // deterministic FNV-ish fold of the bytes
@@ -59,17 +98,21 @@ object Multimodal {
   }
 
   /** Batch decode: one partition-local pass, codec state initialized once
-    * per partition (the mapInPandas batch shape). */
+    * per partition (the mapInPandas batch shape). `kernel` defaults to
+    * the real javax.imageio decode; pass [[decodeStub]] for the
+    * deterministic stand-in (audio/video shapes, reproducible tests). */
   def decodeImages(df: DataFrame, binCol: String = "content",
-                   keyCol: String = "key", featureDim: Int = 64): DataFrame = {
+                   keyCol: String = "key", featureDim: Int = 64,
+                   kernel: (Array[Byte], Int) => (Int, Int, Int, Array[Float])
+                     = decodeImage): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(keyCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition setup would open the codec ONCE here
+        // per-partition setup (a real codec pool) would initialize ONCE here
         it.map { case (key, bytes) =>
-          val (w, h, c, f) = decodeStub(bytes, featureDim)
+          val (w, h, c, f) = kernel(bytes, featureDim)
           DecodedImage(key, w, h, c, f)
         }
       }

@@ -218,16 +218,41 @@ class MultimodalSpec extends graft.SparkSuite {
   }
 
   test("decode stub: deterministic, schema-stable, empty-safe") {
-    val d1 = Multimodal.decodeImages(mediaDF, featureDim = 8).collect()
+    def run() = Multimodal.decodeImages(mediaDF, featureDim = 8,
+        kernel = Multimodal.decodeStub).collect()
       .map(r => r.getLong(0) ->
         (r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Float](4))).toMap
-    val d2 = Multimodal.decodeImages(mediaDF, featureDim = 8).collect()
-      .map(r => r.getLong(0) ->
-        (r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Float](4))).toMap
+    val d1 = run()
+    val d2 = run()
     assert(d1 == d2) // deterministic across runs
     assert(d1(1L)._4.length == 8)
     assert(d1(3L) == ((0, 0, 0, Seq.fill(8)(0f)))) // empty payload
     assert(d1(1L) != d1(2L))
+  }
+
+  test("real image decode: javax.imageio dims/channels/luminance grid") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val white = png(20, 10, 0xffffff)
+    val black = png(8, 8, 0x000000)
+    val df = Seq((1L, white), (2L, black),
+      (3L, "not an image at all".getBytes)).toDF("key", "content")
+    val d = Multimodal.decodeImages(df, featureDim = 4).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Float](4))).toMap
+    assert(d(1L)._1 == 20 && d(1L)._2 == 10 && d(1L)._3 == 3)
+    assert(d(1L)._4.forall(f => f > 0.99f && f <= 1.0f)) // all-white grid
+    assert(d(2L)._1 == 8 && d(2L)._4.forall(_ == 0f)) // all-black grid
+    assert(d(3L) == ((0, 0, 0, Seq.fill(4)(0f)))) // undecodable -> zero
   }
 
   test("frame sampling explodes strided chunks") {
