@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table helpers — the zero-shuffle co-located join path the
+  * scale notes promise (e.g. Relational.reconcile: "pre-bucket both
+  * manifests by key to make this a zero-shuffle sort-merge join").
+  *
+  * Writing both sides of a recurring join bucketed+sorted on the join
+  * key lets Catalyst plan a sort-merge join with NO Exchange and NO
+  * per-query Sort on either side: at 100 TB this converts every
+  * manifest-vs-manifest reconcile, listing anti-join, or triple-store
+  * self-join from a full shuffle of both inputs into a partition-local
+  * merge. The write pays one shuffle ONCE; every subsequent join is
+  * shuffle-free (asserted in BucketedSpec against the physical plan).
+  */
+object Bucketed {
+
+  /** Save `df` as a bucketed, sorted managed table. `buckets` should be
+    * sized so a bucket of the LARGER recurring join side fits an
+    * executor core's working set. */
+  def save(df: DataFrame, table: String, keys: Seq[String],
+           buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def load(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}
