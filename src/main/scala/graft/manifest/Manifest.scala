@@ -146,7 +146,7 @@ object Manifest {
       } + "\""
     val json = rows.map(r => s"  ${q(r.getString(0))}: ${r.getString(1)}")
       .mkString("{\n", ",\n", "\n}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    graft.sources.FsUtil.writeString(outFile, json) // scheme-agnostic
   }
 
   /** S7: load a saved manifest JSON object back into rows — the

@@ -69,7 +69,8 @@ object Relational {
   def sequentialIds(df: DataFrame, order: Seq[Column],
                     idCol: String = "seq_id", offset: Long = 0L): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions((order ++ tiebreaker(df)): _*)
     val schema = StructType(
       sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
     val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
@@ -99,7 +100,7 @@ object Relational {
     val spark = df.sparkSession
     val keyed = df.withColumn("__grp_key", groupCol.cast("string"))
     val sorted = keyed.repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
+      .sortWithinPartitions((order ++ tiebreaker(keyed)): _*)
     val grpIdx = sorted.schema.fieldIndex("__grp_key")
     val rdd = sorted.rdd
     // pass 1: per-partition edge values (only first/last matter here)
@@ -146,6 +147,27 @@ object Relational {
         Window.partitionBy(key: _*).orderBy(order: _*)))
       .filter(col("__rn") === 1).drop("__rn")
 
+  /** Within-partition tiebreaker for the two-pass scans: a hash of every
+    * hashable column, appended to the sort keys. The two passes execute
+    * the sorted lineage in two SEPARATE jobs; a local sort is only stable
+    * per execution, so with non-total `order` keys a shuffle-fetch
+    * reorder of tied rows between the jobs could make the stats pass
+    * disagree with the output pass (inconsistent offsets → colliding
+    * ids). Hashing the row content makes the order total up to fully
+    * identical rows, which are interchangeable. */
+  private def tiebreaker(df: DataFrame): Seq[Column] = {
+    import org.apache.spark.sql.types._
+    val hashable: DataType => Boolean = {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType |
+           LongType | FloatType | DoubleType | DateType | TimestampType |
+           BinaryType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    if (cols.isEmpty) Seq.empty else Seq(xxhash64(cols.toSeq: _*))
+  }
+
   /** Per-partition summary for the two-pass interleaved scan: `first`/`last`
     * are the serie keys at the partition edges (null = the cell was null),
     * `internalBreaks` counts breaks at local rows >= 1, `lastBrkIdx` is the
@@ -178,7 +200,7 @@ object Relational {
     val spark = df.sparkSession
     val keyed = df.withColumn("__serie_key", serie.cast("string"))
     val sorted = keyed.repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
+      .sortWithinPartitions((order ++ tiebreaker(keyed)): _*)
     val serieIdx = sorted.schema.fieldIndex("__serie_key")
     val rdd = sorted.rdd
 

@@ -74,10 +74,13 @@ object TextQueries {
         .orderBy("bucket")),
 
     // MinHash-LSH near-dup candidate pairs: 3-word shingles, 16 hashes,
-    // 4 bands — band-bucket self-join, no crossJoin
+    // 4 bands — band-bucket self-join, no crossJoin. maxBucket=0 pins
+    // exact all-pairs semantics to the uncapped SQL oracle at ANY scale
+    // (the production default caps mega-buckets to star pairs, which an
+    // all-combinations oracle cannot express)
     "q24_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidatePairs(docs(s, dir), k = 3, numHashes = 16,
-          bands = 4, portable = true)
+          bands = 4, portable = true, maxBucket = 0)
         .orderBy("doc_a", "doc_b")),
 
     // n-gram Jaccard over consecutive-id pairs (linear demo of the
@@ -100,10 +103,11 @@ object TextQueries {
 
     // End-to-end corpus cleaning: quality+language gate -> exact dedup ->
     // MinHash-LSH + Jaccard near-dup removal, every stage oracle-replicated
+    // (maxBucket=0 like q24: the oracle computes all pairs uncapped)
     "q42_clean_corpus" -> ((s, dir) =>
       graft.text.CleanCorpus.clean(docs(s, dir),
           minQualityE4 = 3000, langs = Seq("en"),
-          jaccardThresholdE4 = 6000)
+          jaccardThresholdE4 = 6000, maxBucket = 0)
         .select("doc_id").orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(

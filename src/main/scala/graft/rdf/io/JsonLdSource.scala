@@ -33,35 +33,53 @@ class JsonLdSource extends TableProvider with DataSourceRegister {
     Triple.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path"))
-      .getOrElse(throw new IllegalArgumentException(
-        "jsonld source requires a path: spark.read.format(\"jsonld\").load(path)"))
-    new JsonLdTable(path)
+    // the source always produces the canonical triple schema — reject a
+    // different user-supplied one instead of silently ignoring it
+    if (schema != null &&
+        schema.fieldNames.toSeq != Triple.schema.fieldNames.toSeq) {
+      throw new IllegalArgumentException(
+        s"jsonld source has a fixed schema ${Triple.schema.simpleString}; " +
+          s"got ${schema.simpleString}")
+    }
+    // load(p) arrives as "path"; load(p1, p2, ...) as a JSON-array "paths"
+    val paths: Seq[String] = Option(properties.get("paths")) match {
+      case Some(js) =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        import scala.jdk.CollectionConverters._
+        mapper.readTree(js).elements().asScala.map(_.asText).toSeq
+      case None => Option(properties.get("path")).toSeq
+    }
+    if (paths.isEmpty)
+      throw new IllegalArgumentException(
+        "jsonld source requires a path: spark.read.format(\"jsonld\").load(path)")
+    new JsonLdTable(paths)
   }
 }
 
-private[io] class JsonLdTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"jsonld($path)"
+private[io] class JsonLdTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"jsonld(${paths.mkString(",")})"
   override def schema(): StructType = Triple.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = Triple.schema
-      override def description(): String = s"jsonld($path)"
-      override def toBatch: Batch = new JsonLdBatch(path)
+      override def description(): String = name()
+      override def toBatch: Batch = new JsonLdBatch(paths)
     }
 }
 
-private[io] class JsonLdBatch(path: String) extends Batch {
+private[io] class JsonLdBatch(paths: Seq[String]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = new HPath(path)
-    val fs = p.getFileSystem(new Configuration())
-    val matched: Array[FileStatus] =
-      Option(fs.globStatus(p)).getOrElse(Array.empty)
-    matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-      else Array(st)
+    paths.toArray.flatMap { path =>
+      val p = new HPath(path)
+      val fs = p.getFileSystem(new Configuration())
+      val matched: Array[FileStatus] =
+        Option(fs.globStatus(p)).getOrElse(Array.empty)
+      matched.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+        else Array(st)
+      }
     }.map(st => JsonLdInputPartition(st.getPath.toString): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -150,13 +150,19 @@ object Ivf {
     val spark = corpus.sparkSession
     import spark.implicits._
     // normalize + cache the corpus ONCE — training (iters jobs), the
-    // inverted-list assignment, and the vector fetch all reuse it
+    // inverted-list assignment, and the vector fetch all reuse it. The
+    // cache must outlive the returned (lazy) DataFrame, so it is released
+    // by storage eviction / session end rather than an eager unpersist —
+    // one MEMORY_AND_DISK copy of the corpus per ivfTopK call.
     val corpusNorm = normalized(corpus, "neighbor_id", "cv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = trainFromNormalized(corpusNorm, nCentroids, iters)
     val bc = spark.sparkContext.broadcast(cents)
+    // one normalized pass over the (small) query side, reused for probe
+    // selection and the re-rank fetch
+    val qNorm = normalized(queries, "query_id", "qv")
     // query → its nProbe nearest centroids (compact (query_id, centroid))
-    val probes = normalized(queries, "query_id", "qv")
+    val probes = qNorm
       .as[(Long, Array[Double])]
       .mapPartitions { rows =>
         val cs = bc.value
@@ -181,7 +187,7 @@ object Ivf {
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
     // vector fetch + exact re-rank (compiled dot over normalized vectors)
-    val qv = normalized(queries, "query_id", "qv")
+    val qv = qNorm
     val cv = corpusNorm
     val dotE6 = udf { (a: Seq[Double], b: Seq[Double]) =>
       var s = 0.0

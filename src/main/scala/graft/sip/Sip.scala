@@ -1,6 +1,5 @@
 package graft.sip
 
-import java.nio.file.{Paths => JPaths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.events.Events
@@ -111,7 +110,8 @@ object Sip {
                    ids: Identifiers = Identifiers.default): Unit = {
     val spark = events.sparkSession
     import spark.implicits._
-    val tmp = JPaths.get(dir, s".${ids.eventlogFilename}.tmp").toString
+    // URI-safe join (java.nio Paths.get would collapse a scheme's '//')
+    val tmp = graft.sources.FsUtil.child(dir, s".${ids.eventlogFilename}.tmp")
     val lines = JsonLd.documents(events)
       .select("root", "json").as[(String, String)]
       .coalesce(1).sortWithinPartitions("root")
@@ -130,16 +130,7 @@ object Sip {
         body ++ tail
       }
     lines.write.mode("overwrite").text(tmp)
-    // promote the part file through the Hadoop FileSystem API (any scheme)
-    import org.apache.hadoop.fs.{Path => HPath}
-    val fs = new HPath(tmp)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val part = fs.listStatus(new HPath(tmp)).map(_.getPath)
-      .find(_.getName.startsWith("part-"))
-      .getOrElse(sys.error(s"no part file written under $tmp"))
-    val dest = new HPath(dir + "/" + ids.eventlogFilename)
-    fs.delete(dest, false)
-    fs.rename(part, dest)
-    fs.delete(new HPath(tmp), true)
+    graft.sources.FsUtil.promotePartFile(tmp,
+      graft.sources.FsUtil.child(dir, ids.eventlogFilename))
   }
 }

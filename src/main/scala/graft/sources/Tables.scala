@@ -16,10 +16,24 @@ object Tables {
     * inputs (the 100 TB case: many files / row groups) pass through
     * untouched. The round-robin exchange moves only the NARROW source
     * rows — worth it when a fan-out (triple explode, signature math)
-    * multiplies work per row downstream. */
+    * multiplies work per row downstream.
+    *
+    * The partition probe (`df.rdd`) runs ONLY on shuffle-free plans: on
+    * a plan with exchanges, `.rdd` under AQE materializes every upstream
+    * query stage at composition time (and such plans already carry
+    * ~shuffle.partitions partitions, so widening is moot anyway). */
   def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffleBearing = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Distinct | _: Deduplicate |
+           _: Window | _: Sort | _: RepartitionOperation => true
+      case _ => false
+    }
+    if (shuffleBearing) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 
   /** The events table is written with parquet TIMESTAMP(NANOS), which

@@ -160,7 +160,10 @@ object Store {
     val marked =
       if (onlyIfNew && existing.nonEmpty)
         files.join(
-          existing.get.select(col("key")).withColumn("__exists", lit(true)),
+          // distinct: a listing with duplicate keys must not fan out file
+          // rows (uploaded + skipped must equal the input row count)
+          existing.get.select(col("key")).distinct()
+            .withColumn("__exists", lit(true)),
           Seq("key"), "left_outer")
       else files.withColumn("__exists", lit(null).cast("boolean"))
     val hasMeta = marked.columns.contains("metadata")
@@ -244,18 +247,7 @@ object Store {
       }
       head ++ body ++ tail
     }.write.mode("overwrite").text(tmp)
-    // promote the part file through the Hadoop FileSystem API (any scheme)
-    import org.apache.hadoop.fs.{Path => HPath}
-    val fs = new HPath(tmp)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val part = fs.listStatus(new HPath(tmp)).map(_.getPath)
-      .find(_.getName.startsWith("part-"))
-      .getOrElse(sys.error(s"no part file written under $tmp"))
-    val dest = new HPath(path)
-    fs.mkdirs(dest.getParent)
-    fs.delete(dest, false)
-    fs.rename(part, dest)
-    fs.delete(new HPath(tmp), true)
+    graft.sources.FsUtil.promotePartFile(tmp, path)
   }
 
   /** K9 — ACL update for every manifest key (edepot.py:271-304). */

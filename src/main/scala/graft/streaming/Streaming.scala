@@ -21,16 +21,8 @@ object Streaming {
     * timestamp handling as the batch loader graft.sources.Tables). */
   def eventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
-    // FileStreamSource needs a directory: a single-file path becomes its
-    // parent dir + a glob filter on the file name
-    val f = new java.io.File(path)
-    val reader = spark.readStream.schema(schema)
-    val src =
-      if (f.isFile)
-        reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else reader.parquet(path)
-    src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    fileStream(spark, path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-hour windowed counts/sums per event type with a
@@ -83,33 +75,39 @@ object Streaming {
       }
   }
 
-  /** Generic file stream over a parquet path (file or directory) —
-    * the document counterpart of [[eventStream]]. */
+  /** Generic file stream over a parquet path. FileStreamSource needs a
+    * directory: a single-file path becomes its parent dir plus a glob
+    * filter on the file name (glob metacharacters escaped). */
   def fileStream(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val f = new java.io.File(path)
     val reader = spark.readStream.schema(schema)
-    if (f.isFile)
-      reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
-    else reader.parquet(path)
+    if (f.isFile) {
+      val escaped = f.getName.replaceAll("([\\[\\]{}*?\\\\])", "\\\\$1")
+      reader.option("pathGlobFilter", escaped).parquet(f.getParent)
+    } else reader.parquet(path)
   }
 
   /** In-stream exact dedup — the continuous-ingest form of
     * `Dedup.exact` (q21): keep the first-arriving document per
-    * normalized-content hash. State is one entry per distinct hash;
-    * pass `eventTime = Some((tsCol, delay))` to bound it with a
-    * watermark (hashes older than the delay expire — the right setting
-    * for an append-only ingest where near-in-time duplicates dominate);
-    * None keeps exact global semantics with unbounded state. */
+    * normalized-content hash. Pass `eventTime = Some((tsCol, delay))`
+    * to bound state with a watermark via
+    * `dropDuplicatesWithinWatermark` — hash entries genuinely EXPIRE
+    * once the watermark passes them (a plain dropDuplicates would keep
+    * every hash forever even under a watermark, since the event-time
+    * column is not part of the dedup key). The right setting for
+    * append-only ingest where near-in-time duplicates dominate; None
+    * keeps exact global semantics with unbounded state. */
   def dedupStream(docs: DataFrame, textCol: String = "text",
                   eventTime: Option[(String, String)] = None): DataFrame = {
     val hashed = docs.withColumn("__h",
       md5(graft.text.TextAnalysis.normalizeCol(col(textCol))))
-    val bounded = eventTime match {
-      case Some((c, delay)) => hashed.withWatermark(c, delay)
-      case None => hashed
+    val deduped = eventTime match {
+      case Some((c, delay)) =>
+        hashed.withWatermark(c, delay).dropDuplicatesWithinWatermark("__h")
+      case None => hashed.dropDuplicates("__h")
     }
-    bounded.dropDuplicates("__h").drop("__h")
+    deduped.drop("__h")
   }
 
   /** Run any streaming DataFrame to completion over the currently

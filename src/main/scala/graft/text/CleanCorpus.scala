@@ -30,18 +30,18 @@ object CleanCorpus {
             shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
             jaccardK: Int = 2,
             textCol: String = "text", idCol: String = "doc_id",
-            portable: Boolean = true): DataFrame = {
+            portable: Boolean = true, maxBucket: Int = 1000): DataFrame = {
     // 1. quality + language gate
-    val keep = TextAnalysis.stats(docs, textCol)
+    val keep = TextAnalysis.stats(docs, textCol, idCol)
       .filter(col("quality_e4") >= minQualityE4
         && col("lang_pred").isin(langs: _*))
-      .select(col("doc_id").as(idCol))
+      .select(idCol)
     val gated = docs.join(keep, Seq(idCol), "left_semi")
     // 2. exact dedup (keep-first per content hash)
     val deduped = Dedup.exact(gated, textCol, idCol)
     // 3. near-dup removal over the deduped survivors
     val pairs = Dedup.minhashCandidatePairs(deduped, textCol, idCol,
-      shingleK, numHashes, bands, portable)
+      shingleK, numHashes, bands, portable, maxBucket)
     val confirmed = Dedup.ngramJaccardScaled(deduped, pairs, textCol, idCol,
         jaccardK, portable)
       .filter(col("jaccard_e4") >= jaccardThresholdE4)

@@ -129,15 +129,13 @@ object TextAnalysis {
     * replicates; the Column↔compiled equivalence is scalatested. The
     * interpreted-HOF Column path costs ~ms/doc (fingerprint + mean-length
     * folds); this is the 100 TB path. */
-  def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def stats(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val markers = langMarkers.map { case (l, ws) => (l, ws.toSet) }
-    val prepped = {
-      val target = spark.sparkContext.defaultParallelism
-      val base = docs.select(col("doc_id").cast("long"), col(textCol).cast("string"))
-      if (base.rdd.getNumPartitions < target) base.repartition(target) else base
-    }
+    val prepped = graft.sources.Tables.widen(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
     prepped.as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val norm = normalize(text)
@@ -163,7 +161,7 @@ object TextAnalysis {
         (id, nTok, nBpe, punct, meanLen, quality, lang,
           graft.functions.Hashing.polyHash(norm))
       })
-      .toDF("doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio_e4",
+      .toDF(idCol, "n_tokens", "n_bpe_tokens", "punct_ratio_e4",
         "mean_word_len_e4", "quality_e4", "lang_pred", "fingerprint")
   }
 }

@@ -34,6 +34,21 @@ class RelationalSpec extends SparkSuite {
     assert(Relational.sequentialIds(df, Seq(col("k"))).count() == 0)
   }
 
+  test("duplicate order keys still get consistent, complete id sequences") {
+    // heavily tied order column: the content-hash tiebreaker must keep
+    // the two-pass scans self-consistent (ids are a permutation of 1..n)
+    val df = (1 to 400).map(i => (i % 5, s"p$i")).toDF("k", "payload")
+      .repartition(7)
+    val ids = Relational.sequentialIds(df, Seq(col("k")))
+      .select("seq_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to 400L))
+    val inter = Relational.interleavedSerieIds(df, Seq(col("k")), col("k"))
+    val recs = inter.select("__recordId").collect().map(_.getLong(0))
+    assert(recs.distinct.length == 400, "record ids must not collide")
+    assert(inter.select("__rowIdx").collect().map(_.getLong(0)).sorted.toSeq
+      == (1L to 400L))
+  }
+
   test("interleavedSerieIds and global groupBreaks on empty and 1-row input") {
     val empty = Seq.empty[(Int, Integer)].toDF("ord", "Serie")
     assert(Relational.interleavedSerieIds(empty, Seq(col("ord")),

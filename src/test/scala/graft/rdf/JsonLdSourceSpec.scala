@@ -65,4 +65,22 @@ class JsonLdSourceSpec extends graft.SparkSuite {
     val empty = spark.read.format("jsonld").load(s"$dir/*.nope")
     assert(empty.count() == 0)
   }
+
+  test("multi-path load unions both files; wrong user schema is rejected") {
+    val df = spark.read.format("jsonld")
+      .load(s"$dir/r1.meta.json", s"$dir/r2.meta.json")
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() ==
+      spark.read.format("jsonld").load(s"$dir/*.meta.json").count())
+    // a user-supplied schema is rejected (Spark refuses it for providers
+    // without external-metadata support; the provider's own check is the
+    // defense-in-depth backstop)
+    val err = intercept[Exception] {
+      spark.read.format("jsonld")
+        .schema("a STRING, b STRING").load(dir).collect()
+    }
+    assert(err.getMessage.contains("fixed schema")
+      || err.getMessage.contains("does not support user-specified schema"),
+      err.getMessage)
+  }
 }

@@ -43,6 +43,12 @@ class StoreSpec extends graft.SparkSuite {
     val (up, skipped) = Store.upload(filesDF, store, spark,
       onlyIfNew = true, existing = Some(existing))
     assert(up == 1 && skipped == 2)
+    // a listing with duplicate keys must not inflate the counts
+    spark.catalog.refreshByPath(root)
+    val fresh = Store.listing(spark, root)
+    val (up2, skipped2) = Store.upload(filesDF, store, spark,
+      onlyIfNew = true, existing = Some(fresh.union(fresh)))
+    assert(up2 == 0 && skipped2 == 3, s"up=$up2 skipped=$skipped2")
   }
 
   test("K8 batched delete + verification anti-join") {
