@@ -75,5 +75,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
       (children: Seq[Expression]) => PolyHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_e6"),
+      new ExpressionInfo(classOf[DotE6].getName, "graft_dot_e6"),
+      (children: Seq[Expression]) => DotE6(children.head, children(1))))
   }
 }

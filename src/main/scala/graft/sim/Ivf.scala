@@ -186,21 +186,13 @@ object Ivf {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    // vector fetch + exact re-rank (compiled dot over normalized vectors)
-    val qv = qNorm
-    val cv = corpusNorm
-    val dotE6 = udf { (a: Seq[Double], b: Seq[Double]) =>
-      var s = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      math.floor(s * 1000000.0).toLong
-    }
+    // vector fetch + exact re-rank: native codegen'd dot
+    // (graft.expressions.DotE6), same summation order as the oracle
     val scored = cand
-      .join(qv, Seq("query_id"))
-      .join(cv, Seq("neighbor_id"))
+      .join(qNorm, Seq("query_id"))
+      .join(corpusNorm, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        dotE6(col("qv"), col("cv")).as("cos_e6"))
+        graft.expressions.DotE6.col(col("qv"), col("cv")).as("cos_e6"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -217,18 +217,13 @@ object Similarity {
     val cand = lshCandidates(queries, corpus, planesPerTable, tables)
     val qv = normalized(queries, "query_id", "qv")
     val cv = normalized(corpus, "neighbor_id", "cv")
-    val dotE6 = udf { (a: Seq[Double], b: Seq[Double]) =>
-      var s = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      math.floor(s * 1000000.0).toLong
-    }
+    // native codegen'd dot (graft.expressions.DotE6) — same left-to-right
+    // summation as the boxed-Seq UDF it replaced, inside whole-stage codegen
     val scored = cand
       .join(qv, Seq("query_id"))
       .join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        dotE6(col("qv"), col("cv")).as("cos_e6"))
+        graft.expressions.DotE6.col(col("qv"), col("cv")).as("cos_e6"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

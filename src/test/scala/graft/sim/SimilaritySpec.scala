@@ -16,6 +16,26 @@ class SimilaritySpec extends graft.SparkSuite {
     rows.toDF("id", "vec")
   }
 
+  test("native graft_dot_e6 expression == scala math, handles length mismatch") {
+    import spark.implicits._
+    val a = Array(0.5, -0.25, 2.0)
+    val b = Array(1.0, 4.0, 0.5, 9.9) // extra element ignored (min length)
+    val df = Seq((a, b)).toDF("a", "b")
+    val want = math.floor((0.5 * 1.0 + -0.25 * 4.0 + 2.0 * 0.5) * 1e6).toLong
+    assert(df.select(graft.expressions.DotE6.col(col("a"), col("b")))
+      .head().getLong(0) == want)
+    // on a non-foldable input the expression appears in the plan (the
+    // literal case above was constant-folded — interpreted eval works)
+    val ranged = spark.range(10)
+      .select(org.apache.spark.sql.functions.array(col("id").cast("double")).as("v"))
+    val p = ranged
+      .select(graft.expressions.DotE6.col(col("v"), col("v")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_dot_e6"), p)
+    assert(ranged.select(graft.expressions.DotE6.col(col("v"), col("v")))
+      .collect().map(_.getLong(0)).sum == (0 until 10).map(i => i.toLong * i * 1000000L).sum)
+  }
+
   test("dot/norm/cosine columns match scala math") {
     import spark.implicits._
     val a = Array(1.0f, 2.0f, 2.0f)
