@@ -114,7 +114,10 @@ object DemoCsv {
       .foldLeft(joined0) { case (df, (vn, term, out)) => resolve(df, vn, term, out) }
 
     // W1 + W2 — break detection and the interleaved id algebra, via the
-    // scale-safe two-pass scan (no partition-less window)
+    // scale-safe two-pass scan (no partition-less window). EAGER: the
+    // two-pass shape launches the counting jobs here, at composition
+    // time, and severs Catalyst lineage at its RDD boundary (filters
+    // composed later do not push below this point).
     val order = orderCols.map(col)
     val withIds = graft.ops.Relational.interleavedSerieIds(
       joined, order, col("Serie"))

@@ -82,6 +82,13 @@ object Events {
     * @param description optional prov:description column (mem events)
     * @param generated   optional prov:generated result-URI column (mem
     *                    events, preservation_events.py:166)
+    *
+    * @note EAGER: id assignment rides [[Relational.sequentialIds]], whose
+    *       two-pass shape launches Spark jobs (per-partition counts) at
+    *       COMPOSITION time and severs Catalyst lineage at the RDD
+    *       boundary — upstream filters are not pushed past this call, and
+    *       acting on the result more than once re-runs the two passes
+    *       (cache the result if so).
     */
   def emit(batch: DataFrame, order: Seq[Column], eventType: String,
            subjectOf: Column, outcome: Column, note: Column = lit(null),

@@ -58,7 +58,11 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       val channels = img.getColorModel.getNumComponents
-      val g = math.ceil(math.sqrt(featureDim.toDouble)).toInt
+      // floor, not ceil: with ceil a non-square featureDim maps pixels to
+      // cell indices >= featureDim whose luminance would be silently
+      // dropped (a dead band of the image). floor keeps every computed
+      // cell in range; trailing entries stay zero when g*g < featureDim.
+      val g = math.max(1, math.floor(math.sqrt(featureDim.toDouble)).toInt)
       val feats = new Array[Float](featureDim)
       val counts = new Array[Int](featureDim)
       var y = 0

@@ -70,16 +70,29 @@ private[io] class JsonLdTable(paths: Seq[String]) extends Table with SupportsRea
 }
 
 private[io] class JsonLdBatch(paths: Seq[String]) extends Batch {
+  /** Spark's InMemoryFileIndex hidden-path rule: '_' and '.' prefixed
+    * names (e.g. _SUCCESS, .part-*.crc in a Spark-written directory) are
+    * not data. Applied here so format("jsonld") and JsonLd.read (which
+    * inherits the rule via spark.read.text) agree on the same directory. */
+  private def visible(p: HPath): Boolean = {
+    val n = p.getName
+    !n.startsWith("_") && !n.startsWith(".")
+  }
+  private def filesUnder(fs: org.apache.hadoop.fs.FileSystem,
+                         st: FileStatus): Array[FileStatus] =
+    if (st.isDirectory)
+      fs.listStatus(st.getPath).filter(s => visible(s.getPath))
+        .flatMap(filesUnder(fs, _))
+    else Array(st)
   override def planInputPartitions(): Array[InputPartition] = {
     paths.toArray.flatMap { path =>
       val p = new HPath(path)
       val fs = p.getFileSystem(new Configuration())
       val matched: Array[FileStatus] =
         Option(fs.globStatus(p)).getOrElse(Array.empty)
-      matched.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-        else Array(st)
-      }
+      // an explicitly named hidden path is honored; hidden CHILDREN of a
+      // listed directory are filtered (InMemoryFileIndex semantics)
+      matched.flatMap(filesUnder(fs, _))
     }.map(st => JsonLdInputPartition(st.getPath.toString): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =

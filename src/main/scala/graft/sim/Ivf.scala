@@ -141,6 +141,34 @@ object Ivf {
       .toDF(idAs, "centroid")
   }
 
+  /** Session-scoped LRU of persisted normalized corpora, keyed by the
+    * canonicalized corpus plan: the cache must outlive the lazy DataFrame
+    * ivfTopK returns, so it cannot be unpersisted eagerly — but repeated
+    * calls over the same corpus now reuse ONE MEMORY_AND_DISK copy, and
+    * calls over more than `max` distinct corpora unpersist the
+    * least-recently-used copy instead of accumulating until eviction. */
+  private object NormCache {
+    private val max = 4
+    private val entries =
+      new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true)
+    def getOrElseUpdate(key: String, make: => DataFrame): DataFrame =
+      synchronized {
+        val hit = entries.get(key)
+        if (hit != null) hit
+        else {
+          val df = make
+          entries.put(key, df)
+          if (entries.size > max) {
+            val it = entries.entrySet().iterator()
+            val oldest = it.next()
+            oldest.getValue.unpersist()
+            it.remove()
+          }
+          df
+        }
+      }
+  }
+
   /** Top-k cosine neighbours per query via nProbe inverted lists.
     * Output: (query_id, neighbor_id, cos_e6, rank) — same contract as
     * [[Similarity.lshTopK]]/[[Similarity.bruteForceTopK]]. */
@@ -150,12 +178,12 @@ object Ivf {
     val spark = corpus.sparkSession
     import spark.implicits._
     // normalize + cache the corpus ONCE — training (iters jobs), the
-    // inverted-list assignment, and the vector fetch all reuse it. The
-    // cache must outlive the returned (lazy) DataFrame, so it is released
-    // by storage eviction / session end rather than an eager unpersist —
-    // one MEMORY_AND_DISK copy of the corpus per ivfTopK call.
-    val corpusNorm = normalized(corpus, "neighbor_id", "cv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // inverted-list assignment, and the vector fetch all reuse it
+    val cacheKey = System.identityHashCode(spark) + "\n" +
+      corpus.queryExecution.analyzed.canonicalized.toString
+    val corpusNorm = NormCache.getOrElseUpdate(cacheKey,
+        normalized(corpus, "neighbor_id", "cv")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cents = trainFromNormalized(corpusNorm, nCentroids, iters)
     val bc = spark.sparkContext.broadcast(cents)
     // one normalized pass over the (small) query side, reused for probe

@@ -131,6 +131,7 @@ object Sip {
       }
     lines.write.mode("overwrite").text(tmp)
     graft.sources.FsUtil.promotePartFile(tmp,
-      graft.sources.FsUtil.child(dir, ids.eventlogFilename))
+      graft.sources.FsUtil.child(dir, ids.eventlogFilename),
+      emptyFallback = Some("[]"))
   }
 }

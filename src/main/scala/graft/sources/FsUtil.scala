@@ -15,16 +15,30 @@ object FsUtil {
 
   /** Promote the single part file of a Spark text/json write out of its
     * temp directory to `dest`, replacing any existing file, and remove
-    * the temp dir. */
-  def promotePartFile(tmpDir: String, dest: String): Unit = {
+    * the temp dir. A coalesce(1) over a ZERO-partition DataFrame (empty
+    * source relation) writes no part file at all; `emptyFallback`, when
+    * given, is written to `dest` in that case instead of aborting — the
+    * caller's canonical empty-document shape. */
+  def promotePartFile(tmpDir: String, dest: String,
+                      emptyFallback: Option[String] = None): Unit = {
     val fs = new HPath(tmpDir).getFileSystem(new Configuration())
-    val part = fs.listStatus(new HPath(tmpDir)).map(_.getPath)
-      .find(_.getName.startsWith("part-"))
-      .getOrElse(sys.error(s"no part file written under $tmpDir"))
-    val destPath = new HPath(dest)
-    Option(destPath.getParent).foreach(fs.mkdirs)
-    fs.delete(destPath, false)
-    fs.rename(part, destPath)
+    // a zero-partition plan still yields a part file, but a ZERO-BYTE one
+    // (FileFormatWriter's empty-RDD special case runs one task with an
+    // empty iterator) — for sinks whose minimum valid document is
+    // non-empty ("[]", the empty delete log) that is the empty case too
+    val part = fs.listStatus(new HPath(tmpDir))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .find(st => emptyFallback.isEmpty || st.getLen > 0)
+      .map(_.getPath)
+    (part, emptyFallback) match {
+      case (Some(p), _) =>
+        val destPath = new HPath(dest)
+        Option(destPath.getParent).foreach(fs.mkdirs)
+        fs.delete(destPath, false)
+        fs.rename(p, destPath)
+      case (None, Some(fallback)) => writeString(dest, fallback)
+      case (None, None) => sys.error(s"no part file written under $tmpDir")
+    }
     fs.delete(new HPath(tmpDir), true)
   }
 

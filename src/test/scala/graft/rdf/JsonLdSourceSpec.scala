@@ -66,6 +66,24 @@ class JsonLdSourceSpec extends graft.SparkSuite {
     assert(empty.count() == 0)
   }
 
+  test("directory load skips hidden files and recurses, like JsonLd.read") {
+    val d = Files.createTempDirectory("graft-jsonld-hidden").toString
+    val doc =
+      """{"@graph": [{"@id": "https://example.org/r/9",
+        |  "https://data.razu.nl/def/ldto/naam": [{"@value": "Nine"}]}]}""".stripMargin
+    Files.writeString(JPaths.get(d, "part-00000"), doc)
+    // a Spark-written directory carries these non-data members
+    Files.writeString(JPaths.get(d, "_SUCCESS"), "")
+    Files.writeString(JPaths.get(d, ".part-00000.crc"), "not json at all")
+    Files.createDirectory(JPaths.get(d, "sub"))
+    Files.writeString(JPaths.get(d, "sub", "more.json"), doc)
+    val df = spark.read.format("jsonld").load(d)
+    // _SUCCESS/.crc would throw in Jackson if planned; sub/ is recursed
+    assert(df.count() == 2)
+    // and the two readers agree on the same Spark-written-style directory
+    assert(JsonLd.read(spark, s"$d/part-*").count() == 1)
+  }
+
   test("multi-path load unions both files; wrong user schema is rejected") {
     val df = spark.read.format("jsonld")
       .load(s"$dir/r1.meta.json", s"$dir/r2.meta.json")

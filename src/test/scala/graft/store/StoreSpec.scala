@@ -123,6 +123,24 @@ class StoreSpec extends graft.SparkSuite {
       == Seq("k2.bin"))
   }
 
+  test("K8 delete log: zero requested keys still writes the valid empty log") {
+    val root = Files.createTempDirectory("graft-store-empty").toString
+    val store = new LocalFsStore(root)
+    import spark.implicits._
+    val log = JPaths.get(root + "-log", "delete_log.json").toString
+    // an EMPTY requested set coalesces to zero partitions → no part file;
+    // the sink must fall back to the canonical empty log, not abort
+    val none = Seq.empty[String].toDF("key")
+    val survivors = Store.deleteByKeys(none, store, spark, root,
+      logPath = Some(log))
+    assert(survivors.count() == 0)
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(JPaths.get(log)))
+    assert(parsed.get("Deleted").size() == 0)
+    assert(parsed.get("Errors").size() == 0)
+    assert(parsed.get("NotDeleted").size() == 0)
+  }
+
   test("HadoopFsStore: same flows through the FileSystem API (file:// root)") {
     val root = Files.createTempDirectory("graft-store-hfs").toString
     val store = new HadoopFsStore("file://" + root)
@@ -234,6 +252,23 @@ class MultimodalSpec extends graft.SparkSuite {
     assert(d1(1L)._4.length == 8)
     assert(d1(3L) == ((0, 0, 0, Seq.fill(8)(0f)))) // empty payload
     assert(d1(1L) != d1(2L))
+  }
+
+  test("non-square featureDim: no pixel band is discarded (floor grid)") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // all-white image + featureDim 5 → g=floor(sqrt 5)=2: the 4 computed
+    // cells all receive pixels (ceil-g would map a band to dropped cells),
+    // the 5th stays a structural zero
+    val img = new BufferedImage(9, 9, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 9) img.setRGB(x, y, 0xffffff)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    val (w, h, _, feats) = Multimodal.decodeImage(out.toByteArray, 5)
+    assert(w == 9 && h == 9)
+    assert(feats.take(4).forall(f => f > 0.99f && f <= 1.0f))
+    assert(feats(4) == 0f)
   }
 
   test("real image decode: javax.imageio dims/channels/luminance grid") {
