@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{PipelineQueries, RdfQueries, RelationalQueries, SimQueries, StreamGeoQueries, TextQueries}
+import graft.queries.{CurationQueries, PipelineQueries, RdfQueries, RelationalQueries, SimQueries, StreamGeoQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,12 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
       SimQueries.queries ++ PipelineQueries.queries ++ RdfQueries.queries ++
-      StreamGeoQueries.queries
+      StreamGeoQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++
       SimQueries.oracles ++ PipelineQueries.oracles ++ RdfQueries.oracles ++
-      StreamGeoQueries.oracles
+      StreamGeoQueries.oracles ++ CurationQueries.oracles
 }

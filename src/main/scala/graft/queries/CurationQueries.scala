@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.Curation
+
+/** Corpus-curation + warehouse-analytics queries: the star-schema join
+  * shape every lakehouse runs daily, and the sampling / packing /
+  * contamination / vocabulary-mining operators a training-data pipeline
+  * needs (graft.text.Curation). Every query carries a DuckDB oracle
+  * replicating the arithmetic exactly.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Star-schema revenue rollup (the TPC-H Q5 shape): fact lineitem
+    // joined through orders to customer and supplier, dims nation/region
+    // BROADCAST (no shuffle for the dim sides; the fact-side joins
+    // shuffle on their keys — the plan that survives 1000 executors).
+    // Revenue is per-row-quantized to cents so the SUM is integer-exact
+    // regardless of aggregation order.
+    "q43_star_join" -> ((s, dir) => {
+      val lineitem = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1998-01-01"))
+      val customer = t(s, dir, "customer")
+      val supplier = t(s, dir, "supplier")
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE"))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0)).cast("long").as("rev_cents"))
+        .groupBy("n_name")
+        .agg(sum("rev_cents").as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name").asc)
+    }),
+
+    // Deterministic hash sample: map-only hex-prefix filter — the
+    // zero-shuffle way to cut a stable ~12.5% slice of a corpus
+    // (PlanSpec asserts the plan has no Exchange)
+    "q44_hash_sample" -> ((s, dir) =>
+      Curation.hashSample(docs(s, dir), "doc_id", hexCeil = "20")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // Deterministic stratified sample: smallest-md5 25 docs per source —
+    // the window is partitioned by stratum (no global sort)
+    "q45_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(docs(s, dir), "source", "doc_id", n = 25)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")),
+
+    // Token-budget sequence packing: per-source head-to-tail layout cut
+    // into 512-token bins (shard-partitioned window)
+    "q46_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(docs(s, dir), budget = 512L)
+        .orderBy("source", "doc_id")),
+
+    // Train/test contamination: distinct 3-word-shingle overlap of each
+    // held-out doc (doc_id % 10 == 0) against the train split's shingle
+    // index — joins on shingle hash, never doc x doc
+    "q47_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.contamination(
+          train = d.filter(col("doc_id") % 10 =!= 0),
+          test = d.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary mining: the 50 most frequent word bigrams corpus-wide
+    // (explode -> partial agg -> one shuffle on the gram -> sort-limit)
+    "q48_ngram_topk" -> ((s, dir) =>
+      Curation.topNgrams(docs(s, dir), n = 2, k = 50)))
+
+  val oracles: Map[String, String] = Map(
+    "q43_star_join" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "q44_hash_sample" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q45_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM ranked WHERE rk <= 25
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "q46_pack_sequences" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, CAST(len(${TextQueries.Sql.words}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+         |  FROM toks)
+         |SELECT doc_id, source, n_tokens,
+         |       CAST(strt // 512 AS BIGINT) AS bin,
+         |       CAST(strt % 512 AS BIGINT) AS "offset"
+         |FROM cum ORDER BY source, doc_id""".stripMargin,
+
+    "q47_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    ${TextQueries.Sql.shingles(TextQueries.Sql.wordHashes, 3)})) AS sh
+         |  FROM documents),
+         |train AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 <> 0),
+         |test AS (SELECT s.doc_id, CAST(t.sh IS NOT NULL AS BIGINT) AS hit
+         |         FROM sh s LEFT JOIN train t ON s.sh = t.sh
+         |         WHERE s.doc_id % 10 = 0)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(hit) AS BIGINT) AS n_hit,
+         |       CAST(floor(CAST(SUM(hit) AS DOUBLE) * 10000.0
+         |         / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS contam_e4
+         |FROM test GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q48_ngram_topk" ->
+      s"""WITH w AS (SELECT ${TextQueries.Sql.words} AS ws FROM documents),
+         |grams AS (
+         |  SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+         |  FROM w)
+         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM grams GROUP BY gram
+         |ORDER BY n DESC, gram LIMIT 50""".stripMargin)
+}

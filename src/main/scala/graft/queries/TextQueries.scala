@@ -13,8 +13,9 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** Shared oracle-SQL fragments (DuckDB dialect). */
-  private object Sql {
+  /** Shared oracle-SQL fragments (DuckDB dialect) — also composed into
+    * the curation-query oracles (CurationQueries). */
+  private[queries] object Sql {
     // normalized text: lower, trim, collapse whitespace (note DuckDB needs
     // the 'g' flag; Spark regexp_replace is global by default)
     val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""

@@ -1,0 +1,131 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sampling, token-budget sequence packing, train/test contamination
+  * measurement, and n-gram vocabulary mining.
+  *
+  * Scale design (100 TB):
+  *   - hash sampling is MAP-ONLY (a filter on a hash prefix — no shuffle,
+  *     no RNG state, reproducible across engines and re-runs; the
+  *     industry-standard way to cut a stable slice of a petabyte corpus).
+  *   - stratified sampling windows WITHIN strata (partitioned window —
+  *     never a global sort), so it scales with the largest stratum.
+  *   - sequence packing windows within shards: the cumulative token sum
+  *     is per-shard, so bin assignment parallelizes across shards and no
+  *     single task sees more than one shard's documents.
+  *   - contamination joins on shingle hash (shuffle keyed by shingle —
+  *     the join is |test shingles| x matching train shingles, never
+  *     doc x doc), with the train side deduplicated before the join.
+  *   - n-gram mining is explode -> partial-agg -> shuffle on gram ->
+  *     top-k via TakeOrderedAndProject (no global sort materialization).
+  */
+object Curation {
+
+  /** Deterministic hash sample: keep rows whose md5(id) hex prefix is
+    * lexicographically below `hexCeil` — e.g. "20" keeps ~32/256 = 12.5%.
+    * Map-only (no shuffle, no sampling state), portable to any engine
+    * with md5. The selection column is returned for auditability. */
+  def hashSample(df: DataFrame, idCol: String, hexCeil: String): DataFrame =
+    df.withColumn("__h2", substring(md5(col(idCol).cast("string").cast("binary")), 1, 2))
+      .filter(col("__h2") < hexCeil)
+      .drop("__h2")
+
+  /** Deterministic stratified sample: the `n` rows of each stratum with
+    * the smallest md5(id) — an order-free "random n per group" whose
+    * window is PARTITIONED by stratum (no global sort; ties on the
+    * 32-hex-digit hash are broken by id, so the pick is total). */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n)
+      .drop("__rank")
+  }
+
+  /** Token-budget sequence packing: within each shard (ordered by id),
+    * documents are laid head-to-tail and cut into bins of `budget`
+    * tokens — bin = floor(exclusive-prefix-tokens / budget), offset =
+    * position within the bin. A document whose tokens straddle a
+    * boundary stays in the bin where it starts (the standard
+    * pack-with-overflow shape; budget is a watermark, not a hard wall).
+    * The window is partitioned by shard: packing parallelizes across
+    * shards and never globally sorts the corpus. */
+  def packSequences(docs: DataFrame, budget: Long,
+                    shardCol: String = "source", idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val tokens = TextAnalysis.tokenCountCol(col(textCol)).cast("long")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(shardCol), tokens.as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("__start", col("__cum") - col("n_tokens"))
+      .select(col(idCol), col(shardCol), col("n_tokens"),
+        (col("__start") / budget).cast("long").as("bin"),
+        (col("__start") % budget).as("offset"))
+  }
+
+  /** Train/test contamination: for each test document, how many of its
+    * distinct k-word shingles appear anywhere in the train split.
+    * The train side is reduced to DISTINCT shingle hashes before the
+    * join (the shuffled "contamination index"; at 100 TB this is the
+    * side you'd snapshot and reuse across evaluation rounds), and the
+    * join key is the shingle hash — cost is bounded by shingle-hash
+    * collisions, never by document pairs. Test documents with zero
+    * contaminated shingles are preserved via the left join.
+    * Output: (idCol, n_shingles, n_hit, contam_e4). */
+  def contamination(train: DataFrame, test: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    k: Int = 3, portable: Boolean = true): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    def shingles(df: DataFrame, idAs: String): DataFrame =
+      graft.sources.Tables.widen(
+          df.select(col(idCol).cast("long").as(idAs),
+            TextAnalysis.normalizeCol(col(textCol)).as("__norm")))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, norm) =>
+          (id, Dedup.shingleHashes(Dedup.wordHashes(norm, portable), k).distinct)
+        })
+        .toDF(idAs, "__shs")
+        .select(col(idAs), explode(col("__shs")).as("sh"))
+    val trainIndex = shingles(train, "__tid").select("sh").distinct()
+      .withColumn("__hit", lit(1L))
+    val testSh = shingles(test, idCol)
+    testSh.join(trainIndex, Seq("sh"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("__hit"), lit(0L)).as("n_hit"))
+      .withColumn("contam_e4",
+        floor(col("n_hit").cast("double") * 10000.0
+          / col("n_shingles").cast("double")).cast("long"))
+  }
+
+  /** Top-k most frequent word n-grams across the corpus (vocabulary /
+    * boilerplate mining). Gram extraction is a compiled typed pass;
+    * counting is partial-agg -> one shuffle on the gram; the final top-k
+    * is sort-limited (TakeOrderedAndProject — only k rows cross to the
+    * driver side of the plan). Ties rank lexicographically. */
+  def topNgrams(docs: DataFrame, n: Int, k: Int,
+                textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.sources.Tables.widen(
+        docs.select(TextAnalysis.normalizeCol(col(textCol)).as("__norm")))
+      .as[String]
+      .mapPartitions(_.flatMap { norm =>
+        val words = norm.split(" ", -1)
+        if (words.length < n) Iterator.empty
+        else (0 to words.length - n).iterator
+          .map(i => words.slice(i, i + n).mkString(" "))
+      })
+      .toDF("gram")
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+  }
+}

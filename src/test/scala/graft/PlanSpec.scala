@@ -90,6 +90,37 @@ class PlanSpec extends SparkSuite {
       s"queries side must broadcast:\n$p")
   }
 
+  test("star join broadcasts the dim sides; fact joins never cartesian") {
+    val p = plan(SparkEntry.queries("q43_star_join")(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"nation+region must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the region filter is applied before the broadcast, not after the join
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,EUROPE)")
+      || p.contains("r_name = EUROPE"), s"region filter must push down:\n$p")
+  }
+
+  test("hash sampling is map-only: no exchange anywhere in the plan") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(graft.text.Curation.hashSample(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "20"))
+      assert(!p.contains("Exchange"), s"hash sample must not shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("stratified sample and packing window WITHIN strata (no global window)") {
+    Seq("q45_stratified_sample", "q46_pack_sequences").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      // every Window node must carry a partition spec (a partition-less
+      // window funnels the whole corpus into one task)
+      p.linesIterator.filter(_.contains("Window ")).foreach { l =>
+        assert(l.contains("windowspecdefinition(source"),
+          s"$q window must partition by the stratum/shard:\n$l")
+      }
+    }
+  }
+
   test("LSH candidate generation exchanges compact keys only, never vectors") {
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.types.ArrayType

@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends graft.SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta", "a"),
+    (2L, "alpha beta gamma delta", "a"),
+    (3L, "epsilon zeta", "a"),
+    (10L, "alpha beta gamma epsilon", "b"),
+    (11L, "totally different words here", "b"),
+    (20L, "", "c"))
+    .toDF("doc_id", "text", "source")
+
+  test("hashSample is a deterministic subset, stable across runs") {
+    val s1 = Curation.hashSample(docs, "doc_id", "80").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Curation.hashSample(docs, "doc_id", "80").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(s1.subsetOf(Set(1L, 2L, 3L, 10L, 11L, 20L)))
+    // ceil "ff..." keeps everything, "00" keeps nothing
+    assert(Curation.hashSample(docs, "doc_id", "zz").count() == 6)
+    assert(Curation.hashSample(docs, "doc_id", "00").count() == 0)
+  }
+
+  test("stratifiedSample keeps at most n per stratum, all strata present") {
+    val s = Curation.stratifiedSample(docs, "source", "doc_id", 2)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s == Map("a" -> 2, "b" -> 2, "c" -> 1))
+  }
+
+  test("packSequences: bins respect the per-shard running token count") {
+    val packed = Curation.packSequences(docs, budget = 5L)
+      .orderBy("source", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // shard a: 4,4,2 tokens -> starts 0,4,8 -> bins 0,0,1; offsets 0,4,3
+    assert(packed.filter(_._2 == "a").map(t => (t._1, t._4, t._5)).toSeq
+      == Seq((1L, 0L, 0L), (2L, 0L, 4L), (3L, 1L, 3L)))
+    // shard b restarts at 0: starts 0,4
+    assert(packed.filter(_._2 == "b").map(t => (t._4, t._5)).toSeq
+      == Seq((0L, 0L), (0L, 4L)))
+    // empty text still counts one token (split semantics: [""])
+    assert(packed.filter(_._2 == "c").head._3 == 1L)
+  }
+
+  test("contamination: duplicated text is fully contaminated, novel text zero") {
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val test_ = docs.filter(col("doc_id") % 10 === 0)
+    val c = Curation.contamination(train, test_)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 10 shares shingles with 1/2 ("alpha beta gamma") but not all
+    val (n10, hit10, pct10) = c(10L)
+    assert(hit10 > 0 && hit10 < n10 && pct10 > 0 && pct10 < 10000)
+    // doc 20 ("" -> one empty-word shingle) appears nowhere in train
+    assert(c(20L)._2 == 0 && c(20L)._3 == 0)
+  }
+
+  test("topNgrams: counts and lexicographic tie-break") {
+    val top = Curation.topNgrams(docs, n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "alpha beta" and "beta gamma" appear 3x (docs 1,2,10)
+    assert(top.take(2) == Seq(("alpha beta", 3L), ("beta gamma", 3L)))
+    assert(top(2)._2 == 2L) // "gamma delta" from docs 1,2
+    // docs shorter than n contribute nothing (no crash on empty text)
+    assert(Curation.topNgrams(docs.filter(col("doc_id") === 20), 2, 5).count() == 0)
+  }
+}
