@@ -84,6 +84,15 @@ object TextQueries {
           bands = 4, portable = true, maxBucket = 0)
         .orderBy("doc_a", "doc_b")),
 
+    // Same banding through the skew-proof triangle path: maxBucket=2
+    // forces every bucket of 3+ docs through the distributed group-pair
+    // tasks, and the oracle (the exact all-pairs SQL of q24) proves pair
+    // COMPLETENESS survives the distribution
+    "q49_minhash_pairs_salted" -> ((s, dir) =>
+      Dedup.minhashCandidatePairsComplete(docs(s, dir), k = 3, numHashes = 16,
+          bands = 4, portable = true, maxBucket = 2)
+        .orderBy("doc_a", "doc_b")),
+
     // n-gram Jaccard over consecutive-id pairs (linear demo of the
     // pairwise expression; candidate pairs come from q24 at scale)
     "q25_jaccard_pairs" -> ((s, dir) => {
@@ -110,6 +119,25 @@ object TextQueries {
           minQualityE4 = 3000, langs = Seq("en"),
           jaccardThresholdE4 = 6000, maxBucket = 0)
         .select("doc_id").orderBy("doc_id")))
+
+  /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
+    * uncapped) and q49 (triangle-distributed path; completeness check). */
+  private lazy val minhashAllPairsSql: String = {
+    val sig = (0 until 16).map { j =>
+      s"list_min(list_transform(shs, h -> (h * ${2 * j + 1} + ${j * 12345 + 678}) % 1000000007))"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH wh AS (SELECT doc_id, ${Sql.wordHashes} AS whs FROM documents),
+       |sh AS (SELECT doc_id, ${Sql.shingles("whs", 3)} AS shs FROM wh),
+       |sig AS (SELECT doc_id, $sig AS sg FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b.band,
+       |         array_to_string(sg[b.band * 4 + 1 : b.band * 4 + 4], '_') AS band_key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -140,22 +168,12 @@ object TextQueries {
         |  FROM documents)
         |SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
-    "q24_minhash_pairs" -> {
-      val sig = (0 until 16).map { j =>
-        s"list_min(list_transform(shs, h -> (h * ${2 * j + 1} + ${j * 12345 + 678}) % 1000000007))"
-      }.mkString("[", ",\n    ", "]")
-      s"""WITH wh AS (SELECT doc_id, ${Sql.wordHashes} AS whs FROM documents),
-         |sh AS (SELECT doc_id, ${Sql.shingles("whs", 3)} AS shs FROM wh),
-         |sig AS (SELECT doc_id, $sig AS sg FROM sh),
-         |bands AS (
-         |  SELECT doc_id, b.band,
-         |         array_to_string(sg[b.band * 4 + 1 : b.band * 4 + 4], '_') AS band_key
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q24_minhash_pairs" -> minhashAllPairsSql,
+
+    // completeness proof for the triangle-distributed path: the engine
+    // runs the skew-proof plan, the oracle computes the uncapped
+    // all-pairs set — they must hash-match exactly
+    "q49_minhash_pairs_salted" -> minhashAllPairsSql,
 
     "q25_jaccard_pairs" ->
       s"""WITH wh AS (SELECT doc_id, ${Sql.wordHashes} AS whs FROM documents),

@@ -181,6 +181,78 @@ object Dedup {
       .toDF("doc_a", "doc_b").distinct()
   }
 
+  /** Near-duplicate candidate pairs with COMPLETE pair semantics at any
+    * skew: same banding as [[minhashCandidatePairs]], but a mega-bucket
+    * (> `maxBucket` members) is not degraded to a star — its all-pairs
+    * work is DISTRIBUTED over (group_i, group_j) triangle tasks instead:
+    *
+    *   - one shuffle keys every bucket member with its bucket size `n`
+    *     and a stable position `p` (ordered by doc id);
+    *   - members of oversized buckets replicate to the g = ceil(n/maxBucket)
+    *     group-pair tasks their group participates in (the classic
+    *     triangle/partitioned self-join scheme — replication factor g per
+    *     row, i.e. n/maxBucket);
+    *   - each task emits pairs between (or within) two groups of at most
+    *     `maxBucket` members — per-task cost is bounded by maxBucket²
+    *     regardless of how degenerate the bucket is.
+    *
+    * Emitted pairs are exactly the uncapped all-pairs set (the q24 oracle
+    * verifies this equality through the driver), so use this when
+    * downstream scoring needs every candidate pair; use the star cap when
+    * keep-first/connected-components connectivity is enough. */
+  def minhashCandidatePairsComplete(docs: DataFrame, textCol: String = "text",
+                                    idCol: String = "doc_id", k: Int = 3,
+                                    numHashes: Int = 16, bands: Int = 4,
+                                    portable: Boolean = true,
+                                    maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket > 0, "maxBucket must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
+    val sized = lshBands(docs, textCol, idCol, k, numHashes, bands, portable)
+      .select(col("band"), col("band_key"), col("doc"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("p", row_number().over(w.orderBy("doc")) - 1)
+      .as[(Int, String, Long, Long, Int)]
+    val small = sized.filter(_._4 <= maxBucket)
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (_, it) =>
+        val ds = it.map(_._3).toArray.sorted
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1) until ds.length
+        } yield (ds(i), ds(j))
+      }
+    val big = sized.filter(_._4 > maxBucket)
+      .flatMap { case (band, key, doc, n, p) =>
+        val g = ((n + maxBucket - 1) / maxBucket).toInt
+        val gp = p / maxBucket
+        (0 until g).iterator.map { j =>
+          (band, key, math.min(gp, j), math.max(gp, j), doc, gp)
+        }
+      }
+      .groupByKey(t => (t._1, t._2, t._3, t._4))
+      .flatMapGroups { (key: (Int, String, Int, Int),
+                        it: Iterator[(Int, String, Int, Int, Long, Int)]) =>
+        val (_, _, gi, gj) = key
+        val members = it.map(t => (t._5, t._6)).toArray
+        if (gi == gj) {
+          val ds = members.map(_._1).sorted
+          for {
+            i <- ds.indices.iterator
+            j <- (i + 1) until ds.length
+          } yield (ds(i), ds(j))
+        } else {
+          // groups are position-ordered by doc id, so every gi member id
+          // is below every gj member id — pairs come out (low, high)
+          val left = members.collect { case (d, g) if g == gi => d }
+          val right = members.collect { case (d, g) if g == gj => d }
+          for (a <- left.iterator; b <- right.iterator) yield (a, b)
+        }
+      }
+    small.union(big).toDF("doc_a", "doc_b").distinct()
+  }
+
   /** (doc, simhash) — 64-bit with xxhash64 word hashes in production;
     * `bits = 30` with the portable hash for oracle-checked runs (the
     * polynomial hash is mod 1e9+7, so only the low 30 bits carry signal). */

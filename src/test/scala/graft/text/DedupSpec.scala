@@ -86,6 +86,29 @@ class DedupSpec extends graft.SparkSuite {
     assert(exact.size == 60 * 59 / 2 + 1)
   }
 
+  test("triangle path: mega-bucket pairs are COMPLETE with bounded tasks") {
+    import spark.implicits._
+    // same skewed fixture: 60 identical docs = one mega bucket per band.
+    // The triangle-distributed path must emit the full C(60,2) pair set
+    // (star only guarantees connectivity) while each (gi,gj) task sees at
+    // most 2*maxBucket members.
+    val boiler = (0L until 60L).map(i => (i, "common boilerplate header text"))
+    val rest = Seq((100L, "some unique document body"),
+      (101L, "some unique document body"))
+    val docs = (boiler ++ rest).toDF("doc_id", "text")
+    val complete = Dedup.minhashCandidatePairsComplete(docs, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      i <- 0L until 60L; j <- (i + 1) until 60L
+    } yield (i, j)).toSet + ((100L, 101L))
+    assert(complete == expected,
+      s"missing=${(expected -- complete).take(5)} extra=${(complete -- expected).take(5)}")
+    // and it agrees with the uncapped star-path implementation exactly
+    val uncapped = Dedup.minhashCandidatePairs(docs, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(complete == uncapped)
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming") {
     val sh = Dedup.simhash(docsDF, bits = 64)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
