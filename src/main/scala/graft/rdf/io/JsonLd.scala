@@ -98,6 +98,34 @@ object JsonLd {
       .toDF("root", "json")
   }
 
+  /** Render one partition's triples as the array-of-@graph-documents
+    * layout (the DSv2 write path, executor-side): partition-local root
+    * resolution with the same bounded parent-follow as [[subjectRoots]]
+    * (4 hops), one @graph document per root, roots sorted for a
+    * deterministic file. Rows are (subject, predicate, objectValue,
+    * objectKind, datatype, lang). */
+  private[io] def renderPartition(
+      rows: Seq[(String, String, String, String, String, String)]): String = {
+    val parent = rows.iterator.filter(_._4 == Triple.BNODE)
+      .map(t => t._3 -> t._1).toMap
+    def rootOf(s0: String): String = {
+      var cur = s0
+      var hops = 0
+      var continue = true
+      while (hops < 4 && continue) {
+        parent.get(cur) match {
+          case Some(p) if p != cur => cur = p
+          case _ => continue = false
+        }
+        hops += 1
+      }
+      cur
+    }
+    val docs = rows.groupBy(t => rootOf(t._1)).toSeq.sortBy(_._1)
+      .map { case (root, ts) => renderDoc(root, ts) }
+    docs.mkString("[", ",\n", "]")
+  }
+
   // ---- reader ---------------------------------------------------------
 
   private def kindOf(id: String): String =

@@ -5,9 +5,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,11 +57,20 @@ class JsonLdSource extends TableProvider with DataSourceRegister {
   }
 }
 
-private[io] class JsonLdTable(paths: Seq[String]) extends Table with SupportsRead {
+private[io] class JsonLdTable(paths: Seq[String])
+  extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"jsonld(${paths.mkString(",")})"
   override def schema(): StructType = Triple.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  // write: mode("append") adds part files; mode("overwrite") truncates
+  // existing .jsonld files first (save() default ErrorIfExists is refused
+  // by Spark for DSv2 path-based writes — use append/overwrite)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1, s"jsonld write requires exactly one path, got $paths")
+    new JsonLdWriteBuilder(paths.head, info)
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = Triple.schema

@@ -84,6 +84,35 @@ class JsonLdSourceSpec extends graft.SparkSuite {
     assert(JsonLd.read(spark, s"$d/part-*").count() == 1)
   }
 
+  test("write path: triples round-trip isomorphically through format(\"jsonld\")") {
+    val out = Files.createTempDirectory("graft-jsonld-write").toString
+    val triples = JsonLd.read(spark, s"$dir/*.meta.json")
+    // co-locate each resource's bnode closure (the documented contract):
+    // repartition on the resolved root key
+    triples.join(JsonLd.subjectRoots(triples), Seq("subject"))
+      .repartition(2, col("root"))
+      .select("subject", "predicate", "objectValue", "objectKind", "datatype", "lang")
+      .write.format("jsonld").mode("overwrite").save(out)
+    val back = spark.read.format("jsonld").load(out)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("s", when(col("subject").startsWith("_:"), lit("_:"))
+        .otherwise(col("subject")))
+      .withColumn("o", when(col("objectKind") === "bnode", lit("_:"))
+        .otherwise(col("objectValue")))
+      .select("s", "predicate", "o", "objectKind", "datatype", "lang")
+      .collect().map(_.toSeq).toSet
+    assert(canon(back) == canon(triples))
+    assert(back.filter(col("subject").startsWith("_:"))
+      .select("subject").distinct().count() == 2, "bnode closures preserved")
+    // overwrite truncates: a second write does not accumulate part files
+    triples.coalesce(1).write.format("jsonld").mode("overwrite").save(out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".jsonld"))
+    assert(files.length == 1, files.map(_.getName).toSeq.toString)
+    assert(canon(spark.read.format("jsonld").load(out)) == canon(triples))
+    // no temp dirs left behind
+    assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith("_temporary")))
+  }
+
   test("multi-path load unions both files; wrong user schema is rejected") {
     val df = spark.read.format("jsonld")
       .load(s"$dir/r1.meta.json", s"$dir/r2.meta.json")
