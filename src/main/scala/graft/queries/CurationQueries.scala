@@ -84,7 +84,26 @@ object CurationQueries {
     // Vocabulary mining: the 50 most frequent word bigrams corpus-wide
     // (explode -> partial agg -> one shuffle on the gram -> sort-limit)
     "q48_ngram_topk" -> ((s, dir) =>
-      Curation.topNgrams(docs(s, dir), n = 2, k = 50)))
+      Curation.topNgrams(docs(s, dir), n = 2, k = 50)),
+
+    // EXACT length quantiles per source (quantile_disc semantics via a
+    // stratum-partitioned ranking — portable across engines, unlike
+    // approx_percentile; the window never crosses strata)
+    "q51_length_quantiles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("n_chars", "doc_id")
+      def pick(p: Double) = max(when(
+        col("rn") === ceil(lit(p) * col("n")).cast("long"), col("n_chars")))
+      docs(s, dir)
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(max("n").as("n"), pick(0.5).as("p50"),
+          pick(0.9).as("p90"), pick(0.99).as("p99"))
+        .orderBy("source")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q43_star_join" ->
@@ -144,6 +163,18 @@ object CurationQueries {
          |       CAST(floor(CAST(SUM(hit) AS DOUBLE) * 10000.0
          |         / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS contam_e4
          |FROM test GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q51_length_quantiles" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+        |       MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS p50,
+        |       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90,
+        |       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q48_ngram_topk" ->
       s"""WITH w AS (SELECT ${TextQueries.Sql.words} AS ws FROM documents),

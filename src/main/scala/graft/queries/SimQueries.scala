@@ -49,6 +49,20 @@ object SimQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Scalar int8 quantization of the embedding store (the 4-8x vector
+    // compression path): per-vector code stats are integer-exact, so the
+    // oracle checks the quantization arithmetic itself; ANN recall on the
+    // codes is scalatested (QuantizeSpec)
+    "q50_quantize_int8" -> ((s, dir) => {
+      val q = graft.sim.Quantize.int8(emb(s, dir))
+      q.select(col("id"), col("scale_e9"),
+          size(col("codes")).cast("long").as("n_codes"),
+          expr("aggregate(codes, 0L, (a, x) -> a + x)").as("sum_codes"),
+          array_min(col("codes")).cast("long").as("min_code"),
+          array_max(col("codes")).cast("long").as("max_code"))
+        .orderBy("id")
+    }),
+
     // Per-label embedding stats, quantize-then-sum so group aggregation
     // order cannot introduce FP drift
     "q29_embedding_stats" -> ((s, dir) =>
@@ -95,6 +109,22 @@ object SimQueries {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cos_e6, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q50_quantize_int8" ->
+      """WITH q AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM q),
+        |c AS (SELECT id,
+        |        CAST(floor(maxabs / 127.0 * 1e9) AS BIGINT) AS scale_e9,
+        |        CASE WHEN maxabs > 0
+        |          THEN list_transform(v, x -> CAST(floor(x / maxabs * 127.0 + 0.5) AS BIGINT))
+        |          ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+        |      FROM m)
+        |SELECT id, scale_e9,
+        |       CAST(len(codes) AS BIGINT) AS n_codes,
+        |       CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+        |       CAST(list_min(codes) AS BIGINT) AS min_code,
+        |       CAST(list_max(codes) AS BIGINT) AS max_code
+        |FROM c ORDER BY id""".stripMargin,
 
     "q29_embedding_stats" ->
       s"""WITH x AS (
