@@ -28,11 +28,14 @@ object SimQueries {
     }),
 
     // LSH-bucketed ANN (the scale path): same queries, bucketed candidate
-    // generation — correctness gate is the recall scalatest vs q27; rows
-    // here are checked shape-only by the driver (no closed-form SQL oracle)
+    // generation — correctness gate is the recall scalatest vs q27 plus
+    // exact row parity with the symmetric-join lshTopK; rows here are
+    // checked shape-only by the driver (no closed-form SQL oracle).
+    // The broadcast variant is the small-query serving shape: ONE corpus
+    // scan, zero corpus shuffle before the top-k window.
     "q28_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.lshTopK(e.filter(col("id") < 20), e, k = 5)
+      Similarity.lshTopKBroadcast(e.filter(col("id") < 20), e, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")

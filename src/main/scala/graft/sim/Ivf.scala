@@ -169,7 +169,44 @@ object Ivf {
       }
   }
 
-  /** Top-k cosine neighbours per query via nProbe inverted lists.
+  private def cachedCorpusNorm(corpus: DataFrame): DataFrame = {
+    val cacheKey = System.identityHashCode(corpus.sparkSession) + "\n" +
+      corpus.queryExecution.analyzed.canonicalized.toString
+    NormCache.getOrElseUpdate(cacheKey,
+      normalized(corpus, "neighbor_id", "cv")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Session-scoped codebook cache: IVF's model is train-once /
+    * serve-many — retraining identical Lloyd rounds on an unchanged
+    * corpus for every query batch would pay `iters` full corpus scans
+    * per call. Keyed by (corpus plan, nCentroids, iters); driver-resident
+    * (nCentroids × dim doubles, a few KB). */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def cachedCodebook(corpusNorm: DataFrame, nCentroids: Int,
+                             iters: Int): Array[Array[Double]] = {
+    val key = System.identityHashCode(corpusNorm.sparkSession) + "\n" +
+      nCentroids + ":" + iters + "\n" +
+      corpusNorm.queryExecution.analyzed.canonicalized.toString
+    codebookCache.computeIfAbsent(key,
+      _ => trainFromNormalized(corpusNorm, nCentroids, iters))
+  }
+
+  /** Top-k cosine neighbours per query via nProbe inverted lists — the
+    * small-query *serving* fast path (same design as
+    * [[Similarity.lshTopKBroadcast]]): queries are collected, their
+    * nProbe probe lists computed driver-side against the codebook, and
+    * the (codebook, centroid→queries index) pair is broadcast; the
+    * cached normalized corpus is then scanned ONCE, each row assigned
+    * its centroid and scored against exactly the queries probing that
+    * centroid, map-side. The only exchange is the final top-k window
+    * (WindowGroupLimit-pruned). No dedup stage is needed: one centroid
+    * per corpus row × distinct (query, centroid) probes ⇒ unique pairs.
+    *
+    * NOTE eager: runs the training jobs and one small query collect at
+    * composition time. For corpus-sized query sets use [[ivfTopKJoin]].
     * Output: (query_id, neighbor_id, cos_e6, rank) — same contract as
     * [[Similarity.lshTopK]]/[[Similarity.bruteForceTopK]]. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -177,14 +214,69 @@ object Ivf {
               iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val corpusNorm = cachedCorpusNorm(corpus)
+    val cents = cachedCodebook(corpusNorm, nCentroids, iters)
+    // driver-side probe index: centroid -> [(query_id, normalized qv)] —
+    // the same nearest-centroid ordering ((-dot, index) sort) as the
+    // distributed probe pass in ivfTopKJoin
+    val qRows = normalized(queries, "query_id", "qv")
+      .as[(Long, Array[Double])].collect()
+    val probeIdx = new java.util.HashMap[Int, Array[(Long, Array[Double])]]()
+    qRows.foreach { case (qid, qn) =>
+      cents.indices
+        .map { c =>
+          var dot = 0.0
+          var i = 0
+          val n = math.min(qn.length, cents(c).length)
+          while (i < n) { dot += qn(i) * cents(c)(i); i += 1 }
+          (c, dot)
+        }
+        .sortBy { case (c, d) => (-d, c) }
+        .take(nProbe)
+        .foreach { case (c, _) =>
+          probeIdx.put(c,
+            Option(probeIdx.get(c)).getOrElse(Array.empty) :+ ((qid, qn)))
+        }
+    }
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcProbes = spark.sparkContext.broadcast(probeIdx)
+    val scored = corpusNorm
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cs = bcCents.value
+        val idx = bcProbes.value
+        rows.flatMap { case (cid, cvn) =>
+          val hits = idx.get(nearestCentroid(cvn, cs))
+          if (hits == null) Iterator.empty
+          else hits.iterator.collect { case (qid, qn) if qid != cid =>
+            var dot = 0.0
+            var d = 0
+            val n = math.min(qn.length, cvn.length)
+            while (d < n) { dot += qn(d) * cvn(d); d += 1 }
+            (qid, cid, math.floor(dot * 1000000.0).toLong)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos_e6")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Symmetric compact-join IVF — the path for query sets too large to
+    * broadcast: distributed probe selection, equi-join on `centroid`,
+    * candidate dedup, co-partitioned vector fetch, exact re-rank. Same
+    * output contract and identical rows to [[ivfTopK]] (parity
+    * scalatested). */
+  def ivfTopKJoin(queries: DataFrame, corpus: DataFrame, k: Int,
+                  nCentroids: Int = 16, nProbe: Int = 8,
+                  iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     // normalize + cache the corpus ONCE — training (iters jobs), the
     // inverted-list assignment, and the vector fetch all reuse it
-    val cacheKey = System.identityHashCode(spark) + "\n" +
-      corpus.queryExecution.analyzed.canonicalized.toString
-    val corpusNorm = NormCache.getOrElseUpdate(cacheKey,
-        normalized(corpus, "neighbor_id", "cv")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cents = trainFromNormalized(corpusNorm, nCentroids, iters)
+    val corpusNorm = cachedCorpusNorm(corpus)
+    val cents = cachedCodebook(corpusNorm, nCentroids, iters)
     val bc = spark.sparkContext.broadcast(cents)
     // one normalized pass over the (small) query side, reused for probe
     // selection and the re-rank fetch

@@ -42,31 +42,41 @@ object Similarity {
     * single-file scan would run the |q|x|corpus| loop on one core).
     * Output: (query_id, neighbor_id, cos_e6, rank). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("id").as("query_id"),
-      col("vec").cast("array<double>").as("qv")))
-    val c = graft.sources.Tables.widen(corpus)
-      .select(col("id").as("neighbor_id"),
-        col("vec").cast("array<double>").as("cv"))
-    // compiled UDF with the same left-to-right IEEE operation order as
-    // cosineScaledCol / the DuckDB oracle's list_reduce — bit-identical
-    // result, ~10x faster than interpreted HOF evaluation on the hot
-    // |queries|x|corpus| loop
-    val cosE6 = udf { (a: Seq[Double], b: Seq[Double]) =>
-      var dot = 0.0
-      var na = 0.0
-      var nb = 0.0
-      val n = math.min(a.length, b.length)
-      var i = 0
-      while (i < n) { dot += a(i) * b(i); i += 1 }
-      i = 0
-      while (i < a.length) { na += a(i) * a(i); i += 1 }
-      i = 0
-      while (i < b.length) { nb += b(i) * b(i); i += 1 }
-      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0).toLong
-    }
-    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosE6(col("qv"), col("cv")).as("cos_e6"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // collected + broadcast query side (the bruteForce contract assumes
+    // a small query set); ONE corpus scan scores every query per row in
+    // primitive double[] — no BNLJ machinery, no per-pair Seq boxing.
+    // Operation order (dot left-to-right over min length, then each
+    // norm over full length) is IDENTICAL to cosineScaledCol and to the
+    // DuckDB oracle's list_reduce, so results stay bit-exact.
+    val qRows = queries
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val bc = spark.sparkContext.broadcast(qRows)
+    val scored = graft.sources.Tables.widen(corpus)
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val qs = bc.value
+        rows.flatMap { case (cid, cv) =>
+          var nb = 0.0
+          var i = 0
+          while (i < cv.length) { nb += cv(i) * cv(i); i += 1 }
+          qs.iterator.collect { case (qid, qv) if qid != cid =>
+            var dot = 0.0
+            var na = 0.0
+            val n = math.min(qv.length, cv.length)
+            var j = 0
+            while (j < n) { dot += qv(j) * cv(j); j += 1 }
+            j = 0
+            while (j < qv.length) { na += qv(j) * qv(j); j += 1 }
+            (qid, cid,
+              math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0).toLong)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos_e6")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -142,6 +152,26 @@ object Similarity {
       Array.tabulate(planesPerTable)(p => hyperplane(t * 131 + p, dim))
     }
 
+  /** Shared sign-pattern kernel: the SAME left-to-right projection math
+    * feeds the distributed key pass ([[lshKeys]]) and the driver-side
+    * query index ([[lshTopKBroadcast]]), so the two paths bucket
+    * identically by construction. Computed over the RAW vector (signs
+    * are scale-invariant, but FP-exactness demands one convention). */
+  private def bucketOf(v: Array[Double],
+                       planes: Array[Array[Double]]): String = {
+    val sb = new java.lang.StringBuilder(planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      var proj = 0.0
+      var d = 0
+      while (d < v.length && d < pl.length) { proj += v(d) * pl(d); d += 1 }
+      sb.append(if (proj >= 0) '1' else '0')
+      p += 1
+    }
+    sb.toString
+  }
+
   /** Compact LSH key table: one (id, table, bucket) row per hash table —
     * NO vector payload rides the explode or the candidate shuffle (the
     * 100 TB layout: exchanged rows are ~20 bytes instead of 8×64
@@ -156,16 +186,7 @@ object Similarity {
       .select(col("id").cast("long"), col("vec").cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions(_.flatMap { case (id, v) =>
-        (0 until nTables).iterator.map { t =>
-          val sb = new java.lang.StringBuilder(planeSets(t).length)
-          planeSets(t).foreach { pl =>
-            var proj = 0.0
-            var d = 0
-            while (d < v.length && d < pl.length) { proj += v(d) * pl(d); d += 1 }
-            sb.append(if (proj >= 0) '1' else '0')
-          }
-          (id, t, sb.toString)
-        }
+        (0 until nTables).iterator.map(t => (id, t, bucketOf(v, planeSets(t))))
       })
       .toDF(idAs, "table", "bucket")
   }
@@ -224,6 +245,86 @@ object Similarity {
       .join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.expressions.DotE6.col(col("qv"), col("cv")).as("cos_e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Small-query fast path — the ANN *serving* shape at 100 TB: the
+    * query set (ids, pre-normalized vectors, per-table bucket keys) is
+    * collected and broadcast as a hash index, and the corpus is scanned
+    * EXACTLY ONCE — bucketing, normalization, candidate lookup,
+    * cross-table dedup and exact scoring all happen map-side with zero
+    * corpus shuffle. The only exchange in the plan is the final
+    * per-query top-k, which WindowGroupLimit prunes to ≤ k rows per
+    * query per partition before anything moves (PlanSpec asserts the
+    * single-exchange shape).
+    *
+    * Results are identical to [[lshTopK]]: same raw-vector bucket math
+    * ([[bucketOf]] is the shared kernel), same normalize-then-dot
+    * left-to-right summation, same ×1e6 floor, same tie-break
+    * (SimilaritySpec pins exact row parity).
+    *
+    * NOTE eager: collects the query side at composition time (one small
+    * job), like [[Ivf.trainCentroids]]. Use [[lshTopK]]'s compact
+    * symmetric joins when the query set is itself corpus-sized
+    * (e.g. [[nearDupLsh]]). */
+  def lshTopKBroadcast(queries: DataFrame, corpus: DataFrame, k: Int,
+                       planesPerTable: Int = 6, tables: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val planeSets = planeSetsFor(planesPerTable, tables)
+    val qRows = queries
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    // (table ':' bucket) -> [(query_id, normalized query vector)]
+    val index = new java.util.HashMap[String, Array[(Long, Array[Double])]]()
+    qRows.foreach { case (qid, v) =>
+      var ss = 0.0
+      var i = 0
+      while (i < v.length) { ss += v(i) * v(i); i += 1 }
+      val inv = if (ss == 0) 0.0 else 1.0 / math.sqrt(ss)
+      val qn = v.map(_ * inv)
+      var t = 0
+      while (t < planeSets.length) {
+        val key = t + ":" + bucketOf(v, planeSets(t))
+        index.put(key, Option(index.get(key)).getOrElse(Array.empty) :+ ((qid, qn)))
+        t += 1
+      }
+    }
+    val bc = spark.sparkContext.broadcast(index)
+    val scored = graft.sources.Tables.widen(corpus)
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val idx = bc.value
+        val nTables = planeSets.length
+        rows.flatMap { case (cid, cv) =>
+          var ss = 0.0
+          var i = 0
+          while (i < cv.length) { ss += cv(i) * cv(i); i += 1 }
+          val inv = if (ss == 0) 0.0 else 1.0 / math.sqrt(ss)
+          val cvn = cv.map(_ * inv)
+          val seen = new java.util.HashSet[Long]()
+          val out = List.newBuilder[(Long, Long, Long)]
+          var t = 0
+          while (t < nTables) {
+            val hits = idx.get(t + ":" + bucketOf(cv, planeSets(t)))
+            if (hits != null) hits.foreach { case (qid, qn) =>
+              if (qid != cid && seen.add(qid)) {
+                var dot = 0.0
+                var d = 0
+                val n = math.min(qn.length, cvn.length)
+                while (d < n) { dot += qn(d) * cvn(d); d += 1 }
+                out += ((qid, cid, math.floor(dot * 1000000.0).toLong))
+              }
+            }
+            t += 1
+          }
+          out.result()
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos_e6")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

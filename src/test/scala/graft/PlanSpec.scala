@@ -82,12 +82,14 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("brute-force ANN broadcasts the query side") {
+  test("brute-force ANN: one corpus scan, no join node, only the top-k shuffle") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val p = plan(graft.sim.Similarity.bruteForceTopK(e.limit(20), e, 5))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"queries side must broadcast:\n$p")
+    // the query side is collected+broadcast into a single map pass over
+    // the corpus — no join operator of any kind should appear
+    assert(!p.contains("Join"), s"brute force must be join-free:\n$p")
+    assert(p.contains("Window"), p)
   }
 
   test("star join broadcasts the dim sides; fact joins never cartesian") {
@@ -145,6 +147,25 @@ class PlanSpec extends SparkSuite {
         assert(!ex.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
           s"vector column crosses a candidate exchange:\n$exec")
       }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("broadcast ANN scans the corpus once: the ONLY shuffle is the top-k window") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val df = graft.sim.Similarity
+        .lshTopKBroadcast(e.filter(col("id") < 20), e, k = 5)
+      val exec = df.queryExecution.executedPlan
+      // allowed: the widen round-robin (narrow source rows). Everything
+      // else must be exactly the window's hash exchange — candidate
+      // generation, dedup and scoring are all map-side.
+      val shuffles = exec.collect { case ex: Exchange => ex }
+        .filterNot(_.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+      assert(shuffles.size == 1, exec.toString)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }

@@ -74,6 +74,27 @@ class SimilaritySpec extends graft.SparkSuite {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("lshTopKBroadcast rows are identical to lshTopK (shared bucket kernel)") {
+    val q = corpus.filter(col("id") < 10)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+    val join = Similarity.lshTopK(q, corpus, k = 5).collect().map(key).toSet
+    val bcast = Similarity.lshTopKBroadcast(q, corpus, k = 5).collect().map(key).toSet
+    assert(join == bcast,
+      s"only-join=${join -- bcast}, only-bcast=${bcast -- join}")
+  }
+
+  test("ivfTopK (broadcast probes) rows are identical to ivfTopKJoin") {
+    val q = corpus.filter(col("id") < 10)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+    val fast = Ivf.ivfTopK(q, corpus, k = 5, nCentroids = 8, iters = 2)
+      .collect().map(key).toSet
+    val join = Ivf.ivfTopKJoin(q, corpus, k = 5, nCentroids = 8, iters = 2)
+      .collect().map(key).toSet
+    assert(fast == join, s"only-join=${join -- fast}, only-fast=${fast -- join}")
+  }
+
   test("IVF: codebook is deterministic; assignments cover the corpus") {
     val cents1 = Ivf.trainCentroids(corpus, nCentroids = 8, iters = 2)
     val cents2 = Ivf.trainCentroids(corpus, nCentroids = 8, iters = 2)
