@@ -118,7 +118,20 @@ object TextQueries {
       graft.text.CleanCorpus.clean(docs(s, dir),
           minQualityE4 = 3000, langs = Seq("en"),
           jaccardThresholdE4 = 6000, maxBucket = 0)
-        .select("doc_id").orderBy("doc_id")))
+        .select("doc_id").orderBy("doc_id")),
+
+    // The dedup ENDGAME: MinHash candidate pairs -> connected components
+    // (alternating large-star/small-star — O(log n) rounds, two shuffles
+    // per round, no component ever materialized on one task) -> cluster
+    // id = min doc id, kept=1 on the representative. The oracle walks
+    // the SAME pair set with a recursive CTE, so the component structure
+    // itself is hash-checked, not just row counts
+    "q52_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashCandidatePairs(d, k = 3, numHashes = 16,
+        bands = 4, portable = true, maxBucket = 0)
+      graft.text.Components.dedupClusters(d, pairs).orderBy("doc_id")
+    }))
 
   /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
     * uncapped) and q49 (triangle-distributed path; completeness check). */
@@ -169,6 +182,24 @@ object TextQueries {
         |SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q24_minhash_pairs" -> minhashAllPairsSql,
+
+    // transitive closure over the SAME candidate-pair SQL: min reachable
+    // doc_id per node = the component id the engine's large-star/
+    // small-star iterations must converge to
+    "q52_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM ($minhashAllPairsSql)),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.m FROM edges e JOIN reach r ON r.u = e.v),
+         |comp AS (SELECT u AS doc_id, MIN(m) AS component
+         |         FROM reach GROUP BY u)
+         |SELECT doc_id, component,
+         |       CAST(component = doc_id AS BIGINT) AS kept
+         |FROM comp ORDER BY doc_id""".stripMargin,
 
     // completeness proof for the triangle-distributed path: the engine
     // runs the skew-proof plan, the oracle computes the uncapped
