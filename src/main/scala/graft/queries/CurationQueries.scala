@@ -86,6 +86,13 @@ object CurationQueries {
     "q48_ngram_topk" -> ((s, dir) =>
       Curation.topNgrams(docs(s, dir), n = 2, k = 50)),
 
+    // Deterministic training shuffle: hash-keyed shard + in-shard
+    // position. One shuffle on the shard key; the per-shard ranking
+    // window parallelizes across shards (never a global sort)
+    "q55_shard_assign" -> ((s, dir) =>
+      Curation.shardAssignments(docs(s, dir), nShards = 64)
+        .orderBy("doc_id")),
+
     // EXACT length quantiles per source (quantile_disc semantics via a
     // stratum-partitioned ranking — portable across engines, unlike
     // approx_percentile; the window never crosses strata)
@@ -175,6 +182,16 @@ object CurationQueries {
         |       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90,
         |       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q55_shard_assign" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${TextQueries.Sql.poly("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id, h, h % 64 AS shard FROM h)
+         |SELECT doc_id, h, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard
+         |                               ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q48_ngram_topk" ->
       s"""WITH w AS (SELECT ${TextQueries.Sql.words} AS ws FROM documents),

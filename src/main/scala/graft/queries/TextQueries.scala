@@ -131,6 +131,39 @@ object TextQueries {
       val pairs = Dedup.minhashCandidatePairs(d, k = 3, numHashes = 16,
         bands = 4, portable = true, maxBucket = 0)
       graft.text.Components.dedupClusters(d, pairs).orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition signals (duplicate-word/bigram fractions)
+    // — one compiled map-only pass; the oracle recomputes them
+    // relationally (unnest + group + max) so the per-doc hash counting
+    // is checked against an independent formulation
+    "q54_repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")),
+
+    // PII scrub: the synthetic corpus carries no PII, so the query
+    // deterministically plants emails/IPs/phones in a doc_id-keyed
+    // subset (the SQL oracle builds the identical column), then
+    // detects AND redacts — counts and the redacted text itself are
+    // hash-compared, pinning regex semantics across engines. Map-only:
+    // regexp_* expressions fuse into the scan projection, no shuffle
+    "q53_pii_redact" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.withColumn("content", concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".25"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit(" call +31 6 1234 56"),
+            (pmod(col("doc_id"), lit(90)) + 10).cast("string")))
+          .otherwise(lit(""))))
+      graft.text.Pii.redact(
+          graft.text.Pii.detect(planted, "content"), "content")
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+          col("n_phones"), col("has_pii"), col("redacted"))
+        .orderBy("doc_id")
     }))
 
   /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
@@ -182,6 +215,55 @@ object TextQueries {
         |SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q24_minhash_pairs" -> minhashAllPairsSql,
+
+    "q54_repetition_stats" ->
+      s"""WITH w AS (SELECT doc_id, ${Sql.words} AS ws FROM documents),
+         |words AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+         |wc AS (SELECT doc_id, wd, COUNT(*) AS c FROM words GROUP BY 1, 2),
+         |wagg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS d,
+         |                MAX(c) AS m FROM wc GROUP BY 1),
+         |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+         |       FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
+         |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |bagg AS (SELECT doc_id, MAX(c) AS mb FROM bc GROUP BY 1)
+         |SELECT wagg.doc_id AS doc_id, n AS n_words,
+         |  CAST(floor(CAST(d AS DOUBLE) * 10000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS distinct_ratio_e4,
+         |  CAST(floor(CAST(m AS DOUBLE) * 10000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS top_word_e4,
+         |  CAST(floor(CAST(coalesce(mb, 0) AS DOUBLE) * 10000.0
+         |    / CAST(greatest(n - 1, 1) AS DOUBLE)) AS BIGINT) AS top_bigram_e4
+         |FROM wagg LEFT JOIN bagg ON wagg.doc_id = bagg.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q53_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\+[0-9]{2}[0-9 -]{6,12}[0-9]"
+      s"""WITH c AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0
+         |      THEN ' call +31 6 1234 56' || CAST(doc_id % 90 + 10 AS VARCHAR)
+         |      ELSE '' END AS content
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(content, '$email')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(content, '$ipv4')) AS BIGINT) AS n_ipv4,
+         |    CAST(len(regexp_extract_all(content, '$phone')) AS BIGINT) AS n_phones,
+         |    regexp_replace(regexp_replace(regexp_replace(content,
+         |      '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'),
+         |      '$phone', '<PHONE>', 'g') AS redacted
+         |  FROM c)
+         |SELECT doc_id, n_emails, n_ipv4, n_phones,
+         |       CAST(n_emails + n_ipv4 + n_phones > 0 AS BIGINT) AS has_pii,
+         |       redacted
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
 
     // transitive closure over the SAME candidate-pair SQL: min reachable
     // doc_id per node = the component id the engine's large-star/

@@ -34,6 +34,27 @@ object Curation {
       .filter(col("__h2") < hexCeil)
       .drop("__h2")
 
+  /** Deterministic training-shuffle shard assignment: the global
+    * "shuffle the corpus, cut it into fixed shards" step every training
+    * run needs, without a global sort. shard = polyhash(id) mod
+    * `nShards` (map-only); pos = row_number within the shard ordered by
+    * (hash, id) — a window PARTITIONED by shard, so the plan is one
+    * hash shuffle on the shard key and every shard ranks in parallel.
+    * The hash order IS the shuffle: adjacent input docs land in
+    * unrelated (shard, pos) slots, deterministically — re-runs and
+    * engines agree (the q55 oracle replicates it), and a writer can
+    * `repartition($"shard").sortWithinPartitions($"pos")` to stream
+    * shard files straight out with no further exchange. */
+  def shardAssignments(df: DataFrame, idCol: String = "doc_id",
+                       nShards: Int = 64): DataFrame = {
+    val h = graft.functions.Hashing.polyHashCol(col(idCol).cast("string"))
+    val withShard = df.select(col(idCol))
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+    val w = Window.partitionBy("shard").orderBy(col("h").asc, col(idCol).asc)
+    withShard.withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Deterministic stratified sample: the `n` rows of each stratum with
     * the smallest md5(id) — an order-free "random n per group" whose
     * window is PARTITIONED by stratum (no global sort; ties on the

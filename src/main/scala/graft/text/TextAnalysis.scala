@@ -164,4 +164,45 @@ object TextAnalysis {
       .toDF(idCol, "n_tokens", "n_bpe_tokens", "punct_ratio_e4",
         "mean_word_len_e4", "quality_e4", "lang_pred", "fingerprint")
   }
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    * use line/paragraph/n-gram duplicate fractions as quality gates;
+    * this corpus is single-line, so the word/bigram variants carry the
+    * signal): distinct-word ratio, top-word fraction, top-bigram
+    * fraction — ×1e4 bigints for engine-exact compares. One compiled
+    * map-only pass (per-doc hash counting is partition-local; no
+    * explode/groupBy shuffle), same normalize/split convention as
+    * [[stats]] and the q54 oracle. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prepped = graft.sources.Tables.widen(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+    prepped.as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val words = normalize(text).split(" ", -1)
+        val n = words.length.toLong
+        val wc = scala.collection.mutable.HashMap.empty[String, Long]
+        words.foreach(w => wc.update(w, wc.getOrElse(w, 0L) + 1L))
+        var topW = 0L
+        wc.valuesIterator.foreach(c => if (c > topW) topW = c)
+        val bc = scala.collection.mutable.HashMap.empty[String, Long]
+        var i = 0
+        while (i < words.length - 1) {
+          val b = words(i) + " " + words(i + 1)
+          bc.update(b, bc.getOrElse(b, 0L) + 1L)
+          i += 1
+        }
+        var topB = 0L
+        bc.valuesIterator.foreach(c => if (c > topB) topB = c)
+        (id, n,
+          math.floor(wc.size.toDouble * 10000.0 / n.toDouble).toLong,
+          math.floor(topW.toDouble * 10000.0 / n.toDouble).toLong,
+          math.floor(topB.toDouble * 10000.0
+            / math.max(n - 1, 1L).toDouble).toLong)
+      })
+      .toDF(idCol, "n_words", "distinct_ratio_e4", "top_word_e4",
+        "top_bigram_e4")
+  }
 }
