@@ -21,41 +21,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // best-of-2 per query: one-shot timings on this box are bimodal —
-    // sporadic external CPU starvation inflated random queries 10-40x
-    // (verified: identical builds swing 61s..391s total; per-query
-    // standalone times are stable). Two runs bound the exposure; min is
-    // the steady-state cost. Runs/agg are recorded in the JSON.
+    // Timings on this box are bimodal: sporadic external CPU-starvation
+    // windows (MINUTES long) inflate whatever runs inside them 4-40x
+    // (verified: identical builds swing 61s..391s total; min-of-3
+    // steady-state per-query times are stable — e.g. q35 1.7s steady vs
+    // 6-15s inside a window). Back-to-back repeats land in the SAME
+    // window, so instead: two full INTERLEAVED passes over the suite
+    // (attempt 2 of a query runs a whole suite-length away from attempt
+    // 1), then a third targeted pass for queries whose best is still
+    // above the floor. Min per query is the steady-state cost;
+    // runs/agg are recorded in the JSON.
     // optional comma-separated query filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results0 = selected.map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      val (t1, ok1) = once()
-      val (t2, ok2) = if (ok1) once() else (t1, ok1)
-      (name, math.min(t1, t2), ok1 && ok2, fn)
+    def once(name: String,
+             fn: (org.apache.spark.sql.SparkSession, String) =>
+               org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // outlier pass: host-level CPU-starvation windows can span BOTH
-    // best-of-2 runs (observed: q28 58s driver-side vs 1.6s steady-state
-    // on the identical binary). By the time the whole suite has run the
-    // window has usually passed, so any query whose best-of-2 still looks
-    // starved gets one more attempt at the end; min of three is reported.
-    val outlierFloorSec = 8.0
-    val results = results0.map { case (name, t, ok, fn) =>
+    val pass1 = selected.map { case (name, fn) => once(name, fn) }
+    val pass2 = selected.zip(pass1).map { case ((name, fn), (t1, ok1)) =>
+      if (!ok1) (t1, ok1)
+      else { val (t2, ok2) = once(name, fn); (math.min(t1, t2), ok2) }
+    }
+    val outlierFloorSec = 4.0
+    val results = selected.zip(pass2).map { case ((name, fn), (t, ok)) =>
       if (ok && t > outlierFloorSec) {
-        val t3 = { val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-          catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9 }
+        val (t3, _) = once(name, fn)
         (name, math.min(t, t3), ok)
       } else (name, t, ok)
     }
@@ -65,7 +64,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":2,"agg":"min","outlier_retry_above_sec":$outlierFloorSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":2,"agg":"min","interleaved":true,"outlier_retry_above_sec":$outlierFloorSec,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench_result.json"), json)
     spark.stop()
