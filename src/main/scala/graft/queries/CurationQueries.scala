@@ -93,6 +93,16 @@ object CurationQueries {
       Curation.shardAssignments(docs(s, dir), nShards = 64)
         .orderBy("doc_id")),
 
+    // Token-budget domain mixture: per-source budgets derived from the
+    // source index (300 + 150*(i%4)) so the oracle can rebuild the same
+    // map; docs taken in hash order until each domain's budget fills
+    "q56_token_mixture" -> ((s, dir) => {
+      val budgets = (0 until 20)
+        .map(i => s"src$i" -> (300L + 150L * (i % 4))).toMap
+      Curation.tokenBudgetMixture(docs(s, dir), budgets)
+        .orderBy("doc_id")
+    }),
+
     // EXACT length quantiles per source (quantile_disc semantics via a
     // stratum-partitioned ranking — portable across engines, unlike
     // approx_percentile; the window never crosses strata)
@@ -182,6 +192,24 @@ object CurationQueries {
         |       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90,
         |       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q56_token_mixture" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, ${TextQueries.Sql.nTok} AS n_tokens,
+         |         md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, cum_before
+         |FROM c
+         |WHERE cum_before <
+         |  300 + 150 * (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4)
+         |ORDER BY doc_id""".stripMargin,
 
     "q55_shard_assign" ->
       s"""WITH h AS (

@@ -55,6 +55,38 @@ object Curation {
     withShard.withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Domain-mixture sampling by TOKEN budget (the "N tokens per domain"
+    * step of a training-mixture recipe): within each domain, documents
+    * are taken in deterministic hash order until the domain's token
+    * budget is exhausted — a doc is kept iff the tokens BEFORE it fit
+    * the budget (watermark semantics, like [[packSequences]]: the doc
+    * that straddles the boundary is kept, so every non-empty budget
+    * takes at least one doc).
+    *
+    * Scale shape: budgets are a tiny broadcast dim; the running token
+    * sum is a window PARTITIONED by domain (parallel across domains,
+    * never a global sort); everything else is map-side. Deterministic
+    * across engines and re-runs — no RNG state, the hash order IS the
+    * shuffle. Output: (id, domain, n_tokens, cum_before) of kept docs. */
+  def tokenBudgetMixture(docs: DataFrame, budgets: Map[String, Long],
+                         domainCol: String = "source",
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val budgetDf = broadcast(
+      budgets.toSeq.toDF(domainCol, "__budget"))
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(domainCol),
+        TextAnalysis.tokenCountCol(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .join(budgetDf, domainCol)
+      .filter(col("cum_before") < col("__budget"))
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_before"))
+  }
+
   /** Deterministic stratified sample: the `n` rows of each stratum with
     * the smallest md5(id) — an order-free "random n per group" whose
     * window is PARTITIONED by stratum (no global sort; ties on the

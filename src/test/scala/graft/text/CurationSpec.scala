@@ -60,6 +60,25 @@ class CurationSpec extends graft.SparkSuite {
     assert(c(20L)._2 == 0 && c(20L)._3 == 0)
   }
 
+  test("tokenBudgetMixture: budget watermark, determinism, unknown domains dropped") {
+    import spark.implicits._
+    val d = (0L until 30L).map { i =>
+      (i, if (i < 20) "a" else "b", "w " * 10 + "end") // 11 tokens/doc
+    }.toDF("doc_id", "source", "text")
+    val out = Curation.tokenBudgetMixture(d,
+      Map("a" -> 30L, "c" -> 100L), domainCol = "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // budget 30 over 11-token docs: cum_before 0, 11, 22 all < 30 -> 3 docs
+    // kept (the third straddles the boundary — watermark keeps it);
+    // domain b has no budget row, domain c has no docs
+    assert(out.length == 3 && out.forall(_._2 == "a"))
+    assert(out.map(_._4).sorted.sameElements(Seq(0L, 11L, 22L)))
+    val again = Curation.tokenBudgetMixture(d,
+      Map("a" -> 30L, "c" -> 100L), domainCol = "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("topNgrams: counts and lexicographic tie-break") {
     val top = Curation.topNgrams(docs, n = 2, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
