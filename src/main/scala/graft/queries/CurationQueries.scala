@@ -93,6 +93,13 @@ object CurationQueries {
       Curation.shardAssignments(docs(s, dir), nShards = 64)
         .orderBy("doc_id")),
 
+    // Sliding-window chunking (20-token chunks, 5-token overlap): the
+    // chunk text itself is hash-compared, so word-slice boundaries and
+    // the short tail chunk must agree with the oracle exactly
+    "q57_chunk_documents" -> ((s, dir) =>
+      Curation.chunkDocuments(docs(s, dir), chunkTokens = 20, overlap = 5)
+        .orderBy("doc_id", "chunk_idx")),
+
     // Token-budget domain mixture: per-source budgets derived from the
     // source index (300 + 150*(i%4)) so the oracle can rebuild the same
     // map; docs taken in hash order until each domain's budget fills
@@ -192,6 +199,17 @@ object CurationQueries {
         |       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90,
         |       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q57_chunk_documents" ->
+      s"""WITH w AS (SELECT doc_id, ${TextQueries.Sql.words} AS ws FROM documents),
+         |c AS (
+         |  SELECT doc_id, s // 15 AS chunk_idx,
+         |         array_to_string(ws[s+1 : s+20], ' ') AS chunk_text,
+         |         least(20, len(ws) - s) AS n_chunk_tokens
+         |  FROM w, LATERAL (SELECT unnest(range(0, len(ws), 15)) AS s) t)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+         |       CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q56_token_mixture" ->
       s"""WITH t AS (

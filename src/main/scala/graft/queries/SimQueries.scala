@@ -66,6 +66,17 @@ object SimQueries {
         .orderBy("id")
     }),
 
+    // SemDeDup-style semantic dedup: IVF-centroid blocking -> in-block
+    // cosine pairs -> connected components -> keep min id. Rows-only for
+    // the driver (k-means has no closed-form SQL); the correctness gate
+    // is SemanticDedupSpec (planted duplicates collapse, distinct
+    // vectors survive, representative is the min id)
+    "q58_semantic_dedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.sim.SemanticDedup.assignments(e, thresholdE6 = 900000L)
+        .orderBy("id")
+    }),
+
     // Per-label embedding stats, quantize-then-sum so group aggregation
     // order cannot introduce FP drift
     "q29_embedding_stats" -> ((s, dir) =>

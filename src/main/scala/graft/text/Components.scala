@@ -109,9 +109,11 @@ object Components {
     * keep-one-per-cluster dedup. */
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
                     idCol: String = "doc_id"): DataFrame = {
+    // rename the assignment side so idCol = "id" callers don't collide
     val comps = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("component"))
     docs.select(col(idCol).cast("long").as(idCol))
-      .join(comps, col(idCol) === col("id"), "left")
+      .join(comps, col(idCol) === col("__cc_id"), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("component"))
       .withColumn("kept", (col("component") === col(idCol)).cast("long"))

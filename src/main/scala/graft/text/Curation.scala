@@ -55,6 +55,37 @@ object Curation {
     withShard.withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Sliding-window document chunking — the context-window prep step:
+    * each doc's (normalized, whitespace-split) words are cut into
+    * chunks of `chunkTokens` words advancing by `chunkTokens - overlap`
+    * (so consecutive chunks share `overlap` words); the tail chunk may
+    * be shorter. One compiled MAP-ONLY pass (the fan-out multiplies
+    * rows ~n/step×, so the source is widened first); chunk ids are
+    * per-doc ordinals — deterministic, no shuffle, no state.
+    * Output: (id, chunk_idx, chunk_text, n_chunk_tokens). */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlap: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val step = chunkTokens - overlap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.sources.Tables.widen(
+        docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val words = TextAnalysis.normalize(text).split(" ", -1)
+        val n = words.length
+        (0 until n by step).iterator.zipWithIndex.map { case (s, idx) =>
+          val end = math.min(s + chunkTokens, n)
+          (id, idx.toLong, words.slice(s, end).mkString(" "),
+            (end - s).toLong)
+        }
+      })
+      .toDF(idCol, "chunk_idx", "chunk_text", "n_chunk_tokens")
+  }
+
   /** Domain-mixture sampling by TOKEN budget (the "N tokens per domain"
     * step of a training-mixture recipe): within each domain, documents
     * are taken in deterministic hash order until the domain's token

@@ -79,6 +79,22 @@ class CurationSpec extends graft.SparkSuite {
     assert(out.toSet == again.toSet)
   }
 
+  test("chunkDocuments: overlap windows, short tail, single-short-doc") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      (2L, "only three words")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(d, chunkTokens = 5, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,3,6,9 -> windows of 5 with 2-word overlap, tail = 3 words
+    assert(doc1.map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4 w5", "w4 w5 w6 w7 w8", "w7 w8 w9 w10 w11", "w10 w11 w12"))
+    assert(doc1.map(_._4).toSeq == Seq(5L, 5L, 5L, 3L))
+    val doc2 = out.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2.head._3 == "only three words" &&
+      doc2.head._4 == 3L)
+  }
+
   test("topNgrams: counts and lexicographic tie-break") {
     val top = Curation.topNgrams(docs, n = 2, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
