@@ -27,6 +27,73 @@ object Relational {
   def semiJoin(df: DataFrame, other: DataFrame, joinExpr: Column): DataFrame =
     df.join(other, joinExpr, "left_semi")
 
+  /** As-of join — attach to each left row the payload of the most recent
+    * right row with `right.ts <= left.ts` under the same keys (the
+    * time-series join Spark lacks natively; DuckDB `ASOF JOIN` is the
+    * oracle). Union-tag shape: ONE hash shuffle on the key columns, a
+    * key-partitioned sort, and a running last-non-null window — never a
+    * range condition the planner would turn into a broadcast-nested-loop,
+    * and no per-key state beyond the window frame, so 100M rows per key
+    * stream through a single sorted pass. Right rows order BEFORE left
+    * rows at equal ts (inclusive semantics, = DuckDB's `l.ts >= r.ts`).
+    * The payload travels as ONE struct so a right row whose payload
+    * column is genuinely null still wins over an older row.
+    * Ties between right rows at identical (keys, ts) are broken by
+    * `rightTieBreak` (pass it when ts is not unique per key).
+    * Output: every left column, then `prefix`-renamed payload columns
+    * (null when no right row precedes). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, payload: Seq[String],
+               prefix: String = "asof_",
+               rightTieBreak: Seq[Column] = Nil): DataFrame = {
+    val lStruct = struct(left.columns.map(col): _*)
+    val pStruct = struct(payload.map(col): _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+    val pType = right.select(pStruct.as("s")).schema("s").dataType
+    val lPrep = left.select(
+      keys.map(col) ++ Seq(col(tsCol).as("__ts"), lit(1).as("__side"),
+        lStruct.as("__l"), lit(null).cast(pType).as("__p")): _*)
+    val rPrep = right.select(
+      keys.map(col) ++ Seq(col(tsCol).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"), pStruct.as("__p")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc +: col("__side").asc +: rightTieBreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lPrep.unionByName(rPrep)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__l.$c")) ++
+        payload.map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
+  }
+
+  /** Range (interval) join — pair each point row with every interval row
+    * of the same keys whose `[startCol, endCol]` contains `tsCol`
+    * (inclusive ends). A naive range predicate plans as a nested-loop
+    * join; this bucketizes instead: points hash to their one
+    * `ts div bucketWidth` bucket, intervals EXPLODE to every bucket they
+    * overlap, and the join is a plain equi-join on (keys, bucket) with
+    * the exact BETWEEN re-checked after. A point lands in exactly one
+    * bucket, so each qualifying pair appears exactly once — no dedup
+    * stage. Cost scales with interval-length/bucketWidth replication:
+    * pick `bucketWidth` around the typical interval length (a mega
+    * interval replicates length/width times — bounded, never all-pairs).
+    * `points` and `intervals` must share ONLY the key columns; all
+    * columns of both sides are returned. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                tsCol: String, startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pb = points.withColumn("__bucket",
+      expr(s"CAST($tsCol AS BIGINT) div $bucketWidth"))
+    val ib = intervals.withColumn("__bucket",
+      explode(sequence(expr(s"CAST($startCol AS BIGINT) div $bucketWidth"),
+        expr(s"CAST($endCol AS BIGINT) div $bucketWidth"))))
+    pb.join(ib, keys :+ "__bucket")
+      .filter(col(tsCol).cast("long").between(
+        col(startCol).cast("long"), col(endCol).cast("long")))
+      .drop("__bucket")
+  }
+
   /** J4/F8 — manifest diff: rows of `current` that are new or changed vs
     * `reference` (tools/sip2localstorage.py:76-94, razu/edepot.py:87-106).
     * Left join on `key`; keep when the reference row is missing or its

@@ -52,6 +52,46 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
+    // As-of join (click -> most recent preceding view per user): one
+    // hash shuffle + partitioned sort, never a range nested-loop; the
+    // oracle is DuckDB's native ASOF LEFT JOIN
+    "q59_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("event_type"))
+      val clicks = e.filter(col("event_type") === "click").drop("event_type")
+      val views = e.filter(col("event_type") === "view").drop("event_type")
+      graft.ops.Relational.asofJoin(clicks, views,
+          keys = Seq("user_id"), tsCol = "ts",
+          payload = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          col("asof_event_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
+
+    // Range join (click inside a 30-min window opened by each view):
+    // bucketized equi-join — intervals explode to their overlapped
+    // buckets, a point hashes to one bucket, exact BETWEEN re-checked —
+    // never the nested-loop a raw range predicate would plan
+    "q60_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      val halfHourUs = 30L * 60 * 1000000
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts_us").as("start_us"),
+          (col("ts_us") + halfHourUs).as("end_us"))
+      graft.ops.Relational.rangeJoin(clicks, views, keys = Seq("user_id"),
+          tsCol = "ts_us", startCol = "start_us", endCol = "end_us",
+          bucketWidth = halfHourUs)
+        .select(col("click_id"), col("view_id"), col("user_id"))
+        .orderBy("click_id", "view_id")
+    }),
+
     // H1/H3 — content hash + stored-vs-computed validation
     // (razu/util.py:155-163, razu/manifest.py:204-215)
     "q32_doc_manifest" -> ((s, dir) =>
@@ -153,6 +193,27 @@ object PipelineQueries {
         |g AS (SELECT user_id, sess, COUNT(*) AS cnt FROM s GROUP BY 1, 2)
         |SELECT user_id, COUNT(*) AS n_sessions, MAX(cnt) AS max_session_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q60_range_join" ->
+      """WITH l AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS start_us,
+        |             epoch_us(ts) + 1800000000 AS end_us
+        |      FROM events WHERE event_type = 'view')
+        |SELECT l.click_id, r.view_id, l.user_id
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |              AND l.ts_us BETWEEN r.start_us AND r.end_us
+        |ORDER BY click_id, view_id""".stripMargin,
+
+    "q59_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'view')
+        |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+        |       r.event_id AS asof_event_id, r.value AS asof_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q32_doc_manifest" ->
       """SELECT doc_id, md5(text) AS md5hash,

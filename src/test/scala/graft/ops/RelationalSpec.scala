@@ -130,4 +130,60 @@ class RelationalSpec extends SparkSuite {
     assert(ids.select("ord", "__recordId", "__serieId")
       .except(want).isEmpty)
   }
+
+  test("asofJoin: most recent right row at-or-before, per key, null payloads win") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 5L), // 5 precedes any right
+      (4L, "b", 10L)                                 // key b: exact-ts tie
+    ).toDF("lid", "k", "t")
+    val right = Seq(
+      ("a", 8L, 100L, Some("x")), ("a", 10L, 101L, None), // ts 10: ties left lid=1
+      ("a", 15L, 102L, Some("y")),
+      ("b", 10L, 103L, Some("z"))
+    ).toDF("k", "t", "rid", "tag")
+    val out = Relational.asofJoin(left, right, keys = Seq("k"), tsCol = "t",
+        payload = Seq("rid", "tag"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getString(4))))
+      .toMap
+    // lid 1 (t=10): right t=10 is inclusive AND its null tag must not
+    // fall back to the older t=8 row (struct payload semantics)
+    assert(out(1L) == (Some(101L), None))
+    assert(out(2L) == (Some(102L), Some("y"))) // most recent of 8/10/15
+    assert(out(3L) == (None, None))            // nothing at-or-before 5
+    assert(out(4L) == (Some(103L), Some("z"))) // equal-ts inclusive on key b
+  }
+
+  test("rangeJoin: containment matches exactly once, plan is equi-join not nested-loop") {
+    import spark.implicits._
+    val points = Seq((1L, "a", 15L), (2L, "a", 100L), (3L, "b", 15L))
+      .toDF("pid", "k", "t")
+    val intervals = Seq(
+      ("a", 10L, 20L, 100L),  // contains p1
+      ("a", 12L, 40L, 101L),  // contains p1 (multi-bucket interval)
+      ("a", 90L, 100L, 102L), // contains p2 (inclusive end)
+      ("b", 16L, 30L, 103L)   // misses p3
+    ).toDF("k", "s", "e", "iid")
+    val out = Relational.rangeJoin(points, intervals, Seq("k"), "t", "s", "e",
+        bucketWidth = 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each qualifying pair exactly once even when the interval spans
+    // several buckets
+    assert(out == Set((1L, 100L), (1L, 101L), (2L, 102L)))
+    val p = Relational.rangeJoin(points, intervals, Seq("k"), "t", "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("asofJoin plan: one hash exchange on the key, no nested-loop join") {
+    import spark.implicits._
+    val left = (1L to 100L).map(i => (i, i % 5, i * 10)).toDF("lid", "k", "t")
+    val right = (1L to 50L).map(i => (i, i % 5, i * 7)).toDF("rid", "k", "t")
+    val p = Relational.asofJoin(left, right, Seq("k"), "t", Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(k"), p)
+  }
 }
