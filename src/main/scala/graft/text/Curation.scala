@@ -55,6 +55,29 @@ object Curation {
     withShard.withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Materialize the training shuffle as shard FILES, in ONE shuffle
+    * total: the ranking window's hash exchange on `shard` already
+    * leaves the data co-located by shard and sorted by (shard, hash,
+    * id) = (shard, pos) within partitions, so the `partitionBy(shard)`
+    * writer streams every shard straight out in its final order — the
+    * trailing sortWithinPartitions is satisfied by the window's output
+    * ordering and elides. One `shard=N/` directory per shard, rows
+    * inside each file in pos order. Format is any Spark sink
+    * ("parquet", "json" for JSONL training shards). */
+  def writeShards(docs: DataFrame, outDir: String, nShards: Int = 64,
+                  idCol: String = "doc_id",
+                  format: String = "parquet"): Unit = {
+    val h = graft.functions.Hashing.polyHashCol(col(idCol).cast("string"))
+    val withShard = docs.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+    val w = Window.partitionBy("shard").orderBy(col("__h").asc, col(idCol).asc)
+    withShard.withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").format(format)
+      .partitionBy("shard").save(outDir)
+  }
+
   /** Sliding-window document chunking — the context-window prep step:
     * each doc's (normalized, whitespace-split) words are cut into
     * chunks of `chunkTokens` words advancing by `chunkTokens - overlap`

@@ -49,4 +49,25 @@ class RepetitionSpec extends graft.SparkSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("windowspecdefinition(shard"), p)
   }
+
+  test("writeShards: one dir per shard, rows inside each file in pos order") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Curation.writeShards(docs, out, nShards = 4)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.sameElements((0 until 4).map(s => s"shard=$s")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200)
+    // within each shard the parquet row order equals the pos order
+    val want = Curation.shardAssignments(docs, nShards = 4)
+    (0 until 4).foreach { s =>
+      val filePos = spark.read.parquet(s"$out/shard=$s")
+        .select("pos").collect().map(_.getLong(0))
+      assert(filePos.sameElements(filePos.sorted), s"shard $s out of order")
+      assert(filePos.length ==
+        want.filter(col("shard") === s).count())
+    }
+  }
 }
