@@ -39,13 +39,16 @@ object Relational {
     * The payload travels as ONE struct so a right row whose payload
     * column is genuinely null still wins over an older row.
     * Ties between right rows at identical (keys, ts) are broken by
-    * `rightTieBreak` (pass it when ts is not unique per key).
+    * `rightTieBreak` — names of PAYLOAD columns, ascending; the last
+    * one in that order wins (pass it when ts is not unique per key;
+    * they resolve inside the payload struct, so left rows — whose
+    * struct is null — are unaffected).
     * Output: every left column, then `prefix`-renamed payload columns
     * (null when no right row precedes). */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payload: Seq[String],
                prefix: String = "asof_",
-               rightTieBreak: Seq[Column] = Nil): DataFrame = {
+               rightTieBreak: Seq[String] = Nil): DataFrame = {
     val lStruct = struct(left.columns.map(col): _*)
     val pStruct = struct(payload.map(col): _*)
     val lType = left.select(lStruct.as("s")).schema("s").dataType
@@ -57,7 +60,8 @@ object Relational {
       keys.map(col) ++ Seq(col(tsCol).as("__ts"), lit(0).as("__side"),
         lit(null).cast(lType).as("__l"), pStruct.as("__p")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc +: col("__side").asc +: rightTieBreak: _*)
+      .orderBy(col("__ts").asc +: col("__side").asc +:
+        rightTieBreak.map(f => col(s"__p.$f").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lPrep.unionByName(rPrep)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))

@@ -21,6 +21,22 @@ object StreamGeoQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    // Streaming PII monitoring: the map-only Pii.detect Columns drop
+    // into a readStream unchanged (stateless ops are engine-mode
+    // agnostic); per-source counts aggregate in complete mode and must
+    // equal the batch SQL oracle exactly
+    "q61_stream_pii" -> ((s, dir) => {
+      val name = s"q61_mem_${System.nanoTime()}"
+      val docs = Streaming.fileStream(s, s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      val agg = graft.text.Pii.detect(TextQueries.plantPii(docs), "content")
+        .groupBy("source")
+        .agg(sum("n_emails").as("n_emails"), sum("n_ipv4").as("n_ipv4"),
+          sum("n_phones").as("n_phones"),
+          sum("has_pii").as("n_docs_with_pii"))
+      Streaming.runAvailableNow(agg, name).orderBy("source")
+    }),
+
     // G1/G2/G3 — RD-coordinate parse + polynomial CRS transform,
     // quantized to 1e6 microdegrees (multiplication-chain arithmetic is
     // replicated verbatim in the oracle)
@@ -44,6 +60,28 @@ object StreamGeoQueries {
         |       event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q61_stream_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\+[0-9]{2}[0-9 -]{6,12}[0-9]"
+      s"""WITH c AS (
+         |  SELECT doc_id, source, ${TextQueries.Sql.plantPiiContent} AS content
+         |  FROM documents),
+         |d AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(content, '$email')) AS e,
+         |    len(regexp_extract_all(content, '$ipv4')) AS i,
+         |    len(regexp_extract_all(content, '$phone')) AS p
+         |  FROM c)
+         |SELECT source,
+         |  CAST(SUM(e) AS BIGINT) AS n_emails,
+         |  CAST(SUM(i) AS BIGINT) AS n_ipv4,
+         |  CAST(SUM(p) AS BIGINT) AS n_phones,
+         |  CAST(SUM(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_with_pii
+         |FROM d GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q38_geo_transform" -> {
       val x = "(CAST(100000000 + (o_orderkey % 100000) * 1000 AS BIGINT) / 1000.0)"

@@ -33,6 +33,19 @@ object TextQueries {
          |  (a, b) -> (a * 31 + b) % 1000000007)
          | for i in range(1, greatest(len($whs) - ${k - 1}, 1) + 1)]""".stripMargin
 
+    // planted-PII content (byte-identical to TextQueries.plantPii)
+    val plantPiiContent: String =
+      """text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN ' call +31 6 1234 56' || CAST(doc_id % 90 + 10 AS VARCHAR)
+        |      ELSE '' END""".stripMargin
+
     // quality score + language-ID fragments (shared by q22 and q42)
     val words = s"string_split($norm, ' ')"
     val nTok = s"CAST(len($words) AS BIGINT)"
@@ -54,6 +67,23 @@ object TextQueries {
     val langPred =
       s"CASE WHEN substr($scoredLang, 1, 8) <> '00000000' THEN substr($scoredLang, 10, 2) ELSE 'und' END"
   }
+
+  /** Deterministically plant emails/IPs/phones in a doc_id-keyed subset
+    * (the synthetic corpus has no PII) — shared by q53 (batch redact)
+    * and q61 (streaming detect); [[Sql.plantPiiContent]] is the
+    * byte-identical SQL construction. */
+  private[queries] def plantPii(d: DataFrame): DataFrame =
+    d.withColumn("content", concat(col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".25"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(lit(" call +31 6 1234 56"),
+          (pmod(col("doc_id"), lit(90)) + 10).cast("string")))
+        .otherwise(lit(""))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -148,19 +178,8 @@ object TextQueries {
     // regexp_* expressions fuse into the scan projection, no shuffle
     "q53_pii_redact" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val planted = d.withColumn("content", concat(col("text"),
-        when(pmod(col("doc_id"), lit(7)) === 0,
-          concat(lit(" contact user"), col("doc_id").cast("string"),
-            lit("@example.com"))).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(11)) === 0,
-          concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
-            lit(".25"))).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(13)) === 0,
-          concat(lit(" call +31 6 1234 56"),
-            (pmod(col("doc_id"), lit(90)) + 10).cast("string")))
-          .otherwise(lit(""))))
       graft.text.Pii.redact(
-          graft.text.Pii.detect(planted, "content"), "content")
+          graft.text.Pii.detect(plantPii(d), "content"), "content")
         .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
           col("n_phones"), col("has_pii"), col("redacted"))
         .orderBy("doc_id")
@@ -239,16 +258,7 @@ object TextQueries {
       val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
       val phone = "\\+[0-9]{2}[0-9 -]{6,12}[0-9]"
       s"""WITH c AS (
-         |  SELECT doc_id, text ||
-         |    CASE WHEN doc_id % 7 = 0
-         |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-         |      ELSE '' END ||
-         |    CASE WHEN doc_id % 11 = 0
-         |      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25'
-         |      ELSE '' END ||
-         |    CASE WHEN doc_id % 13 = 0
-         |      THEN ' call +31 6 1234 56' || CAST(doc_id % 90 + 10 AS VARCHAR)
-         |      ELSE '' END AS content
+         |  SELECT doc_id, ${Sql.plantPiiContent} AS content
          |  FROM documents),
          |d AS (
          |  SELECT doc_id,

@@ -156,6 +156,16 @@ class RelationalSpec extends SparkSuite {
     assert(out(4L) == (Some(103L), Some("z"))) // equal-ts inclusive on key b
   }
 
+  test("asofJoin: rightTieBreak resolves inside the payload struct") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 10L)).toDF("lid", "k", "t")
+    // two right rows at the SAME (key, ts): the last in rid order wins
+    val right = Seq(("a", 10L, 7L), ("a", 10L, 3L)).toDF("k", "t", "rid")
+    val r = Relational.asofJoin(left, right, Seq("k"), "t", Seq("rid"),
+      rightTieBreak = Seq("rid")).select("asof_rid").head()
+    assert(r.getLong(0) == 7L)
+  }
+
   test("rangeJoin: containment matches exactly once, plan is equi-join not nested-loop") {
     import spark.implicits._
     val points = Seq((1L, "a", 15L), (2L, "a", 100L), (3L, "b", 15L))
