@@ -189,6 +189,32 @@ object RelationalQueries {
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")),
 
+    // Pivot (event-type counts to columns, per user): Spark's native
+    // RelationalGroupedDataset.pivot with an explicit value list — the
+    // explicit list keeps the plan a single pass (no extra
+    // distinct-values job) and pins column order for the oracle
+    "q62_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // Rollup (order counts at (status, priority), (status), ()): grand
+    // totals and subtotals in one pass — grouping-set semantics with
+    // NULL markers replaced so the hash compare is engine-stable
+    "q63_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority")),
+
     // STR4/5/6/8 — path normalization + extension ops (razu/util.py:32-153)
     "q20_path_ops" -> ((s, dir) => {
       val p = t(s, dir, "part")
@@ -350,6 +376,24 @@ object RelationalQueries {
         |         printf('%03d/%03d/', o_orderkey // 1000000, (o_orderkey % 1000000) // 1000) AS bucket,
         |       COUNT(*) AS n
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q62_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q63_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
 
     "q20_path_ops" ->
       """WITH src AS (
