@@ -54,8 +54,10 @@ object Bench {
     val outlierFloorSec = 4.0
     val results = selected.zip(pass2).map { case ((name, fn), (t, ok)) =>
       if (ok && t > outlierFloorSec) {
-        val (t3, _) = once(name, fn)
-        (name, math.min(t, t3), ok)
+        // a FAILED retry must not contribute its short time-to-failure
+        // as a fake steady-state minimum
+        val (t3, ok3) = once(name, fn)
+        (name, if (ok3) math.min(t, t3) else t, ok)
       } else (name, t, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }

@@ -56,7 +56,12 @@ object Relational {
     val lPrep = left.select(
       keys.map(col) ++ Seq(col(tsCol).as("__ts"), lit(1).as("__side"),
         lStruct.as("__l"), lit(null).cast(pType).as("__p")): _*)
-    val rPrep = right.select(
+    // a null right ts matches nothing (ASOF `l.ts >= r.ts` is null-false
+    // in SQL); without this filter nulls-first ordering would make such
+    // a row the "oldest" and hand its payload to every early left row.
+    // (A null LEFT ts needs no guard: it sorts before every real right
+    // row, so its running last-non-null is empty -> null payload.)
+    val rPrep = right.filter(col(tsCol).isNotNull).select(
       keys.map(col) ++ Seq(col(tsCol).as("__ts"), lit(0).as("__side"),
         lit(null).cast(lType).as("__l"), pStruct.as("__p")): _*)
     val w = Window.partitionBy(keys.map(col): _*)

@@ -63,7 +63,8 @@ object PipelineQueries {
       val views = e.filter(col("event_type") === "view").drop("event_type")
       graft.ops.Relational.asofJoin(clicks, views,
           keys = Seq("user_id"), tsCol = "ts",
-          payload = Seq("event_id", "value"))
+          payload = Seq("event_id", "value"),
+          rightTieBreak = Seq("event_id"))
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("value"),
           col("asof_event_id"), col("asof_value"))

@@ -106,6 +106,19 @@ object JsonLd {
     * objectKind, datatype, lang). */
   private[io] def renderPartition(
       rows: Seq[(String, String, String, String, String, String)]): String = {
+    val sb = new StringBuilder
+    renderPartitionTo(rows, sb.append(_))
+    sb.toString
+  }
+
+  /** Streaming form of [[renderPartition]]: documents are rendered and
+    * emitted one root at a time, so peak memory is the row buffer plus
+    * ONE document's string — not the whole partition's output
+    * concatenated (2-3x the partition size at the 100 TB design
+    * point). */
+  private[io] def renderPartitionTo(
+      rows: Seq[(String, String, String, String, String, String)],
+      write: String => Unit): Unit = {
     val parent = rows.iterator.filter(_._4 == Triple.BNODE)
       .map(t => t._3 -> t._1).toMap
     def rootOf(s0: String): String = {
@@ -121,9 +134,13 @@ object JsonLd {
       }
       cur
     }
-    val docs = rows.groupBy(t => rootOf(t._1)).toSeq.sortBy(_._1)
-      .map { case (root, ts) => renderDoc(root, ts) }
-    docs.mkString("[", ",\n", "]")
+    write("[")
+    rows.groupBy(t => rootOf(t._1)).toSeq.sortBy(_._1).zipWithIndex
+      .foreach { case ((root, ts), i) =>
+        if (i > 0) write(",\n")
+        write(renderDoc(root, ts))
+      }
+    write("]")
   }
 
   // ---- reader ---------------------------------------------------------

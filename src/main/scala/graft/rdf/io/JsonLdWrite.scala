@@ -28,8 +28,12 @@ import graft.rdf.Triple
   * visible. */
 private[io] class JsonLdWriteBuilder(path: String, info: LogicalWriteInfo)
   extends WriteBuilder with SupportsTruncate {
+  // validate names AND types driver-side: a wrong-typed column would
+  // otherwise die executor-side (getUTF8String ClassCastException) after
+  // truncate already deleted the existing files
   if (info.schema() != null &&
-      info.schema().fieldNames.toSeq != Triple.schema.fieldNames.toSeq) {
+      info.schema().fields.toSeq.map(f => (f.name, f.dataType)) !=
+        Triple.schema.fields.toSeq.map(f => (f.name, f.dataType))) {
     throw new IllegalArgumentException(
       s"jsonld sink writes the fixed triple schema ${Triple.schema.simpleString}; " +
         s"got ${info.schema().simpleString}")
@@ -57,13 +61,16 @@ private[io] class JsonLdBatchWrite(path: String, queryId: String,
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(path).getFileSystem(new Configuration())
-    messages.foreach {
+    try messages.foreach {
       case JsonLdCommit(files) => files.foreach { name =>
-        fs.rename(new HPath(tempDir, name), new HPath(path, name))
+        // rename returns false instead of throwing on e.g. an existing
+        // destination — swallowing it would silently drop the file
+        if (!fs.rename(new HPath(tempDir, name), new HPath(path, name)))
+          sys.error(s"jsonld commit: rename of $name into $path failed " +
+            "(destination exists or temp file missing)")
       }
       case _ => ()
-    }
-    fs.delete(tempDir, true)
+    } finally fs.delete(tempDir, true)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(path).getFileSystem(new Configuration())
@@ -92,12 +99,16 @@ private[io] class JsonLdDataWriter(path: String, queryId: String,
 
   override def commit(): WriterCommitMessage = {
     if (rows.isEmpty) return JsonLdCommit(Seq.empty)
-    val docs = JsonLd.renderPartition(rows.toSeq)
-    val name = f"part-$partitionId%05d.jsonld"
+    // queryId in the final name: append-mode writes from two jobs must
+    // not collide on part-00000 (rename into place would drop one)
+    val name = f"part-$partitionId%05d-$queryId.jsonld"
     val tmp = new HPath(new HPath(path, s"_temporary_$queryId"), name)
     val fs = tmp.getFileSystem(new Configuration())
     val out = fs.create(tmp, true)
-    try out.write(docs.getBytes("UTF-8")) finally out.close()
+    val w = new java.io.OutputStreamWriter(out, "UTF-8")
+    // streamed render: one document's string at a time, never the whole
+    // partition's output concatenated
+    try JsonLd.renderPartitionTo(rows.toSeq, w.write(_)) finally w.close()
     JsonLdCommit(Seq(name))
   }
 

@@ -169,30 +169,60 @@ object Ivf {
       }
   }
 
-  private def cachedCorpusNorm(corpus: DataFrame): DataFrame = {
-    val cacheKey = System.identityHashCode(corpus.sparkSession) + "\n" +
-      corpus.queryExecution.analyzed.canonicalized.toString
-    NormCache.getOrElseUpdate(cacheKey,
+  /** Cache key for a corpus plan. The canonicalized plan alone is NOT
+    * enough: Spark canonicalization normalizes a parquet relation to
+    * `Relation [none#0L,...] parquet` with NO path, so two different
+    * corpora with the same schema would collide — include every file
+    * relation's root paths explicitly. */
+  private def planKey(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val paths = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.mkString(",")
+        case other => other.toString
+      }
+    }.mkString(";")
+    System.identityHashCode(df.sparkSession) + "\n" + paths + "\n" +
+      df.queryExecution.analyzed.canonicalized.toString
+  }
+
+  private def cachedCorpusNorm(corpus: DataFrame): DataFrame =
+    NormCache.getOrElseUpdate(planKey(corpus),
       normalized(corpus, "neighbor_id", "cv")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
 
   /** Session-scoped codebook cache: IVF's model is train-once /
     * serve-many — retraining identical Lloyd rounds on an unchanged
     * corpus for every query batch would pay `iters` full corpus scans
-    * per call. Keyed by (corpus plan, nCentroids, iters); driver-resident
-    * (nCentroids × dim doubles, a few KB). */
-  private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+    * per call. Keyed by ([[planKey]] incl. source paths, nCentroids,
+    * iters); driver-resident (nCentroids × dim doubles, a few KB each),
+    * LRU-bounded so long sessions over many corpora don't accumulate. */
+  private object CodebookCache {
+    private val max = 16
+    private val entries =
+      new java.util.LinkedHashMap[String, Array[Array[Double]]](32, 0.75f, true)
+    def getOrElseUpdate(key: String,
+                        make: => Array[Array[Double]]): Array[Array[Double]] =
+      synchronized {
+        val hit = entries.get(key)
+        if (hit != null) hit
+        else {
+          val v = make
+          entries.put(key, v)
+          if (entries.size > max) {
+            val it = entries.entrySet().iterator()
+            it.next(); it.remove()
+          }
+          v
+        }
+      }
+  }
 
   private def cachedCodebook(corpusNorm: DataFrame, nCentroids: Int,
-                             iters: Int): Array[Array[Double]] = {
-    val key = System.identityHashCode(corpusNorm.sparkSession) + "\n" +
-      nCentroids + ":" + iters + "\n" +
-      corpusNorm.queryExecution.analyzed.canonicalized.toString
-    codebookCache.computeIfAbsent(key,
-      _ => trainFromNormalized(corpusNorm, nCentroids, iters))
-  }
+                             iters: Int): Array[Array[Double]] =
+    CodebookCache.getOrElseUpdate(
+      nCentroids + ":" + iters + "\n" + planKey(corpusNorm),
+      trainFromNormalized(corpusNorm, nCentroids, iters))
 
   /** Top-k cosine neighbours per query via nProbe inverted lists — the
     * small-query *serving* fast path (same design as

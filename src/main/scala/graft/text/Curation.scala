@@ -172,7 +172,11 @@ object Curation {
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .withColumn("__start", col("__cum") - col("n_tokens"))
       .select(col(idCol), col(shardCol), col("n_tokens"),
-        (col("__start") / budget).cast("long").as("bin"),
+        // integer `div`, not `/`: double division drifts from the exact
+        // `%`-based offset once per-shard cumulative tokens approach
+        // 2^52/budget, de-syncing bin and offset for non-power-of-two
+        // budgets (the oracle divides exactly)
+        expr(s"__start div $budget").as("bin"),
         (col("__start") % budget).as("offset"))
   }
 
