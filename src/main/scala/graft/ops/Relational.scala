@@ -103,6 +103,61 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Salted inner equi-join — the skew-mitigation shape for a fact key
+    * whose hottest value overwhelms one reducer (AQE's skew-join splits
+    * post-hoc; salting PRE-SPREADS, which also covers aggregates-after-
+    * join and engines/configs without AQE). The dim side replicates
+    * `nSalt`× with a salt column; each fact row picks ONE deterministic
+    * salt from a hash of the whole row (any value is correct — salt only
+    * routes; a hash keeps re-runs identical), and the join key becomes
+    * (key, salt), spreading each hot key over nSalt reducers. Result ==
+    * the plain inner equi-join, row for row (the q67 oracle is exactly
+    * that SQL join). Cost: dim shuffles nSalt× its size — use for
+    * mid-size dims where broadcast doesn't fit; keep nSalt ~ the skew
+    * factor, not the cluster size. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 nSalt: Int = 8): DataFrame = {
+    require(nSalt > 0, "nSalt must be positive")
+    val saltedDim = dim.withColumn("__salt",
+      explode(array((0 until nSalt).map(lit): _*)))
+    fact.withColumn("__salt",
+        pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(nSalt)).cast("int"))
+      .join(saltedDim, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** SCD2 history build — fold a change stream (one row per key per
+    * timestamp; pre-aggregate duplicates first) into slowly-changing-
+    * dimension type-2 intervals: consecutive rows whose tracked
+    * attributes are unchanged collapse into one validity interval;
+    * each surviving change opens an interval [valid_from, valid_to)
+    * closed by the NEXT change of the same key (null valid_to =
+    * current version). The lakehouse upsert-compaction shape: turn an
+    * append-only CDC log into a queryable dimension history.
+    *
+    * Two windows, both PARTITIONED by the business key and ordered by
+    * `tsCol` — ONE hash exchange on the key; the second window (over
+    * change-surviving rows) reuses the first's partitioning, so the
+    * plan at 1000 executors is a single shuffle keyed by the dimension
+    * key, parallel across keys, never a global sort. Null-safe change
+    * detection (`<=>` on the attribute struct), so a null→value or
+    * value→null transition versions correctly. */
+  def scd2History(changes: DataFrame, keys: Seq[String], tsCol: String,
+                  attrCols: Seq[String]): DataFrame = {
+    val attrs = struct(attrCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
+    changes
+      // a key's first row has a null __prev struct, and null <=> struct
+      // is false — so the first version is kept by the same predicate
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      .filter(!(col("__prev") <=> attrs))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(keys.map(col) ++ attrCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
   /** J4/F8 — manifest diff: rows of `current` that are new or changed vs
     * `reference` (tools/sip2localstorage.py:76-94, razu/edepot.py:87-106).
     * Left join on `key`; keep when the reference row is missing or its

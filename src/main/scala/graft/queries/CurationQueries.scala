@@ -57,6 +57,44 @@ object CurationQueries {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Deterministic WEIGHTED sample: keep probability scales with doc
+    // length (importance sampling by quality weight) — still map-only,
+    // still reproducible: the keep decision is md5(id) vs a per-row
+    // threshold, replicated bit-for-bit in the oracle
+    "q64_weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(docs(s, dir), "doc_id",
+          least(lit(1.0), col("n_chars").cast("double") / lit(400.0)))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // Bloom-filter decontamination: eval-split shingles -> broadcast
+    // Bloom sketch -> ONE map-only corpus scan (no join, no corpus
+    // shuffle). Rows-only for the driver (a Bloom bitset has no
+    // closed-form SQL); CurationSpec gates it against the exact join:
+    // zero false negatives, fp rate within 10x of fpp
+    "q65_bloom_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.bloomDecontaminate(
+          corpus = d.filter(col("doc_id") % 10 =!= 0),
+          eval = d.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    }),
+
+    // Salted join: the skew-mitigation shape — dim replicated nSalt x,
+    // fact rows spread over (key, salt); result == the plain inner
+    // join, which is exactly the oracle SQL
+    "q67_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          floor(col("l_quantity") * 100.0).cast("long").as("qty_cents"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.Relational.saltedJoin(li, ord, "l_orderkey", nSalt = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum("qty_cents").as("sum_qty_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Deterministic stratified sample: smallest-md5 25 docs per source —
     // the window is partitioned by stratum (no global sort)
     "q45_stratified_sample" -> ((s, dir) =>
@@ -149,6 +187,25 @@ object CurationQueries {
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
         |ORDER BY doc_id""".stripMargin,
+
+    "q64_weighted_sample" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |WHERE n_chars >= 400
+        |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      < lpad(lower(hex(CAST(floor(
+        |          least(1.0, CAST(n_chars AS DOUBLE) / 400.0) * 4294967296.0)
+        |          AS BIGINT))), 8, '0')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q67_salted_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+        |         AS sum_qty_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q45_stratified_sample" ->
       """WITH ranked AS (

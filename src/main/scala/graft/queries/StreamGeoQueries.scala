@@ -37,6 +37,21 @@ object StreamGeoQueries {
       Streaming.runAvailableNow(agg, name).orderBy("source")
     }),
 
+    // Stream-stream inner join with event-time bounds (purchase within
+    // 24h of a view, same user): watermarks on both sides + the time-
+    // range condition bound the join state; run to completion with
+    // AvailableNow, the result must equal the plain batch join the
+    // oracle runs
+    "q66_stream_join" -> ((s, dir) => {
+      val name = s"q66_mem_${System.nanoTime()}"
+      Streaming.runAvailableNow(
+          Streaming.correlate(
+            Streaming.eventStream(s, s"$dir/events.parquet"),
+            leftType = "view", rightType = "purchase", withinHours = 24),
+          name, outputMode = "append")
+        .orderBy("l_event_id", "r_event_id")
+    }),
+
     // G1/G2/G3 — RD-coordinate parse + polynomial CRS transform,
     // quantized to 1e6 microdegrees (multiplication-chain arithmetic is
     // replicated verbatim in the oracle)
@@ -82,6 +97,15 @@ object StreamGeoQueries {
          |    AS n_docs_with_pii
          |FROM d GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "q66_stream_join" ->
+      """SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+        |       CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS lag_us
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'view' AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 24 HOURS
+        |ORDER BY l_event_id, r_event_id""".stripMargin,
 
     "q38_geo_transform" -> {
       val x = "(CAST(100000000 + (o_orderkey % 100000) * 1000 AS BIGINT) / 1000.0)"

@@ -110,6 +110,33 @@ object Streaming {
     deduped.drop("__h")
   }
 
+  /** Stream-stream INNER join with event-time bounds — the continuous
+    * attribution query ("purchase within N hours of a view, same
+    * user"). Both sides carry watermarks and the join condition bounds
+    * r.ts to [l.ts, l.ts + withinHours], so Structured Streaming can
+    * expire join state on both sides (unbounded state otherwise — the
+    * watermark + time-range condition IS the scale story; state per key
+    * is bounded by the window, not the stream length). Works unchanged
+    * on a batch DataFrame (the condition is plain Column algebra), which
+    * is what the q66 oracle + parity spec pin. */
+  def correlate(events: DataFrame, leftType: String, rightType: String,
+                withinHours: Int, watermark: String = "2 hours"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"))
+      .withWatermark("l_ts", watermark)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("__r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("user_id") === col("__r_user")
+        && col("r_ts") >= col("l_ts")
+        && col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinHours HOURS"))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
+      .toDF("user_id", "l_event_id", "r_event_id", "lag_us")
+  }
+
   /** Run any streaming DataFrame to completion over the currently
     * available data (Trigger.AvailableNow) into an in-memory table;
     * returns the result. Complete mode for aggregations, Update for

@@ -34,6 +34,128 @@ object Curation {
       .filter(col("__h2") < hexCeil)
       .drop("__h2")
 
+  /** Deterministic WEIGHTED Bernoulli sample: keep a row with
+    * probability `prob` (a per-row Column in [0,1] — e.g. a quality or
+    * length weight), decided by comparing the first 8 hex digits of
+    * md5(id) against the hex rendering of floor(prob·16^8). Map-only
+    * like [[hashSample]] (no RNG state, no shuffle; the decision is a
+    * pure function of the id, so re-runs, retries, and other engines
+    * agree — the q64 oracle replicates it in SQL). The importance-
+    * sampling step of a quality-weighted corpus cut at 100 TB: one
+    * filter, zero exchanges. prob ≥ 1 keeps unconditionally (the
+    * threshold hex would be 9 digits and lpad-truncate to "00000000" —
+    * compared explicitly instead); prob ≤ 0 drops. */
+  def weightedSample(df: DataFrame, idCol: String, prob: Column): DataFrame = {
+    val u8 = substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
+    val thresh = lpad(lower(hex(floor(prob * lit(4294967296.0)).cast("long"))),
+      8, "0")
+    df.filter(prob >= lit(1.0) || u8 < thresh)
+  }
+
+  /** Benchmark decontamination via a BROADCAST Bloom filter — the shape
+    * that works when the corpus is 100 TB and the eval suite is
+    * megabytes: build a Bloom sketch of every distinct k-word-shingle
+    * hash of the eval set (a distributed tree-aggregate; only the
+    * fixed-size bitset reaches the driver), broadcast it, and scan the
+    * corpus ONCE, map-only — no shuffle, no join, no corpus-side index.
+    * A corpus doc is kept iff fewer than `maxHits` of its distinct
+    * shingles might-contain (Bloom guarantees NO false negatives, so a
+    * kept doc truly has < maxHits overlapping shingles up to the fp
+    * rate; fpp only ever flags extra).
+    *
+    * NOTE: sketch construction launches two eager jobs over the EVAL
+    * side at call time (distinct-count + bloom aggregate) — inherent to
+    * model-building operators; the corpus side stays lazy.
+    * Output: (id, n_shingles, n_flagged, keep) per corpus doc. */
+  def bloomDecontaminate(corpus: DataFrame, eval: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         k: Int = 3, maxHits: Long = 1, fpp: Double = 0.001,
+                         portable: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def docShingles(df: DataFrame) =
+      graft.sources.Tables.widen(
+          df.select(col(idCol).cast("long"),
+            TextAnalysis.normalizeCol(col(textCol)).as("__norm")))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, norm) =>
+          (id, Dedup.shingleHashes(Dedup.wordHashes(norm, portable), k).distinct)
+        })
+    val evalHashes = docShingles(eval).flatMap(_._2).toDF("sh").distinct()
+    val nItems = math.max(1L, evalHashes.count())
+    val bloom = evalHashes.stat.bloomFilter("sh", nItems, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    docShingles(corpus)
+      .mapPartitions { it =>
+        val bf = bloomBc.value
+        it.map { case (id, shs) =>
+          val flagged = shs.count(bf.mightContainLong)
+          (id, shs.length.toLong, flagged.toLong, flagged < maxHits)
+        }
+      }
+      .toDF(idCol, "n_shingles", "n_flagged", "keep")
+  }
+
+  /** Unigram-LM quality scoring — the CCNet/Wikipedia-LM filtering
+    * shape: train a token-frequency model on a reference corpus, then
+    * score every candidate document by how much of its mass the model
+    * recognizes. The model is the top-`vocabSize` tokens by count with
+    * an integer-quantized probability p_e9 = floor(count·1e9 / total)
+    * (total = ALL train tokens, so probabilities are comparable across
+    * vocab cuts); a doc's score is (n_tokens, n_oov, Σ p_e9 of in-vocab
+    * tokens) — higher mean p and lower OOV ratio = more natural text.
+    * Integer arithmetic end-to-end (one double multiply+divide per vocab
+    * entry, replicated operation-for-operation in the q68 oracle), so
+    * results are bit-stable across engines and partitionings.
+    *
+    * Scale shape: training is one explode → partial-agg count → top-V
+    * via TakeOrdered (only `vocabSize` rows ever reach the driver); the
+    * model broadcasts as a plain HashMap and the corpus is scored in ONE
+    * map-only compiled pass — no join, no corpus shuffle. The 100 TB
+    * decontamination-style plan: model to driver (bounded), model to
+    * executors (broadcast), data touched once.
+    *
+    * NOTE: like [[bloomDecontaminate]], model construction launches two
+    * eager jobs over the TRAIN side at call time (token total + top-V);
+    * the corpus side stays lazy.
+    * Output: (id, n_tokens, n_oov, sum_p_e9). */
+  def lmScore(corpus: DataFrame, train: DataFrame,
+              textCol: String = "text", idCol: String = "doc_id",
+              vocabSize: Int = 1000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val counts = train
+      .select(explode(TextAnalysis.wordsCol(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c")).as[Long].head()
+    val vocab = counts.orderBy(col("c").desc, col("tok").asc)
+      .limit(vocabSize).as[(String, Long)].collect()
+      .map { case (tok, c) =>
+        tok -> math.floor(c.toDouble * 1e9 / total.toDouble).toLong
+      }.toMap
+    val vocabBc = spark.sparkContext.broadcast(vocab)
+    graft.sources.Tables.widen(
+        corpus.select(col(idCol).cast("long"),
+          TextAnalysis.normalizeCol(col(textCol)).as("__norm")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val v = vocabBc.value
+        it.map { case (id, norm) =>
+          val ws = norm.split(" ", -1)
+          var oov = 0L; var sumP = 0L; var i = 0
+          while (i < ws.length) {
+            v.get(ws(i)) match {
+              case Some(p) => sumP += p
+              case None => oov += 1
+            }
+            i += 1
+          }
+          (id, ws.length.toLong, oov, sumP)
+        }
+      }
+      .toDF(idCol, "n_tokens", "n_oov", "sum_p_e9")
+  }
+
   /** Deterministic training-shuffle shard assignment: the global
     * "shuffle the corpus, cut it into fixed shards" step every training
     * run needs, without a global sort. shard = polyhash(id) mod

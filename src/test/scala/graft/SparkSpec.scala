@@ -15,6 +15,8 @@ object SparkSpec {
       .config("spark.sql.icu.caseMappings.enabled", "false") // ICU upper() is ~70x slower + ~100s one-time collator init
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
+      // same registration path a deployed cluster uses (spark.sql.extensions)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

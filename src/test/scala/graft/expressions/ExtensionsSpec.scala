@@ -1,0 +1,47 @@
+package graft.expressions
+
+import graft.functions.Hashing
+
+/** Pins the SparkSessionExtensions registration path: the shared test
+  * session is built with `spark.sql.extensions=graft.expressions.
+  * GraftExtensions` (SparkSpec) — exactly how a deployed cluster loads
+  * the library — so the custom Catalyst expressions must resolve from
+  * plain SQL text, codegen'd, with sane analysis errors. */
+class ExtensionsSpec extends graft.SparkSuite {
+  import spark.implicits._
+
+  test("graft_polyhash resolves from SQL and matches the Scala kernel") {
+    val got = spark.sql("SELECT graft_polyhash('alpha beta') AS h")
+      .collect().head.getLong(0)
+    assert(got == Hashing.polyHash("alpha beta"))
+    // through a table scan (codegen path), not just a literal fold
+    val docs = Seq("x", "alpha beta", "").toDF("t")
+    docs.createOrReplaceTempView("ext_docs")
+    val rows = spark.sql("SELECT t, graft_polyhash(t) AS h FROM ext_docs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("alpha beta") == Hashing.polyHash("alpha beta"))
+    assert(rows("") == 0L)
+  }
+
+  test("graft_dot_e6 resolves from SQL with array<double> inputs") {
+    val got = spark.sql(
+      "SELECT graft_dot_e6(array(0.5D, 0.5D), array(1.0D, 0.25D)) AS d")
+      .collect().head.getLong(0)
+    assert(got == math.floor((0.5 * 1.0 + 0.5 * 0.25) * 1e6).toLong)
+  }
+
+  test("type mismatch surfaces as an analysis error, not a runtime crash") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_polyhash(42)").collect()
+    }
+    assert(e.getMessage.contains("graft_polyhash"), e.getMessage)
+  }
+
+  test("null inputs propagate as SQL null") {
+    val r = spark.sql(
+      "SELECT graft_polyhash(CAST(NULL AS STRING)) AS a," +
+        " graft_dot_e6(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS b")
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}

@@ -196,4 +196,26 @@ class RelationalSpec extends SparkSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
     assert(p.contains("windowspecdefinition(k"), p)
   }
+
+  test("saltedJoin == plain inner join on skewed keys, incl. duplicates") {
+    // 900 of 1000 fact rows hit key 1 (the hot key), dim has dup keys too
+    val fact = (1 to 1000)
+      .map(i => (if (i <= 900) 1L else i.toLong, s"f$i")).toDF("k", "fv")
+    val dim = Seq((1L, "hot"), (1L, "hot2"), (950L, "cold")).toDF("k", "dv")
+    val got = Relational.saltedJoin(fact, dim, "k", nSalt = 4)
+      .orderBy("k", "fv", "dv").collect().map(_.toSeq).toSeq
+    val want = fact.join(dim, Seq("k"))
+      .orderBy("k", "fv", "dv").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.size == 1801) // 900*2 hot pairs + 1 cold
+  }
+
+  test("saltedJoin spreads the hot key: join keys include the salt") {
+    val fact = (1 to 100).map(i => (1L, s"f$i")).toDF("k", "fv")
+    val dim = Seq((1L, "d")).toDF("k", "dv")
+    val p = Relational.saltedJoin(fact, dim, "k", nSalt = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
 }

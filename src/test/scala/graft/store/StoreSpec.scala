@@ -322,6 +322,22 @@ class StreamingSpec extends graft.SparkSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream correlate join == batch join on AvailableNow") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.runAvailableNow(
+        Streaming.correlate(
+          Streaming.eventStream(spark, s"$dir/events.parquet"),
+          leftType = "view", rightType = "purchase", withinHours = 24),
+        s"c_${System.nanoTime()}", outputMode = "append")
+      .orderBy("l_event_id", "r_event_id").collect().map(_.toSeq).toSeq
+    val batch = Streaming.correlate(
+        graft.sources.Tables.events(spark, dir),
+        leftType = "view", rightType = "purchase", withinHours = 24)
+      .orderBy("l_event_id", "r_event_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming exact dedup keeps the same distinct content set as batch") {
     val path = "/root/testdata/sf0.001/documents.parquet"
     val streamed = Streaming.runAvailableNow(

@@ -95,6 +95,46 @@ class CurationSpec extends graft.SparkSuite {
       doc2.head._4 == 3L)
   }
 
+  test("weightedSample: p=0 drops, p>=1 keeps, monotone in weight, deterministic") {
+    assert(Curation.weightedSample(docs, "doc_id", lit(0.0)).count() == 0)
+    assert(Curation.weightedSample(docs, "doc_id", lit(1.0)).count() == 6)
+    assert(Curation.weightedSample(docs, "doc_id", lit(1.5)).count() == 6)
+    def ids(p: Double) = Curation.weightedSample(docs, "doc_id", lit(p))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // same id keeps its md5 draw: a higher probability can only ADD rows
+    val lo = ids(0.3)
+    val hi = ids(0.7)
+    assert(lo.subsetOf(hi))
+    assert(ids(0.3) == lo) // re-run identical
+    // per-row weights: only rows whose own prob clears their draw stay
+    val byLen = Curation.weightedSample(docs, "doc_id",
+      least(lit(1.0), length(col("text")).cast("double") / lit(10.0)))
+    assert(byLen.count() >= docs.filter(length(col("text")) >= 10).count())
+  }
+
+  test("bloomDecontaminate: no false negatives vs the exact join, fp bounded") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 10 === 0)
+    val bloom = Curation.bloomDecontaminate(corpus, eval_, fpp = 0.001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // exact flags per corpus doc, via the contamination join reversed
+    val exact = Curation.contamination(train = eval_, test = corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, exactHits) =>
+      val (n, flagged, keep) = bloom(id)
+      // Bloom can only over-flag, never miss
+      assert(flagged >= exactHits, s"doc $id lost a true hit")
+      assert(flagged <= n)
+      assert(keep == (flagged < 1L))
+    }
+    // corpus docs 1,2 share the "alpha beta gamma" shingle with eval
+    // doc 10 -> true contamination is caught and they are dropped
+    assert(!bloom(1L)._3 && !bloom(2L)._3)
+    // doc 11 is novel text -> with fpp 0.001 and 3 shingles, kept
+    assert(bloom(11L)._3)
+  }
+
   test("topNgrams: counts and lexicographic tie-break") {
     val top = Curation.topNgrams(docs, n = 2, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
