@@ -95,6 +95,27 @@ object CurationQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Unigram-LM quality scoring: broadcast top-V token model trained on
+    // the held-out split scores the corpus in one map-only pass; integer-
+    // quantized probabilities keep the scores bit-stable (the oracle
+    // rebuilds the identical vocab + scoring in SQL)
+    "q68_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.lmScore(
+          corpus = d.filter(col("doc_id") % 10 =!= 0),
+          train = d.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    }),
+
+    // Deequ-style data-quality report: every constraint compiles into ONE
+    // aggregation pass (map-side partial agg; a single row per partition
+    // reaches the reducer); integer-exact metrics
+    "q71_quality_report" -> ((s, dir) =>
+      graft.ops.Quality.report(docs(s, dir),
+        completeness = Seq("text", "source"),
+        uniqueness = Seq(Seq("doc_id")),
+        ranges = Seq(("n_chars", 10.0, 5000.0)))),
+
     // Deterministic stratified sample: smallest-md5 25 docs per source —
     // the window is partitioned by stratum (no global sort)
     "q45_stratified_sample" -> ((s, dir) =>
@@ -206,6 +227,52 @@ object CurationQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q68_lm_score" ->
+      s"""WITH counts AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(${TextQueries.Sql.words}) AS tok
+         |        FROM documents WHERE doc_id % 10 = 0)
+         |  GROUP BY tok),
+         |total AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts),
+         |vocab AS (
+         |  SELECT tok,
+         |         CAST(floor(CAST(c AS DOUBLE) * 1000000000.0
+         |                    / CAST(t AS DOUBLE)) AS BIGINT) AS p_e9
+         |  FROM counts, total ORDER BY c DESC, tok ASC LIMIT 1000),
+         |corpus AS (
+         |  SELECT doc_id, unnest(${TextQueries.Sql.words}) AS tok
+         |  FROM documents WHERE doc_id % 10 <> 0)
+         |SELECT c.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_oov,
+         |       CAST(COALESCE(SUM(v.p_e9), 0) AS BIGINT) AS sum_p_e9
+         |FROM corpus c LEFT JOIN vocab v USING (tok)
+         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q71_quality_report" ->
+      """WITH m AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(COUNT(text) AS BIGINT) AS c_text,
+        |    CAST(COUNT(source) AS BIGINT) AS c_source,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS u_doc,
+        |    CAST(SUM(CASE WHEN n_chars BETWEEN 10 AND 5000 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS r_chars
+        |  FROM documents),
+        |u AS (
+        |  SELECT 'completeness:source' AS "check", c_source AS satisfied, total FROM m
+        |  UNION ALL SELECT 'completeness:text', c_text, total FROM m
+        |  UNION ALL SELECT 'range:n_chars', r_chars, total FROM m
+        |  UNION ALL SELECT 'uniqueness:doc_id', u_doc, total FROM m)
+        |SELECT "check", satisfied, total,
+        |  CAST(CASE WHEN total = 0 THEN 1000000
+        |       ELSE (satisfied * 1000000) // greatest(total, 1) END AS BIGINT)
+        |    AS metric_e6,
+        |  CAST(CASE WHEN total = 0 THEN 1000000
+        |       ELSE (satisfied * 1000000) // greatest(total, 1) END = 1000000
+        |       AS BOOLEAN) AS pass
+        |FROM u ORDER BY "check"""".stripMargin,
 
     "q45_stratified_sample" ->
       """WITH ranked AS (

@@ -215,6 +215,33 @@ object RelationalQueries {
           col("n"), col("sum_price"))
         .orderBy("status", "priority")),
 
+    // SCD2 history build: fold the per-(customer, date) order-priority
+    // change stream into validity intervals — one hash exchange on the
+    // business key, both windows reuse it. Dates formatted as strings
+    // (null valid_to = current version survives formatting as null)
+    "q69_scd2" -> ((s, dir) => {
+      val ch = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey"))
+          .as("o_orderpriority"))
+      Relational.scd2History(ch, Seq("o_custkey"), "o_orderdate",
+          Seq("o_orderpriority"))
+        .withColumn("valid_from", date_format(col("valid_from"), "yyyy-MM-dd"))
+        .withColumn("valid_to", date_format(col("valid_to"), "yyyy-MM-dd"))
+        .orderBy("o_custkey", "valid_from")
+    }),
+
+    // Integer-quantized PageRank over the supplier->part shipment graph,
+    // 2 rounds: each round is one equi-join + one partial-agg shuffle on
+    // dst — bit-exact integer math, so the SQL oracle unrolls the same
+    // two rounds and hash-matches
+    "q70_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pageRank(
+          t(s, dir, "lineitem")
+            .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")),
+          iterations = 2)
+        .orderBy("node")),
+
     // STR4/5/6/8 — path normalization + extension ops (razu/util.py:32-153)
     "q20_path_ops" -> ((s, dir) => {
       val p = t(s, dir, "part")
@@ -394,6 +421,52 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q69_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         arg_max(o_orderpriority, o_orderkey) AS o_orderpriority
+        |  FROM orders GROUP BY 1, 2),
+        |d AS (
+        |  SELECT o_custkey, o_orderdate, o_orderpriority,
+        |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |                                    ORDER BY o_orderdate) AS prev
+        |  FROM ch),
+        |kept AS (
+        |  SELECT o_custkey, o_orderdate, o_orderpriority FROM d
+        |  WHERE prev IS DISTINCT FROM o_orderpriority)
+        |SELECT o_custkey, o_orderpriority,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |       strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                                        ORDER BY o_orderdate),
+        |                '%Y-%m-%d') AS valid_to,
+        |       (lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderdate) IS NULL)
+        |         AS is_current
+        |FROM kept ORDER BY o_custkey, valid_from""".stripMargin,
+
+    "q70_pagerank" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |                           CAST(l_partkey AS BIGINT) AS dst
+        |           FROM lineitem),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_e9 FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(r0.rank_e9 // d.deg) AS BIGINT) AS s
+        |       FROM e JOIN deg d USING (src) JOIN r0 ON e.src = r0.node
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |              CAST(150000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
+        |                AS rank_e9
+        |       FROM nodes n LEFT JOIN c1 c USING (node)),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(r1.rank_e9 // d.deg) AS BIGINT) AS s
+        |       FROM e JOIN deg d USING (src) JOIN r1 ON e.src = r1.node
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |              CAST(150000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
+        |                AS rank_e9
+        |       FROM nodes n LEFT JOIN c2 c USING (node))
+        |SELECT node, rank_e9 FROM r2 ORDER BY node""".stripMargin,
 
     "q20_path_ops" ->
       """WITH src AS (

@@ -218,4 +218,43 @@ class RelationalSpec extends SparkSuite {
     assert(p.contains("__salt"), p)
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
+
+  test("scd2History: collapses unchanged runs, versions changes, null-safe") {
+    val ch = Seq(
+      ("k1", 1L, Some("a")), // opens v1
+      ("k1", 2L, Some("a")), // unchanged -> collapsed
+      ("k1", 3L, Some("b")), // v2
+      ("k1", 4L, None),      // value -> null IS a change (null-safe)
+      ("k1", 5L, Some("b")), // null -> value change
+      ("k2", 1L, None))      // single null-attr version
+      .toDF("k", "ts", "attr")
+    val got = Relational.scd2History(ch, Seq("k"), "ts", Seq("attr"))
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.toString),
+        r.getLong(2), Option(r.get(3)).map(_.toString.toLong),
+        r.getBoolean(4)))
+      .toSeq
+    assert(got == Seq(
+      ("k1", Some("a"), 1L, Some(3L), false),
+      ("k1", Some("b"), 3L, Some(4L), false),
+      ("k1", None, 4L, Some(5L), false),
+      ("k1", Some("b"), 5L, None, true),
+      ("k2", None, 1L, None, true)))
+  }
+
+  test("scd2History: single shuffle on the business key, no global sort") {
+    val ch = (1 to 500).map(i => (i % 20, i.toLong, s"v${i % 3}"))
+      .toDF("k", "ts", "attr")
+      // one row per (k, ts): keep max attr
+      .groupBy("k", "ts").agg(max("attr").as("attr"))
+    val plan = Relational.scd2History(ch, Seq("k"), "ts", Seq("attr"))
+      .queryExecution.executedPlan.toString
+    // both windows partition by k — no partition-less WindowExec
+    assert(!plan.contains("Window [") || plan.contains("windowspecdefinition(k"),
+      plan)
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(nExchanges <= 2, s"expected <=2 hash exchanges, got $nExchanges:\n$plan")
+  }
 }

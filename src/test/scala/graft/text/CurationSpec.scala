@@ -135,6 +135,33 @@ class CurationSpec extends graft.SparkSuite {
     assert(bloom(11L)._3)
   }
 
+  test("lmScore: in-vocab mass, OOV counts, quantized probabilities exact") {
+    val train = Seq((100L, "alpha beta alpha gamma")).toDF("doc_id", "text")
+    // total = 4 tokens: p(alpha)=floor(2e9/4)=500000000,
+    // p(beta)=p(gamma)=floor(1e9/4)=250000000
+    val corpus = Seq(
+      (1L, "alpha beta zzz"), // 2 in-vocab + 1 oov
+      (2L, "zzz yyy"),        // all oov
+      (3L, "alpha alpha"))    // duplicates each count
+      .toDF("doc_id", "text")
+    val got = Curation.lmScore(corpus, train)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((3L, 1L, 750000000L)))
+    assert(got(2L) == ((2L, 2L, 0L)))
+    assert(got(3L) == ((2L, 0L, 1000000000L)))
+  }
+
+  test("lmScore: vocabSize cut keeps the most frequent tokens") {
+    val train = Seq((1L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
+    val corpus = Seq((2L, "aa bb cc")).toDF("doc_id", "text")
+    // vocabSize=2 keeps aa (3) and bb (2); cc OOV. total stays 6.
+    val r = Curation.lmScore(corpus, train, vocabSize = 2).collect().head
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == 1L) // cc
+    assert(r.getLong(3) == (3L * 1000000000L / 6L) + (2L * 1000000000L / 6L))
+  }
+
   test("topNgrams: counts and lexicographic tie-break") {
     val top = Curation.topNgrams(docs, n = 2, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
