@@ -52,22 +52,54 @@ object Bench {
       if (!ok1) (t1, ok1)
       else { val (t2, ok2) = once(name, fn); (math.min(t1, t2), ok2) }
     }
+    // Targeted outlier passes, in BATCHED ROUNDS: a single immediate
+    // retry still lands inside the same multi-minute starvation window
+    // (r3 driver run: q28 58s on all attempts, 7s on a later rerun of
+    // the identical binary). Retrying all current outliers together
+    // spaces each query's attempts by the whole batch's runtime, and up
+    // to 3 rounds (bounded by a retry-time budget) gives several
+    // chances to land outside the window. A FAILED retry must not
+    // contribute its short time-to-failure as a fake steady-state min.
     val outlierFloorSec = 4.0
-    val results = selected.zip(pass2).map { case ((name, fn), (t, ok)) =>
-      if (ok && t > outlierFloorSec) {
-        // a FAILED retry must not contribute its short time-to-failure
-        // as a fake steady-state minimum
-        val (t3, ok3) = once(name, fn)
-        (name, if (ok3) math.min(t, t3) else t, ok)
-      } else (name, t, ok)
+    val best = scala.collection.mutable.ArrayBuffer(
+      selected.zip(pass2).map { case ((name, fn), (t, ok)) =>
+        (name, fn, t, ok)
+      }: _*)
+    // converged(i): the last retry landed within 20% of the current best
+    // — the query is genuinely that slow (steady-state), not starved;
+    // stop burning bench time on it
+    val converged = scala.collection.mutable.Set[Int]()
+    val retryBudgetSec = 240.0
+    var retrySpent = 0.0
+    var round = 0
+    while (round < 3 &&
+           best.indices.exists { i =>
+             val (_, _, t, ok) = best(i)
+             ok && t > outlierFloorSec && !converged(i)
+           } &&
+           retrySpent < retryBudgetSec) {
+      for (i <- best.indices) {
+        val (name, fn, t, ok) = best(i)
+        if (ok && t > outlierFloorSec && !converged(i) &&
+            retrySpent < retryBudgetSec) {
+          val (tr, okr) = once(name, fn)
+          retrySpent += tr
+          if (okr) {
+            if (tr > t * 0.8) converged += i
+            best(i) = (name, fn, math.min(t, tr), ok)
+          }
+        }
+      }
+      round += 1
     }
+    val results = best.map { case (name, _, t, ok) => (name, t, ok) }.toSeq
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":2,"agg":"min","interleaved":true,"outlier_retry_above_sec":$outlierFloorSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":2,"agg":"min","interleaved":true,"outlier_retry_above_sec":$outlierFloorSec,"outlier_retry_rounds":$round,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench_result.json"), json)
     spark.stop()

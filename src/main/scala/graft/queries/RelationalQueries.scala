@@ -242,6 +242,19 @@ object RelationalQueries {
           iterations = 2)
         .orderBy("node")),
 
+    // Z-order layout key: 16-bit quantized (partkey, suppkey) Morton
+    // interleave — the data-skipping cluster key; domain stats ride the
+    // plan as a broadcast 1-row aggregate (no eager job), the key is
+    // map-only bigint arithmetic the oracle replicates bit-for-bit
+    "q72_zorder" -> ((s, dir) =>
+      graft.ops.Layout.zorder(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          "l_partkey", "l_suppkey")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("zorder"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // STR4/5/6/8 — path normalization + extension ops (razu/util.py:32-153)
     "q20_path_ops" -> ((s, dir) => {
       val p = t(s, dir, "part")
@@ -467,6 +480,36 @@ object RelationalQueries {
         |                AS rank_e9
         |       FROM nodes n LEFT JOIN c2 c USING (node))
         |SELECT node, rank_e9 FROM r2 ORDER BY node""".stripMargin,
+
+    "q72_zorder" ->
+      """WITH s AS (
+        |  SELECT CAST(min(l_partkey) AS DOUBLE) AS xmin,
+        |         CAST(max(l_partkey) AS DOUBLE) AS xmax,
+        |         CAST(min(l_suppkey) AS DOUBLE) AS ymin,
+        |         CAST(max(l_suppkey) AS DOUBLE) AS ymax
+        |  FROM lineitem),
+        |q AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |         CAST(floor((CAST(l_partkey AS DOUBLE) - xmin) * 65535.0
+        |              / greatest(xmax - xmin, 1.0)) AS BIGINT) AS qx,
+        |         CAST(floor((CAST(l_suppkey AS DOUBLE) - ymin) * 65535.0
+        |              / greatest(ymax - ymin, 1.0)) AS BIGINT) AS qy
+        |  FROM lineitem, s),
+        |a AS (SELECT l_orderkey, l_linenumber,
+        |             (qx | (qx << 8)) & 16711935 AS ax,
+        |             (qy | (qy << 8)) & 16711935 AS ay FROM q),
+        |b AS (SELECT l_orderkey, l_linenumber,
+        |             (ax | (ax << 4)) & 252645135 AS bx,
+        |             (ay | (ay << 4)) & 252645135 AS by FROM a),
+        |c AS (SELECT l_orderkey, l_linenumber,
+        |             (bx | (bx << 2)) & 858993459 AS cx,
+        |             (by | (by << 2)) & 858993459 AS cy FROM b),
+        |d AS (SELECT l_orderkey, l_linenumber,
+        |             (cx | (cx << 1)) & 1431655765 AS dx,
+        |             (cy | (cy << 1)) & 1431655765 AS dy FROM c)
+        |SELECT l_orderkey, l_linenumber,
+        |       CAST(dx | (dy << 1) AS BIGINT) AS zorder
+        |FROM d ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q20_path_ops" ->
       """WITH src AS (
