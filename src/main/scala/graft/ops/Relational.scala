@@ -158,6 +158,51 @@ object Relational {
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 
+  /** Time-series resample + forward fill — regularize an irregular event
+    * stream onto a fixed grid (one row per key per `stepSeconds` bucket
+    * between that key's first and last observation), carrying the last
+    * observed value across gaps. The feature-engineering shape every
+    * time-series pipeline needs (gap-free input for joins/models).
+    *
+    * Distributed end-to-end, no driver loop, every stage keyed:
+    * (1) last-observation-per-bucket via a (keys, bucket)-partitioned
+    * row_number (deterministic under timestamp ties via `tieBreak`);
+    * (2) per-key [min, max] bucket span → `sequence` + `explode`
+    * generates the grid ON EXECUTORS (grid size is data-dependent per
+    * key, never a driver-side range); (3) left join grid↔observations on
+    * (keys, bucket); (4) forward fill = running `last(ignoreNulls)` over
+    * the key-partitioned bucket order. At 1000 executors each stage
+    * shuffles on the key (or key+bucket) — no global sort, no skew
+    * beyond the keys' own span sizes.
+    *
+    * Output: keys ++ (bucket_us: bigint, valueCol: filled value,
+    * observed: whether this bucket had its own observation). Leading
+    * buckets before a key's first non-null observation stay null. */
+  def resampleFfill(df: DataFrame, keys: Seq[String], tsCol: String,
+                    stepSeconds: Long, valueCol: String,
+                    tieBreak: Seq[String] = Nil): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val stepUs = stepSeconds * 1000000L
+    val withB = df.withColumn("__b",
+      expr(s"unix_micros($tsCol) div $stepUs") * lit(stepUs))
+    val wLast = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.desc): _*)
+    val vals = withB.withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select((keys :+ "__b").map(col) :+ col(valueCol): _*)
+    val grid = withB.groupBy(keys.map(col): _*)
+      .agg(min("__b").as("__lo"), max("__b").as("__hi"))
+      .select(keys.map(col) :+
+        explode(sequence(col("__lo"), col("__hi"), lit(stepUs))).as("__b"): _*)
+    val wFF = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(vals, keys :+ "__b", "left")
+      .select(keys.map(col) ++ Seq(
+        col("__b").as("bucket_us"),
+        last(col(valueCol), ignoreNulls = true).over(wFF).as(valueCol),
+        col(valueCol).isNotNull.as("observed")): _*)
+  }
+
   /** J4/F8 — manifest diff: rows of `current` that are new or changed vs
     * `reference` (tools/sip2localstorage.py:76-94, razu/edepot.py:87-106).
     * Left join on `key`; keep when the reference row is missing or its

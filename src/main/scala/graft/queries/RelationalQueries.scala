@@ -255,6 +255,32 @@ object RelationalQueries {
           .as("l_linenumber"), col("zorder"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Time-series resample: per-user hourly grid with forward fill —
+    // last-in-bucket via keyed row_number, executor-side sequence()
+    // grid, running last(ignoreNulls) fill. Values ride as decimal so
+    // carried strings are engine-exact
+    "q73_resample" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").cast("decimal(18,2)").as("value"))
+      Relational.resampleFfill(e, Seq("user_id"), "ts", 3600L, "value",
+          tieBreak = Seq("event_id"))
+        .orderBy("user_id", "bucket_us")
+    }),
+
+    // Cube (all 4 grouping sets over status x priority): completes the
+    // grouping-set family next to q62 pivot / q63 rollup
+    "q74_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority")),
+
     // STR4/5/6/8 — path normalization + extension ops (razu/util.py:32-153)
     "q20_path_ops" -> ((s, dir) => {
       val p = t(s, dir, "part")
@@ -510,6 +536,43 @@ object RelationalQueries {
         |SELECT l_orderkey, l_linenumber,
         |       CAST(dx | (dy << 1) AS BIGINT) AS zorder
         |FROM d ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q73_resample" ->
+      """WITH src AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |         CAST(value AS DECIMAL(18,2)) AS value
+        |  FROM events),
+        |b AS (SELECT user_id, (tus // 3600000000) * 3600000000 AS b,
+        |             tus, event_id, value FROM src),
+        |vals AS (
+        |  SELECT user_id, b, value FROM (
+        |    SELECT user_id, b, value,
+        |           row_number() OVER (PARTITION BY user_id, b
+        |                              ORDER BY tus DESC, event_id DESC) AS rn
+        |    FROM b) WHERE rn = 1),
+        |spans AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+        |          FROM b GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600000000))
+        |                AS bucket_us
+        |         FROM spans)
+        |SELECT g.user_id, g.bucket_us,
+        |       last_value(v.value IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.bucket_us
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |       (v.value IS NOT NULL) AS observed
+        |FROM grid g LEFT JOIN vals v
+        |  ON g.user_id = v.user_id AND g.bucket_us = v.b
+        |ORDER BY g.user_id, g.bucket_us""".stripMargin,
+
+    "q74_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
 
     "q20_path_ops" ->
       """WITH src AS (

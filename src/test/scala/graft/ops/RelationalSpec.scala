@@ -219,6 +219,48 @@ class RelationalSpec extends SparkSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("resampleFfill: gap fill, in-bucket last-wins, tie-break, per-key spans") {
+    import org.apache.spark.sql.types._
+    val hour = 3600L * 1000000L
+    val rows = Seq(
+      // key 1: obs in bucket 0 (two, later ts wins), gap at bucket 1,
+      // obs in bucket 2
+      (1L, 100L, 1L, Some(10.0)),
+      (1L, 200L, 2L, Some(20.0)),           // same bucket, later ts -> wins
+      (1L, 2 * hour + 5L, 3L, Some(30.0)),
+      // key 2: ts tie in one bucket -> higher event_id wins; null-value
+      // observation in bucket 1 carries the PREVIOUS value forward
+      (2L, 50L, 4L, Some(1.0)),
+      (2L, 50L, 5L, Some(2.0)),
+      (2L, hour + 1L, 6L, None))
+    val df = rows.toDF("user_id", "tus", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
+    val got = Relational.resampleFfill(df, Seq("user_id"), "ts", 3600L,
+        "value", tieBreak = Seq("event_id"))
+      .orderBy("user_id", "bucket_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString.toDouble), r.getBoolean(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 0L, Some(20.0), true),
+      (1L, hour, Some(20.0), false),        // gap: carried forward
+      (1L, 2 * hour, Some(30.0), true),
+      (2L, 0L, Some(2.0), true),            // ts tie -> event_id 5 wins
+      (2L, hour, Some(2.0), false)))        // null obs: carries, not observed
+  }
+
+  test("resampleFfill: single observation, leading bucket stays as-is") {
+    val df = Seq((7L, 3600L * 1000000L * 4 + 9L, 1L, 5.5))
+      .toDF("user_id", "tus", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
+    val got = Relational.resampleFfill(df, Seq("user_id"), "ts", 3600L,
+        "value").collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 3600L * 1000000L * 4)
+    assert(got.head.getDouble(2) == 5.5 && got.head.getBoolean(3))
+  }
+
   test("scd2History: collapses unchanged runs, versions changes, null-safe") {
     val ch = Seq(
       ("k1", 1L, Some("a")), // opens v1
