@@ -203,6 +203,29 @@ object Relational {
         col(valueCol).isNotNull.as("observed")): _*)
   }
 
+  /** Patch-style upsert (the lakehouse MERGE shape): `updates` rows win
+    * on key match, unmatched updates insert, unmatched base rows
+    * survive. Field-level PATCH semantics: a NULL field in an update
+    * inherits the base value (coalesce per non-key column) — callers
+    * that need null-overwrite semantics should pre-fill sentinel
+    * values. One full-outer equi-join on the key: shuffles both sides
+    * on the key once, parallel across keys at any scale; with a small
+    * updates side Catalyst/AQE degrades it to a broadcast-able shape.
+    * Both inputs must share the base schema; `updates` may omit
+    * trailing columns it never patches. */
+  def upsert(base: DataFrame, updates: DataFrame,
+             keys: Seq[String]): DataFrame = {
+    val nonKeys = base.columns.filterNot(keys.contains).toSeq
+    val u = updates.select(updates.columns.toSeq.map { c =>
+      if (keys.contains(c)) col(c) else col(c).as(s"__u_$c")
+    }: _*)
+    base.join(u, keys, "full_outer")
+      .select(keys.map(col) ++ nonKeys.map { c =>
+        if (u.columns.contains(s"__u_$c")) coalesce(col(s"__u_$c"), col(c)).as(c)
+        else col(c)
+      }: _*)
+  }
+
   /** J4/F8 — manifest diff: rows of `current` that are new or changed vs
     * `reference` (tools/sip2localstorage.py:76-94, razu/edepot.py:87-106).
     * Left join on `key`; keep when the reference row is missing or its

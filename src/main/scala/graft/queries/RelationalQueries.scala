@@ -281,6 +281,29 @@ object RelationalQueries {
           col("n"), col("sum_price"))
         .orderBy("status", "priority")),
 
+    // Key-skew profile: exact top-N heavy keys + integer-exact share —
+    // the pre-flight that decides salting/broadcast before a 100 TB
+    // join; only topN rows ever leave the aggregation
+    "q75_key_skew" -> ((s, dir) =>
+      graft.ops.Profile.keySkew(
+          t(s, dir, "lineitem"), Seq("l_suppkey"), topN = 25)
+        .orderBy(col("n").desc, col("l_suppkey").asc)),
+
+    // Patch-style upsert (MERGE): updates win on key match, null update
+    // fields inherit base, unmatched rows from BOTH sides survive —
+    // one full-outer join, replicated exactly by the oracle
+    "q76_merge_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+      val base = o.filter(col("o_orderkey") % 3 =!= 0)
+      val updates = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), lit("0-PATCHED").as("o_orderpriority"),
+          // null field: PATCH semantics keep the base status
+          lit(null).cast("string").as("o_orderstatus"))
+      Relational.upsert(base, updates, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // STR4/5/6/8 — path normalization + extension ops (razu/util.py:32-153)
     "q20_path_ops" -> ((s, dir) => {
       val p = t(s, dir, "part")
@@ -573,6 +596,32 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q75_key_skew" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem)
+        |SELECT l_suppkey, n,
+        |       CAST((n * 1000000) // greatest(total, 1) AS BIGINT) AS share_e6
+        |FROM c, t
+        |ORDER BY n DESC, l_suppkey ASC
+        |LIMIT 25""".stripMargin,
+
+    "q76_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |upd AS (
+        |  SELECT o_orderkey, '0-PATCHED' AS o_orderpriority,
+        |         CAST(NULL AS VARCHAR) AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+        |       COALESCE(u.o_orderpriority, b.o_orderpriority)
+        |         AS o_orderpriority,
+        |       COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+        |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q20_path_ops" ->
       """WITH src AS (

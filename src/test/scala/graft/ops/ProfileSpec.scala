@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Pins the skew profiler: exact counts, integer-exact shares,
+  * deterministic tie-break at the top-N cut, and the only-topN-rows
+  * plan shape (TakeOrdered, no global sort of all keys). */
+class ProfileSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("keySkew: counts, shares, tie-break, cut") {
+    // key 1: 6 rows, key 2: 3 rows, keys 3 and 4: 1 row each (tie)
+    val df = (Seq.fill(6)(1) ++ Seq.fill(3)(2) ++ Seq(3, 4)).toDF("k")
+    val got = Profile.keySkew(df, Seq("k"), topN = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1, 6L, 6L * 1000000L / 11L),
+      (2, 3L, 3L * 1000000L / 11L),
+      (3, 1L, 1000000L / 11L)))  // tie with key 4 -> smaller key wins
+  }
+
+  test("keySkew: multi-column keys and empty input") {
+    val df = Seq((1, "a"), (1, "a"), (1, "b")).toDF("x", "y")
+    val got = Profile.keySkew(df, Seq("x", "y"), topN = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "a", 2L), (1, "b", 1L)))
+    assert(Profile.keySkew(df.filter(lit(false)), Seq("x")).count() == 0)
+  }
+
+  test("keySkew plan: TakeOrdered cut, no full sort exchange of all keys") {
+    val df = (1 to 1000).map(_ % 50).toDF("k")
+    val p = Profile.keySkew(df, Seq("k"), topN = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrdered"), p)
+  }
+}

@@ -219,6 +219,29 @@ class RelationalSpec extends SparkSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("upsert: update wins, null field patches from base, inserts survive") {
+    val base = Seq((1L, "p1", "A"), (2L, "p2", "B"), (4L, "p4", "D"))
+      .toDF("k", "prio", "status")
+    val upd = Seq((2L, "PATCH", null.asInstanceOf[String]),
+      (6L, "NEW", "N")).toDF("k", "prio", "status")
+    val got = Relational.upsert(base, upd, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, "p1", "A"),       // untouched base
+      (2L, "PATCH", "B"),    // priority updated, null status inherits base
+      (4L, "p4", "D"),
+      (6L, "NEW", "N")))     // unmatched update inserts
+  }
+
+  test("upsert: updates may omit trailing non-key columns") {
+    val base = Seq((1L, "p1", "A")).toDF("k", "prio", "status")
+    val upd = Seq((1L, "P2")).toDF("k", "prio")
+    val got = Relational.upsert(base, upd, Seq("k")).collect().head
+    assert((got.getLong(0), got.getString(1), got.getString(2))
+      == ((1L, "P2", "A")))
+  }
+
   test("resampleFfill: gap fill, in-bucket last-wins, tie-break, per-key spans") {
     import org.apache.spark.sql.types._
     val hour = 3600L * 1000000L
