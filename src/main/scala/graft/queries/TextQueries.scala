@@ -141,6 +141,17 @@ object TextQueries {
         .select(col("doc").as("doc_id"), col("simhash"))
         .orderBy("doc_id")),
 
+    // Fuzzy id join: all pairs within edit distance 1 via FastSS
+    // deletion-neighborhood blocking (lossless for k=1) + exact
+    // levenshtein re-check; the oracle brute-forces levenshtein over
+    // all pairs — our plan never cross-joins (FuzzySpec asserts)
+    "q77_fuzzy_join" -> ((s, dir) =>
+      graft.text.Fuzzy.editDistanceJoin1(
+          docs(s, dir).select(col("doc_id"),
+            concat(lit("doc_"), col("doc_id").cast("string")).as("name")),
+          "doc_id", "name")
+        .orderBy("a_id", "b_id")),
+
     // End-to-end corpus cleaning: quality+language gate -> exact dedup ->
     // MinHash-LSH + Jaccard near-dup removal, every stage oracle-replicated
     // (maxBucket=0 like q24: the oracle computes all pairs uncapped)
@@ -205,6 +216,16 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q77_fuzzy_join" ->
+      """WITH n AS (
+        |  SELECT doc_id AS id, 'doc_' || CAST(doc_id AS VARCHAR) AS s
+        |  FROM documents)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "q21_exact_dedup" ->
       s"""WITH h AS (SELECT doc_id, md5(${Sql.norm}) AS hh FROM documents),
          |r AS (SELECT doc_id,
