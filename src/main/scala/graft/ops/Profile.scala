@@ -16,6 +16,21 @@ object Profile {
     * job), and a TakeOrdered for the top-N — only `topN` rows ever
     * reach the driver/output. Deterministic order: count desc, then
     * key columns asc. */
+  /** Per-group HLL++ distinct-count sketch next to the exact row count —
+    * the 100 TB dedup-stats shape (SURVEY §2 extension target): the
+    * sketch is fixed-size mergeable state, so the full-corpus pass is
+    * one partial aggregation with map-side combine, no shuffle of
+    * values. `rsd` is the HLL relative standard deviation (Spark
+    * default 0.05). Deterministic for fixed input + rsd (hash-based, no
+    * RNG; merge order-independent), but NOT hash-comparable across
+    * engines — the driver records a rows-only check; ProfileSpec gates
+    * accuracy against exact distinct counts. */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"),
+        count(lit(1)).as("n_rows"))
+
   def keySkew(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
     require(keys.nonEmpty, "at least one key column is required")
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.ids.Identifiers
 import graft.functions.{DateTypes, Paths}
 import graft.ops.Relational
@@ -302,6 +303,32 @@ object RelationalQueries {
           lit(null).cast("string").as("o_orderstatus"))
       Relational.upsert(base, updates, Seq("o_orderkey"))
         .orderBy("o_orderkey")
+    }),
+
+    // HLL distinct-count sketch per group (SURVEY §2 extension target:
+    // approx_count_distinct for 100 TB dedup stats). Deterministic for
+    // fixed input+rsd but not cross-engine hash-comparable -> rows-only
+    // for the driver; ProfileSpec gates accuracy vs exact counts
+    "q78_approx_distinct" -> ((s, dir) =>
+      graft.ops.Profile.approxDistinct(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey")
+        .orderBy("l_returnflag")),
+
+    // Top-k per group: top-3 parts by integer-exact revenue per
+    // supplier — the per-stratum ranking shape (window partitioned by
+    // the group, never a global sort)
+    "q79_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("rev_cents").desc, col("l_partkey").asc)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0)).cast("long").as("rev_cents"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum("rev_cents").as("rev_cents"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy("l_suppkey", "rk")
     }),
 
     // STR4/5/6/8 — path normalization + extension ops (razu/util.py:32-153)
@@ -622,6 +649,21 @@ object RelationalQueries {
         |       COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
         |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q79_topk_per_group" ->
+      """WITH agg AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+        |              * 100.0) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+        |r AS (
+        |  SELECT l_suppkey, l_partkey, rev_cents,
+        |         CAST(row_number() OVER (PARTITION BY l_suppkey
+        |              ORDER BY rev_cents DESC, l_partkey ASC) AS BIGINT) AS rk
+        |  FROM agg)
+        |SELECT l_suppkey, l_partkey, rev_cents, rk
+        |FROM r WHERE rk <= 3
+        |ORDER BY l_suppkey, rk""".stripMargin,
 
     "q20_path_ops" ->
       """WITH src AS (

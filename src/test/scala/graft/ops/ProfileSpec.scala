@@ -28,6 +28,25 @@ class ProfileSpec extends SparkSuite {
     assert(Profile.keySkew(df.filter(lit(false)), Seq("x")).count() == 0)
   }
 
+  test("approxDistinct: within HLL error of exact, deterministic re-run") {
+    val df = (1 to 5000).map(i => (i % 3, i % 700)).toDF("g", "v")
+    val got = Profile.approxDistinct(df, Seq("g"), "v", rsd = 0.02)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = df.groupBy("g").agg(countDistinct("v").as("d"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, d) =>
+      val (approx, n) = got(g)
+      assert(math.abs(approx - d).toDouble / d < 0.1,
+        s"group $g: approx $approx vs exact $d")
+      assert(n > 0)
+    }
+    val again = Profile.approxDistinct(df.repartition(7), Seq("g"), "v",
+        rsd = 0.02)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again == got.map { case (k, (a, _)) => k -> a },
+      "HLL must be deterministic across partitionings")
+  }
+
   test("keySkew plan: TakeOrdered cut, no full sort exchange of all keys") {
     val df = (1 to 1000).map(_ % 50).toDF("k")
     val p = Profile.keySkew(df, Seq("k"), topN = 5)
