@@ -52,6 +52,24 @@ object StreamGeoQueries {
         .orderBy("l_event_id", "r_event_id")
     }),
 
+    // Stream-static enrichment: every micro-batch left-joins the
+    // BROADCAST static dimension (stateless — no watermark, no state
+    // store); result must equal the plain batch join the oracle runs
+    "q80_stream_enrich" -> ((s, dir) => {
+      val name = s"q80_mem_${System.nanoTime()}"
+      val dim = graft.sources.Tables.events(s, dir)
+        .select(col("user_id")).distinct()
+        .withColumn("tier",
+          concat(lit("tier_"), (col("user_id") % 5).cast("string")))
+      Streaming.runAvailableNow(
+          Streaming.enrich(
+              Streaming.eventStream(s, s"$dir/events.parquet"),
+              dim, "user_id")
+            .select("event_id", "user_id", "tier"),
+          name, outputMode = "append")
+        .orderBy("event_id")
+    }),
+
     // G1/G2/G3 — RD-coordinate parse + polynomial CRS transform,
     // quantized to 1e6 microdegrees (multiplication-chain arithmetic is
     // replicated verbatim in the oracle)
@@ -97,6 +115,12 @@ object StreamGeoQueries {
          |    AS n_docs_with_pii
          |FROM d GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "q80_stream_enrich" ->
+      """SELECT event_id, user_id,
+        |       'tier_' || CAST(user_id % 5 AS VARCHAR) AS tier
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "q66_stream_join" ->
       """SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,

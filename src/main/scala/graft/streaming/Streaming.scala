@@ -137,6 +137,17 @@ object Streaming {
       .toDF("user_id", "l_event_id", "r_event_id", "lag_us")
   }
 
+  /** Stream-static enrichment join — the continuous-dimension-lookup
+    * shape: each micro-batch joins against a STATIC (batch) dimension,
+    * broadcast to the executors; stateless, so no watermark and no
+    * state store. The 100 TB pattern for attaching slowly-refreshed
+    * reference data (user tiers, vocabularies, geo tables) to an
+    * unbounded stream: the dim is re-broadcast per batch, the stream
+    * side never shuffles. Works identically on a batch DataFrame
+    * (which is what the q80 oracle + parity spec pin). */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Run any streaming DataFrame to completion over the currently
     * available data (Trigger.AvailableNow) into an in-memory table;
     * returns the result. Complete mode for aggregations, Update for

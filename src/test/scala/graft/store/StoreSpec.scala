@@ -338,6 +338,30 @@ class StreamingSpec extends graft.SparkSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static enrich join == batch join, broadcast, stateless") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val dim = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("tier", concat(lit("t"), (col("user_id") % 3).cast("string")))
+    def pick(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "tier")
+    val streamed = Streaming.runAvailableNow(
+        pick(Streaming.enrich(
+          Streaming.eventStream(spark, s"$dir/events.parquet"), dim, "user_id")),
+        s"e_${System.nanoTime()}", outputMode = "append")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val batch = pick(Streaming.enrich(
+        graft.sources.Tables.events(spark, dir), dim, "user_id"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // plan: broadcast join, no state store
+    val plan = pick(Streaming.enrich(
+        graft.sources.Tables.events(spark, dir), dim, "user_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("streaming exact dedup keeps the same distinct content set as batch") {
     val path = "/root/testdata/sf0.001/documents.parquet"
     val streamed = Streaming.runAvailableNow(
