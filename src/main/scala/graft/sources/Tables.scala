@@ -36,15 +36,36 @@ object Tables {
     }
   }
 
-  /** The events table is written with parquet TIMESTAMP(NANOS), which
-    * Spark has no native type for (PARQUET_TYPE_ILLEGAL). Read nanos as
-    * long (legacy conf) and truncate to microsecond timestamps — the same
-    * value DuckDB's epoch_us sees, so oracle comparisons stay exact.
-    * `div` is integer division: nanos ≈ 1.7e18 exceed double's 2^53
-    * mantissa, a `/`-based conversion would corrupt timestamps. */
+  /** Normalize an event-time column to session-TZ `timestamp`
+    * (microsecond precision), whatever vintage of testdata produced it.
+    * The events table has shipped as parquet TIMESTAMP(NANOS) — which
+    * Spark reads only as `long` under `legacy.parquet.nanosAsLong` — and
+    * as TIMESTAMP(MICROS), which loads as TIMESTAMP or TIMESTAMP_NTZ
+    * depending on isAdjustedToUTC. Dispatch on the LOADED type so the
+    * loader survives either vintage:
+    *  - LongType (legacy nanos-as-long): integer-`div` to micros, then
+    *    `timestamp_micros`. `div` not `/`: nanos ≈ 1.7e18 exceed
+    *    double's 2^53 mantissa, a `/`-based conversion would corrupt.
+    *  - TIMESTAMP_NTZ: cast to session-TZ timestamp — value-preserving
+    *    because the session TZ is pinned to UTC.
+    *  - TIMESTAMP: already what every query expects; pass through. */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case _: TimestampNTZType => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _: TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.$tsCol has unsupported type $other — expected long (nanos), timestamp_ntz, or timestamp")
+    }
+  }
+
+  /** Events table, with `ts` normalized to session-TZ timestamp (see
+    * [[normalizeTs]]). The nanosAsLong conf is a no-op for MICROS files
+    * but required to read the NANOS vintage at all. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(s, dir, "events"))
   }
 }

@@ -17,12 +17,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
   */
 object Streaming {
 
-  /** Streaming source over an events parquet directory (same NANOS
-    * timestamp handling as the batch loader graft.sources.Tables). */
+  /** Streaming source over an events parquet directory. The ts column is
+    * normalized by the SAME schema-adaptive helper as the batch loader
+    * (graft.sources.Tables.normalizeTs) so the two readers cannot
+    * diverge on testdata vintage. */
   def eventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fileStream(spark, path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeTs(fileStream(spark, path))
   }
 
   /** Tumbling 1-hour windowed counts/sums per event type with a
