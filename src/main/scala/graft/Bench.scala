@@ -103,5 +103,8 @@ object Bench {
     println(json)
     Files.writeString(Paths.get("bench_result.json"), json)
     spark.stop()
+    // A broken query must fail any scripted gate, not just appear in the
+    // JSON's `failed` list (round-4 regression passed rc=0 silently).
+    if (results.exists(!_._3)) sys.exit(1)
   }
 }

@@ -18,12 +18,18 @@ object Tables {
     * rows — worth it when a fan-out (triple explode, signature math)
     * multiplies work per row downstream.
     *
-    * The partition probe (`df.rdd`) runs ONLY on shuffle-free plans: on
-    * a plan with exchanges, `.rdd` under AQE materializes every upstream
-    * query stage at composition time (and such plans already carry
-    * ~shuffle.partitions partitions, so widening is moot anyway). */
+    * The under-partitioning estimate runs ONLY on shuffle-free plans
+    * (plans with exchanges already carry ~shuffle.partitions partitions,
+    * so widening is moot) and reads the scan's ALREADY-LISTED file
+    * statistics — replicating Spark's own split-packing formula
+    * (maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    * total/parallelism))) — instead of probing `df.rdd`, which forces
+    * physical planning + codegen + RDD DAG construction on the driver
+    * for every composed query. Non-file leaves (in-memory relations,
+    * which are tiny) fall back to the RDD probe. */
   def widen(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val shuffleBearing = df.queryExecution.optimizedPlan.exists {
       case _: Join | _: Aggregate | _: Distinct | _: Deduplicate |
            _: Window | _: Sort | _: RepartitionOperation => true
@@ -31,8 +37,23 @@ object Tables {
     }
     if (shuffleBearing) df
     else {
-      val target = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+      val spark = df.sparkSession
+      val target = spark.sparkContext.defaultParallelism
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      val fileBytes = leaves.map {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          Some(fs.location.sizeInBytes)
+        case _ => None
+      }
+      if (fileBytes.nonEmpty && fileBytes.forall(_.isDefined)) {
+        val total = fileBytes.flatten.sum
+        val conf = spark.sessionState.conf
+        val maxSplit = math.min(conf.filesMaxPartitionBytes,
+          math.max(conf.filesOpenCostInBytes, total / math.max(target, 1)))
+        val estPartitions = math.ceil(total.toDouble / math.max(maxSplit, 1)).toLong
+        if (estPartitions < target) df.repartition(target) else df
+      } else if (df.rdd.getNumPartitions < target) df.repartition(target)
+      else df
     }
   }
 

@@ -36,15 +36,27 @@ object Streaming {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Per-user session summary state for mapGroupsWithState. */
+  /** Per-user session summary emitted by [[sessionize]]. */
   final case class SessionSummary(userId: Long, nSessions: Long,
                                   maxSessionEvents: Long)
 
-  /** Sessionization (30-minute gaps) via mapGroupsWithState — the
-    * streaming form of q31. With AvailableNow each key's full history
-    * arrives in one group; events are sorted in the function (stream
-    * delivery order is not guaranteed), then gap-split exactly like the
-    * batch window. */
+  /** O(1)-per-key carried session state: enough to continue gap-splitting
+    * from wherever the previous micro-batch left off. */
+  final case class SessionState(lastTs: Long, curLen: Long,
+                                nSessions: Long, maxLen: Long)
+
+  /** Sessionization (30-minute gaps) via flatMapGroupsWithState — the
+    * streaming form of q31. Carried state is a fixed-size
+    * (last_ts, cur_len, n_sessions, max_len) struct per user key — O(1),
+    * NOT the user's event history — so a hot key cannot grow state. Only
+    * the current micro-batch's events for the key are materialized (to
+    * sort them: intra-batch delivery order is not guaranteed), then
+    * folded incrementally from the carried state; each invocation emits
+    * the user's cumulative summary-so-far (Update semantics — downstream
+    * takes the latest row per key). Events arriving out of order ACROSS
+    * micro-batches are gap-split at their arrival batch, the standard
+    * incremental-sessionization tradeoff; bound disorder with a
+    * watermark upstream if cross-batch reordering matters. */
   def sessionize(events: DataFrame, gapMinutes: Long = 30): Dataset[SessionSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -54,25 +66,22 @@ object Streaming {
         col("event_id").cast("long"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[(Long, Long, Long)],
-         state: GroupState[SessionSummary]) =>
-          val sorted = it.toSeq.sortBy(t => (t._2, t._3))
-          var nSessions = 0L
-          var maxLen = 0L
-          var curLen = 0L
-          var lastTs = Long.MinValue
-          sorted.foreach { case (_, ts, _) =>
-            if (lastTs == Long.MinValue || ts - lastTs > gapUs) {
-              nSessions += 1
-              curLen = 1
-            } else curLen += 1
-            if (curLen > maxLen) maxLen = curLen
-            lastTs = ts
+         state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(
+            SessionState(Long.MinValue, 0L, 0L, 0L))
+          it.toArray.sortBy(t => (t._2, t._3)).foreach { case (_, ts, _) =>
+            val newSession = st.lastTs == Long.MinValue || ts - st.lastTs > gapUs
+            val len = if (newSession) 1L else st.curLen + 1L
+            st = SessionState(ts, len,
+              if (newSession) st.nSessions + 1L else st.nSessions,
+              math.max(st.maxLen, len))
           }
-          val out = SessionSummary(userId, nSessions, maxLen)
-          state.update(out)
-          out
+          state.update(st)
+          Iterator.single(SessionSummary(userId, st.nSessions, st.maxLen))
       }
   }
 
