@@ -21,7 +21,12 @@ import graft.rdf.Build._
   */
 object Flagship {
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  /** @param ordersWhere optional pushdown predicate on the orders scan —
+    *   lets callers run the identical pipeline shape over a bounded,
+    *   deterministic slice (e.g. the q81 jsonld round-trip exercises the
+    *   source on 1% of orders rather than re-running the full build). */
+  def run(spark: SparkSession, dir: String,
+          ordersWhere: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val ids = Identifiers.default
     def t(name: String) = spark.read.parquet(s"$dir/$name.parquet")
 
@@ -41,7 +46,8 @@ object Flagship {
     // widen the single-file scan before the 12x triple fan-out — at bench
     // scale the parquet file has 1-2 row groups, which would run the whole
     // explode stage on 1-2 cores (graft.sources.Tables.widen scale note)
-    val orders = graft.sources.Tables.widen(t("orders"))
+    val orders = graft.sources.Tables
+      .widen(ordersWhere.foldLeft(t("orders"))(_ filter _))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       // M2 — null-fill + cast (csv2rdf.py:56)
       .withColumn("omvang", coalesce(col("o_totalprice"), lit(0.0)).cast("long"))

@@ -39,18 +39,38 @@ object RdfQueries {
         .agg(count(lit(1)).as("n"),
           min("subject").as("min_subject"), max("subject").as("max_subject"))
         .orderBy("predicate", "objectKind")
+    }),
+
+    // S3/K1 end-to-end — the DSv2 "jsonld" source round-trip: flagship
+    // triples → format("jsonld") write (one part file per partition,
+    // resource-grouped documents) → format("jsonld") read → per-predicate
+    // histogram. Triple COUNTS are invariant under the round-trip (bnode
+    // labels are file-scoped and remapped on read, but kinds and
+    // multiplicities survive), so the q35 oracle applies with the same
+    // slice predicate. Runs on a deterministic 1% of orders: the query
+    // checks the SOURCE end-to-end, it doesn't re-benchmark the build.
+    "q81_jsonld_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-q81-jsonld")
+        .toString
+      graft.etl.Flagship.run(s, dir, Some(col("o_orderkey") % 100 === 0))
+        .write.format("jsonld").mode("overwrite").save(out)
+      s.read.format("jsonld").load(out)
+        .groupBy("predicate", "objectKind")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("predicate", "objectKind")
     }))
 
-  val oracles: Map[String, String] = Map(
-    "q35_flagship_triples" -> {
-      // reconstruct the flagship's triple emission per source row: every
-      // order (joined to customer+nation) emits a fixed triple shape; all
-      // subjects are distinct per order, so dedup never collapses rows
-      // and each predicate contributes exactly count(base) triples.
-      s"""WITH base AS (
+  // reconstruct the flagship's triple emission per source row: every
+  // order (joined to customer+nation) emits a fixed triple shape; all
+  // subjects are distinct per order, so dedup never collapses rows
+  // and each predicate contributes exactly count(base) triples. Shared
+  // by q35 (direct, full table) and q81 (1% slice, after a jsonld
+  // write→read round-trip, which preserves the histogram exactly).
+  private def flagshipHistogramSql(where: String = ""): String =
+    s"""WITH base AS (
          |  SELECT o.o_orderkey FROM orders o
          |  JOIN customer c ON o.o_custkey = c.c_custkey
-         |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey $where),
          |n AS (SELECT COUNT(*) AS cnt FROM base)
          |-- record + bestand resources BOTH emit rdf:type (2 per order);
          |-- every other predicate appears once per order; subjects are
@@ -70,9 +90,13 @@ object RdfQueries {
          |  ('${NS.LDTO}heeftRepresentatie', 'uri'),
          |  ('${NS.LDTO}URLBestand', 'literal'),
          |  ('${NS.LDTO}isRepresentatieVan', 'uri')
-         |) AS t(predicate, objectKind)
-         |ORDER BY predicate, objectKind""".stripMargin
-    },
+       |) AS t(predicate, objectKind)
+       |ORDER BY predicate, objectKind""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q35_flagship_triples" -> flagshipHistogramSql(),
+    "q81_jsonld_roundtrip" ->
+      flagshipHistogramSql("WHERE o.o_orderkey % 100 = 0"),
 
     "q36_premis_events" -> {
       val prefix = "https://data.razu.nl/id/event/NL-WbDRAZU-G0321-661-e"
