@@ -52,6 +52,19 @@ object SimQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Product-quantized ANN (the 25x vector-store compression serving
+    // path): per-subspace k-means codebooks, ADC lookup-table scoring,
+    // exact re-rank of the shortlist. Rows-only (float k-means has no
+    // SQL form); recall ≥0.9 vs q27 and exact-rerank-score parity are
+    // scalatested (PqSpec)
+    "q82_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.sim.Pq.adcTopK(e.filter(col("id") < 20), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Scalar int8 quantization of the embedding store (the 4-8x vector
     // compression path): per-vector code stats are integer-exact, so the
     // oracle checks the quantization arithmetic itself; ANN recall on the

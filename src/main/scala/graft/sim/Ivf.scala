@@ -32,7 +32,7 @@ object Ivf {
 
   /** Normalized (id, vn) — shared vector-store shape (widened when a
     * single-file scan would bottleneck the map stages on one core). */
-  private def normalized(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+  private[sim] def normalized(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     graft.sources.Tables.widen(df)
@@ -174,7 +174,7 @@ object Ivf {
     * `Relation [none#0L,...] parquet` with NO path, so two different
     * corpora with the same schema would collide — include every file
     * relation's root paths explicitly. */
-  private def planKey(df: DataFrame): String = {
+  private[sim] def planKey(df: DataFrame): String = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val paths = df.queryExecution.analyzed.collect {
       case lr: LogicalRelation => lr.relation match {
@@ -186,7 +186,7 @@ object Ivf {
       df.queryExecution.analyzed.canonicalized.toString
   }
 
-  private def cachedCorpusNorm(corpus: DataFrame): DataFrame =
+  private[sim] def cachedCorpusNorm(corpus: DataFrame): DataFrame =
     NormCache.getOrElseUpdate(planKey(corpus),
       normalized(corpus, "neighbor_id", "cv")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
