@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: [[decodeImage]] uses the JDK's javax.imageio
   * (PNG/JPEG/BMP/GIF/WBMP — no external codec needed) and extracts
   * dimensions, channel count, and a mean-luminance grid feature.
-  * Undecodable bytes degrade to the zero decode — the corrupt-input
-  * path every large-scale pipeline needs. AUDIO/VIDEO kernels remain
-  * deterministic stubs ([[decodeStub]]; the JDK ships no such codecs),
-  * with the partition-batch plumbing identical, so swapping in a codec
-  * changes one function.
+  * AUDIO decode is REAL for the formats the JDK ships
+  * ([[decodeAudio]] via javax.sound.sampled: WAV/AIFF/AU with PCM
+  * payloads) and extracts rate/channels/duration plus an RMS-envelope
+  * feature. Undecodable bytes degrade to the zero decode — the
+  * corrupt-input path every large-scale pipeline needs. VIDEO kernels
+  * remain deterministic stubs ([[decodeStub]]; the JDK ships no video
+  * codec), with the partition-batch plumbing identical, so swapping in
+  * a codec changes one function.
   *
   * Batch shape: mapPartitions over row batches (the JVM analogue of
   * `mapInPandas` — per-partition setup happens once, rows stream
@@ -84,10 +87,96 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => zero }
   }
 
-  /** Deterministic stand-in for codecs the JDK does not ship (audio
-    * frames, video streams): dimensions and an n-dim feature vector
-    * derived from the byte content. Same signature and partition-batch
-    * shape as the real [[decodeImage]]. */
+  /** Decoded-audio row: rate/channel/duration metadata + an RMS
+    * envelope over `featureDim` equal time buckets (mean across
+    * channels) — the cheap audio signature for near-dup blocking and
+    * silence/clipping quality filters. */
+  final case class DecodedAudio(key: Long, sampleRateHz: Int, channels: Int,
+                                nFrames: Long, durationMs: Long,
+                                features: Array[Float])
+
+  /** Real audio decode via the JDK's javax.sound.sampled (WAV, AIFF,
+    * AU containers with 8/16-bit PCM — no external codec): returns
+    * (sampleRateHz, channels, nFrames, rms features). The envelope is
+    * the per-bucket root-mean-square of normalized samples over
+    * `featureDim` equal time slices. Null/empty/undecodable bytes (or
+    * compressed payloads like MP3, which the JDK cannot read) → the
+    * zero decode. */
+  def decodeAudio(bytes: Array[Byte], featureDim: Int): (Int, Int, Long, Array[Float]) = {
+    val zero = (0, 0, 0L, Array.fill(featureDim)(0f))
+    if (bytes == null || bytes.isEmpty) return zero
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val pcmSigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val pcmUnsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        if (!(pcmSigned || pcmUnsigned) || (bits != 8 && bits != 16)) return zero
+        val channels = fmt.getChannels
+        val frameBytes = fmt.getFrameSize
+        val nFrames = in.getFrameLength
+        if (nFrames <= 0 || channels <= 0 || frameBytes <= 0) return zero
+        val data = in.readAllBytes()
+        val sumsq = new Array[Double](featureDim)
+        val counts = new Array[Long](featureDim)
+        val totalFrames = data.length / frameBytes
+        var f = 0
+        while (f < totalFrames) {
+          val bucket = math.min(featureDim - 1,
+            (f.toLong * featureDim / math.max(totalFrames, 1)).toInt)
+          var c = 0
+          while (c < channels) {
+            val off = f * frameBytes + c * (bits / 8)
+            val sample =
+              if (bits == 8) {
+                val raw = if (pcmUnsigned) (data(off) & 0xff) - 128
+                          else data(off).toInt
+                raw / 128.0
+              } else {
+                val lo = if (fmt.isBigEndian) data(off + 1) else data(off)
+                val hi = if (fmt.isBigEndian) data(off) else data(off + 1)
+                val raw = (hi << 8) | (lo & 0xff)
+                (if (pcmUnsigned) raw - 32768 else raw) / 32768.0
+              }
+            sumsq(bucket) += sample * sample
+            counts(bucket) += 1
+            c += 1
+          }
+          f += 1
+        }
+        val feats = Array.tabulate(featureDim) { i =>
+          if (counts(i) > 0) math.sqrt(sumsq(i) / counts(i)).toFloat else 0f
+        }
+        (fmt.getSampleRate.toInt, channels, totalFrames.toLong, feats)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => zero }
+  }
+
+  /** Batch audio decode — same partition-batch shape as
+    * [[decodeImages]]; schema (key, sample_rate_hz, channels, n_frames,
+    * duration_ms, features). */
+  def decodeAudios(df: DataFrame, binCol: String = "content",
+                   keyCol: String = "key", featureDim: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (key, bytes) =>
+        val (rate, ch, frames, feats) = decodeAudio(bytes, featureDim)
+        val durMs = if (rate > 0) frames * 1000L / rate else 0L
+        DecodedAudio(key, rate, ch, frames, durMs, feats)
+      })
+      .toDF("key", "sample_rate_hz", "channels", "n_frames",
+        "duration_ms", "features")
+  }
+
+  /** Deterministic stand-in for codecs the JDK does not ship (video
+    * streams; compressed audio like MP3): dimensions and an n-dim
+    * feature vector derived from the byte content. Same signature and
+    * partition-batch shape as the real [[decodeImage]]. */
   def decodeStub(bytes: Array[Byte], featureDim: Int): (Int, Int, Int, Array[Float]) = {
     if (bytes == null || bytes.isEmpty) return (0, 0, 0, Array.fill(featureDim)(0f))
     var h = 1125899906842597L // deterministic FNV-ish fold of the bytes

@@ -306,6 +306,58 @@ class MultimodalSpec extends graft.SparkSuite {
     assert(frames.map(_.getInt(1)).toSeq == (0 until 5))
     assert(frames.head.getAs[Array[Byte]](2).length == 4096)
   }
+
+  // synthesize an in-memory WAV: 16-bit signed PCM mono, little-endian
+  private def wav(rateHz: Int, seconds: Double,
+                  sample: Int => Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = (rateHz * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = math.max(-1.0, math.min(1.0, sample(i)))
+      val s = math.round(v * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rateHz.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real audio decode: WAV PCM rate/frames/RMS envelope") {
+    val rate = 8000
+    val amp = 0.5
+    val sine = wav(rate, 0.5,
+      i => amp * math.sin(2 * math.Pi * 440 * i / rate))
+    val (r, ch, frames, feats) = Multimodal.decodeAudio(sine, 4)
+    assert(r == rate && ch == 1 && frames == 4000)
+    // RMS of a sine at amplitude a is a/sqrt(2) ≈ 0.3536 in every bucket
+    feats.foreach(f => assert(math.abs(f - amp / math.sqrt(2)) < 0.01,
+      s"rms=$f"))
+    val silent = wav(rate, 0.25, _ => 0.0)
+    val (_, _, fr2, feats2) = Multimodal.decodeAudio(silent, 4)
+    assert(fr2 == 2000 && feats2.forall(_ == 0f))
+  }
+
+  test("batch audio decode: schema, duration, corrupt-input zero row") {
+    import spark.implicits._
+    val rate = 8000
+    val sine = wav(rate, 0.5, i => 0.8 * math.sin(2 * math.Pi * 220 * i / rate))
+    val df = Seq((1L, sine), (2L, "definitely not audio".getBytes),
+      (3L, Array.empty[Byte])).toDF("key", "content")
+    val d = Multimodal.decodeAudios(df, featureDim = 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getSeq[Float](5))).toMap
+    assert(d(1L)._1 == rate && d(1L)._2 == 1)
+    assert(d(1L)._3 == 4000 && d(1L)._4 == 500) // 4000 frames @ 8 kHz = 500 ms
+    assert(d(1L)._5.length == 8 && d(1L)._5.forall(_ > 0.5f))
+    assert(d(2L) == ((0, 0, 0L, 0L, Seq.fill(8)(0f)))) // undecodable
+    assert(d(3L) == ((0, 0, 0L, 0L, Seq.fill(8)(0f)))) // empty
+  }
 }
 
 class StreamingSpec extends graft.SparkSuite {
