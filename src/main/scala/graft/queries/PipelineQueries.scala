@@ -52,6 +52,22 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
+    // Native session_window (30-minute gap): Catalyst's built-in session
+    // assignment — no lag/running-sum window pair, and the identical
+    // expression runs under Structured Streaming with a watermark. Spark
+    // closes a session when the next event is >= gap after the last
+    // (window end = last ts + gap, exclusive); the oracle replicates
+    // that boundary with a >= break
+    "q83_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")),
+
     // As-of join (click -> most recent preceding view per user): one
     // hash shuffle + partitioned sort, never a range nested-loop; the
     // oracle is DuckDB's native ASOF LEFT JOIN
@@ -194,6 +210,25 @@ object PipelineQueries {
         |g AS (SELECT user_id, sess, COUNT(*) AS cnt FROM s GROUP BY 1, 2)
         |SELECT user_id, COUNT(*) AS n_sessions, MAX(cnt) AS max_session_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q83_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+        |  FROM x)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q60_range_join" ->
       """WITH l AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us

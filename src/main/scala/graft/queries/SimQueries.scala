@@ -65,6 +65,18 @@ object SimQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF+PQ composed serving (the canonical billion-vector shape):
+    // coarse centroids restrict scoring to probed inverted lists, PQ
+    // codes score them with ADC table adds, shortlist re-ranks exactly.
+    // Rows-only; recall gate in PqSpec
+    "q84_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.sim.Pq.ivfPqTopK(e.filter(col("id") < 20), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Scalar int8 quantization of the embedding store (the 4-8x vector
     // compression path): per-vector code stats are integer-exact, so the
     // oracle checks the quantization arithmetic itself; ANN recall on the

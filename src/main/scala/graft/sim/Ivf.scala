@@ -48,7 +48,7 @@ object Ivf {
       .toDF(idAs, vecAs)
   }
 
-  private def nearestCentroid(v: Array[Double],
+  private[sim] def nearestCentroid(v: Array[Double],
                               cents: Array[Array[Double]]): Int = {
     var best = 0
     var bestDot = Double.NegativeInfinity
@@ -218,7 +218,7 @@ object Ivf {
       }
   }
 
-  private def cachedCodebook(corpusNorm: DataFrame, nCentroids: Int,
+  private[sim] def cachedCodebook(corpusNorm: DataFrame, nCentroids: Int,
                              iters: Int): Array[Array[Double]] =
     CodebookCache.getOrElseUpdate(
       nCentroids + ":" + iters + "\n" + planKey(corpusNorm),

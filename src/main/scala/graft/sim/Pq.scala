@@ -238,8 +238,14 @@ object Pq {
         }
       }
       .toDF("query_id", "neighbor_id", "adc_e6")
-    // ADC shortlist → exact re-rank on full vectors (compact candidate
-    // ids only cross the wire; vectors come from the cached corpus)
+    rerankShortlist(adc, queries, corpusNorm, k, rerankFactor)
+  }
+
+  /** ADC shortlist → exact re-rank on full vectors (compact candidate
+    * ids only cross the wire; vectors come from the cached corpus). */
+  private def rerankShortlist(adc: DataFrame, queries: DataFrame,
+                              corpusNorm: DataFrame, k: Int,
+                              rerankFactor: Int): DataFrame = {
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_e6").desc, col("neighbor_id").asc)
     val shortlist = adc.withColumn("r", row_number().over(wAdc))
@@ -254,5 +260,93 @@ object Pq {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF+PQ — the canonical billion-vector serving architecture: the
+    * coarse IVF codebook restricts scoring to the nProbe inverted lists
+    * each query probes, and within those lists vectors are scored from
+    * PQ codes with ADC table adds. One scan of the cached corpus: each
+    * row is assigned its coarse centroid, PQ-encoded once, and scored
+    * ONLY against the queries probing that centroid — cost scales with
+    * nProbe/nCentroids of the ADC full scan, compounded with the 25×
+    * code compression. Shortlist re-ranks exactly like [[adcTopK]].
+    * (PQ here encodes the raw normalized vector, not the IVF residual —
+    * the residual refinement changes recall, not the distributed shape.)
+    * Output: (query_id, neighbor_id, cos_e6, rank). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 8,
+                m: Int = 16, ksub: Int = 32, iters: Int = 3,
+                rerankFactor: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusNorm = Ivf.cachedCorpusNorm(corpus)
+    val coarse = Ivf.cachedCodebook(corpusNorm, nCentroids, iters)
+    val books = cachedCodebooks(corpusNorm, m, ksub, iters)
+    val dim = books.map(_.head.length).sum
+    val bounds = sliceBounds(dim, m)
+    // driver-side probe index: coarse centroid -> queries probing it,
+    // each with its precomputed ADC lookup table
+    val qRows = Ivf.normalized(queries, "query_id", "qv")
+      .as[(Long, Array[Double])].collect()
+    val probeIdx = new java.util.HashMap[Int, Array[(Long, Array[Double])]]()
+    qRows.foreach { case (qid, qv) =>
+      val lut = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        val (lo, hi) = bounds(s)
+        var c = 0
+        while (c < ksub) {
+          val ct = books(s)(c)
+          var dot = 0.0
+          var i = lo
+          var j = 0
+          while (i < hi && j < ct.length) { dot += qv(i) * ct(j); i += 1; j += 1 }
+          lut(s * ksub + c) = dot
+          c += 1
+        }
+        s += 1
+      }
+      coarse.indices
+        .map { c =>
+          var dot = 0.0
+          var i = 0
+          val n = math.min(qv.length, coarse(c).length)
+          while (i < n) { dot += qv(i) * coarse(c)(i); i += 1 }
+          (c, dot)
+        }
+        .sortBy { case (c, d) => (-d, c) }
+        .take(nProbe)
+        .foreach { case (c, _) =>
+          probeIdx.put(c,
+            Option(probeIdx.get(c)).getOrElse(Array.empty) :+ ((qid, lut)))
+        }
+    }
+    val bc = spark.sparkContext.broadcast((coarse, books, bounds, probeIdx))
+    val kSub = ksub
+    val adc = corpusNorm.as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val (crs, bks, bds, idx) = bc.value
+        val mm = bds.length
+        rows.flatMap { case (cid, cv) =>
+          val hits = idx.get(Ivf.nearestCentroid(cv, crs))
+          if (hits == null) Iterator.empty
+          else {
+            val codes = new Array[Int](mm)
+            var s = 0
+            while (s < mm) {
+              val (lo, hi) = bds(s); codes(s) = nearestSub(cv, lo, hi, bks(s))
+              s += 1
+            }
+            hits.iterator.collect { case (qid, lut) if qid != cid =>
+              var score = 0.0
+              var t = 0
+              while (t < mm) { score += lut(t * kSub + codes(t)); t += 1 }
+              (qid, cid, math.floor(score * 1000000.0).toLong)
+            }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adc_e6")
+    rerankShortlist(adc, queries, corpusNorm, k, rerankFactor)
   }
 }

@@ -40,6 +40,16 @@ class PqSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("IVF+PQ recall ≥ 0.85 on real embeddings (probe-restricted ADC)") {
+    val q = emb.filter(col("id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Pq.ivfPqTopK(q, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.85, s"recall=$recall")
+  }
+
   test("rerank scores are the exact cosine (same contract as q27)") {
     val q = emb.filter(col("id") < 3)
     val pq = Pq.adcTopK(q, emb, k = 3).collect()
