@@ -168,4 +168,26 @@ class PlanSpec extends SparkSuite {
       assert(shuffles.size == 1, exec.toString)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("native session_window plans as aggregate, not a window sort pair") {
+    val p = plan(SparkEntry.queries("q83_session_window")(spark, dir))
+    assert(p.contains("SessionWindow") || p.contains("session_window"),
+      s"expected Catalyst session-window node:\n$p")
+    assert(!p.contains("row_number"), "no lag/running-sum window pair")
+  }
+
+  test("resample last-per-bucket is a hash aggregate (map-side combine), not a sorted window") {
+    import graft.ops.Relational
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(18,2)").as("value"))
+    val p = plan(Relational.resampleFfill(e, Seq("user_id"), "ts", 3600L,
+      "value", tieBreak = Seq("event_id")))
+    assert(p.contains("max_by") || p.contains("MaxBy") ||
+      "HashAggregate".r.findAllIn(p).length >= 2,
+      s"last-per-bucket must partial-aggregate:\n$p")
+    // exactly one window remains: the forward-fill over the bucket grid
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows == 1, s"expected only the forward-fill window, got $windows:\n$p")
+  }
 }
