@@ -443,4 +443,55 @@ class StreamingSpec extends graft.SparkSuite {
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch)
   }
+
+  test("incremental sessionization merges O(1) state ACROSS micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val watch = java.nio.file.Files.createTempDirectory("graft-sess-mb")
+    // two time-ordered files; user 7's first session SPANS the file
+    // boundary (events at 0s, 60s | 120s), so a state-overwriting
+    // implementation would report maxSessionEvents=1 instead of 3
+    def writeFile(name: String, mtimeMs: Long,
+                  rows: Seq[(Long, Long, Long)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-sess-stage")
+      rows.toDF("user_id", "ts_us", "event_id")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("event_id"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(watch.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtimeMs))
+    }
+    val S = 1000000L // 1 second in µs
+    writeFile("f1.parquet", 1000000L, Seq(
+      (7L, 0L, 1L), (7L, 60 * S, 2L), (8L, 0L, 3L)))
+    writeFile("f2.parquet", 2000000L, Seq(
+      (7L, 120 * S, 4L), (7L, 4000 * S, 5L), (8L, 4000 * S, 6L)))
+    val schema = spark.read.parquet(s"$watch/f1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force one batch per file
+      .parquet(watch.toString)
+    val latest = scala.collection.concurrent.TrieMap[Long, (Long, Long)]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = Streaming.sessionize(stream).toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-sess-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        df.collect().foreach(r =>
+          latest(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.get() >= 2, s"expected one micro-batch per file, got ${batches.get()}")
+    // user 7: session {0,60,120}s (len 3) + session {4000}s → 2 sessions
+    // user 8: session {0}s + session {4000}s → 2 sessions, max len 1
+    assert(latest(7L) == ((2L, 3L)), s"user7=${latest.get(7L)}")
+    assert(latest(8L) == ((2L, 1L)), s"user8=${latest.get(8L)}")
+  }
 }
