@@ -17,7 +17,7 @@ object StreamGeoQueries {
       val name = s"q37_mem_${System.nanoTime()}"
       Streaming.runAvailableNow(
           Streaming.windowedAgg(Streaming.eventStream(s, s"$dir/events.parquet")),
-          name)
+          name, statePartitions = Some(8))
         .orderBy("window_start", "event_type")
     }),
 
@@ -34,7 +34,8 @@ object StreamGeoQueries {
         .agg(sum("n_emails").as("n_emails"), sum("n_ipv4").as("n_ipv4"),
           sum("n_phones").as("n_phones"),
           sum("has_pii").as("n_docs_with_pii"))
-      Streaming.runAvailableNow(agg, name).orderBy("source")
+      Streaming.runAvailableNow(agg, name, statePartitions = Some(8))
+        .orderBy("source")
     }),
 
     // Stream-stream inner join with event-time bounds (purchase within
@@ -48,7 +49,7 @@ object StreamGeoQueries {
           Streaming.correlate(
             Streaming.eventStream(s, s"$dir/events.parquet"),
             leftType = "view", rightType = "purchase", withinHours = 24),
-          name, outputMode = "append")
+          name, outputMode = "append", statePartitions = Some(8))
         .orderBy("l_event_id", "r_event_id")
     }),
 
