@@ -24,34 +24,36 @@ object Graph {
     * one partial-agg sum shuffled on `dst` — the standard distributed
     * PageRank plan, parallel across nodes, never a cross product.
     *
-    * Lineage strategy by iteration count:
-    *  - Few rounds (≤ 3, the common analytics setting): return ONE
-    *    fully-lazy plan with zero jobs inside this function. The plan
-    *    tree repeats the edge/node subtrees per round, but physical
-    *    planning deduplicates them (ReuseExchange — the repeated
-    *    distinct/agg shuffles are computed once per evaluation), so the
-    *    caller pays a single job with no checkpoint materialization.
-    *  - Many rounds: iterative self-joins stack a plan tree that grows
-    *    exponentially in the optimizer, so EAGERLY localCheckpoint each
-    *    intermediate round to cut lineage, reading the degree-annotated
-    *    edges from a persisted cache. The LAST round stays lazy (its
-    *    lineage is one checkpointed input deep); its edge/degree inputs
-    *    are recomputed once at evaluation — two shuffles, amortized
-    *    across the many checkpointed rounds saved.
+    * Lineage strategy: the degree-annotated edges and node set are
+    * persisted for the rounds; intermediate rounds stay LAZY up to a
+    * lineage budget (`checkpointEvery` rounds — iterative self-joins
+    * otherwise stack a plan tree that grows exponentially in the
+    * optimizer), and ONE eager localCheckpoint materializes the final
+    * ranks while those caches are hot, after which they unpersist. So
+    * the whole computation runs exactly one job per lineage cut (one
+    * total for the common ≤`checkpointEvery` case), each input subtree
+    * is computed once from cache — NOT once per round reference (the
+    * repeated-subtree plan re-scans the source per reference; exchange
+    * reuse does not collapse them under AQE) — and the returned
+    * DataFrame is a flat checkpoint read, cheap for callers to compose.
     *
     * Input: directed edge list (any two columns named by src/dstCol);
     * duplicate edges are collapsed. Output: (node, rank_e9). */
   def pageRank(edges: DataFrame, iterations: Int = 2,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+               srcCol: String = "src", dstCol: String = "dst",
+               checkpointEvery: Int = 4): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edPlan = e.join(deg, "src")
-    val nodesPlan = e.select(col("src").as("node"))
+    val ed = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def round(ed: DataFrame, nodes: DataFrame, ranks: DataFrame): DataFrame = {
+    def round(ranks: DataFrame): DataFrame = {
       val contribs = ed.join(ranks, col("src") === col("node"))
         .select(col("dst").as("node"),
           expr("rank_e9 div deg").as("__c"))
@@ -62,25 +64,19 @@ object Graph {
             expr("(85 * coalesce(__s, 0L)) div 100")).as("rank_e9"))
     }
 
-    val init = nodesPlan.withColumn("rank_e9", lit(1000000000L))
-    if (iterations <= 3) {
-      (1 to iterations).foldLeft(init)((r, _) => round(edPlan, nodesPlan, r))
-    } else {
-      val ed = edPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nodes = nodesPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        var ranks = init
-        for (i <- 1 to iterations) {
-          ranks = round(ed, nodes, ranks)
-          if (i < iterations) ranks = ranks.localCheckpoint(eager = true)
-        }
-        ranks
-      } finally {
-        // Safe even though the last round still references ed/nodes:
-        // unpersist only drops the cache, the plan recomputes.
-        ed.unpersist()
-        nodes.unpersist()
+    try {
+      var ranks = nodes.withColumn("rank_e9", lit(1000000000L))
+      for (i <- 1 to iterations) {
+        ranks = round(ranks)
+        // cut lineage at the budget and ALWAYS materialize the final
+        // round (so the caches below are still populated when it runs)
+        if (i % checkpointEvery == 0 || i == iterations)
+          ranks = ranks.localCheckpoint(eager = true)
       }
+      ranks
+    } finally {
+      ed.unpersist()
+      nodes.unpersist()
     }
   }
 }
