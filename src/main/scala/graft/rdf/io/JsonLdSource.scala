@@ -75,11 +75,18 @@ private[io] class JsonLdTable(paths: Seq[String])
     () => new Scan {
       override def readSchema(): StructType = Triple.schema
       override def description(): String = name()
-      override def toBatch: Batch = new JsonLdBatch(paths)
+      override def toBatch: Batch =
+        new RdfFileBatch(paths, (text, sfx) => JsonLd.parse(text, sfx))
     }
 }
 
-private[io] class JsonLdBatch(paths: Seq[String]) extends Batch {
+/** Shared one-InputPartition-per-file batch for whole-file RDF sources
+  * (jsonld, turtle): lists files under the paths (glob ok), and each
+  * partition parses its file with the supplied (text, bnodeSuffix) →
+  * triples function. */
+private[io] class RdfFileBatch(paths: Seq[String],
+                               parse: (String, String) => Seq[Triple])
+  extends Batch {
   /** Spark's InMemoryFileIndex hidden-path rule: '_' and '.' prefixed
     * names (e.g. _SUCCESS, .part-*.crc in a Spark-written directory) are
     * not data. Applied here so format("jsonld") and JsonLd.read (which
@@ -103,17 +110,18 @@ private[io] class JsonLdBatch(paths: Seq[String]) extends Batch {
       // an explicitly named hidden path is honored; hidden CHILDREN of a
       // listed directory are filtered (InMemoryFileIndex semantics)
       matched.flatMap(filesUnder(fs, _))
-    }.map(st => JsonLdInputPartition(st.getPath.toString): InputPartition)
+    }.map(st => RdfFileInputPartition(st.getPath.toString): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonLdReaderFactory
+    new RdfFileReaderFactory(parse)
 }
 
-private[io] case class JsonLdInputPartition(file: String) extends InputPartition
+private[io] case class RdfFileInputPartition(file: String) extends InputPartition
 
-private[io] class JsonLdReaderFactory extends PartitionReaderFactory {
+private[io] class RdfFileReaderFactory(
+    parse: (String, String) => Seq[Triple]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[JsonLdInputPartition].file
+    val file = partition.asInstanceOf[RdfFileInputPartition].file
     new PartitionReader[InternalRow] {
       private var it: Iterator[Triple] = _
       private var current: Triple = _
@@ -129,7 +137,7 @@ private[io] class JsonLdReaderFactory extends PartitionReaderFactory {
             finally in.close()
           val suffix = java.lang.Long.toHexString(
             graft.text.Dedup.xxhash64String(file))
-          it = JsonLd.parse(json, suffix).iterator
+          it = parse(json, suffix).iterator
         }
         if (it.hasNext) { current = it.next(); true } else false
       }

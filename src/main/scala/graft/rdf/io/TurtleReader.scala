@@ -61,10 +61,20 @@ object TurtleReader {
             require(j < s.length, s"unterminated string at $i")
             sb.append('"')
             j += 1
-            // attach ^^dt or @lang directly following
-            while (j < s.length && !s(j).isWhitespace
-              && s(j) != ';' && s(j) != ',' && s(j) != '.') {
-              sb.append(s(j)); j += 1
+            // attach ^^dt or @lang directly following. A full-IRI
+            // datatype (^^<http://…XMLSchema#date>) is consumed to its
+            // closing '>' — IRIs contain dots, so the prefixed-name stop
+            // set below would truncate it mid-authority.
+            if (j + 2 < s.length && s(j) == '^' && s(j + 1) == '^'
+                && s(j + 2) == '<') {
+              val e = s.indexOf('>', j + 2)
+              require(e > 0, s"unterminated datatype IRI at $j")
+              sb.append(s.substring(j, e + 1)); j = e + 1
+            } else {
+              while (j < s.length && !s(j).isWhitespace
+                && s(j) != ';' && s(j) != ',' && s(j) != '.') {
+                sb.append(s(j)); j += 1
+              }
             }
             // a trailing '.' may be the statement terminator
             toks += sb.toString(); i = j

@@ -30,6 +30,15 @@ class TurtleReaderSpec extends graft.SparkSuite {
     assert(asSet(parsed) == original)
   }
 
+  test("full-IRI datatype survives the tokenizer (dots in authority)") {
+    val ttl =
+      """<http://x/s> <http://x/p> "1984-01-01"^^<http://www.w3.org/2001/XMLSchema#date> .
+        |""".stripMargin
+    val ts = asSet(TurtleReader.parse(ttl))
+    assert(ts == Set(("http://x/s", "http://x/p", "1984-01-01", "literal",
+      "http://www.w3.org/2001/XMLSchema#date", null)))
+  }
+
   test("parses object lists and predicate lists") {
     val ttl =
       """@prefix dct: <http://purl.org/dc/terms/> .
