@@ -153,6 +153,13 @@ object Pq {
       s"$m:$ksub:$iters\n" + Ivf.planKey(corpusNorm),
       trainFromNormalized(corpusNorm, m, ksub, iters))
 
+  /** The train-once/serve-many codebooks for a corpus (cached) — the
+    * model handle shared between [[encode]] (build the codes table) and
+    * [[adcTopKFromCodes]] (serve from it). */
+  def codebooksFor(corpus: DataFrame, m: Int = 16, ksub: Int = 32,
+                   iters: Int = 3): Codebooks =
+    cachedCodebooks(Ivf.cachedCorpusNorm(corpus), m, ksub, iters)
+
   /** Map-only PQ encoding: (id, codes array<int> of length m). This is
     * the persisted vector-store representation — m·log2(ksub) bits per
     * vector once written as packed bytes. */
@@ -260,6 +267,64 @@ object Pq {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Serve top-k from a PERSISTED codes table ([[encode]]'s output) —
+    * the deployment shape PQ exists for: the scan reads m ints per
+    * vector (25× less I/O than float32 at the default params), scores
+    * them with ADC table adds, and only the shortlist's ids fetch full
+    * vectors for the exact re-rank. `corpus` supplies those re-rank
+    * vectors (compact id-join); the bulk scan never touches them.
+    * Pass the same [[codebooksFor]] handle used to build the codes.
+    * Output: (query_id, neighbor_id, cos_e6, rank). */
+  def adcTopKFromCodes(queries: DataFrame, codes: DataFrame,
+                       books: Codebooks, corpus: DataFrame, k: Int,
+                       rerankFactor: Int = 10): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val ksub = books.head.length
+    val dim = books.map(_.head.length).sum
+    val bounds = sliceBounds(dim, m)
+    val qRows = Ivf.normalized(queries, "query_id", "qv")
+      .as[(Long, Array[Double])].collect()
+    val luts = qRows.map { case (qid, qv) =>
+      val lut = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        val (lo, hi) = bounds(s)
+        var c = 0
+        while (c < ksub) {
+          val ct = books(s)(c)
+          var dot = 0.0
+          var i = lo
+          var j = 0
+          while (i < hi && j < ct.length) { dot += qv(i) * ct(j); i += 1; j += 1 }
+          lut(s * ksub + c) = dot
+          c += 1
+        }
+        s += 1
+      }
+      (qid, lut)
+    }
+    val bc = spark.sparkContext.broadcast(luts)
+    val kSub = ksub
+    val adc = codes.select(col("id").cast("long"), col("codes"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { rows =>
+        val qs = bc.value
+        rows.flatMap { case (cid, cs) =>
+          qs.iterator.collect { case (qid, lut) if qid != cid =>
+            var score = 0.0
+            var t = 0
+            while (t < cs.length) { score += lut(t * kSub + cs(t)); t += 1 }
+            (qid, cid, math.floor(score * 1000000.0).toLong)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adc_e6")
+    rerankShortlist(adc, queries, Ivf.cachedCorpusNorm(corpus), k,
+      rerankFactor)
   }
 
   /** IVF+PQ — the canonical billion-vector serving architecture: the

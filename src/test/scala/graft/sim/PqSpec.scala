@@ -50,6 +50,16 @@ class PqSpec extends SparkSuite {
     assert(recall >= 0.85, s"recall=$recall")
   }
 
+  test("serving from the persisted codes table equals the float-scan path") {
+    val q = emb.filter(col("id") < 10)
+    val books = Pq.codebooksFor(emb)
+    val codes = Pq.encode(emb, books)
+    val fromCodes = Pq.adcTopKFromCodes(q, codes, books, emb, k = 5)
+      .collect().map(_.toSeq).toSet
+    val fromFloats = Pq.adcTopK(q, emb, k = 5).collect().map(_.toSeq).toSet
+    assert(fromCodes == fromFloats)
+  }
+
   test("rerank scores are the exact cosine (same contract as q27)") {
     val q = emb.filter(col("id") < 3)
     val pq = Pq.adcTopK(q, emb, k = 3).collect()
