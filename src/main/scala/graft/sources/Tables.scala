@@ -83,8 +83,13 @@ object Tables {
   }
 
   /** Events table, with `ts` normalized to session-TZ timestamp (see
-    * [[normalizeTs]]). The nanosAsLong conf is a no-op for MICROS files
-    * but required to read the NANOS vintage at all. */
+    * [[normalizeTs]]). NOT widened: the per-row map work of the events
+    * queries (date dispatch, regex extraction) is too cheap for a
+    * round-robin exchange to pay for itself (measured: widening REGRESSES
+    * q14/q16/q17 at sf0.1) — [[widen]] stays reserved for scans feeding
+    * heavy fan-out (triple explode, signature math). The nanosAsLong
+    * conf is a no-op for MICROS files but required to read the NANOS
+    * vintage at all. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeTs(table(s, dir, "events"))
