@@ -176,6 +176,23 @@ object RelationalQueries {
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // JS1 — typed JSON parsing of the props column with native from_json
+    // (schema-directed, codegen-friendly — the structured counterpart of
+    // q17's regex extraction; razu/manifest.py JSON (de)serialization)
+    "q85_json_extract" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), schema).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).cast("long").as("min_k"),
+          max(col("k")).cast("long").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // STR7 — string split + explode (razu/rdf_resource.py:72-77)
     "q18_split_explode" -> ((s, dir) =>
       t(s, dir, "part")
@@ -481,6 +498,18 @@ object RelationalQueries {
         |       CAST(SUM(coalesce(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT), 0)) AS BIGINT) AS sum_k,
         |       COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q85_json_extract" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |       COUNT(k) AS n_k,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       CAST(MIN(k) AS BIGINT) AS min_k,
+        |       CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q18_split_explode" ->
       """SELECT word, COUNT(*) AS n
