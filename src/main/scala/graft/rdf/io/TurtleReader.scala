@@ -118,10 +118,14 @@ object TurtleReader {
 
     def objectOf(tok: String): (String, String, String, String) =
       if (tok.startsWith("\"")) {
+        // escape-aware close scan (skip \x pairs): a lone look-behind
+        // `tok(j-1) != '\\'` would treat the quote after an ESCAPED
+        // backslash ("a\\") as still-escaped and run off the token
         val close = {
           var j = 1
-          while (j < tok.length
-            && !(tok(j) == '"' && tok(j - 1) != '\\')) j += 1
+          while (j < tok.length && tok(j) != '"') {
+            if (tok(j) == '\\' && j + 1 < tok.length) j += 2 else j += 1
+          }
           j
         }
         val value = unescape(tok.substring(1, close))

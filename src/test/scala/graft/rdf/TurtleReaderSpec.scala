@@ -30,6 +30,12 @@ class TurtleReaderSpec extends graft.SparkSuite {
     assert(asSet(parsed) == original)
   }
 
+  test("literal ending in an escaped backslash finds its closing quote") {
+    val ttl = """<http://x/s> <http://x/p> "a\\"@nl .""" + "\n"
+    val ts = asSet(TurtleReader.parse(ttl))
+    assert(ts == Set(("http://x/s", "http://x/p", "a\\", "literal", null, "nl")))
+  }
+
   test("full-IRI datatype survives the tokenizer (dots in authority)") {
     val ttl =
       """<http://x/s> <http://x/p> "1984-01-01"^^<http://www.w3.org/2001/XMLSchema#date> .
