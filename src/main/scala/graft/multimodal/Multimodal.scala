@@ -138,8 +138,13 @@ object Multimodal {
               } else {
                 val lo = if (fmt.isBigEndian) data(off + 1) else data(off)
                 val hi = if (fmt.isBigEndian) data(off) else data(off + 1)
-                val raw = (hi << 8) | (lo & 0xff)
-                (if (pcmUnsigned) raw - 32768 else raw) / 32768.0
+                // unsigned: both bytes are magnitude bits — mask the high
+                // byte too (sign-extension would send 0x8000, unsigned
+                // silence, to -65536 instead of 0 after the midpoint shift)
+                val raw =
+                  if (pcmUnsigned) (((hi & 0xff) << 8) | (lo & 0xff)) - 32768
+                  else (hi << 8) | (lo & 0xff)
+                raw / 32768.0
               }
             sumsq(bucket) += sample * sample
             counts(bucket) += 1

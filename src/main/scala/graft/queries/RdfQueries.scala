@@ -50,8 +50,13 @@ object RdfQueries {
     // slice predicate. Runs on a deterministic 1% of orders: the query
     // checks the SOURCE end-to-end, it doesn't re-benchmark the build.
     "q81_jsonld_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-q81-jsonld")
-        .toString
+      // fixed per-user scratch path, reused across invocations (mode
+      // "overwrite" truncates the previous .jsonld files): a fresh
+      // createTempDirectory per call would leak one dump per bench/
+      // verify invocation into /tmp
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-q81-jsonld-${System.getProperty("user.name", "u")}").toString
       graft.etl.Flagship.run(s, dir, Some(col("o_orderkey") % 100 === 0))
         .write.format("jsonld").mode("overwrite").save(out)
       s.read.format("jsonld").load(out)

@@ -181,7 +181,11 @@ object RelationalQueries {
     // q17's regex extraction; razu/manifest.py JSON (de)serialization)
     "q85_json_extract" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val schema = StructType(Seq(StructField("k", IntegerType)))
+      // LongType, matching the oracle's BIGINT cast: an IntegerType
+      // schema would null out k values beyond 32 bits while DuckDB
+      // still extracts them, silently diverging if the generator ever
+      // emits large k
+      val schema = StructType(Seq(StructField("k", LongType)))
       t(s, dir, "events")
         .select(col("event_type"),
           from_json(col("props"), schema).getField("k").as("k"))

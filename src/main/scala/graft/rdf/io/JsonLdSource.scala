@@ -33,13 +33,23 @@ class JsonLdSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Triple.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table = {
-    // the source always produces the canonical triple schema — reject a
+                        properties: util.Map[String, String]): Table =
+    new JsonLdTable(RdfSourceUtil.resolvePaths(schema, properties, "jsonld"))
+}
+
+/** Shared TableProvider plumbing for the fixed-triple-schema RDF
+  * sources (jsonld, turtle): fixed-schema validation + the path/paths
+  * property decoding Spark uses for `load(p)` vs `load(p1, p2, ...)`. */
+private[io] object RdfSourceUtil {
+  def resolvePaths(schema: StructType,
+                   properties: util.Map[String, String],
+                   format: String): Seq[String] = {
+    // the sources always produce the canonical triple schema — reject a
     // different user-supplied one instead of silently ignoring it
     if (schema != null &&
         schema.fieldNames.toSeq != Triple.schema.fieldNames.toSeq) {
       throw new IllegalArgumentException(
-        s"jsonld source has a fixed schema ${Triple.schema.simpleString}; " +
+        s"$format source has a fixed schema ${Triple.schema.simpleString}; " +
           s"got ${schema.simpleString}")
     }
     // load(p) arrives as "path"; load(p1, p2, ...) as a JSON-array "paths"
@@ -52,8 +62,8 @@ class JsonLdSource extends TableProvider with DataSourceRegister {
     }
     if (paths.isEmpty)
       throw new IllegalArgumentException(
-        "jsonld source requires a path: spark.read.format(\"jsonld\").load(path)")
-    new JsonLdTable(paths)
+        s"""$format source requires a path: spark.read.format("$format").load(path)""")
+    paths
   }
 }
 

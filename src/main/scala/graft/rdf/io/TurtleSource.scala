@@ -23,25 +23,8 @@ class TurtleSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Triple.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table = {
-    if (schema != null &&
-        schema.fieldNames.toSeq != Triple.schema.fieldNames.toSeq) {
-      throw new IllegalArgumentException(
-        s"turtle source has a fixed schema ${Triple.schema.simpleString}; " +
-          s"got ${schema.simpleString}")
-    }
-    val paths: Seq[String] = Option(properties.get("paths")) match {
-      case Some(js) =>
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        import scala.jdk.CollectionConverters._
-        mapper.readTree(js).elements().asScala.map(_.asText).toSeq
-      case None => Option(properties.get("path")).toSeq
-    }
-    if (paths.isEmpty)
-      throw new IllegalArgumentException(
-        "turtle source requires a path: spark.read.format(\"turtle\").load(path)")
-    new TurtleTable(paths)
-  }
+                        properties: util.Map[String, String]): Table =
+    new TurtleTable(RdfSourceUtil.resolvePaths(schema, properties, "turtle"))
 }
 
 private[io] class TurtleTable(paths: Seq[String])

@@ -198,30 +198,10 @@ object Pq {
     import spark.implicits._
     val corpusNorm = Ivf.cachedCorpusNorm(corpus) // (neighbor_id, cv)
     val books = cachedCodebooks(corpusNorm, m, ksub, iters)
-    val dim = books.map(_.head.length).sum
-    val bounds = sliceBounds(dim, m)
-    // per-query ADC lookup tables: lut(s*ksub + c) = q_sub(s) · books(s)(c)
+    val bounds = sliceBounds(books.map(_.head.length).sum, m)
     val qRows = Ivf.normalized(queries, "query_id", "qv")
       .as[(Long, Array[Double])].collect()
-    val luts = qRows.map { case (qid, qv) =>
-      val lut = new Array[Double](m * ksub)
-      var s = 0
-      while (s < m) {
-        val (lo, hi) = bounds(s)
-        var c = 0
-        while (c < ksub) {
-          val ct = books(s)(c)
-          var dot = 0.0
-          var i = lo
-          var j = 0
-          while (i < hi && j < ct.length) { dot += qv(i) * ct(j); i += 1; j += 1 }
-          lut(s * ksub + c) = dot
-          c += 1
-        }
-        s += 1
-      }
-      (qid, lut)
-    }
+    val luts = qRows.map { case (qid, qv) => (qid, buildLut(qv, books, bounds)) }
     val bc = spark.sparkContext.broadcast((books, bounds, luts))
     val kSub = ksub
     val adc = corpusNorm.as[(Long, Array[Double])]
@@ -245,20 +225,53 @@ object Pq {
         }
       }
       .toDF("query_id", "neighbor_id", "adc_e6")
-    rerankShortlist(adc, queries, corpusNorm, k, rerankFactor)
+    rerankShortlist(adc, qRows, corpusNorm, k, rerankFactor)
+  }
+
+  /** Per-query ADC lookup table: lut(s*ksub + c) = q_sub(s) · books(s)(c).
+    * ONE implementation shared by every serving path — the scoring
+    * contract must not diverge between the float-scan, codes-table, and
+    * IVF-probed variants (PqSpec pins their equality pairwise). */
+  private def buildLut(qv: Array[Double], books: Codebooks,
+                       bounds: Array[(Int, Int)]): Array[Double] = {
+    val m = books.length
+    val ksub = books.head.length
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val (lo, hi) = bounds(s)
+      var c = 0
+      while (c < ksub) {
+        val ct = books(s)(c)
+        var dot = 0.0
+        var i = lo
+        var j = 0
+        while (i < hi && j < ct.length) { dot += qv(i) * ct(j); i += 1; j += 1 }
+        lut(s * ksub + c) = dot
+        c += 1
+      }
+      s += 1
+    }
+    lut
   }
 
   /** ADC shortlist → exact re-rank on full vectors (compact candidate
-    * ids only cross the wire; vectors come from the cached corpus). */
-  private def rerankShortlist(adc: DataFrame, queries: DataFrame,
+    * ids only cross the wire; vectors come from the cached corpus).
+    * Takes the ALREADY-normalized, collected query rows — the callers
+    * collected them for LUT construction, so re-running the
+    * normalization job here would be a redundant scan. */
+  private def rerankShortlist(adc: DataFrame,
+                              qRows: Array[(Long, Array[Double])],
                               corpusNorm: DataFrame, k: Int,
                               rerankFactor: Int): DataFrame = {
+    val spark = corpusNorm.sparkSession
+    import spark.implicits._
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_e6").desc, col("neighbor_id").asc)
     val shortlist = adc.withColumn("r", row_number().over(wAdc))
       .filter(col("r") <= math.max(k, rerankFactor * k))
       .select("query_id", "neighbor_id")
-    val qNorm = Ivf.normalized(queries, "query_id", "qv")
+    val qNorm = qRows.toSeq.toDF("query_id", "qv")
     val scored = shortlist
       .join(qNorm, Seq("query_id"))
       .join(corpusNorm, Seq("neighbor_id"))
@@ -284,29 +297,10 @@ object Pq {
     import spark.implicits._
     val m = books.length
     val ksub = books.head.length
-    val dim = books.map(_.head.length).sum
-    val bounds = sliceBounds(dim, m)
+    val bounds = sliceBounds(books.map(_.head.length).sum, m)
     val qRows = Ivf.normalized(queries, "query_id", "qv")
       .as[(Long, Array[Double])].collect()
-    val luts = qRows.map { case (qid, qv) =>
-      val lut = new Array[Double](m * ksub)
-      var s = 0
-      while (s < m) {
-        val (lo, hi) = bounds(s)
-        var c = 0
-        while (c < ksub) {
-          val ct = books(s)(c)
-          var dot = 0.0
-          var i = lo
-          var j = 0
-          while (i < hi && j < ct.length) { dot += qv(i) * ct(j); i += 1; j += 1 }
-          lut(s * ksub + c) = dot
-          c += 1
-        }
-        s += 1
-      }
-      (qid, lut)
-    }
+    val luts = qRows.map { case (qid, qv) => (qid, buildLut(qv, books, bounds)) }
     val bc = spark.sparkContext.broadcast(luts)
     val kSub = ksub
     val adc = codes.select(col("id").cast("long"), col("codes"))
@@ -323,7 +317,7 @@ object Pq {
         }
       }
       .toDF("query_id", "neighbor_id", "adc_e6")
-    rerankShortlist(adc, queries, Ivf.cachedCorpusNorm(corpus), k,
+    rerankShortlist(adc, qRows, Ivf.cachedCorpusNorm(corpus), k,
       rerankFactor)
   }
 
@@ -347,30 +341,14 @@ object Pq {
     val corpusNorm = Ivf.cachedCorpusNorm(corpus)
     val coarse = Ivf.cachedCodebook(corpusNorm, nCentroids, iters)
     val books = cachedCodebooks(corpusNorm, m, ksub, iters)
-    val dim = books.map(_.head.length).sum
-    val bounds = sliceBounds(dim, m)
+    val bounds = sliceBounds(books.map(_.head.length).sum, m)
     // driver-side probe index: coarse centroid -> queries probing it,
     // each with its precomputed ADC lookup table
     val qRows = Ivf.normalized(queries, "query_id", "qv")
       .as[(Long, Array[Double])].collect()
     val probeIdx = new java.util.HashMap[Int, Array[(Long, Array[Double])]]()
     qRows.foreach { case (qid, qv) =>
-      val lut = new Array[Double](m * ksub)
-      var s = 0
-      while (s < m) {
-        val (lo, hi) = bounds(s)
-        var c = 0
-        while (c < ksub) {
-          val ct = books(s)(c)
-          var dot = 0.0
-          var i = lo
-          var j = 0
-          while (i < hi && j < ct.length) { dot += qv(i) * ct(j); i += 1; j += 1 }
-          lut(s * ksub + c) = dot
-          c += 1
-        }
-        s += 1
-      }
+      val lut = buildLut(qv, books, bounds)
       coarse.indices
         .map { c =>
           var dot = 0.0
@@ -412,6 +390,6 @@ object Pq {
         }
       }
       .toDF("query_id", "neighbor_id", "adc_e6")
-    rerankShortlist(adc, queries, corpusNorm, k, rerankFactor)
+    rerankShortlist(adc, qRows, corpusNorm, k, rerankFactor)
   }
 }

@@ -39,17 +39,28 @@ object Tables {
     else {
       val spark = df.sparkSession
       val target = spark.sparkContext.defaultParallelism
+      val conf = spark.sessionState.conf
+      val openCost = conf.filesOpenCostInBytes
       val leaves = df.queryExecution.optimizedPlan.collectLeaves()
-      val fileBytes = leaves.map {
+      val fileBytes: Seq[Option[Seq[Long]]] = leaves.map {
         case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-          Some(fs.location.sizeInBytes)
+          fs.location match {
+            // per-file lengths (already listed) let us replicate Spark's
+            // own padded packing — the total alone under-counts a
+            // many-small-files scan, which is ALREADY parallel and must
+            // not get a useless round-robin exchange
+            case p: org.apache.spark.sql.execution.datasources
+                      .PartitioningAwareFileIndex =>
+              Some(p.allFiles().map(_.getLen))
+            case other => Some(Seq(other.sizeInBytes))
+          }
         case _ => None
       }
       if (fileBytes.nonEmpty && fileBytes.forall(_.isDefined)) {
-        val total = fileBytes.flatten.sum
-        val conf = spark.sessionState.conf
+        val padded = fileBytes.flatten.flatten.map(_ + openCost)
+        val total = padded.sum
         val maxSplit = math.min(conf.filesMaxPartitionBytes,
-          math.max(conf.filesOpenCostInBytes, total / math.max(target, 1)))
+          math.max(openCost, total / math.max(target, 1)))
         val estPartitions = math.ceil(total.toDouble / math.max(maxSplit, 1)).toLong
         if (estPartitions < target) df.repartition(target) else df
       } else if (df.rdd.getNumPartitions < target) df.repartition(target)

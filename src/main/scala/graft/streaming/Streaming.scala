@@ -189,9 +189,14 @@ object Streaming {
       if (java.nio.file.Files.isDirectory(shm) &&
           java.nio.file.Files.isWritable(shm)) shm
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n =>
-      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    // The override is session-scoped while the query drains (Spark locks
+    // shuffle.partitions into the stream at start(), there is no
+    // per-query knob) — callers composing OTHER work on the same session
+    // concurrently should not pass statePartitions. Restore an UNSET
+    // key by unsetting, not by writing the default back as explicit.
+    val key = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.getOption(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
     try {
       val q = stream.writeStream
         .format("memory")
@@ -203,7 +208,10 @@ object Streaming {
             .toString)
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally if (statePartitions.nonEmpty) prevParts match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
     spark.table(name)
   }
 }
