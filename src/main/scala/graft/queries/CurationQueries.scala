@@ -186,7 +186,19 @@ object CurationQueries {
         .agg(max("n").as("n"), pick(0.5).as("p50"),
           pick(0.9).as("p90"), pick(0.99).as("p99"))
         .orderBy("source")
-    }))
+    }),
+
+    // Per-domain cap (C4/RefinedWeb shape): at most 15 docs per source,
+    // picked by deterministic hash order. NOT a partitioned window — the
+    // two-pass range-shuffle rank (Curation.capPerGroup) spreads a
+    // mega-domain across many partitions, so the op scales with the
+    // corpus, not with the hottest domain
+    "q86_domain_cap" -> ((s, dir) =>
+      Curation.capPerGroup(docs(s, dir), "source",
+          Seq(md5(col("doc_id").cast("string").cast("binary")), col("doc_id")),
+          cap = 15)
+        .select(col("doc_id"), col("source"), col("rank_in_group"))
+        .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
     "q43_star_join" ->
@@ -370,5 +382,14 @@ object CurationQueries {
          |  FROM w)
          |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
          |FROM grams GROUP BY gram
-         |ORDER BY n DESC, gram LIMIT 50""".stripMargin)
+         |ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    "q86_domain_cap" ->
+      """SELECT doc_id, source, rn AS rank_in_group FROM (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin)
 }

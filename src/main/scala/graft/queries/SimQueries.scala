@@ -122,7 +122,21 @@ object SimQueries {
             .select(col("vec_id").as("id"), col("embedding").as("vec"),
               col("label")),
           "label", thresholdE6 = 300000L)
-        .orderBy("id_a", "id_b")))
+        .orderBy("id_a", "id_b")),
+
+    // kNN majority-vote classification: label the vec_id%5==0 holdout
+    // from its 10 nearest labeled neighbors (exact cosine, q27 ranking
+    // contract; vote ties to the smaller label). The embedding-space
+    // auto-labeling shape — graft.sim.Knn scaladoc for the scale plan
+    "q89_knn_classify" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      graft.sim.Knn.classify(
+          queries = e.filter(col("id") % 5 === 0).select("id", "vec"),
+          labeled = e.filter(col("id") % 5 =!= 0), k = 10)
+        .orderBy("query_id")
+    }))
 
   private val dotSql =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -184,5 +198,31 @@ object SimQueries {
          |           / (${normSql("a.v")} * ${normSql("b.v")}) * 1000000.0) AS BIGINT) AS cos_e6
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos_e6 FROM p WHERE cos_e6 >= 300000
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q89_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id % 5 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+         |             CAST(label AS BIGINT) AS label
+         |      FROM embeddings WHERE vec_id % 5 <> 0),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, label,
+         |         CAST(floor($dotSql / (${normSql("qv")} * ${normSql("cv")}) * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM q CROSS JOIN c),
+         |ranked AS (
+         |  SELECT query_id, label,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |votes AS (
+         |  SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+         |  FROM ranked WHERE rank <= 10 GROUP BY query_id, label),
+         |best AS (
+         |  SELECT query_id, label, n_votes,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY n_votes DESC, label) AS r
+         |  FROM votes)
+         |SELECT query_id, label AS pred_label, n_votes
+         |FROM best WHERE r = 1 ORDER BY query_id""".stripMargin)
 }

@@ -194,7 +194,16 @@ object TextQueries {
         .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
           col("n_phones"), col("has_pii"), col("redacted"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // BM25 keyword retrieval (odds-idf variant — no transcendentals, so
+    // the score arithmetic is bit-exact cross-engine; graft.text.Bm25
+    // scaladoc): postings filter to the query terms BEFORE the shuffle,
+    // doc lengths are map-only, top-20 is sort-limited
+    "q88_bm25" -> ((s, dir) =>
+      graft.text.Bm25.topK(docs(s, dir),
+          Seq("spark", "join", "window", "stream"), k = 20)
+        .orderBy(col("score_e6").desc, col("doc_id").asc)))
 
   /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
     * uncapped) and q49 (triangle-distributed path; completeness check). */
@@ -391,5 +400,38 @@ object TextQueries {
          |SELECT doc_id FROM kept
          |WHERE doc_id NOT IN (SELECT doc_b FROM confirmed)
          |ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    // replicates Bm25.topK step-for-step: same token split, same odds-idf
+    // quantization, same fixed-order double arithmetic, same tie breaks
+    "q88_bm25" ->
+      s"""WITH dl AS (
+         |  SELECT doc_id, CAST(len(${Sql.words}) AS BIGINT) AS dl FROM documents),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM dl),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(${Sql.words}) AS tok FROM documents)
+         |  WHERE tok IN ('spark', 'join', 'window', 'stream')
+         |  GROUP BY doc_id, tok),
+         |idf AS (
+         |  SELECT tok,
+         |         CAST(floor((CAST(n_docs - df AS DOUBLE) + 0.5)
+         |           / (CAST(df AS DOUBLE) + 0.5) * 1000000.0) AS BIGINT) AS idf_e6
+         |  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+         |  CROSS JOIN stats),
+         |w AS (
+         |  SELECT tf.doc_id,
+         |         CAST(floor(CAST(idf_e6 AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf AS DOUBLE)
+         |             + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+         |           AS BIGINT) AS w_e6
+         |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok)
+         |  CROSS JOIN stats)
+         |SELECT doc_id, CAST(SUM(w_e6) AS BIGINT) AS score_e6,
+         |       CAST(COUNT(*) AS BIGINT) AS n_terms
+         |FROM w GROUP BY doc_id
+         |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin)
 }

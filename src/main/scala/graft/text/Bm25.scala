@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a document corpus — the lexical
+  * counterpart of the dense ANN serving path (graft.sim.*): score every
+  * document against a small query-term set with Okapi BM25 weighting
+  * (k1 = 1.2, b = 0.75) and return the global top-k.
+  *
+  * The reference has no retrieval operator; this extends the engine's
+  * training-data surface (eval-set mining, boilerplate hunting, lexical
+  * dedup candidates) the same way the ANN family does for embeddings.
+  *
+  * Determinism (the q88 oracle replicates every step): idf uses the
+  * RATIONAL odds form floor((N - df + 0.5) / (df + 0.5) · 1e6) — the
+  * classic BM25 idf without the final log. log is strictly monotone, so
+  * per-term document ranking is unchanged; only the relative weighting
+  * of multi-term sums differs (rare terms weigh heavier than with
+  * log-idf). The payoff is bit-exactness across engines: no
+  * transcendental functions, whose last-ulp rounding differs between
+  * libm implementations, anywhere in the pipeline. Every remaining step
+  * is IEEE double arithmetic in a fixed operation order, floored to
+  * bigints before the order-independent integer SUM per doc.
+  *
+  * Scale shape (100 TB corpus, handful of query terms):
+  *   - doc lengths are a MAP-ONLY projection (size of the token split —
+  *     no explode, no shuffle); the global (N, avgdl) reduce is the one
+  *     eager job, emitting two scalars.
+  *   - postings are explode → filter-to-query-terms BEFORE the
+  *     aggregation shuffle, so only matching (doc, term) pairs — at most
+  *     |docs|·|terms| rows — ever shuffle; the full inverted index is
+  *     never materialized.
+  *   - per-term df + idf ride a tiny broadcast (≤ |terms| rows).
+  *   - the tf ⋈ dl join shuffles on doc id; the final top-k is
+  *     sort-limited (TakeOrderedAndProject — k rows, not a global sort).
+  */
+object Bm25 {
+
+  /** Score `docs` against `terms`, returning the top `k` rows
+    * (doc_id, score_e6, n_terms) by quantized BM25 score (ties break to
+    * the smaller doc id). `n_terms` = distinct query terms hit. */
+  def topK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dl = docs.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.tokenCountCol(col(textCol)).cast("long").as("dl"))
+    // one eager stats job: corpus size + average doc length (exact
+    // integer→double division, replicated verbatim in the oracle)
+    val (nDocs, totTok) = dl.agg(count(lit(1)), sum("dl")).as[(Long, Long)].head()
+    require(nDocs > 0, "BM25 over an empty corpus")
+    val avgdl = totTok.toDouble / nDocs.toDouble
+    val tf = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.wordsCol(col(textCol))).as("tok"))
+      .filter(col("tok").isin(terms.distinct: _*))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    // df per query term (≤ |terms| rows) + quantized odds-idf, broadcast
+    val idf = broadcast(
+      tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        .withColumn("idf_e6",
+          floor(((lit(nDocs) - col("df")).cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) * lit(1000000.0))
+            .cast("long"))
+        .select("tok", "idf_e6"))
+    tf.join(dl, "id").join(idf, "tok")
+      .withColumn("w_e6",
+        floor(col("idf_e6").cast("double") * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double")
+            + lit(1.2) * (lit(0.25) + lit(0.75)
+              * (col("dl").cast("double") / lit(avgdl)))))
+          .cast("long"))
+      .groupBy("id")
+      .agg(sum("w_e6").as("score_e6"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_e6").desc, col("id").asc)
+      .limit(k)
+      .select(col("id").as(idCol), col("score_e6"), col("n_terms"))
+  }
+}

@@ -361,4 +361,78 @@ object Curation {
       .orderBy(col("n").desc, col("gram").asc)
       .limit(k)
   }
+
+  /** Per-group cap ("domain cap", the C4/RefinedWeb curation step that
+    * stops a handful of mega-domains from dominating a crawl corpus):
+    * keep at most `cap` rows per value of `groupCol`, selected by the
+    * total order `order` (make it total — include a unique id as the
+    * last key — or ties fall to range-partition placement).
+    *
+    * Scale shape: NOT `Window.partitionBy(group)` — a partitioned
+    * window funnels ALL rows of a group through one task, and domain
+    * skew is exactly the problem this operator exists to fix. Instead
+    * the two-pass range-shuffle shape of Relational.sequentialIds,
+    * generalized per-group: range-repartition on (group, order…) so a
+    * mega-group spreads across MANY contiguous partitions; sort within
+    * partitions; pass 1 collects the ordered per-partition
+    * (group, count) runs — bounded by nGroups + nPartitions rows total,
+    * because group slices are contiguous — pass 2 assigns each row its
+    * within-group rank from the broadcast prefix offsets and filters
+    * rank <= cap. No task ever holds more than one partition; driver
+    * state is the run-length table (the bounded-model-state pattern). */
+  def capPerGroup(df: DataFrame, groupCol: String, order: Seq[Column],
+                  cap: Int, rankCol: String = "rank_in_group"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val keyed = df.withColumn("__cap_grp", col(groupCol).cast("string"))
+    val sortCols = col("__cap_grp") +: order
+    val sorted = keyed.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val gIdx = sorted.schema.fieldIndex("__cap_grp")
+    val rdd = sorted.rdd
+    // pass 1: ordered (group, count) runs per partition
+    val runs: Array[(Int, Array[(String, Long)])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var cur: String = null; var n = 0L; var any = false
+        it.foreach { row =>
+          val g = row.getString(gIdx)
+          if (!any || g != cur) {
+            if (any) buf += ((cur, n))
+            cur = g; n = 0L; any = true
+          }
+          n += 1
+        }
+        if (any) buf += ((cur, n))
+        Iterator.single((pid, buf.toArray))
+      }.collect().sortBy(_._1)
+    // rank offset of partition p's first row of group g = sum of g's
+    // counts in earlier partitions (groups are contiguous across the
+    // range-partitioned order, so only boundary groups repeat)
+    val offsets = Array.fill(runs.length)(Map.empty[String, Long])
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    runs.foreach { case (pid, rs) =>
+      offsets(pid) =
+        rs.iterator.map { case (g, _) => g -> running.getOrElse(g, 0L) }.toMap
+      rs.foreach { case (g, n) => running(g) = running.getOrElse(g, 0L) + n }
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(rankCol, LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val offs = bc.value(pid)
+      var cur: String = null; var local = 0L; var base = 0L; var any = false
+      it.flatMap { row =>
+        val g = row.getString(gIdx)
+        if (!any || g != cur) {
+          cur = g; local = 0L; base = offs.getOrElse(g, 0L); any = true
+        }
+        local += 1
+        val rank = base + local
+        if (rank <= cap) Some(Row.fromSeq(row.toSeq :+ rank)) else None
+      }
+    }
+    spark.createDataFrame(out, schema).drop("__cap_grp")
+  }
 }

@@ -1,0 +1,45 @@
+package graft.text
+
+class Bm25Spec extends graft.SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark join spark join spark"),   // tf(spark)=3 tf(join)=2, dl=5
+    (2L, "spark filter scan table scan"),  // tf(spark)=1, dl=5
+    (3L, "window window window window window"), // tf(window)=5, dl=5
+    (4L, "merge sort hash"),               // no hits, dl=3
+    (5L, "join"))                          // tf(join)=1, dl=1
+    .toDF("doc_id", "text")
+
+  test("hand-computed BM25 arithmetic (odds-idf, k1=1.2 b=0.75)") {
+    val out = Bm25.topK(docs, Seq("spark", "join"), k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // N=5, totTok=19, avgdl=3.8
+    // df(spark)=2 -> idf_e6 = floor((5-2+0.5)/(2+0.5)*1e6) = 1400000
+    // df(join)=2  -> idf_e6 = 1400000
+    val avgdl = 19.0 / 5.0
+    def w(idf: Long, tf: Long, dl: Long): Long =
+      math.floor(idf.toDouble * (tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl)))).toLong
+    val d1 = w(1400000, 3, 5) + w(1400000, 2, 5)
+    val d2 = w(1400000, 1, 5)
+    val d5 = w(1400000, 1, 1)
+    assert(out(1L) == (d1, 2L))
+    assert(out(2L) == (d2, 1L))
+    assert(out(5L) == (d5, 1L))
+    assert(!out.contains(4L)) // no query terms -> absent
+    assert(!out.contains(3L))
+  }
+
+  test("ranking prefers more matched terms and shorter docs") {
+    val top = Bm25.topK(docs, Seq("spark", "join"), k = 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top.head == 1L)            // two terms, high tf
+    assert(top.indexOf(5L) < top.indexOf(2L)) // same tf, shorter doc wins
+  }
+
+  test("k bounds the output and empty-match corpora return no rows") {
+    assert(Bm25.topK(docs, Seq("spark", "join"), k = 2).count() == 2)
+    assert(Bm25.topK(docs, Seq("zzz"), k = 5).count() == 0)
+  }
+}

@@ -171,4 +171,31 @@ class CurationSpec extends graft.SparkSuite {
     // docs shorter than n contribute nothing (no crash on empty text)
     assert(Curation.topNgrams(docs.filter(col("doc_id") === 20), 2, 5).count() == 0)
   }
+
+  test("capPerGroup equals the window-rank reference, incl. split groups") {
+    // 3 groups x 40 rows over 4 shuffle partitions: every group is
+    // guaranteed to span range-partition boundaries, exercising the
+    // cross-partition offset path
+    val rows = for (g <- Seq("a", "b", "c"); i <- 0 until 40)
+      yield (g.hashCode.toLong * 1000 + i, g)
+    val df = rows.toDF("id", "grp")
+    val capped = Curation.capPerGroup(df, "grp",
+      Seq(md5(col("id").cast("string").cast("binary")), col("id")), cap = 7)
+    val got = capped.select("id", "grp", "rank_in_group")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+    val want = df
+      .withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .filter(col("rank_in_group") <= 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.size == 21)
+    // under-cap groups keep everything, ranks stay 1..n
+    val small = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "grp")
+    val keptAll = Curation.capPerGroup(small, "grp", Seq(col("id")), cap = 10)
+      .select("id", "rank_in_group")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keptAll == Set((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
 }
