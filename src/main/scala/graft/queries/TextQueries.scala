@@ -203,7 +203,18 @@ object TextQueries {
     "q88_bm25" -> ((s, dir) =>
       graft.text.Bm25.topK(docs(s, dir),
           Seq("spark", "join", "window", "stream"), k = 20)
-        .orderBy(col("score_e6").desc, col("doc_id").asc)))
+        .orderBy(col("score_e6").desc, col("doc_id").asc)),
+
+    // BPE tokenization: merges trained on a 25% hash sample (bounded
+    // driver state — production tokenizer practice), corpus encoded in
+    // one map-only broadcast pass. Rows-only for the driver (iterative
+    // merge learning has no closed-form SQL); BpeSpec pins the classic
+    // worked example, local/distributed encode parity, and determinism
+    "q87_bpe_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.train(d, nMerges = 200, sampleHexCeil = "40")
+      graft.text.Bpe.encode(d, merges).orderBy("doc_id")
+    }))
 
   /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
     * uncapped) and q49 (triangle-distributed path; completeness check). */
