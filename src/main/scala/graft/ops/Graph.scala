@@ -47,10 +47,17 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src")
+    // hash-partition the big cached inputs ON THEIR JOIN KEYS: cached
+    // plans report their outputPartitioning, so every round's edges⋈ranks
+    // join (and the nodes⋈contribs fill) co-locates against the cache and
+    // shuffles only the SMALL per-round side — the edge table crosses the
+    // wire once total, not once per round. (Broadcasting ranks instead
+    // would be faster here but wrong at scale: ranks = every node.)
+    val ed = e.join(deg, "src").repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def round(ranks: DataFrame): DataFrame = {
