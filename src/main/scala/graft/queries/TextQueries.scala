@@ -214,6 +214,20 @@ object TextQueries {
       val d = docs(s, dir)
       val merges = graft.text.Bpe.train(d, nMerges = 200, sampleHexCeil = "40")
       graft.text.Bpe.encode(d, merges).orderBy("doc_id")
+    }),
+
+    // Leakage-safe split: split decided by the md5 of the near-dup
+    // CLUSTER id (q52's components), so duplicates never straddle
+    // train/val/test — the oracle rebuilds the components recursively
+    // and applies the identical hash compare
+    "q90_leakage_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashCandidatePairs(d, k = 3, numHashes = 16,
+        bands = 4, portable = true, maxBucket = 0)
+      graft.text.Curation.leakageSafeSplit(
+          graft.text.Components.dedupClusters(d, pairs))
+        .select(col("doc_id"), col("component"), col("split"))
+        .orderBy("doc_id")
     }))
 
   /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
@@ -333,6 +347,26 @@ object TextQueries {
          |SELECT doc_id, component,
          |       CAST(component = doc_id AS BIGINT) AS kept
          |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "q90_leakage_safe_split" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM ($minhashAllPairsSql)),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.m FROM edges e JOIN reach r ON r.u = e.v),
+         |comp AS (SELECT u AS doc_id, MIN(m) AS component
+         |         FROM reach GROUP BY u),
+         |h AS (SELECT doc_id, component,
+         |        substr(md5(CAST(component AS VARCHAR)), 1, 2) AS h2
+         |      FROM comp)
+         |SELECT doc_id, component,
+         |       CASE WHEN h2 < 'cc' THEN 'train'
+         |            WHEN h2 < 'e6' THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     // completeness proof for the triangle-distributed path: the engine
     // runs the skew-proof plan, the oracle computes the uncapped

@@ -362,6 +362,26 @@ object Curation {
       .limit(k)
   }
 
+  /** Leakage-safe train/val/test split: the split is decided by the
+    * near-dup CLUSTER id (the `component` column of
+    * Components.dedupClusters), not the document id, so near-duplicate
+    * documents can never straddle a split boundary — the eval-set
+    * leakage every dedup pipeline exists to prevent. The decision is
+    * the md5-hex-prefix compare of [[hashSample]] on the component:
+    * map-only over the cluster table, reproducible, engine-portable.
+    * Default ceilings "cc"/"e6" ≈ 80/10/10. */
+  def leakageSafeSplit(clusters: DataFrame,
+                       componentCol: String = "component",
+                       trainCeil: String = "cc",
+                       valCeil: String = "e6"): DataFrame =
+    clusters.withColumn("__h2",
+        substring(md5(col(componentCol).cast("string").cast("binary")), 1, 2))
+      .withColumn("split",
+        when(col("__h2") < trainCeil, "train")
+          .when(col("__h2") < valCeil, "val")
+          .otherwise("test"))
+      .drop("__h2")
+
   /** Per-group cap ("domain cap", the C4/RefinedWeb curation step that
     * stops a handful of mega-domains from dominating a crawl corpus):
     * keep at most `cap` rows per value of `groupCol`, selected by the

@@ -198,4 +198,25 @@ class CurationSpec extends graft.SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(keptAll == Set((1L, 1L), (2L, 2L), (3L, 1L)))
   }
+
+  test("leakageSafeSplit: cluster-mates share a split, all splits land") {
+    val clusters = (0L until 300L).map(i => (i, i % 60))
+      .toDF("doc_id", "component")
+    val out = Curation.leakageSafeSplit(clusters)
+      .select("doc_id", "component", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every member of a component got the component's split
+    val byComp = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byComp.values.forall(_.size == 1))
+    // with 60 distinct components all three splits should appear, with
+    // train the clear majority (~80%)
+    val bySplit = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") + bySplit("test"))
+    // deterministic
+    val again = Curation.leakageSafeSplit(clusters)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == out.map(t => (t._1, t._3)).toSet)
+  }
 }
