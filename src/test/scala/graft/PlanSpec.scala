@@ -190,4 +190,45 @@ class PlanSpec extends SparkSuite {
     val windows = "Window ".r.findAllIn(p).length
     assert(windows == 1, s"expected only the forward-fill window, got $windows:\n$p")
   }
+
+  test("BM25: postings filter below the agg exchange, idf broadcast, top-k sort-limited") {
+    val df = graft.text.Bm25.topK(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      Seq("spark", "join"), k = 20)
+    val p = plan(df)
+    // the query-term IN filter must run in the explode stage — printed
+    // DIRECTLY above its Generate child (plans print top-down), i.e.
+    // before the (id, tok) aggregation exchange, so non-matching tokens
+    // never shuffle
+    val lines = p.linesIterator.toIndexedSeq
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter tok#") && l.contains("IN (spark,join)"))
+    assert(filterIdx >= 0, s"query-term filter missing:\n$p")
+    assert(lines(filterIdx + 1).contains("Generate explode"),
+      s"term filter must sit on the explode, pre-shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"idf table must broadcast-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be sort-limited, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("kNN classify: label pickup broadcasts, no cartesian, one top-k window") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label"))
+    val p = plan(graft.sim.Knn.classify(
+      e.filter(col("id") % 5 === 0).select("id", "vec"),
+      e.filter(col("id") % 5 =!= 0), k = 10))
+    assert(p.contains("BroadcastHashJoin"),
+      s"neighbor table must broadcast against the labeled corpus:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("leakage-safe split is map-only over the cluster table") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "component")
+    val p = plan(graft.text.Curation.leakageSafeSplit(clusters))
+    assert(!p.contains("Exchange"), s"split must add no shuffle:\n$p")
+  }
 }
