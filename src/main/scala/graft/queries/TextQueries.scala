@@ -18,7 +18,21 @@ object TextQueries {
   private[queries] object Sql {
     // normalized text: lower, trim, collapse whitespace (note DuckDB needs
     // the 'g' flag; Spark regexp_replace is global by default)
-    val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+    def normOf(e: String): String =
+      s"""regexp_replace(trim(lower($e)), '\\s+', ' ', 'g')"""
+    val norm = normOf("text")
+
+    // planted boilerplate content (byte-identical to plantBoilerplate):
+    // ten 11-token template variants, each appended to the ~1/97 of docs
+    // whose doc_id lands in its slot — the repeated-passage fixture for
+    // span dedup (the synthetic corpus has no natural shared spans)
+    val plantBoilerplateContent: String =
+      """text ||
+        |    CASE WHEN doc_id % 97 < 10
+        |      THEN ' please subscribe to newsletter variant' ||
+        |           CAST(doc_id % 97 AS VARCHAR) ||
+        |           ' for daily updates and exclusive offers'
+        |      ELSE '' END""".stripMargin
     // portable polynomial hash of a string expression
     def poly(e: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -83,6 +97,22 @@ object TextQueries {
       when(pmod(col("doc_id"), lit(13)) === 0,
         concat(lit(" call +31 6 1234 56"),
           (pmod(col("doc_id"), lit(90)) + 10).cast("string")))
+        .otherwise(lit(""))))
+
+  /** Deterministically append one of ten 11-token boilerplate variants
+    * to the docs whose doc_id % 97 lands in [0, 10) — the repeated-span
+    * fixture for q91/q92 (the synthetic corpus shares no natural
+    * passages); [[Sql.plantBoilerplateContent]] is the byte-identical
+    * SQL construction. Appending (vs inserting at a fixed offset) is the
+    * point: every planted doc carries the passage at a DIFFERENT token
+    * offset, so only an alignment-independent sliding-gram dedup finds
+    * it. */
+  private[queries] def plantBoilerplate(d: DataFrame): DataFrame =
+    d.withColumn("content", concat(col("text"),
+      when(pmod(col("doc_id"), lit(97)) < 10,
+        concat(lit(" please subscribe to newsletter variant"),
+          pmod(col("doc_id"), lit(97)).cast("string"),
+          lit(" for daily updates and exclusive offers")))
         .otherwise(lit(""))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -228,7 +258,28 @@ object TextQueries {
           graft.text.Components.dedupClusters(d, pairs))
         .select(col("doc_id"), col("component"), col("split"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // Exact-substring span dedup (Lee et al. 2022 shape): sliding
+    // 8-token grams seed repeated-passage detection; positions covered
+    // by a gram shared across ≥3 docs are excised and the survivors
+    // reassembled. Boilerplate is PLANTED at per-doc-varying offsets
+    // (see plantBoilerplate) so the query also proves alignment
+    // independence; the oracle replays seed→flag→cover→rebuild in SQL
+    "q91_span_dedup" -> ((s, dir) =>
+      graft.text.SpanDedup.removeRepeatedSpans(
+          plantBoilerplate(docs(s, dir).select(col("doc_id"), col("text"))),
+          textCol = "content", k = 8, minDocs = 3)
+        .orderBy("doc_id")),
+
+    // Cross-document shared-span pairs: distinct 8-gram overlap counts
+    // per doc pair, df capped at 200 (per-gram join fan-out bounded by
+    // maxDf² — the skew control that makes the pair join 100 TB-safe)
+    "q92_shared_spans" -> ((s, dir) =>
+      graft.text.SpanDedup.sharedSpanPairs(
+          plantBoilerplate(docs(s, dir).select(col("doc_id"), col("text"))),
+          textCol = "content", k = 8, maxDf = 200)
+        .orderBy("doc_a", "doc_b")))
 
   /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
     * uncapped) and q49 (triangle-distributed path; completeness check). */
@@ -478,5 +529,53 @@ object TextQueries {
          |SELECT doc_id, CAST(SUM(w_e6) AS BIGINT) AS score_e6,
          |       CAST(COUNT(*) AS BIGINT) AS n_terms
          |FROM w GROUP BY doc_id
-         |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin)
+         |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // seed → flag (df ≥ 3) → cover → rebuild, replayed relationally:
+    // sliding grams from position-indexed token lists, covered positions
+    // via NOT EXISTS range anti-join, ordered string_agg reassembly
+    "q91_span_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${Sql.plantBoilerplateContent} AS content
+         |  FROM documents),
+         |toks AS (SELECT doc_id, string_split(${Sql.normOf("content")}, ' ') AS w
+         |         FROM d),
+         |tp AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM toks),
+         |tok AS (SELECT doc_id, pos, w[pos] AS word FROM tp),
+         |grams AS (SELECT doc_id, pos AS start,
+         |                 array_to_string(w[pos:pos+7], ' ') AS gram
+         |          FROM tp WHERE pos <= len(w) - 7),
+         |flagged AS (SELECT gram FROM grams
+         |            GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 3),
+         |cov AS (SELECT DISTINCT doc_id, start + o AS pos
+         |        FROM (SELECT g.doc_id, g.start, unnest(range(0, 8)) AS o
+         |              FROM grams g JOIN flagged f USING (gram)) x),
+         |kept AS (SELECT t.doc_id, t.pos, t.word FROM tok t
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |                           WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+         |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+         |               CAST(COUNT(*) AS BIGINT) AS n_kept
+         |        FROM kept GROUP BY doc_id),
+         |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM toks)
+         |SELECT n.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |       n.n_tok - coalesce(a.n_kept, 0) AS n_removed
+         |FROM n LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q92_shared_spans" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${Sql.plantBoilerplateContent} AS content
+         |  FROM documents),
+         |toks AS (SELECT doc_id, string_split(${Sql.normOf("content")}, ' ') AS w
+         |         FROM d),
+         |tp AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM toks),
+         |grams AS (SELECT DISTINCT doc_id,
+         |                 array_to_string(w[pos:pos+7], ' ') AS gram
+         |          FROM tp WHERE pos <= len(w) - 7),
+         |elig AS (SELECT gram FROM grams
+         |         GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 200),
+         |e AS (SELECT g.doc_id, g.gram FROM grams g JOIN elig USING (gram))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-substring (span-level) deduplication — the "remove any ≥k-token
+  * run shared across many documents" operator popularized by
+  * "Deduplicating Training Data Makes Language Models Better" (Lee et
+  * al., 2022). Document-level dedup (Dedup.exact / MinHash) keeps one
+  * copy of a whole near-duplicate document; span dedup instead excises
+  * REPEATED PASSAGES (boilerplate, licenses, navigation chrome) from
+  * otherwise-unique documents.
+  *
+  * Seed-and-cover formulation, alignment-independent by construction:
+  *   1. tokenize each normalized doc; emit every SLIDING k-token gram
+  *      with its start position (map-only fan-out; sliding — not fixed
+  *      chunks — so a shared passage is found at ANY offset);
+  *   2. flag grams whose distinct-document frequency ≥ `minDocs`
+  *      (one partial+final hash aggregate, shuffled on the gram);
+  *   3. positions covered by any flagged gram occurrence expand to
+  *      (doc, pos) rows (sequence explode, dedup);
+  *   4. anti-join token positions against covered positions and
+  *      reassemble the survivors in order (one shuffle on doc).
+  *
+  * Scale (100 TB): no all-pairs, no cross join — every stage shuffles on
+  * a bounded key (gram, then (doc,pos), then doc). The flagged-gram set
+  * is the REPEATED subset only (tiny vs the corpus). Shuffling literal
+  * gram strings keeps the oracle exact; the wide-row optimization at
+  * scale is to aggregate on xxhash64(gram) and verify the string only
+  * within hash buckets (same shape the suffix-array paper's
+  * hash-based implementations use).
+  */
+object SpanDedup {
+
+  private def tokens(docs: DataFrame, textCol: String, idCol: String) =
+    graft.sources.Tables.widen(
+      docs.select(col(idCol).cast("long").as("doc"),
+        split(TextAnalysis.normalizeCol(col(textCol)), " ").as("w")))
+
+  /** (doc, start, gram): every sliding k-token gram per document,
+    * 1-based start position. Docs shorter than k emit no grams (the
+    * filter runs BEFORE the sequence explode — Spark's `sequence(1, n)`
+    * with n < 1 would generate a DESCENDING range, not an empty one). */
+  def slidingGrams(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", k: Int = 8): DataFrame =
+    tokens(docs, textCol, idCol)
+      .where(size(col("w")) >= k)
+      .select(col("doc"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (k - 1))).as("start"))
+      .select(col("doc"), col("start"),
+        concat_ws(" ", slice(col("w"), col("start"), lit(k))).as("gram"))
+
+  /** Remove every token covered by a k-gram that appears in ≥ `minDocs`
+    * distinct documents; returns (doc_id, clean_text, n_removed) for
+    * EVERY input document (clean_text = "" when everything was flagged).
+    */
+  def removeRepeatedSpans(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id", k: Int = 8,
+                          minDocs: Int = 3): DataFrame = {
+    val toks = tokens(docs, textCol, idCol)
+    val tok = toks.select(col("doc"),
+      posexplode(col("w")).as(Seq("p0", "word")))
+      .select(col("doc"), (col("p0") + 1).as("pos"), col("word"))
+    val grams = slidingGrams(docs, textCol, idCol, k)
+    val flagged = grams.groupBy("gram")
+      .agg(count_distinct(col("doc")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("gram")
+    // covered (doc, pos): each flagged occurrence expands to its k
+    // positions; distinct because overlapping flagged grams re-cover
+    val covered = grams.join(flagged, Seq("gram"), "left_semi")
+      .select(col("doc"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = tok.join(covered, Seq("doc", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc").agg(
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    toks.select(col("doc"), size(col("w")).cast("long").as("n_tok"))
+      .join(rebuilt, Seq("doc"), "left_outer")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Cross-document shared-span analytics: (doc_a, doc_b, n_shared) =
+    * number of DISTINCT k-grams the pair shares, over grams with
+    * distinct-doc frequency in [2, maxDf]. The df cap is the skew
+    * control: a gram shared by df documents contributes df·(df−1)/2
+    * pair rows, so bounding df ≤ maxDf bounds per-gram join fan-out by
+    * maxDf² regardless of how viral a passage is (ultra-common spans
+    * carry no pairing signal anyway — same rationale as dropping
+    * super-frequent spans in the suffix-array pipelines). */
+  def sharedSpanPairs(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", k: Int = 8,
+                      maxDf: Int = 200): DataFrame = {
+    val dg = slidingGrams(docs, textCol, idCol, k)
+      .select("doc", "gram").distinct()
+    val eligible = dg.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("gram")
+    val e = dg.join(eligible, Seq("gram"), "left_semi")
+    e.select(col("gram"), col("doc").as("doc_a"))
+      .join(e.select(col("gram"), col("doc").as("doc_b")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

@@ -231,4 +231,24 @@ class PlanSpec extends SparkSuite {
     val p = plan(graft.text.Curation.leakageSafeSplit(clusters))
     assert(!p.contains("Exchange"), s"split must add no shuffle:\n$p")
   }
+
+  test("span dedup: semi/anti joins hash on their keys, no cartesian, " +
+       "partial aggs") {
+    val p = plan(graft.text.SpanDedup.removeRepeatedSpans(
+      spark.read.parquet(s"$dir/documents.parquet"), k = 8, minDocs = 3))
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$p")
+    assert(p.contains("LeftSemi"), s"flagged-gram filter must be a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"covered-position removal must be an anti join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"gram-frequency agg must map-side combine:\n$p")
+  }
+
+  test("shared-span pairs: gram self-join is an equi-join, never a product") {
+    val p = plan(graft.text.SpanDedup.sharedSpanPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), k = 8, maxDf = 200))
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$p")
+    assert(p.contains("doc_a") && p.contains("doc_b"))
+  }
 }
