@@ -71,6 +71,27 @@ object StreamGeoQueries {
         .orderBy("event_id")
     }),
 
+    // Streaming MERGE sink (foreachBatch upsert): events split over 4
+    // source files, streamed 1 file per micro-batch, each batch merged
+    // into a parquet target keeping the newest row per user (recency-
+    // aware — independent of batch boundaries and file order). The
+    // final table must equal the batch "latest event per user" oracle
+    "q93_stream_upsert" -> ((s, dir) => {
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-q93-${System.getProperty("user.name", "u")}").toString
+      graft.sources.Tables.events(s, dir)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$base/src")
+      Streaming.upsertAvailableNow(
+          Streaming.fileStream(s, s"$base/src", maxFilesPerTrigger = Some(1)),
+          s"$base/target",
+          keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          unix_micros(col("ts")).as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
     // G1/G2/G3 — RD-coordinate parse + polynomial CRS transform,
     // quantized to 1e6 microdegrees (multiplication-chain arithmetic is
     // replicated verbatim in the oracle)
@@ -131,6 +152,15 @@ object StreamGeoQueries {
         | AND l.event_type = 'view' AND r.event_type = 'purchase'
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 24 HOURS
         |ORDER BY l_event_id, r_event_id""".stripMargin,
+
+    "q93_stream_upsert" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+        |FROM (SELECT user_id, event_id, ts,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q38_geo_transform" -> {
       val x = "(CAST(100000000 + (o_orderkey % 100000) * 1000 AS BIGINT) / 1000.0)"

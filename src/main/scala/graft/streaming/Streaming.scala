@@ -87,15 +87,78 @@ object Streaming {
 
   /** Generic file stream over a parquet path. FileStreamSource needs a
     * directory: a single-file path becomes its parent dir plus a glob
-    * filter on the file name (glob metacharacters escaped). */
-  def fileStream(spark: SparkSession, path: String): DataFrame = {
+    * filter on the file name (glob metacharacters escaped).
+    * `maxFilesPerTrigger` bounds each micro-batch to that many source
+    * files (the standard ingest-rate control; it also forces a
+    * multi-batch run over a multi-file directory, which is how the
+    * batch-boundary-independence specs exercise stateful sinks). */
+  def fileStream(spark: SparkSession, path: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val f = new java.io.File(path)
     val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
     if (f.isFile) {
       val escaped = f.getName.replaceAll("([\\[\\]{}*?\\\\])", "\\\\$1")
       reader.option("pathGlobFilter", escaped).parquet(f.getParent)
     } else reader.parquet(path)
+  }
+
+  /** Streaming MERGE sink — the continuous-CDC "latest row per key"
+    * lakehouse pattern: each micro-batch is reduced to its newest row
+    * per key (map-side: one shuffle on the key within the batch) and
+    * merged into a parquet target via rewrite-and-atomic-swap, the same
+    * rewrite+commit a lakehouse MERGE performs transactionally.
+    *
+    * The merge is RECENCY-AWARE, not last-writer-wins: the kept row per
+    * key is the max under `orderCols` across target ∪ batch, so the
+    * final table is INDEPENDENT of micro-batch boundaries and file
+    * arrival order (asserted by StreamingSpec against 1-file-per-batch
+    * vs all-at-once runs). A plain "updates win" upsert would silently
+    * corrupt on out-of-order arrival — the usual CDC footgun.
+    *
+    * Scale: per batch, one shuffle of batch∪target on the key. At 100 TB
+    * the target rewrite is the cost — a real deployment partitions the
+    * target by key range and rewrites only partitions the batch touches
+    * (same algorithm, pruned); the per-batch merge shape is unchanged.
+    * Returns the final merged table. */
+  def upsertAvailableNow(stream: DataFrame, targetDir: String,
+                         keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val spark = stream.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tPath = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = tPath.getFileSystem(hconf)
+    fs.delete(tPath, true)
+    val desc = orderCols.map(c => col(c).desc)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckBase =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val latest = graft.ops.Relational.keepFirst(
+          batch.toDF(), keys.map(col), desc)
+        val merged =
+          if (fs.exists(tPath))
+            graft.ops.Relational.keepFirst(
+              spark.read.parquet(targetDir).unionByName(latest),
+              keys.map(col), desc)
+          else latest
+        val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(tPath, true)
+        fs.rename(staging, tPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(ckBase, "graft-ckpt-upsert")
+          .toString)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(targetDir)
   }
 
   /** In-stream exact dedup — the continuous-ingest form of

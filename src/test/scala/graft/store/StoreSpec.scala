@@ -494,4 +494,42 @@ class StreamingSpec extends graft.SparkSuite {
     assert(latest(7L) == ((2L, 3L)), s"user7=${latest.get(7L)}")
     assert(latest(8L) == ((2L, 1L)), s"user8=${latest.get(8L)}")
   }
+
+  test("foreachBatch upsert sink: final table independent of batch " +
+       "boundaries and arrival order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    // file f1 (arrives FIRST) holds the NEWER rows for user 1 — a
+    // last-writer-wins merge would let f2's older row clobber it
+    def write(name: String, mtimeMs: Long,
+              rows: Seq[(Long, Long, Long)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-upsert-st")
+      rows.toDF("user_id", "ts_us", "event_id")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("event_id"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(s"$base/src", name)
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtimeMs))
+    }
+    val S = 1000000L
+    write("f1.parquet", 1000000L, Seq((1L, 50 * S, 10L), (2L, 1 * S, 11L)))
+    write("f2.parquet", 2000000L, Seq((1L, 10 * S, 12L), (3L, 5 * S, 13L)))
+    def run(maxFiles: Option[Int], target: String) =
+      graft.streaming.Streaming.upsertAvailableNow(
+          graft.streaming.Streaming.fileStream(spark, s"$base/src", maxFiles),
+          s"$base/$target", keys = Seq("user_id"),
+          orderCols = Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val perFile = run(Some(1), "t1") // 2 micro-batches
+    val oneShot = run(None, "t2")    // 1 micro-batch
+    val expected = Seq((1L, 10L, 50 * S), (2L, 11L, 1 * S), (3L, 13L, 5 * S))
+    assert(perFile == expected, s"per-file run: $perFile")
+    assert(oneShot == expected, s"one-shot run: $oneShot")
+  }
 }
