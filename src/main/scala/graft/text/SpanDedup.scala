@@ -53,36 +53,52 @@ object SpanDedup {
   /** Remove every token covered by a k-gram that appears in ≥ `minDocs`
     * distinct documents; returns (doc_id, clean_text, n_removed) for
     * EVERY input document (clean_text = "" when everything was flagged).
-    */
+    *
+    * Shape: the only corpus-sized shuffles are the gram-frequency
+    * aggregate and the final doc join — flagged occurrences collapse to
+    * a per-doc START LIST (tiny: only docs carrying a repeated passage
+    * appear, with a handful of offsets each; AQE broadcast-joins it in
+    * practice), and the excision itself is one compiled partition-local
+    * map over (doc, tokens, starts). The naïve alternative — exploding
+    * to (doc, pos) token rows and anti-joining covered positions — would
+    * push TWO more corpus-sized exchanges (tokens out, survivors back)
+    * through the plan for the same answer. */
   def removeRepeatedSpans(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id", k: Int = 8,
                           minDocs: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val toks = tokens(docs, textCol, idCol)
-    val tok = toks.select(col("doc"),
-      posexplode(col("w")).as(Seq("p0", "word")))
-      .select(col("doc"), (col("p0") + 1).as("pos"), col("word"))
     val grams = slidingGrams(docs, textCol, idCol, k)
     val flagged = grams.groupBy("gram")
       .agg(count_distinct(col("doc")).as("df"))
       .filter(col("df") >= minDocs)
       .select("gram")
-    // covered (doc, pos): each flagged occurrence expands to its k
-    // positions; distinct because overlapping flagged grams re-cover
-    val covered = grams.join(flagged, Seq("gram"), "left_semi")
-      .select(col("doc"),
-        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
-      .distinct()
-    val kept = tok.join(covered, Seq("doc", "pos"), "left_anti")
-    val rebuilt = kept.groupBy("doc").agg(
-      concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-          s => s.getField("word"))).as("clean_text"),
-      count(lit(1)).as("n_kept"))
-    toks.select(col("doc"), size(col("w")).cast("long").as("n_tok"))
-      .join(rebuilt, Seq("doc"), "left_outer")
-      .select(col("doc").as("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    val flaggedStarts = grams.join(flagged, Seq("gram"), "left_semi")
+      .groupBy("doc").agg(collect_list(col("start")).as("starts"))
+    toks.join(flaggedStarts, Seq("doc"), "left_outer")
+      .select(col("doc"), col("w"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .as[(Long, Seq[String], Seq[Int])]
+      .mapPartitions(_.map { case (doc, w, starts) =>
+        if (starts.isEmpty) (doc, w.mkString(" "), 0L)
+        else {
+          val covered = new Array[Boolean](w.length)
+          starts.foreach { s =>
+            var i = s - 1
+            val end = math.min(s - 1 + k, w.length)
+            while (i < end) { covered(i) = true; i += 1 }
+          }
+          val kept = new scala.collection.mutable.ArrayBuffer[String](w.length)
+          var i = 0
+          w.foreach { word =>
+            if (!covered(i)) kept += word
+            i += 1
+          }
+          (doc, kept.mkString(" "), (w.length - kept.length).toLong)
+        }
+      })
+      .toDF("doc_id", "clean_text", "n_removed")
   }
 
   /** Cross-document shared-span analytics: (doc_a, doc_b, n_shared) =

@@ -232,16 +232,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), s"split must add no shuffle:\n$p")
   }
 
-  test("span dedup: semi/anti joins hash on their keys, no cartesian, " +
-       "partial aggs") {
+  test("span dedup: semi join on grams, start-list excision, no " +
+       "token-level shuffle") {
     val p = plan(graft.text.SpanDedup.removeRepeatedSpans(
       spark.read.parquet(s"$dir/documents.parquet"), k = 8, minDocs = 3))
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$p")
     assert(p.contains("LeftSemi"), s"flagged-gram filter must be a semi join:\n$p")
-    assert(p.contains("LeftAnti"), s"covered-position removal must be an anti join:\n$p")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"gram-frequency agg must map-side combine:\n$p")
+    // excision is a compiled per-doc map over (tokens, starts) — the
+    // plan must NOT explode tokens into (doc, pos) rows and anti-join
+    // them back (two corpus-sized exchanges for the same answer)
+    assert(!p.contains("LeftAnti"), s"no per-token anti-join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4,
+      s"corpus-sized shuffles must be bounded (got $exchanges):\n$p")
   }
 
   test("shared-span pairs: gram self-join is an equi-join, never a product") {
