@@ -107,6 +107,18 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM transition scoring (the n-gram-LM quality-filter shape):
+    // top-1000 bigrams by count, integer-quantized conditional
+    // probabilities, one broadcast map-only scoring pass — same
+    // train/corpus split as q68, oracle replicates the arithmetic
+    "q95_bigram_lm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.lmScoreBigram(
+          corpus = d.filter(col("doc_id") % 10 =!= 0),
+          train = d.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    }),
+
     // Deequ-style data-quality report: every constraint compiles into ONE
     // aggregation pass (map-side partial agg; a single row per partition
     // reaches the reducer); integer-exact metrics
@@ -262,6 +274,48 @@ object CurationQueries {
          |       CAST(COALESCE(SUM(v.p_e9), 0) AS BIGINT) AS sum_p_e9
          |FROM corpus c LEFT JOIN vocab v USING (tok)
          |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigram counts → per-context totals → top-1000 cut (count desc,
+    // lexicographic tiebreak) → integer-quantized transition probs →
+    // left-join scoring; docs with <2 tokens surface via the final
+    // left join with zero counts
+    "q95_bigram_lm" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextQueries.Sql.words} AS ws
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |bg AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
+         |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cc FROM bc GROUP BY 1),
+         |top AS (SELECT w1, w2, c FROM bc
+         |        ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1000),
+         |model AS (
+         |  SELECT t.w1, t.w2,
+         |         CAST(floor(CAST(t.c AS DOUBLE) * 1000000000.0
+         |                    / CAST(x.cc AS DOUBLE)) AS BIGINT) AS p_e9
+         |  FROM top t JOIN ctx x USING (w1)),
+         |cw AS (
+         |  SELECT doc_id, ${TextQueries.Sql.words} AS ws
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |cbg AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         |  FROM cw, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
+         |scored AS (
+         |  SELECT b.doc_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM(CASE WHEN m.p_e9 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_oov_bigrams,
+         |         CAST(COALESCE(SUM(m.p_e9), 0) AS BIGINT) AS sum_p_e9
+         |  FROM cbg b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+         |  GROUP BY b.doc_id)
+         |SELECT d.doc_id,
+         |       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+         |       COALESCE(s.n_oov_bigrams, 0) AS n_oov_bigrams,
+         |       COALESCE(s.sum_p_e9, 0) AS sum_p_e9
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         |LEFT JOIN scored s USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q71_quality_report" ->
       """WITH m AS (SELECT

@@ -41,6 +41,26 @@ object SimQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Cluster-balanced sampling (the topic-diversification curation
+    // step): assign every embedding to its deterministic k-means
+    // centroid, cap each cluster (lowest ids kept — the scale-safe
+    // two-pass capPerGroup, no per-cluster global window), report
+    // per-cluster totals vs kept. Rows-only for the driver (k-means has
+    // no SQL form); ClusterBalanceSpec pins cap semantics + determinism
+    "q94_cluster_balance" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = graft.sim.Ivf.trainCentroids(e, nCentroids = 16)
+      val assigned = graft.sim.Ivf.assignments(e, cents)
+      val capped = graft.text.Curation.capPerGroup(
+        assigned, "centroid", Seq(col("id").asc), cap = 20)
+      assigned.groupBy("centroid").agg(count(lit(1)).as("n_total"))
+        .join(capped.groupBy("centroid").agg(count(lit(1)).as("n_kept")),
+          Seq("centroid"), "left_outer")
+        .select(col("centroid").cast("long").as("centroid"),
+          col("n_total"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("centroid")
+    }),
+
     // IVF ANN (the centroid-bucketed scale path): deterministic spherical
     // k-means codebook, nProbe inverted lists per query, exact re-rank —
     // correctness gate is the recall scalatest vs q27, rows shape-only

@@ -156,6 +156,71 @@ object Curation {
       .toDF(idCol, "n_tokens", "n_oov", "sum_p_e9")
   }
 
+  /** Bigram-LM scoring — the n-gram-LM quality filter (CCNet trains a
+    * 5-gram KenLM; the distributed shape is identical at any order):
+    * train bigram TRANSITION probabilities on a reference corpus, then
+    * score each candidate doc by how predictable its word transitions
+    * are. p_e9(w1→w2) = floor(c(w1,w2)·1e9 / c(w1→*)) over the
+    * top-`vocabSize` bigrams by count (ties broken lexicographically);
+    * a doc scores (n_bigrams, n_oov_bigrams, Σ p_e9 of in-model
+    * bigrams). Integer-quantized like [[lmScore]], so the q95 oracle
+    * replicates it bit-for-bit.
+    *
+    * Scale shape — same as [[lmScore]] plus one distributed join:
+    * bigram counts and their per-context totals aggregate in parallel;
+    * only after the top-V cut (TakeOrdered) do V rows reach the driver,
+    * JOINED to their context totals while still distributed, so driver
+    * state is O(V) even though the context vocabulary is unbounded. The
+    * corpus is scored in ONE broadcast map-only pass — no corpus
+    * shuffle. Output: (id, n_bigrams, n_oov_bigrams, sum_p_e9). */
+  def lmScoreBigram(corpus: DataFrame, train: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    vocabSize: Int = 1000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bg = train
+      .select(TextAnalysis.wordsCol(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val ctx = bc.groupBy("w1").agg(sum("c").as("cc"))
+    val model = bc
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
+      .limit(vocabSize)
+      .join(ctx, "w1")
+      .select(col("w1"), col("w2"), col("c"), col("cc"))
+      .as[(String, String, Long, Long)].collect()
+      .map { case (w1, w2, c, cc) =>
+        (w1 + " " + w2) ->
+          math.floor(c.toDouble * 1e9 / cc.toDouble).toLong
+      }.toMap
+    val modelBc = spark.sparkContext.broadcast(model)
+    graft.sources.Tables.widen(
+        corpus.select(col(idCol).cast("long"),
+          TextAnalysis.normalizeCol(col(textCol)).as("__norm")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = modelBc.value
+        it.map { case (id, norm) =>
+          val ws = norm.split(" ", -1)
+          var oov = 0L; var sumP = 0L; var i = 0
+          while (i < ws.length - 1) {
+            m.get(ws(i) + " " + ws(i + 1)) match {
+              case Some(p) => sumP += p
+              case None => oov += 1
+            }
+            i += 1
+          }
+          (id, math.max(ws.length - 1, 0).toLong, oov, sumP)
+        }
+      }
+      .toDF(idCol, "n_bigrams", "n_oov_bigrams", "sum_p_e9")
+  }
+
   /** Deterministic training-shuffle shard assignment: the global
     * "shuffle the corpus, cut it into fixed shards" step every training
     * run needs, without a global sort. shard = polyhash(id) mod

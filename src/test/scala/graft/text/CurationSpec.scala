@@ -162,6 +162,37 @@ class CurationSpec extends graft.SparkSuite {
     assert(r.getLong(3) == (3L * 1000000000L / 6L) + (2L * 1000000000L / 6L))
   }
 
+  test("lmScoreBigram: conditional transition probabilities, OOV, short docs") {
+    // train bigrams: (a b)x2, (b a)x1, (b c)x1 — contexts: a→* = 2, b→* = 2
+    val train = Seq((100L, "a b a b c")).toDF("doc_id", "text")
+    // p(a b) = floor(2e9/2) = 1e9; p(b a) = p(b c) = floor(1e9/2) = 5e8
+    val corpus = Seq(
+      (1L, "a b c"),   // (a b)=1e9, (b c)=5e8
+      (2L, "c a"),     // (c a) unseen → oov
+      (3L, "solo"),    // 1 token → 0 bigrams
+      (4L, "a b a b")) // (a b)+(b a)+(a b)
+      .toDF("doc_id", "text")
+    val got = Curation.lmScoreBigram(corpus, train)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((2L, 0L, 1500000000L)))
+    assert(got(2L) == ((1L, 1L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+    assert(got(4L) == ((3L, 0L, 2500000000L)))
+  }
+
+  test("lmScoreBigram: vocabSize cut is by count with lexicographic ties") {
+    // bigrams: (x y)x3, (y x)x2, (y z)x1 — vocabSize=2 keeps (x y),(y x);
+    // contexts keep FULL totals: y→* = 3 even though (y z) fell out
+    val train = Seq((1L, "x y x y x y z")).toDF("doc_id", "text")
+    val corpus = Seq((2L, "x y z")).toDF("doc_id", "text")
+    val r = Curation.lmScoreBigram(corpus, train, vocabSize = 2).collect().head
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L) // (y z) cut from the model
+    // p(x y) = floor(3e9/3) = 1e9 (context x→* = 3)
+    assert(r.getLong(3) == 1000000000L)
+  }
+
   test("topNgrams: counts and lexicographic tie-break") {
     val top = Curation.topNgrams(docs, n = 2, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
