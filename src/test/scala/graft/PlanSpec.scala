@@ -250,6 +250,36 @@ class PlanSpec extends SparkSuite {
       s"corpus-sized shuffles must be bounded (got $exchanges):\n$p")
   }
 
+  test("hive-partitioned layout prunes partitions at the scan") {
+    // the 100 TB ingest layout: partitionBy a low-cardinality derived
+    // column on write; an equality predicate on it must become a
+    // PartitionFilter (pruned at file LISTING — zero bytes read from
+    // other partitions), not a post-scan Filter
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val back = spark.read.parquet(out)
+    val dates = back.select(col("event_date")).distinct()
+      .orderBy("event_date").limit(1).collect()
+    val d0 = dates.head.getDate(0)
+    val q = back.filter(col("event_date") === lit(d0))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters:") && p.contains("event_date"),
+      s"date predicate must prune at the listing:\n$p")
+    // the pruned scan must touch ONE partition directory only
+    def nPartitions(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+    val scanned = nPartitions(q)
+    val total = nPartitions(back)
+    assert(scanned == 1 && scanned < total,
+      s"pruning must drop partitions: scanned=$scanned of $total")
+    assert(q.count() == back.filter(to_date(col("ts")) === lit(d0)).count())
+  }
+
   test("shared-span pairs: gram self-join is an equi-join, never a product") {
     val p = plan(graft.text.SpanDedup.sharedSpanPairs(
       spark.read.parquet(s"$dir/documents.parquet"), k = 8, maxDf = 200))
