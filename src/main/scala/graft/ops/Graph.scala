@@ -86,4 +86,50 @@ object Graph {
       nodes.unpersist()
     }
   }
+
+  /** Triangle counting via DEGREE-ORIENTED wedge joins — the canonical
+    * skew-bounded distributed graph-join: direct every undirected edge
+    * from its lower-(degree, id) endpoint to the higher one, so every
+    * out-degree is O(√m) no matter how big a hub's real degree is
+    * (a hub's edges all point INTO it). Each triangle {x ≺ y ≺ z} under
+    * that total order is then found exactly once: as the wedge (x→y,
+    * x→z) at its minimum corner, closed by the oriented edge y→z.
+    *
+    * Plan shape: three equi-joins (two degree annotations, one wedge
+    * self-join on the shared source, one closing-edge join) — never a
+    * cross product; wedge volume is Σ outdeg² ≤ m·√(2m), the textbook
+    * bound that makes this the 100 TB triangle algorithm. Returns one
+    * row (n_edges, n_triangles); both counts ride the plan as 1-row
+    * aggregates (broadcast cross of two scalars, no collect). */
+  def triangleCount(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .withColumn("__fwd",
+        struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+      .select(
+        when(col("__fwd"), col("u")).otherwise(col("v")).as("s"),
+        when(col("__fwd"), col("v")).otherwise(col("u")).as("t"),
+        when(col("__fwd"), col("dv")).otherwise(col("du")).as("td"))
+    val wedges = oriented.select(col("s"), col("t").as("t1"), col("td").as("td1"))
+      .join(oriented.select(col("s"), col("t").as("t2"), col("td").as("td2")),
+        "s")
+      .filter(struct(col("td1"), col("t1")) < struct(col("td2"), col("t2")))
+      .select("t1", "t2")
+    val closed = wedges
+      .join(oriented.select(col("s").as("t1"), col("t").as("t2")),
+        Seq("t1", "t2"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
 }

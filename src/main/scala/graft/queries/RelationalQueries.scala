@@ -264,6 +264,18 @@ object RelationalQueries {
           iterations = 2)
         .orderBy("node")),
 
+    // Triangle counting with degree-based edge orientation (out-degree
+    // ≤ O(√m) regardless of hub size — the skew bound that makes the
+    // wedge self-join scale). Unipartite synthetic graph: suppliers ∪
+    // (partkey mod 1000) on a 1/37 order slice; the oracle replays
+    // orient → wedge → close relationally
+    "q96_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangleCount(
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 37 === 0)
+          .select(col("l_suppkey").as("src"),
+            (col("l_partkey") % 1000 + 1).as("dst")))),
+
     // Z-order layout key: 16-bit quantized (partkey, suppkey) Morton
     // interleave — the data-skipping cluster key; domain stats ride the
     // plan as a broadcast 1-row aggregate (no eager job), the key is
@@ -589,6 +601,31 @@ object RelationalQueries {
         |                AS rank_e9
         |       FROM nodes n LEFT JOIN c2 c USING (node))
         |SELECT node, rank_e9 FROM r2 ORDER BY node""".stripMargin,
+
+    // orient each undirected edge from its lower-(degree, id) endpoint,
+    // wedge at the minimum corner, close with the oriented (t1→t2) edge
+    "q96_triangles" ->
+      """WITH raw AS (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS a,
+        |         CAST(l_partkey % 1000 + 1 AS BIGINT) AS b
+        |  FROM lineitem WHERE l_orderkey % 37 = 0),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |      FROM raw WHERE a <> b),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY node),
+        |o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+        |             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+        |             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS td
+        |      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |w AS (SELECT e1.t AS t1, e2.t AS t2
+        |      FROM o e1 JOIN o e2
+        |        ON e1.s = e2.s AND (e1.td, e1.t) < (e2.td, e2.t)),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |        FROM w SEMI JOIN o ON o.s = w.t1 AND o.t = w.t2)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |       n_triangles
+        |FROM tri""".stripMargin,
 
     "q72_zorder" ->
       """WITH s AS (

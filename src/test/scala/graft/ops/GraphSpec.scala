@@ -50,4 +50,30 @@ class GraphSpec extends SparkSuite {
     assert(got.keySet == Set(1L, 2L))
     assert(got(1L) == 150000000L) // no inbound contributions
   }
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long) = {
+    val r = Graph.triangleCount(edges.toDF("src", "dst")).collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("triangleCount: K4 has 4 triangles, square has 0, diagonal adds 2") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(k4) == ((6L, 4L)))
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(tri(square) == ((4L, 0L)))
+    assert(tri(square :+ ((1L, 3L))) == ((5L, 2L)))
+  }
+
+  test("triangleCount: direction, duplicates, and self-loops are normalized") {
+    // same K3 expressed with reversed, duplicated, and self-loop edges
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+    assert(tri(messy) == ((3L, 1L)))
+  }
+
+  test("triangleCount: hub star has no triangles (orientation caps out-degree)") {
+    // 1000-leaf star: the hub's edges all point INTO it after degree
+    // orientation, so no wedge forms at the hub and the count is 0
+    val star = (2L to 1001L).map(i => (1L, i))
+    assert(tri(star) == ((1000L, 0L)))
+  }
 }
