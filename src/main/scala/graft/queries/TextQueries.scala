@@ -279,7 +279,20 @@ object TextQueries {
       graft.text.SpanDedup.sharedSpanPairs(
           plantBoilerplate(docs(s, dir).select(col("doc_id"), col("text"))),
           textCol = "content", k = 8, maxDf = 200)
-        .orderBy("doc_a", "doc_b")))
+        .orderBy("doc_a", "doc_b")),
+
+    // Exact heavy hitters via the two-pass Misra-Gries plan (custom
+    // typed Aggregator): map-only sketch → guaranteed candidate
+    // superset → broadcast semi-join + exact count of candidates only.
+    // Identical to the oracle's plain GROUP BY…HAVING — the sketch buys
+    // the plan shape (no full-token-stream distinct shuffle), not
+    // approximation; SketchSpec carries the ε-bound guarantees
+    "q97_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Sketch.heavyHitters(
+          docs(s, dir).select(
+            explode(TextAnalysis.wordsCol(col("text"))).as("tok")),
+          "tok", k = 4096, minCount = 500)
+        .orderBy("tok")))
 
   /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
     * uncapped) and q49 (triangle-distributed path; completeness check). */
@@ -577,5 +590,11 @@ object TextQueries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(COUNT(*) AS BIGINT) AS n_shared
          |FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q97_heavy_hitters" ->
+      s"""SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM (SELECT unnest(${Sql.words}) AS tok FROM documents)
+         |GROUP BY tok HAVING COUNT(*) >= 500
+         |ORDER BY tok""".stripMargin)
 }
