@@ -105,23 +105,47 @@ object SpanDedup {
     * number of DISTINCT k-grams the pair shares, over grams with
     * distinct-doc frequency in [2, maxDf]. The df cap is the skew
     * control: a gram shared by df documents contributes df·(df−1)/2
-    * pair rows, so bounding df ≤ maxDf bounds per-gram join fan-out by
+    * pair rows, so bounding df ≤ maxDf bounds per-gram fan-out by
     * maxDf² regardless of how viral a passage is (ultra-common spans
     * carry no pairing signal anyway — same rationale as dropping
-    * super-frequent spans in the suffix-array pipelines). */
+    * super-frequent spans in the suffix-array pipelines).
+    *
+    * Shape: the gram-bucket pattern (same as MinHash banding) — ONE
+    * corpus scan, ONE shuffle of (gram, doc) into per-gram groups; each
+    * group streams through a bounded distinct-doc buffer (≤ maxDf+1
+    * ids: the cap that drops a viral gram also caps task memory) and
+    * emits its pairs directly. The declarative alternative — distinct →
+    * df-filter semi-join → self-join — planned FOUR corpus scans and
+    * seven exchanges for the same answer (exchange reuse does not
+    * collapse the differently-projected subtrees). */
   def sharedSpanPairs(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", k: Int = 8,
                       maxDf: Int = 200): DataFrame = {
-    val dg = slidingGrams(docs, textCol, idCol, k)
-      .select("doc", "gram").distinct()
-    val eligible = dg.groupBy("gram")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select("gram")
-    val e = dg.join(eligible, Seq("gram"), "left_semi")
-    e.select(col("gram"), col("doc").as("doc_a"))
-      .join(e.select(col("gram"), col("doc").as("doc_b")), Seq("gram"))
-      .filter(col("doc_a") < col("doc_b"))
+    require(maxDf >= 2, "maxDf must be >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    slidingGrams(docs, textCol, idCol, k)
+      .select(col("gram"), col("doc")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val seen = scala.collection.mutable.SortedSet.empty[Long]
+        var overflow = false
+        it.foreach { case (_, d) =>
+          if (!overflow && !seen.contains(d)) {
+            if (seen.size >= maxDf) overflow = true
+            else seen += d
+          }
+        }
+        if (overflow || seen.size < 2) Iterator.empty
+        else {
+          val ds = seen.toArray
+          for {
+            i <- ds.indices.iterator
+            j <- (i + 1) until ds.length
+          } yield (ds(i), ds(j))
+        }
+      }
+      .toDF("doc_a", "doc_b")
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
   }

@@ -280,11 +280,16 @@ class PlanSpec extends SparkSuite {
     assert(q.count() == back.filter(to_date(col("ts")) === lit(d0)).count())
   }
 
-  test("shared-span pairs: gram self-join is an equi-join, never a product") {
+  test("shared-span pairs: ONE corpus scan, gram-bucket shuffle, no joins") {
     val p = plan(graft.text.SpanDedup.sharedSpanPairs(
       spark.read.parquet(s"$dir/documents.parquet"), k = 8, maxDf = 200))
     assert(!p.contains("CartesianProduct") &&
-           !p.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$p")
-    assert(p.contains("doc_a") && p.contains("doc_b"))
+           !p.contains("BroadcastNestedLoopJoin"), s"no products:\n$p")
+    // the bucket formulation replaced a distinct → semi-join → self-join
+    // chain that scanned the corpus FOUR times; pin the single scan
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"pair generation must scan the corpus once:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"one gram-bucket shuffle + one pair agg only:\n$p")
   }
 }
