@@ -119,6 +119,31 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR-shape importance weights: hashed-unigram bucket multinomials
+    // (256 buckets, add-one smoothed, integer-quantized clamped ratios)
+    // fit on the SAME target/raw split as q95; the ratio table is 256
+    // rows broadcast, scoring is one explode + per-doc agg
+    "q98_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.Dsir.importanceWeights(
+          raw = d.filter(col("doc_id") % 10 =!= 0),
+          target = d.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-shape perplexity bucketing over the q95 bigram LM: mean
+    // in-model transition probability -> fixed head/middle/tail cut,
+    // keep = not tail; map-only on top of the broadcast scoring pass
+    "q102_ppl_bucket" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.perplexityBucket(
+          corpus = d.filter(col("doc_id") % 10 =!= 0),
+          train = d.filter(col("doc_id") % 10 === 0))
+        .select("doc_id", "n_bigrams", "n_oov_bigrams", "sum_p_e9",
+          "mean_p_e9", "oov_e4", "bucket", "keep")
+        .orderBy("doc_id")
+    }),
+
     // Deequ-style data-quality report: every constraint compiles into ONE
     // aggregation pass (map-side partial agg; a single row per partition
     // reaches the reducer); integer-exact metrics
@@ -212,6 +237,47 @@ object CurationQueries {
         .select(col("doc_id"), col("source"), col("rank_in_group"))
         .orderBy("doc_id")))
 
+  /** Shared q95/q102 oracle base: bigram-LM scored corpus with every
+    * candidate doc present (left join; <2-token docs get zero counts). */
+  private val lmBigramBaseCte: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, ${TextQueries.Sql.words} AS ws
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |bg AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
+       |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM bg GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cc FROM bc GROUP BY 1),
+       |top AS (SELECT w1, w2, c FROM bc
+       |        ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1000),
+       |model AS (
+       |  SELECT t.w1, t.w2,
+       |         CAST(floor(CAST(t.c AS DOUBLE) * 1000000000.0
+       |                    / CAST(x.cc AS DOUBLE)) AS BIGINT) AS p_e9
+       |  FROM top t JOIN ctx x USING (w1)),
+       |cw AS (
+       |  SELECT doc_id, ${TextQueries.Sql.words} AS ws
+       |  FROM documents WHERE doc_id % 10 <> 0),
+       |cbg AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       |  FROM cw, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
+       |scored AS (
+       |  SELECT b.doc_id,
+       |         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |         CAST(SUM(CASE WHEN m.p_e9 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_oov_bigrams,
+       |         CAST(COALESCE(SUM(m.p_e9), 0) AS BIGINT) AS sum_p_e9
+       |  FROM cbg b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+       |  GROUP BY b.doc_id),
+       |base AS (
+       |  SELECT d.doc_id,
+       |         COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       |         COALESCE(s.n_oov_bigrams, 0) AS n_oov_bigrams,
+       |         COALESCE(s.sum_p_e9, 0) AS sum_p_e9
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+       |  LEFT JOIN scored s USING (doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q43_star_join" ->
       """SELECT n_name,
@@ -280,42 +346,66 @@ object CurationQueries {
     // left-join scoring; docs with <2 tokens surface via the final
     // left join with zero counts
     "q95_bigram_lm" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, ${TextQueries.Sql.words} AS ws
-         |  FROM documents WHERE doc_id % 10 = 0),
-         |bg AS (
-         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-         |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
-         |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
-         |       FROM bg GROUP BY 1, 2),
-         |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cc FROM bc GROUP BY 1),
-         |top AS (SELECT w1, w2, c FROM bc
-         |        ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1000),
-         |model AS (
-         |  SELECT t.w1, t.w2,
-         |         CAST(floor(CAST(t.c AS DOUBLE) * 1000000000.0
-         |                    / CAST(x.cc AS DOUBLE)) AS BIGINT) AS p_e9
-         |  FROM top t JOIN ctx x USING (w1)),
-         |cw AS (
-         |  SELECT doc_id, ${TextQueries.Sql.words} AS ws
-         |  FROM documents WHERE doc_id % 10 <> 0),
-         |cbg AS (
-         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-         |  FROM cw, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
-         |scored AS (
-         |  SELECT b.doc_id,
-         |         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         |         CAST(SUM(CASE WHEN m.p_e9 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |           AS n_oov_bigrams,
-         |         CAST(COALESCE(SUM(m.p_e9), 0) AS BIGINT) AS sum_p_e9
-         |  FROM cbg b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
-         |  GROUP BY b.doc_id)
-         |SELECT d.doc_id,
-         |       COALESCE(s.n_bigrams, 0) AS n_bigrams,
-         |       COALESCE(s.n_oov_bigrams, 0) AS n_oov_bigrams,
-         |       COALESCE(s.sum_p_e9, 0) AS sum_p_e9
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
-         |LEFT JOIN scored s USING (doc_id) ORDER BY doc_id""".stripMargin,
+      s"""$lmBigramBaseCte
+         |SELECT doc_id, n_bigrams, n_oov_bigrams, sum_p_e9
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // q102 = q95's scored base + the integer mean / oov-rate / CASE cut
+    // (thresholds mirror Curation.perplexityBucket defaults)
+    "q102_ppl_bucket" ->
+      s"""$lmBigramBaseCte,
+         |ext AS (
+         |  SELECT doc_id, n_bigrams, n_oov_bigrams, sum_p_e9,
+         |         CAST(sum_p_e9 // greatest(n_bigrams - n_oov_bigrams, 1)
+         |              AS BIGINT) AS mean_p_e9,
+         |         CAST(n_oov_bigrams * CAST(10000 AS BIGINT)
+         |              // greatest(n_bigrams, 1) AS BIGINT) AS oov_e4
+         |  FROM base)
+         |SELECT doc_id, n_bigrams, n_oov_bigrams, sum_p_e9, mean_p_e9, oov_e4,
+         |       CASE WHEN mean_p_e9 >= 37000000 THEN 'head'
+         |            WHEN mean_p_e9 >= 30000000 THEN 'middle'
+         |            ELSE 'tail' END AS bucket,
+         |       (mean_p_e9 >= 30000000) AS keep
+         |FROM ext ORDER BY doc_id""".stripMargin,
+
+    // DSIR importance weights: 256-bucket polyhash multinomials with
+    // add-one smoothing, e9-quantized probabilities, e6 clamped ratios —
+    // byte-identical arithmetic to graft.text.Dsir
+    "q98_dsir_weights" -> {
+      val bucketOf = s"${TextQueries.Sql.poly("w")} % CAST(256 AS BIGINT)"
+      s"""WITH tw AS (SELECT unnest(${TextQueries.Sql.words}) AS w
+         |            FROM documents WHERE doc_id % 10 = 0),
+         |rw AS (SELECT unnest(${TextQueries.Sql.words}) AS w
+         |       FROM documents WHERE doc_id % 10 <> 0),
+         |tb AS (SELECT $bucketOf AS bucket, CAST(COUNT(*) AS BIGINT) AS ct
+         |       FROM tw GROUP BY 1),
+         |rb AS (SELECT $bucketOf AS bucket, CAST(COUNT(*) AS BIGINT) AS cr
+         |       FROM rw GROUP BY 1),
+         |tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS tt FROM tb),
+         |tr AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS tr FROM rb),
+         |dom AS (SELECT CAST(unnest(range(0, 256)) AS BIGINT) AS bucket),
+         |ratio AS (
+         |  SELECT d.bucket,
+         |    least(greatest(
+         |      ((COALESCE(tb.ct, 0) + 1) * CAST(1000000000 AS BIGINT)
+         |         // (tt.tt + 256)) * CAST(1000000 AS BIGINT)
+         |        // greatest((COALESCE(rb.cr, 0) + 1)
+         |                    * CAST(1000000000 AS BIGINT) // (tr.tr + 256),
+         |                  CAST(1 AS BIGINT)),
+         |      CAST(1000 AS BIGINT)), CAST(1000000000 AS BIGINT)) AS r_e6
+         |  FROM dom d
+         |  LEFT JOIN tb ON tb.bucket = d.bucket
+         |  LEFT JOIN rb ON rb.bucket = d.bucket
+         |  CROSS JOIN tt CROSS JOIN tr),
+         |docw AS (
+         |  SELECT doc_id, $bucketOf AS bucket
+         |  FROM (SELECT doc_id, unnest(${TextQueries.Sql.words}) AS w
+         |        FROM documents WHERE doc_id % 10 <> 0))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(r.r_e6) AS BIGINT) AS score_e6
+         |FROM docw JOIN ratio r USING (bucket)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q71_quality_report" ->
       """WITH m AS (SELECT

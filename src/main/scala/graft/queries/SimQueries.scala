@@ -156,7 +156,16 @@ object SimQueries {
           queries = e.filter(col("id") % 5 === 0).select("id", "vec"),
           labeled = e.filter(col("id") % 5 =!= 0), k = 10)
         .orderBy("query_id")
-    }))
+    }),
+
+    // Signed-random-projection sketch (hyperplane LSH): 16-bit angular
+    // signatures, map-only, hyperplanes regenerated from polyhash parity
+    // and vector components floor-quantized so the bit pattern is
+    // integer-exact cross-engine (graft.sim.Srp scaladoc)
+    "q99_srp_sketch" -> ((s, dir) =>
+      graft.sim.Srp.sketch(emb(s, dir), planes = 16,
+          idCol = "id", vecCol = "vec")
+        .orderBy("id")))
 
   private val dotSql =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -244,5 +253,29 @@ object SimQueries {
          |                            ORDER BY n_votes DESC, label) AS r
          |  FROM votes)
          |SELECT query_id, label AS pred_label, n_votes
-         |FROM best WHERE r = 1 ORDER BY query_id""".stripMargin)
+         |FROM best WHERE r = 1 ORDER BY query_id""".stripMargin,
+
+    // sign matrix regenerated from polyhash("j:d") parity; components
+    // floor-quantized to e6 bigints so the per-plane dot is an integer
+    // GROUP BY sum (order-free — float sums would not be)
+    "q99_srp_sketch" ->
+      s"""WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |q AS (SELECT id,
+         |        [CAST(floor(x * 1000000.0) AS BIGINT) for x in v] AS xi
+         |      FROM c),
+         |ex AS (SELECT id, t.d, xi[t.d] AS x
+         |       FROM q, LATERAL (SELECT unnest(range(1, len(xi) + 1)) AS d) t),
+         |s AS (SELECT j, d,
+         |        CASE WHEN ${TextQueries.Sql.poly(
+                  "CAST(j AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)")} % 2 = 0
+         |             THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn
+         |      FROM (SELECT unnest(range(0, 16)) AS j) pj
+         |      CROSS JOIN (SELECT unnest(range(1, 129)) AS d) pd),
+         |dots AS (SELECT id, j, CAST(SUM(x * s.sgn) AS BIGINT) AS dot
+         |         FROM ex JOIN s USING (d) GROUP BY id, j)
+         |SELECT id,
+         |       CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j)
+         |                     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS srp
+         |FROM dots GROUP BY id ORDER BY id""".stripMargin)
 }

@@ -33,6 +33,17 @@ object TextQueries {
         |           CAST(doc_id % 97 AS VARCHAR) ||
         |           ' for daily updates and exclusive offers'
         |      ELSE '' END""".stripMargin
+    // planted newline-delimited boilerplate LINE (byte-identical to
+    // plantLines): same ten variants as plantBoilerplateContent but
+    // appended after a chr(10), the repeated-line fixture for q103
+    val plantLinesContent: String =
+      """text ||
+        |    CASE WHEN doc_id % 97 < 10
+        |      THEN chr(10) || 'please subscribe to newsletter variant ' ||
+        |           CAST(doc_id % 97 AS VARCHAR) ||
+        |           ' for daily updates and exclusive offers'
+        |      ELSE '' END""".stripMargin
+
     // portable polynomial hash of a string expression
     def poly(e: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -111,6 +122,20 @@ object TextQueries {
     d.withColumn("content", concat(col("text"),
       when(pmod(col("doc_id"), lit(97)) < 10,
         concat(lit(" please subscribe to newsletter variant"),
+          pmod(col("doc_id"), lit(97)).cast("string"),
+          lit(" for daily updates and exclusive offers")))
+        .otherwise(lit(""))))
+
+  /** Deterministically append one of ten boilerplate variants as a
+    * SEPARATE newline-delimited line to the docs whose doc_id % 97
+    * lands in [0, 10) — the repeated-LINE fixture for q103 (C4-style
+    * line dedup needs lines that repeat verbatim across documents;
+    * [[Sql.plantLinesContent]] is the byte-identical SQL construction).
+    */
+  private[queries] def plantLines(d: DataFrame): DataFrame =
+    d.withColumn("content", concat(col("text"),
+      when(pmod(col("doc_id"), lit(97)) < 10,
+        concat(lit("\nplease subscribe to newsletter variant "),
           pmod(col("doc_id"), lit(97)).cast("string"),
           lit(" for daily updates and exclusive offers")))
         .otherwise(lit(""))))
@@ -292,7 +317,36 @@ object TextQueries {
           docs(s, dir).select(
             explode(TextAnalysis.wordsCol(col("text"))).as("tok")),
           "tok", k = 4096, minCount = 500)
-        .orderBy("tok")))
+        .orderBy("tok")),
+
+    // Inverted-index materialization: postings (term, doc, tf) then
+    // term stats with a packed-struct argmax — two partial-agg shuffles,
+    // no window, no extra join; minDf prunes the hapax tail
+    "q100_inverted_index" -> ((s, dir) =>
+      graft.text.InvertedIndex.termStats(
+          graft.text.InvertedIndex.postings(docs(s, dir)), minDf = 5)
+        .orderBy("term")),
+
+    // Directed n-gram containment (asymmetric Jaccard — doc-inside-doc
+    // detection): same shingle-equi-join intersection as q25, integer
+    // e6 quantization, both directions reported
+    "q101_containment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1).as("doc_b"))
+      Dedup.containmentScaled(d, pairs, k = 2, portable = true)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // C4-style repeated-line removal: boilerplate PLANTED as a separate
+    // newline-delimited line (see plantLines) is shared by ~1/97 of the
+    // corpus per variant and excised; each doc's own text line is unique
+    // and survives. Hash-count on lines, join-back, ordered rebuild
+    "q103_line_dedup" -> ((s, dir) =>
+      Dedup.removeRepeatedLines(
+          plantLines(docs(s, dir).select(col("doc_id"), col("text"))),
+          textCol = "content", minDocs = 3)
+        .orderBy("doc_id")))
 
   /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
     * uncapped) and q49 (triangle-distributed path; completeness check). */
@@ -596,5 +650,62 @@ object TextQueries {
       s"""SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences
          |FROM (SELECT unnest(${Sql.words}) AS tok FROM documents)
          |GROUP BY tok HAVING COUNT(*) >= 500
-         |ORDER BY tok""".stripMargin)
+         |ORDER BY tok""".stripMargin,
+
+    "q100_inverted_index" ->
+      s"""WITH p AS (
+         |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(${Sql.words}) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |r AS (SELECT term, doc_id, tf,
+         |        row_number() OVER (PARTITION BY term
+         |                           ORDER BY tf DESC, doc_id ASC) AS rn
+         |      FROM p),
+         |s AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         |             CAST(SUM(tf) AS BIGINT) AS total_tf
+         |      FROM p GROUP BY 1)
+         |SELECT s.term, s.df, s.total_tf,
+         |       r.doc_id AS top_doc_id, r.tf AS top_tf
+         |FROM s JOIN r ON r.term = s.term AND r.rn = 1
+         |WHERE s.df >= 5 ORDER BY s.term""".stripMargin,
+
+    "q101_containment" ->
+      s"""WITH wh AS (SELECT doc_id, ${Sql.wordHashes} AS whs FROM documents),
+         |sh AS (SELECT doc_id, ${Sql.shingles("whs", 2)} AS shs FROM wh),
+         |shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |          FROM shd GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM shd a JOIN shd b ON b.doc_id = a.doc_id + 1 AND a.sh = b.sh
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_inter,
+         |       CAST(n_inter * CAST(1000000 AS BIGINT) // na.n AS BIGINT)
+         |         AS cont_a_e6,
+         |       CAST(n_inter * CAST(1000000 AS BIGINT) // nb.n AS BIGINT)
+         |         AS cont_b_e6
+         |FROM inter
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q103_line_dedup" ->
+      s"""WITH src AS (SELECT doc_id, ${Sql.plantLinesContent} AS content
+         |             FROM documents),
+         |ls AS (SELECT doc_id, string_split(content, chr(10)) AS lls FROM src),
+         |lp AS (SELECT doc_id, t.i - 1 AS pos, lls[t.i] AS line
+         |       FROM ls, LATERAL (SELECT unnest(range(1, len(lls) + 1)) AS i) t),
+         |rep AS (SELECT md5(line) AS lineh
+         |        FROM lp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
+         |flagged AS (
+         |  SELECT doc_id, pos, line,
+         |         md5(line) IN (SELECT lineh FROM rep) AS isrep
+         |  FROM lp)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |       CAST(SUM(CASE WHEN isrep THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dropped,
+         |       COALESCE(string_agg(CASE WHEN NOT isrep THEN line END,
+         |                           chr(10) ORDER BY pos), '') AS cleaned_text
+         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

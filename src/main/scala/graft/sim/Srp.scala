@@ -1,0 +1,83 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Signed random projection (SRP / hyperplane LSH, Charikar 2002): a
+  * compact bit signature per embedding where bit j is the sign of the
+  * dot product with pseudo-random hyperplane j. Signatures preserve
+  * angular similarity (P[bit match] = 1 - theta/pi), so equal or
+  * near-equal signatures are the candidate buckets for cosine near-dup
+  * at corpus scale — the embedding-space analogue of MinHash banding.
+  *
+  * Determinism design (same doctrine as the MinHash/SimHash operators):
+  *   - hyperplane component (j, d) is +1/-1 by parity of
+  *     polyhash("j:d") — no RNG, any engine can regenerate it;
+  *   - vector components are floor-quantized to integers (x_e6 =
+  *     floor(double(x) * 1e6)) BEFORE the dot product, so the per-plane
+  *     sum is integer arithmetic — independent of addition order and
+  *     bit-identical across engines (a float dot could differ in the
+  *     last ulp between engines; the q99 oracle replays this in SQL and
+  *     hash-matches).
+  *
+  * Scale shape: the sketch is MAP-ONLY (one pass over the corpus, no
+  * shuffle, no model state — the "hyperplanes" are a pure hash
+  * function). Downstream, grouping by `srp` buckets candidates exactly
+  * like [[Similarity]]'s LSH path; a 100 TB corpus sketches in one scan.
+  * Signature math runs in compiled partition-local Scala (typed map),
+  * not interpreted higher-order Column lambdas — see the Dedup scaladoc
+  * for why that matters.
+  */
+object Srp {
+
+  /** Hyperplane component for (plane j, 0-based dim d): +1 or -1 by
+    * polyhash parity — the oracle regenerates the same matrix in SQL. */
+  def sign(j: Int, d: Int): Long =
+    if (Hashing.polyHash(s"$j:$d") % 2 == 0L) 1L else -1L
+
+  /** Sketch every embedding: (id, srp) with an `planes`-bit signature
+    * (bit j = 1 iff sum_d floor(v[d]*1e6) * sign(j,d) >= 0). */
+  def sketch(emb: DataFrame, planes: Int = 16,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             maxDims: Int = 4096): DataFrame = {
+    require(planes >= 1 && planes <= 62, "planes must be in [1, 62]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // sign matrix is (planes x maxDims) longs — a few KB, rides the
+    // closure; columns beyond the actual dim count are simply unused
+    val signs: Array[Array[Long]] =
+      Array.tabulate(planes, maxDims)((j, d) => sign(j, d))
+    val ds: Dataset[(Long, Array[Float])] =
+      graft.sources.Tables.widen(
+          emb.select(col(idCol).cast("long"), col(vecCol)))
+        .as[(Long, Array[Float])]
+    ds.mapPartitions(_.map { case (id, v) =>
+        require(v.length <= maxDims,
+          s"embedding has ${v.length} dims > maxDims $maxDims")
+        val xi = new Array[Long](v.length)
+        var d = 0
+        while (d < v.length) {
+          xi(d) = math.floor(v(d).toDouble * 1e6).toLong
+          d += 1
+        }
+        var sig = 0L
+        var j = 0
+        while (j < planes) {
+          val s = signs(j)
+          var dot = 0L
+          var i = 0
+          while (i < xi.length) { dot += xi(i) * s(i); i += 1 }
+          if (dot >= 0L) sig |= (1L << j)
+          j += 1
+        }
+        (id, sig)
+      })
+      .toDF(idCol, "srp")
+  }
+
+  /** Bucket census of a sketch: (srp, n_vectors) — the skew pre-flight
+    * for SRP-bucketed candidate joins (same role as Profile.keySkew). */
+  def bucketSizes(sketched: DataFrame): DataFrame =
+    sketched.groupBy("srp").agg(count(lit(1)).as("n_vectors"))
+}

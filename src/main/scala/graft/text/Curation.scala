@@ -221,6 +221,41 @@ object Curation {
       .toDF(idCol, "n_bigrams", "n_oov_bigrams", "sum_p_e9")
   }
 
+  /** CCNet-style perplexity bucketing on top of [[lmScoreBigram]]: rank
+    * each candidate document by its mean in-model transition probability
+    * (the integer-exact stand-in for negative log-perplexity — higher
+    * mean p means the reference LM finds the text more predictable),
+    * then cut the corpus into head / middle / tail at fixed thresholds.
+    * CCNet keeps head+middle and drops the tail (gibberish, boilerplate
+    * soup); `keep` encodes that decision.
+    *
+    * mean_p_e9 = sum_p_e9 div max(n_bigrams - n_oov_bigrams, 1) — the
+    * mean over IN-MODEL bigrams only, so out-of-vocabulary mass (rare
+    * words) does not masquerade as unpredictability; oov_e4 reports it
+    * separately, and fully-OOV docs land in the tail by construction.
+    *
+    * Scale shape: identical to [[lmScoreBigram]] (model to driver at
+    * O(V), corpus scored in one broadcast map-only pass) plus a
+    * map-only CASE — no additional shuffle, no global quantile job
+    * (fixed thresholds are the production choice: they are stable
+    * across shards and re-runs, a percentile cut would need a global
+    * sort or an approximate sketch). */
+  def perplexityBucket(corpus: DataFrame, train: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       vocabSize: Int = 1000,
+                       headE9: Long = 37000000L,
+                       midE9: Long = 30000000L): DataFrame =
+    lmScoreBigram(corpus, train, textCol, idCol, vocabSize)
+      .withColumn("mean_p_e9",
+        expr("sum_p_e9 div greatest(n_bigrams - n_oov_bigrams, 1L)"))
+      .withColumn("oov_e4",
+        expr("n_oov_bigrams * 10000L div greatest(n_bigrams, 1L)"))
+      .withColumn("bucket",
+        when(col("mean_p_e9") >= headE9, "head")
+          .when(col("mean_p_e9") >= midE9, "middle")
+          .otherwise("tail"))
+      .withColumn("keep", col("bucket") =!= "tail")
+
   /** Deterministic training-shuffle shard assignment: the global
     * "shuffle the corpus, cut it into fixed shards" step every training
     * run needs, without a global sort. shard = polyhash(id) mod

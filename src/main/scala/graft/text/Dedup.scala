@@ -305,4 +305,77 @@ object Dedup {
           / (col("n_a") + col("n_b") - col("n_inter")).cast("double")).cast("long"))
       .select("doc_a", "doc_b", "jaccard_e4")
   }
+
+  /** DIRECTED n-gram containment for given candidate pairs:
+    * cont_a_e6 = |A cap B| * 1e6 div |A| (and symmetrically for B), the
+    * asymmetric Jaccard that catches doc-inside-doc duplication —
+    * a quote-heavy page or a superset crawl that plain Jaccard misses
+    * because the union dwarfs the intersection. Integer-quantized
+    * (exact div, no floats), so the q101 oracle hash-matches.
+    *
+    * Same scale shape as [[ngramJaccardScaled]]: the intersection is an
+    * equi-join on shingle hash (shuffle keyed by shingle, never
+    * doc x doc), sizes come from a per-doc agg, and the pair table
+    * bounds the output. */
+  def containmentScaled(docs: DataFrame, pairs: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        k: Int = 3, portable: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = widen(docs.select(col(idCol).cast("long").as("doc"),
+        TextAnalysis.normalizeCol(col(textCol)).as("norm")))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, norm) =>
+        (id, shingleHashes(wordHashes(norm, portable), k).distinct)
+      })
+      .toDF("doc", "shs")
+      .select(col("doc"), explode(col("shs")).as("sh"))
+    val sizes = sh.groupBy("doc").agg(count("*").as("n"))
+    pairs
+      .join(sh.select(col("doc").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count("*").as("n_inter"))
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        expr("n_inter * 1000000L div n_a").as("cont_a_e6"),
+        expr("n_inter * 1000000L div n_b").as("cont_b_e6"))
+  }
+
+  /** C4-style repeated-LINE removal (Raffel et al. 2020 §2.2 shape):
+    * split each document on newlines, drop every line whose hash
+    * appears in at least `minDocs` DISTINCT documents (boilerplate:
+    * navigation bars, cookie banners, subscribe prompts repeat across a
+    * site; real content doesn't), and reassemble the survivors in
+    * order. Returns (doc_id, n_lines, n_dropped, cleaned_text).
+    *
+    * Scale shape: explode to (doc, pos, line-hash) -> distinct-doc
+    * count per hash (two partial aggs) -> join back on hash -> per-doc
+    * rebuild via an ORDERED collect inside one agg (sort_array of
+    * (pos, line) structs — no window, no global sort; per-task state is
+    * one document's lines). The join is a hash equi-join on the line
+    * hash — never doc x doc — and only hashes, never line text, cross
+    * the counting shuffle. */
+  def removeRepeatedLines(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          minDocs: Long = 3L): DataFrame = {
+    val lines = widen(docs.select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), "\n").as("__ls")))
+      .select(col("doc_id"),
+        posexplode(col("__ls")).as(Seq("pos", "line")))
+      .withColumn("lineh", md5(col("line")))
+    val repeated = lines
+      .groupBy("lineh").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("lineh"), lit(true).as("__rep"))
+    lines
+      .join(repeated, Seq("lineh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__rep"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+            sort_array(collect_list(when(col("__rep").isNull,
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")), "\n").as("cleaned_text"))
+  }
 }

@@ -193,6 +193,25 @@ class CurationSpec extends graft.SparkSuite {
     assert(r.getLong(3) == 1000000000L)
   }
 
+  test("perplexityBucket: integer mean, oov rate, head/middle/tail cut") {
+    val train = Seq((100L, "a b a b c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c"),   // sum 1.5e9 over 2 in-model -> mean 7.5e8
+      (2L, "c a"),     // all oov -> mean 0, oov 100%
+      (3L, "solo"),    // no bigrams -> mean 0
+      (4L, "a b a b")) // sum 2.5e9 over 3 -> mean 833333333
+      .toDF("doc_id", "text")
+    val got = Curation.perplexityBucket(corpus, train,
+        headE9 = 800000000L, midE9 = 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("mean_p_e9"), r.getAs[Long]("oov_e4"),
+          r.getAs[String]("bucket"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(1L) == ((750000000L, 0L, "middle", true)))
+    assert(got(2L) == ((0L, 10000L, "tail", false)))
+    assert(got(3L) == ((0L, 0L, "tail", false)))
+    assert(got(4L) == ((833333333L, 0L, "head", true)))
+  }
+
   test("topNgrams: counts and lexicographic tie-break") {
     val top = Curation.topNgrams(docs, n = 2, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

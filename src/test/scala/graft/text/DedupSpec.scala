@@ -220,6 +220,65 @@ class PolyHashExprSpec extends graft.SparkSuite {
     assert(err.getMessage.contains("string") || err.getMessage.contains("DATATYPE"))
   }
 
+  test("containment: subset doc is fully contained, superset is not") {
+    import spark.implicits._
+    // A's 2-shingles are a strict subset of B's
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Dedup.containmentScaled(d, pairs, k = 2).collect().head
+    val (nInter, contA, contB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nInter == 2L)            // (alpha,beta), (beta,gamma)
+    assert(contA == 1000000L)       // all of A's shingles inside B
+    assert(contB == 2L * 1000000L / 4L) // B has 4 shingles, 2 shared
+  }
+
+  test("containment: disjoint pairs are absent (no zero rows)") {
+    import spark.implicits._
+    val d = Seq((1L, "aa bb cc"), (2L, "xx yy zz")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    assert(Dedup.containmentScaled(d, pairs, k = 2).count() == 0L)
+  }
+
+  test("line dedup: lines in >= minDocs docs are excised, order preserved") {
+    import spark.implicits._
+    val boiler = "subscribe now"
+    val d = Seq(
+      (1L, s"unique one\n$boiler\ntail one"),
+      (2L, s"$boiler\nunique two"),
+      (3L, s"unique three\n$boiler"),
+      (4L, "twice only\nunique four"),
+      (5L, "twice only\nunique five")).toDF("doc_id", "text")
+    val r = Dedup.removeRepeatedLines(d, minDocs = 3)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(1L) == ((3L, 1L, "unique one\ntail one"))) // middle line cut, order kept
+    assert(r(2L) == ((2L, 1L, "unique two")))
+    assert(r(3L) == ((2L, 1L, "unique three")))
+    // "twice only" appears in 2 docs < minDocs -> survives
+    assert(r(4L) == ((2L, 0L, "twice only\nunique four")))
+    assert(r(5L) == ((2L, 0L, "twice only\nunique five")))
+  }
+
+  test("line dedup: doc of only boilerplate collapses to empty text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam line"), (2L, "spam line"), (3L, "spam line"),
+      (4L, "real content")).toDF("doc_id", "text")
+    val r = Dedup.removeRepeatedLines(d, minDocs = 3)
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r(1L) == "" && r(2L) == "" && r(3L) == "")
+    assert(r(4L) == "real content")
+  }
+
+  test("line dedup plan: no window, count shuffle carries hashes not text") {
+    import spark.implicits._
+    val d = Seq((1L, "a\nb")).toDF("doc_id", "text")
+    val plan = Dedup.removeRepeatedLines(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), s"no window expected:\n$plan")
+  }
+
   test("PolyHash participates in whole-stage codegen") {
     import spark.implicits._
     val df = spark.range(100)
