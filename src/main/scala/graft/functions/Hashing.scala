@@ -54,4 +54,17 @@ object Hashing {
 
   def reseed(h: Long, j: Int): Long =
     Math.floorMod(h * (2L * j + 1) + (j * 12345L + 678L), P)
+
+  /** Nonlinear scatter of a poly hash for SHORT STRUCTURED inputs
+    * ("j:d" index pairs and the like). The raw polynomial of a short
+    * string never wraps P, so consecutive inputs form arithmetic
+    * progressions and any AFFINE post-mix (multiply/add mod P) maps
+    * them to rotation sequences whose threshold bits stay heavily
+    * correlated across rows (measured: sign-matrix row correlations of
+    * 0.9+ — a rank-degenerate SRP). Squaring first makes the
+    * progression quadratic, which decorrelates to the random baseline
+    * (SrpSpec pins this). All intermediates fit in a Long:
+    * h < P ~ 1e9 so h*h < 1e18 and (h*h mod P)*2654435761 < 2.7e18.
+    * DuckDB replica: ((h*h) % 1000000007 * 2654435761) % 1000000007. */
+  def squareMix(h: Long): Long = ((h * h) % P * 2654435761L) % P
 }

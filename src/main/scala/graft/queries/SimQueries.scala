@@ -165,7 +165,15 @@ object SimQueries {
     "q99_srp_sketch" -> ((s, dir) =>
       graft.sim.Srp.sketch(emb(s, dir), planes = 16,
           idCol = "id", vecCol = "vec")
-        .orderBy("id")))
+        .orderBy("id")),
+
+    // Dense JL random projection (Achlioptas +-1): 64d float -> 16d
+    // integer components, long format; map-only, same deterministic
+    // hyperplanes as q99
+    "q105_random_projection" -> ((s, dir) =>
+      graft.sim.Srp.project(emb(s, dir), outDims = 16,
+          idCol = "id", vecCol = "vec")
+        .orderBy("id", "j")))
 
   private val dotSql =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -259,23 +267,38 @@ object SimQueries {
     // floor-quantized to e6 bigints so the per-plane dot is an integer
     // GROUP BY sum (order-free — float sums would not be)
     "q99_srp_sketch" ->
-      s"""WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-         |           FROM embeddings),
-         |q AS (SELECT id,
-         |        [CAST(floor(x * 1000000.0) AS BIGINT) for x in v] AS xi
-         |      FROM c),
-         |ex AS (SELECT id, t.d, xi[t.d] AS x
-         |       FROM q, LATERAL (SELECT unnest(range(1, len(xi) + 1)) AS d) t),
-         |s AS (SELECT j, d,
-         |        CASE WHEN ${TextQueries.Sql.poly(
-                  "CAST(j AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)")} % 2 = 0
-         |             THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn
-         |      FROM (SELECT unnest(range(0, 16)) AS j) pj
-         |      CROSS JOIN (SELECT unnest(range(1, 129)) AS d) pd),
-         |dots AS (SELECT id, j, CAST(SUM(x * s.sgn) AS BIGINT) AS dot
-         |         FROM ex JOIN s USING (d) GROUP BY id, j)
+      s"""$srpDotsCte
          |SELECT id,
          |       CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j)
          |                     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS srp
-         |FROM dots GROUP BY id ORDER BY id""".stripMargin)
+         |FROM dots GROUP BY id ORDER BY id""".stripMargin,
+
+    // same quantized-dot base as q99, keeping magnitudes (long format)
+    "q105_random_projection" ->
+      s"""$srpDotsCte
+         |SELECT id, CAST(j AS BIGINT) AS j, dot AS y_e6
+         |FROM dots ORDER BY id, j""".stripMargin)
+
+  /** Shared q99/q105 oracle base: per-(vector, hyperplane) integer dot
+    * products with the polyhash-parity sign matrix. */
+  private lazy val srpDotsCte: String =
+    s"""WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |q AS (SELECT id,
+       |        [CAST(floor(x * 1000000.0) AS BIGINT) for x in v] AS xi
+       |      FROM c),
+       |ex AS (SELECT id, t.d, xi[t.d] AS x
+       |       FROM q, LATERAL (SELECT unnest(range(1, len(xi) + 1)) AS d) t),
+       |sp AS (SELECT j, d,
+       |         ${TextQueries.Sql.poly(
+                  "CAST(j AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)")} AS hp
+       |       FROM (SELECT unnest(range(0, 16)) AS j) pj
+       |       CROSS JOIN (SELECT unnest(range(1, 129)) AS d) pd),
+       |s AS (SELECT j, d,
+       |        CASE WHEN ((hp * hp) % 1000000007 * 2654435761) % 1000000007
+       |                   * 2 < 1000000007
+       |             THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn
+       |      FROM sp),
+       |dots AS (SELECT id, j, CAST(SUM(x * s.sgn) AS BIGINT) AS dot
+       |         FROM ex JOIN s USING (d) GROUP BY id, j)""".stripMargin
 }

@@ -346,7 +346,15 @@ object TextQueries {
       Dedup.removeRepeatedLines(
           plantLines(docs(s, dir).select(col("doc_id"), col("text"))),
           textCol = "content", minDocs = 3)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Tf-idf top-5 characteristic terms per doc (ratio-idf — integer
+    // exact, no transcendentals); doc-partitioned top-k window, N as a
+    // broadcast one-row aggregate
+    "q104_tfidf_topk" -> ((s, dir) =>
+      graft.text.InvertedIndex.tfidfTopK(docs(s, dir), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("doc_id", "rank")))
 
   /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
     * uncapped) and q49 (triangle-distributed path; completeness check). */
@@ -707,5 +715,24 @@ object TextQueries {
          |         AS n_dropped,
          |       COALESCE(string_agg(CASE WHEN NOT isrep THEN line END,
          |                           chr(10) ORDER BY pos), '') AS cleaned_text
-         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q104_tfidf_topk" ->
+      s"""WITH p AS (
+         |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(${Sql.words}) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |wt AS (
+         |  SELECT p.doc_id, p.term, p.tf, dfs.df,
+         |         p.tf * (n.n_docs * CAST(1000000 AS BIGINT) // dfs.df)
+         |           AS tfidf_e6
+         |  FROM p JOIN dfs USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tf, df, tfidf_e6,
+         |        CAST(row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY tfidf_e6 DESC, term ASC) AS BIGINT) AS rank
+         |      FROM wt)
+         |SELECT doc_id, term, tf, df, tfidf_e6, rank
+         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)
 }

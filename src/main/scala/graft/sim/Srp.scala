@@ -31,10 +31,15 @@ import graft.functions.Hashing
   */
 object Srp {
 
-  /** Hyperplane component for (plane j, 0-based dim d): +1 or -1 by
-    * polyhash parity — the oracle regenerates the same matrix in SQL. */
+  /** Hyperplane component for (plane j, 0-based dim d): +1 or -1 by the
+    * midpoint threshold of the square-mixed polyhash of "j:d" — the
+    * oracle regenerates the same matrix in SQL. NOT raw parity and not
+    * an affine mix: both leave the sign matrix rank-degenerate for
+    * index-pair inputs (see [[Hashing.squareMix]]); SrpSpec pins the
+    * row correlations at the random baseline. */
   def sign(j: Int, d: Int): Long =
-    if (Hashing.polyHash(s"$j:$d") % 2 == 0L) 1L else -1L
+    if (Hashing.squareMix(Hashing.polyHash(s"$j:$d")) * 2 < Hashing.P) 1L
+    else -1L
 
   /** Sketch every embedding: (id, srp) with an `planes`-bit signature
     * (bit j = 1 iff sum_d floor(v[d]*1e6) * sign(j,d) >= 0). */
@@ -80,4 +85,50 @@ object Srp {
     * for SRP-bucketed candidate joins (same role as Profile.keySkew). */
   def bucketSizes(sketched: DataFrame): DataFrame =
     sketched.groupBy("srp").agg(count(lit(1)).as("n_vectors"))
+
+  /** DENSE random projection (Achlioptas 2003: +-1 entries suffice for
+    * the Johnson-Lindenstrauss guarantee): reduce each embedding to
+    * `outDims` integer components y[j] = sum_d floor(v[d]*1e6) *
+    * sign(j,d) — the same deterministic hyperplanes and quantization as
+    * [[sketch]], but keeping the magnitudes instead of the sign bit.
+    * This is the cheap embedding-compression step (64d float -> 16d
+    * int) that an ANN pre-filter or a disk-tier index stores; distances
+    * in the projected space approximate original distances to within
+    * the JL distortion (SrpSpec checks the correlation on real
+    * fixtures).
+    *
+    * Output is LONG format (id, j, y_e6) — one row per output
+    * component, so the result is oracle-comparable and join-friendly;
+    * pivot back with groupBy(id).pivot(j) if an array column is wanted.
+    * Map-only like the sketch: no shuffle, no model state. */
+  def project(emb: DataFrame, outDims: Int = 16,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxDims: Int = 4096): DataFrame = {
+    require(outDims >= 1, "outDims must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val signs: Array[Array[Long]] =
+      Array.tabulate(outDims, maxDims)((j, d) => sign(j, d))
+    graft.sources.Tables.widen(
+        emb.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        require(v.length <= maxDims,
+          s"embedding has ${v.length} dims > maxDims $maxDims")
+        val xi = new Array[Long](v.length)
+        var d = 0
+        while (d < v.length) {
+          xi(d) = math.floor(v(d).toDouble * 1e6).toLong
+          d += 1
+        }
+        (0 until outDims).map { j =>
+          val s = signs(j)
+          var dot = 0L
+          var i = 0
+          while (i < xi.length) { dot += xi(i) * s(i); i += 1 }
+          (id, j.toLong, dot)
+        }
+      }
+      .toDF(idCol, "j", "y_e6")
+  }
 }

@@ -45,4 +45,33 @@ object InvertedIndex {
       .filter(col("df") >= minDf)
       .select(col("term"), col("df"), col("total_tf"),
         (-col("__top.nd")).as("top_doc_id"), col("__top.tf").as("top_tf"))
+
+  /** Tf-idf top-`k` characteristic terms per document — the feature-
+    * extraction artifact (keyword labels, sparse retrieval vectors,
+    * topic seeds). Ratio-idf instead of log-idf keeps the weight
+    * integer-exact cross-engine (same no-transcendentals doctrine as
+    * the BM25 odds-idf): idf_e6 = N * 1e6 div df, weight = tf * idf_e6,
+    * ranked per doc by (weight desc, term asc).
+    *
+    * Scale shape: postings agg (one shuffle) -> df agg on term (partial
+    * combine) -> equi-join postings x term-df on term -> top-k window
+    * PARTITIONED BY doc (never a global sort; per-task state is one
+    * document's vocabulary). N rides the plan as a broadcast one-row
+    * aggregate — no eager count job. */
+  def tfidfTopK(docs: DataFrame, k: Int = 5, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val p = postings(docs, textCol, idCol)
+    val dfs = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf_e6").desc, col("term").asc)
+    p.join(dfs, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf_e6", expr("n_docs * 1000000L div df"))
+      .withColumn("tfidf_e6", col("tf") * col("idf_e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf_e6", "rank")
+  }
 }

@@ -4,11 +4,25 @@ import graft.functions.Hashing
 
 class SrpSpec extends graft.SparkSuite {
 
-  test("sign matrix is polyhash parity") {
+  test("sign matrix is the square-mixed polyhash threshold") {
     for (j <- 0 until 4; d <- 0 until 8) {
-      val expected = if (Hashing.polyHash(s"$j:$d") % 2 == 0L) 1L else -1L
+      val expected =
+        if (Hashing.squareMix(Hashing.polyHash(s"$j:$d")) * 2 < Hashing.P) 1L
+        else -1L
       assert(Srp.sign(j, d) == expected)
     }
+  }
+
+  test("sign matrix rows decorrelate to the random baseline") {
+    // the regression that motivated squareMix: parity or affine-mixed
+    // signs of "j:d" strings are rank-degenerate (row |corr| ~ 1.0);
+    // true-random +-1 rows of length 64 have mean |corr| ~ 0.10
+    val m = Array.tabulate(16, 64)((j, d) => Srp.sign(j, d).toDouble)
+    val corrs = for (a <- 0 until 16; b <- a + 1 until 16) yield
+      math.abs((0 until 64).map(d => m(a)(d) * m(b)(d)).sum / 64.0)
+    assert(corrs.max <= 0.5, s"max row |corr| ${corrs.max} — structured signs")
+    assert(corrs.sum / corrs.size <= 0.2,
+      s"mean row |corr| ${corrs.sum / corrs.size} — structured signs")
   }
 
   test("sketch replicates the quantized dot-product formula by hand") {
@@ -61,6 +75,57 @@ class SrpSpec extends graft.SparkSuite {
     }
     val differing = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
     assert(differing == 16 - zeroDots)
+  }
+
+  test("project: dense components replicate the integer dots; sketch bits agree") {
+    import spark.implicits._
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      1L -> Array(0.5f, -0.25f, 0.125f),
+      2L -> Array(-1.0f, 2.0f, -3.0f))
+    val proj = Srp.project(vecs.toDF("vec_id", "embedding"), outDims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    vecs.foreach { case (id, v) =>
+      val xi = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      for (j <- 0 until 8) {
+        val expected = xi.indices.map(d => xi(d) * Srp.sign(j, d)).sum
+        assert(proj((id, j.toLong)) == expected)
+      }
+    }
+    // consistency: sketch bit j == sign of projected component j
+    val sigs = Srp.sketch(vecs.toDF("vec_id", "embedding"), planes = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, _) =>
+      for (j <- 0 until 8)
+        assert((((sigs(id) >> j) & 1L) == 1L) == (proj((id, j.toLong)) >= 0L))
+    }
+  }
+
+  test("project separates near pairs from far pairs (JL property)") {
+    import spark.implicits._
+    // i.i.d. random points in 64-d are all nearly equidistant (distance
+    // concentration), so a correlation check would only measure JL
+    // noise. The property that matters for a near-dup pre-filter is
+    // SEPARATION: planted near-duplicates must stay much closer in the
+    // projected space than unrelated pairs.
+    val rnd = new scala.util.Random(7)
+    def randVec() = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val bases = (0 until 10).map(i => i.toLong -> randVec())
+    val nearDups = bases.map { case (id, v) =>
+      (id + 100L) -> v.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+    }
+    val vecs = bases ++ nearDups
+    val proj = Srp.project(vecs.toDF("vec_id", "embedding"), outDims = 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getLong(2).toDouble / 1e6).toSeq
+      }
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val nearMax = bases.map { case (id, _) => d2(proj(id), proj(id + 100L)) }.max
+    val farMin = (for (a <- 0L until 10L; b <- a + 1 until 10L)
+      yield d2(proj(a), proj(b))).min
+    assert(nearMax * 10 < farMin,
+      s"near-dup pairs ($nearMax) should project far closer than unrelated pairs ($farMin)")
   }
 
   test("bucket census counts signatures") {

@@ -38,6 +38,28 @@ class InvertedIndexSpec extends graft.SparkSuite {
     assert(terms == Set("spark", "duck"))
   }
 
+  test("tfidf: rare terms outweigh common ones, rank ties by term") {
+    // "spark" in all 3 docs (idf = 3*1e6/3 = 1e6); "goose" only in doc 3
+    // (idf = 3e6) -> goose outranks spark in doc 3 despite lower tf
+    val r = InvertedIndex.tfidfTopK(corpus, k = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(5)) -> (x.getString(1), x.getLong(4)))
+      .toMap
+    assert(r((3L, 1)) == (("goose", 3000000L)))  // 1 * 3e6
+    assert(r((3L, 2)) == (("spark", 2000000L)))  // 2 * 1e6
+    // doc 2: duck tf=3 df=2 -> 3 * (3e6 div 2) = 4500000; spark 1e6
+    assert(r((2L, 1)) == (("duck", 4500000L)))
+    assert(r((2L, 2)) == (("spark", 1000000L)))
+  }
+
+  test("tfidf plan: window partitioned by doc, no global sort, N broadcast") {
+    val plan = InvertedIndex.tfidfTopK(corpus, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort expected:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"), s"N should broadcast:\n$plan")
+  }
+
   test("plan: two partial-agg shuffles, no window, no join") {
     val plan = InvertedIndex.termStats(InvertedIndex.postings(corpus))
       .queryExecution.executedPlan.toString
