@@ -39,23 +39,40 @@ object Bm25 {
 
   /** Score `docs` against `terms`, returning the top `k` rows
     * (doc_id, score_e6, n_terms) by quantized BM25 score (ties break to
-    * the smaller doc id). `n_terms` = distinct query terms hit. */
+    * the smaller doc id). `n_terms` = distinct query terms hit.
+    *
+    * `reuseTables = true` (default) lazily localCheckpoints the two
+    * narrow intermediates (doc lengths; query-term postings) that are
+    * each consumed by two branches — without it every branch re-scans
+    * the corpus (the stats job, the idf build, and the scoring join are
+    * four scans; with reuse, one). `false` keeps the whole computation
+    * one lazy plan (PlanSpec inspects the pre-checkpoint shape). */
   def topK(docs: DataFrame, terms: Seq[String], k: Int = 20,
-           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+           textCol: String = "text", idCol: String = "doc_id",
+           reuseTables: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val dl = docs.select(col(idCol).cast("long").as("id"),
-      TextAnalysis.tokenCountCol(col(textCol)).cast("long").as("dl"))
+    def reuse(df: DataFrame): DataFrame =
+      if (reuseTables) df.localCheckpoint(eager = false) else df
+    // narrow (id, token-count) table, consumed by the stats job AND the
+    // scoring join — lazily checkpointed so the corpus text is scanned
+    // once for it, not once per consumer (the eager head() below
+    // materializes it; the join reuses the blocks)
+    val dl = reuse(docs.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.tokenCountCol(col(textCol)).cast("long").as("dl")))
     // one eager stats job: corpus size + average doc length (exact
     // integer→double division, replicated verbatim in the oracle)
     val (nDocs, totTok) = dl.agg(count(lit(1)), sum("dl")).as[(Long, Long)].head()
     require(nDocs > 0, "BM25 over an empty corpus")
     val avgdl = totTok.toDouble / nDocs.toDouble
-    val tf = docs
+    // query-term postings (≤ |terms| x |docs| rows — tiny), consumed by
+    // the idf branch and the scoring join: checkpointed so the corpus
+    // explode+filter runs once, not once per branch
+    val tf = reuse(docs
       .select(col(idCol).cast("long").as("id"),
         explode(TextAnalysis.wordsCol(col(textCol))).as("tok"))
       .filter(col("tok").isin(terms.distinct: _*))
-      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf")))
     // df per query term (≤ |terms| rows) + quantized odds-idf, broadcast
     val idf = broadcast(
       tf.groupBy("tok").agg(count(lit(1)).as("df"))

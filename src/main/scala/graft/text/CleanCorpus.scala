@@ -37,8 +37,16 @@ object CleanCorpus {
         && col("lang_pred").isin(langs: _*))
       .select(idCol)
     val gated = docs.join(keep, Seq(idCol), "left_semi")
-    // 2. exact dedup (keep-first per content hash)
+    // 2. exact dedup (keep-first per content hash). The surviving
+    // corpus is the artifact every later stage reads (candidate gen,
+    // Jaccard confirm, final anti-join) — lazily checkpointed so the
+    // gate regexes + dedup window run ONCE, not once per consumer
+    // (verified: without it the composed plan scans the corpus 4x).
+    // Materializing the kept corpus once beats three re-derivations at
+    // any scale; a production pipeline would write this stage out
+    // anyway.
     val deduped = Dedup.exact(gated, textCol, idCol)
+      .localCheckpoint(eager = false)
     // 3. near-dup removal over the deduped survivors
     val pairs = Dedup.minhashCandidatePairs(deduped, textCol, idCol,
       shingleK, numHashes, bands, portable, maxBucket)

@@ -209,10 +209,16 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
+    // the sized band table feeds BOTH the small-bucket and mega-bucket
+    // branches; without the lazy checkpoint each branch re-runs the
+    // signature mapPartitions and the bucket window (verified:
+    // ReusedExchange does not fire across the differing filters). The
+    // table is narrow — (band, key, doc, n, p), no text
     val sized = lshBands(docs, textCol, idCol, k, numHashes, bands, portable)
       .select(col("band"), col("band_key"), col("doc"))
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("p", row_number().over(w.orderBy("doc")) - 1)
+      .localCheckpoint(eager = false)
       .as[(Int, String, Long, Long, Int)]
     val small = sized.filter(_._4 <= maxBucket)
       .groupByKey(t => (t._1, t._2))
@@ -273,16 +279,18 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hammingCol(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** n-gram Jaccard similarity ×1e4 between paired docs: distinct shingle
-    * sets compared via explode + inner-join group counts (portable; no
-    * array_intersect dialect dependence). `pairs` has (doc_a, doc_b);
-    * shingles computed from `docs`. */
-  def ngramJaccardScaled(docs: DataFrame, pairs: DataFrame,
-                         textCol: String = "text", idCol: String = "doc_id",
-                         k: Int = 2, portable: Boolean = true): DataFrame = {
+  /** The exploded distinct-shingle table (doc, sh) — shared by the
+    * Jaccard and containment joins. Lazily localCheckpoint'ed: three
+    * branches consume it (A side, B side, sizes), and without the
+    * checkpoint each branch re-runs the scan + signature mapPartitions
+    * (the typed map blocks subplan merging). The table is NARROW — two
+    * longs per shingle, no text — so one materialization is far cheaper
+    * than three corpus passes at any scale. */
+  private def shingleTable(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int, portable: Boolean): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = widen(docs.select(col(idCol).cast("long").as("doc"),
+    widen(docs.select(col(idCol).cast("long").as("doc"),
         TextAnalysis.normalizeCol(col(textCol)).as("norm")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, norm) =>
@@ -290,6 +298,17 @@ object Dedup {
       })
       .toDF("doc", "shs")
       .select(col("doc"), explode(col("shs")).as("sh"))
+      .localCheckpoint(eager = false)
+  }
+
+  /** n-gram Jaccard similarity ×1e4 between paired docs: distinct shingle
+    * sets compared via explode + inner-join group counts (portable; no
+    * array_intersect dialect dependence). `pairs` has (doc_a, doc_b);
+    * shingles computed from `docs`. */
+  def ngramJaccardScaled(docs: DataFrame, pairs: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         k: Int = 2, portable: Boolean = true): DataFrame = {
+    val sh = shingleTable(docs, textCol, idCol, k, portable)
     val sizes = sh.groupBy("doc").agg(count("*").as("n"))
     val shA = sh.select(col("doc").as("doc_a"), col("sh"))
     val shB = sh.select(col("doc").as("doc_b"), col("sh"))
@@ -320,16 +339,7 @@ object Dedup {
   def containmentScaled(docs: DataFrame, pairs: DataFrame,
                         textCol: String = "text", idCol: String = "doc_id",
                         k: Int = 3, portable: Boolean = true): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sh = widen(docs.select(col(idCol).cast("long").as("doc"),
-        TextAnalysis.normalizeCol(col(textCol)).as("norm")))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, norm) =>
-        (id, shingleHashes(wordHashes(norm, portable), k).distinct)
-      })
-      .toDF("doc", "shs")
-      .select(col("doc"), explode(col("shs")).as("sh"))
+    val sh = shingleTable(docs, textCol, idCol, k, portable)
     val sizes = sh.groupBy("doc").agg(count("*").as("n"))
     pairs
       .join(sh.select(col("doc").as("doc_a"), col("sh")), Seq("doc_a"))
@@ -355,7 +365,11 @@ object Dedup {
     * (pos, line) structs — no window, no global sort; per-task state is
     * one document's lines). The join is a hash equi-join on the line
     * hash — never doc x doc — and only hashes, never line text, cross
-    * the counting shuffle. */
+    * the counting shuffle. Deliberately TWO corpus passes (count pass
+    * prunes to (doc, hash); rebuild pass carries text) rather than one
+    * checkpointed explode: materializing every line of a 100 TB corpus
+    * costs more than a second columnar scan — the opposite tradeoff
+    * from the narrow shingle/postings tables, which ARE checkpointed. */
   def removeRepeatedLines(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id",
                           minDocs: Long = 3L): DataFrame = {

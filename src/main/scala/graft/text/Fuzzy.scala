@@ -44,6 +44,11 @@ object Fuzzy {
           .iterator.map(v => (id, s, v))
       })
       .toDF("id", "s", "v")
+      // both self-join sides consume the neighborhood table; the typed
+      // mapPartitions blocks exchange reuse (verified: ReusedExchange=0
+      // without this), so the lazy checkpoint materializes the narrow
+      // (id, s, variant) rows ONCE instead of generating them per side
+      .localCheckpoint(eager = false)
     val a = variants.toDF("a_id", "a_s", "v")
     val b = variants.toDF("b_id", "b_s", "v")
     a.join(b, Seq("v"))

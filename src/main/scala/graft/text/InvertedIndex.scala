@@ -57,10 +57,20 @@ object InvertedIndex {
     * combine) -> equi-join postings x term-df on term -> top-k window
     * PARTITIONED BY doc (never a global sort; per-task state is one
     * document's vocabulary). N rides the plan as a broadcast one-row
-    * aggregate — no eager count job. */
+    * aggregate — no eager count job.
+    *
+    * The postings table is lazily localCheckpoint'ed: the tf branch and
+    * the df branch would otherwise each re-scan and re-explode the
+    * corpus (column pruning drops tf from the df branch, so the
+    * subplans diverge and exchange reuse cannot fire — verified on the
+    * executed plan). With the lazy checkpoint both branches read ONE
+    * materialization, computed inside the same job — one corpus scan
+    * total, the production shape for a 100 TB corpus. A df WINDOW over
+    * term would also single-scan but funnels each term's full posting
+    * list through one task — a stop-word would break it at scale. */
   def tfidfTopK(docs: DataFrame, k: Int = 5, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
-    val p = postings(docs, textCol, idCol)
+    val p = postings(docs, textCol, idCol).localCheckpoint(eager = false)
     val dfs = p.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

@@ -194,7 +194,7 @@ class PlanSpec extends SparkSuite {
   test("BM25: postings filter below the agg exchange, idf broadcast, top-k sort-limited") {
     val df = graft.text.Bm25.topK(
       spark.read.parquet(s"$dir/documents.parquet"),
-      Seq("spark", "join"), k = 20)
+      Seq("spark", "join"), k = 20, reuseTables = false)
     val p = plan(df)
     // the query-term IN filter must run in the explode stage — printed
     // DIRECTLY above its Generate child (plans print top-down), i.e.

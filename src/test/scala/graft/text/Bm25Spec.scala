@@ -42,4 +42,18 @@ class Bm25Spec extends graft.SparkSuite {
     assert(Bm25.topK(docs, Seq("spark", "join"), k = 2).count() == 2)
     assert(Bm25.topK(docs, Seq("zzz"), k = 5).count() == 0)
   }
+
+  test("reuse variant matches the lazy plan exactly; outer plan reads checkpoints") {
+    val terms = Seq("spark", "join")
+    val a = Bm25.topK(docs, terms, k = 10).collect().map(_.toSeq).toSeq
+    val b = Bm25.topK(docs, terms, k = 10, reuseTables = false)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // the scoring plan itself never rescans the corpus — both shared
+    // tables arrive as checkpointed RDDs (each materialized with ONE
+    // corpus scan of its own; 2 total instead of 4)
+    val p = Bm25.topK(docs, terms, k = 10).queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan") && !p.contains("LocalTableScan"),
+      s"outer plan should read checkpoints only:\n$p")
+  }
 }
