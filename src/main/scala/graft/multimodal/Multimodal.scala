@@ -242,4 +242,99 @@ object Multimodal {
       }
       .toDF("key", "frame_idx", "frame")
   }
+
+  /** Mean-luminance grid of an image: `gw` x `gh` cells, row-major.
+    * Shared by the feature decode and the perceptual hash. */
+  private def lumaGrid(img: java.awt.image.BufferedImage,
+                       gw: Int, gh: Int): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Float](gw * gh)
+    val counts = new Array[Int](gw * gh)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000f
+        val cell = math.min(gh - 1, y * gh / h) * gw + math.min(gw - 1, x * gw / w)
+        sums(cell) += lum; counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < sums.length) { if (counts(i) > 0) sums(i) /= counts(i); i += 1 }
+    sums
+  }
+
+  /** 64-bit perceptual difference hash (dHash, the standard
+    * photo-near-dup fingerprint): decode, reduce to a 9x8 mean-luminance
+    * grid, bit (r, c) = 1 iff cell(r, c) < cell(r, c+1) — brightness
+    * gradients, which survive rescaling, re-encoding, and small edits.
+    * Null/empty/undecodable bytes hash to 0 (the same "zero decode"
+    * convention as [[decodeImage]]). */
+  def imageDHash(bytes: Array[Byte]): Long = {
+    if (bytes == null || bytes.isEmpty) return 0L
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return 0L
+      val g = lumaGrid(img, 9, 8)
+      var out = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (g(r * 9 + c) < g(r * 9 + c + 1)) out |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      out
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+  }
+
+  /** (key, dhash) perceptual-hash table — one map-only pass (the image
+    * index artifact; write it bucketed and every dedup run reuses it). */
+  def dHashTable(df: DataFrame, binCol: String = "content",
+                 keyCol: String = "key"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (key, bytes) => (key, imageDHash(bytes)) })
+      .toDF("key", "dhash")
+  }
+
+  /** Image near-duplicate pairs within `maxHamming` bits: band the
+    * 64-bit hash into `maxHamming + 1` chunks — by pigeonhole, any pair
+    * within the radius agrees EXACTLY on at least one chunk, so a
+    * candidate equi-join on (band, chunk) is lossless; an exact
+    * bit_count(xor) re-check then prunes false candidates. The same
+    * band-join shape as MinHash/SimHash: the shuffle is keyed by band
+    * chunk, never image x image, and only (key, hash) pairs — never
+    * pixels — cross the wire. Output: (key_a, key_b, hamming), a < b. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, "maxHamming in [0, 15]")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val banded = hashes.select(col("key"), col("dhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("chunk",
+        // the last band takes the remainder bits so all 64 are covered
+        when(col("band") === bands - 1,
+          shiftrightunsigned(col("dhash"), (bands - 1) * width))
+          .otherwise(expr(s"shiftrightunsigned(dhash, band * $width)")
+            .bitwiseAND(lit((1L << width) - 1))))
+    val a = banded.select(col("key").as("key_a"), col("dhash").as("ha"),
+      col("band"), col("chunk"))
+    val b = banded.select(col("key").as("key_b"), col("dhash").as("hb"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -146,6 +146,29 @@ object PipelineQueries {
           Hashing.polyHashCol(substring(col("text"), 1, 16)).as("fake_feature"))
         .orderBy("doc_id")),
 
+    // Image perceptual-hash near-dup (dHash + pigeonhole band join):
+    // real BMP bytes synthesized per doc through the REAL
+    // javax.imageio encode/decode path — docs with doc_id % 10 == 1
+    // render a 1-pixel-tweaked copy of their predecessor's image, so
+    // every planted pair must surface within Hamming <= 3. Rows-only
+    // (DuckDB cannot decode images); MultimodalSpec carries the
+    // hand-built gradient/uniform exactness and the recall gate
+    "q107_image_neardup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val imgs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val seed = if (id % 10 == 1) id - 1 else id
+          val tweak = id % 10 == 1
+          (id, PipelineQueries.syntheticBmp(seed, tweak))
+        })
+        .toDF("doc_id", "content")
+      graft.multimodal.Multimodal.imageNearDupPairs(
+          graft.multimodal.Multimodal.dHashTable(imgs, keyCol = "doc_id"),
+          maxHamming = 3)
+        .orderBy("key_a", "key_b")
+    }),
+
     // J1 full label-variant resolution (concept_resolver.py:86-100):
     // vocabulary triple snapshot built from `nation` with prefLabel /
     // altLabel@nl / notation / identifier@en variants plus a decoy
@@ -187,6 +210,28 @@ object PipelineQueries {
           coalesce(col("uri"), lit("UNRESOLVED")).as("uri"))
         .orderBy("c_custkey")
     }))
+
+  /** Deterministic 16x16 BMP: per-seed gradient directions/frequencies
+    * (so different seeds produce genuinely different dHashes — a mere
+    * brightness offset would leave every difference hash identical);
+    * `tweak` brightens one pixel, the near-dup perturbation. BMP is an
+    * uncompressed fixed-layout container, so the bytes are bit-stable
+    * across runs and partitions. */
+  private[queries] def syntheticBmp(seed: Long, tweak: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val fx = 3 + Math.floorMod(seed, 13L).toInt
+    val fy = 5 + Math.floorMod(seed, 11L).toInt
+    val fxy = 1 + Math.floorMod(seed, 7L).toInt
+    for (y <- 0 until 16; x <- 0 until 16) {
+      var lum = Math.floorMod(x * fx + y * fy + x * y * fxy, 256)
+      if (tweak && x == 0 && y == 0) lum = math.min(lum + 4, 255)
+      img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
 
   val oracles: Map[String, String] = Map(
     "q30_windowed_agg" ->

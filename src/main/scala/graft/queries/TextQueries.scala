@@ -354,7 +354,15 @@ object TextQueries {
     "q104_tfidf_topk" -> ((s, dir) =>
       graft.text.InvertedIndex.tfidfTopK(docs(s, dir), k = 5)
         .withColumn("rank", col("rank").cast("long"))
-        .orderBy("doc_id", "rank")))
+        .orderBy("doc_id", "rank")),
+
+    // PMI-style collocation mining: top bigrams by integer LIFT (the
+    // monotone no-log PMI equivalent); partial-agg counts, minCount
+    // prune before the vocab joins, sort-limited top-k
+    "q106_collocations" -> ((s, dir) =>
+      graft.text.Collocations.topByLift(docs(s, dir), k = 100,
+          minCount = 30)
+        .orderBy(col("lift_e6").desc, col("w1").asc, col("w2").asc)))
 
   /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
     * uncapped) and q49 (triangle-distributed path; completeness check). */
@@ -734,5 +742,24 @@ object TextQueries {
          |               ORDER BY tfidf_e6 DESC, term ASC) AS BIGINT) AS rank
          |      FROM wt)
          |SELECT doc_id, term, tf, df, tfidf_e6, rank
-         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)
+         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q106_collocations" ->
+      s"""WITH w AS (SELECT ${Sql.words} AS ws FROM documents),
+         |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+         |       FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+         |       WHERE len(ws) >= 2),
+         |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |       FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 30),
+         |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM (SELECT unnest(ws) AS w FROM w) GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg)
+         |SELECT bc.w1, bc.w2, bc.c12, u1.c AS c1, u2.c AS c2,
+         |       CAST((bc.c12 * CAST(1000000 AS BIGINT) // u1.c) * n.nb
+         |            // u2.c AS BIGINT) AS lift_e6
+         |FROM bc
+         |JOIN uni u1 ON u1.w = bc.w1
+         |JOIN uni u2 ON u2.w = bc.w2
+         |CROSS JOIN n
+         |ORDER BY lift_e6 DESC, w1 ASC, w2 ASC LIMIT 100""".stripMargin)
 }

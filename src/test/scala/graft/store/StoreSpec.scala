@@ -358,6 +358,71 @@ class MultimodalSpec extends graft.SparkSuite {
     assert(d(2L) == ((0, 0, 0L, 0L, Seq.fill(8)(0f)))) // undecodable
     assert(d(3L) == ((0, 0, 0L, 0L, Seq.fill(8)(0f)))) // empty
   }
+
+  private def pngOf(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val l = lum(x, y) & 0xff
+      img.setRGB(x, y, (l << 16) | (l << 8) | l)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("dHash: uniform image hashes to 0, left-to-right gradient to all ones") {
+    assert(Multimodal.imageDHash(pngOf(18, 16, (_, _) => 128)) == 0L)
+    // strictly increasing left-to-right: every cell < its right neighbor
+    assert(Multimodal.imageDHash(pngOf(18, 16, (x, _) => x * 10)) == -1L)
+    assert(Multimodal.imageDHash("not an image".getBytes) == 0L)
+    assert(Multimodal.imageDHash(Array.empty[Byte]) == 0L)
+  }
+
+  test("dHash survives rescaling and small edits; distinct images differ") {
+    val base = Multimodal.imageDHash(pngOf(32, 32, (x, y) => x * 5 + y * 3))
+    val scaled = Multimodal.imageDHash(pngOf(64, 64, (x, y) => (x / 2) * 5 + (y / 2) * 3))
+    val edited = Multimodal.imageDHash(
+      pngOf(32, 32, (x, y) => if (x == 0 && y == 0) 200 else x * 5 + y * 3))
+    val other = Multimodal.imageDHash(pngOf(32, 32, (x, y) => x * 3 + y * 11 + x * y))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(base, scaled) <= 3, s"rescale moved ${ham(base, scaled)} bits")
+    assert(ham(base, edited) <= 3, s"edit moved ${ham(base, edited)} bits")
+    assert(ham(base, other) > 10, s"distinct images only ${ham(base, other)} apart")
+  }
+
+  test("image near-dup pairs: pigeonhole banding finds all planted pairs") {
+    import spark.implicits._
+    val imgs = (0L until 20L).map { id =>
+      val seed = if (id % 10 == 1) id - 1 else id
+      val f = (3 + (seed % 13).toInt, 5 + (seed % 11).toInt, 1 + (seed % 7).toInt)
+      val tweak = id % 10 == 1
+      (id, pngOf(16, 16, (x, y) => {
+        val l = Math.floorMod(x * f._1 + y * f._2 + x * y * f._3, 256)
+        if (tweak && x == 0 && y == 0) math.min(l + 4, 255) else l
+      }))
+    }.toDF("key", "content")
+    val pairs = Multimodal.imageNearDupPairs(
+        Multimodal.dHashTable(imgs), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((10L, 11L)),
+      s"planted near-dups missing from $pairs")
+  }
+
+  test("image near-dup plan: band equi-join, no cartesian, no pixels shuffled") {
+    import spark.implicits._
+    val imgs = Seq((1L, pngOf(8, 8, (x, _) => x * 9))).toDF("key", "content")
+    val plan = Multimodal.imageNearDupPairs(Multimodal.dHashTable(imgs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), s"no cross join:\n$plan")
+    // pixel bytes stay below the map-only hash: no Exchange/Join line
+    // carries the binary column (it appears only in the leaf scan)
+    plan.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Join"))
+      .foreach(l => assert(!l.contains("content"),
+        s"pixel bytes must not cross the join: $l"))
+  }
 }
 
 class StreamingSpec extends graft.SparkSuite {
