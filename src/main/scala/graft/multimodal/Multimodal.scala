@@ -244,28 +244,42 @@ object Multimodal {
   }
 
   /** Mean-luminance grid of an image: `gw` x `gh` cells, row-major.
-    * Shared by the feature decode and the perceptual hash. */
+    * CELL-DRIVEN (each cell averages its pixel RANGE, with a
+    * nearest-neighbor floor of one pixel), not pixel-driven — a
+    * pixel-to-cell binning leaves empty cells (mean 0) whenever the
+    * image is narrower than the grid, which freezes whole dHash bit
+    * columns for small thumbnails and biases unrelated ones toward the
+    * near-dup threshold. Range sampling never leaves a cell empty. */
   private def lumaGrid(img: java.awt.image.BufferedImage,
                        gw: Int, gh: Int): Array[Float] = {
     val w = img.getWidth; val h = img.getHeight
-    val sums = new Array[Float](gw * gh)
-    val counts = new Array[Int](gw * gh)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-          (rgb & 0xff) * 114) / 1000f
-        val cell = math.min(gh - 1, y * gh / h) * gw + math.min(gw - 1, x * gw / w)
-        sums(cell) += lum; counts(cell) += 1
-        x += 1
+    val out = new Array[Float](gw * gh)
+    var r = 0
+    while (r < gh) {
+      val y0 = r * h / gh
+      val y1 = math.max(y0 + 1, (r + 1) * h / gh)
+      var c = 0
+      while (c < gw) {
+        val x0 = c * w / gw
+        val x1 = math.max(x0 + 1, (c + 1) * w / gw)
+        var sum = 0f
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000f
+            x += 1
+          }
+          y += 1
+        }
+        out(r * gw + c) = sum / ((y1 - y0) * (x1 - x0))
+        c += 1
       }
-      y += 1
+      r += 1
     }
-    var i = 0
-    while (i < sums.length) { if (counts(i) > 0) sums(i) /= counts(i); i += 1 }
-    sums
+    out
   }
 
   /** 64-bit perceptual difference hash (dHash, the standard
@@ -318,7 +332,16 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 15, "maxHamming in [0, 15]")
     val bands = maxHamming + 1
     val width = 64 / bands
-    val banded = hashes.select(col("key"), col("dhash"),
+    // dhash = 0 is the zero-decode sentinel (null/empty/undecodable
+    // bytes — and structureless uniform images): pairing those rows
+    // would report every corrupt file as an exact dup of every blank
+    // banner AND funnel them all through one degenerate bucket in
+    // every band, so they are excluded up front. The checkpoint stops
+    // the a/b self-join from decoding every image twice (typed
+    // mapPartitions blocks ReusedExchange — same fix as Fuzzy/Bm25).
+    val clean = hashes.filter(col("dhash") =!= 0L)
+      .localCheckpoint(eager = false)
+    val banded = clean.select(col("key"), col("dhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("chunk",
         // the last band takes the remainder bits so all 64 are covered

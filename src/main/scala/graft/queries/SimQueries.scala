@@ -293,7 +293,11 @@ object SimQueries {
        |         ${TextQueries.Sql.poly(
                   "CAST(j AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)")} AS hp
        |       FROM (SELECT unnest(range(0, 16)) AS j) pj
-       |       CROSS JOIN (SELECT unnest(range(1, 129)) AS d) pd),
+       |       -- dim domain covers Srp's full maxDims = 4096 (the join
+       |       -- on d keeps only real dims; an undersized domain would
+       |       -- silently truncate the oracle's dots if the fixture ever
+       |       -- grows past it)
+       |       CROSS JOIN (SELECT unnest(range(1, 4097)) AS d) pd),
        |s AS (SELECT j, d,
        |        CASE WHEN ((hp * hp) % 1000000007 * 2654435761) % 1000000007
        |                   * 2 < 1000000007

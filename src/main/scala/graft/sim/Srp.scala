@@ -49,36 +49,61 @@ object Srp {
     require(planes >= 1 && planes <= 62, "planes must be in [1, 62]")
     val spark = emb.sparkSession
     import spark.implicits._
-    // sign matrix is (planes x maxDims) longs — a few KB, rides the
-    // closure; columns beyond the actual dim count are simply unused
-    val signs: Array[Array[Long]] =
-      Array.tabulate(planes, maxDims)((j, d) => sign(j, d))
     val ds: Dataset[(Long, Array[Float])] =
       graft.sources.Tables.widen(
           emb.select(col(idCol).cast("long"), col(vecCol)))
         .as[(Long, Array[Float])]
-    ds.mapPartitions(_.map { case (id, v) =>
-        require(v.length <= maxDims,
-          s"embedding has ${v.length} dims > maxDims $maxDims")
-        val xi = new Array[Long](v.length)
-        var d = 0
-        while (d < v.length) {
-          xi(d) = math.floor(v(d).toDouble * 1e6).toLong
-          d += 1
+    ds.mapPartitions { it =>
+        // sign matrix built ONCE per partition, sized to the vectors
+        // actually seen (building it driver-side at maxDims would ship
+        // planes x maxDims longs — half an MB at 4096 — in every task
+        // closure, mostly unused)
+        val signs = new SignCache(planes, maxDims)
+        it.map { case (id, v) =>
+          val xi = new Array[Long](v.length)
+          var d = 0
+          while (d < v.length) {
+            xi(d) = math.floor(v(d).toDouble * 1e6).toLong
+            d += 1
+          }
+          val s = signs.upTo(v.length)
+          var sig = 0L
+          var j = 0
+          while (j < planes) {
+            val sj = s(j)
+            var dot = 0L
+            var i = 0
+            while (i < xi.length) { dot += xi(i) * sj(i); i += 1 }
+            if (dot >= 0L) sig |= (1L << j)
+            j += 1
+          }
+          (id, sig)
         }
-        var sig = 0L
-        var j = 0
-        while (j < planes) {
-          val s = signs(j)
-          var dot = 0L
-          var i = 0
-          while (i < xi.length) { dot += xi(i) * s(i); i += 1 }
-          if (dot >= 0L) sig |= (1L << j)
-          j += 1
-        }
-        (id, sig)
-      })
+      }
       .toDF(idCol, "srp")
+  }
+
+  /** Partition-local lazily-grown sign matrix: rows are planes, columns
+    * grow (doubling) to the widest vector seen. Identical values to
+    * [[sign]] — just computed executor-side instead of shipped. */
+  private final class SignCache(planes: Int, maxDims: Int) {
+    private var dims = 0
+    private var m: Array[Array[Long]] = Array.fill(planes)(Array.emptyLongArray)
+    def upTo(n: Int): Array[Array[Long]] = {
+      require(n <= maxDims, s"embedding has $n dims > maxDims $maxDims")
+      if (n > dims) {
+        val target = math.min(maxDims, math.max(n, math.max(64, dims * 2)))
+        m = Array.tabulate(planes) { j =>
+          val row = new Array[Long](target)
+          System.arraycopy(m(j), 0, row, 0, dims)
+          var d = dims
+          while (d < target) { row(d) = sign(j, d); d += 1 }
+          row
+        }
+        dims = target
+      }
+      m
+    }
   }
 
   /** Bucket census of a sketch: (srp, n_vectors) — the skew pre-flight
@@ -107,26 +132,26 @@ object Srp {
     require(outDims >= 1, "outDims must be >= 1")
     val spark = emb.sparkSession
     import spark.implicits._
-    val signs: Array[Array[Long]] =
-      Array.tabulate(outDims, maxDims)((j, d) => sign(j, d))
     graft.sources.Tables.widen(
         emb.select(col(idCol).cast("long"), col(vecCol)))
       .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        require(v.length <= maxDims,
-          s"embedding has ${v.length} dims > maxDims $maxDims")
-        val xi = new Array[Long](v.length)
-        var d = 0
-        while (d < v.length) {
-          xi(d) = math.floor(v(d).toDouble * 1e6).toLong
-          d += 1
-        }
-        (0 until outDims).map { j =>
-          val s = signs(j)
-          var dot = 0L
-          var i = 0
-          while (i < xi.length) { dot += xi(i) * s(i); i += 1 }
-          (id, j.toLong, dot)
+      .mapPartitions { it =>
+        val signs = new SignCache(outDims, maxDims)
+        it.flatMap { case (id, v) =>
+          val xi = new Array[Long](v.length)
+          var d = 0
+          while (d < v.length) {
+            xi(d) = math.floor(v(d).toDouble * 1e6).toLong
+            d += 1
+          }
+          val s = signs.upTo(v.length)
+          (0 until outDims).map { j =>
+            val sj = s(j)
+            var dot = 0L
+            var i = 0
+            while (i < xi.length) { dot += xi(i) * sj(i); i += 1 }
+            (id, j.toLong, dot)
+          }
         }
       }
       .toDF(idCol, "j", "y_e6")

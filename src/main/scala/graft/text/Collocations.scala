@@ -37,20 +37,22 @@ object Collocations {
   def topByLift(docs: DataFrame, k: Int = 100, minCount: Long = 30L,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val words = graft.sources.Tables.widen(
-        docs.select(TextAnalysis.wordsCol(col(textCol)).as("__ws")))
-      .localCheckpoint(eager = false) // bigram AND unigram branches read it
-    val bigrams = words
-      .where(size(col("__ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(__ws) - 1), " +
-          "i -> struct(element_at(__ws, i) AS w1, element_at(__ws, i + 1) AS w2))"))
-        .as("b"))
+      docs.select(TextAnalysis.wordsCol(col(textCol)).as("__ws")))
+    // two COLUMNAR corpus scans (bigram agg, unigram agg) — deliberately
+    // NOT a checkpoint of the tokenized corpus, which would materialize
+    // ~the whole text to executor storage (the wide-table rule the
+    // line/span dedups follow). What IS checkpointed is the UNFILTERED
+    // bigram-count table: vocabulary-sized and narrow, and both the
+    // minCount survivors and the total-N aggregate read it.
+    val bc0 = words
+      .select(explode(TextAnalysis.bigramsOf("__ws")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= minCount)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = false)
+    val bc = bc0.filter(col("c12") >= minCount)
     val uni = words.select(explode(col("__ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val n = bigrams.agg(count(lit(1)).as("n_bigrams"))
+    val n = bc0.agg(coalesce(sum("c12"), lit(0L)).as("n_bigrams"))
     bc
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")

@@ -180,11 +180,7 @@ object Curation {
     import spark.implicits._
     val bg = train
       .select(TextAnalysis.wordsCol(col(textCol)).as("ws"))
-      .where(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
-        .as("b"))
+      .select(explode(TextAnalysis.bigramsOf("ws")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val ctx = bc.groupBy("w1").agg(sum("c").as("cc"))

@@ -26,6 +26,14 @@ import graft.functions.Hashing
   * ratios from near-empty buckets otherwise dominate) and also bounds
   * the score sum far below Long overflow for any real document length.
   *
+  * Integer envelope: the p_e9 numerators need (bucketCount + 1) * 1e9
+  * to fit a Long, i.e. per-bucket counts below ~9.2e9 — with B = 256
+  * that is ~2.4e12 total word occurrences (roughly 10 TB of text) per
+  * model fit. Beyond that, fit the model on a hash-sampled slice (the
+  * statistically standard choice — bucket probabilities converge long
+  * before 10 TB) or swap the two aggregates to decimal(38,0); the plan
+  * shape is unchanged either way.
+  *
   * Scale shape (100 TB): both bucket tables aggregate map-side into at
   * most B rows (B=256 default — a few KB crosses the wire per
   * partition); the ratio table is driver-built from 2*B numbers and

@@ -25,6 +25,15 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCountCol(text: Column): Column = size(wordsCol(text))
 
+  /** Adjacent-word bigrams of a word-array column `ws` as an array of
+    * (w1, w2) structs — empty for 0/1-word arrays (transform over the
+    * tail slice, so no descending-`sequence` edge case). Shared by the
+    * bigram-LM (q95/q102) and collocation (q106) operators so the
+    * bigram shape cannot drift between them. */
+  def bigramsOf(ws: String): Column = expr(
+    s"transform(slice($ws, 2, greatest(size($ws) - 1, 0)), " +
+      s"(w2, i) -> struct(element_at($ws, i + 1) AS w1, w2 AS w2))")
+
   /** BPE-ish token count: letter runs, digit runs, and single
     * non-alphanumeric glyphs each count as one token — the standard cheap
     * pre-tokenizer approximation. */

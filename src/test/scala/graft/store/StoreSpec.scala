@@ -409,6 +409,32 @@ class MultimodalSpec extends graft.SparkSuite {
       s"planted near-dups missing from $pairs")
   }
 
+  test("near-dup excludes the zero-decode sentinel (corrupt != dup of blank)") {
+    import spark.implicits._
+    val imgs = Seq(
+      (1L, "corrupt".getBytes),
+      (2L, Array.empty[Byte]),
+      (3L, pngOf(16, 16, (_, _) => 200)),        // uniform -> dhash 0
+      (4L, pngOf(16, 16, (x, y) => x * 5 + y * 3)),
+      (5L, pngOf(16, 16, (x, y) => x * 5 + y * 3))) // true dup of 4
+      .toDF("key", "content")
+    val pairs = Multimodal.imageNearDupPairs(Multimodal.dHashTable(imgs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 5L)),
+      s"only the real dup pair should surface, got $pairs")
+  }
+
+  test("dHash grid has no empty cells for images narrower than the grid") {
+    // 4x4 images: cell-range sampling duplicates pixels (nearest
+    // neighbor), so no cell is ever empty — opposite gradients must
+    // still produce far-apart, nonzero hashes (a pixel-binned grid
+    // froze columns 4..7 at lum 0, collapsing small-image hashes)
+    val lr = Multimodal.imageDHash(pngOf(4, 4, (x, _) => x * 60))
+    val cb = Multimodal.imageDHash(pngOf(4, 4, (x, y) => ((x + y) % 2) * 200))
+    assert(lr != 0L && cb != 0L)
+    assert(lr != cb, "distinct small images should hash apart")
+  }
+
   test("image near-dup plan: band equi-join, no cartesian, no pixels shuffled") {
     import spark.implicits._
     val imgs = Seq((1L, pngOf(8, 8, (x, _) => x * 9))).toDF("key", "content")
