@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress probe (dev tool, not part of the driver contract): runs
+  * the heavy corpus operators on 1x / 4x / 16x replications of the
+  * sf0.1 documents table and prints per-factor wall-clock, so scaling
+  * behavior is MEASURED rather than asserted. Replication remaps doc
+  * ids (id + k*N) but repeats text verbatim — deliberately the WORST
+  * case for dedup operators: every document becomes an f-way duplicate,
+  * so candidate structures (minhash buckets, line counts, components)
+  * carry maximal load per row.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val n = base.count()
+
+    def replicated(f: Int): DataFrame = {
+      val out = s"/tmp/graft-scaleprobe-x$f"
+      val path = new java.io.File(out)
+      if (!path.exists()) {
+        base.crossJoin(spark.range(f).select(col("id").as("__k")))
+          .select((col("doc_id") + col("__k") * n).as("doc_id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(out)
+      }
+      spark.read.parquet(out)
+    }
+
+    def time(name: String, f: Int)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""SCALE {"op":"$name","factor":$f,"sec":$sec%.2f,"rows":$rows}""")
+    }
+
+    for (f <- Seq(1, 4, 16)) {
+      val d = replicated(f)
+      d.count() // warm the file listing
+      time("exact_dedup", f) {
+        graft.text.Dedup.exact(d).count()
+      }
+      time("minhash_pairs_complete", f) {
+        graft.text.Dedup.minhashCandidatePairsComplete(d, maxBucket = 1000).count()
+      }
+      time("dedup_clusters_cc", f) {
+        val pairs = graft.text.Dedup.minhashCandidatePairs(d, maxBucket = 1000)
+        graft.text.Components.dedupClusters(d, pairs).count()
+      }
+      time("line_dedup", f) {
+        graft.text.Dedup.removeRepeatedLines(d).count()
+      }
+      time("tfidf_topk", f) {
+        graft.text.InvertedIndex.tfidfTopK(d, k = 5).count()
+      }
+      time("dsir_weights", f) {
+        graft.text.Dsir.importanceWeights(
+          d.filter(col("doc_id") % 10 =!= 0),
+          d.filter(col("doc_id") % 10 === 0)).count()
+      }
+      time("span_dedup", f) {
+        graft.text.SpanDedup.removeRepeatedSpans(
+          d.withColumnRenamed("text", "content"), textCol = "content").count()
+      }
+    }
+    spark.stop()
+  }
+}
