@@ -362,7 +362,20 @@ object TextQueries {
     "q106_collocations" -> ((s, dir) =>
       graft.text.Collocations.topByLift(docs(s, dir), k = 100,
           minCount = 30)
-        .orderBy(col("lift_e6").desc, col("w1").asc, col("w2").asc)))
+        .orderBy(col("lift_e6").desc, col("w1").asc, col("w2").asc)),
+
+    // The end-to-end training-data pipeline: gate -> exact dedup ->
+    // near-dup clusters (representatives) -> eval decontamination ->
+    // leakage-safe split -> token packing, in ONE call; the oracle
+    // replays the full composition (maxBucket=0: the oracle computes
+    // uncapped candidate pairs). Eval set = doc_id % 13 == 0 slice, so
+    // surviving eval docs self-identify as contaminated and drop
+    "q108_training_data" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.TrainingData.prepare(d,
+          eval = d.filter(col("doc_id") % 13 === 0), maxBucket = 0)
+        .orderBy("doc_id")
+    }))
 
   /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
     * uncapped) and q49 (triangle-distributed path; completeness check). */
@@ -761,5 +774,96 @@ object TextQueries {
          |JOIN uni u1 ON u1.w = bc.w1
          |JOIN uni u2 ON u2.w = bc.w2
          |CROSS JOIN n
-         |ORDER BY lift_e6 DESC, w1 ASC, w2 ASC LIMIT 100""".stripMargin)
+         |ORDER BY lift_e6 DESC, w1 ASC, w2 ASC LIMIT 100""".stripMargin,
+
+    // the full q108 composition: q22 gate + q21 dedup + q24 bands +
+    // q25 jaccard + q52-style recursive components + q47 contamination
+    // + q90 split + q46 packing, each fragment independently green
+    "q108_training_data" -> {
+      val sig = (0 until 16).map { j =>
+        s"list_min(list_transform(shs, h -> (h * ${2 * j + 1} + ${j * 12345 + 678}) % 1000000007))"
+      }.mkString("[", ",\n    ", "]")
+      s"""WITH RECURSIVE
+         |gated AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${Sql.quality} >= 3000 AND ${Sql.langPred} IN ('en')),
+         |hh AS (SELECT doc_id, text, md5(${Sql.norm}) AS ch FROM gated),
+         |rr AS (SELECT doc_id, text,
+         |         row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+         |       FROM hh),
+         |kept AS (SELECT doc_id, text FROM rr WHERE rn = 1),
+         |wh AS (SELECT doc_id, ${Sql.wordHashes} AS whs FROM kept),
+         |sh3 AS (SELECT doc_id, ${Sql.shingles("whs", 3)} AS shs FROM wh),
+         |sig AS (SELECT doc_id, $sig AS sg FROM sh3),
+         |bands AS (
+         |  SELECT doc_id, b.band,
+         |         array_to_string(sg[b.band * 4 + 1 : b.band * 4 + 4], '_') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sh2 AS (SELECT doc_id, ${Sql.shingles("whs", 2)} AS shs FROM wh),
+         |shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh2),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shd a ON a.doc_id = c.doc_a
+         |  JOIN shd b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  GROUP BY 1, 2),
+         |confirmed AS (
+         |  SELECT i.doc_a, i.doc_b
+         |  FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.doc_a
+         |  JOIN sizes nb ON nb.doc_id = i.doc_b
+         |  WHERE CAST(floor(CAST(n_inter AS DOUBLE) * 10000.0 /
+         |          CAST(na.n + nb.n - n_inter AS DOUBLE)) AS BIGINT) >= 6000),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM confirmed
+         |          UNION SELECT doc_b, doc_a FROM confirmed),
+         |reach(u, m) AS (
+         |  SELECT doc_id, doc_id FROM kept
+         |  UNION
+         |  SELECT e.u, r2.m FROM edges e JOIN reach r2 ON r2.u = e.v),
+         |comp AS (SELECT u AS doc_id, MIN(m) AS component
+         |         FROM reach GROUP BY u),
+         |reps AS (SELECT doc_id, component FROM comp WHERE doc_id = component),
+         |ev AS (SELECT doc_id, ${Sql.wordHashes} AS whs FROM documents
+         |       WHERE doc_id % 13 = 0),
+         |eidx AS (SELECT DISTINCT unnest(list_distinct(
+         |           ${Sql.shingles("whs", 8)})) AS sh FROM ev),
+         |rsh AS (SELECT w.doc_id, unnest(list_distinct(
+         |          ${Sql.shingles("whs", 8)})) AS sh
+         |        FROM wh w JOIN reps USING (doc_id)),
+         |contam AS (
+         |  SELECT r3.doc_id, COUNT(*) AS n_sh,
+         |         SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |  FROM rsh r3 LEFT JOIN eidx e USING (sh) GROUP BY 1),
+         |clean AS (
+         |  SELECT doc_id FROM contam
+         |  WHERE CAST(floor(CAST(n_hit AS DOUBLE) * 10000.0
+         |          / CAST(n_sh AS DOUBLE)) AS BIGINT) < 2000),
+         |sp AS (
+         |  SELECT r4.doc_id, r4.component,
+         |         CASE WHEN substr(md5(CAST(r4.component AS VARCHAR)), 1, 2) < 'cc'
+         |                THEN 'train'
+         |              WHEN substr(md5(CAST(r4.component AS VARCHAR)), 1, 2) < 'e6'
+         |                THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM reps r4 JOIN clean USING (doc_id)),
+         |toks AS (
+         |  SELECT k.doc_id, sp.component, sp.split,
+         |         CAST(len(${Sql.words}) AS BIGINT) AS n_tokens
+         |  FROM kept k JOIN sp ON sp.doc_id = k.doc_id),
+         |cum AS (
+         |  SELECT doc_id, component, split, n_tokens,
+         |         SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - n_tokens AS strt
+         |  FROM toks)
+         |SELECT doc_id, component, split, n_tokens,
+         |       CAST(strt // 512 AS BIGINT) AS bin,
+         |       CAST(strt % 512 AS BIGINT) AS "offset"
+         |FROM cum ORDER BY doc_id""".stripMargin
+    })
 }
