@@ -79,6 +79,10 @@ object ScaleProbe {
         graft.text.SpanDedup.removeRepeatedSpans(
           d.withColumnRenamed("text", "content"), textCol = "content").count()
       }
+      time("training_pipeline", f) {
+        graft.text.TrainingData.prepare(d,
+          eval = d.filter(col("doc_id") % 13 === 0)).count()
+      }
     }
     spark.stop()
   }
