@@ -30,14 +30,19 @@ object ScaleProbe {
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
-    val n = base.count()
+    // replica stride = max id + 1, NOT the row count: sparse/offset id
+    // spaces would otherwise collide replicas onto the same doc_id
+    val stride = base.agg(max("doc_id")).head().getLong(0) + 1
 
     def replicated(f: Int): DataFrame = {
-      val out = s"/tmp/graft-scaleprobe-x$f"
+      // cache keyed by the SOURCE dir so a re-run against a different
+      // scale factor cannot silently measure the previous corpus
+      val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"/tmp/graft-scaleprobe-$tag-x$f"
       val path = new java.io.File(out)
       if (!path.exists()) {
         base.crossJoin(spark.range(f).select(col("id").as("__k")))
-          .select((col("doc_id") + col("__k") * n).as("doc_id"), col("text"))
+          .select((col("doc_id") + col("__k") * stride).as("doc_id"), col("text"))
           .repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(out)
       }

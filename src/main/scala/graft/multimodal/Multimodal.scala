@@ -65,24 +65,14 @@ object Multimodal {
       // cell indices >= featureDim whose luminance would be silently
       // dropped (a dead band of the image). floor keeps every computed
       // cell in range; trailing entries stay zero when g*g < featureDim.
+      // Grid means come from the SAME cell-driven lumaGrid the dHash
+      // uses (a pixel-binned grid left empty cells for images narrower
+      // than the grid — frozen feature cells for small thumbnails).
       val g = math.max(1, math.floor(math.sqrt(featureDim.toDouble)).toInt)
+      val grid = lumaGrid(img, g, g)
       val feats = new Array[Float](featureDim)
-      val counts = new Array[Int](featureDim)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000f
-          val cell = math.min(g - 1, y * g / h) * g + math.min(g - 1, x * g / w)
-          if (cell < featureDim) { feats(cell) += lum / 255f; counts(cell) += 1 }
-          x += 1
-        }
-        y += 1
-      }
       var i = 0
-      while (i < featureDim) { if (counts(i) > 0) feats(i) /= counts(i); i += 1 }
+      while (i < g * g && i < featureDim) { feats(i) = grid(i) / 255f; i += 1 }
       (w, h, channels, feats)
     } catch { case scala.util.control.NonFatal(_) => zero }
   }
@@ -286,13 +276,15 @@ object Multimodal {
     * photo-near-dup fingerprint): decode, reduce to a 9x8 mean-luminance
     * grid, bit (r, c) = 1 iff cell(r, c) < cell(r, c+1) — brightness
     * gradients, which survive rescaling, re-encoding, and small edits.
-    * Null/empty/undecodable bytes hash to 0 (the same "zero decode"
-    * convention as [[decodeImage]]). */
-  def imageDHash(bytes: Array[Byte]): Long = {
-    if (bytes == null || bytes.isEmpty) return 0L
+    * Returns None for null/empty/undecodable bytes — an OUT-OF-BAND
+    * failure marker, because 0L is a reachable hash for real images
+    * (any row-wise non-increasing gradient, not just uniform fills)
+    * and an in-band sentinel would silently drop their true dup pairs. */
+  def imageDHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) return 0L
+      if (img == null) return None
       val g = lumaGrid(img, 9, 8)
       var out = 0L
       var r = 0
@@ -304,12 +296,13 @@ object Multimodal {
         }
         r += 1
       }
-      out
-    } catch { case scala.util.control.NonFatal(_) => 0L }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** (key, dhash) perceptual-hash table — one map-only pass (the image
-    * index artifact; write it bucketed and every dedup run reuses it). */
+    * index artifact; write it bucketed and every dedup run reuses it).
+    * `dhash` is NULL for undecodable payloads. */
   def dHashTable(df: DataFrame, binCol: String = "content",
                  keyCol: String = "key"): DataFrame = {
     val spark = df.sparkSession
@@ -332,14 +325,14 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 15, "maxHamming in [0, 15]")
     val bands = maxHamming + 1
     val width = 64 / bands
-    // dhash = 0 is the zero-decode sentinel (null/empty/undecodable
-    // bytes — and structureless uniform images): pairing those rows
-    // would report every corrupt file as an exact dup of every blank
-    // banner AND funnel them all through one degenerate bucket in
-    // every band, so they are excluded up front. The checkpoint stops
-    // the a/b self-join from decoding every image twice (typed
-    // mapPartitions blocks ReusedExchange — same fix as Fuzzy/Bm25).
-    val clean = hashes.filter(col("dhash") =!= 0L)
+    // NULL dhash = the decode failed (out-of-band — see imageDHash):
+    // pairing corrupt payloads would report every broken file as a dup
+    // of every other AND funnel them through one degenerate bucket per
+    // band. Decodable images keep whatever hash they have, including a
+    // legitimate 0. The checkpoint stops the a/b self-join from
+    // decoding every image twice (typed mapPartitions blocks
+    // ReusedExchange — same fix as Fuzzy/Bm25).
+    val clean = hashes.filter(col("dhash").isNotNull)
       .localCheckpoint(eager = false)
     val banded = clean.select(col("key"), col("dhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))

@@ -23,6 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object CleanCorpus {
 
+  /** Shared stages 1-2 of the cleaning/training pipelines: quality +
+    * language gate, then exact dedup (keep-first per content hash).
+    * The surviving corpus is the artifact every later stage reads
+    * (candidate gen, Jaccard confirm, anti-join / clustering /
+    * contamination) — lazily checkpointed so the gate regexes + dedup
+    * window run ONCE, not once per consumer (verified: without it the
+    * composed plan scans the corpus 4x). Materializing the kept corpus
+    * once beats the re-derivations at any scale; a production pipeline
+    * would write this stage out anyway. One definition serves both
+    * [[clean]] and [[TrainingData.prepare]] so the gate semantics
+    * cannot drift. */
+  private[text] def gatedDeduped(docs: DataFrame, minQualityE4: Long,
+                                 langs: Seq[String], textCol: String,
+                                 idCol: String): DataFrame = {
+    val keep = TextAnalysis.stats(docs, textCol, idCol)
+      .filter(col("quality_e4") >= minQualityE4
+        && col("lang_pred").isin(langs: _*))
+      .select(idCol)
+    val gated = docs.join(keep, Seq(idCol), "left_semi")
+    Dedup.exact(gated, textCol, idCol).localCheckpoint(eager = false)
+  }
+
   def clean(docs: DataFrame,
             minQualityE4: Long = 3000,
             langs: Seq[String] = Seq("en"),
@@ -31,22 +53,8 @@ object CleanCorpus {
             jaccardK: Int = 2,
             textCol: String = "text", idCol: String = "doc_id",
             portable: Boolean = true, maxBucket: Int = 1000): DataFrame = {
-    // 1. quality + language gate
-    val keep = TextAnalysis.stats(docs, textCol, idCol)
-      .filter(col("quality_e4") >= minQualityE4
-        && col("lang_pred").isin(langs: _*))
-      .select(idCol)
-    val gated = docs.join(keep, Seq(idCol), "left_semi")
-    // 2. exact dedup (keep-first per content hash). The surviving
-    // corpus is the artifact every later stage reads (candidate gen,
-    // Jaccard confirm, final anti-join) — lazily checkpointed so the
-    // gate regexes + dedup window run ONCE, not once per consumer
-    // (verified: without it the composed plan scans the corpus 4x).
-    // Materializing the kept corpus once beats three re-derivations at
-    // any scale; a production pipeline would write this stage out
-    // anyway.
-    val deduped = Dedup.exact(gated, textCol, idCol)
-      .localCheckpoint(eager = false)
+    // 1-2. quality/language gate + exact dedup (shared prelude)
+    val deduped = gatedDeduped(docs, minQualityE4, langs, textCol, idCol)
     // 3. near-dup removal over the deduped survivors
     val pairs = Dedup.minhashCandidatePairs(deduped, textCol, idCol,
       shingleK, numHashes, bands, portable, maxBucket)

@@ -45,24 +45,31 @@ object TrainingData {
               jaccardThresholdE4: Long = 6000, maxContamE4: Long = 2000,
               contamK: Int = 8, packBudget: Long = 512L,
               textCol: String = "text", idCol: String = "doc_id",
-              maxBucket: Int = 1000): DataFrame = {
-    // 1. quality + language gate
-    val keepIds = TextAnalysis.stats(docs, textCol, idCol)
-      .filter(col("quality_e4") >= minQualityE4
-        && col("lang_pred").isin(langs: _*))
-      .select(idCol)
-    val gated = docs.join(keepIds, Seq(idCol), "left_semi")
-    // 2. exact dedup; checkpointed — candidate gen, Jaccard confirm,
-    // clustering, and contamination all read the surviving corpus
-    val deduped = Dedup.exact(gated, textCol, idCol)
-      .localCheckpoint(eager = false)
+              portable: Boolean = true, maxBucket: Int = 1000): DataFrame = {
+    // 1-2. quality/language gate + exact dedup (shared prelude with
+    // CleanCorpus.clean; checkpointed — candidate gen, Jaccard confirm,
+    // clustering, and contamination all read the surviving corpus)
+    val deduped = CleanCorpus.gatedDeduped(docs, minQualityE4, langs,
+      textCol, idCol)
     // 3. near-dup clusters from Jaccard-confirmed candidate pairs;
-    // representatives (component == doc_id) survive
-    val cand = Dedup.minhashCandidatePairs(deduped, textCol, idCol,
-      k = 3, numHashes = 16, bands = 4, portable = true,
-      maxBucket = maxBucket)
+    // representatives (component == doc_id) survive. The confirm filter
+    // REQUIRES complete pair semantics under the skew cap: a
+    // star-degraded mega-bucket emits only (rep, member) pairs whose
+    // connectivity survives a keep-first rule but NOT a pair-level
+    // Jaccard filter (two mutual near-dups reachable only through a
+    // dissimilar star rep would silently split into two components and
+    // both survive — straddling the split). The triangle-distributed
+    // complete path keeps per-task cost bounded by maxBucket² while
+    // emitting the exact pair set.
+    val cand =
+      if (maxBucket > 0)
+        Dedup.minhashCandidatePairsComplete(deduped, textCol, idCol,
+          k = 3, numHashes = 16, bands = 4, portable, maxBucket)
+      else
+        Dedup.minhashCandidatePairs(deduped, textCol, idCol,
+          k = 3, numHashes = 16, bands = 4, portable, maxBucket = 0)
     val confirmed = Dedup.ngramJaccardScaled(deduped, cand, textCol, idCol,
-        k = 2, portable = true)
+        k = 2, portable = portable)
       .filter(col("jaccard_e4") >= jaccardThresholdE4)
       .select("doc_a", "doc_b")
     val clusters = Components.dedupClusters(deduped, confirmed, idCol)
@@ -71,13 +78,17 @@ object TrainingData {
     // 4. decontamination of the representatives against the eval set
     val repDocs = deduped.join(reps.select(idCol), Seq(idCol), "left_semi")
     val clean = Curation.contamination(train = eval, test = repDocs,
-        textCol, idCol, k = contamK)
+        textCol, idCol, k = contamK, portable = portable)
       .filter(col("contam_e4") < maxContamE4)
       .select(idCol)
-    // 5. leakage-safe split on the component id
+    // 5. leakage-safe split on the component id — checkpointed: the
+    // packing input and the trailing component join both read it, and
+    // its lineage carries the contamination shingle join (re-deriving
+    // that per consumer would double the most expensive stage)
     val split = Curation.leakageSafeSplit(
         reps.join(clean, Seq(idCol), "left_semi"))
       .select(col(idCol), col("component"), col("split"))
+      .localCheckpoint(eager = false)
     // 6. pack within each split
     Curation.packSequences(
         repDocs.join(split, Seq(idCol)), budget = packBudget,

@@ -371,20 +371,21 @@ class MultimodalSpec extends graft.SparkSuite {
     out.toByteArray
   }
 
-  test("dHash: uniform image hashes to 0, left-to-right gradient to all ones") {
-    assert(Multimodal.imageDHash(pngOf(18, 16, (_, _) => 128)) == 0L)
+  test("dHash: uniform image hashes to 0, gradient to all ones, corrupt to None") {
+    assert(Multimodal.imageDHash(pngOf(18, 16, (_, _) => 128)) == Some(0L))
     // strictly increasing left-to-right: every cell < its right neighbor
-    assert(Multimodal.imageDHash(pngOf(18, 16, (x, _) => x * 10)) == -1L)
-    assert(Multimodal.imageDHash("not an image".getBytes) == 0L)
-    assert(Multimodal.imageDHash(Array.empty[Byte]) == 0L)
+    assert(Multimodal.imageDHash(pngOf(18, 16, (x, _) => x * 10)) == Some(-1L))
+    // decode failures are OUT-OF-BAND (None), never a reachable hash
+    assert(Multimodal.imageDHash("not an image".getBytes).isEmpty)
+    assert(Multimodal.imageDHash(Array.empty[Byte]).isEmpty)
   }
 
   test("dHash survives rescaling and small edits; distinct images differ") {
-    val base = Multimodal.imageDHash(pngOf(32, 32, (x, y) => x * 5 + y * 3))
-    val scaled = Multimodal.imageDHash(pngOf(64, 64, (x, y) => (x / 2) * 5 + (y / 2) * 3))
+    val base = Multimodal.imageDHash(pngOf(32, 32, (x, y) => x * 5 + y * 3)).get
+    val scaled = Multimodal.imageDHash(pngOf(64, 64, (x, y) => (x / 2) * 5 + (y / 2) * 3)).get
     val edited = Multimodal.imageDHash(
-      pngOf(32, 32, (x, y) => if (x == 0 && y == 0) 200 else x * 5 + y * 3))
-    val other = Multimodal.imageDHash(pngOf(32, 32, (x, y) => x * 3 + y * 11 + x * y))
+      pngOf(32, 32, (x, y) => if (x == 0 && y == 0) 200 else x * 5 + y * 3)).get
+    val other = Multimodal.imageDHash(pngOf(32, 32, (x, y) => x * 3 + y * 11 + x * y)).get
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(base, scaled) <= 3, s"rescale moved ${ham(base, scaled)} bits")
     assert(ham(base, edited) <= 3, s"edit moved ${ham(base, edited)} bits")
@@ -409,7 +410,7 @@ class MultimodalSpec extends graft.SparkSuite {
       s"planted near-dups missing from $pairs")
   }
 
-  test("near-dup excludes the zero-decode sentinel (corrupt != dup of blank)") {
+  test("near-dup excludes decode failures but keeps legit zero hashes") {
     import spark.implicits._
     val imgs = Seq(
       (1L, "corrupt".getBytes),
@@ -429,8 +430,8 @@ class MultimodalSpec extends graft.SparkSuite {
     // neighbor), so no cell is ever empty — opposite gradients must
     // still produce far-apart, nonzero hashes (a pixel-binned grid
     // froze columns 4..7 at lum 0, collapsing small-image hashes)
-    val lr = Multimodal.imageDHash(pngOf(4, 4, (x, _) => x * 60))
-    val cb = Multimodal.imageDHash(pngOf(4, 4, (x, y) => ((x + y) % 2) * 200))
+    val lr = Multimodal.imageDHash(pngOf(4, 4, (x, _) => x * 60)).get
+    val cb = Multimodal.imageDHash(pngOf(4, 4, (x, y) => ((x + y) % 2) * 200)).get
     assert(lr != 0L && cb != 0L)
     assert(lr != cb, "distinct small images should hash apart")
   }
