@@ -21,6 +21,22 @@ object StreamGeoQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    // Streaming Misra-Gries heavy hitters: bounded sketch state per
+    // hash group via flatMapGroupsWithState — the continuous form of
+    // q97. Rows-only by design (candidate sets depend on reduction
+    // order; the guarantee — every over-threshold token survives with
+    // estimate <= truth — is scalatested in StreamingSpec)
+    "q109_stream_heavy_hitters" -> ((s, dir) => {
+      val name = s"q109_mem_${System.nanoTime()}"
+      val toks = Streaming.fileStream(s, s"$dir/documents.parquet")
+        .select(explode(
+          graft.text.TextAnalysis.wordsCol(col("text"))).as("tok"))
+      Streaming.runAvailableNow(
+          Streaming.heavyHitterStream(toks, k = 64, groups = 4).toDF(),
+          name, outputMode = "update", statePartitions = Some(8))
+        .orderBy("grp", "token")
+    }),
+
     // Streaming PII monitoring: the map-only Pii.detect Columns drop
     // into a readStream unchanged (stateless ops are engine-mode
     // agnostic); per-source counts aggregate in complete mode and must

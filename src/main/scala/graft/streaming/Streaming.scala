@@ -277,4 +277,54 @@ object Streaming {
     }
     spark.table(name)
   }
+
+  /** One emitted heavy-hitter candidate: the state group it lives in,
+    * the token, its Misra-Gries under-estimate, and the group's
+    * processed-token total (which makes the n/(k+1) bound checkable
+    * downstream). */
+  final case class HeavyHitter(grp: Long, token: String,
+                               estimate: Long, n_group: Long)
+
+  /** STREAMING Misra-Gries heavy hitters — the continuous form of the
+    * batch q97 sketch (graft.ops.Sketch): tokens hash-route to `groups`
+    * state keys, each key carries ONE bounded MGSummary (at most `k`
+    * counters + a total, regardless of how many tokens stream through),
+    * and every micro-batch folds its tokens into the summary with the
+    * SAME reduce the batch Aggregator uses, then re-emits the group's
+    * current candidates (update mode).
+    *
+    * Guarantee (inherited from Misra-Gries, order-independent): after
+    * any prefix of the stream, every token whose true count within its
+    * group exceeds n_group/(k+1) is present among the group's emitted
+    * candidates, with estimate <= true count. Exact counts, when
+    * needed, come from the batch second pass over the candidates —
+    * same split as the batch operator.
+    *
+    * Scale shape: state is `groups` x O(k) entries TOTAL (not per
+    * token, not per key-of-data) — the sketch state distributes across
+    * the state store like any keyed state, and a group's per-batch work
+    * is one compiled fold over its token slice. */
+  def heavyHitterStream(tokens: DataFrame, tokCol: String = "tok",
+                        k: Int = 1024, groups: Int = 8): Dataset[HeavyHitter] = {
+    require(groups >= 1, "groups must be >= 1")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val agg = new graft.ops.Sketch.MisraGries(k)
+    tokens
+      .select(col(tokCol).cast("string").as("tok"),
+        pmod(xxhash64(col(tokCol).cast("string")), lit(groups.toLong)).as("grp"))
+      .as[(String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (grp: Long, it: Iterator[(String, Long)],
+         state: GroupState[graft.ops.Sketch.MGSummary]) =>
+          var s = state.getOption.getOrElse(agg.zero)
+          it.foreach { case (tok, _) => s = agg.reduce(s, tok) }
+          state.update(s)
+          s.counters.toSeq.sortBy { case (t, v) => (-v, t) }
+            .iterator.map { case (t, v) => HeavyHitter(grp, t, v, s.n) }
+      }
+  }
 }

@@ -624,4 +624,69 @@ class StreamingSpec extends graft.SparkSuite {
     assert(perFile == expected, s"per-file run: $perFile")
     assert(oneShot == expected, s"one-shot run: $oneShot")
   }
+
+  test("streaming heavy hitters: MG guarantee holds, state carries across batches") {
+    import spark.implicits._
+    import graft.streaming.Streaming
+    val base = java.nio.file.Files.createTempDirectory("graft-hh").toString
+    // zipfian-ish fixture split over two files: heavy tokens appear in
+    // both, so the cross-batch state carry is load-bearing
+    def toks(rep: Seq[(String, Int)]): Seq[String] =
+      rep.flatMap { case (t, n) => Seq.fill(n)(t) }
+    val half1 = toks(Seq("alpha" -> 60, "beta" -> 30, "gamma" -> 4)) ++
+      (0 until 30).map(i => s"raretok_a$i")
+    val half2 = toks(Seq("alpha" -> 40, "beta" -> 30, "gamma" -> 4)) ++
+      (0 until 30).map(i => s"raretok_b$i")
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-hh-st")
+      rows.toDF("tok").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(s"$base/src", name)
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+    }
+    writeFile("f1.parquet", half1)
+    writeFile("f2.parquet", half2)
+    spark.read.parquet(s"$base/src")
+      .write.mode("overwrite").parquet(s"$base/all")
+
+    val k = 8
+    val out = Streaming.runAvailableNow(
+        Streaming.heavyHitterStream(
+          Streaming.fileStream(spark, s"$base/all"), k = k, groups = 1).toDF(),
+        s"hh_${System.nanoTime()}", outputMode = "update")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val n = out.head._3
+    assert(n == half1.size + half2.size)
+    assert(out.length <= k, s"state must stay bounded: ${out.length}")
+    // every token with true count > n/(k+1) MUST survive (here n=188,
+    // n/9 ≈ 20.9 — alpha(100), beta(60) qualify), estimate <= truth
+    val truth = (half1 ++ half2).groupBy(identity).view.mapValues(_.size.toLong)
+    val got = out.map(t => t._1 -> t._2).toMap
+    Seq("alpha", "beta").foreach { t =>
+      assert(got.contains(t), s"$t (count ${truth(t)}) must survive: $got")
+      assert(got(t) <= truth(t), s"$t estimate ${got(t)} > truth ${truth(t)}")
+    }
+
+    // two micro-batches (one file each): the guarantee must hold over
+    // the UNION — only state carried across batches can know alpha's
+    // first-half mass. The memory sink keeps every update; take the
+    // final emission (max n_group).
+    val out2all = Streaming.runAvailableNow(
+        Streaming.heavyHitterStream(
+          Streaming.fileStream(spark, s"$base/src", maxFilesPerTrigger = Some(1)),
+          k = k, groups = 1).toDF(),
+        s"hh2_${System.nanoTime()}", outputMode = "update")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val nFinal = out2all.map(_._3).max
+    val out2 = out2all.filter(_._3 == nFinal)
+    assert(nFinal == half1.size + half2.size,
+      s"final state must cover both batches: $nFinal")
+    Seq("alpha", "beta").foreach { t =>
+      val est = out2.find(_._1 == t)
+      assert(est.isDefined, s"$t must survive the two-batch run: $out2")
+      assert(est.get._2 <= truth(t))
+    }
+  }
 }
