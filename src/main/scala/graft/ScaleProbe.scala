@@ -31,8 +31,11 @@ object ScaleProbe {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     // replica stride = max id + 1, NOT the row count: sparse/offset id
-    // spaces would otherwise collide replicas onto the same doc_id
-    val stride = base.agg(max("doc_id")).head().getLong(0) + 1
+    // spaces would otherwise collide replicas onto the same doc_id.
+    // cast + coalesce: survives int32 id schemas and an empty table
+    val stride = base
+      .agg(coalesce(max(col("doc_id").cast("long")), lit(-1L)))
+      .head().getLong(0) + 1
 
     def replicated(f: Int): DataFrame = {
       // cache keyed by the SOURCE dir so a re-run against a different

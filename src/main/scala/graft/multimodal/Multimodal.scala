@@ -280,37 +280,54 @@ object Multimodal {
     * failure marker, because 0L is a reachable hash for real images
     * (any row-wise non-increasing gradient, not just uniform fills)
     * and an in-band sentinel would silently drop their true dup pairs. */
-  def imageDHash(bytes: Array[Byte]): Option[Long] = {
+  def imageDHash(bytes: Array[Byte]): Option[Long] =
+    dHashGrid(bytes).map(hashOfGrid)
+
+  /** The 9x8 luminance grid of a decodable image; None on failure. */
+  private def dHashGrid(bytes: Array[Byte]): Option[Array[Float]] = {
     if (bytes == null || bytes.isEmpty) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) return None
-      val g = lumaGrid(img, 9, 8)
-      var out = 0L
-      var r = 0
-      while (r < 8) {
-        var c = 0
-        while (c < 8) {
-          if (g(r * 9 + c) < g(r * 9 + c + 1)) out |= 1L << (r * 8 + c)
-          c += 1
-        }
-        r += 1
-      }
-      Some(out)
+      if (img == null) None else Some(lumaGrid(img, 9, 8))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** (key, dhash) perceptual-hash table — one map-only pass (the image
-    * index artifact; write it bucketed and every dedup run reuses it).
-    * `dhash` is NULL for undecodable payloads. */
+  private def hashOfGrid(g: Array[Float]): Long = {
+    var out = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c) < g(r * 9 + c + 1)) out |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** (key, dhash, luma) perceptual-hash table — one map-only pass (the
+    * image index artifact; write it bucketed and every dedup run reuses
+    * it). `dhash`/`luma` are NULL for undecodable payloads. `luma` is
+    * the global mean luminance (0-255): dHash is DELIBERATELY
+    * brightness-invariant (it hashes gradients), so a pure-white and a
+    * pure-black banner share dhash 0 — the luma column is what lets the
+    * pair join tell them apart. */
   def dHashTable(df: DataFrame, binCol: String = "content",
                  keyCol: String = "key"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(keyCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (key, bytes) => (key, imageDHash(bytes)) })
-      .toDF("key", "dhash")
+      .mapPartitions(_.map { case (key, bytes) =>
+        dHashGrid(bytes) match { // ONE decode serves both outputs
+          case Some(g) =>
+            (key, Some(hashOfGrid(g)),
+              Some(math.round(g.sum / g.length).toLong))
+          case None => (key, None: Option[Long], None: Option[Long])
+        }
+      })
+      .toDF("key", "dhash", "luma")
   }
 
   /** Image near-duplicate pairs within `maxHamming` bits: band the
@@ -319,22 +336,36 @@ object Multimodal {
     * candidate equi-join on (band, chunk) is lossless; an exact
     * bit_count(xor) re-check then prunes false candidates. The same
     * band-join shape as MinHash/SimHash: the shuffle is keyed by band
-    * chunk, never image x image, and only (key, hash) pairs — never
-    * pixels — cross the wire. Output: (key_a, key_b, hamming), a < b. */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * chunk, never image x image, and only (key, hash, luma) rows —
+    * never pixels — cross the wire. Output: (key_a, key_b, hamming),
+    * a < b.
+    *
+    * Guards:
+    *   - NULL dhash (decode failure — out-of-band, see imageDHash) is
+    *     excluded: corrupt payloads are not duplicates of each other.
+    *   - `maxLumaDiff` re-check: dHash is brightness-invariant by
+    *     construction, so a pure-white and a pure-black banner share
+    *     dhash 0 — requiring mean luminance within the tolerance keeps
+    *     gradient-identical but tonally different images apart.
+    *   - `maxBucket` skew cap (same doctrine as MinHash/span maxDf): a
+    *     chunk value shared by more than `maxBucket` images (massive
+    *     uniform/boilerplate populations) is dropped from candidate
+    *     generation — its pairs are near-degenerate anyway and the cap
+    *     bounds per-task join fan-out by maxBucket² regardless of how
+    *     pathological the corpus is. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+                        maxLumaDiff: Long = 16L,
+                        maxBucket: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15, "maxHamming in [0, 15]")
+    require(maxBucket >= 2, "maxBucket must be >= 2")
     val bands = maxHamming + 1
     val width = 64 / bands
-    // NULL dhash = the decode failed (out-of-band — see imageDHash):
-    // pairing corrupt payloads would report every broken file as a dup
-    // of every other AND funnel them through one degenerate bucket per
-    // band. Decodable images keep whatever hash they have, including a
-    // legitimate 0. The checkpoint stops the a/b self-join from
-    // decoding every image twice (typed mapPartitions blocks
-    // ReusedExchange — same fix as Fuzzy/Bm25).
+    // the checkpoint stops the a/b self-join (and the bucket-size agg)
+    // from decoding every image twice (typed mapPartitions blocks
+    // ReusedExchange — same fix as Fuzzy/Bm25)
     val clean = hashes.filter(col("dhash").isNotNull)
       .localCheckpoint(eager = false)
-    val banded = clean.select(col("key"), col("dhash"),
+    val banded = clean.select(col("key"), col("dhash"), col("luma"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("chunk",
         // the last band takes the remainder bits so all 64 are covered
@@ -342,12 +373,18 @@ object Multimodal {
           shiftrightunsigned(col("dhash"), (bands - 1) * width))
           .otherwise(expr(s"shiftrightunsigned(dhash, band * $width)")
             .bitwiseAND(lit((1L << width) - 1))))
-    val a = banded.select(col("key").as("key_a"), col("dhash").as("ha"),
-      col("band"), col("chunk"))
-    val b = banded.select(col("key").as("key_b"), col("dhash").as("hb"),
-      col("band"), col("chunk"))
+    val smallBuckets = banded.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "chunk")
+    val capped = banded.join(smallBuckets, Seq("band", "chunk"), "left_semi")
+    val a = capped.select(col("key").as("key_a"), col("dhash").as("ha"),
+      col("luma").as("la"), col("band"), col("chunk"))
+    val b = capped.select(col("key").as("key_b"), col("dhash").as("hb"),
+      col("luma").as("lb"), col("band"), col("chunk"))
     a.join(b, Seq("band", "chunk"))
       .filter(col("key_a") < col("key_b"))
+      .filter(abs(col("la") - col("lb")) <= maxLumaDiff)
       .select(col("key_a"), col("key_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -423,6 +423,35 @@ class MultimodalSpec extends graft.SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((4L, 5L)),
       s"only the real dup pair should surface, got $pairs")
+    // hash 0 is IN-BAND: two identical right-to-left gradients (all
+    // bits 0) are genuinely duplicates and must still pair up
+    val zeros = Seq(
+      (7L, pngOf(16, 16, (x, _) => 255 - x * 15)),
+      (8L, pngOf(16, 16, (x, _) => 255 - x * 15)),
+      (9L, "corrupt".getBytes)).toDF("key", "content")
+    val zp = Multimodal.imageNearDupPairs(Multimodal.dHashTable(zeros))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zp == Set((7L, 8L)), s"zero-hash dups must pair: $zp")
+    // brightness guard: a white and a near-black banner share dhash 0
+    // (dHash is gradient-only) but must NOT pair — the luma re-check
+    // splits them
+    val tonal = Seq(
+      (20L, pngOf(16, 16, (_, _) => 255)),
+      (21L, pngOf(16, 16, (_, _) => 10))).toDF("key", "content")
+    assert(Multimodal.imageNearDupPairs(Multimodal.dHashTable(tonal))
+      .count() == 0, "tonally different flat images must not pair")
+  }
+
+  test("image near-dup: maxBucket cap drops degenerate uniform populations") {
+    import spark.implicits._
+    // five identical flat banners: every band bucket holds all five,
+    // so maxBucket = 4 drops the bucket and no quadratic pair set forms
+    val flats = (0L until 5L).map(i => (i, pngOf(16, 16, (_, _) => 128)))
+      .toDF("key", "content")
+    val hashes = Multimodal.dHashTable(flats)
+    assert(Multimodal.imageNearDupPairs(hashes, maxBucket = 4).count() == 0)
+    // with a generous cap the 10 exact-dup pairs all surface
+    assert(Multimodal.imageNearDupPairs(hashes, maxBucket = 100).count() == 10)
   }
 
   test("dHash grid has no empty cells for images narrower than the grid") {
@@ -660,8 +689,9 @@ class StreamingSpec extends graft.SparkSuite {
     val n = out.head._3
     assert(n == half1.size + half2.size)
     assert(out.length <= k, s"state must stay bounded: ${out.length}")
-    // every token with true count > n/(k+1) MUST survive (here n=188,
-    // n/9 ≈ 20.9 — alpha(100), beta(60) qualify), estimate <= truth
+    // every token with true count > n/(k+1) MUST survive (here n=228:
+    // half1=124 + half2=104, n/9 ≈ 25.3 — alpha(100), beta(60)
+    // qualify), estimate <= truth
     val truth = (half1 ++ half2).groupBy(identity).view.mapValues(_.size.toLong)
     val got = out.map(t => t._1 -> t._2).toMap
     Seq("alpha", "beta").foreach { t =>
