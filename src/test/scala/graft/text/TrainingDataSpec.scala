@@ -65,6 +65,21 @@ class TrainingDataSpec extends graft.SparkSuite {
     assert(out(1L)._2 == expected)
   }
 
+  test("skew-capped run (complete pairs) equals the uncapped run") {
+    // maxBucket = 1 forces EVERY band bucket through the
+    // triangle-distributed complete-pairs path; since that path emits
+    // the exact uncapped pair set, the whole pipeline output must be
+    // identical to the maxBucket = 0 run — this is the production
+    // default branch (q108's oracle only exercises maxBucket = 0)
+    val capped = TrainingData.prepare(corpus, evalSet,
+        maxContamE4 = 2000, maxBucket = 1)
+      .collect().map(_.toSeq).toSet
+    val uncapped = TrainingData.prepare(corpus, evalSet,
+        maxContamE4 = 2000, maxBucket = 0)
+      .collect().map(_.toSeq).toSet
+    assert(capped == uncapped)
+  }
+
   test("no eval set: nothing is decontaminated, near-dup logic unchanged") {
     val out = TrainingData.prepare(corpus,
         evalSet.filter(lit(false)), maxBucket = 0)
