@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis — the product-analytics staple (view ->
+  * click -> purchase conversion): for each user, the earliest
+  * timestamp at which each funnel step completes, where step i+1 only
+  * counts STRICTLY AFTER step i's completion time. Emitted long-format:
+  * one row per (user, completed step) — any step count works, and the
+  * per-step conversion funnel is a trivial groupBy(step) on top.
+  *
+  * Semantics pinned by the q110 oracle: step 1's time is the user's
+  * minimum step-1 event time; step i+1's time is the minimum step-i+1
+  * event time strictly greater than step i's — the standard
+  * "first qualifying completion" funnel. Ties at the exact same
+  * microsecond do NOT advance (strict >), identically in both engines.
+  *
+  * Scale shape: ONE hash shuffle on the user key; each user's events
+  * fold through a compiled single-pass state machine (sorted by
+  * (ts, event_id) for determinism — per-user event counts are bounded
+  * in any real funnel window, and nothing user-crossing is ever held in
+  * memory). No self-joins: the naive per-step join formulation scans
+  * the events table once per step and re-shuffles each time; this is
+  * one scan, one shuffle, any number of steps.
+  */
+object Funnel {
+
+  /** (user_id, step [1-based], ts_us) for every step each user
+    * completed, in funnel order. Users completing zero steps emit
+    * nothing. */
+  def analyze(events: DataFrame, steps: Seq[String],
+              userCol: String = "user_id", typeCol: String = "event_type",
+              tsCol: String = "ts",
+              tieBreakCol: String = "event_id"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toArray
+    events
+      .select(col(userCol).cast("long"), unix_micros(col(tsCol)),
+        col(typeCol).cast("string"), col(tieBreakCol).cast("long"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (user, it) =>
+        val evs = it.toArray.sortBy(t => (t._2, t._4))
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+          stepArr.length)
+        var si = 0
+        var cur = Long.MinValue
+        var i = 0
+        while (i < evs.length && si < stepArr.length) {
+          val ts = evs(i)._2
+          if (evs(i)._3 == stepArr(si) && ts > cur) {
+            out += ((user, si + 1L, ts))
+            cur = ts
+            si += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF(userCol, "step", "ts_us")
+  }
+
+  /** Conversion summary over [[analyze]] output: (step, n_users). */
+  def conversions(funnel: DataFrame): DataFrame =
+    funnel.groupBy("step").agg(count(lit(1)).as("n_users"))
+}

@@ -376,7 +376,16 @@ object RelationalQueries {
           Paths.fullExtensionCol(col("base")).as("ext"),
           Paths.filenameWithoutExtensionsCol(col("base")).as("stem"))
         .orderBy("p_partkey")
-    }))
+    }),
+
+    // Ordered funnel (view -> click -> purchase): one events scan, one
+    // user-key shuffle, compiled per-user state machine — vs the
+    // oracle's one-join-per-step formulation (strict-after semantics
+    // pinned identically)
+    "q110_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.analyze(t(s, dir, "events"),
+          steps = Seq("view", "click", "purchase"))
+        .orderBy("user_id", "step")))
 
   val oracles: Map[String, String] = Map(
     "q01_minmax_dates" ->
@@ -749,5 +758,26 @@ object RelationalQueries {
         |       regexp_extract(norm, '[^/]*$', 0) AS base,
         |       regexp_extract(regexp_extract(norm, '[^/]*$', 0), '^\.*[^.][^.]*?(\..*)$', 1) AS ext,
         |       split_part(regexp_extract(norm, '[^/]*$', 0), '.', 1) AS stem
-        |FROM n ORDER BY p_partkey""".stripMargin)
+        |FROM n ORDER BY p_partkey""".stripMargin,
+
+    // one join per funnel step; strict > between steps matches the
+    // engine's compiled fold exactly
+    "q110_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS ts_us
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS ts_us
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.ts_us
+        |  GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS ts_us
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.ts_us
+        |  GROUP BY 1)
+        |SELECT user_id, CAST(1 AS BIGINT) AS step, ts_us FROM t1
+        |UNION ALL SELECT user_id, CAST(2 AS BIGINT), ts_us FROM t2
+        |UNION ALL SELECT user_id, CAST(3 AS BIGINT), ts_us FROM t3
+        |ORDER BY user_id, step""".stripMargin)
 }
