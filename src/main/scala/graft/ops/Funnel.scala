@@ -66,4 +66,32 @@ object Funnel {
   /** Conversion summary over [[analyze]] output: (step, n_users). */
   def conversions(funnel: DataFrame): DataFrame =
     funnel.groupBy("step").agg(count(lit(1)).as("n_users"))
+
+  /** Cohort retention — the third leg of the product-analytics trio
+    * (with sessionization and the funnel): users are cohorted by their
+    * FIRST activity date; retention(c, n) = how many of cohort c were
+    * active again exactly n days later, for n in [0, maxDays].
+    * Output: (cohort_date, day_offset, n_users), day 0 = cohort size.
+    *
+    * Scale shape: per-user first date is one partial-agg shuffle on the
+    * user key; daily activity is a distinct on (user, date) — same key,
+    * so the cohort join co-partitions (no extra exchange under AQE);
+    * the final rollup aggregates on (cohort, offset). No windows, no
+    * per-day self-joins (the naive day-N formulation joins activity to
+    * itself once per N). */
+  def retention(events: DataFrame, maxDays: Int = 7,
+                userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    require(maxDays >= 0, "maxDays must be >= 0")
+    val activity = events
+      .select(col(userCol).cast("long").as("__u"),
+        to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val cohorts = activity.groupBy("__u").agg(min("__d").as("__c"))
+    activity.join(cohorts, "__u")
+      .withColumn("day_offset", datediff(col("__d"), col("__c")).cast("long"))
+      .filter(col("day_offset") <= maxDays)
+      .groupBy(col("__c").as("cohort_date"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

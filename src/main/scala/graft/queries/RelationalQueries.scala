@@ -385,7 +385,15 @@ object RelationalQueries {
     "q110_funnel" -> ((s, dir) =>
       graft.ops.Funnel.analyze(t(s, dir, "events"),
           steps = Seq("view", "click", "purchase"))
-        .orderBy("user_id", "step")))
+        .orderBy("user_id", "step")),
+
+    // Cohort retention (first-activity cohorts, day-offset activity):
+    // two partial aggs + one co-partitioned join on the user key
+    "q111_retention" -> ((s, dir) =>
+      graft.ops.Funnel.retention(t(s, dir, "events"), maxDays = 7)
+        .withColumn("cohort_date",
+          date_format(col("cohort_date"), "yyyy-MM-dd"))
+        .orderBy("cohort_date", "day_offset")))
 
   val oracles: Map[String, String] = Map(
     "q01_minmax_dates" ->
@@ -779,5 +787,16 @@ object RelationalQueries {
         |SELECT user_id, CAST(1 AS BIGINT) AS step, ts_us FROM t1
         |UNION ALL SELECT user_id, CAST(2 AS BIGINT), ts_us FROM t2
         |UNION ALL SELECT user_id, CAST(3 AS BIGINT), ts_us FROM t3
-        |ORDER BY user_id, step""".stripMargin)
+        |ORDER BY user_id, step""".stripMargin,
+
+    "q111_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT user_id, min(d) AS c FROM act GROUP BY 1)
+        |SELECT strftime(c, '%Y-%m-%d') AS cohort_date,
+        |       CAST(date_diff('day', c, d) AS BIGINT) AS day_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM act JOIN coh USING (user_id)
+        |WHERE date_diff('day', c, d) <= 7
+        |GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin)
 }

@@ -48,6 +48,28 @@ class FunnelSpec extends graft.SparkSuite {
     assert(c == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("retention: first-activity cohorts, day offsets, maxDays cut") {
+    val us = 86400L * 1000000L // one day in micros
+    val e = events(
+      // user 1: cohort day 0, active days 0, 1, 3 (two events day 0 —
+      // distinct-date dedup must count it once)
+      (1L, 0L, "view", 1L), (1L, 1000L, "click", 2L),
+      (1L, us, "view", 3L), (1L, 3 * us, "view", 4L),
+      // user 2: same cohort, only day 0
+      (2L, 2000L, "view", 5L),
+      // user 3: cohort day 1, active days 1 and 10 (10 > maxDays: cut)
+      (3L, us, "view", 6L), (3L, 10 * us, "view", 7L))
+    val r = Funnel.retention(e, maxDays = 7)
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1)) -> x.getLong(2))
+      .toMap
+    assert(r(("1970-01-01", 0L)) == 2L) // users 1 and 2
+    assert(r(("1970-01-01", 1L)) == 1L) // user 1
+    assert(r(("1970-01-01", 3L)) == 1L) // user 1
+    assert(r(("1970-01-02", 0L)) == 1L) // user 3's own cohort
+    assert(!r.keySet.exists(_._2 > 7L), "offsets beyond maxDays must be cut")
+    assert(r.size == 4)
+  }
+
   test("plan: one events pass, one user shuffle, no joins") {
     val plan = Funnel.analyze(events((1L, 10L, "view", 1L)), steps)
       .queryExecution.executedPlan.toString
