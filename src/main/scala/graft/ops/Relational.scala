@@ -463,4 +463,43 @@ object Relational {
     }
     spark.createDataFrame(out, schema).drop("__serie_key")
   }
+
+  /** Rolling TIME-window features per key — the standard feature-
+    * engineering shape ("events by this user in the trailing hour/day")
+    * for fraud scoring, rate limiting, and ML feature tables: for every
+    * event, the count and value-sum of the SAME key's events inside
+    * each trailing window `[ts - w, ts]` (inclusive both ends — ties at
+    * the exact boundary count, identically in both engines).
+    *
+    * RANGE frames over the numeric event-time (unix micros), NOT row
+    * frames: row frames count a fixed number of rows regardless of how
+    * much time they span, which is wrong whenever event density varies
+    * — exactly when a trailing-window feature matters. All windows
+    * share one (key, ts) sort, so the plan is ONE hash exchange + ONE
+    * sort + one WindowExec regardless of how many window lengths are
+    * requested; sums are computed over decimal so the result is
+    * bit-exact across engines and frame-internal orders (a double sum
+    * would depend on unspecified within-frame order).
+    *
+    * Output: the key, ts_us, and (n_<name>, sum_<name>) per window. */
+  def rollingWindowFeatures(events: DataFrame,
+                            windows: Seq[(String, Long)],
+                            keyCol: String = "user_id",
+                            tsCol: String = "ts",
+                            valueCol: String = "value",
+                            idCol: String = "event_id"): DataFrame = {
+    require(windows.nonEmpty, "need at least one window")
+    val base = events.select(col(idCol).cast("long").as(idCol),
+      col(keyCol).cast("long").as(keyCol),
+      unix_micros(col(tsCol)).as("ts_us"),
+      col(valueCol).cast("decimal(18,2)").as("__v"))
+    val featureCols = windows.flatMap { case (name, micros) =>
+      val w = Window.partitionBy(keyCol).orderBy("ts_us")
+        .rangeBetween(-micros, 0)
+      Seq(count(lit(1)).over(w).as(s"n_$name"),
+        sum(col("__v")).over(w).cast("double").as(s"sum_$name"))
+    }
+    base.select(
+      Seq(col(idCol), col(keyCol), col("ts_us")) ++ featureCols: _*)
+  }
 }

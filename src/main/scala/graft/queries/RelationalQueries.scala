@@ -393,7 +393,15 @@ object RelationalQueries {
       graft.ops.Funnel.retention(t(s, dir, "events"), maxDays = 7)
         .withColumn("cohort_date",
           date_format(col("cohort_date"), "yyyy-MM-dd"))
-        .orderBy("cohort_date", "day_offset")))
+        .orderBy("cohort_date", "day_offset")),
+
+    // Rolling trailing-window features (1h + 24h) per user: RANGE
+    // frames on unix micros, one exchange+sort for both windows,
+    // decimal-exact sums
+    "q112_rolling_features" -> ((s, dir) =>
+      graft.ops.Relational.rollingWindowFeatures(t(s, dir, "events"),
+          windows = Seq("1h" -> 3600000000L, "24h" -> 86400000000L))
+        .orderBy("event_id")))
 
   val oracles: Map[String, String] = Map(
     "q01_minmax_dates" ->
@@ -798,5 +806,25 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM act JOIN coh USING (user_id)
         |WHERE date_diff('day', c, d) <= 7
-        |GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin,
+
+    "q112_rolling_features" ->
+      """WITH e AS (
+        |  SELECT CAST(event_id AS BIGINT) AS event_id,
+        |         CAST(user_id AS BIGINT) AS user_id,
+        |         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  CAST(COUNT(*) OVER w1 AS BIGINT) AS n_1h,
+        |  CAST(SUM(v) OVER w1 AS DOUBLE) AS sum_1h,
+        |  CAST(COUNT(*) OVER w24 AS BIGINT) AS n_24h,
+        |  CAST(SUM(v) OVER w24 AS DOUBLE) AS sum_24h
+        |FROM e
+        |WINDOW
+        |  w1 AS (PARTITION BY user_id ORDER BY ts_us
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+        |  w24 AS (PARTITION BY user_id ORDER BY ts_us
+        |          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
 }

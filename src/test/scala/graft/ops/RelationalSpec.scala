@@ -322,4 +322,41 @@ class RelationalSpec extends SparkSuite {
       .findAllIn(plan).length
     assert(nExchanges <= 2, s"expected <=2 hash exchanges, got $nExchanges:\n$plan")
   }
+
+  private def rollingEvents(rows: (Long, Long, Long, Double)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"),
+        col("value"))
+  }
+
+  test("rolling features: RANGE frame counts time, not rows; boundary inclusive") {
+    val S = 1000000L // one second in micros
+    val out = Relational.rollingWindowFeatures(
+        rollingEvents(
+          (1L, 7L, 0L, 1.0),
+          (2L, 7L, 5 * S, 2.0),    // 5s after e1
+          (3L, 7L, 10 * S, 4.0),   // exactly 10s after e1: inclusive
+          (4L, 7L, 100 * S, 8.0),  // far later: alone in its window
+          (5L, 8L, 6 * S, 16.0)),  // other user: never mixed in
+        windows = Seq("10s" -> 10 * S))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((1L, 1.0)))
+    assert(out(2L) == ((2L, 3.0)))
+    assert(out(3L) == ((3L, 7.0))) // e1 at the exact -10s boundary counts
+    assert(out(4L) == ((1L, 8.0)))
+    assert(out(5L) == ((1L, 16.0)))
+  }
+
+  test("rolling features: several windows share one exchange and one window node") {
+    val df = Relational.rollingWindowFeatures(
+      rollingEvents((1L, 7L, 0L, 1.0)),
+      windows = Seq("1h" -> 3600000000L, "24h" -> 86400000000L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"both windows must share one shuffle:\n$plan")
+    assert("Window ".r.findAllIn(plan).length == 1,
+      s"same partition+order => one WindowExec:\n$plan")
+  }
 }
