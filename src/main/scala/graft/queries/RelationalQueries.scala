@@ -299,6 +299,10 @@ object RelationalQueries {
           col("value").cast("decimal(18,2)").as("value"))
       Relational.resampleFfill(e, Seq("user_id"), "ts", 3600L, "value",
           tieBreak = Seq("event_id"))
+        // hash surface: DOUBLE, not DECIMAL — leading-null decimals
+        // before a key's first observation hash engine-specifically;
+        // doubles (exact for 2-dp decimals in range) do not
+        .withColumn("value", col("value").cast("double"))
         .orderBy("user_id", "bucket_us")
     }),
 
@@ -701,9 +705,10 @@ object RelationalQueries {
         |                AS bucket_us
         |         FROM spans)
         |SELECT g.user_id, g.bucket_us,
-        |       last_value(v.value IGNORE NULLS) OVER (
+        |       CAST(last_value(v.value IGNORE NULLS) OVER (
         |         PARTITION BY g.user_id ORDER BY g.bucket_us
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) AS value,
         |       (v.value IS NOT NULL) AS observed
         |FROM grid g LEFT JOIN vals v
         |  ON g.user_id = v.user_id AND g.bucket_us = v.b
