@@ -173,7 +173,40 @@ object SimQueries {
     "q105_random_projection" -> ((s, dir) =>
       graft.sim.Srp.project(emb(s, dir), outDims = 16,
           idCol = "id", vecCol = "vec")
-        .orderBy("id", "j")))
+        .orderBy("id", "j")),
+
+    // q28's candidate-generation substep, hash-checked: the (table,
+    // bucket) sign-pattern keys and the compact candidate equi-join are
+    // deterministic double arithmetic (left-to-right projections against
+    // the polyhash hyperplanes) the oracle replays exactly — so the LSH
+    // serving path's bucketing is driver-verified even though the full
+    // ANN ranking stays recall-gated
+    "q113_lsh_candidates" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshCandidates(e.filter(col("id") < 20), e)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // q41's assignment substep against the PINNED codebook
+    // (graft.sim.Pinned): nearest-centroid inverted-list assignment is
+    // normalize + 16 ordered dots + argmax — bit-exact both engines.
+    // Same Ivf.assignments code the trained path runs
+    "q114_ivf_assign" -> ((s, dir) =>
+      graft.sim.Ivf.assignments(emb(s, dir), graft.sim.Pinned.ivfCentroids())
+        .select(col("id"), col("centroid").cast("long").as("centroid"))
+        .orderBy("id")),
+
+    // q82/q84's serving substeps against PINNED PQ codebooks: subspace
+    // code assignment (argmin squared distance) + integer-exact ADC
+    // lookup-table scoring, ranked. Same Pq.encode the trained path runs
+    "q115_pq_adc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.sim.Pq.pinnedAdcTopK(e.filter(col("id") < 20), e,
+          graft.sim.Pinned.pqBooks(), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("adc_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }))
 
   private val dotSql =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -277,7 +310,124 @@ object SimQueries {
     "q105_random_projection" ->
       s"""$srpDotsCte
          |SELECT id, CAST(j AS BIGINT) AS j, dot AS y_e6
-         |FROM dots ORDER BY id, j""".stripMargin)
+         |FROM dots ORDER BY id, j""".stripMargin,
+
+    // replay of Similarity.lshCandidates: hyperplane component (plane
+    // t*131+p, dim d) = polyhash("plane:d")/P*2-1 as DOUBLE, projection
+    // = left-to-right ordered sum over the raw double vector (the same
+    // IEEE sequence bucketOf runs), bucket = 6-bit sign string per
+    // table, candidates = distinct equi-join on (t, bucket)
+    "q113_lsh_candidates" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |pr AS (SELECT id, t, p,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           [v[d + 1] *
+         |              (CAST(${TextQueries.Sql.poly(
+                          "CAST(t * 131 + p AS VARCHAR) || ':' || " +
+                          "CAST(d AS VARCHAR)")} AS DOUBLE)
+         |               / 1000000007 * 2.0 - 1.0)
+         |            for d in range(0, least(len(v), 64))]),
+         |           (a, b) -> a + b) AS proj
+         |       FROM e
+         |       CROSS JOIN (SELECT unnest(range(0, 8)) AS t) tt
+         |       CROSS JOIN (SELECT unnest(range(0, 6)) AS p) pp),
+         |bk AS (SELECT id, t,
+         |         string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END,
+         |                    '' ORDER BY p) AS bucket
+         |       FROM pr GROUP BY id, t)
+         |SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+         |FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+         |WHERE q.id < 20 AND q.id <> c.id
+         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // replay of Ivf.assignments against the Pinned codebook: normalize
+    // (x * (1/sqrt(ss)), the exact operation order), 16 ordered dots,
+    // argmax with ties to the lower centroid index
+    "q114_ivf_assign" ->
+      s"""$vnCte,
+         |cd AS (SELECT c, d,
+         |         (CAST(${sqmixOfPoly("CAST(c AS VARCHAR) || ':' || CAST(d AS VARCHAR)")} % 5
+         |               AS BIGINT) - 2) * 0.25 AS w
+         |       FROM (SELECT unnest(range(0, 16)) AS c) cc
+         |       CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dd),
+         |cl AS (SELECT c, list(w ORDER BY d) AS cv FROM cd GROUP BY c),
+         |sc AS (SELECT id, c,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(list_zip(vn, cv), p -> p[1] * p[2])),
+         |           (a, b) -> a + b) AS dot
+         |       FROM vn CROSS JOIN cl)
+         |SELECT id, CAST(c AS BIGINT) AS centroid FROM (
+         |  SELECT id, c, row_number() OVER (PARTITION BY id
+         |                                   ORDER BY dot DESC, c) AS rn
+         |  FROM sc)
+         |WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    // replay of Pq.encode + pinnedAdcTopK against the Pinned PQ
+    // codebooks: per-subspace argmin squared distance (ordered sums,
+    // ties to the lower code), per-query integer LUT (floor(dot*1e6)
+    // per subspace BEFORE the sum), order-free BIGINT score sum, top-5
+    "q115_pq_adc" ->
+      s"""$vnCte,
+         |bk AS (SELECT s, c, j,
+         |         (CAST(${sqmixOfPoly(
+                     "CAST(s AS VARCHAR) || ':' || CAST(c AS VARCHAR)" +
+                     " || ':' || CAST(j AS VARCHAR)")} % 5
+         |               AS BIGINT) - 2) * 0.25 AS w
+         |       FROM (SELECT unnest(range(0, 8)) AS s) ss
+         |       CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cc
+         |       CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+         |bl AS (SELECT s, c, list(w ORDER BY j) AS bv FROM bk GROUP BY s, c),
+         |dist AS (SELECT id, s, c,
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             [(vn[s * 8 + j + 1] - bv[j + 1])
+         |                * (vn[s * 8 + j + 1] - bv[j + 1])
+         |              for j in range(0, 8)]),
+         |             (a, b) -> a + b) AS d2
+         |         FROM vn CROSS JOIN bl),
+         |codes AS (SELECT id AS neighbor_id, s, c AS code FROM (
+         |            SELECT id, s, c, row_number() OVER (PARTITION BY id, s
+         |                                                ORDER BY d2 ASC, c) AS rn
+         |            FROM dist)
+         |          WHERE rn = 1),
+         |lut AS (SELECT q.id AS query_id, bl.s, bl.c AS code,
+         |          CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            [q.vn[bl.s * 8 + j + 1] * bv[j + 1] for j in range(0, 8)]),
+         |            (a, b) -> a + b) * 1000000.0) AS BIGINT) AS lut_e6
+         |        FROM vn q CROSS JOIN bl WHERE q.id < 20),
+         |score AS (SELECT query_id, neighbor_id,
+         |            CAST(SUM(lut_e6) AS BIGINT) AS adc_e6
+         |          FROM codes JOIN lut USING (s, code)
+         |          WHERE query_id <> neighbor_id
+         |          GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, adc_e6, rank FROM (
+         |  SELECT query_id, neighbor_id, adc_e6,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc_e6 DESC, neighbor_id) AS rank
+         |  FROM score)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+
+  /** squareMix(polyHash(e)) as SQL (graft.functions.Hashing.squareMix):
+    * ((h*h) % P * 2654435761) % P. */
+  private def sqmixOfPoly(e: String): String =
+    s"""((${TextQueries.Sql.poly(e)}) * (${TextQueries.Sql.poly(e)})
+       | % 1000000007 * 2654435761) % 1000000007""".stripMargin
+
+  /** Shared pinned-codebook oracle base: L2-normalized vectors with the
+    * exact Ivf.normalized operation order (ordered sum of squares,
+    * multiply by reciprocal — NOT divide). */
+  private lazy val vnCte: String =
+    """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      |           FROM embeddings),
+      |n AS (SELECT id, v,
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(v, x -> x * x)), (a, b) -> a + b) AS ss
+      |      FROM e),
+      |vn AS (SELECT id,
+      |         list_transform(v, x -> x *
+      |           (CASE WHEN ss = 0 THEN CAST(0.0 AS DOUBLE)
+      |                 ELSE 1.0 / sqrt(ss) END)) AS vn
+      |       FROM n)""".stripMargin
 
   /** Shared q99/q105 oracle base: per-(vector, hyperplane) integer dot
     * products with the polyhash-parity sign matrix. */

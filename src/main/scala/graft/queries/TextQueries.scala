@@ -375,7 +375,30 @@ object TextQueries {
       graft.text.TrainingData.prepare(d,
           eval = d.filter(col("doc_id") % 13 === 0), maxBucket = 0)
         .orderBy("doc_id")
-    }))
+    }),
+
+    // q87's ENCODE substep, hash-checked: distributed BPE encode against
+    // the pinned merge table (training's argmax loop stays rows-only;
+    // the greedy serving tokenization is driver-verified). Same
+    // Bpe.encode/encodeWord code path the trained q87 runs
+    "q116_bpe_encode" -> ((s, dir) =>
+      graft.text.Bpe.encode(docs(s, dir), pinnedMerges).orderBy("doc_id")))
+
+  /** Pinned BPE merges for q116 — mirrored verbatim into the oracle's
+    * VALUES table. The ordering is BPE-consistent (every component is a
+    * single symbol or an earlier merge's result), which the recursive
+    * oracle relies on: any pair created by a merge ranks strictly above
+    * the merge that created its token, so replacing ONE leftmost
+    * occurrence of the min-rank pair per recursion step converges to
+    * exactly encodeWord's merge-all-then-rescan result. */
+  private val pinnedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e</w>"), ("a", "n"), ("i", "n"), ("e", "r"),
+    ("o", "n"), ("an", "d</w>"), ("in", "g</w>"), ("t", "o</w>"),
+    ("o", "f</w>"), ("e", "d</w>"), ("e", "s</w>"))
+
+  private lazy val bpeMergeValues: String =
+    pinnedMerges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
 
   /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
     * uncapped) and q49 (triangle-distributed path; completeness check). */
@@ -865,5 +888,73 @@ object TextQueries {
          |       CAST(strt // 512 AS BIGINT) AS bin,
          |       CAST(strt % 512 AS BIGINT) AS "offset"
          |FROM cum ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    // greedy BPE encode replay: distinct words encoded once via a
+    // recursive CTE (one leftmost min-rank merge per step — equivalent
+    // to encodeWord's merge-all per the pinnedMerges ordering note),
+    // symbol streams joined on TAB sentinels (normalization guarantees
+    // no whitespace inside words), doc stats re-assembled with the
+    // ordered polynomial fold over word-ordered token hashes
+    "q116_bpe_encode" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, ${Sql.norm} AS norm FROM documents),
+         |dw AS (SELECT doc_id, ws[i] AS w, i
+         |       FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM d) x,
+         |       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) tt
+         |       WHERE ws[i] <> ''),
+         |wd AS (SELECT DISTINCT w FROM dw),
+         |m(rnk, a, b) AS (SELECT * FROM (VALUES $bpeMergeValues) v(rnk, a, b)),
+         |init AS (SELECT w,
+         |           chr(9) || array_to_string(
+         |             list_concat(cs[1:len(cs)-1], [cs[len(cs)] || '</w>']),
+         |             chr(9)) || chr(9) AS s
+         |         FROM (SELECT w,
+         |                 [substr(w, i, 1) for i in range(1, len(w) + 1)] AS cs
+         |               FROM wd) y),
+         |enc AS (
+         |  SELECT w, s, 0 AS n FROM init
+         |  UNION ALL
+         |  SELECT e.w,
+         |         substr(e.s, 1, best.pos - 1) || chr(9) || best.a || best.b
+         |           || chr(9)
+         |           || substr(e.s, best.pos + len(best.a) + len(best.b) + 3),
+         |         e.n + 1
+         |  FROM enc e, LATERAL (
+         |    SELECT m.a, m.b,
+         |           position(chr(9) || m.a || chr(9) || m.b || chr(9) IN e.s)
+         |             AS pos
+         |    FROM m
+         |    WHERE position(chr(9) || m.a || chr(9) || m.b || chr(9) IN e.s) > 0
+         |    ORDER BY m.rnk LIMIT 1) best),
+         |fin AS (SELECT w, s FROM (
+         |          SELECT w, s,
+         |                 row_number() OVER (PARTITION BY w ORDER BY n DESC)
+         |                   AS rn
+         |          FROM enc) z
+         |        WHERE rn = 1),
+         |toks AS (SELECT w,
+         |           list_filter(string_split(s, chr(9)), tk -> tk <> '') AS tl
+         |         FROM fin),
+         |wh AS (SELECT w, CAST(len(tl) AS BIGINT) AS n_tok,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(tl, tk -> CAST(length(tk) AS BIGINT))),
+         |           (a, b) -> a + b) AS n_chars,
+         |         list_transform(tl, tk -> ${Sql.poly("tk")}) AS hl
+         |       FROM toks),
+         |per AS (SELECT dw.doc_id, dw.i, wh.n_tok, wh.n_chars, wh.hl
+         |        FROM dw JOIN wh USING (w)),
+         |agg AS (SELECT doc_id,
+         |          CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |          CAST(SUM(n_chars) AS BIGINT) AS n_chars_tokenized,
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            flatten(list(hl ORDER BY i))),
+         |            (a, b) -> (a * 131 + b) % 1000000007) AS tokens_fp
+         |        FROM per GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+         |       coalesce(a.n_chars_tokenized, CAST(0 AS BIGINT))
+         |         AS n_chars_tokenized,
+         |       coalesce(a.tokens_fp, CAST(0 AS BIGINT)) AS tokens_fp
+         |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin)
 }

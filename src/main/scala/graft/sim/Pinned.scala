@@ -1,0 +1,36 @@
+package graft.sim
+
+import graft.functions.Hashing
+
+/** Pinned (literal) ANN model state for oracle-checked serving-math
+  * queries. Trained k-means codebooks have no closed-form SQL, so the
+  * trained ANN paths (q41/q82/q84) are gated by recall specs and
+  * registered rows-only — but the SERVING math they run (nearest-centroid
+  * assignment, per-subspace code assignment, ADC lookup-table scoring) is
+  * plain arithmetic once the codebook is fixed. These generators produce
+  * a deterministic pseudo-random codebook both engines can regenerate
+  * from the shared polyhash/squareMix primitives (the q99 SRP doctrine),
+  * with every component an EXACT binary fraction (multiples of 0.25) so
+  * Spark and the DuckDB oracle replay identical IEEE operations.
+  *
+  * The pinned values are pseudo-random, not trained — recall against
+  * these codebooks is meaningless; what the companion queries pin is the
+  * assignment/scoring arithmetic the trained paths share (same
+  * [[Ivf.nearestCentroid]]/[[Pq.encode]] code runs in both).
+  */
+object Pinned {
+
+  /** Component for `key`: squareMix(polyHash(key)) mapped to the five
+    * exact quarter steps {-0.5, -0.25, 0, 0.25, 0.5}. */
+  def value(key: String): Double =
+    ((Hashing.squareMix(Hashing.polyHash(key)) % 5) - 2) * 0.25
+
+  /** Pinned IVF codebook: centroid c, dim d -> value("c:d"). */
+  def ivfCentroids(n: Int = 16, dim: Int = 64): Array[Array[Double]] =
+    Array.tabulate(n, dim)((c, d) => value(s"$c:$d"))
+
+  /** Pinned PQ codebooks: subspace s, centroid c, dim j -> value("s:c:j")
+    * (64-d corpus => 8 subspaces x 8 dims at the defaults). */
+  def pqBooks(m: Int = 8, ksub: Int = 16, subDim: Int = 8): Pq.Codebooks =
+    Array.tabulate(m, ksub, subDim)((s, c, j) => value(s"$s:$c:$j"))
+}

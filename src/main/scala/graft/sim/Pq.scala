@@ -321,6 +321,55 @@ object Pq {
       rerankFactor)
   }
 
+  /** ADC serving against a PINNED literal codebook ([[Pinned.pqBooks]])
+    * — the hash-checked companion to [[adcTopK]]: trained codebooks have
+    * no SQL form, but with the codebook fixed, per-subspace code
+    * assignment and lookup-table scoring are plain arithmetic the DuckDB
+    * oracle replays bit-for-bit. Integer-exact doctrine: each
+    * per-subspace LUT dot is floor-quantized to e6 BEFORE the
+    * cross-subspace sum, so the aggregation is an order-free BIGINT sum
+    * (the trained path sums doubles then floors — fine for serving,
+    * not for cross-engine hashing).
+    *
+    * Declarative scale shape: map-only [[encode]], posexplode to
+    * (s, code) rows, ONE broadcast join against the (query, s, code)
+    * LUT, partial-agg integer sum, WindowGroupLimit top-k — candidate
+    * rows carry ~24 bytes, never a float vector. */
+  def pinnedAdcTopK(queries: DataFrame, corpus: DataFrame,
+                    books: Codebooks, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val ksub = books.head.length
+    val bounds = sliceBounds(books.map(_.head.length).sum, m)
+    val ex = encode(corpus, books)
+      .select(col("id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+    val qRows = Ivf.normalized(queries, "query_id", "qv")
+      .as[(Long, Array[Double])].collect()
+    val lutRows = for {
+      (qid, qv) <- qRows.toSeq
+      s <- 0 until m
+      c <- 0 until ksub
+    } yield {
+      val (lo, hi) = bounds(s)
+      val ct = books(s)(c)
+      var dot = 0.0
+      var i = lo
+      var j = 0
+      while (i < hi && j < ct.length) { dot += qv(i) * ct(j); i += 1; j += 1 }
+      (qid, s, c, math.floor(dot * 1000000.0).toLong)
+    }
+    val lut = lutRows.toDF("query_id", "s", "code", "lut_e6")
+    val scored = ex.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("lut_e6").as("adc_e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF+PQ — the canonical billion-vector serving architecture: the
     * coarse IVF codebook restricts scoring to the nProbe inverted lists
     * each query probes, and within those lists vectors are scored from
