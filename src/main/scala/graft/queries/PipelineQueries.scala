@@ -209,6 +209,43 @@ object PipelineQueries {
         .select(col("c_custkey"),
           coalesce(col("uri"), lit("UNRESOLVED")).as("uri"))
         .orderBy("c_custkey")
+    }),
+
+    // q107's PAIRING substep, hash-checked: the pigeonhole band join +
+    // luma re-check + exact bit_count prune run over a deterministic
+    // synthetic (key, dhash, luma) table both engines regenerate from
+    // integer hash arithmetic (DuckDB cannot decode images, but the
+    // near-dup pairing semantics are pure SQL once hashes exist).
+    // Planted near-dups: key%10==1 reuses key-1's 60-bit hash with two
+    // pseudo-random bits flipped and the same luma. Runs the SAME
+    // Multimodal.imageNearDupPairs code q107 runs; the oracle computes
+    // the all-pairs answer directly, independently confirming the band
+    // join is lossless at maxHamming=3
+    "q117_dhash_band_join" -> ((s, dir) => {
+      def sm(c: Column): Column =
+        (c * c % Hashing.P * lit(2654435761L)) % Hashing.P
+      val h = t(s, dir, "documents").select(col("doc_id").as("key"))
+        .withColumn("seed",
+          when(col("key") % 10 === 1, col("key") - 1).otherwise(col("key"))
+            .cast("string"))
+        .withColumn("base", (0 to 3).map { j =>
+            shiftleft(sm(Hashing.polyHashCol(
+              concat(col("seed"), lit(s":$j")))) % 32768, 15 * j)
+          }.reduce(_.bitwiseOR(_)))
+        .withColumn("p1", sm(Hashing.polyHashCol(
+          concat(lit("f:"), col("key").cast("string")))) % 60)
+        .withColumn("p2", sm(Hashing.polyHashCol(
+          concat(lit("g:"), col("key").cast("string")))) % 60)
+        .withColumn("dhash", when(col("key") % 10 === 1,
+            col("base")
+              .bitwiseXOR(expr("shiftleft(cast(1 as bigint), cast(p1 as int))"))
+              .bitwiseXOR(expr("shiftleft(cast(1 as bigint), cast(p2 as int))")))
+          .otherwise(col("base")))
+        .withColumn("luma", sm(Hashing.polyHashCol(
+          concat(lit("l:"), col("seed")))) % 256)
+        .select("key", "dhash", "luma")
+      graft.multimodal.Multimodal.imageNearDupPairs(h, maxHamming = 3)
+        .orderBy("key_a", "key_b")
     }))
 
   /** Deterministic 16x16 BMP: per-seed gradient directions/frequencies
@@ -346,5 +383,45 @@ object PipelineQueries {
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
         |SELECT c_custkey, coalesce(b.uri, 'UNRESOLVED') AS uri
         |FROM terms LEFT JOIN best b USING (term)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // direct all-pairs replay of the synthetic dHash near-dup pairing:
+    // the engine's band join is pigeonhole-lossless at maxHamming=3, so
+    // the brute-force answer must match exactly
+    "q117_dhash_band_join" ->
+      s"""WITH ks AS (SELECT doc_id AS key,
+         |         CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+         |                   ELSE doc_id END AS VARCHAR) AS seed
+         |       FROM documents),
+         |parts AS (SELECT key, seed, j,
+         |            (${sqmixOfPoly("seed || ':' || CAST(j AS VARCHAR)")})
+         |              % 32768 AS piece
+         |          FROM ks CROSS JOIN (SELECT unnest(range(0, 4)) AS j) jj),
+         |b AS (SELECT key, any_value(seed) AS seed,
+         |        CAST(SUM(piece * (CAST(1 AS BIGINT) << CAST(15 * j AS INT)))
+         |             AS BIGINT) AS base
+         |      FROM parts GROUP BY key),
+         |h AS (SELECT key,
+         |        CASE WHEN key % 10 = 1
+         |          THEN xor(xor(base,
+         |                 CAST(1 AS BIGINT) << CAST(
+         |                   (${sqmixOfPoly("'f:' || CAST(key AS VARCHAR)")})
+         |                     % 60 AS INT)),
+         |                 CAST(1 AS BIGINT) << CAST(
+         |                   (${sqmixOfPoly("'g:' || CAST(key AS VARCHAR)")})
+         |                     % 60 AS INT))
+         |          ELSE base END AS dhash,
+         |        (${sqmixOfPoly("'l:' || seed")}) % 256 AS luma
+         |      FROM b)
+         |SELECT a.key AS key_a, c.key AS key_b,
+         |       CAST(bit_count(xor(a.dhash, c.dhash)) AS BIGINT) AS hamming
+         |FROM h a JOIN h c ON a.key < c.key
+         |WHERE abs(a.luma - c.luma) <= 16
+         |  AND bit_count(xor(a.dhash, c.dhash)) <= 3
+         |ORDER BY key_a, key_b""".stripMargin)
+
+  /** squareMix(polyHash(e)) as SQL — see graft.functions.Hashing. */
+  private def sqmixOfPoly(e: String): String =
+    s"""((${TextQueries.Sql.poly(e)}) * (${TextQueries.Sql.poly(e)})
+       | % 1000000007 * 2654435761) % 1000000007""".stripMargin
 }
