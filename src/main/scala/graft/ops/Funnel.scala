@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
   * "first qualifying completion" funnel. Ties at the exact same
   * microsecond do NOT advance (strict >), identically in both engines.
   *
-  * Scale shape: ONE hash shuffle on the user key; each user's events
-  * fold through a compiled single-pass state machine (sorted by
-  * (ts, event_id) for determinism — per-user event counts are bounded
-  * in any real funnel window, and nothing user-crossing is ever held in
-  * memory). No self-joins: the naive per-step join formulation scans
-  * the events table once per step and re-shuffles each time; this is
-  * one scan, one shuffle, any number of steps.
+  * Scale shape: ONE hash shuffle on the user key with a secondary sort
+  * — `repartition(user).sortWithinPartitions(user, ts, tieBreak)` puts
+  * each user's events in timestamp order CONTIGUOUSLY in the partition,
+  * so the state machine streams through `mapPartitions` holding O(1)
+  * state per user (current user, step index, last completion time) and
+  * never materializes a user's history. A hot key with 10^8 events
+  * costs sort spill, not task memory (the same hardening sessionize
+  * got: a groupByKey + toArray would buffer the full per-user history).
+  * No self-joins: the naive per-step join formulation scans the events
+  * table once per step and re-shuffles each time; this is one scan, one
+  * shuffle, any number of steps.
   */
 object Funnel {
 
@@ -38,27 +42,30 @@ object Funnel {
     import spark.implicits._
     val stepArr = steps.toArray
     events
-      .select(col(userCol).cast("long"), unix_micros(col(tsCol)),
-        col(typeCol).cast("string"), col(tieBreakCol).cast("long"))
+      .select(col(userCol).cast("long").as("__u"),
+        unix_micros(col(tsCol)).as("__ts"),
+        col(typeCol).cast("string").as("__t"),
+        col(tieBreakCol).cast("long").as("__tb"))
+      .repartition(col("__u"))
+      .sortWithinPartitions(col("__u"), col("__ts"), col("__tb"))
       .as[(Long, Long, String, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (user, it) =>
-        val evs = it.toArray.sortBy(t => (t._2, t._4))
-        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
-          stepArr.length)
+      .mapPartitions { it =>
+        // streaming per-user state machine over the contiguous sorted
+        // run: O(1) state regardless of a user's event count
+        var curUser = Long.MinValue
+        var started = false
         var si = 0
         var cur = Long.MinValue
-        var i = 0
-        while (i < evs.length && si < stepArr.length) {
-          val ts = evs(i)._2
-          if (evs(i)._3 == stepArr(si) && ts > cur) {
-            out += ((user, si + 1L, ts))
+        it.flatMap { case (user, ts, typ, _) =>
+          if (!started || user != curUser) {
+            curUser = user; started = true; si = 0; cur = Long.MinValue
+          }
+          if (si < stepArr.length && typ == stepArr(si) && ts > cur) {
             cur = ts
             si += 1
-          }
-          i += 1
+            Iterator.single((user, si.toLong, ts))
+          } else Iterator.empty
         }
-        out.iterator
       }
       .toDF(userCol, "step", "ts_us")
   }

@@ -17,11 +17,20 @@ import org.apache.spark.sql.functions._
   * — exactly the partial/final shape Spark aggregation wants, so the
   * sketch pass is map-side work plus a constant-size merge, no shuffle
   * of the token stream.
+  *
+  * The aggregation buffer is a MUTABLE open-addressed map mutated in
+  * place per token (the Aggregator contract explicitly permits
+  * modifying and returning `b`): the original immutable-`Map` buffer
+  * allocated a trie copy per token on the hot sketch path. Object
+  * aggregation keeps the buffer as a JVM object between rows; the kryo
+  * buffer encoder only runs at partial/final exchange boundaries.
   */
 object Sketch {
 
-  /** Summary state: counters plus the processed-item total (the total
-    * makes the error bound n/(k+1) computable by the caller). */
+  /** Immutable summary snapshot: counters plus the processed-item total
+    * (the total makes the error bound n/(k+1) computable by the
+    * caller). Also the streaming-state shape (Streaming.heavyHitterStream
+    * stores one per group — product-encoded for the state store). */
   final case class MGSummary(counters: Map[String, Long], n: Long)
 
   /** Output entry: token with its under-estimate. */
@@ -29,54 +38,83 @@ object Sketch {
 
   final case class MGResult(entries: Seq[MGEntry], n: Long)
 
-  /** Misra-Gries aggregator over a string column with `k` counters. */
-  final class MisraGries(k: Int)
-      extends Aggregator[String, MGSummary, MGResult] {
-    require(k >= 1, "k must be >= 1")
+  /** Mutable aggregation buffer (kryo-encoded across exchanges). */
+  final class MGBuffer(
+      val counters: scala.collection.mutable.HashMap[String, Long],
+      var n: Long) extends Serializable {
+    def toSummary: MGSummary = MGSummary(counters.toMap, n)
+  }
 
-    override def zero: MGSummary = MGSummary(Map.empty, 0L)
+  def emptyBuffer: MGBuffer =
+    new MGBuffer(scala.collection.mutable.HashMap.empty, 0L)
 
-    override def reduce(b: MGSummary, tok: String): MGSummary = {
-      val c = b.counters
-      if (c.contains(tok))
-        MGSummary(c.updated(tok, c(tok) + 1L), b.n + 1)
-      else if (c.size < k)
-        MGSummary(c.updated(tok, 1L), b.n + 1)
-      else {
+  def bufferOf(s: MGSummary): MGBuffer = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    m ++= s.counters
+    new MGBuffer(m, s.n)
+  }
+
+  /** One Misra-Gries token fold, in place — shared by the batch
+    * Aggregator and the streaming per-batch fold so the two forms
+    * cannot drift. */
+  def foldToken(b: MGBuffer, tok: String, k: Int): Unit = {
+    val c = b.counters
+    c.get(tok) match {
+      case Some(v) => c.update(tok, v + 1L)
+      case None if c.size < k => c.update(tok, 1L)
+      case None =>
         // decrement-all step: drop a unit from every counter (and the
         // unseen token's implicit counter) — k+1 distinct items each
         // lose one, which is where the n/(k+1) bound comes from
-        val dec = c.iterator
-          .map { case (t, v) => (t, v - 1L) }
-          .filter(_._2 > 0L).toMap
-        MGSummary(dec, b.n + 1)
-      }
+        c.mapValuesInPlace((_, v) => v - 1L)
+        c.filterInPlace((_, v) => v > 0L)
+    }
+    b.n += 1L
+  }
+
+  /** Mergeable-summaries merge, in place into the larger side: sum
+    * matching counters; if over k, subtract the (k+1)-th largest and
+    * drop non-positive. Commutative — the fold direction only changes
+    * which allocation survives. */
+  def mergeBuffers(a: MGBuffer, b: MGBuffer, k: Int): MGBuffer = {
+    val (big, small) =
+      if (a.counters.size >= b.counters.size) (a, b) else (b, a)
+    small.counters.foreach { case (t, v) =>
+      big.counters.update(t, big.counters.getOrElse(t, 0L) + v)
+    }
+    if (big.counters.size > k) {
+      val kth = big.counters.values.toArray
+        .sorted(Ordering[Long].reverse)(k)
+      big.counters.mapValuesInPlace((_, v) => v - kth)
+      big.counters.filterInPlace((_, v) => v > 0L)
+    }
+    big.n = a.n + b.n
+    big
+  }
+
+  /** Misra-Gries aggregator over a string column with `k` counters. */
+  final class MisraGries(k: Int)
+      extends Aggregator[String, MGBuffer, MGResult] {
+    require(k >= 1, "k must be >= 1")
+
+    override def zero: MGBuffer = emptyBuffer
+
+    override def reduce(b: MGBuffer, tok: String): MGBuffer = {
+      foldToken(b, tok, k)
+      b
     }
 
-    override def merge(a: MGSummary, b: MGSummary): MGSummary = {
-      val merged = (a.counters.keySet ++ b.counters.keySet).iterator
-        .map { t =>
-          t -> (a.counters.getOrElse(t, 0L) + b.counters.getOrElse(t, 0L))
-        }.toMap
-      val trimmed =
-        if (merged.size <= k) merged
-        else {
-          val kth = merged.values.toSeq.sorted(Ordering[Long].reverse)(k)
-          merged.iterator
-            .map { case (t, v) => (t, v - kth) }
-            .filter(_._2 > 0L).toMap
-        }
-      MGSummary(trimmed, a.n + b.n)
-    }
+    override def merge(a: MGBuffer, b: MGBuffer): MGBuffer =
+      mergeBuffers(a, b, k)
 
-    override def finish(r: MGSummary): MGResult =
+    override def finish(r: MGBuffer): MGResult =
       MGResult(
         r.counters.toSeq
           .sortBy { case (t, v) => (-v, t) }
           .map { case (t, v) => MGEntry(t, v) },
         r.n)
 
-    override def bufferEncoder: Encoder[MGSummary] = Encoders.product
+    override def bufferEncoder: Encoder[MGBuffer] = Encoders.kryo[MGBuffer]
     override def outputEncoder: Encoder[MGResult] = Encoders.product
   }
 

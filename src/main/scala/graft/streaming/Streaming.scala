@@ -309,7 +309,6 @@ object Streaming {
     require(groups >= 1, "groups must be >= 1")
     val spark = tokens.sparkSession
     import spark.implicits._
-    val agg = new graft.ops.Sketch.MisraGries(k)
     tokens
       .select(col(tokCol).cast("string").as("tok"),
         pmod(xxhash64(col(tokCol).cast("string")), lit(groups.toLong)).as("grp"))
@@ -320,8 +319,16 @@ object Streaming {
         GroupStateTimeout.NoTimeout) {
         (grp: Long, it: Iterator[(String, Long)],
          state: GroupState[graft.ops.Sketch.MGSummary]) =>
-          var s = state.getOption.getOrElse(agg.zero)
-          it.foreach { case (tok, _) => s = agg.reduce(s, tok) }
+          // thaw the stored summary into the mutable buffer ONCE per
+          // micro-batch, fold with the same Sketch.foldToken the batch
+          // Aggregator uses, freeze back for the state store
+          val buf = state.getOption
+            .map(graft.ops.Sketch.bufferOf)
+            .getOrElse(graft.ops.Sketch.emptyBuffer)
+          it.foreach { case (tok, _) =>
+            graft.ops.Sketch.foldToken(buf, tok, k)
+          }
+          val s = buf.toSummary
           state.update(s)
           s.counters.toSeq.sortBy { case (t, v) => (-v, t) }
             .iterator.map { case (t, v) => HeavyHitter(grp, t, v, s.n) }

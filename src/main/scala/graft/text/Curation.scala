@@ -490,12 +490,15 @@ object Curation {
     * the two-pass range-shuffle shape of Relational.sequentialIds,
     * generalized per-group: range-repartition on (group, order…) so a
     * mega-group spreads across MANY contiguous partitions; sort within
-    * partitions; pass 1 collects the ordered per-partition
-    * (group, count) runs — bounded by nGroups + nPartitions rows total,
-    * because group slices are contiguous — pass 2 assigns each row its
-    * within-group rank from the broadcast prefix offsets and filters
-    * rank <= cap. No task ever holds more than one partition; driver
-    * state is the run-length table (the bounded-model-state pattern). */
+    * partitions; pass 1 collects ONLY each partition's boundary summary
+    * (first/last run group + count, run count) — after the range
+    * shuffle a group's rows are globally contiguous, so a group that
+    * spans partitions is necessarily every later partition's FIRST run,
+    * and interior runs always start at rank 0. Driver state is
+    * O(partitions) (a 10^8-domain corpus costs the driver the same few
+    * KB as a 10^2-domain one); pass 2 ranks locally, offsetting only
+    * the partition's first run by the broadcast carry, and filters
+    * rank <= cap. No task ever holds more than one partition. */
   def capPerGroup(df: DataFrame, groupCol: String, order: Seq[Column],
                   cap: Int, rankCol: String = "rank_in_group"): DataFrame = {
     import org.apache.spark.sql.Row
@@ -507,43 +510,56 @@ object Curation {
       .sortWithinPartitions(sortCols: _*)
     val gIdx = sorted.schema.fieldIndex("__cap_grp")
     val rdd = sorted.rdd
-    // pass 1: ordered (group, count) runs per partition
-    val runs: Array[(Int, Array[(String, Long)])] =
+    // pass 1: boundary summary per partition —
+    // (firstGroup, firstRunCount, lastGroup, lastRunCount, nRuns)
+    val bounds: Array[(Int, Option[(String, Long, String, Long, Long)])] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-        var cur: String = null; var n = 0L; var any = false
+        var runs = 0L
+        var firstG: String = null
+        var firstN = 0L
+        var curG: String = null
+        var curN = 0L
         it.foreach { row =>
           val g = row.getString(gIdx)
-          if (!any || g != cur) {
-            if (any) buf += ((cur, n))
-            cur = g; n = 0L; any = true
+          if (runs == 0L) { runs = 1L; firstG = g; curG = g }
+          else if (g != curG) {
+            if (runs == 1L) firstN = curN
+            runs += 1L
+            curG = g
+            curN = 0L
           }
-          n += 1
+          curN += 1L
         }
-        if (any) buf += ((cur, n))
-        Iterator.single((pid, buf.toArray))
+        if (runs == 1L) firstN = curN
+        val res =
+          if (runs == 0L) None else Some((firstG, firstN, curG, curN, runs))
+        Iterator.single((pid, res))
       }.collect().sortBy(_._1)
-    // rank offset of partition p's first row of group g = sum of g's
-    // counts in earlier partitions (groups are contiguous across the
-    // range-partitioned order, so only boundary groups repeat)
-    val offsets = Array.fill(runs.length)(Map.empty[String, Long])
-    val running = scala.collection.mutable.HashMap.empty[String, Long]
-    runs.foreach { case (pid, rs) =>
-      offsets(pid) =
-        rs.iterator.map { case (g, _) => g -> running.getOrElse(g, 0L) }.toMap
-      rs.foreach { case (g, n) => running(g) = running.getOrElse(g, 0L) + n }
+    // carry = rows of the currently-open group in all earlier partitions;
+    // it offsets the next partition's first run iff the group continues
+    val offsets = new Array[Long](bounds.length)
+    var carryG: String = null
+    var carryN = 0L
+    var hasCarry = false
+    bounds.foreach {
+      case (pid, None) => offsets(pid) = 0L // empty partition: carry rides
+      case (pid, Some((fg, fn, lg, ln, nRuns))) =>
+        val off = if (hasCarry && fg == carryG) carryN else 0L
+        offsets(pid) = off
+        if (nRuns == 1L) { carryG = fg; carryN = off + fn }
+        else { carryG = lg; carryN = ln }
+        hasCarry = true
     }
     val bc = spark.sparkContext.broadcast(offsets)
     val schema = StructType(sorted.schema.fields :+
       StructField(rankCol, LongType, nullable = false))
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val offs = bc.value(pid)
+      val firstOff = bc.value(pid)
       var cur: String = null; var local = 0L; var base = 0L; var any = false
       it.flatMap { row =>
         val g = row.getString(gIdx)
-        if (!any || g != cur) {
-          cur = g; local = 0L; base = offs.getOrElse(g, 0L); any = true
-        }
+        if (!any) { any = true; cur = g; base = firstOff }
+        else if (g != cur) { cur = g; base = 0L; local = 0L }
         local += 1
         val rank = base + local
         if (rank <= cap) Some(Row.fromSeq(row.toSeq :+ rank)) else None
