@@ -93,8 +93,10 @@ object StreamGeoQueries {
     // aware — independent of batch boundaries and file order). The
     // final table must equal the batch "latest event per user" oracle
     "q93_stream_upsert" -> ((s, dir) => {
-      val base = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+      // tmpfs scratch: the 4-file source, the merge target, and its
+      // staging dir are all run-scoped — on RAM the per-batch
+      // read-merge-swap cycle stops paying disk latency 4 times over
+      val base = Streaming.scratchBase.resolve(
         s"graft-q93-${System.getProperty("user.name", "u")}").toString
       graft.sources.Tables.events(s, dir)
         .repartition(4)

@@ -123,6 +123,16 @@ object Streaming {
     * target by key range and rewrites only partitions the batch touches
     * (same algorithm, pruned); the per-batch merge shape is unchanged.
     * Returns the final merged table. */
+  /** Run-scoped scratch base: tmpfs when available (checkpoints, memory
+    * targets, and per-run staging all terminate within the call, so RAM
+    * beats disk and nothing needs to survive the process). */
+  def scratchBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
   def upsertAvailableNow(stream: DataFrame, targetDir: String,
                          keys: Seq[String], orderCols: Seq[String]): DataFrame = {
     val spark = stream.sparkSession
@@ -131,11 +141,7 @@ object Streaming {
     val fs = tPath.getFileSystem(hconf)
     fs.delete(tPath, true)
     val desc = orderCols.map(c => col(c).desc)
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val ckBase =
-      if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckBase = scratchBase
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val latest = graft.ops.Relational.keepFirst(
@@ -247,11 +253,7 @@ object Streaming {
                       outputMode: String = "complete",
                       statePartitions: Option[Int] = None): DataFrame = {
     val spark = stream.sparkSession
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val base =
-      if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val base = scratchBase
     // The override is session-scoped while the query drains (Spark locks
     // shuffle.partitions into the stream at start(), there is no
     // per-query knob) — callers composing OTHER work on the same session
