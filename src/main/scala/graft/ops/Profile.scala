@@ -31,6 +31,55 @@ object Profile {
       .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"),
         count(lit(1)).as("n_rows"))
 
+  /** KMV (k-minimum-values) distinct-count estimate per group — the
+    * hash-checked companion to [[approxDistinct]] (q78's HLL++ words are
+    * engine-internal; KMV over the PORTABLE polynomial hash is plain
+    * SQL arithmetic both engines replay bit-for-bit, false-sharing and
+    * all). Estimator (Bar-Yossef et al. 2002): hash every value into
+    * [0, P), keep the k smallest DISTINCT hashes per group; if fewer
+    * than k exist the count is exact, else est = floor((k-1)·P / h_k)
+    * with h_k the k-th smallest — integer-exact, no floats.
+    *
+    * The hash is squareMix(polyHash(value)) — the raw polynomial of a
+    * short value never wraps P, so its order statistics are nowhere
+    * near uniform (a KMV death sentence: the estimate is only as good
+    * as the hash's uniformity); the quadratic scatter restores the
+    * random baseline (see Hashing.squareMix — same reason SRP needs
+    * it).
+    *
+    * Scale shape: one distinct shuffle on (group, hash) — partial
+    * dedup map-side — then the per-group k-th order statistic via a
+    * rank-filtered window (WindowGroupLimit prunes each partition to k
+    * rows before the exchange, so the window never sorts a full group's
+    * hash set on one task beyond the top-k heap). Output:
+    * (groupCols…, kmv_distinct). */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 256): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val P = graft.functions.Hashing.P
+    val g = groupCols.map(col)
+    val ph = graft.functions.Hashing.polyHashCol(col(valueCol).cast("string"))
+    val distinctH = df
+      .select(g :+ (ph * ph % P * lit(2654435761L) % P).as("__h"): _*)
+      .distinct()
+    val counts = distinctH.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n_hashes"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__h").asc)
+    val kth = distinctH.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === k)
+      .select(g :+ col("__h").as("__kth"): _*)
+    // INTEGER division (div, not /): a double quotient could floor to a
+    // different integer than the exact one near ulp boundaries, and the
+    // oracle replays the same integer op
+    val num = (k - 1).toLong * P
+    counts.join(kth, groupCols, "left_outer")
+      .select(g :+
+        when(col("__kth").isNull, col("__n_hashes"))
+          .otherwise(expr(s"${num}L div __kth"))
+          .as("kmv_distinct"): _*)
+  }
+
   def keySkew(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
     require(keys.nonEmpty, "at least one key column is required")
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))

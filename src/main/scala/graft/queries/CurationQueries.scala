@@ -80,6 +80,20 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // q65's hash-checked companion: identical decontamination semantics
+    // but the Bloom bitset is built from PORTABLE polynomial reseed
+    // positions, so both engines reproduce the filter bit-for-bit and
+    // the driver verifies the full flag/keep output — false positives
+    // included (Spark's built-in Bloom hashes are engine-specific,
+    // which is why q65 itself stays spec-gated)
+    "q118_portable_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.portableBloomDecontaminate(
+          corpus = d.filter(col("doc_id") % 10 =!= 0),
+          eval = d.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    }),
+
     // Salted join: the skew-mitigation shape — dim replicated nSalt x,
     // fact rows spread over (key, salt); result == the plain inner
     // join, which is exactly the oracle SQL
@@ -467,6 +481,44 @@ object CurationQueries {
          |       CAST(floor(CAST(SUM(hit) AS DOUBLE) * 10000.0
          |         / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS contam_e4
          |FROM test GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // portable-Bloom replay: eval bit positions from the reseed hashes
+    // ((sh*(2j+1)+j*12345+678) mod P mod 2^20), a corpus shingle is
+    // flagged iff ALL 4 of its positions are set — bit-identical filter,
+    // so even the false positives match
+    "q118_portable_bloom" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(
+         |    ${TextQueries.Sql.shingles(TextQueries.Sql.wordHashes, 3)}) AS shs
+         |  FROM documents),
+         |ev AS (SELECT DISTINCT unnest(shs) AS s FROM sh
+         |       WHERE doc_id % 10 = 0),
+         |bits AS (SELECT DISTINCT
+         |           ((s * (2 * j + 1) + j * 12345 + 678) % 1000000007)
+         |             % 1048576 AS b
+         |         FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS j) jj),
+         |corp AS (SELECT doc_id, unnest(shs) AS s FROM sh
+         |         WHERE doc_id % 10 <> 0),
+         |pos AS (SELECT doc_id, s, j,
+         |          ((s * (2 * j + 1) + j * 12345 + 678) % 1000000007)
+         |            % 1048576 AS p
+         |        FROM corp CROSS JOIN (SELECT unnest(range(0, 4)) AS j) jj),
+         |hit AS (SELECT doc_id, s,
+         |          SUM(CASE WHEN bits.b IS NOT NULL THEN 1 ELSE 0 END) AS nset
+         |        FROM pos LEFT JOIN bits ON pos.p = bits.b
+         |        GROUP BY doc_id, s),
+         |flg AS (SELECT doc_id,
+         |          CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |          CAST(SUM(CASE WHEN nset = 4 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_flagged
+         |        FROM hit GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(f.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+         |       coalesce(f.n_flagged, CAST(0 AS BIGINT)) AS n_flagged,
+         |       coalesce(f.n_flagged, CAST(0 AS BIGINT)) < 1 AS keep
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         |LEFT JOIN flg f USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q51_length_quantiles" ->
       """WITH r AS (

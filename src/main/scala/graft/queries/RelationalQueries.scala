@@ -351,6 +351,15 @@ object RelationalQueries {
           t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey")
         .orderBy("l_returnflag")),
 
+    // q78's hash-checked companion: KMV distinct-count over the
+    // PORTABLE polynomial hash (HLL++ words are engine-internal; the
+    // k-minimum-values order statistic is plain integer SQL both
+    // engines replay exactly, hash collisions and all)
+    "q119_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Profile.kmvDistinct(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", k = 256)
+        .orderBy("l_returnflag")),
+
     // Top-k per group: top-3 parts by integer-exact revenue per
     // supplier — the per-stratum ranking shape (window partitioned by
     // the group, never a global sort)
@@ -749,6 +758,29 @@ object RelationalQueries {
         |       COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
         |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    // KMV replay: distinct portable hashes per group, k-th smallest via
+    // row_number, est = (k-1)*P div h_k (integer division both engines)
+    "q119_kmv_distinct" ->
+      s"""WITH ph AS (SELECT DISTINCT l_returnflag,
+         |         ${TextQueries.Sql.poly("CAST(l_partkey AS VARCHAR)")} AS p
+         |       FROM lineitem),
+         |h AS (SELECT DISTINCT l_returnflag,
+         |        p * p % 1000000007 * 2654435761 % 1000000007 AS h
+         |      FROM ph),
+         |c AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM h GROUP BY 1),
+         |r AS (SELECT l_returnflag, h,
+         |        row_number() OVER (PARTITION BY l_returnflag
+         |                           ORDER BY h) AS rn
+         |      FROM h),
+         |k AS (SELECT l_returnflag, h AS kth FROM r WHERE rn = 256)
+         |SELECT c.l_returnflag,
+         |       CASE WHEN k.kth IS NULL THEN c.n
+         |            ELSE CAST(${255L * 1000000007L} // k.kth AS BIGINT)
+         |            END AS kmv_distinct
+         |FROM c LEFT JOIN k USING (l_returnflag)
+         |ORDER BY c.l_returnflag""".stripMargin,
 
     "q79_topk_per_group" ->
       """WITH agg AS (

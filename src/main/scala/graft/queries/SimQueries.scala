@@ -206,6 +206,27 @@ object SimQueries {
         .select(col("query_id"), col("neighbor_id"), col("adc_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // q94's hash-checked companion: the same assignment -> capPerGroup
+    // -> balance-report composition (same Ivf.assignments + Curation
+    // .capPerGroup code), but against the PINNED codebook so k-means
+    // training drops out and the whole pipeline is driver-verified —
+    // including WHICH rows the cap kept (max_kept_id pins the boundary)
+    "q120_cluster_balance_pinned" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val assigned =
+        graft.sim.Ivf.assignments(e, graft.sim.Pinned.ivfCentroids())
+      val capped = graft.text.Curation.capPerGroup(
+        assigned, "centroid", Seq(col("id").asc), cap = 20)
+      assigned.groupBy("centroid").agg(count(lit(1)).as("n_total"))
+        .join(capped.groupBy("centroid")
+            .agg(count(lit(1)).as("n_kept"), max("id").as("max_kept_id")),
+          Seq("centroid"), "left_outer")
+        .select(col("centroid").cast("long").as("centroid"),
+          col("n_total"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          col("max_kept_id"))
+        .orderBy("centroid")
     }))
 
   private val dotSql =
@@ -345,23 +366,30 @@ object SimQueries {
     // (x * (1/sqrt(ss)), the exact operation order), 16 ordered dots,
     // argmax with ties to the lower centroid index
     "q114_ivf_assign" ->
-      s"""$vnCte,
-         |cd AS (SELECT c, d,
-         |         (CAST(${sqmixOfPoly("CAST(c AS VARCHAR) || ':' || CAST(d AS VARCHAR)")} % 5
-         |               AS BIGINT) - 2) * 0.25 AS w
-         |       FROM (SELECT unnest(range(0, 16)) AS c) cc
-         |       CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dd),
-         |cl AS (SELECT c, list(w ORDER BY d) AS cv FROM cd GROUP BY c),
-         |sc AS (SELECT id, c,
-         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |           list_transform(list_zip(vn, cv), p -> p[1] * p[2])),
-         |           (a, b) -> a + b) AS dot
-         |       FROM vn CROSS JOIN cl)
-         |SELECT id, CAST(c AS BIGINT) AS centroid FROM (
-         |  SELECT id, c, row_number() OVER (PARTITION BY id
-         |                                   ORDER BY dot DESC, c) AS rn
-         |  FROM sc)
-         |WHERE rn = 1 ORDER BY id""".stripMargin,
+      s"""$pinnedAssignCte
+         |SELECT id, CAST(centroid AS BIGINT) AS centroid
+         |FROM asg ORDER BY id""".stripMargin,
+
+    // q94's pipeline (assignment -> capPerGroup -> balance report)
+    // against the pinned codebook: totals, kept counts under the cap of
+    // 20 lowest ids, and the 20th-lowest kept id per cluster
+    "q120_cluster_balance_pinned" ->
+      s"""$pinnedAssignCte,
+         |tot AS (SELECT centroid, CAST(COUNT(*) AS BIGINT) AS n_total
+         |        FROM asg GROUP BY centroid),
+         |kept AS (SELECT centroid, id FROM (
+         |           SELECT centroid, id,
+         |                  row_number() OVER (PARTITION BY centroid
+         |                                     ORDER BY id) AS rn
+         |           FROM asg)
+         |         WHERE rn <= 20),
+         |k2 AS (SELECT centroid, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |         CAST(MAX(id) AS BIGINT) AS max_kept_id
+         |       FROM kept GROUP BY centroid)
+         |SELECT CAST(t.centroid AS BIGINT) AS centroid, t.n_total,
+         |       k2.n_kept, k2.max_kept_id
+         |FROM tot t JOIN k2 USING (centroid)
+         |ORDER BY centroid""".stripMargin,
 
     // replay of Pq.encode + pinnedAdcTopK against the Pinned PQ
     // codebooks: per-subspace argmin squared distance (ordered sums,
@@ -406,6 +434,27 @@ object SimQueries {
          |                            ORDER BY adc_e6 DESC, neighbor_id) AS rank
          |  FROM score)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+
+  /** Shared q114/q120 oracle base: pinned-codebook nearest-centroid
+    * assignment, ending in `asg(id, centroid)`. */
+  private lazy val pinnedAssignCte: String =
+    s"""$vnCte,
+       |cd AS (SELECT c, d,
+       |         (CAST(${sqmixOfPoly("CAST(c AS VARCHAR) || ':' || CAST(d AS VARCHAR)")} % 5
+       |               AS BIGINT) - 2) * 0.25 AS w
+       |       FROM (SELECT unnest(range(0, 16)) AS c) cc
+       |       CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dd),
+       |cl AS (SELECT c, list(w ORDER BY d) AS cv FROM cd GROUP BY c),
+       |sc AS (SELECT id, c,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(list_zip(vn, cv), p -> p[1] * p[2])),
+       |           (a, b) -> a + b) AS dot
+       |       FROM vn CROSS JOIN cl),
+       |asg AS (SELECT id, c AS centroid FROM (
+       |          SELECT id, c, row_number() OVER (PARTITION BY id
+       |                                           ORDER BY dot DESC, c) AS rn
+       |          FROM sc)
+       |        WHERE rn = 1)""".stripMargin
 
   /** squareMix(polyHash(e)) as SQL (graft.functions.Hashing.squareMix):
     * ((h*h) % P * 2654435761) % P. */

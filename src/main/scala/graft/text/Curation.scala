@@ -67,29 +67,91 @@ object Curation {
     * side at call time (distinct-count + bloom aggregate) — inherent to
     * model-building operators; the corpus side stays lazy.
     * Output: (id, n_shingles, n_flagged, keep) per corpus doc. */
+  /** (id, distinct k-shingle hashes) per document — the shared shape
+    * of the decontamination operators. */
+  private def docShingleSets(df: DataFrame, textCol: String, idCol: String,
+                             k: Int, portable: Boolean) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.sources.Tables.widen(
+        df.select(col(idCol).cast("long"),
+          TextAnalysis.normalizeCol(col(textCol)).as("__norm")))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, norm) =>
+        (id, Dedup.shingleHashes(Dedup.wordHashes(norm, portable), k).distinct)
+      })
+  }
+
   def bloomDecontaminate(corpus: DataFrame, eval: DataFrame,
                          textCol: String = "text", idCol: String = "doc_id",
                          k: Int = 3, maxHits: Long = 1, fpp: Double = 0.001,
                          portable: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def docShingles(df: DataFrame) =
-      graft.sources.Tables.widen(
-          df.select(col(idCol).cast("long"),
-            TextAnalysis.normalizeCol(col(textCol)).as("__norm")))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, norm) =>
-          (id, Dedup.shingleHashes(Dedup.wordHashes(norm, portable), k).distinct)
-        })
-    val evalHashes = docShingles(eval).flatMap(_._2).toDF("sh").distinct()
+    val evalHashes = docShingleSets(eval, textCol, idCol, k, portable)
+      .flatMap(_._2).toDF("sh").distinct()
     val nItems = math.max(1L, evalHashes.count())
     val bloom = evalHashes.stat.bloomFilter("sh", nItems, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    docShingles(corpus)
+    docShingleSets(corpus, textCol, idCol, k, portable)
       .mapPartitions { it =>
         val bf = bloomBc.value
         it.map { case (id, shs) =>
           val flagged = shs.count(bf.mightContainLong)
+          (id, shs.length.toLong, flagged.toLong, flagged < maxHits)
+        }
+      }
+      .toDF(idCol, "n_shingles", "n_flagged", "keep")
+  }
+
+  /** PORTABLE-Bloom decontamination — the hash-checked companion to
+    * [[bloomDecontaminate]]: Spark's built-in Bloom filter hashes with
+    * engine-specific functions, so q65 is spec-gated only. This variant
+    * sets bit positions with the portable polynomial reseed hashes
+    * (Hashing.reseed — the same (h·(2j+1)+j·12345+678) mod P formula
+    * every oracle replays) over a power-of-two `mBits` bitset, making
+    * the whole filter — INCLUDING its false positives — bit-identical
+    * in any engine, so the driver hash-compares the full keep/flag
+    * output (q118). Same scale shape: the bitset is built by a
+    * distributed OR tree-aggregate (only mBits/8 bytes ever reach the
+    * driver), broadcast once, and the corpus is scanned map-only. */
+  def portableBloomDecontaminate(corpus: DataFrame, eval: DataFrame,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 k: Int = 3, maxHits: Long = 1,
+                                 mBits: Int = 1 << 20,
+                                 numHashes: Int = 4): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      "mBits must be a power of two >= 64")
+    require(numHashes >= 1, "numHashes must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nh = numHashes
+    val m = mBits
+    def positions(sh: Long): Iterator[Int] =
+      (0 until nh).iterator.map(j =>
+        (graft.functions.Hashing.reseed(sh, j) % m).toInt)
+    val bitWords = docShingleSets(eval, textCol, idCol, k, portable = true)
+      .flatMap(_._2).distinct()
+      .rdd
+      .treeAggregate(new Array[Long](m / 64))(
+        (acc, sh) => {
+          positions(sh).foreach(p => acc(p >> 6) |= (1L << (p & 63)))
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) |= b(i); i += 1 }
+          a
+        })
+    val bc = spark.sparkContext.broadcast(bitWords)
+    docShingleSets(corpus, textCol, idCol, k, portable = true)
+      .mapPartitions { it =>
+        val bits = bc.value
+        it.map { case (id, shs) =>
+          val flagged = shs.count { sh =>
+            positions(sh).forall(p => (bits(p >> 6) & (1L << (p & 63))) != 0L)
+          }
           (id, shs.length.toLong, flagged.toLong, flagged < maxHits)
         }
       }

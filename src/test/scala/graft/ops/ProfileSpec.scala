@@ -47,6 +47,29 @@ class ProfileSpec extends SparkSuite {
       "HLL must be deterministic across partitionings")
   }
 
+  test("kmvDistinct: exact below k, within ~2/sqrt(k) above, deterministic") {
+    // below k distinct values: the estimate IS the exact count
+    val small = (1 to 100).map(i => (i % 2, i)).toDF("g", "v")
+    val exactSmall = Profile.kmvDistinct(small, Seq("g"), "v", k = 256)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(exactSmall == Map(0 -> 50L, 1 -> 50L))
+    // above k: estimator error ~ 1/sqrt(k); allow 3 sigma
+    val big = (1 to 60000).map(i => (i % 3, i % 7000)).toDF("g", "v")
+    val est = Profile.kmvDistinct(big, Seq("g"), "v", k = 256)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = big.groupBy("g").agg(countDistinct("v").as("d"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, d) =>
+      assert(math.abs(est(g) - d).toDouble / d < 3.0 / math.sqrt(256.0),
+        s"group $g: kmv ${est(g)} vs exact $d")
+    }
+    // deterministic across partitionings (pure hash arithmetic)
+    val again = Profile.kmvDistinct(big.repartition(13), Seq("g"), "v",
+        k = 256)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again == est)
+  }
+
   test("keySkew plan: TakeOrdered cut, no full sort exchange of all keys") {
     val df = (1 to 1000).map(_ % 50).toDF("k")
     val p = Profile.keySkew(df, Seq("k"), topN = 5)

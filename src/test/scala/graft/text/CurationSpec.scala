@@ -135,6 +135,34 @@ class CurationSpec extends graft.SparkSuite {
     assert(bloom(11L)._3)
   }
 
+  test("portableBloomDecontaminate: no false negatives, agrees with exact") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 10 === 0)
+    val bloom = Curation.portableBloomDecontaminate(corpus, eval_)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val exact = Curation.contamination(train = eval_, test = corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, exactHits) =>
+      val (n, flagged, keep) = bloom(id)
+      assert(flagged >= exactHits, s"doc $id lost a true hit")
+      assert(flagged <= n)
+      assert(keep == (flagged < 1L))
+    }
+    // true contamination (docs 1,2 share a shingle with eval doc 10) is
+    // caught; novel doc 11 survives at 2^20 bits / 4 hashes
+    assert(!bloom(1L)._3 && !bloom(2L)._3)
+    assert(bloom(11L)._3)
+    // deterministic re-run, bit-for-bit
+    val again = Curation.portableBloomDecontaminate(corpus, eval_)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(again == bloom)
+  }
+
   test("lmScore: in-vocab mass, OOV counts, quantized probabilities exact") {
     val train = Seq((100L, "alpha beta alpha gamma")).toDF("doc_id", "text")
     // total = 4 tokens: p(alpha)=floor(2e9/4)=500000000,
