@@ -208,6 +208,16 @@ object SimQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // q58's hash-checked companion: the full SemDeDup pipeline
+    // (centroid blocking -> in-block cosine pairs -> connected
+    // components -> min-id representative) against the PINNED codebook;
+    // same SemanticDedup/nearDupBlocked/Components code, training
+    // dropped out, so the driver verifies the whole keep/drop output
+    "q121_semantic_dedup_pinned" -> ((s, dir) =>
+      graft.sim.SemanticDedup.assignmentsWith(emb(s, dir),
+          thresholdE6 = 900000L, graft.sim.Pinned.ivfCentroids())
+        .orderBy("id")),
+
     // q94's hash-checked companion: the same assignment -> capPerGroup
     // -> balance-report composition (same Ivf.assignments + Curation
     // .capPerGroup code), but against the PINNED codebook so k-means
@@ -369,6 +379,34 @@ object SimQueries {
       s"""$pinnedAssignCte
          |SELECT id, CAST(centroid AS BIGINT) AS centroid
          |FROM asg ORDER BY id""".stripMargin,
+
+    // SemDeDup replay against the pinned codebook: blocked exact-cosine
+    // pairs (raw-vector dot/norm, the q39 arithmetic) within pinned
+    // centroids, recursive component closure, min-id representative
+    "q121_semantic_dedup_pinned" ->
+      s"""${pinnedAssignCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |prs AS (SELECT a.id AS id_a, b.id AS id_b
+         |        FROM (SELECT e.id, e.v, g.centroid
+         |              FROM e JOIN asg g ON e.id = g.id) a
+         |        JOIN (SELECT e.id, e.v, g.centroid
+         |              FROM e JOIN asg g ON e.id = g.id) b
+         |          ON a.centroid = b.centroid AND a.id < b.id
+         |        WHERE CAST(floor(
+         |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |              list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])),
+         |              (acc, x) -> acc + x)
+         |            / (${normSql("a.v")} * ${normSql("b.v")})
+         |            * 1000000.0) AS BIGINT) >= 900000),
+         |edges AS (SELECT id_a AS u, id_b AS w2 FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(u, m) AS (
+         |  SELECT id, id FROM asg
+         |  UNION
+         |  SELECT e2.u, r.m FROM edges e2 JOIN reach r ON r.u = e2.w2),
+         |comp AS (SELECT u AS id, MIN(m) AS component
+         |         FROM reach GROUP BY u)
+         |SELECT id, component, CAST(component = id AS BIGINT) AS kept
+         |FROM comp ORDER BY id""".stripMargin,
 
     // q94's pipeline (assignment -> capPerGroup -> balance report)
     // against the pinned codebook: totals, kept counts under the cap of

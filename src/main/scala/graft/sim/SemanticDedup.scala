@@ -24,8 +24,17 @@ object SemanticDedup {
     * smallest id of each near-duplicate group (singletons keep
     * themselves) — filtering on it IS the dedup. */
   def assignments(emb: DataFrame, thresholdE6: Long,
-                  nCentroids: Int = 16, iters: Int = 2): DataFrame = {
-    val cents = Ivf.trainCentroids(emb, nCentroids, iters)
+                  nCentroids: Int = 16, iters: Int = 2): DataFrame =
+    assignmentsWith(emb, thresholdE6,
+      Ivf.trainCentroids(emb, nCentroids, iters))
+
+  /** [[assignments]] with an INJECTED codebook — the same blocking →
+    * in-block pairs → components pipeline minus the training step.
+    * With a pinned codebook ([[Pinned.ivfCentroids]]) every stage is
+    * deterministic SQL arithmetic, which is what makes the q121
+    * companion driver-checkable while trained q58 stays spec-gated. */
+  def assignmentsWith(emb: DataFrame, thresholdE6: Long,
+                      cents: Array[Array[Double]]): DataFrame = {
     val blocked = emb.select(col("id"), col("vec"))
       .join(Ivf.assignments(emb, cents), Seq("id"))
     val pairs = Similarity
