@@ -118,6 +118,88 @@ object Sketch {
     override def outputEncoder: Encoder[MGResult] = Encoders.product
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): a depth × width
+    * counter matrix; each token occurrence adds 1 at one bucket per
+    * row, a point estimate is the min over rows — OVER-counts by at
+    * most ~2n/width with probability 1 − 2^−depth, never
+    * under-counts. Complements [[MisraGries]]: MG carries a bounded
+    * candidate set, CM answers a point query for ANY token after one
+    * pass. Mergeable by elementwise sum.
+    *
+    * Hashes are the PORTABLE primitives (squareMix(polyHash) scattered
+    * base, per-row reseed) — deterministic integer arithmetic, so the
+    * q122 oracle replays the entire matrix bit-for-bit, collisions
+    * included. Null tokens hash as the empty string. */
+  final case class CMSketch(depth: Int, width: Int, table: Array[Long],
+                            n: Long) {
+    def estimate(tok: String): Long = {
+      val base = CMSketch.baseOf(tok)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < depth) {
+        m = math.min(m, table(j * width + CMSketch.bucket(base, j, width)))
+        j += 1
+      }
+      m
+    }
+  }
+
+  object CMSketch {
+    def baseOf(tok: String): Long =
+      graft.functions.Hashing.squareMix(
+        graft.functions.Hashing.polyHash(if (tok == null) "" else tok))
+    /** Per-row bucket: squareMix of the row-reseeded base. The square
+      * AFTER the reseed is load-bearing: a plain affine reseed makes
+      * every row's bucket a linear transform of one value, so two
+      * tokens whose bases differ by a multiple of `width` collide in
+      * EVERY row and the min never escapes (measured: 20× the expected
+      * over-count). Squaring per row makes the row functions distinct
+      * quadratics — pairwise-independent enough for the CM bound. */
+    def bucket(base: Long, j: Int, width: Int): Int =
+      (graft.functions.Hashing.squareMix(
+        graft.functions.Hashing.reseed(base, j)) % width).toInt
+  }
+
+  /** One treeAggregate pass over a token column — only the
+    * depth·width·8-byte matrix ever moves, never the token stream. */
+  def countMin(df: DataFrame, column: String, depth: Int = 4,
+               width: Int = 8192): CMSketch = {
+    require(depth >= 1, "depth must be >= 1")
+    require(width >= 2, "width must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = depth
+    val w = width
+    val (table, n) = df.select(col(column).cast("string")).as[String].rdd
+      .treeAggregate((new Array[Long](d * w), 0L))(
+        { case ((t, c), tok) =>
+            val base = CMSketch.baseOf(tok)
+            var j = 0
+            while (j < d) { t(j * w + CMSketch.bucket(base, j, w)) += 1L; j += 1 }
+            (t, c + 1L)
+        },
+        { case ((t1, c1), (t2, c2)) =>
+            var i = 0
+            while (i < t1.length) { t1(i) += t2(i); i += 1 }
+            (t1, c1 + c2)
+        })
+    CMSketch(d, w, table, n)
+  }
+
+  /** Map-only point estimates against the broadcast sketch:
+    * (column, cm_est) per input row. */
+  def cmEstimates(df: DataFrame, column: String, sk: CMSketch): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(sk)
+    df.select(col(column).cast("string")).as[String]
+      .mapPartitions { it =>
+        val s = bc.value
+        it.map(t => (t, s.estimate(t)))
+      }
+      .toDF(column, "cm_est")
+  }
+
   /** One-pass sketch of a string column: driver gets the (tiny) summary. */
   def misraGries(df: DataFrame, column: String, k: Int): MGResult = {
     val spark = df.sparkSession

@@ -382,7 +382,24 @@ object TextQueries {
     // the greedy serving tokenization is driver-verified). Same
     // Bpe.encode/encodeWord code path the trained q87 runs
     "q116_bpe_encode" -> ((s, dir) =>
-      graft.text.Bpe.encode(docs(s, dir), pinnedMerges).orderBy("doc_id")))
+      graft.text.Bpe.encode(docs(s, dir), pinnedMerges).orderBy("doc_id")),
+
+    // Count-min frequency sketch over the corpus token stream: one
+    // treeAggregate builds the 4x8192 matrix (portable hashes -> the
+    // oracle replays the matrix bit-for-bit, collisions included), then
+    // the heavy vocabulary's point estimates are checked against true
+    // counts — est >= truth always, with the CM over-count visible
+    "q122_count_min" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(TextAnalysis.wordsCol(col("text"))).as("tok"))
+      val sk = graft.ops.Sketch.countMin(toks, "tok")
+      val heavy = toks.groupBy("tok").agg(count(lit(1)).as("n_true"))
+        .filter(col("n_true") >= 50)
+      heavy.join(graft.ops.Sketch.cmEstimates(heavy.select("tok"), "tok", sk),
+          Seq("tok"))
+        .select(col("tok"), col("n_true"), col("cm_est"))
+        .orderBy("tok")
+    }))
 
   /** Pinned BPE merges for q116 — mirrored verbatim into the oracle's
     * VALUES table. The ordering is BPE-consistent (every component is a
@@ -459,6 +476,32 @@ object TextQueries {
         |SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q24_minhash_pairs" -> minhashAllPairsSql,
+
+    // count-min matrix replay: per (row j, bucket) sums where bucket =
+    // squareMix(reseed_j(base)) mod width (square AFTER reseed — see
+    // Sketch.CMSketch.bucket), point estimate = min over the 4 buckets
+    "q122_count_min" ->
+      s"""WITH toks AS (SELECT unnest(${Sql.words}) AS tok FROM documents),
+         |h AS (SELECT tok, COUNT(*) AS c,
+         |        ${Sql.poly("tok")} * ${Sql.poly("tok")}
+         |          % 1000000007 * 2654435761 % 1000000007 AS base
+         |      FROM toks GROUP BY tok),
+         |jj AS (SELECT unnest(range(0, 4)) AS j),
+         |hb AS (SELECT tok, c, j,
+         |         (rs * rs % 1000000007 * 2654435761 % 1000000007)
+         |           % 8192 AS b
+         |       FROM (SELECT h.tok, h.c, jj.j,
+         |               (h.base * (2 * jj.j + 1) + jj.j * 12345 + 678)
+         |                 % 1000000007 AS rs
+         |             FROM h CROSS JOIN jj) x),
+         |bc AS (SELECT j, b, CAST(SUM(c) AS BIGINT) AS s
+         |       FROM hb GROUP BY j, b),
+         |est AS (SELECT hb.tok, MIN(bc.s) AS cm_est
+         |        FROM hb JOIN bc ON bc.j = hb.j AND bc.b = hb.b
+         |        GROUP BY hb.tok)
+         |SELECT h.tok, CAST(h.c AS BIGINT) AS n_true, est.cm_est
+         |FROM h JOIN est USING (tok)
+         |WHERE h.c >= 50 ORDER BY tok""".stripMargin,
 
     "q54_repetition_stats" ->
       s"""WITH w AS (SELECT doc_id, ${Sql.words} AS ws FROM documents),

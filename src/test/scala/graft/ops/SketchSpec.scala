@@ -55,6 +55,24 @@ class SketchSpec extends SparkSuite {
     assert(ex.getMessage.contains("error bound"))
   }
 
+  test("countMin: never under-counts, bounded over-count, partition-invariant") {
+    val data = zipf(300, 3000)
+    val df = data.toDF("tok").repartition(7)
+    val sk = Sketch.countMin(df, "tok", depth = 4, width = 1024)
+    assert(sk.n == data.size.toLong)
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    truth.foreach { case (tok, c) =>
+      val est = sk.estimate(tok)
+      assert(est >= c, s"$tok under-counted: $est < $c")
+      // standard CM bound: over-count <= 2n/width whp; allow 4x slack
+      assert(est - c <= 8L * sk.n / 1024L, s"$tok over-count $est vs $c")
+    }
+    // deterministic across partitionings: same matrix bit-for-bit
+    val again = Sketch.countMin(data.toDF("tok").repartition(3), "tok",
+      depth = 4, width = 1024)
+    assert(java.util.Arrays.equals(sk.table, again.table))
+  }
+
   test("candidate exact pass broadcasts and semi-joins (no full-stream distinct)") {
     val df = zipf(300, 1500).toDF("tok")
     val plan = Sketch.heavyHitters(df, "tok", k = 256, minCount = 60L)
