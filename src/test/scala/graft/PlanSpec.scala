@@ -292,4 +292,47 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
       s"one gram-bucket shuffle + one pair agg only:\n$p")
   }
+
+  test("pinned ADC serving: LUT broadcast-joins, codes never carry vectors") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val p = plan(graft.sim.Pq.pinnedAdcTopK(
+      e.filter(col("id") < 5), e, graft.sim.Pinned.pqBooks(), k = 3))
+    assert(p.contains("BroadcastHashJoin"), s"LUT must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no corpus-wide joins:\n$p")
+    // every shuffle row is (s, code, ids, lut/adc) — small fixed-width;
+    // no exchange may carry a vector payload
+    p.split("Exchange").drop(1).foreach { ex =>
+      val header = ex.takeWhile(_ != '\n')
+      assert(!header.contains("vec#") && !header.contains("vn#"),
+        s"vector in exchange:\n$header")
+    }
+  }
+
+  test("portable bloom decontamination scores the corpus map-only") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val scored = graft.text.Curation.portableBloomDecontaminate(
+      d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0))
+    val p = plan(scored)
+    // model is broadcast: the corpus side has no join and no aggregation
+    // exchange — widen's AQE round-trip aside, the scoring pass is the
+    // scan + the typed mapPartitions
+    assert(!p.contains("Join"), s"corpus scoring must not join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus scoring must not shuffle:\n$p")
+  }
+
+  test("LSH candidate join (q113) exchanges compact keys, never vectors") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val p = plan(graft.sim.Similarity.lshCandidates(
+      e.filter(col("id") < 5), e))
+    assert(!p.contains("CartesianProduct"), p)
+    // every exchange row is (id, table, bucket) — no embedding payload
+    p.split("Exchange").drop(1).foreach { ex =>
+      val header = ex.takeWhile(_ != '\n')
+      assert(!header.contains("vec#"), s"vector in exchange:\n$header")
+    }
+  }
 }
