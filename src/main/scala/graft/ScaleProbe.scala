@@ -91,6 +91,16 @@ object ScaleProbe {
         graft.text.TrainingData.prepare(d,
           eval = d.filter(col("doc_id") % 13 === 0)).count()
       }
+      time("portable_bloom", f) {
+        graft.text.Curation.portableBloomDecontaminate(
+          d.filter(col("doc_id") % 10 =!= 0),
+          d.filter(col("doc_id") % 10 === 0)).count()
+      }
+      time("count_min", f) {
+        val toks = d.select(explode(
+          graft.text.TextAnalysis.wordsCol(col("text"))).as("tok"))
+        graft.ops.Sketch.countMin(toks, "tok").n
+      }
     }
     spark.stop()
   }
