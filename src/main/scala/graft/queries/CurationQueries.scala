@@ -80,6 +80,30 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Bucketed co-located join, end-to-end: both sides written
+    // bucketBy+sortBy on the join key (the pay-the-shuffle-ONCE 100 TB
+    // layout), then the recurring join + rollup runs over the bucketed
+    // tables — zero-Exchange plan pinned by BucketedSpec; THIS query
+    // pins the result itself against the plain-join oracle
+    "q123_bucketed_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("price_cents"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.sources.Bucketed.save(li, "graft_q123_li",
+        Seq("l_orderkey"), buckets = 8)
+      graft.sources.Bucketed.save(ord, "graft_q123_ord",
+        Seq("l_orderkey"), buckets = 8)
+      graft.sources.Bucketed.load(s, "graft_q123_li")
+        .join(graft.sources.Bucketed.load(s, "graft_q123_ord"),
+          Seq("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("price_cents").as("sum_price_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // q65's hash-checked companion: identical decontamination semantics
     // but the Bloom bitset is built from PORTABLE polynomial reseed
     // positions, so both engines reproduce the filter bit-for-bit and
@@ -481,6 +505,15 @@ object CurationQueries {
          |       CAST(floor(CAST(SUM(hit) AS DOUBLE) * 10000.0
          |         / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS contam_e4
          |FROM test GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q123_bucketed_join" ->
+      """SELECT o.o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT))
+        |            AS BIGINT) AS sum_price_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
 
     // portable-Bloom replay: eval bit positions from the reseed hashes
     // ((sh*(2j+1)+j*12345+678) mod P mod 2^20), a corpus shingle is

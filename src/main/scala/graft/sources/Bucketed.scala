@@ -16,16 +16,30 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketed {
 
-  /** Save `df` as a bucketed, sorted managed table. `buckets` should be
-    * sized so a bucket of the LARGER recurring join side fits an
-    * executor core's working set. */
+  /** Save `df` as a bucketed, sorted managed table (default database).
+    * `buckets` should be sized so a bucket of the LARGER recurring join
+    * side fits an executor core's working set.
+    *
+    * A previous SESSION's managed-table location can survive in the
+    * warehouse dir while the (in-memory) catalog entry did not —
+    * SaveMode.Overwrite only clears locations the catalog knows about,
+    * and Spark refuses to adopt an orphaned one
+    * (LOCATION_ALREADY_EXISTS). Drop + clear explicitly first. */
   def save(df: DataFrame, table: String, keys: Seq[String],
-           buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+           buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(mode)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def load(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
