@@ -70,6 +70,17 @@ class ProfileSpec extends SparkSuite {
     assert(again == est)
   }
 
+  test("kmvDistinct plan: the k-th order statistic prunes via WindowGroupLimit") {
+    val df = (1 to 20000).map(i => (i % 3, i % 5000)).toDF("g", "v")
+    val p = Profile.kmvDistinct(df, Seq("g"), "v", k = 64)
+      .queryExecution.executedPlan.toString
+    // rn = k must plan as a group-limit (partial top-k per partition
+    // before the exchange), not a full per-group sort surviving to one
+    // task — the property that makes the estimator usable at corpus
+    // cardinalities
+    assert(p.contains("WindowGroupLimit"), s"no group limit:\n$p")
+  }
+
   test("keySkew plan: TakeOrdered cut, no full sort exchange of all keys") {
     val df = (1 to 1000).map(_ % 50).toDF("k")
     val p = Profile.keySkew(df, Seq("k"), topN = 5)
