@@ -38,7 +38,9 @@ object Profile {
     * all). Estimator (Bar-Yossef et al. 2002): hash every value into
     * [0, P), keep the k smallest DISTINCT hashes per group; if fewer
     * than k exist the count is exact, else est = floor((k-1)·P / h_k)
-    * with h_k the k-th smallest — integer-exact, no floats.
+    * with h_k the k-th smallest — integer-exact, no floats. NULL
+    * values are excluded (a distinct-count of nulls is not meaningful
+    * and engines disagree on NULL ordering).
     *
     * The hash is squareMix(polyHash(value)) — the raw polynomial of a
     * short value never wraps P, so its order statistics are nowhere
@@ -47,21 +49,51 @@ object Profile {
     * random baseline (see Hashing.squareMix — same reason SRP needs
     * it).
     *
-    * Scale shape: one distinct shuffle on (group, hash) — partial
-    * dedup map-side — then the per-group k-th order statistic via a
-    * rank-filtered window (WindowGroupLimit prunes each partition to k
-    * rows before the exchange, so the window never sorts a full group's
-    * hash set on one task beyond the top-k heap). Output:
-    * (groupCols…, kmv_distinct). */
+    * Scale shape: a compiled map-side prune first — each task keeps a
+    * bounded per-group set of its k smallest locally-distinct hashes
+    * (groups × k longs of task memory), so the exchange carries at most
+    * k·partitions rows per group instead of the full distinct value
+    * set. The prune is LOSSLESS for the answer: every global k-smallest
+    * hash has local rank ≤ its global rank and survives its partition's
+    * cut, and the exact-count fallback only fires when the merged set
+    * is smaller than k — exactly when the prune kept everything. The
+    * pruned survivors then dedup + rank via a WindowGroupLimit-pruned
+    * window. Output: (groupCols…, kmv_distinct). */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Int = 256): DataFrame = {
     require(k >= 2, "k must be >= 2")
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
     val P = graft.functions.Hashing.P
     val g = groupCols.map(col)
     val ph = graft.functions.Hashing.polyHashCol(col(valueCol).cast("string"))
-    val distinctH = df
+    val hashed = df
       .select(g :+ (ph * ph % P * lit(2654435761L) % P).as("__h"): _*)
+    val schema = hashed.schema
+    val nG = groupCols.length
+    val kk = k
+    val prunedRdd = hashed.rdd.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Seq[Any], java.util.TreeSet[java.lang.Long]]
+      it.foreach { row =>
+        if (!row.isNullAt(nG)) {
+          val key = (0 until nG).map(row.get)
+          val set = heaps.getOrElseUpdate(key,
+            new java.util.TreeSet[java.lang.Long]())
+          set.add(row.getLong(nG))
+          if (set.size > kk) set.pollLast()
+        }
+      }
+      heaps.iterator.flatMap { case (key, set) =>
+        val it2 = set.iterator()
+        new Iterator[Row] {
+          def hasNext: Boolean = it2.hasNext
+          def next(): Row = Row.fromSeq(key :+ it2.next().longValue())
+        }
+      }
+    }
+    val distinctH = spark.createDataFrame(prunedRdd, schema)
       .distinct()
     val counts = distinctH.groupBy(g: _*)
       .agg(count(lit(1)).as("__n_hashes"))

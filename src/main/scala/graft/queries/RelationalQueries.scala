@@ -764,7 +764,7 @@ object RelationalQueries {
     "q119_kmv_distinct" ->
       s"""WITH ph AS (SELECT DISTINCT l_returnflag,
          |         ${TextQueries.Sql.poly("CAST(l_partkey AS VARCHAR)")} AS p
-         |       FROM lineitem),
+         |       FROM lineitem WHERE l_partkey IS NOT NULL),
          |h AS (SELECT DISTINCT l_returnflag,
          |        p * p % 1000000007 * 2654435761 % 1000000007 AS h
          |      FROM ph),
