@@ -50,7 +50,10 @@ object SimQueries {
     "q94_cluster_balance" -> ((s, dir) => {
       val e = emb(s, dir)
       val cents = graft.sim.Ivf.trainCentroids(e, nCentroids = 16)
+      // checkpoint: consumed by the totals agg AND capPerGroup's two rdd
+      // passes — the typed assignment pass would otherwise re-run 3x
       val assigned = graft.sim.Ivf.assignments(e, cents)
+        .localCheckpoint(eager = false)
       val capped = graft.text.Curation.capPerGroup(
         assigned, "centroid", Seq(col("id").asc), cap = 20)
       assigned.groupBy("centroid").agg(count(lit(1)).as("n_total"))
@@ -225,8 +228,10 @@ object SimQueries {
     // including WHICH rows the cap kept (max_kept_id pins the boundary)
     "q120_cluster_balance_pinned" -> ((s, dir) => {
       val e = emb(s, dir)
+      // checkpoint for the same 3-consumer reason as q94
       val assigned =
         graft.sim.Ivf.assignments(e, graft.sim.Pinned.ivfCentroids())
+          .localCheckpoint(eager = false)
       val capped = graft.text.Curation.capPerGroup(
         assigned, "centroid", Seq(col("id").asc), cap = 20)
       assigned.groupBy("centroid").agg(count(lit(1)).as("n_total"))

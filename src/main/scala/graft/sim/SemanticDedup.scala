@@ -35,8 +35,13 @@ object SemanticDedup {
     * companion driver-checkable while trained q58 stays spec-gated. */
   def assignmentsWith(emb: DataFrame, thresholdE6: Long,
                       cents: Array[Array[Double]]): DataFrame = {
+    // checkpoint: both sides of the in-block self-join read the
+    // assignment table, and the typed assignment mapPartitions blocks
+    // ReusedExchange (the Fuzzy/Bm25/dHashTable pattern) — without the
+    // cut the corpus would be normalized + assigned once per side
     val blocked = emb.select(col("id"), col("vec"))
       .join(Ivf.assignments(emb, cents), Seq("id"))
+      .localCheckpoint(eager = false)
     val pairs = Similarity
       .nearDupBlocked(blocked, "centroid", thresholdE6)
       .select(col("id_a"), col("id_b"))
