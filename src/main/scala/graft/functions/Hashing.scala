@@ -67,4 +67,11 @@ object Hashing {
     * h < P ~ 1e9 so h*h < 1e18 and (h*h mod P)*2654435761 < 2.7e18.
     * DuckDB replica: ((h*h) % 1000000007 * 2654435761) % 1000000007. */
   def squareMix(h: Long): Long = ((h * h) % P * 2654435761L) % P
+
+  /** Column variant of [[squareMix]] — identical arithmetic (all
+    * intermediates in Long range, see above). ONE owner for the mix
+    * constant: engine-side scatter sites must use this (and oracle-side
+    * ones TextQueries.Sql.sqmix) so the two forms cannot drift. */
+  def squareMixCol(h: Column): Column =
+    h * h % lit(P) * lit(2654435761L) % lit(P)
 }

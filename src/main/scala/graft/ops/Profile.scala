@@ -69,27 +69,37 @@ object Profile {
     val g = groupCols.map(col)
     val ph = graft.functions.Hashing.polyHashCol(col(valueCol).cast("string"))
     val hashed = df
-      .select(g :+ (ph * ph % P * lit(2654435761L) % P).as("__h"): _*)
+      .select(g :+ graft.functions.Hashing.squareMixCol(ph).as("__h"): _*)
     val schema = hashed.schema
     val nG = groupCols.length
     val kk = k
     val prunedRdd = hashed.rdd.mapPartitions { it =>
+      // heap key AND emitted key both come from canon(): array-typed
+      // group values (binary columns) compare by reference as map keys,
+      // which would silently degrade the prune to one heap per row —
+      // canonicalize to Seq so value equality applies (SQL equality
+      // downstream is unaffected either way)
+      def canon(v: Any): Any = v match {
+        case a: Array[_] => a.toSeq
+        case x => x
+      }
       val heaps = scala.collection.mutable.HashMap
-        .empty[Seq[Any], java.util.TreeSet[java.lang.Long]]
+        .empty[Seq[Any], (Seq[Any], java.util.TreeSet[java.lang.Long])]
       it.foreach { row =>
         if (!row.isNullAt(nG)) {
-          val key = (0 until nG).map(row.get)
-          val set = heaps.getOrElseUpdate(key,
-            new java.util.TreeSet[java.lang.Long]())
+          val raw = (0 until nG).map(row.get)
+          val key = raw.map(canon)
+          val (_, set) = heaps.getOrElseUpdate(key,
+            (raw, new java.util.TreeSet[java.lang.Long]()))
           set.add(row.getLong(nG))
           if (set.size > kk) set.pollLast()
         }
       }
-      heaps.iterator.flatMap { case (key, set) =>
+      heaps.valuesIterator.flatMap { case (raw, set) =>
         val it2 = set.iterator()
         new Iterator[Row] {
           def hasNext: Boolean = it2.hasNext
-          def next(): Row = Row.fromSeq(key :+ it2.next().longValue())
+          def next(): Row = Row.fromSeq(raw :+ it2.next().longValue())
         }
       }
     }
@@ -105,9 +115,13 @@ object Profile {
     // different integer than the exact one near ulp boundaries, and the
     // oracle replays the same integer op
     val num = (k - 1).toLong * P
-    counts.join(kth, groupCols, "left_outer")
-      .select(g :+
-        when(col("__kth").isNull, col("__n_hashes"))
+    // NULL-SAFE join on the group key: a NULL group with >= k distinct
+    // values would otherwise never match its kth row and fall back to
+    // the (post-prune, meaningless) count
+    val joinCond = groupCols.map(c => counts(c) <=> kth(c)).reduce(_ && _)
+    counts.join(kth, joinCond, "left_outer")
+      .select(groupCols.map(counts(_)) :+
+        when(kth("__kth").isNull, counts("__n_hashes"))
           .otherwise(expr(s"${num}L div __kth"))
           .as("kmv_distinct"): _*)
   }

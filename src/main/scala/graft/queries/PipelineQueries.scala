@@ -222,8 +222,7 @@ object PipelineQueries {
     // the all-pairs answer directly, independently confirming the band
     // join is lossless at maxHamming=3
     "q117_dhash_band_join" -> ((s, dir) => {
-      def sm(c: Column): Column =
-        (c * c % Hashing.P * lit(2654435761L)) % Hashing.P
+      def sm(c: Column): Column = Hashing.squareMixCol(c)
       val h = t(s, dir, "documents").select(col("doc_id").as("key"))
         .withColumn("seed",
           when(col("key") % 10 === 1, col("key") - 1).otherwise(col("key"))
@@ -420,8 +419,6 @@ object PipelineQueries {
          |  AND bit_count(xor(a.dhash, c.dhash)) <= 3
          |ORDER BY key_a, key_b""".stripMargin)
 
-  /** squareMix(polyHash(e)) as SQL — see graft.functions.Hashing. */
   private def sqmixOfPoly(e: String): String =
-    s"""((${TextQueries.Sql.poly(e)}) * (${TextQueries.Sql.poly(e)})
-       | % 1000000007 * 2654435761) % 1000000007""".stripMargin
+    TextQueries.Sql.sqmixOfPoly(e)
 }

@@ -766,7 +766,7 @@ object RelationalQueries {
          |         ${TextQueries.Sql.poly("CAST(l_partkey AS VARCHAR)")} AS p
          |       FROM lineitem WHERE l_partkey IS NOT NULL),
          |h AS (SELECT DISTINCT l_returnflag,
-         |        p * p % 1000000007 * 2654435761 % 1000000007 AS h
+         |        ${TextQueries.Sql.sqmix("p")} AS h
          |      FROM ph),
          |c AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
          |      FROM h GROUP BY 1),

@@ -499,11 +499,8 @@ object SimQueries {
        |          FROM sc)
        |        WHERE rn = 1)""".stripMargin
 
-  /** squareMix(polyHash(e)) as SQL (graft.functions.Hashing.squareMix):
-    * ((h*h) % P * 2654435761) % P. */
   private def sqmixOfPoly(e: String): String =
-    s"""((${TextQueries.Sql.poly(e)}) * (${TextQueries.Sql.poly(e)})
-       | % 1000000007 * 2654435761) % 1000000007""".stripMargin
+    TextQueries.Sql.sqmixOfPoly(e)
 
   /** Shared pinned-codebook oracle base: L2-normalized vectors with the
     * exact Ivf.normalized operation order (ordered sum of squares,

@@ -49,6 +49,12 @@ object TextQueries {
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
          |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
          |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+    // graft.functions.Hashing.squareMix replica over an already-hashed
+    // BIGINT expression — the ONE oracle-side owner of the mix formula
+    def sqmix(h: String): String =
+      s"($h * $h % 1000000007 * 2654435761 % 1000000007)"
+    // squareMix(polyHash(e)) in one step
+    def sqmixOfPoly(e: String): String = sqmix(s"(${poly(e)})")
     // array of word hashes of the normalized text
     val wordHashes =
       s"list_transform(string_split($norm, ' '), w -> ${poly("w")})"
@@ -483,13 +489,11 @@ object TextQueries {
     "q122_count_min" ->
       s"""WITH toks AS (SELECT unnest(${Sql.words}) AS tok FROM documents),
          |h AS (SELECT tok, COUNT(*) AS c,
-         |        ${Sql.poly("tok")} * ${Sql.poly("tok")}
-         |          % 1000000007 * 2654435761 % 1000000007 AS base
+         |        ${Sql.sqmixOfPoly("tok")} AS base
          |      FROM toks GROUP BY tok),
          |jj AS (SELECT unnest(range(0, 4)) AS j),
          |hb AS (SELECT tok, c, j,
-         |         (rs * rs % 1000000007 * 2654435761 % 1000000007)
-         |           % 8192 AS b
+         |         ${Sql.sqmix("rs")} % 8192 AS b
          |       FROM (SELECT h.tok, h.c, jj.j,
          |               (h.base * (2 * jj.j + 1) + jj.j * 12345 + 678)
          |                 % 1000000007 AS rs

@@ -70,6 +70,33 @@ class ProfileSpec extends SparkSuite {
     assert(again == est)
   }
 
+  test("kmvDistinct: NULL group key estimates like any other group") {
+    // regression: the kth join must be null-safe — a NULL group with
+    // >= k distinct values used to miss its kth row and return the
+    // meaningless post-prune count
+    val df = (1 to 30000)
+      .map(i => (if (i % 2 == 0) null else "a", i % 9000))
+      .toDF("g", "v").repartition(11)
+    val est = Profile.kmvDistinct(df, Seq("g"), "v", k = 64)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val exact = df.groupBy("g").agg(countDistinct("v").as("d"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    exact.foreach { case (g, d) =>
+      assert(math.abs(est(g) - d).toDouble / d < 3.0 / math.sqrt(64.0),
+        s"group $g: kmv ${est(g)} vs exact $d")
+    }
+  }
+
+  test("kmvDistinct: binary group keys stay correct (exact path)") {
+    val df = (1 to 400)
+      .map(i => (Array((i % 2).toByte), i % 50)).toDF("g", "v")
+      .repartition(5)
+    // parity of i fixes the parity of i % 50: 25 distinct values each
+    val got = Profile.kmvDistinct(df, Seq("g"), "v", k = 256)
+      .collect().map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap
+    assert(got == Map(Seq(0.toByte) -> 25L, Seq(1.toByte) -> 25L))
+  }
+
   test("kmvDistinct plan: the k-th order statistic prunes via WindowGroupLimit") {
     val df = (1 to 20000).map(i => (i % 3, i % 5000)).toDF("g", "v")
     val p = Profile.kmvDistinct(df, Seq("g"), "v", k = 64)
