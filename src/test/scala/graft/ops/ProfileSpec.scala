@@ -97,6 +97,11 @@ class ProfileSpec extends SparkSuite {
     assert(got == Map(Seq(0.toByte) -> 25L, Seq(1.toByte) -> 25L))
   }
 
+  test("kmvDistinct: empty input yields no rows") {
+    val empty = Seq.empty[(Int, Int)].toDF("g", "v")
+    assert(Profile.kmvDistinct(empty, Seq("g"), "v").count() == 0)
+  }
+
   test("kmvDistinct plan: the k-th order statistic prunes via WindowGroupLimit") {
     val df = (1 to 20000).map(i => (i % 3, i % 5000)).toDF("g", "v")
     val p = Profile.kmvDistinct(df, Seq("g"), "v", k = 64)

@@ -73,6 +73,14 @@ class SketchSpec extends SparkSuite {
     assert(java.util.Arrays.equals(sk.table, again.table))
   }
 
+  test("sketches survive empty input") {
+    val empty = Seq.empty[String].toDF("tok")
+    val mg = Sketch.misraGries(empty, "tok", k = 8)
+    assert(mg.n == 0L && mg.entries.isEmpty)
+    val cm = Sketch.countMin(empty, "tok", depth = 2, width = 64)
+    assert(cm.n == 0L && cm.estimate("anything") == 0L)
+  }
+
   test("candidate exact pass broadcasts and semi-joins (no full-stream distinct)") {
     val df = zipf(300, 1500).toDF("tok")
     val plan = Sketch.heavyHitters(df, "tok", k = 256, minCount = 60L)

@@ -163,6 +163,14 @@ class CurationSpec extends graft.SparkSuite {
     assert(again == bloom)
   }
 
+  test("portableBloomDecontaminate: empty eval keeps the whole corpus") {
+    val corpus = docs.limit(4)
+    val none = docs.filter(lit(false))
+    val out = Curation.portableBloomDecontaminate(corpus, none)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 4 && out.forall { case (f, k) => f == 0L && k })
+  }
+
   test("lmScore: in-vocab mass, OOV counts, quantized probabilities exact") {
     val train = Seq((100L, "alpha beta alpha gamma")).toDF("doc_id", "text")
     // total = 4 tokens: p(alpha)=floor(2e9/4)=500000000,
