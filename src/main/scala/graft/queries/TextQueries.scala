@@ -390,6 +390,15 @@ object TextQueries {
     "q116_bpe_encode" -> ((s, dir) =>
       graft.text.Bpe.encode(docs(s, dir), pinnedMerges).orderBy("doc_id")),
 
+    // fastText-style hashed-linear quality classifier SERVING (the
+    // DCLM/FineWeb corpus-gate shape): pinned weight vector broadcast,
+    // ONE map-only pass sums unigram+bigram bucket weights per doc —
+    // the oracle replays buckets, weights, and the integer sum exactly
+    "q124_quality_classifier" -> ((s, dir) =>
+      graft.text.LinearText.scoreHashed(docs(s, dir),
+          graft.text.LinearText.pinnedWeightsE6())
+        .orderBy("doc_id")),
+
     // Count-min frequency sketch over the corpus token stream: one
     // treeAggregate builds the 4x8192 matrix (portable hashes -> the
     // oracle replays the matrix bit-for-bit, collisions included), then
@@ -482,6 +491,30 @@ object TextQueries {
         |SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q24_minhash_pairs" -> minhashAllPairsSql,
+
+    // hashed-linear classifier replay: per-gram bucket -> pinned weight
+    // (same generator both engines), order-free integer sum per doc
+    "q124_quality_classifier" -> {
+      val weight = s"(${Sql.sqmixOfPoly("'w:' || CAST(b AS VARCHAR)")}" +
+        " % 2001 - 1000)"
+      s"""WITH d AS (SELECT doc_id, ${Sql.words} AS ws0 FROM documents),
+         |f AS (SELECT doc_id, list_filter(ws0, w -> w <> '') AS ws FROM d),
+         |uni AS (SELECT doc_id, unnest(ws) AS g FROM f),
+         |big AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+         |        FROM f, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
+         |grams AS (SELECT doc_id, g FROM uni
+         |          UNION ALL SELECT doc_id, g FROM big),
+         |gb AS (SELECT doc_id, ${Sql.sqmixOfPoly("g")} % 4096 AS b
+         |       FROM grams),
+         |sc AS (SELECT doc_id, CAST(SUM($weight) AS BIGINT) AS score_e6
+         |       FROM gb GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM f)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |       coalesce(sc.score_e6, CAST(0 AS BIGINT)) AS score_e6,
+         |       coalesce(sc.score_e6, CAST(0 AS BIGINT)) >= 0 AS accept
+         |FROM nt LEFT JOIN sc USING (doc_id)
+         |ORDER BY nt.doc_id""".stripMargin
+    },
 
     // count-min matrix replay: per (row j, bucket) sums where bucket =
     // squareMix(reseed_j(base)) mod width (square AFTER reseed — see
