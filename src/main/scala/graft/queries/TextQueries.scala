@@ -390,6 +390,18 @@ object TextQueries {
     "q116_bpe_encode" -> ((s, dir) =>
       graft.text.Bpe.encode(docs(s, dir), pinnedMerges).orderBy("doc_id")),
 
+    // Corpus-drift report between two snapshots (doc_id parity split):
+    // top-50 most-moved tokens by e9-quantized probability delta, each
+    // row carrying the global total-variation distance — TV over KL so
+    // the whole report is exact integer arithmetic (no logarithms)
+    "q125_token_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.Drift.driftReport(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1), topN = 50)
+        .orderBy(col("diff_e9").desc, col("tok").asc)
+    }),
+
     // fastText-style hashed-linear quality classifier SERVING (the
     // DCLM/FineWeb corpus-gate shape): pinned weight vector broadcast,
     // ONE map-only pass sums unigram+bigram bucket weights per doc —
@@ -491,6 +503,33 @@ object TextQueries {
         |SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q24_minhash_pairs" -> minhashAllPairsSql,
+
+    // drift replay: per-snapshot integer-quantized token probabilities,
+    // full-outer vocabulary union, |pA - pB|, TV = sum/2 on every row
+    "q125_token_drift" ->
+      s"""WITH ta AS (SELECT unnest(${Sql.words}) AS tok FROM documents
+         |            WHERE doc_id % 2 = 0),
+         |tb AS (SELECT unnest(${Sql.words}) AS tok FROM documents
+         |       WHERE doc_id % 2 = 1),
+         |ca AS (SELECT tok, COUNT(*) AS c FROM ta WHERE tok <> ''
+         |       GROUP BY tok),
+         |cb AS (SELECT tok, COUNT(*) AS c FROM tb WHERE tok <> ''
+         |       GROUP BY tok),
+         |pa AS (SELECT tok, c * 1000000000 // greatest(
+         |         (SELECT SUM(c) FROM ca), 1) AS p FROM ca),
+         |pb AS (SELECT tok, c * 1000000000 // greatest(
+         |         (SELECT SUM(c) FROM cb), 1) AS p FROM cb),
+         |d AS (SELECT coalesce(pa.tok, pb.tok) AS tok,
+         |        CAST(coalesce(pa.p, 0) AS BIGINT) AS p_a_e9,
+         |        CAST(coalesce(pb.p, 0) AS BIGINT) AS p_b_e9
+         |      FROM pa FULL OUTER JOIN pb ON pa.tok = pb.tok),
+         |dd AS (SELECT tok, p_a_e9, p_b_e9,
+         |         abs(p_a_e9 - p_b_e9) AS diff_e9 FROM d),
+         |tv AS (SELECT CAST(SUM(diff_e9) // 2 AS BIGINT) AS tv_e9 FROM dd)
+         |SELECT dd.tok, dd.p_a_e9, dd.p_b_e9,
+         |       CAST(dd.diff_e9 AS BIGINT) AS diff_e9, tv.tv_e9
+         |FROM dd CROSS JOIN tv
+         |ORDER BY dd.diff_e9 DESC, dd.tok ASC LIMIT 50""".stripMargin,
 
     // hashed-linear classifier replay: per-gram bucket -> pinned weight
     // (same generator both engines), order-free integer sum per doc
