@@ -351,6 +351,18 @@ object RelationalQueries {
           t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey")
         .orderBy("l_returnflag")),
 
+    // EXACT global quantiles WITHOUT a global sort: iterative bucket
+    // selection (<= 4 counting rounds at 2^16 buckets, counts only on
+    // the wire) — the selection-vs-sort trade q51's windowed per-group
+    // form cannot make; the oracle runs the full-sort formulation and
+    // must agree exactly
+    "q126_exact_quantiles" -> ((s, dir) =>
+      graft.ops.Quantiles.quantiles(
+          t(s, dir, "lineitem").select(
+            floor(col("l_extendedprice") * 100.0).cast("long").as("cents")),
+          "cents", Seq(0.5, 0.9, 0.99))
+        .orderBy("q_e4")),
+
     // q78's hash-checked companion: KMV distinct-count over the
     // PORTABLE polynomial hash (HLL++ words are engine-internal; the
     // k-minimum-values order statistic is plain integer SQL both
@@ -758,6 +770,32 @@ object RelationalQueries {
         |       COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
         |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    // full-sort formulation of the selection result: value at 1-based
+    // rank ceil(q*n) ascending (q as DOUBLE — a DECIMAL literal would
+    // round the rank differently than the engine's double math)
+    "q126_exact_quantiles" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100.0) AS BIGINT)
+        |             AS cents FROM lineitem),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+        |             COUNT(*) OVER () AS n
+        |      FROM v)
+        |SELECT q_e4, value FROM (
+        |  SELECT CAST(5000 AS BIGINT) AS q_e4,
+        |         MAX(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n)
+        |                            AS BIGINT) THEN cents END) AS value
+        |  FROM r
+        |  UNION ALL
+        |  SELECT CAST(9000 AS BIGINT),
+        |         MAX(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * n)
+        |                            AS BIGINT) THEN cents END)
+        |  FROM r
+        |  UNION ALL
+        |  SELECT CAST(9900 AS BIGINT),
+        |         MAX(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DOUBLE) * n)
+        |                            AS BIGINT) THEN cents END)
+        |  FROM r)
+        |ORDER BY q_e4""".stripMargin,
 
     // KMV replay: distinct portable hashes per group, k-th smallest via
     // row_number, est = (k-1)*P div h_k (integer division both engines)

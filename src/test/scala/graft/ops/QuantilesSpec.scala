@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Exact bucket-selection quantiles (q126 companion): must equal the
+  * full-sort order statistic exactly, on any partitioning. */
+class QuantilesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("matches the sorted order statistic, duplicates and negatives included") {
+    val data = Seq(5L, -3L, 5L, 5L, 0L, 100L, -3L, 7L, 2L, 2L)
+    val df = data.toDF("v").repartition(4)
+    val sorted = data.sorted
+    def expected(q: Double): Long =
+      sorted(math.max(1, math.ceil(q * data.size).toInt) - 1)
+    val got = Quantiles.quantiles(df, "v", Seq(0.1, 0.5, 0.9, 1.0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1000L -> expected(0.1), 5000L -> expected(0.5),
+      9000L -> expected(0.9), 10000L -> expected(1.0)))
+  }
+
+  test("wide value range narrows to the exact answer (multi-round path)") {
+    // values spread over ~2^40 so one 2^16-bucket round cannot finish
+    val data = (1 to 999).map(i => i.toLong * (1L << 30))
+    val df = data.toDF("v").repartition(7)
+    val got = Quantiles.quantiles(df, "v", Seq(0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(5000L) == data.sorted.apply(math.ceil(0.5 * 999).toInt - 1))
+  }
+
+  test("deterministic across partitionings; rejects empty input") {
+    val data = (1 to 5000).map(i => ((i * 2654435761L) % 997L) - 100L)
+    val a = Quantiles.quantiles(data.toDF("v").repartition(3), "v",
+      Seq(0.25, 0.75)).collect().map(_.toSeq).toSet
+    val b = Quantiles.quantiles(data.toDF("v").repartition(17), "v",
+      Seq(0.25, 0.75)).collect().map(_.toSeq).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Quantiles.quantiles(Seq.empty[Long].toDF("v"), "v", Seq(0.5))
+    }
+  }
+}
