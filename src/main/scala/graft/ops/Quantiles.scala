@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 
 /** EXACT quantiles at 100 TB without a global sort: iterative bucket
@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   * per-group shape, and what the q126 oracle runs) funnels every row
   * through one ordering — fine per small group, fatal globally. This
   * operator instead narrows each requested rank with histogram rounds:
-  * every round is ONE partial-agg aggregation over the rows still in
-  * any active rank's range (map-side combine, counts only — no row
-  * ever moves), the driver walks the bounded histogram (buckets ×
-  * ranks longs of model state) to the bucket containing the rank, and
-  * the range shrinks by the bucket factor. With 64-bit values and 2^16
-  * buckets the answer is EXACT after at most 4 rounds — the classic
-  * selection-vs-sort trade (4 counting scans beat one 100 TB shuffle
-  * sort by orders of magnitude of exchanged bytes).
+  * every round is ONE treeAggregate counting pass over the rows still
+  * in any active rank's range (counts combine up the tree — no row
+  * ever moves, and the driver receives one buckets × ranks array, not
+  * one per partition), the driver walks the bounded histogram to the
+  * bucket containing the rank, and the range shrinks by the bucket
+  * factor. With 64-bit values and 2^16 buckets the answer is EXACT
+  * after at most 4 rounds — the classic selection-vs-sort trade.
+  *
+  * Width/offset arithmetic is done in BigInt on the DRIVER (a full
+  * Long-spanning range overflows `hi - lo`); executors use unsigned
+  * 64-bit division, which is exact for any span. NULL values are
+  * excluded (from both the histogram and the rank denominator).
   *
   * Rank convention: the value at 1-based rank ceil(q·n) under
   * ascending order — identical to the q51 oracle's row_number compare
@@ -24,51 +28,53 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** Values at the given 1-based ranks of `valueCol` (long-typed)
-    * ascending. Driver state: buckets × ranks counters per round. */
-  def selectRanks(df: DataFrame, valueCol: String, ranks: Seq[Long],
-                  buckets: Int = 1 << 16): Map[Long, Long] = {
-    require(buckets >= 2, "need at least 2 buckets")
+  private def nonNullVals(df: DataFrame, valueCol: String): Dataset[Long] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = df.select(col(valueCol).cast("long").as("value")).as[Long]
-    val mm = vals.agg(min("value").as("lo"), max("value").as("hi")).head()
-    require(!mm.isNullAt(0), "selectRanks needs a non-empty input")
-    val (gMin, gMax) = (mm.getLong(0), mm.getLong(1))
-    // state per rank: (lo, hi] is inclusive range, t = remaining rank
-    // within it; resolved once lo == hi
+    df.select(col(valueCol).cast("long").as("value"))
+      .filter(col("value").isNotNull).as[Long]
+  }
+
+  /** Histogram narrowing over an already-typed non-null value set. */
+  private def narrow(vals: Dataset[Long], gMin: Long, gMax: Long,
+                     ranks: Seq[Long], buckets: Int): Map[Long, Long] = {
+    val spark = vals.sparkSession
+    val nB = buckets
     val state = scala.collection.mutable.LinkedHashMap(
       ranks.distinct.map(r => r -> (gMin, gMax, r)): _*)
     var round = 0
-    while (state.values.exists { case (lo, hi, _) => lo < hi } && round < 16) {
+    while (state.values.exists { case (lo, hi, _) => lo < hi } && round < 64) {
       val active = state.toSeq.zipWithIndex.collect {
-        case ((r, (lo, hi, t)), i) if lo < hi => (i, r, lo, hi, t)
+        case ((r, (lo, hi, t)), i) if lo < hi =>
+          // span can exceed Long.MaxValue — width math in BigInt;
+          // w <= span/nB + 1 <= 2^63/2 always fits a Long
+          val w = ((BigInt(hi) - BigInt(lo)) / nB + 1).toLong
+          (i, r, lo, hi, t, w)
       }
       val bc = spark.sparkContext.broadcast(
-        active.map { case (i, _, lo, hi, _) => (i, lo, hi) })
-      val nB = buckets
-      // one job: per (active rank, bucket) counts
-      val hist = vals.mapPartitions { it =>
+        active.map { case (i, _, lo, hi, _, w) => (i, lo, hi, w) })
+      val hist = vals.rdd.treeAggregate(new Array[Long](active.length * nB))(
+        (acc, v) => {
           val rs = bc.value
-          val counts = new Array[Long](rs.length * nB)
-          it.foreach { v =>
-            rs.foreach { case (i, lo, hi) =>
-              if (v >= lo && v <= hi) {
-                // ceil-divided width so (hi - lo + 1) buckets always fit
-                val w = ((hi - lo) / nB) + 1L
-                counts(i * nB + ((v - lo) / w).toInt) += 1L
-              }
+          var j = 0
+          while (j < rs.length) {
+            val (i, lo, hi, w) = rs(j)
+            if (v >= lo && v <= hi) {
+              // v - lo wraps for spans > Long.MaxValue, but is correct
+              // as an UNSIGNED 64-bit difference — divide accordingly
+              val b = java.lang.Long.divideUnsigned(v - lo, w).toInt
+              acc(i * nB + b) += 1L
             }
+            j += 1
           }
-          Iterator.single(counts)
-        }
-        .reduce { (a, b) =>
+          acc
+        },
+        (a, b) => {
           var i = 0
           while (i < a.length) { a(i) += b(i); i += 1 }
           a
-        }
-      active.foreach { case (i, r, lo, hi, t) =>
-        val w = ((hi - lo) / nB) + 1L
+        })
+      active.foreach { case (i, r, lo, hi, t, w) =>
         var b = 0
         var acc = 0L
         var rem = t
@@ -84,25 +90,47 @@ object Quantiles {
           }
         }
         require(found, s"rank $t exceeds the row count in [$lo, $hi]")
-        val nLo = lo + b * w
-        val nHi = math.min(hi, nLo + w - 1)
-        state(r) = (nLo, nHi, rem)
+        val bLo = BigInt(lo) + BigInt(b) * w
+        val bHi = (bLo + w - 1).min(BigInt(hi))
+        state(r) = (bLo.toLong, bHi.toLong, rem)
       }
       round += 1
     }
+    // each round shrinks every active span by ~nB so 64 rounds always
+    // suffice — but fail loudly, never return an unconverged bound
+    require(state.values.forall { case (lo, hi, _) => lo == hi },
+      "selection did not converge — raise `buckets`")
     state.map { case (r, (lo, _, _)) => r -> lo }.toMap
   }
 
+  /** Values at the given 1-based ranks of `valueCol` ascending
+    * (nulls excluded). Driver state: buckets × ranks counters. */
+  def selectRanks(df: DataFrame, valueCol: String, ranks: Seq[Long],
+                  buckets: Int = 1 << 16): Map[Long, Long] = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val vals = nonNullVals(df, valueCol)
+    val mm = vals.agg(min("value").as("lo"), max("value").as("hi")).head()
+    require(!mm.isNullAt(0), "selectRanks needs a non-empty input")
+    narrow(vals, mm.getLong(0), mm.getLong(1), ranks, buckets)
+  }
+
   /** (q_e4, value) rows for quantiles `qs` of `valueCol`: value at
-    * 1-based rank ceil(q·n), q reported as round(q·1e4) (floor would
-    * mangle binary-inexact fractions — floor(0.99·1e4) is 9899). */
+    * 1-based rank ceil(q·n) over the NON-NULL values, q reported as
+    * round(q·1e4) (floor would mangle binary-inexact fractions —
+    * floor(0.99·1e4) is 9899). ONE stats pass (count+min+max in a
+    * single aggregation) precedes the counting rounds. */
   def quantiles(df: DataFrame, valueCol: String,
-                qs: Seq[Double]): DataFrame = {
+                qs: Seq[Double], buckets: Int = 1 << 16): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
     val spark = df.sparkSession
-    val n = df.count()
+    val vals = nonNullVals(df, valueCol)
+    val stats = vals.agg(count(lit(1)).as("n"), min("value").as("lo"),
+      max("value").as("hi")).head()
+    val n = stats.getLong(0)
     require(n > 0, "quantiles needs a non-empty input")
     val ranks = qs.map(q => math.max(1L, math.ceil(q * n).toLong))
-    val byRank = selectRanks(df, valueCol, ranks)
+    val byRank = narrow(vals, stats.getLong(1), stats.getLong(2),
+      ranks, buckets)
     val rows = qs.zip(ranks).map { case (q, r) =>
       Row(math.round(q * 10000.0), byRank(r))
     }

@@ -515,9 +515,9 @@ object TextQueries {
          |       GROUP BY tok),
          |cb AS (SELECT tok, COUNT(*) AS c FROM tb WHERE tok <> ''
          |       GROUP BY tok),
-         |pa AS (SELECT tok, c * 1000000000 // greatest(
+         |pa AS (SELECT tok, CAST(c AS HUGEINT) * 1000000000 // greatest(
          |         (SELECT SUM(c) FROM ca), 1) AS p FROM ca),
-         |pb AS (SELECT tok, c * 1000000000 // greatest(
+         |pb AS (SELECT tok, CAST(c AS HUGEINT) * 1000000000 // greatest(
          |         (SELECT SUM(c) FROM cb), 1) AS p FROM cb),
          |d AS (SELECT coalesce(pa.tok, pb.tok) AS tok,
          |        CAST(coalesce(pa.p, 0) AS BIGINT) AS p_a_e9,

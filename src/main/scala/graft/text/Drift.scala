@@ -30,9 +30,13 @@ object Drift {
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("__c"))
     val total = counts.agg(sum("__c").cast("long").as("__t"))
+    // DECIMAL(38) for the ×1e9 step: a stopword in a real crawl tops
+    // 9.2e9 occurrences and BIGINT·1e9 would wrap (the oracle widens
+    // to HUGEINT for the same reason)
     counts.crossJoin(broadcast(total))
       .select(col("tok"),
-        expr("__c * 1000000000 div greatest(__t, 1)").as(pCol))
+        expr("CAST((CAST(__c AS DECIMAL(38,0)) * 1000000000)" +
+          " div greatest(__t, 1) AS BIGINT)").as(pCol))
   }
 
   /** Full drift table: (tok, p_a_e9, p_b_e9, diff_e9) over the union

@@ -26,6 +26,28 @@ object LinearText {
   def bucket(gram: String, m: Int): Int =
     (Hashing.squareMix(Hashing.polyHash(gram)) % m).toInt
 
+  private val P = Hashing.P
+
+  /** Unboxed polyHash (identical values to [[Hashing.polyHash]], which
+    * is a per-char boxed foldLeft meant for driver-side use — this is
+    * the corpus-wide hot loop). */
+  private def polyFast(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+    h
+  }
+
+  /** 31^len(s) mod P — the multiplier that continues a rolling
+    * polynomial hash across `s` without re-walking its characters:
+    * poly(a ++ s) = (polyState(a) · pow + poly(s)) mod P. */
+  private def pow31(len: Int): Long = {
+    var m = 1L
+    var i = 0
+    while (i < len) { m = m * 31 % P; i += 1 }
+    m
+  }
+
   /** Pinned pseudo-random weight table for the oracle-checked
     * companion: w(b) = squareMix(polyHash("w:b")) mod 2001 − 1000,
     * i.e. integers in [−1000, 1000] (e6 scale). */
@@ -56,16 +78,31 @@ object LinearText {
         val m = w.length
         it.map { case (id, norm) =>
           val ws = norm.split(" ", -1).filter(_.nonEmpty)
-          var score = bias
+          // hash each token once; bigram hashes CONTINUE the rolling
+          // polynomial across the space instead of concatenating:
+          // poly("a b") = ((poly(a)·31 + ' ') · 31^len(b) + poly(b)) mod P
+          // — same values as the naive form (spec-pinned), no per-pair
+          // string allocation, no second walk over the characters
+          val ph = new Array[Long](ws.length)
+          val pw = new Array[Long](ws.length)
           var i = 0
           while (i < ws.length) {
-            score += w(bucket(ws(i), m))
+            ph(i) = polyFast(ws(i))
+            pw(i) = pow31(ws(i).length)
+            i += 1
+          }
+          var score = bias
+          i = 0
+          while (i < ws.length) {
+            score += w((Hashing.squareMix(ph(i)) % m).toInt)
             i += 1
           }
           if (useBigrams) {
             var j = 0
             while (j < ws.length - 1) {
-              score += w(bucket(ws(j) + " " + ws(j + 1), m))
+              val afterSpace = (ph(j) * 31 + ' ') % P
+              val h = (afterSpace * pw(j + 1) + ph(j + 1)) % P
+              score += w((Hashing.squareMix(h) % m).toInt)
               j += 1
             }
           }

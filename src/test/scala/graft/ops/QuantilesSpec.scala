@@ -30,6 +30,32 @@ class QuantilesSpec extends SparkSuite {
     assert(got(5000L) == data.sorted.apply(math.ceil(0.5 * 999).toInt - 1))
   }
 
+  test("full Long-spanning range is exact (unsigned width math)") {
+    val data = Seq(Long.MinValue, -7L, 0L, 42L, Long.MaxValue)
+    val got = Quantiles.quantiles(data.toDF("v"), "v",
+        Seq(0.2, 0.4, 0.6, 0.8, 1.0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2000L -> Long.MinValue, 4000L -> -7L, 6000L -> 0L,
+      8000L -> 42L, 10000L -> Long.MaxValue))
+  }
+
+  test("nulls are excluded from values AND the rank denominator") {
+    val df = Seq(Some(10L), None, Some(30L), None, Some(20L))
+      .toDF("v")
+    val got = Quantiles.quantiles(df, "v", Seq(0.5, 1.0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n = 3 non-null: median is 20, max is 30 — if nulls counted, the
+    // rank for q=0.5 would be ceil(2.5)=3 and return 30
+    assert(got == Map(5000L -> 20L, 10000L -> 30L))
+  }
+
+  test("tiny bucket counts still converge exactly (or fail loudly)") {
+    val data = (1 to 500).map(i => i.toLong * (1L << 40))
+    val got = Quantiles.selectRanks(data.toDF("v"), "v", Seq(250L),
+      buckets = 2)
+    assert(got(250L) == 250L * (1L << 40))
+  }
+
   test("deterministic across partitionings; rejects empty input") {
     val data = (1 to 5000).map(i => ((i * 2654435761L) % 997L) - 100L)
     val a = Quantiles.quantiles(data.toDF("v").repartition(3), "v",
