@@ -44,12 +44,18 @@ object Quantiles {
       ranks.distinct.map(r => r -> (gMin, gMax, r)): _*)
     var round = 0
     while (state.values.exists { case (lo, hi, _) => lo < hi } && round < 64) {
-      val active = state.toSeq.zipWithIndex.collect {
-        case ((r, (lo, hi, t)), i) if lo < hi =>
+      // slot `i` is the position within THIS round's active set — the
+      // histogram array is sized active.length*nB, so indexing by the
+      // entry's position in the full `state` map would walk off the end
+      // as soon as one rank converges before a later-ordered one
+      val active = state.toSeq.collect {
+        case (r, (lo, hi, t)) if lo < hi =>
           // span can exceed Long.MaxValue — width math in BigInt;
           // w <= span/nB + 1 <= 2^63/2 always fits a Long
           val w = ((BigInt(hi) - BigInt(lo)) / nB + 1).toLong
-          (i, r, lo, hi, t, w)
+          (r, lo, hi, t, w)
+      }.zipWithIndex.map { case ((r, lo, hi, t, w), i) =>
+        (i, r, lo, hi, t, w)
       }
       val bc = spark.sparkContext.broadcast(
         active.map { case (i, _, lo, hi, _, w) => (i, lo, hi, w) })

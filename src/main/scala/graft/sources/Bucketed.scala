@@ -31,12 +31,27 @@ object Bucketed {
     // destructive pre-clear ONLY under Overwrite — Append/Ignore/
     // ErrorIfExists must keep their SaveMode contracts
     if (mode == SaveMode.Overwrite) {
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"),
-        table.toLowerCase(java.util.Locale.ROOT))
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      // qualified names: quote each part separately (one backtick pair
+      // around `db.tbl` makes it a single identifier) and resolve the
+      // orphan location from the DATABASE's catalog location — the
+      // string-derived `<warehouse>/<table>` is wrong for any
+      // non-default database (`<warehouse>/<db>.db/<tbl>`) or a
+      // database created with a custom LOCATION
+      val parts = table.split('.')
+      require(parts.length <= 2 && parts.forall(p => p.nonEmpty && !p.contains("`")),
+        s"expected an unqualified or db-qualified table name, got: $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${parts.map(p => s"`$p`").mkString(".")}")
+      val (db, tbl) =
+        if (parts.length == 2) (parts(0), parts(1))
+        else (spark.catalog.currentDatabase, parts(0))
+      if (spark.catalog.databaseExists(db)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(
+            spark.catalog.getDatabase(db).locationUri),
+          tbl.toLowerCase(java.util.Locale.ROOT))
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
     }
     df.write.mode(mode)
       .bucketBy(buckets, keys.head, keys.tail: _*)

@@ -56,6 +56,25 @@ class QuantilesSpec extends SparkSuite {
     assert(got(250L) == 250L * (1L << 40))
   }
 
+  test("ranks converging in different rounds keep correct histogram slots") {
+    // span 65537 over 65536 buckets → width 2: q=1.0's rank lands in
+    // the clipped final bucket and converges in round 1, while q=0.5
+    // stays active into round 2. The round-2 histogram has ONE active
+    // slot — addressing it by the rank's position in the full state
+    // map (its index is 1) read past the array. Regression for the
+    // round-6 advisory finding.
+    val data = (0 to 65536).map(_.toLong)
+    val df = data.toDF("v").repartition(5)
+    val got = Quantiles.quantiles(df, "v", Seq(1.0, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10000L -> 65536L, 5000L -> 32768L))
+    // same shape with MORE ranks straggling at different rounds
+    val got2 = Quantiles.quantiles(df, "v", Seq(1.0, 0.25, 0.5, 0.75))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(10000L -> 65536L, 2500L -> 16384L,
+      5000L -> 32768L, 7500L -> 49152L))
+  }
+
   test("deterministic across partitionings; rejects empty input") {
     val data = (1 to 5000).map(i => ((i * 2654435761L) % 997L) - 100L)
     val a = Quantiles.quantiles(data.toDF("v").repartition(3), "v",

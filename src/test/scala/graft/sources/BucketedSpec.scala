@@ -43,4 +43,34 @@ class BucketedSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bucketed_b")
     }
   }
+
+  test("Overwrite pre-clear handles db-qualified names and orphan locations") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bdb")
+    try {
+      val df = (1 to 100).map(i => (s"k$i", i)).toDF("k", "n")
+      // plant an orphaned location under the DATABASE's directory (the
+      // round-6 advisory scenario: catalog entry gone, files survive)
+      val dbLoc = new org.apache.hadoop.fs.Path(
+        spark.catalog.getDatabase("graft_bdb").locationUri)
+      val orphan = new org.apache.hadoop.fs.Path(dbLoc, "qt")
+      val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(orphan)
+      val out = fs.create(new org.apache.hadoop.fs.Path(orphan, "junk"))
+      out.write(1); out.close()
+      Bucketed.save(df, "graft_bdb.qt", Seq("k"), buckets = 2)
+      assert(Bucketed.load(spark, "graft_bdb.qt").count() == 100)
+      // overwrite of the live qualified table also round-trips
+      Bucketed.save(df.limit(10), "graft_bdb.qt", Seq("k"), buckets = 2)
+      assert(Bucketed.load(spark, "graft_bdb.qt").count() == 10)
+      // malformed names fail loudly instead of mis-deriving a path
+      intercept[IllegalArgumentException] {
+        Bucketed.save(df, "a.b.c", Seq("k"), buckets = 2)
+      }
+      intercept[IllegalArgumentException] {
+        Bucketed.save(df, "bad`tick", Seq("k"), buckets = 2)
+      }
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_bdb CASCADE")
+    }
+  }
 }
