@@ -167,22 +167,30 @@ object Relational {
     * Distributed end-to-end, no driver loop, every stage keyed:
     * (1) last-observation-per-bucket via a (keys, bucket)-partitioned
     * row_number (deterministic under timestamp ties via `tieBreak`);
-    * (2) per-key [min, max] bucket span → `sequence` + `explode`
-    * generates the grid ON EXECUTORS (grid size is data-dependent per
-    * key, never a driver-side range); (3) left join grid↔observations on
+    * (2) per-key [min, max] bucket span → a TWO-LEVEL
+    * `sequence`+`explode` generates the grid ON EXECUTORS: segment
+    * starts first, then ≤65536 buckets within each segment, so no
+    * single row ever materializes more than a 64k-element array — a
+    * one-level sequence put a key's ENTIRE span in one in-memory array,
+    * which a corrupt far-past timestamp (or a 1 s step over years)
+    * turns into a task OOM; (3) left join grid↔observations on
     * (keys, bucket); (4) forward fill = running `last(ignoreNulls)` over
     * the key-partitioned bucket order. At 1000 executors each stage
     * shuffles on the key (or key+bucket) — no global sort, no skew
-    * beyond the keys' own span sizes.
+    * beyond the keys' own span sizes. A key whose span/step exceeds
+    * `maxBucketsPerKey` fails LOUDLY inside the plan (assert_true on
+    * the span row) instead of silently exploding billions of grid rows.
     *
     * Output: keys ++ (bucket_us: bigint, valueCol: filled value,
     * observed: whether this bucket had its own observation). Leading
     * buckets before a key's first non-null observation stay null. */
   def resampleFfill(df: DataFrame, keys: Seq[String], tsCol: String,
                     stepSeconds: Long, valueCol: String,
-                    tieBreak: Seq[String] = Nil): DataFrame = {
+                    tieBreak: Seq[String] = Nil,
+                    maxBucketsPerKey: Long = 100000000L): DataFrame = {
     require(stepSeconds > 0, "stepSeconds must be positive")
-    val stepUs = stepSeconds * 1000000L
+    require(maxBucketsPerKey > 0, "maxBucketsPerKey must be positive")
+    val stepUs = Math.multiplyExact(stepSeconds, 1000000L)
     val withB = df.withColumn("__b",
       expr(s"unix_micros($tsCol) div $stepUs") * lit(stepUs))
     // last observation per bucket as a max_by hash AGGREGATE, not a
@@ -192,10 +200,28 @@ object Relational {
     val ord = struct((col(tsCol) +: tieBreak.map(col)): _*)
     val vals = withB.groupBy((keys :+ "__b").map(col): _*)
       .agg(max_by(col(valueCol), ord).as(valueCol))
+    // two-level grid: segment starts, then buckets within the segment —
+    // bounds every materialized sequence() array at segElems elements
+    // (segElems clamped so stepUs * segElems cannot overflow a Long)
+    val segElems = math.max(1L, math.min(65536L, Long.MaxValue / stepUs))
+    val segStep = stepUs * segElems
     val grid = withB.groupBy(keys.map(col): _*)
       .agg(min("__b").as("__lo"), max("__b").as("__hi"))
+      .withColumn("__nb", (col("__hi") - col("__lo")) / lit(stepUs) + 1)
+      // assert_true returns NULL on success, so coalesce keeps the
+      // guard in the plan (an unreferenced check column gets pruned)
+      .withColumn("__lo", coalesce(
+        assert_true(col("__nb") <= maxBucketsPerKey,
+          concat(lit("resampleFfill: a key's grid needs "), col("__nb"),
+            lit(s" buckets (> maxBucketsPerKey=$maxBucketsPerKey) — " +
+              "corrupt timestamp or too-small stepSeconds?"))).cast("long"),
+        col("__lo")))
+      .select(keys.map(col) ++ Seq(col("__hi"),
+        explode(sequence(col("__lo"), col("__hi"), lit(segStep))).as("__s")): _*)
       .select(keys.map(col) :+
-        explode(sequence(col("__lo"), col("__hi"), lit(stepUs))).as("__b"): _*)
+        explode(sequence(col("__s"),
+          least(col("__s") + lit(segStep - stepUs), col("__hi")),
+          lit(stepUs))).as("__b"): _*)
     val wFF = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(vals, keys :+ "__b", "left")

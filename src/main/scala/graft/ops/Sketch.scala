@@ -200,6 +200,60 @@ object Sketch {
       .toDF(column, "cm_est")
   }
 
+  /** Deterministic sharded Misra-Gries replay: fold each shard of the
+    * stream in `orderCols` order with [[foldToken]], then left-fold the
+    * shard summaries in ascending-shard order with [[mergeBuffers]].
+    *
+    * The plain aggregator's candidate set depends on reduction order, so
+    * q109's streaming form can only be rows-only checked. This operator
+    * PINS the order — contiguous shards, a total order within each, a
+    * fixed merge association — so the identical fold/merge arithmetic
+    * becomes replayable step-for-step by the q127 recursive-CTE oracle
+    * (the q116 BPE doctrine). Each shard folds inside one task
+    * (repartition on the shard key + partition-local sort); the driver
+    * holds shards × ≤k counters, the same bounded-summary shape as the
+    * aggregator path. */
+  def misraGriesSharded(df: DataFrame, shardCol: String,
+                        orderCols: Seq[String], tokCol: String,
+                        k: Int): MGResult = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df
+      .select(col(shardCol).cast("long").as("shard"),
+        struct(orderCols.map(col): _*).as("ord"),
+        col(tokCol).cast("string").as("tok"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+      .select($"shard", $"tok").as[(Long, String)]
+    val summaries = rows.mapPartitions { it =>
+      // partition-local sort makes each shard one contiguous run
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Map[String, Long], Long)]
+      var cur = 0L
+      var buf: MGBuffer = null
+      it.foreach { case (sh, tok) =>
+        if (buf == null || sh != cur) {
+          if (buf != null) out += ((cur, buf.counters.toMap, buf.n))
+          cur = sh
+          buf = emptyBuffer
+        }
+        foldToken(buf, tok, k)
+      }
+      if (buf != null) out += ((cur, buf.counters.toMap, buf.n))
+      out.iterator
+    }.collect() // bounded driver state: shards × ≤k counters
+    require(summaries.nonEmpty, "misraGriesSharded needs a non-empty input")
+    val merged = summaries.sortBy(_._1)
+      .map { case (_, m, n) => bufferOf(MGSummary(m, n)) }
+      .reduceLeft((a, b) => mergeBuffers(a, b, k))
+    MGResult(
+      merged.counters.toSeq
+        .sortBy { case (t, v) => (-v, t) }
+        .map { case (t, v) => MGEntry(t, v) },
+      merged.n)
+  }
+
   /** One-pass sketch of a string column: driver gets the (tiny) summary. */
   def misraGries(df: DataFrame, column: String, k: Int): MGResult = {
     val spark = df.sparkSession

@@ -110,6 +110,27 @@ object StreamGeoQueries {
         .orderBy("user_id")
     }),
 
+    // q109's fold arithmetic, hash-checked (the q116 ordered-replay
+    // doctrine): same foldToken/mergeBuffers code the streaming sketch
+    // runs, but over a PINNED order — contiguous doc_id shards, tokens
+    // ordered (doc_id, word index) within each, shard summaries merged
+    // left-to-right — which the recursive-CTE oracle replays
+    // step-for-step, decrements and merge-truncations included
+    "q127_mg_replay" -> ((s, dir) => {
+      import s.implicits._
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), posexplode(
+          graft.text.TextAnalysis.wordsCol(col("text"))).as(Seq("wi", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("shard", floor(col("doc_id") / 68).cast("long"))
+      val r = graft.ops.Sketch.misraGriesSharded(
+        toks, "shard", Seq("doc_id", "wi"), "tok", k = 8)
+      r.entries.map(e => (e.token, e.estimate, r.n))
+        .toDF("token", "estimate", "n_stream")
+        .orderBy("token")
+    }),
+
     // G1/G2/G3 — RD-coordinate parse + polynomial CRS transform,
     // quantized to 1e6 microdegrees (multiplication-chain arithmetic is
     // replicated verbatim in the oracle)
@@ -179,6 +200,80 @@ object StreamGeoQueries {
         |                                ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // ordered Misra-Gries replay: per-shard sequential fold stepped one
+    // token per recursion (state = ≤k (token,count) structs; the three
+    // foldToken branches verbatim), then shard summaries merged
+    // left-to-right (sum matching counters, subtract the (k+1)-th
+    // largest when over k, drop non-positive — mergeBuffers verbatim)
+    "q127_mg_replay" -> {
+      val k = 8
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, ${TextQueries.Sql.norm} AS norm
+         |      FROM documents WHERE doc_id % 17 = 0),
+         |dw0 AS (SELECT doc_id, ws[i] AS tok, i
+         |        FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM d) x,
+         |        LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) tt
+         |        WHERE ws[i] <> ''),
+         |dw AS (SELECT doc_id // 68 AS shard0, tok,
+         |              row_number() OVER (PARTITION BY doc_id // 68
+         |                                 ORDER BY doc_id, i) AS j
+         |       FROM dw0),
+         |sh AS MATERIALIZED (SELECT shard0, dense_rank() OVER (ORDER BY shard0) AS dr
+         |       FROM (SELECT DISTINCT shard0 FROM dw) u),
+         |dwr AS MATERIALIZED (SELECT s.dr, dd.tok, dd.j FROM dw dd JOIN sh s USING (shard0)),
+         |fold(dr, i, st) AS (
+         |  SELECT dr, CAST(0 AS BIGINT),
+         |         CAST([] AS STRUCT(t VARCHAR, c BIGINT)[]) FROM sh
+         |  UNION ALL
+         |  SELECT f.dr, f.i + 1,
+         |    CASE
+         |      WHEN len(list_filter(f.st, x -> x.t = dd.tok)) > 0
+         |        THEN list_transform(f.st, x -> CASE WHEN x.t = dd.tok
+         |             THEN {'t': x.t, 'c': x.c + CAST(1 AS BIGINT)} ELSE x END)
+         |      WHEN len(f.st) < $k
+         |        THEN list_append(f.st, {'t': dd.tok, 'c': CAST(1 AS BIGINT)})
+         |      ELSE list_filter(list_transform(f.st,
+         |             x -> {'t': x.t, 'c': x.c - CAST(1 AS BIGINT)}),
+         |             x -> x.c > 0)
+         |    END
+         |  FROM fold f JOIN dwr dd ON dd.dr = f.dr AND dd.j = f.i + 1),
+         |fin AS MATERIALIZED (SELECT dr, st FROM (
+         |          SELECT dr, st,
+         |                 row_number() OVER (PARTITION BY dr ORDER BY i DESC) rn
+         |          FROM fold) z WHERE rn = 1),
+         |mrg(s, st) AS (
+         |  SELECT CAST(1 AS BIGINT), st FROM fin WHERE dr = 1
+         |  UNION ALL
+         |  SELECT m.s + 1,
+         |    CASE WHEN len(ms.summed) > $k
+         |      THEN list_filter(list_transform(ms.summed,
+         |             x -> {'t': x.t, 'c': x.c - ms.kth}), x -> x.c > 0)
+         |      ELSE ms.summed END
+         |  FROM mrg m JOIN fin f ON f.dr = m.s + 1,
+         |  LATERAL (
+         |    SELECT summed,
+         |           CASE WHEN len(summed) > $k
+         |             THEN list_reverse_sort(
+         |                    list_transform(summed, x -> x.c))[${k + 1}]
+         |             ELSE CAST(0 AS BIGINT) END AS kth
+         |    FROM (SELECT list_transform(
+         |            list_distinct(list_transform(
+         |              list_concat(m.st, f.st), x -> x.t)),
+         |            tk -> {'t': tk,
+         |                   'c': CAST(list_sum(list_transform(
+         |                          list_filter(list_concat(m.st, f.st),
+         |                            x -> x.t = tk),
+         |                          x -> x.c)) AS BIGINT)}) AS summed) q) ms),
+         |fmerged AS (SELECT st FROM (
+         |              SELECT st, row_number() OVER (ORDER BY s DESC) rn
+         |              FROM mrg) z WHERE rn = 1),
+         |n_total AS (SELECT CAST(count(*) AS BIGINT) AS n_stream FROM dw),
+         |ex AS (SELECT unnest(st, recursive := true) FROM fmerged)
+         |SELECT ex.t AS token, ex.c AS estimate,
+         |       (SELECT n_stream FROM n_total) AS n_stream
+         |FROM ex ORDER BY token""".stripMargin
+    },
 
     "q38_geo_transform" -> {
       val x = "(CAST(100000000 + (o_orderkey % 100000) * 1000 AS BIGINT) / 1000.0)"

@@ -284,6 +284,34 @@ class RelationalSpec extends SparkSuite {
     assert(got.head.getDouble(2) == 5.5 && got.head.getBoolean(3))
   }
 
+  test("resampleFfill: multi-year span at hourly step crosses segment bounds") {
+    // 10-year span at 1 h step = ~87,672 buckets — more than the 65,536
+    // segment bound, so the grid must span 2 segments without ever
+    // materializing one span-sized array (the round-6 100×-design flag)
+    val hour = 3600L * 1000000L
+    val span = 10L * 365 * 24 + 7 // hours; +7 to land mid-segment
+    val df = Seq((1L, 0L, 1.0), (1L, span * hour + 5L, 2.0))
+      .toDF("user_id", "tus", "value")
+      .withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
+    val got = Relational.resampleFfill(df, Seq("user_id"), "ts", 3600L, "value")
+    assert(got.count() == span + 1)
+    val edges = got.orderBy("bucket_us")
+      .filter(col("observed") || col("bucket_us") === (span - 1) * hour)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(edges.toSeq == Seq((0L, 1.0, true),
+      ((span - 1) * hour, 1.0, false), (span * hour, 2.0, true)))
+    // a key whose span/step exceeds maxBucketsPerKey fails loudly
+    // instead of silently generating billions of grid rows
+    val e = intercept[Exception] {
+      Relational.resampleFfill(df, Seq("user_id"), "ts", 3600L, "value",
+        maxBucketsPerKey = 1000L).count()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("maxBucketsPerKey"),
+      s"expected the loud guard, got: $msgs")
+  }
+
   test("scd2History: collapses unchanged runs, versions changes, null-safe") {
     val ch = Seq(
       ("k1", 1L, Some("a")), // opens v1

@@ -81,6 +81,31 @@ class SketchSpec extends SparkSuite {
     assert(cm.n == 0L && cm.estimate("anything") == 0L)
   }
 
+  test("misraGriesSharded replays the pinned-order fold, any partitioning") {
+    // reference: sequential foldToken per shard + left-fold mergeBuffers
+    // in shard order, on the driver
+    val k = 4
+    val stream = zipf(40, 200).zipWithIndex
+      .map { case (t, p) => (p.toLong / 97L, p.toLong, t) }
+    def reference: Seq[(String, Long)] = {
+      val byShard = stream.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          val b = Sketch.emptyBuffer
+          rows.sortBy(_._2).foreach(r => Sketch.foldToken(b, r._3, k))
+          b
+        }
+      val m = byShard.reduceLeft((a, b) => Sketch.mergeBuffers(a, b, k))
+      m.counters.toSeq.sorted
+    }
+    for (parts <- Seq(1, 3, 16)) {
+      val df = stream.toDF("shard", "pos", "tok").repartition(parts)
+      val r = Sketch.misraGriesSharded(df, "shard", Seq("pos"), "tok", k)
+      assert(r.n == stream.size)
+      assert(r.entries.map(e => (e.token, e.estimate)).sorted == reference,
+        s"parts=$parts")
+    }
+  }
+
   test("candidate exact pass broadcasts and semi-joins (no full-stream distinct)") {
     val df = zipf(300, 1500).toDF("tok")
     val plan = Sketch.heavyHitters(df, "tok", k = 256, minCount = 60L)
