@@ -105,24 +105,6 @@ object Streaming {
     } else reader.parquet(path)
   }
 
-  /** Streaming MERGE sink — the continuous-CDC "latest row per key"
-    * lakehouse pattern: each micro-batch is reduced to its newest row
-    * per key (map-side: one shuffle on the key within the batch) and
-    * merged into a parquet target via rewrite-and-atomic-swap, the same
-    * rewrite+commit a lakehouse MERGE performs transactionally.
-    *
-    * The merge is RECENCY-AWARE, not last-writer-wins: the kept row per
-    * key is the max under `orderCols` across target ∪ batch, so the
-    * final table is INDEPENDENT of micro-batch boundaries and file
-    * arrival order (asserted by StreamingSpec against 1-file-per-batch
-    * vs all-at-once runs). A plain "updates win" upsert would silently
-    * corrupt on out-of-order arrival — the usual CDC footgun.
-    *
-    * Scale: per batch, one shuffle of batch∪target on the key. At 100 TB
-    * the target rewrite is the cost — a real deployment partitions the
-    * target by key range and rewrites only partitions the batch touches
-    * (same algorithm, pruned); the per-batch merge shape is unchanged.
-    * Returns the final merged table. */
   /** Run-scoped scratch base: tmpfs when available (checkpoints, memory
     * targets, and per-run staging all terminate within the call, so RAM
     * beats disk and nothing needs to survive the process). */
@@ -133,30 +115,92 @@ object Streaming {
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
+  /** Deterministic key-hash bucket the MERGE target is laid out on. */
+  private def bucketCol(keys: Seq[String], nBuckets: Int) =
+    pmod(hash(keys.map(col): _*), lit(nBuckets))
+
+  /** One recency-aware MERGE of `batch` into the bucketed parquet
+    * target: reads ONLY the `__bucket=<i>` directories the batch's keys
+    * hash into, merges batch ∪ those buckets keeping the max-`orderCols`
+    * row per key, and swaps ONLY the touched bucket directories (each
+    * via its own staging rename). Untouched buckets are never read,
+    * never rewritten — their files stay byte-identical, which is the
+    * whole point: per-batch I/O is O(batch + touched buckets), not
+    * O(target). Exposed for StreamingSpec's direct-merge pruning test. */
+  private[graft] def mergeBatch(batch: DataFrame, targetDir: String,
+                                keys: Seq[String], orderCols: Seq[String],
+                                nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tPath = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = tPath.getFileSystem(hconf)
+    val desc = orderCols.map(c => col(c).desc)
+    val latest = graft.ops.Relational.keepFirst(
+      batch.toDF(), keys.map(col), desc)
+    // bounded driver state: ≤ nBuckets ids
+    val touched = latest.select(bucketCol(keys, nBuckets).as("__bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val existing = touched.map(b => new org.apache.hadoop.fs.Path(
+        tPath, s"__bucket=$b")).filter(fs.exists(_))
+    val base =
+      if (existing.nonEmpty)
+        spark.read.parquet(existing.map(_.toString): _*)
+      else latest.limit(0)
+    val merged = graft.ops.Relational.keepFirst(
+        base.unionByName(latest), keys.map(col), desc)
+      .withColumn("__bucket", bucketCol(keys, nBuckets))
+    val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
+    fs.delete(staging, true)
+    merged.write.partitionBy("__bucket").mode("overwrite")
+      .parquet(staging.toString)
+    fs.mkdirs(tPath)
+    touched.foreach { b =>
+      val src = new org.apache.hadoop.fs.Path(staging, s"__bucket=$b")
+      val dst = new org.apache.hadoop.fs.Path(tPath, s"__bucket=$b")
+      if (fs.exists(src)) {
+        fs.delete(dst, true)
+        fs.rename(src, dst)
+      }
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Streaming MERGE sink — the continuous-CDC "latest row per key"
+    * lakehouse pattern: each micro-batch is reduced to its newest row
+    * per key and merged into a key-hash-BUCKETED parquet target
+    * (`__bucket=<i>` directories) via [[mergeBatch]], rewriting only
+    * the buckets the batch touches — the same pruned rewrite+commit a
+    * partitioned lakehouse MERGE performs.
+    *
+    * The merge is RECENCY-AWARE, not last-writer-wins: the kept row per
+    * key is the max under `orderCols` across target ∪ batch, so the
+    * final table is INDEPENDENT of micro-batch boundaries and file
+    * arrival order (asserted by StoreSpec against 1-file-per-batch vs
+    * all-at-once runs). A plain "updates win" upsert would silently
+    * corrupt on out-of-order arrival — the usual CDC footgun.
+    *
+    * Scale: per batch, one shuffle of batch ∪ touched-buckets on the
+    * key — a 1 GB batch against a 100 TB target rewrites ~1/nBuckets
+    * of the target per touched bucket, not the whole table (the
+    * round-6 full-rewrite flag). Size `nBuckets` so target/nBuckets is
+    * a comfortable rewrite unit; batches touching few DISTINCT key
+    * buckets rewrite proportionally less. Atomicity is per bucket
+    * directory (each swap is one rename); the merge itself is
+    * idempotent, so a replayed batch converges to the same target.
+    * Returns the final merged table. */
   def upsertAvailableNow(stream: DataFrame, targetDir: String,
-                         keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+                         keys: Seq[String], orderCols: Seq[String],
+                         nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
     val spark = stream.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val tPath = new org.apache.hadoop.fs.Path(targetDir)
     val fs = tPath.getFileSystem(hconf)
     fs.delete(tPath, true)
-    val desc = orderCols.map(c => col(c).desc)
     val ckBase = scratchBase
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val latest = graft.ops.Relational.keepFirst(
-          batch.toDF(), keys.map(col), desc)
-        val merged =
-          if (fs.exists(tPath))
-            graft.ops.Relational.keepFirst(
-              spark.read.parquet(targetDir).unionByName(latest),
-              keys.map(col), desc)
-          else latest
-        val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
-        merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(tPath, true)
-        fs.rename(staging, tPath)
-        ()
+        mergeBatch(batch.toDF(), targetDir, keys, orderCols, nBuckets)
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation",
@@ -164,7 +208,7 @@ object Streaming {
           .toString)
       .start()
     q.awaitTermination()
-    spark.read.parquet(targetDir)
+    spark.read.parquet(targetDir).drop("__bucket")
   }
 
   /** In-stream exact dedup — the continuous-ingest form of

@@ -654,6 +654,56 @@ class StreamingSpec extends graft.SparkSuite {
     assert(oneShot == expected, s"one-shot run: $oneShot")
   }
 
+  test("streaming upsert rewrites only touched buckets; others stay byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val target = java.nio.file.Files
+      .createTempDirectory("graft-bucket-merge").toString + "/t"
+    val nB = 8
+    def mk(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("user_id", "ts_us", "event_id")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("event_id"))
+    def merge(rows: Seq[(Long, Long, Long)]): Unit =
+      graft.streaming.Streaming.mergeBatch(mk(rows), target,
+        Seq("user_id"), Seq("ts", "event_id"), nB)
+    // the sink's bucket function, replicated: pmod(hash(key), nB)
+    def bucketOf(ids: Long*): Set[Int] =
+      ids.toDF("user_id").select(pmod(hash(col("user_id")), lit(nB)))
+        .collect().map(_.getInt(0)).toSet
+    // pick keys known to land in DIFFERENT buckets
+    val probe = (1L to 64L).map(i => i -> bucketOf(i).head)
+    val (kA, bA) = probe.head
+    val (kB, bB) = probe.find(_._2 != bA).get
+    val S = 1000000L
+    merge(Seq((kA, 10 * S, 1L), (kB, 20 * S, 2L)))
+    def snapshot(except: Int): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(target))
+        .filterNot(_.getPath.contains(s"__bucket=$except"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          f.getPath -> java.util.Base64.getEncoder.encodeToString(
+            java.security.MessageDigest.getInstance("MD5").digest(bytes))
+        }.toMap
+    }
+    val before = snapshot(except = bB)
+    assert(before.nonEmpty, s"expected files outside __bucket=$bB")
+    // batch 2 touches ONLY kB's bucket: newer row for kB, new key in bB
+    val kB2 = probe.find(p => p._2 == bB && p._1 != kB)
+      .map(_._1).getOrElse(kB)
+    merge(Seq((kB, 30 * S, 3L), (kB2, 5 * S, 4L)))
+    assert(snapshot(except = bB) == before,
+      "files outside the touched bucket must be byte-identical")
+    val got = spark.read.parquet(target).drop("__bucket")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expected = (Seq((kA, 1L, 10 * S), (kB, 3L, 30 * S)) ++
+      (if (kB2 != kB) Seq((kB2, 4L, 5 * S)) else Nil)).sortBy(_._1)
+    assert(got == expected, s"merged table: $got")
+  }
+
   test("streaming heavy hitters: MG guarantee holds, state carries across batches") {
     import spark.implicits._
     import graft.streaming.Streaming
