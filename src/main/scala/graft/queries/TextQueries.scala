@@ -411,6 +411,23 @@ object TextQueries {
           graft.text.LinearText.pinnedWeightsE6())
         .orderBy("doc_id")),
 
+    // Index-and-probe incremental near-dup dedup — the continuous-
+    // ingest form of q24: the corpus's MinHash bands persist as a
+    // bkey-bucketed table (built once), the arriving shard signs only
+    // itself and joins the index Exchange-free on the index side, with
+    // small shards bucket-pruning the scan. Portable hashes make the
+    // whole candidate set oracle-checkable: the oracle recomputes both
+    // sides' bands and replays the probe join
+    "q128_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 3 =!= 0)
+      val shard = d.filter(col("doc_id") % 3 === 0)
+      graft.text.IncrementalDedup.buildIndex(
+        corpus, "graft_q128_idx", buckets = 8)
+      graft.text.IncrementalDedup.probe(s, shard, "graft_q128_idx")
+        .orderBy("new_doc", "corpus_doc")
+    }),
+
     // Count-min frequency sketch over the corpus token stream: one
     // treeAggregate builds the 4x8192 matrix (portable hashes -> the
     // oracle replays the matrix bit-for-bit, collisions included), then
@@ -444,24 +461,29 @@ object TextQueries {
     pinnedMerges.zipWithIndex
       .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
 
-  /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
-    * uncapped) and q49 (triangle-distributed path; completeness check). */
-  private lazy val minhashAllPairsSql: String = {
+  /** The banded-MinHash `bands` CTE chain (doc_id, band, band_key) —
+    * shared by the all-pairs oracles and q128's index-probe oracle. */
+  private lazy val minhashBandsCtes: String = {
     val sig = (0 until 16).map { j =>
       s"list_min(list_transform(shs, h -> (h * ${2 * j + 1} + ${j * 12345 + 678}) % 1000000007))"
     }.mkString("[", ",\n    ", "]")
-    s"""WITH wh AS (SELECT doc_id, ${Sql.wordHashes} AS whs FROM documents),
+    s"""wh AS (SELECT doc_id, ${Sql.wordHashes} AS whs FROM documents),
        |sh AS (SELECT doc_id, ${Sql.shingles("whs", 3)} AS shs FROM wh),
        |sig AS (SELECT doc_id, $sig AS sg FROM sh),
        |bands AS (
        |  SELECT doc_id, b.band,
        |         array_to_string(sg[b.band * 4 + 1 : b.band * 4 + 4], '_') AS band_key
-       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)""".stripMargin
+  }
+
+  /** The exact banded-MinHash all-pairs SQL — shared by q24 (star path,
+    * uncapped) and q49 (triangle-distributed path; completeness check). */
+  private lazy val minhashAllPairsSql: String =
+    s"""WITH $minhashBandsCtes
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "q77_fuzzy_join" ->
@@ -554,6 +576,16 @@ object TextQueries {
          |FROM nt LEFT JOIN sc USING (doc_id)
          |ORDER BY nt.doc_id""".stripMargin
     },
+
+    // probe replay: both sides' bands recomputed from the portable
+    // hashes, joined per band, restricted to shard×corpus orientation
+    "q128_incremental_dedup" ->
+      s"""WITH $minhashBandsCtes
+         |SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+         |FROM bands n JOIN bands c
+         |  ON n.band = c.band AND n.band_key = c.band_key
+         |WHERE n.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+         |ORDER BY new_doc, corpus_doc""".stripMargin,
 
     // count-min matrix replay: per (row j, bucket) sums where bucket =
     // squareMix(reseed_j(base)) mod width (square AFTER reseed — see

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Index-and-probe incremental near-duplicate detection — the operator a
+  * CONTINUOUSLY-INGESTING corpus actually runs. The whole-corpus batch
+  * dedup ([[Dedup.minhashCandidatePairs]], razulibs' batch-pipeline
+  * shape) rescans and re-signs everything per run; at 100 TB the steady
+  * state is instead: sign the corpus ONCE into a persisted MinHash band
+  * index, then for each arriving shard sign only the shard, join it
+  * against the index, and append the shard's bands so the index stays
+  * current.
+  *
+  * Index layout (via [[graft.sources.Bucketed]]): a managed parquet
+  * table of (bkey, doc) rows — bkey carries the band id and the band's
+  * signature slice in one string — bucketed AND sorted on `bkey`.
+  * Single-column bucketing is deliberate, it buys two plans:
+  *
+  *   - the probe join needs no Exchange on the index side — the scan's
+  *     HashPartitioning(bkey) satisfies the join's clustered
+  *     distribution, so only the (small) shard's bands shuffle
+  *     (BucketedSpec-style plan pin in IncrementalDedupSpec);
+  *   - a small shard's distinct bkey set pushes down as an `isin`
+  *     filter, and Spark BUCKET-PRUNES the index scan (
+  *     `SelectedBucketsCount` < total) — the probe reads only the
+  *     index buckets that can contain a match, sub-linear in the index.
+  *
+  * The index holds bands, never text: ~tens of bytes per (doc, band) vs
+  * the documents themselves, and probing never recomputes a corpus
+  * signature. A degenerate bkey (boilerplate) yields genuinely many
+  * candidates — that is corpus skew, not a plan defect; AQE's skew-join
+  * handles the partition split, and candidate consumers (keep-first /
+  * components) are cap-aware downstream.
+  */
+object IncrementalDedup {
+
+  /** (bkey, doc) band rows; bkey = "<band>_<signature slice>" — the
+    * band id is FOLDED INTO the key so the probe join has exactly one
+    * equi-key. Spark only treats a bucketed side as co-partitioned when
+    * the bucket columns cover ALL the join's cluster keys
+    * (requireAllClusterKeysForCoPartition) — a separate band column
+    * would force a full re-shuffle of the index. */
+  private def bandsOf(docs: DataFrame, textCol: String, idCol: String,
+                      k: Int, numHashes: Int, bands: Int): DataFrame =
+    Dedup.lshBands(docs, textCol, idCol, k, numHashes, bands,
+        portable = true)
+      .select(concat_ws("_", col("band"), col("band_key")).as("bkey"),
+        col("doc"))
+
+  /** Sign `corpus` and (re)build the persistent band index table. One
+    * signature pass + one bucket-write shuffle — paid once, not per
+    * probe. */
+  def buildIndex(corpus: DataFrame, table: String, buckets: Int,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 k: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit =
+    graft.sources.Bucketed.save(
+      bandsOf(corpus, textCol, idCol, k, numHashes, bands),
+      table, Seq("bkey"), buckets)
+
+  /** Append a new shard's bands to the index (same bucket spec — the
+    * bucketed-table contract keeps the co-located join valid). Call
+    * AFTER probing the shard so the shard does not match itself. */
+  def appendToIndex(newDocs: DataFrame, table: String, buckets: Int,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    k: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit =
+    graft.sources.Bucketed.save(
+      bandsOf(newDocs, textCol, idCol, k, numHashes, bands),
+      table, Seq("bkey"), buckets, mode = SaveMode.Append)
+
+  /** Candidate (new_doc, corpus_doc) near-dup pairs of a new shard
+    * against the persisted index — WITHOUT rescanning or re-signing the
+    * corpus. When the shard's distinct bkey count is at most
+    * `pruneKeys`, the key set (bounded driver state) is pushed onto the
+    * index scan as an `isin` filter so bucket pruning + row-group
+    * min/max skipping (the index is sorted on bkey) cut the read to
+    * the matching buckets; larger shards fall back to the full
+    * co-located join, still Exchange-free on the index side. */
+  def probe(spark: SparkSession, newDocs: DataFrame, table: String,
+            textCol: String = "text", idCol: String = "doc_id",
+            k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+            pruneKeys: Int = 10000): DataFrame = {
+    val nb = bandsOf(newDocs, textCol, idCol, k, numHashes, bands)
+      .select(col("bkey").as("n_key"), col("doc").as("new_doc"))
+      // the shard's bands feed the key-collect AND the join — sign once
+      .localCheckpoint(eager = false)
+    val idx0 = graft.sources.Bucketed.load(spark, table)
+    val idx =
+      if (pruneKeys > 0) {
+        val keys = nb.select("n_key").distinct().limit(pruneKeys + 1)
+          .collect().map(_.getString(0))
+        if (keys.length <= pruneKeys)
+          idx0.filter(col("bkey").isin(keys.toIndexedSeq: _*))
+        else idx0
+      } else idx0
+    idx.join(nb, idx("bkey") === nb("n_key") &&
+        col("doc") =!= col("new_doc"))
+      .select(col("new_doc"), col("doc").as("corpus_doc"))
+      .distinct()
+  }
+
+  /** The shard rows with no near-dup candidate in the index — the
+    * "keep only novel documents" decision, one left-anti join. */
+  def novel(spark: SparkSession, newDocs: DataFrame, table: String,
+            textCol: String = "text", idCol: String = "doc_id",
+            k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val hits = probe(spark, newDocs, table, textCol, idCol,
+        k, numHashes, bands)
+      .select(col("new_doc").as(idCol)).distinct()
+    newDocs.join(hits, Seq(idCol), "left_anti")
+  }
+}
