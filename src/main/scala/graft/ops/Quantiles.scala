@@ -120,6 +120,138 @@ object Quantiles {
     narrow(vals, mm.getLong(0), mm.getLong(1), ranks, buckets)
   }
 
+  /** Per-GROUP exact quantiles by the same histogram narrowing — the
+    * scale path q51's `row_number() OVER (PARTITION BY group)` window
+    * cannot take: a window funnels each group through ONE task (the
+    * same shape capPerGroup exists to avoid), while here every round is
+    * one treeAggregate over all groups at once and no row ever moves.
+    * Each active (group, rank) owns a bucket strip in the per-round
+    * histogram; the strip width adapts (`maxSlots / active`, floor 4)
+    * so the aggregate array stays bounded no matter how many groups are
+    * active — more groups just means narrower strips and a few more
+    * rounds (log_nB(span) each).
+    *
+    * Driver state: groups × qs ranges plus one stats row per group —
+    * the operator is for BOUNDED group counts (sources, languages,
+    * shards; `maxGroups` guards the contract loudly). Group columns
+    * are joined into one NUL-separated key on the wire; values
+    * containing NUL would alias groups. NULL values are excluded per
+    * group; empty groups cannot occur (groups come from the data).
+    *
+    * Output: groupCols (original types) ++ (q_e4, value) — value at
+    * 1-based rank ceil(q·n_group), the q51 oracle convention. */
+  def groupedQuantiles(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, qs: Seq[Double],
+                       buckets: Int = 1 << 16,
+                       maxGroups: Int = 1 << 20): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(qs.nonEmpty, "need at least one quantile")
+    require(buckets >= 4, "need at least 4 buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyExpr = concat_ws("\u0000",
+      groupCols.map(c => col(c).cast("string")): _*)
+    val keyed = df
+      .select(keyExpr.as("k"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull).as[(String, Long)]
+    val stats = df
+      .select(groupCols.map(col) :+ keyExpr.as("__k") :+
+        col(valueCol).cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__k") +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), min("__v").as("lo"), max("__v").as("hi"))
+      .collect()
+    require(stats.length <= maxGroups,
+      s"${stats.length} groups exceed maxGroups=$maxGroups — " +
+        "groupedQuantiles is for bounded group counts")
+    val groupVals = stats.map(r => r.getString(0) ->
+      r.toSeq.slice(1, 1 + groupCols.length)).toMap
+    // (group, rank) -> (lo, hi, remaining-rank-within-range)
+    val state = scala.collection.mutable.LinkedHashMap.empty[
+      (String, Long), (Long, Long, Long)]
+    val rankOf = stats.map { r =>
+      val k = r.getString(0)
+      val n = r.getLong(1 + groupCols.length)
+      val lo = r.getLong(2 + groupCols.length)
+      val hi = r.getLong(3 + groupCols.length)
+      val ranks = qs.map(q => math.max(1L, math.ceil(q * n).toLong))
+      ranks.distinct.foreach(t => state((k, t)) = (lo, hi, t))
+      k -> qs.zip(ranks).toMap
+    }.toMap
+    val maxSlots = 1 << 22
+    var round = 0
+    while (state.values.exists { case (lo, hi, _) => lo < hi } && round < 64) {
+      val active = state.toSeq.collect {
+        case ((k, r), (lo, hi, t)) if lo < hi => (k, r, lo, hi, t)
+      }
+      val nB = math.max(4, math.min(buckets, maxSlots / active.length))
+      val slotted = active.zipWithIndex.map { case ((k, r, lo, hi, t), i) =>
+        val w = ((BigInt(hi) - BigInt(lo)) / nB + 1).toLong
+        (i, k, r, lo, hi, t, w)
+      }
+      val bc = spark.sparkContext.broadcast(
+        slotted.groupBy(_._2).map { case (k, ss) =>
+          k -> ss.map { case (i, _, _, lo, hi, _, w) => (i, lo, hi, w) }.toArray
+        })
+      val hist = keyed.rdd.treeAggregate(
+        new Array[Long](slotted.length * nB))(
+        (acc, kv) => {
+          bc.value.get(kv._1) match {
+            case Some(rs) =>
+              val v = kv._2
+              var j = 0
+              while (j < rs.length) {
+                val (i, lo, hi, w) = rs(j)
+                if (v >= lo && v <= hi) {
+                  val b = java.lang.Long.divideUnsigned(v - lo, w).toInt
+                  acc(i * nB + b) += 1L
+                }
+                j += 1
+              }
+            case None =>
+          }
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        })
+      slotted.foreach { case (i, k, r, lo, hi, t, w) =>
+        var b = 0
+        var acc = 0L
+        var rem = t
+        var found = false
+        while (b < nB && !found) {
+          val c = hist(i * nB + b)
+          if (acc + c >= t) { rem = t - acc; found = true }
+          else { acc += c; b += 1 }
+        }
+        require(found, s"rank $t exceeds the row count in [$lo, $hi]")
+        val bLo = BigInt(lo) + BigInt(b) * w
+        val bHi = (bLo + w - 1).min(BigInt(hi))
+        state((k, r)) = (bLo.toLong, bHi.toLong, rem)
+      }
+      round += 1
+    }
+    require(state.values.forall { case (lo, hi, _) => lo == hi },
+      "grouped selection did not converge — raise `buckets`")
+    val rows = rankOf.toSeq.flatMap { case (k, qr) =>
+      qs.map { q =>
+        Row.fromSeq(groupVals(k) ++
+          Seq(math.round(q * 10000.0), state((k, qr(q)))._1))
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      groupCols.map(c => df.schema(c)) ++ Seq(
+        org.apache.spark.sql.types.StructField("q_e4",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** (q_e4, value) rows for quantiles `qs` of `valueCol`: value at
     * 1-based rank ceil(q·n) over the NON-NULL values, q reported as
     * round(q·1e4) (floor would mangle binary-inexact fractions —

@@ -263,6 +263,18 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // q51's scale path: the same per-source exact quantiles WITHOUT the
+    // per-group row_number window (which funnels each group through one
+    // task) — histogram-narrowing rounds with one treeAggregate per
+    // round across ALL groups at once (Quantiles.groupedQuantiles); the
+    // oracle replays the windowed form, so the equality IS the
+    // selection-vs-window equivalence proof
+    "q129_grouped_quantiles" -> ((s, dir) =>
+      graft.ops.Quantiles.groupedQuantiles(
+          docs(s, dir), Seq("source"), "n_chars",
+          qs = Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("source", "q_e4")),
+
     // Per-domain cap (C4/RefinedWeb shape): at most 15 docs per source,
     // picked by deterministic hash order. NOT a partitioned window — the
     // two-pass range-shuffle rank (Curation.capPerGroup) spreads a
@@ -564,6 +576,21 @@ object CurationQueries {
         |       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90,
         |       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q129_grouped_quantiles" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |q(q_e4, qf) AS (SELECT * FROM (VALUES
+        |  (2500, 0.25), (5000, 0.5), (7500, 0.75), (9500, 0.95)) v)
+        |SELECT source, CAST(q_e4 AS BIGINT) AS q_e4,
+        |       CAST(MAX(CASE WHEN rn = greatest(1,
+        |         CAST(ceil(qf * n) AS BIGINT)) THEN n_chars END) AS BIGINT)
+        |         AS value
+        |FROM r CROSS JOIN q
+        |GROUP BY source, q_e4 ORDER BY source, q_e4""".stripMargin,
 
     "q57_chunk_documents" ->
       s"""WITH w AS (SELECT doc_id, ${TextQueries.Sql.words} AS ws FROM documents),

@@ -75,6 +75,41 @@ class QuantilesSpec extends SparkSuite {
       5000L -> 32768L, 7500L -> 49152L))
   }
 
+  test("groupedQuantiles matches per-group order statistics on skewed groups") {
+    // heavily skewed: one 50k-row group, one 7-row group, one 1-row
+    // group, plus a group whose values force multi-round narrowing
+    val big = (1 to 50000).map(i =>
+      ("big", ((i * 2654435761L) % 100003L) - 50L))
+    val small = (1 to 7).map(i => ("small", i * 10L))
+    val one = Seq(("one", 42L))
+    val wide = (1 to 999).map(i => ("wide", i.toLong * (1L << 30)))
+    val data = big ++ small ++ one ++ wide
+    val qs = Seq(0.25, 0.5, 0.99, 1.0)
+    def expected(rows: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val sorted = rows.map(_._2).sorted
+      qs.map(q => (rows.head._1, math.round(q * 10000.0),
+        sorted(math.max(1, math.ceil(q * sorted.size).toInt) - 1)))
+    }
+    val exp = Seq(big, small, one, wide).flatMap(expected).toSet
+    for (parts <- Seq(3, 17)) {
+      val got = Quantiles.groupedQuantiles(
+          data.toDF("g", "v").repartition(parts), Seq("g"), "v", qs)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == exp, s"parts=$parts")
+    }
+    // nulls excluded per group; maxGroups guard fails loudly
+    val withNulls = Seq(("a", Some(10L)), ("a", None), ("a", Some(30L)),
+      ("b", None), ("b", Some(5L))).toDF("g", "v")
+    val gn = Quantiles.groupedQuantiles(withNulls, Seq("g"), "v", Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(gn == Set(("a", 10L), ("b", 5L)))
+    intercept[IllegalArgumentException] {
+      Quantiles.groupedQuantiles(data.toDF("g", "v"), Seq("g"), "v",
+        Seq(0.5), maxGroups = 2)
+    }
+  }
+
   test("deterministic across partitionings; rejects empty input") {
     val data = (1 to 5000).map(i => ((i * 2654435761L) % 997L) - 100L)
     val a = Quantiles.quantiles(data.toDF("v").repartition(3), "v",
