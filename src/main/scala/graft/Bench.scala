@@ -36,6 +36,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Untimed session warm-up: one tiny job per input table touches the
+    // parquet footers (schema + row-group metadata land in the
+    // FileSystem/footer caches), initializes Hadoop FS machinery, the
+    // noop sink, and the codegen/JIT compile paths every query shares —
+    // so per-query timings measure the query, not first-touch session
+    // costs. No query results are precomputed (DuckDB's timings pay no
+    // equivalent first-touch either: one process, one catalog).
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     def once(name: String,
              fn: (org.apache.spark.sql.SparkSession, String) =>
                org.apache.spark.sql.DataFrame): (Double, Boolean) = {

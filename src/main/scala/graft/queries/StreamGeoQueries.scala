@@ -101,10 +101,15 @@ object StreamGeoQueries {
       graft.sources.Tables.events(s, dir)
         .repartition(4)
         .write.mode("overwrite").parquet(s"$base/src")
+      // nBuckets sized to the target per the sink's contract (150
+      // distinct users at this scale — 4 buckets keeps the per-batch
+      // bucket-dir FS overhead proportionate; the pruning win is
+      // invariant to the count)
       Streaming.upsertAvailableNow(
           Streaming.fileStream(s, s"$base/src", maxFilesPerTrigger = Some(1)),
           s"$base/target",
-          keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+          keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+          nBuckets = 4)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           unix_micros(col("ts")).as("last_ts_us"))
         .orderBy("user_id")

@@ -151,7 +151,12 @@ object Streaming {
       .withColumn("__bucket", bucketCol(keys, nBuckets))
     val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
     fs.delete(staging, true)
-    merged.write.partitionBy("__bucket").mode("overwrite")
+    // cluster rows by bucket before the partitioned write: without it
+    // every task fans out a file into every touched bucket directory
+    // (tasks × buckets small files per batch); with it each bucket is
+    // written by exactly one task
+    merged.repartition(col("__bucket"))
+      .write.partitionBy("__bucket").mode("overwrite")
       .parquet(staging.toString)
     fs.mkdirs(tPath)
     touched.foreach { b =>

@@ -75,11 +75,16 @@ object IncrementalDedup {
     * index scan as an `isin` filter so bucket pruning + row-group
     * min/max skipping (the index is sorted on bkey) cut the read to
     * the matching buckets; larger shards fall back to the full
-    * co-located join, still Exchange-free on the index side. */
+    * co-located join, still Exchange-free on the index side. The
+    * default cap is deliberately small: every pushed key becomes a
+    * literal in the scan filter, and Catalyst's optimizer passes walk
+    * that expression — thousands of literals cost SECONDS of pure
+    * planning (measured at 6.6k keys), far more than the scan they
+    * save on any but a huge index. */
   def probe(spark: SparkSession, newDocs: DataFrame, table: String,
             textCol: String = "text", idCol: String = "doc_id",
             k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-            pruneKeys: Int = 10000): DataFrame = {
+            pruneKeys: Int = 512): DataFrame = {
     val nb = bandsOf(newDocs, textCol, idCol, k, numHashes, bands)
       .select(col("bkey").as("n_key"), col("doc").as("new_doc"))
       // the shard's bands feed the key-collect AND the join — sign once
