@@ -134,9 +134,12 @@ object Quantiles {
     * Driver state: groups × qs ranges plus one stats row per group —
     * the operator is for BOUNDED group counts (sources, languages,
     * shards; `maxGroups` guards the contract loudly). Group columns
-    * are joined into one NUL-separated key on the wire; values
-    * containing NUL would alias groups. NULL values are excluded per
-    * group; empty groups cannot occur (groups come from the data).
+    * are joined into one NUL-separated key on the wire, with NULL
+    * group values mapped to a NUL-prefixed sentinel — concat_ws
+    * silently SKIPS null arguments, which would alias (NULL, "x") with
+    * ("x") groups; group values containing NUL themselves would still
+    * alias. NULL values are excluded per group; empty groups cannot
+    * occur (groups come from the data).
     *
     * Output: groupCols (original types) ++ (q_e4, value) — value at
     * 1-based rank ceil(q·n_group), the q51 oracle convention. */
@@ -150,7 +153,8 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val keyExpr = concat_ws("\u0000",
-      groupCols.map(c => col(c).cast("string")): _*)
+      groupCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000N"))): _*)
     val keyed = df
       .select(keyExpr.as("k"), col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull).as[(String, Long)]

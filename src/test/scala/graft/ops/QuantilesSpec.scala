@@ -104,6 +104,13 @@ class QuantilesSpec extends SparkSuite {
     val gn = Quantiles.groupedQuantiles(withNulls, Seq("g"), "v", Seq(0.5))
       .collect().map(r => (r.getString(0), r.getLong(2))).toSet
     assert(gn == Set(("a", 10L), ("b", 5L)))
+    // a NULL group VALUE is its own group, not aliased away (concat_ws
+    // skips null args — the sentinel guards against that)
+    val nullGroup = Seq((Option("a"), 1L), (Option("a"), 3L),
+      (Option.empty[String], 100L)).toDF("g", "v")
+    val ng = Quantiles.groupedQuantiles(nullGroup, Seq("g"), "v", Seq(1.0))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2))).toSet
+    assert(ng == Set((Some("a"), 3L), (None, 100L)))
     intercept[IllegalArgumentException] {
       Quantiles.groupedQuantiles(data.toDF("g", "v"), Seq("g"), "v",
         Seq(0.5), maxGroups = 2)
