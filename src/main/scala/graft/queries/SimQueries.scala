@@ -12,7 +12,7 @@ import graft.sim.Similarity
 object SimQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.Tables.table(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -128,7 +128,7 @@ object SimQueries {
     // Per-label embedding stats, quantize-then-sum so group aggregation
     // order cannot introduce FP drift
     "q29_embedding_stats" -> ((s, dir) =>
-      s.read.parquet(s"$dir/embeddings.parquet")
+      graft.sources.Tables.table(s, dir, "embeddings")
         .select(col("label"),
           floor(Similarity.normCol(col("embedding").cast("array<double>"))
             * lit(1000000.0d)).cast("long").as("norm_e6"))
@@ -141,7 +141,7 @@ object SimQueries {
     // blocking is the unblocked scale path, recall-tested in scalatest)
     "q39_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupBlocked(
-          s.read.parquet(s"$dir/embeddings.parquet")
+          graft.sources.Tables.table(s, dir, "embeddings")
             .select(col("vec_id").as("id"), col("embedding").as("vec"),
               col("label")),
           "label", thresholdE6 = 300000L)
@@ -152,7 +152,7 @@ object SimQueries {
     // contract; vote ties to the smaller label). The embedding-space
     // auto-labeling shape — graft.sim.Knn scaladoc for the scale plan
     "q89_knn_classify" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = graft.sources.Tables.table(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"),
           col("label"))
       graft.sim.Knn.classify(

@@ -123,7 +123,7 @@ object StreamGeoQueries {
     // step-for-step, decrements and merge-truncations included
     "q127_mg_replay" -> ((s, dir) => {
       import s.implicits._
-      val toks = s.read.parquet(s"$dir/documents.parquet")
+      val toks = graft.sources.Tables.table(s, dir, "documents")
         .filter(col("doc_id") % 17 === 0)
         .select(col("doc_id"), posexplode(
           graft.text.TextAnalysis.wordsCol(col("text"))).as(Seq("wi", "tok")))

@@ -11,7 +11,7 @@ import graft.text.{Dedup, TextAnalysis}
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.table(s, dir, "documents")
 
   /** Shared oracle-SQL fragments (DuckDB dialect) — also composed into
     * the curation-query oracles (CurationQueries). */
