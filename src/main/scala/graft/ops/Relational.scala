@@ -220,7 +220,12 @@ object Relational {
         explode(sequence(col("__lo"), col("__hi"), lit(segStep))).as("__s")): _*)
       .select(keys.map(col) :+
         explode(sequence(col("__s"),
-          least(col("__s") + lit(segStep - stepUs), col("__hi")),
+          // segment end WITHOUT `__s + (segStep-stepUs)`: that sum can
+          // wrap for buckets near Long.MaxValue; the subtraction form
+          // only adds when the result provably stays <= __hi
+          when(col("__hi") - col("__s") <= lit(segStep - stepUs),
+            col("__hi"))
+            .otherwise(col("__s") + lit(segStep - stepUs)),
           lit(stepUs))).as("__b"): _*)
     val wFF = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -92,15 +92,19 @@ object CurationQueries {
       val ord = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
       // write-once setup; repeat executions (bench passes 2+) measure
-      // the recurring zero-Exchange join the tables exist to amortize
+      // the recurring zero-Exchange join the tables exist to amortize.
+      // The dir rides in the TABLE NAME, not just the memo key — a
+      // dir-keyed memo over a global name would serve another dir's
+      // data after a same-JVM dir switch-and-return
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
       Setup.once(s"q123:$dir") {
-        graft.sources.Bucketed.save(li, "graft_q123_li",
+        graft.sources.Bucketed.save(li, s"graft_q123_li_$tag",
           Seq("l_orderkey"), buckets = 8)
-        graft.sources.Bucketed.save(ord, "graft_q123_ord",
+        graft.sources.Bucketed.save(ord, s"graft_q123_ord_$tag",
           Seq("l_orderkey"), buckets = 8)
       }
-      graft.sources.Bucketed.load(s, "graft_q123_li")
-        .join(graft.sources.Bucketed.load(s, "graft_q123_ord"),
+      graft.sources.Bucketed.load(s, s"graft_q123_li_$tag")
+        .join(graft.sources.Bucketed.load(s, s"graft_q123_ord_$tag"),
           Seq("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),

@@ -12,6 +12,11 @@ private[queries] object Setup {
   private val done =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def once(key: String)(f: => Unit): Unit = synchronized {
-    if (done.add(key)) f
+    if (done.add(key)) {
+      // un-mark on failure: a half-written table must be rebuilt by the
+      // next execution, not silently read
+      try f
+      catch { case e: Throwable => done.remove(key); throw e }
+    }
   }
 }

@@ -423,12 +423,14 @@ object TextQueries {
       val corpus = d.filter(col("doc_id") % 3 =!= 0)
       val shard = d.filter(col("doc_id") % 3 === 0)
       // index built once per process (the operator's whole point);
-      // bench passes 2+ time the sign-shard-and-probe steady state
+      // bench passes 2+ time the sign-shard-and-probe steady state.
+      // dir in the table name, not just the memo key (see q123)
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
       Setup.once(s"q128:$dir") {
         graft.text.IncrementalDedup.buildIndex(
-          corpus, "graft_q128_idx", buckets = 8)
+          corpus, s"graft_q128_idx_$tag", buckets = 8)
       }
-      graft.text.IncrementalDedup.probe(s, shard, "graft_q128_idx")
+      graft.text.IncrementalDedup.probe(s, shard, s"graft_q128_idx_$tag")
         .orderBy("new_doc", "corpus_doc")
     }),
 

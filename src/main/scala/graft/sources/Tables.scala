@@ -18,9 +18,15 @@ object Tables {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
-  def table(s: SparkSession, dir: String, name: String): DataFrame =
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    // evict stopped sessions' entries: their relations are unusable and
+    // would otherwise pin each stopped session (and its file indexes)
+    // for the JVM lifetime — test JVMs run many sessions
+    val it = cache.keySet.iterator
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     cache.computeIfAbsent((s, dir, name),
       _ => s.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Single-file parquet inputs arrive with as few partitions as the
     * file has row groups (1–2 at bench scale), which serializes every

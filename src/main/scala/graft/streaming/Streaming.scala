@@ -135,8 +135,11 @@ object Streaming {
     val tPath = new org.apache.hadoop.fs.Path(targetDir)
     val fs = tPath.getFileSystem(hconf)
     val desc = orderCols.map(c => col(c).desc)
+    // lazy checkpoint: `latest` feeds BOTH the touched-bucket collect
+    // and the merge — without it the keepFirst window+shuffle over the
+    // batch executes twice per micro-batch
     val latest = graft.ops.Relational.keepFirst(
-      batch.toDF(), keys.map(col), desc)
+      batch.toDF(), keys.map(col), desc).localCheckpoint(eager = false)
     // bounded driver state: ≤ nBuckets ids
     val touched = latest.select(bucketCol(keys, nBuckets).as("__bucket"))
       .distinct().collect().map(_.getInt(0)).sorted
