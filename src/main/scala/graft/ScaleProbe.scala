@@ -101,6 +101,29 @@ object ScaleProbe {
           graft.text.TextAnalysis.wordsCol(col("text"))).as("tok"))
         graft.ops.Sketch.countMin(toks, "tok").n
       }
+      time("grouped_quantiles", f) {
+        // 64 pseudo-groups over the replicated corpus, 4 ranks each
+        graft.ops.Quantiles.groupedQuantiles(
+          d.withColumn("g", pmod(col("doc_id"), lit(64)))
+            .withColumn("v", length(col("text"))),
+          Seq("g"), "v", Seq(0.25, 0.5, 0.75, 0.99)).count()
+      }
+      // index-and-probe: the PROBE is the recurring cost — the index
+      // build is the corpus-scaled one-time write, timed separately
+      val idxTable = s"graft_scaleprobe_idx_x$f"
+      time("incdedup_index_build", f) {
+        graft.text.IncrementalDedup.buildIndex(d, idxTable, buckets = 32)
+        spark.table(idxTable).count()
+      }
+      time("incdedup_probe_1pct", f) {
+        // a fixed-size shard (the 1x corpus's doc_id%97 slice, ~1%)
+        // probed against the f-scaled index: the probe should cost
+        // ~O(shard + matched buckets), NOT O(index)
+        val shard = replicated(1).filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
+        graft.text.IncrementalDedup.probe(spark, shard, idxTable).count()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $idxTable")
     }
     spark.stop()
   }

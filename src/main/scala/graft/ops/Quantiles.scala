@@ -182,7 +182,7 @@ object Quantiles {
       ranks.distinct.foreach(t => state((k, t)) = (lo, hi, t))
       k -> qs.zip(ranks).toMap
     }.toMap
-    val maxSlots = 1 << 22
+    val maxSlots = 1 << 20
     var round = 0
     while (state.values.exists { case (lo, hi, _) => lo < hi } && round < 64) {
       val active = state.toSeq.collect {
@@ -197,30 +197,34 @@ object Quantiles {
         slotted.groupBy(_._2).map { case (k, ss) =>
           k -> ss.map { case (i, _, _, lo, hi, _, w) => (i, lo, hi, w) }.toArray
         })
-      val hist = keyed.rdd.treeAggregate(
-        new Array[Long](slotted.length * nB))(
-        (acc, kv) => {
-          bc.value.get(kv._1) match {
-            case Some(rs) =>
-              val v = kv._2
-              var j = 0
-              while (j < rs.length) {
-                val (i, lo, hi, w) = rs(j)
-                if (v >= lo && v <= hi) {
-                  val b = java.lang.Long.divideUnsigned(v - lo, w).toInt
-                  acc(i * nB + b) += 1L
-                }
-                j += 1
+      // histogram allocated per PARTITION, not captured as a
+      // treeAggregate zeroValue — a slots-sized zero array in the task
+      // closure ships with every stage (measured: 96 MiB task binaries
+      // at 4M slots); here the closure carries only the length
+      val histLen = slotted.length * nB
+      val hist = keyed.rdd.mapPartitions { it =>
+        val acc = new Array[Long](histLen)
+        it.foreach { kv =>
+          val rs = bc.value.getOrElse(kv._1, null)
+          if (rs != null) {
+            val v = kv._2
+            var j = 0
+            while (j < rs.length) {
+              val (i, lo, hi, w) = rs(j)
+              if (v >= lo && v <= hi) {
+                val b = java.lang.Long.divideUnsigned(v - lo, w).toInt
+                acc(i * nB + b) += 1L
               }
-            case None =>
+              j += 1
+            }
           }
-          acc
-        },
-        (a, b) => {
-          var i = 0
-          while (i < a.length) { a(i) += b(i); i += 1 }
-          a
-        })
+        }
+        Iterator.single(acc)
+      }.treeReduce { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
       slotted.foreach { case (i, k, r, lo, hi, t, w) =>
         var b = 0
         var acc = 0L
