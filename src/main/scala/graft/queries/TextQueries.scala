@@ -434,6 +434,42 @@ object TextQueries {
         .orderBy("new_doc", "corpus_doc")
     }),
 
+    // The continuous novel-docs gate end-to-end: corpus seeds the band
+    // index, the shard docs stream in 4 mtime-ordered micro-batches
+    // ((doc_id/3)%4), each batch drops index hits + smaller-id
+    // in-batch bucket matches, keeps the rest, and appends their bands
+    // so later batches dedup against them. The oracle unrolls the 4
+    // steps as anti-joins over the same portable bands. Fresh index
+    // every execution — the gate MUTATES it
+    "q130_stream_novel_gate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val table = s"graft_q130_idx_$tag"
+      graft.text.IncrementalDedup.buildIndex(
+        d.filter(col("doc_id") % 3 =!= 0), table, buckets = 8)
+      val base = graft.streaming.Streaming.scratchBase.resolve(
+        s"graft-q130-${System.nanoTime()}").toString
+      val stream = d.filter(col("doc_id") % 3 === 0)
+        .withColumn("b", pmod(floor(col("doc_id") / 3), lit(4)))
+      for (j <- 0 to 3) {
+        val stage = s"$base/stage$j"
+        stream.filter(col("b") === j).drop("b")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/src", s"f$j.parquet")
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        require(dest.setLastModified(1000000L * (j + 1)))
+      }
+      graft.text.IncrementalDedup.streamNovel(
+          graft.streaming.Streaming.fileStream(s, s"$base/src",
+            maxFilesPerTrigger = Some(1)),
+          table, buckets = 8, s"$base/out")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Count-min frequency sketch over the corpus token stream: one
     // treeAggregate builds the 4x8192 matrix (portable hashes -> the
     // oracle replays the matrix bit-for-bit, collisions included), then
@@ -581,6 +617,40 @@ object TextQueries {
          |       coalesce(sc.score_e6, CAST(0 AS BIGINT)) >= 0 AS accept
          |FROM nt LEFT JOIN sc USING (doc_id)
          |ORDER BY nt.doc_id""".stripMargin
+    },
+
+    // gate replay: 4 unrolled batch steps — d_j = batch-j docs dropped
+    // (band match vs the evolving index i_{j-1}, or a smaller-id
+    // in-batch bucket match), k_j = the rest, i_j = i_{j-1} + k_j bands
+    "q130_stream_novel_gate" -> {
+      val steps = (0 to 3).map { j =>
+        val prev = if (j == 0) "cor" else s"i${j - 1}"
+        s"""d$j AS (SELECT DISTINCT s.doc_id FROM st s JOIN $prev c
+           |        ON s.band = c.band AND s.band_key = c.band_key
+           |        WHERE s.b = $j
+           |      UNION
+           |      SELECT DISTINCT s.doc_id FROM st s JOIN st t
+           |        ON t.b = $j AND s.band = t.band
+           |       AND s.band_key = t.band_key AND t.doc_id < s.doc_id
+           |        WHERE s.b = $j),
+           |k$j AS MATERIALIZED (SELECT DISTINCT doc_id FROM st
+           |       WHERE b = $j AND doc_id NOT IN (SELECT doc_id FROM d$j)),
+           |i$j AS MATERIALIZED (SELECT band, band_key FROM $prev UNION ALL
+           |       SELECT band, band_key FROM st JOIN k$j USING (doc_id))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashBandsCtes,
+         |cor AS MATERIALIZED (SELECT band, band_key FROM bands
+         |       WHERE doc_id % 3 <> 0),
+         |st AS MATERIALIZED (SELECT doc_id, band, band_key,
+         |       (doc_id // 3) % 4 AS b FROM bands WHERE doc_id % 3 = 0),
+         |$steps,
+         |kept AS (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1
+         |         UNION ALL SELECT doc_id FROM k2
+         |         UNION ALL SELECT doc_id FROM k3)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN kept USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // probe replay: both sides' bands recomputed from the portable

@@ -114,4 +114,78 @@ object IncrementalDedup {
       .select(col("new_doc").as(idCol)).distinct()
     newDocs.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** One micro-batch of the continuous novel-docs gate: a batch doc is
+    * KEPT iff it has (a) no band match in the index and (b) no band
+    * match to a SMALLER-id doc within the same batch (the q24
+    * bucket-keepFirst rule — a doc sharing a bucket with a smaller id
+    * is dominated whether or not that smaller doc itself survives;
+    * single anti-join, no intra-batch recursion). Kept docs' bands are
+    * APPENDED to the index so later batches dedup against them; dropped
+    * docs never enter the index, so a dup-of-a-dropped-doc survives
+    * unless it also matches something kept — the standard online-LSH
+    * trade, and what the unrolled q130 oracle replays step for step.
+    * Exposed for the spec; the streaming form is [[streamNovel]]. */
+  private[graft] def gateBatch(batch: DataFrame, table: String,
+                               buckets: Int, textCol: String, idCol: String,
+                               k: Int, numHashes: Int, bands: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val nb = bandsOf(batch, textCol, idCol, k, numHashes, bands)
+      .localCheckpoint(eager = false) // feeds 3 joins — sign once
+    val idx = graft.sources.Bucketed.load(spark, table)
+    val idxHit = idx.join(nb, idx("bkey") === nb("bkey"))
+      .select(nb("doc").as(idCol)).distinct()
+    val a = nb.select(col("bkey"), col("doc").as("__a"))
+    val b = nb.select(col("bkey"), col("doc").as("__b"))
+    val internalHit = a.join(b, Seq("bkey"))
+      .filter(col("__a") < col("__b"))
+      .select(col("__b").as(idCol)).distinct()
+    val kept = batch
+      .withColumn(idCol, col(idCol).cast("long"))
+      .join(idxHit.unionByName(internalHit), Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false) // read for append AND for output
+    // append the kept docs' bands by FILTERING the already-computed
+    // batch bands — re-signing the kept docs would double the per-batch
+    // signature pass; canonical (bkey, doc) order for the by-name append
+    graft.sources.Bucketed.save(
+      nb.join(kept.select(col(idCol).as("doc")), Seq("doc"))
+        .select(col("bkey"), col("doc")),
+      table, Seq("bkey"), buckets, mode = SaveMode.Append)
+    kept
+  }
+
+  /** Continuous-ingest near-dup gate (the shape a 100 TB pipeline runs
+    * FOREVER): seed the index with [[buildIndex]], then for every
+    * arriving micro-batch [[gateBatch]] keeps only novel docs, writes
+    * them to `outDir`, and appends their bands — each batch deduped
+    * against the corpus AND every previously-kept doc without ever
+    * rescanning either. Returns the kept docs. Per batch: sign the
+    * batch, one co-located index join, one self band join, one
+    * bucketed append — O(batch + matched buckets). */
+  def streamNovel(stream: DataFrame, table: String, buckets: Int,
+                  outDir: String,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  k: Int = 3, numHashes: Int = 16,
+                  bands: Int = 4): DataFrame = {
+    val spark = stream.sparkSession
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(out, true)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        gateBatch(batch.toDF(), table, buckets, textCol, idCol,
+            k, numHashes, bands)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(
+          graft.streaming.Streaming.scratchBase, "graft-ckpt-novel")
+          .toString)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 }

@@ -81,6 +81,56 @@ class IncrementalDedupSpec extends SparkSuite {
     }
   }
 
+  test("novel-docs gate: index hits and smaller-id batch buckets drop; kept docs guard later batches") {
+    try {
+      IncrementalDedup.buildIndex(corpus, table, buckets)
+      // batch 1: 100 dups corpus doc 5 (index hit), 101 novel,
+      // 102 dups 101 in-batch (smaller id dominates), 103 novel
+      val b1 = Seq((100L, text(5)), (101L, text(950)),
+        (102L, text(950)), (103L, text(951))).toDF("doc_id", "text")
+      val k1 = IncrementalDedup.gateBatch(b1, table, buckets,
+        "text", "doc_id", 3, 16, 4).select("doc_id").as[Long].collect().toSet
+      assert(k1 == Set(101L, 103L), s"batch1 kept $k1")
+      // batch 2: 200 dups batch-1-KEPT 101 -> dropped (the append is
+      // load-bearing); 201 dups corpus 7 -> dropped; 202 novel
+      val b2 = Seq((200L, text(950)), (201L, text(7)),
+        (202L, text(952))).toDF("doc_id", "text")
+      val k2 = IncrementalDedup.gateBatch(b2, table, buckets,
+        "text", "doc_id", 3, 16, 4).select("doc_id").as[Long].collect().toSet
+      assert(k2 == Set(202L), s"batch2 kept $k2")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("streamNovel runs the gate per micro-batch over a file stream") {
+    try {
+      IncrementalDedup.buildIndex(corpus, table, buckets)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-novel").toString
+      def writeFile(name: String, mtimeMs: Long,
+                    rows: Seq[(Long, String)]): Unit = {
+        val stage = java.nio.file.Files.createTempDirectory("graft-novel-st")
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/src", name)
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        assert(dest.setLastModified(mtimeMs))
+      }
+      writeFile("f1.parquet", 1000000L,
+        Seq((100L, text(5)), (101L, text(950)), (102L, text(950))))
+      writeFile("f2.parquet", 2000000L,
+        Seq((200L, text(950)), (201L, text(953))))
+      val kept = IncrementalDedup.streamNovel(
+          graft.streaming.Streaming.fileStream(spark, s"$base/src",
+            maxFilesPerTrigger = Some(1)),
+          table, buckets, s"$base/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(101L, 201L), s"kept $kept")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("appendToIndex keeps the index current across shards") {
     try {
       IncrementalDedup.buildIndex(corpus, table, buckets)
