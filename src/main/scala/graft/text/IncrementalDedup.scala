@@ -173,10 +173,14 @@ object IncrementalDedup {
       .delete(out, true)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], id: Long) =>
+        // one OVERWRITTEN dir per batch id: foreachBatch is
+        // at-least-once, and a replayed batch appending to a flat dir
+        // would duplicate its kept docs (the index re-append is
+        // harmless — duplicate band rows produce the same matches)
         gateBatch(batch.toDF(), table, buckets, textCol, idCol,
             k, numHashes, bands)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -186,6 +190,6 @@ object IncrementalDedup {
           .toString)
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    spark.read.parquet(outDir).drop("batch")
   }
 }
