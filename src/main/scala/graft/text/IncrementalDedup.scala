@@ -133,7 +133,18 @@ object IncrementalDedup {
     val nb = bandsOf(batch, textCol, idCol, k, numHashes, bands)
       .localCheckpoint(eager = false) // feeds 3 joins — sign once
     val idx = graft.sources.Bucketed.load(spark, table)
-    val idxHit = idx.join(nb, idx("bkey") === nb("bkey"))
+    // `idx.doc =!= nb.doc` makes the gate idempotent under foreachBatch's
+    // at-least-once replay: if the batch crashed AFTER its kept docs'
+    // bands were appended but BEFORE the checkpoint committed, the
+    // replayed batch finds its own bands in the index — without the
+    // exclusion every previously-kept doc would match ITSELF, kept would
+    // come back empty, and the batch=<id> overwrite would silently drop
+    // the data. With it, replay reproduces the identical kept set: a
+    // kept doc can't match itself, and kept docs of one batch never
+    // share a bkey (internalHit dropped one of any such pair), so the
+    // re-appended bands change no verdict.
+    val idxHit = idx.join(nb, idx("bkey") === nb("bkey") &&
+        idx("doc") =!= nb("doc"))
       .select(nb("doc").as(idCol)).distinct()
     val a = nb.select(col("bkey"), col("doc").as("__a"))
     val b = nb.select(col("bkey"), col("doc").as("__b"))

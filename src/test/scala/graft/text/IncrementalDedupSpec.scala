@@ -101,6 +101,30 @@ class IncrementalDedupSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("gateBatch is idempotent under at-least-once replay (crash after append)") {
+    try {
+      IncrementalDedup.buildIndex(corpus, table, buckets)
+      // first delivery: appends kept docs' bands to the index, but the
+      // checkpoint "crashes" before committing — foreachBatch then
+      // redelivers the SAME batch against the post-append index
+      val b1 = Seq((100L, text(5)), (101L, text(950)),
+        (102L, text(950)), (103L, text(951))).toDF("doc_id", "text")
+      val first = IncrementalDedup.gateBatch(b1, table, buckets,
+        "text", "doc_id", 3, 16, 4).select("doc_id").as[Long].collect().toSet
+      assert(first == Set(101L, 103L), s"first delivery kept $first")
+      // replay: kept docs' own bands are now in the index; without the
+      // self-doc exclusion they'd match themselves and kept would be empty
+      val replay = IncrementalDedup.gateBatch(b1, table, buckets,
+        "text", "doc_id", 3, 16, 4).select("doc_id").as[Long].collect().toSet
+      assert(replay == first, s"replay kept $replay, expected $first")
+      // and a later batch still dedups against the (doubly-appended) bands
+      val b2 = Seq((200L, text(950)), (201L, text(954))).toDF("doc_id", "text")
+      val k2 = IncrementalDedup.gateBatch(b2, table, buckets,
+        "text", "doc_id", 3, 16, 4).select("doc_id").as[Long].collect().toSet
+      assert(k2 == Set(201L), s"post-replay batch kept $k2")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streamNovel runs the gate per micro-batch over a file stream") {
     try {
       IncrementalDedup.buildIndex(corpus, table, buckets)
