@@ -462,10 +462,14 @@ object TextQueries {
         java.nio.file.Files.copy(part.toPath, dest.toPath)
         require(dest.setLastModified(1000000L * (j + 1)))
       }
+      // compactEvery=4 → the 4-batch run compacts once, so the bench
+      // number reflects the steady state (gate + amortized periodic
+      // compaction), not a compaction-free honeymoon; output is
+      // unaffected — the rewrite preserves the band set
       graft.text.IncrementalDedup.streamNovel(
           graft.streaming.Streaming.fileStream(s, s"$base/src",
             maxFilesPerTrigger = Some(1)),
-          table, buckets = 8, s"$base/out")
+          table, buckets = 8, s"$base/out", compactEvery = 4)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     }),

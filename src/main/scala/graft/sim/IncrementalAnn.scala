@@ -87,6 +87,18 @@ object IncrementalAnn {
     graft.sources.Bucketed.save(assignedVectors(newVecs, cents),
       table, Seq("centroid"), buckets, mode = SaveMode.Append)
 
+  /** Periodic maintenance for a continuously-appended index: rewrite
+    * any inverted-list bucket that has accumulated more than
+    * `maxFilesPerBucket` files into one sorted file (see
+    * [[graft.sources.Bucketed.compactBuckets]]). Deduplication is ON —
+    * the index is a SET of (centroid, id, vn) postings, and a
+    * duplicated posting (at-least-once replay, interrupted compaction)
+    * would otherwise occupy two slots of a probe's top-k window.
+    * Returns the number of buckets rewritten. */
+  def compactIndex(spark: SparkSession, table: String,
+                   maxFilesPerBucket: Int = 4): Int =
+    graft.sources.Bucketed.compactBuckets(spark, table, maxFilesPerBucket)
+
   /** Top-k cosine neighbours of each query vector via its nProbe
     * nearest inverted lists, WITHOUT rescanning or re-assigning the
     * corpus. Probe selection is map-only against the broadcast

@@ -26,7 +26,8 @@ object Bucketed {
     * and Spark refuses to adopt an orphaned one
     * (LOCATION_ALREADY_EXISTS). Drop + clear explicitly first. */
   def save(df: DataFrame, table: String, keys: Seq[String],
-           buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+           buckets: Int, mode: SaveMode = SaveMode.Overwrite,
+           sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     // destructive pre-clear ONLY under Overwrite — Append/Ignore/
     // ErrorIfExists must keep their SaveMode contracts
@@ -53,13 +54,106 @@ object Bucketed {
         if (fs.exists(loc)) fs.delete(loc, true)
       }
     }
+    val sort = if (sortCols.nonEmpty) sortCols else keys
     df.write.mode(mode)
       .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
+      .sortBy(sort.head, sort.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }
 
   def load(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Rewrite every bucket whose file count exceeds `maxFilesPerBucket`
+    * into ONE sorted file, preserving the table's bucket spec — the
+    * maintenance half of the append-per-batch contract. Each
+    * [[save]](Append) adds ≥1 file per touched bucket, so an index a
+    * gate runs FOREVER against grows O(batches) files per bucket:
+    * listing cost, parquet footer reads, and row-group min/max
+    * skipping all degrade linearly with batch count even when the scan
+    * bucket-prunes. Compaction restores one-file-per-bucket, which
+    * also makes the whole bucket one contiguous sorted run again (the
+    * "sorted on the key" skip property holds per FILE, so it weakens
+    * as files accumulate and is fully restored here).
+    *
+    * Mechanics: bucket membership is carried in the FILE NAME
+    * (`..._<bucketId>.ext` — how Spark's bucketed scan groups files),
+    * so each oversized bucket is rewritten by reading just its files,
+    * deduplicating if requested, sorting by the table's sort columns,
+    * and swapping in a single correctly-named file. The swap makes the
+    * compacted file visible BEFORE deleting the originals: a crash
+    * mid-compaction therefore leaves duplicate rows, never missing
+    * ones — the safe side for the callers (a missing band/posting row
+    * would silently pass a duplicate document through the novel-docs
+    * gate; duplicates change no gate verdict and are removed by the
+    * next compaction pass). `dedupRows` defaults true because both
+    * index layouts are SETS of posting rows — (bkey, doc) bands and
+    * (centroid, id, vn) inverted lists — where duplicates (from
+    * at-least-once batch replay or a prior interrupted compaction) are
+    * semantically idle for the dedup gate but would double-count a
+    * neighbor in the ANN probe's top-k window.
+    *
+    * Runs as ONE job over only the oversized buckets' files: their
+    * rows are re-bucketed through a staging table written with the
+    * SAME bucket spec (the writer computes each row's bucket id from
+    * the bucket columns, so file↔bucket assignment is Spark's own, not
+    * re-derived here), pre-partitioned on the bucket key so each
+    * bucket lands in exactly one task and therefore one file. A
+    * 4096-bucket index where only the 30 buckets touched since the
+    * last pass are oversized reads and rewrites 30 buckets' files in
+    * one 30-task wave — per-bucket selectivity AND full cluster
+    * parallelism, no per-bucket driver-looped jobs. Returns the number
+    * of buckets rewritten. */
+  def compactBuckets(spark: SparkSession, table: String,
+                     maxFilesPerBucket: Int = 4,
+                     dedupRows: Boolean = true): Int = {
+    import org.apache.hadoop.fs.Path
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val bucketSpec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table is not bucketed"))
+    val dir = new Path(meta.location)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Spark's bucketed scan derives the bucket id from the trailing
+    // `_<digits>` of the file name (before the extension) — group the
+    // data files the same way; anything unparseable is left untouched
+    val bucketIdOf: String => Option[Int] = name =>
+      """.*_(\d+)(?:\..*)?$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
+    val dataFiles = fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val oversized = dataFiles.groupBy(f => bucketIdOf(f.getPath.getName))
+      .collect { case (Some(b), fsOfB) if fsOfB.length > maxFilesPerBucket =>
+        b -> fsOfB }
+    if (oversized.isEmpty) return 0
+    val oldFiles = oversized.values.flatten.toSeq
+    val rows0 = spark.read.schema(meta.schema)
+      .parquet(oldFiles.map(_.getPath.toString): _*)
+    val rows1 = if (dedupRows) rows0.dropDuplicates() else rows0
+    val keyCols = bucketSpec.bucketColumnNames
+      .map(org.apache.spark.sql.functions.col)
+    val staging = s"${table}__compact"
+    save(rows1.repartition(bucketSpec.numBuckets, keyCols: _*),
+      staging, bucketSpec.bucketColumnNames, bucketSpec.numBuckets,
+      sortCols = bucketSpec.sortColumnNames)
+    try {
+      val stagingDir = new Path(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(staging)).location)
+      val newFiles = fs.listStatus(stagingDir).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      // visible-first swap: the compacted files land BEFORE the
+      // originals go, so a crash mid-swap leaves duplicate posting rows
+      // (verdict-neutral for the gate, removed by the next pass),
+      // never missing ones
+      newFiles.foreach { f =>
+        val target = new Path(dir, f.getPath.getName)
+        require(fs.rename(f.getPath, target), s"rename to $target failed")
+      }
+      oldFiles.foreach(f => fs.delete(f.getPath, false))
+    } finally spark.sql(
+      s"DROP TABLE IF EXISTS ${staging.split('.').map(p => s"`$p`").mkString(".")}")
+    // drop the cached file listing so the next scan sees the new layout
+    spark.catalog.refreshTable(table)
+    oversized.size
+  }
 }

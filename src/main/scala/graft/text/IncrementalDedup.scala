@@ -177,7 +177,8 @@ object IncrementalDedup {
                   outDir: String,
                   textCol: String = "text", idCol: String = "doc_id",
                   k: Int = 3, numHashes: Int = 16,
-                  bands: Int = 4): DataFrame = {
+                  bands: Int = 4, compactEvery: Int = 8,
+                  maxFilesPerBucket: Int = 4): DataFrame = {
     val spark = stream.sparkSession
     val out = new org.apache.hadoop.fs.Path(outDir)
     out.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -188,10 +189,19 @@ object IncrementalDedup {
         // one OVERWRITTEN dir per batch id: foreachBatch is
         // at-least-once, and a replayed batch appending to a flat dir
         // would duplicate its kept docs (the index re-append is
-        // harmless — duplicate band rows produce the same matches)
+        // harmless — duplicate band rows produce the same matches,
+        // and the next compaction pass dedups them away)
         gateBatch(batch.toDF(), table, buckets, textCol, idCol,
             k, numHashes, bands)
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        // every append leaves ≥1 new file per touched bucket; a gate
+        // that runs forever needs the periodic rewrite or per-bucket
+        // file counts (and with them listing + footer-read cost) grow
+        // O(batches). Verdict-neutral: compaction preserves the band
+        // SET, so it can run between any two batches.
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.sources.Bucketed.compactBuckets(spark, table,
+            maxFilesPerBucket)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
