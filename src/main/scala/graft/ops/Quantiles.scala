@@ -131,15 +131,19 @@ object Quantiles {
     * active — more groups just means narrower strips and a few more
     * rounds (log_nB(span) each).
     *
-    * Driver state: groups × qs ranges plus one stats row per group —
-    * the operator is for BOUNDED group counts (sources, languages,
-    * shards; `maxGroups` guards the contract loudly). Group columns
-    * are joined into one NUL-separated key on the wire, with NULL
-    * group values mapped to a NUL-prefixed sentinel — concat_ws
-    * silently SKIPS null arguments, which would alias (NULL, "x") with
-    * ("x") groups; group values containing NUL themselves would still
-    * alias. NULL values are excluded per group; empty groups cannot
-    * occur (groups come from the data).
+    * Driver state: groups × qs ranges plus one NARROW stats tuple
+    * per group — (packed key, n, lo, hi), never the group columns
+    * themselves, so wide group columns cost the driver nothing; the
+    * original group values are recovered by a final broadcast join on
+    * the packed key. The operator is for BOUNDED group counts
+    * (sources, languages, shards; `maxGroups` guards the contract
+    * loudly). Group columns are packed into one NUL-separated key
+    * with an INJECTIVE per-part encoding: NULL → "n" (concat_ws
+    * silently SKIPS null arguments, which would alias (NULL,"x") with
+    * ("x")), non-null → "v" + the value with \u0001 → \u0001e and
+    * \u0000 → \u00010 escaped — so group strings containing the
+    * separator cannot alias either. NULL values are excluded per
+    * group; empty groups cannot occur (groups come from the data).
     *
     * Output: groupCols (original types) ++ (q_e4, value) — value at
     * 1-based rank ceil(q·n_group), the q51 oracle convention. */
@@ -153,31 +157,31 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val keyExpr = concat_ws("\u0000",
-      groupCols.map(c =>
-        coalesce(col(c).cast("string"), lit("\u0000N"))): _*)
+      groupCols.map { c =>
+        val str = col(c).cast("string")
+        when(str.isNull, lit("n")).otherwise(concat(lit("v"),
+          replace(replace(str, lit("\u0001"), lit("\u0001e")),
+            lit("\u0000"), lit("\u00010"))))
+      }: _*)
     val keyed = df
       .select(keyExpr.as("k"), col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull).as[(String, Long)]
-    val stats = df
-      .select(groupCols.map(col) :+ keyExpr.as("__k") :+
-        col(valueCol).cast("long").as("__v"): _*)
-      .filter(col("__v").isNotNull)
-      .groupBy(col("__k") +: groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), min("__v").as("lo"), max("__v").as("hi"))
+    // NARROW driver payload: (packed key, n, lo, hi) only — the group
+    // columns themselves never ride the collect (a wide group column
+    // × a million groups is real driver memory); they are joined back
+    // from the data at the end via the injective key
+    val stats: Array[(String, Long, Long, Long)] = keyed
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .as[(String, Long, Long, Long)]
       .collect()
     require(stats.length <= maxGroups,
       s"${stats.length} groups exceed maxGroups=$maxGroups — " +
         "groupedQuantiles is for bounded group counts")
-    val groupVals = stats.map(r => r.getString(0) ->
-      r.toSeq.slice(1, 1 + groupCols.length)).toMap
     // (group, rank) -> (lo, hi, remaining-rank-within-range)
     val state = scala.collection.mutable.LinkedHashMap.empty[
       (String, Long), (Long, Long, Long)]
-    val rankOf = stats.map { r =>
-      val k = r.getString(0)
-      val n = r.getLong(1 + groupCols.length)
-      val lo = r.getLong(2 + groupCols.length)
-      val hi = r.getLong(3 + groupCols.length)
+    val rankOf = stats.map { case (k, n, lo, hi) =>
       val ranks = qs.map(q => math.max(1L, math.ceil(q * n).toLong))
       ranks.distinct.foreach(t => state((k, t)) = (lo, hi, t))
       k -> qs.zip(ranks).toMap
@@ -244,20 +248,17 @@ object Quantiles {
     }
     require(state.values.forall { case (lo, hi, _) => lo == hi },
       "grouped selection did not converge — raise `buckets`")
-    val rows = rankOf.toSeq.flatMap { case (k, qr) =>
-      qs.map { q =>
-        Row.fromSeq(groupVals(k) ++
-          Seq(math.round(q * 10000.0), state((k, qr(q)))._1))
-      }
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      groupCols.map(c => df.schema(c)) ++ Seq(
-        org.apache.spark.sql.types.StructField("q_e4",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+    val res = rankOf.toSeq.flatMap { case (k, qr) =>
+      qs.map(q => (k, math.round(q * 10000.0), state((k, qr(q)))._1))
+    }.toDF("__k", "q_e4", "value")
+    // recover the original group columns (original types) through the
+    // injective packed key — any row of a group carries them, so one
+    // dedup by key + a broadcast join replaces shipping the group
+    // values through the driver
+    df.select(groupCols.map(col) :+ keyExpr.as("__k"): _*)
+      .dropDuplicates("__k")
+      .join(broadcast(res), Seq("__k"))
+      .select(groupCols.map(col) ++ Seq(col("q_e4"), col("value")): _*)
   }
 
   /** (q_e4, value) rows for quantiles `qs` of `valueCol`: value at

@@ -207,7 +207,11 @@ object Relational {
     val segStep = stepUs * segElems
     val grid = withB.groupBy(keys.map(col): _*)
       .agg(min("__b").as("__lo"), max("__b").as("__hi"))
-      .withColumn("__nb", (col("__hi") - col("__lo")) / lit(stepUs) + 1)
+      // integer `div`, not `/` (Divide returns DOUBLE): keeps the
+      // maxBucketsPerKey guard an exact long comparison — and the
+      // error message prints a count, not a float — even for spans
+      // past 2^53 µs where a double bucket count is inexact
+      .withColumn("__nb", expr(s"(__hi - __lo) div $stepUs") + 1)
       // assert_true returns NULL on success, so coalesce keeps the
       // guard in the plan (an unreferenced check column gets pruned)
       .withColumn("__lo", coalesce(

@@ -96,7 +96,7 @@ object CurationQueries {
       // The dir rides in the TABLE NAME, not just the memo key — a
       // dir-keyed memo over a global name would serve another dir's
       // data after a same-JVM dir switch-and-return
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tag = Setup.dirTag(dir)
       Setup.once(s"q123:$dir") {
         graft.sources.Bucketed.save(li, s"graft_q123_li_$tag",
           Seq("l_orderkey"), buckets = 8)

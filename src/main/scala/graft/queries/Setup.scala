@@ -11,6 +11,18 @@ package graft.queries
 private[queries] object Setup {
   private val done =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Collision-resistant table-name tag for a data dir. Queries that
+    * fold the dir into a persisted TABLE NAME must not use
+    * `dir.hashCode` (32 bits): two dirs colliding on hashCode would
+    * share a table while [[once]] keys on the full dir — the second
+    * dir overwrites the table and the first dir's later executions
+    * silently read the wrong data. 16 hex chars of MD5 make an
+    * accidental collision ~2^-64. */
+  def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
   def once(key: String)(f: => Unit): Unit = synchronized {
     if (done.add(key)) {
       // un-mark on failure: a half-written table must be rebuilt by the

@@ -253,7 +253,7 @@ object SimQueries {
     // replays end to end (the q114 assignment + q27 re-rank doctrine)
     "q131_incremental_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tag = Setup.dirTag(dir)
       // index built once per process (the operator's whole point);
       // bench passes 2+ time the probe steady state. dir in the table
       // name, not just the memo key (see q123)

@@ -425,7 +425,7 @@ object TextQueries {
       // index built once per process (the operator's whole point);
       // bench passes 2+ time the sign-shard-and-probe steady state.
       // dir in the table name, not just the memo key (see q123)
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tag = Setup.dirTag(dir)
       Setup.once(s"q128:$dir") {
         graft.text.IncrementalDedup.buildIndex(
           corpus, s"graft_q128_idx_$tag", buckets = 8)
@@ -443,7 +443,7 @@ object TextQueries {
     // every execution — the gate MUTATES it
     "q130_stream_novel_gate" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tag = Setup.dirTag(dir)
       val table = s"graft_q130_idx_$tag"
       graft.text.IncrementalDedup.buildIndex(
         d.filter(col("doc_id") % 3 =!= 0), table, buckets = 8)

@@ -28,6 +28,16 @@ object Tables {
       _ => s.read.parquet(s"$dir/$name.parquet"))
   }
 
+  /** Drop every cached relation under `dir` — the enforcement hook for
+    * the immutability contract above. A caller that rewrites an input
+    * directory in-process MUST invalidate it, or later [[table]] calls
+    * are served the first read's pinned file listing (stale rows, or
+    * FileNotFound after a rewrite that renamed files). */
+  def invalidate(dir: String): Unit = {
+    val it = cache.keySet.iterator
+    while (it.hasNext) if (it.next()._2 == dir) it.remove()
+  }
+
   /** Single-file parquet inputs arrive with as few partitions as the
     * file has row groups (1–2 at bench scale), which serializes every
     * downstream map stage onto one or two cores. Widen to the session's

@@ -117,6 +117,48 @@ class QuantilesSpec extends SparkSuite {
     }
   }
 
+  test("group keys are injective: NUL/escape-bearing and multi-column groups never alias") {
+    // the NUL-joined key's classic aliasing traps: a group value that
+    // CONTAINS the separator, values containing the escape char, and
+    // multi-column splits where ("a\u0000b", "c") could collide with
+    // ("a", "b\u0000c") — each must keep its own quantile
+    val tricky = Seq(
+      (("a\u0000b", "c"), 1L), (("a\u0000b", "c"), 3L),
+      (("a", "b\u0000c"), 100L),
+      (("a\u0001e", "z"), 7L), (("a\u0001", "ez"), 9L),
+      (("n", null.asInstanceOf[String]), 55L),
+      (("vn", "x"), 66L))
+    val df = tricky.map { case ((g1, g2), v) => (g1, g2, v) }
+      .toDF("g1", "g2", "v")
+    val got = Quantiles.groupedQuantiles(df, Seq("g1", "g2"), "v", Seq(1.0))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toSet
+    val exp = tricky.groupBy(_._1).map { case (g, rows) =>
+      (g, rows.map(_._2).max) }.toSet
+    assert(got == exp)
+  }
+
+  test("wide group columns ride the final join, not the driver collect") {
+    // a fat per-group payload column (64 kB per group value) — the
+    // narrow (key, n, lo, hi) driver contract means this runs without
+    // the driver ever holding groups × 64 kB; output carries the fat
+    // value back intact via the key join
+    def wideOf(g: Int): String = ("g" + g) * 32768
+    val rows = for (g <- 0 until 6; i <- 1 to 20)
+      yield (wideOf(g), i.toLong * (g + 1))
+    val got = Quantiles.groupedQuantiles(rows.toDF("wide", "v"),
+        Seq("wide"), "v", Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = (for (g <- 0 until 6) yield {
+      val vs = (1 to 20).map(i => i.toLong * (g + 1)).sorted
+      Seq((wideOf(g), 5000L, vs(math.ceil(0.5 * 20).toInt - 1)),
+        (wideOf(g), 10000L, vs.last))
+    }).flatten.toSet
+    assert(got == exp)
+    // every wide value survived the join-back
+    assert(got.map(_._1).forall(_.length == 65536))
+  }
+
   test("deterministic across partitionings; rejects empty input") {
     val data = (1 to 5000).map(i => ((i * 2654435761L) % 997L) - 100L)
     val a = Quantiles.quantiles(data.toDF("v").repartition(3), "v",
