@@ -268,6 +268,45 @@ object SimQueries {
         .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Continuous novel-vectors gate (the q130 shape for embeddings):
+    // seed the inverted-list index with the id%4!=0 corpus, stream the
+    // id%4==0 vectors in 4 micro-batches; each batch keeps only vectors
+    // with no cos>=0.33 match in its probed lists or earlier in the
+    // batch (symmetric visibility, larger id drops), appends the kept
+    // postings, and compacts once. Fresh index every execution — the
+    // gate MUTATES it. The oracle unrolls the 4 steps over the same
+    // pinned-codebook assignment arithmetic
+    "q132_vector_novel_gate" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      val table = s"graft_q132_idx_$tag"
+      val cents = graft.sim.Pinned.ivfCentroids()
+      graft.sim.IncrementalAnn.buildIndex(
+        e.filter(col("id") % 4 =!= 0), table, buckets = 8, cents)
+      val base = graft.streaming.Streaming.scratchBase.resolve(
+        s"graft-q132-${System.nanoTime()}").toString
+      val stream = e.filter(col("id") % 4 === 0)
+        .withColumn("b", pmod(floor(col("id") / 4), lit(4)))
+      for (j <- 0 to 3) {
+        val stage = s"$base/stage$j"
+        stream.filter(col("b") === j).drop("b")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/src", s"f$j.parquet")
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        require(dest.setLastModified(1000000L * (j + 1)))
+      }
+      graft.sim.IncrementalAnn.streamNovel(
+          graft.streaming.Streaming.fileStream(s, s"$base/src",
+            maxFilesPerTrigger = Some(1)),
+          table, buckets = 8, cents, s"$base/out",
+          thresholdE6 = 330000L, nProbe = 4, compactEvery = 4)
+        .select(col("id"), col("centroid").cast("long").as("centroid"))
+        .orderBy("id")
     }))
 
   private val dotSql =
@@ -528,7 +567,58 @@ object SimQueries {
          |         row_number() OVER (PARTITION BY query_id
          |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
          |  FROM scored)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // vector-gate replay: 4 unrolled batch steps over the pinned
+    // assignment — d_j = batch-j vectors dropped (cos>=0.33 match in
+    // their probed lists vs the evolving index i_{j-1}, or the larger
+    // id of an in-batch pair visible in either direction), k_j = the
+    // rest, i_j = i_{j-1} + k_j postings
+    "q132_vector_novel_gate" -> {
+      def gdot(a: String, b: String) =
+        s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(list_zip($a, $b), p -> p[1] * p[2])),
+           |  (x, y) -> x + y) * 1000000.0) AS BIGINT)""".stripMargin
+      val steps = (0 to 3).map { j =>
+        val prev = if (j == 0) "i_seed" else s"i${j - 1}"
+        s"""d$j AS (SELECT DISTINCT p.query_id AS id
+           |        FROM prq p JOIN strm s ON s.id = p.query_id AND s.b = $j
+           |        JOIN $prev u ON u.centroid = p.centroid
+           |        WHERE u.id <> p.query_id
+           |          AND ${gdot("p.qv", "u.cv")} >= 330000
+           |      UNION
+           |      SELECT DISTINCT CASE WHEN x.id > p.query_id THEN x.id
+           |                           ELSE p.query_id END AS id
+           |        FROM strm x JOIN prq p ON p.centroid = x.centroid
+           |        JOIN strm y ON y.id = p.query_id AND y.b = $j
+           |        WHERE x.b = $j AND x.id <> p.query_id
+           |          AND ${gdot("p.qv", "x.cv")} >= 330000),
+           |k$j AS MATERIALIZED (SELECT id FROM strm WHERE b = $j
+           |       AND id NOT IN (SELECT id FROM d$j)),
+           |i$j AS MATERIALIZED (SELECT id, centroid, cv FROM $prev
+           |       UNION ALL
+           |       SELECT s.id, s.centroid, s.cv FROM strm s
+           |       JOIN k$j USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""$pinnedAssignCte,
+         |pr AS (SELECT id AS query_id, c AS centroid FROM (
+         |         SELECT id, c, row_number() OVER (PARTITION BY id
+         |                          ORDER BY dot DESC, c) AS rn
+         |         FROM sc WHERE id % 4 = 0)
+         |       WHERE rn <= 4),
+         |prq AS MATERIALIZED (SELECT pr.query_id, pr.centroid, vn.vn AS qv
+         |       FROM pr JOIN vn ON vn.id = pr.query_id),
+         |strm AS MATERIALIZED (SELECT asg.id, (asg.id // 4) % 4 AS b,
+         |        asg.centroid, vn.vn AS cv
+         |       FROM asg JOIN vn USING (id) WHERE asg.id % 4 = 0),
+         |i_seed AS MATERIALIZED (SELECT asg.id, asg.centroid, vn.vn AS cv
+         |        FROM asg JOIN vn USING (id) WHERE asg.id % 4 <> 0),
+         |$steps,
+         |kept AS (SELECT id FROM k0 UNION ALL SELECT id FROM k1
+         |         UNION ALL SELECT id FROM k2 UNION ALL SELECT id FROM k3)
+         |SELECT s.id, s.centroid FROM strm s JOIN kept USING (id)
+         |ORDER BY id""".stripMargin
+    })
 
   /** Shared q114/q120/q131 oracle base: pinned-codebook nearest-centroid
     * assignment, ending in `asg(id, centroid)`. */

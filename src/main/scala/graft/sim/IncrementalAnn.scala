@@ -108,12 +108,16 @@ object IncrementalAnn {
     * the codegen'd [[graft.expressions.DotE6]] over normalized vectors.
     * Output: (query_id, neighbor_id, cos_e6, rank) — the
     * [[Similarity.bruteForceTopK]]/[[Ivf.ivfTopK]] contract. */
-  def probe(spark: SparkSession, queries: DataFrame, table: String,
-            cents: Array[Array[Double]], k: Int,
-            nProbe: Int = 8): DataFrame = {
+  /** (centroid, query_id, qv) probe rows: each query vector normalized
+    * and expanded to its nProbe nearest inverted lists — map-only
+    * against the broadcast codebook. Shared by [[probe]] and
+    * [[gateBatch]]. */
+  private def probeRows(queries: DataFrame, cents: Array[Array[Double]],
+                        nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-    val probes = graft.sources.Tables.widen(queries)
+    graft.sources.Tables.widen(queries)
       .select(col("id").cast("long"), col("vec").cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { rows =>
@@ -138,6 +142,13 @@ object IncrementalAnn {
         }
       }
       .toDF("centroid", "query_id", "qv")
+  }
+
+  def probe(spark: SparkSession, queries: DataFrame, table: String,
+            cents: Array[Array[Double]], k: Int,
+            nProbe: Int = 8): DataFrame = {
+    import spark.implicits._
+    val probes = probeRows(queries, cents, nProbe)
       // feeds the centroid-set collect AND the join — assign once
       .localCheckpoint(eager = false)
     // probed-centroid pushdown: ≤ codebook-size literals, always cheap
@@ -154,5 +165,107 @@ object IncrementalAnn {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** One micro-batch of the continuous novel-vectors gate — the
+    * embeddings counterpart of
+    * [[graft.text.IncrementalDedup.gateBatch]]. A batch vector is KEPT
+    * iff (a) no indexed vector in its nProbe probed lists has
+    * cos_e6 ≥ `thresholdE6`, and (b) no in-batch near-match under the
+    * symmetric visibility rule: vectors x and y collide when EITHER
+    * could find the other were it indexed (nearest-centroid(x) ∈
+    * probed(y) or vice versa) and cos ≥ threshold — the LARGER id
+    * drops. Symmetry is what makes the gate idempotent under
+    * foreachBatch's at-least-once replay: visibility via probe lists
+    * is ASYMMETRIC (x's nearest list being probed by y does not put
+    * y's nearest list in x's probes), so a one-direction rule à la
+    * q130's band gate would let two mutually-near kept vectors
+    * survive — and a replayed batch, finding them appended, would
+    * then drop one. With the symmetric rule no two kept vectors of a
+    * batch can see each other at all, the index-hit join's
+    * `id =!= query_id` excludes each kept vector's own re-appended
+    * posting, and replay reproduces the identical kept set.
+    * Drop verdicts also replay stably: the index only grows, and the
+    * in-batch rule is a pure function of the batch. */
+  private[graft] def gateBatch(batch: DataFrame, table: String,
+                               buckets: Int, cents: Array[Array[Double]],
+                               thresholdE6: Long, nProbe: Int): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // nearest-list assignment feeds the in-batch join AND the append;
+    // probe rows feed the centroid collect and both joins — sign once
+    val asg = assignedVectors(batch, cents).localCheckpoint(eager = false)
+    val probes = probeRows(batch, cents, nProbe)
+      .localCheckpoint(eager = false)
+    val probed = probes.select("centroid").distinct()
+      .as[Int].collect().sorted
+    val idx = graft.sources.Bucketed.load(spark, table)
+      .filter(col("centroid").isin(probed.toIndexedSeq: _*))
+    val cos = graft.expressions.DotE6.col(col("qv"), col("vn"))
+    val idxHit = idx.join(probes, Seq("centroid"))
+      .filter(col("id") =!= col("query_id") && cos >= thresholdE6)
+      .select(col("query_id").as("__drop"))
+    val inBatch = asg.join(probes, Seq("centroid"))
+      .filter(col("id") =!= col("query_id") && cos >= thresholdE6)
+      .select(greatest(col("id"), col("query_id")).as("__drop"))
+    val kept = batch
+      .withColumn("id", col("id").cast("long"))
+      .join(idxHit.unionByName(inBatch).distinct()
+          .select(col("__drop").as("id")),
+        Seq("id"), "left_anti")
+      .localCheckpoint(eager = false) // read for append AND for output
+    // append by FILTERING the already-assigned batch rows — canonical
+    // (centroid, id, vn) order for the by-name append
+    graft.sources.Bucketed.save(
+      asg.join(kept.select("id"), Seq("id"))
+        .select(col("centroid"), col("id"), col("vn")),
+      table, Seq("centroid"), buckets, mode = SaveMode.Append)
+    // centroid rides along from the existing assignment — no second
+    // signature pass for callers that report the kept list
+    kept.join(asg.select(col("id"), col("centroid")), Seq("id"))
+  }
+
+  /** Continuous-ingest novel-vectors gate (the q130 shape for
+    * embeddings): seed the index with [[buildIndex]], then per
+    * micro-batch [[gateBatch]] keeps only vectors with no near-match
+    * in the index or earlier in the batch, writes them to `outDir`,
+    * and appends their postings — each batch deduped against the
+    * corpus AND every previously-kept vector without rescanning
+    * either. Periodic [[compactIndex]] keeps per-bucket file counts
+    * bounded (the run-forever contract). Returns the kept vectors'
+    * (id, centroid) rows. */
+  def streamNovel(stream: DataFrame, table: String, buckets: Int,
+                  cents: Array[Array[Double]], outDir: String,
+                  thresholdE6: Long, nProbe: Int = 8,
+                  compactEvery: Int = 8,
+                  maxFilesPerBucket: Int = 4): DataFrame = {
+    val spark = stream.sparkSession
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(out, true)
+    val bc = spark.sparkContext.broadcast(cents)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        // one OVERWRITTEN dir per batch id — the q130 at-least-once
+        // doctrine; gateBatch's self-exclusion + symmetric in-batch
+        // rule make the replayed kept set identical
+        gateBatch(batch.toDF(), table, buckets, bc.value,
+            thresholdE6, nProbe)
+          .select(col("id"), col("centroid"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.sources.Bucketed.compactBuckets(spark, table,
+            maxFilesPerBucket)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(
+          graft.streaming.Streaming.scratchBase, "graft-ckpt-vnovel")
+          .toString)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).drop("batch")
   }
 }

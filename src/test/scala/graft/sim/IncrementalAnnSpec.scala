@@ -97,6 +97,99 @@ class IncrementalAnnSpec extends SparkSuite {
     }
   }
 
+  // from-scratch reference for the novel-vectors gate: same symmetric
+  // visibility rule (drop the larger id of any pair where EITHER
+  // vector's nearest list is probed by the other and cos>=thr), same
+  // evolving index
+  private def gateRef(index0: Seq[(Long, Array[Double])],
+                      batches: Seq[Seq[(Long, Array[Double])]],
+                      thrE6: Long, nProbe: Int): Seq[Set[Long]] = {
+    var index = index0.map { case (id, v) =>
+      val vn = norm(v); (id, vn, Ivf.nearestCentroid(vn, cents)) }
+    batches.map { b =>
+      val bn = b.map { case (id, v) =>
+        val vn = norm(v)
+        val probed = cents.indices.map(c => (c, dot(vn, cents(c))))
+          .sortBy { case (c, d) => (-d, c) }.take(nProbe).map(_._1).toSet
+        (id, vn, Ivf.nearestCentroid(vn, cents), probed)
+      }
+      val drops = scala.collection.mutable.Set.empty[Long]
+      for ((id, vn, _, probed) <- bn; (uid, uvn, uc) <- index)
+        if (uid != id && probed(uc) &&
+            math.floor(dot(vn, uvn) * 1000000.0).toLong >= thrE6)
+          drops += id
+      for ((xid, xvn, xc, _) <- bn; (yid, yvn, _, yprobed) <- bn)
+        if (xid != yid && yprobed(xc) &&
+            math.floor(dot(yvn, xvn) * 1000000.0).toLong >= thrE6)
+          drops += math.max(xid, yid)
+      val kept = bn.filter(r => !drops(r._1))
+      index = index ++ kept.map { case (id, vn, c, _) => (id, vn, c) }
+      kept.map(_._1).toSet
+    }
+  }
+
+  test("novel-vectors gate matches the from-scratch reference; appends guard later batches") {
+    try {
+      val novelA = Array.tabulate(dim)(d =>
+        (d + 1) * 0.25 * (if (d % 2 == 0) 1 else -1))
+      val novelB = Array.tabulate(dim)(d =>
+        (dim - d) * 0.25 * (if (d % 3 == 0) 1 else -1))
+      val novelC = Array.tabulate(dim)(d =>
+        (if (d < dim / 2) 1.0 else -0.5) * (d + 2) * 0.125)
+      // batch 1: 100 dups corpus vec(3), 101 novel, 102 dups 101
+      // in-batch (larger id drops), 103 novel
+      val b1 = Seq((100L, vec(3)), (101L, novelA),
+        (102L, novelA), (103L, novelB))
+      // batch 2: 200 dups batch-1-KEPT 101 (the append is
+      // load-bearing), 201 dups corpus vec(7), 202 novel
+      val b2 = Seq((200L, novelA), (201L, vec(7)), (202L, novelC))
+      val ref = gateRef((0 until 30).map(i => (i.toLong, vec(i))),
+        Seq(b1, b2), thrE6 = 990000L, nProbe = 2)
+      assert(ref == Seq(Set(101L, 103L), Set(202L)),
+        s"reference disagrees with the hand-built scenario: $ref")
+      IncrementalAnn.buildIndex(corpus, table, buckets, cents)
+      val k1 = IncrementalAnn.gateBatch(b1.toDF("id", "vec"), table,
+          buckets, cents, thresholdE6 = 990000L, nProbe = 2)
+        .select("id").as[Long].collect().toSet
+      assert(k1 == ref.head, s"batch1 kept $k1")
+      val k2 = IncrementalAnn.gateBatch(b2.toDF("id", "vec"), table,
+          buckets, cents, thresholdE6 = 990000L, nProbe = 2)
+        .select("id").as[Long].collect().toSet
+      assert(k2 == ref(1), s"batch2 kept $k2")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("vector gate is idempotent under at-least-once replay (crash after append)") {
+    try {
+      val novelA = Array.tabulate(dim)(d =>
+        (d + 1) * 0.25 * (if (d % 2 == 0) 1 else -1))
+      val novelB = Array.tabulate(dim)(d =>
+        (dim - d) * 0.25 * (if (d % 3 == 0) 1 else -1))
+      IncrementalAnn.buildIndex(corpus, table, buckets, cents)
+      val b1 = Seq((100L, vec(3)), (101L, novelA), (102L, novelA),
+        (103L, novelB)).toDF("id", "vec")
+      val first = IncrementalAnn.gateBatch(b1, table, buckets, cents,
+          thresholdE6 = 990000L, nProbe = 2)
+        .select("id").as[Long].collect().toSet
+      assert(first == Set(101L, 103L), s"first delivery kept $first")
+      // replay after the kept postings were appended: the id exclusion
+      // skips each vector's own posting, and the symmetric in-batch
+      // rule guarantees no two kept vectors can see each other — the
+      // kept set must reproduce exactly
+      val replay = IncrementalAnn.gateBatch(b1, table, buckets, cents,
+          thresholdE6 = 990000L, nProbe = 2)
+        .select("id").as[Long].collect().toSet
+      assert(replay == first, s"replay kept $replay, expected $first")
+      // and a later batch still dedups against the (doubly-appended)
+      // postings
+      val b2 = Seq((200L, novelA)).toDF("id", "vec")
+      val k2 = IncrementalAnn.gateBatch(b2, table, buckets, cents,
+          thresholdE6 = 990000L, nProbe = 2)
+        .select("id").as[Long].collect().toSet
+      assert(k2.isEmpty, s"post-replay batch kept $k2")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("appended vectors are visible to later probes without a rebuild") {
     try {
       IncrementalAnn.buildIndex(corpus, table, buckets, cents)
