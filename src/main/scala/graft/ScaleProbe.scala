@@ -123,7 +123,69 @@ object ScaleProbe {
           .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
         graft.text.IncrementalDedup.probe(spark, shard, idxTable).count()
       }
+      time("incdedup_gate_batch", f) {
+        // the STEADY-STATE cost of the continuous gate: one fixed-size
+        // batch gated against the f-scaled index (sign the batch, one
+        // co-located index join, one in-batch band join, one bucketed
+        // append) — should stay flat in f like the probe
+        val batch = replicated(1).filter(col("doc_id") % 97 === 3)
+          .select((col("doc_id") + lit(30000000L)).as("doc_id"), col("text"))
+        graft.text.IncrementalDedup.gateBatch(batch, idxTable, 32,
+          "text", "doc_id", 3, 16, 4).count()
+      }
+      time("compact_buckets", f) {
+        // maintenance pass after the build + gate appends: rewrites
+        // every bucket over the file bound into one sorted file — the
+        // AMORTIZED cost that keeps the probe/gate rows flat forever;
+        // linear in the rewritten buckets' bytes by design
+        graft.sources.Bucketed.compactBuckets(spark, idxTable,
+          maxFilesPerBucket = 1).toLong
+      }
+      time("incdedup_probe_postcompact", f) {
+        // same shard as probe_1pct against the compacted index — the
+        // probe contract must survive (and benefit from) compaction
+        val shard = replicated(1).filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
+        graft.text.IncrementalDedup.probe(spark, shard, idxTable).count()
+      }
       spark.sql(s"DROP TABLE IF EXISTS $idxTable")
+
+      // ANN index-and-probe at scale: replicated embeddings (vectors
+      // verbatim, ids remapped), fixed query set. With a FIXED codebook
+      // the probed lists grow with the corpus, so probe cost tracks
+      // nProbe/nlist of the index (sub-linear vs a full scan by that
+      // constant) — production grows the codebook with the corpus,
+      // which this probe cannot replicate.
+      val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val strideE = embBase.agg(coalesce(max("id"), lit(-1L)))
+        .head().getLong(0) + 1
+      def replicatedEmb(f: Int): DataFrame =
+        embBase.crossJoin(spark.range(f).select(col("id").as("__k")))
+          .select((col("id") + col("__k") * strideE).as("id"), col("vec"))
+      val cents = graft.sim.Pinned.ivfCentroids()
+      val annTable = s"graft_scaleprobe_ann_x$f"
+      time("incann_index_build", f) {
+        graft.sim.IncrementalAnn.buildIndex(replicatedEmb(f), annTable,
+          buckets = 16, cents)
+        spark.table(annTable).count()
+      }
+      time("incann_probe", f) {
+        val qs = replicatedEmb(1).filter(col("id") % 97 === 0)
+          .select((col("id") + lit(90000000L)).as("id"), col("vec"))
+        graft.sim.IncrementalAnn.probe(spark, qs, annTable, cents,
+          k = 10, nProbe = 4).count()
+      }
+      time("incann_gate_batch", f) {
+        // fixed batch through the vector gate against the f-scaled
+        // index (threshold high enough that most of the batch appends)
+        val batch = replicatedEmb(1).filter(col("id") % 97 === 11)
+          .select((col("id") + lit(91000000L)).as("id"), col("vec"))
+        graft.sim.IncrementalAnn.gateBatch(batch, annTable, 16, cents,
+          thresholdE6 = 990000L, nProbe = 4).count()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $annTable")
     }
     spark.stop()
   }
