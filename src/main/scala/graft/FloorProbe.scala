@@ -26,6 +26,11 @@ object FloorProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // attribution knob: AQE turns each shuffle-bearing query into
+      // sequential jobs with a re-plan between stages — measure its
+      // share of the floor with SPARK_GRAFT_AQE=false
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names =
