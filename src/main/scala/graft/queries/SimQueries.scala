@@ -270,6 +270,29 @@ object SimQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Right-to-erasure on the inverted-list index (the q133 doctrine
+    // for vectors): build the q131 index, delete the id%3==0 slice of
+    // the indexed corpus at O(touched buckets) — the deleted vectors
+    // re-assign map-only, so the affected buckets are known without
+    // scanning the index — then probe. Fresh index per execution (the
+    // delete MUTATES it); the oracle is q131's with the erased slice
+    // excluded from the index side
+    "q134_ann_index_delete" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      val table = s"graft_q134_idx_$tag"
+      val cents = graft.sim.Pinned.ivfCentroids()
+      val corpus = e.filter(col("id") % 5 =!= 0)
+      graft.sim.IncrementalAnn.buildIndex(corpus, table, buckets = 8, cents)
+      graft.sim.IncrementalAnn.deleteFromIndex(
+        corpus.filter(col("id") % 3 === 0), table, buckets = 8, cents)
+      graft.sim.IncrementalAnn.probe(s, e.filter(col("id") % 5 === 0),
+          table, cents, k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Continuous novel-vectors gate (the q130 shape for embeddings):
     // seed the inverted-list index with the id%4!=0 corpus, stream the
     // id%4==0 vectors in 4 micro-batches; each batch keeps only vectors
@@ -558,6 +581,31 @@ object SimQueries {
          |       FROM pr JOIN vn ON vn.id = pr.query_id),
          |idx AS (SELECT asg.id AS neighbor_id, asg.centroid, vn.vn AS cv
          |        FROM asg JOIN vn USING (id) WHERE asg.id % 5 <> 0),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(floor($dotSql * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM qn JOIN idx USING (centroid))
+         |SELECT query_id, neighbor_id, cos_e6, rank FROM (
+         |  SELECT query_id, neighbor_id, cos_e6,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // delete replay: q131's probe with the erased corpus slice
+    // (id%3==0) excluded from the index side
+    "q134_ann_index_delete" ->
+      s"""$pinnedAssignCte,
+         |pr AS (SELECT id AS query_id, c AS centroid FROM (
+         |         SELECT id, c, row_number() OVER (PARTITION BY id
+         |                          ORDER BY dot DESC, c) AS rn
+         |         FROM sc WHERE id % 5 = 0)
+         |       WHERE rn <= 4),
+         |qn AS (SELECT pr.query_id, pr.centroid, vn.vn AS qv
+         |       FROM pr JOIN vn ON vn.id = pr.query_id),
+         |idx AS (SELECT asg.id AS neighbor_id, asg.centroid, vn.vn AS cv
+         |        FROM asg JOIN vn USING (id)
+         |        WHERE asg.id % 5 <> 0 AND asg.id % 3 <> 0),
          |scored AS (
          |  SELECT query_id, neighbor_id,
          |         CAST(floor($dotSql * 1000000.0) AS BIGINT) AS cos_e6

@@ -434,6 +434,25 @@ object TextQueries {
         .orderBy("new_doc", "corpus_doc")
     }),
 
+    // Right-to-erasure on the band index: delete the doc_id%7==0 slice
+    // of the indexed corpus at O(touched buckets) — the deleted docs'
+    // bands are recomputed from their text, so the affected buckets
+    // are known without scanning the index — then probe the shard.
+    // Fresh index every execution (the delete MUTATES it); the oracle
+    // is the q128 probe join with the deleted corpus slice excluded
+    "q133_index_delete" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 3 =!= 0)
+      val tag = Setup.dirTag(dir)
+      val table = s"graft_q133_idx_$tag"
+      graft.text.IncrementalDedup.buildIndex(corpus, table, buckets = 8)
+      graft.text.IncrementalDedup.deleteFromIndex(
+        corpus.filter(col("doc_id") % 7 === 0), table, buckets = 8)
+      graft.text.IncrementalDedup.probe(
+          s, d.filter(col("doc_id") % 3 === 0), table)
+        .orderBy("new_doc", "corpus_doc")
+    }),
+
     // The continuous novel-docs gate end-to-end: corpus seeds the band
     // index, the shard docs stream in 4 mtime-ordered micro-batches
     // ((doc_id/3)%4), each batch drops index hits + smaller-id
@@ -665,6 +684,17 @@ object TextQueries {
          |FROM bands n JOIN bands c
          |  ON n.band = c.band AND n.band_key = c.band_key
          |WHERE n.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+         |ORDER BY new_doc, corpus_doc""".stripMargin,
+
+    // delete replay: the q128 probe join with the erased corpus slice
+    // (doc_id%7==0) excluded from the index side
+    "q133_index_delete" ->
+      s"""WITH $minhashBandsCtes
+         |SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+         |FROM bands n JOIN bands c
+         |  ON n.band = c.band AND n.band_key = c.band_key
+         |WHERE n.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+         |  AND c.doc_id % 7 <> 0
          |ORDER BY new_doc, corpus_doc""".stripMargin,
 
     // count-min matrix replay: per (row j, bucket) sums where bucket =

@@ -87,6 +87,31 @@ object IncrementalAnn {
     graft.sources.Bucketed.save(assignedVectors(newVecs, cents),
       table, Seq("centroid"), buckets, mode = SaveMode.Append)
 
+  /** Remove vectors from the index at O(touched buckets), not
+    * O(index) — the [[graft.text.IncrementalDedup.deleteFromIndex]]
+    * doctrine for embeddings: re-assign the deleted vectors against
+    * the codebook (map-only) so their inverted lists — and with them
+    * the affected bucket ids, via `pmod(hash(centroid), buckets)` —
+    * are known without scanning the index, then rewrite only those
+    * buckets anti-joining the ids out. Idempotent; dropDuplicates in
+    * the rewrite also heals duplicate postings from an interrupted
+    * maintenance swap. Returns the number of buckets rewritten. */
+  def deleteFromIndex(vecs: DataFrame, table: String, buckets: Int,
+                      cents: Array[Array[Double]]): Int = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val del = assignedVectors(vecs, cents)
+      .select("centroid", "id")
+      .localCheckpoint(eager = false) // feeds bucket-id collect + join
+    val bIds = del
+      .select(pmod(hash(col("centroid")), lit(buckets)).cast("int").as("b"))
+      .distinct().as[Int].collect().toSet
+    val ids = del.select("id").distinct()
+    graft.sources.Bucketed.rewriteBuckets(spark, table, bIds,
+      idx => idx.join(broadcast(ids), Seq("id"), "left_anti")
+        .dropDuplicates())
+  }
+
   /** Periodic maintenance for a continuously-appended index: rewrite
     * any inverted-list bucket that has accumulated more than
     * `maxFilesPerBucket` files into one sorted file (see

@@ -107,7 +107,34 @@ object Bucketed {
     * of buckets rewritten. */
   def compactBuckets(spark: SparkSession, table: String,
                      maxFilesPerBucket: Int = 4,
-                     dedupRows: Boolean = true): Int = {
+                     dedupRows: Boolean = true): Int =
+    rewriteCore(spark, table,
+      select = _.length > maxFilesPerBucket, bucketIds = None,
+      transform = df => if (dedupRows) df.dropDuplicates() else df)
+
+  /** Rewrite EXACTLY the given buckets' rows through `transform`
+    * (rows of other buckets are never read or touched), preserving the
+    * bucket spec and sort — the primitive behind bounded-cost DELETEs
+    * on a bucketed index: a caller that knows which buckets hold the
+    * affected keys (the bucket function is `pmod(hash(key), n)` —
+    * Spark's own `HashPartitioning.partitionIdExpression`) pays
+    * O(those buckets), not O(table). Same one-job staging +
+    * visible-first swap as [[compactBuckets]]; `transform` MUST be
+    * idempotent and duplicate-tolerant (compose with dropDuplicates
+    * for posting sets) because a crash between the swap-in and the
+    * old-file deletes leaves both generations visible until the
+    * caller re-runs. Returns the number of buckets rewritten. */
+  def rewriteBuckets(spark: SparkSession, table: String,
+                     bucketIds: Set[Int],
+                     transform: DataFrame => DataFrame): Int =
+    if (bucketIds.isEmpty) 0
+    else rewriteCore(spark, table, select = _ => true,
+      bucketIds = Some(bucketIds), transform = transform)
+
+  private def rewriteCore(spark: SparkSession, table: String,
+                          select: Seq[org.apache.hadoop.fs.FileStatus] => Boolean,
+                          bucketIds: Option[Set[Int]],
+                          transform: DataFrame => DataFrame): Int = {
     import org.apache.hadoop.fs.Path
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
@@ -122,18 +149,17 @@ object Bucketed {
       """.*_(\d+)(?:\..*)?$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
     val dataFiles = fs.listStatus(dir).toSeq
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-    val oversized = dataFiles.groupBy(f => bucketIdOf(f.getPath.getName))
-      .collect { case (Some(b), fsOfB) if fsOfB.length > maxFilesPerBucket =>
-        b -> fsOfB }
-    if (oversized.isEmpty) return 0
-    val oldFiles = oversized.values.flatten.toSeq
-    val rows0 = spark.read.schema(meta.schema)
-      .parquet(oldFiles.map(_.getPath.toString): _*)
-    val rows1 = if (dedupRows) rows0.dropDuplicates() else rows0
+    val chosen = dataFiles.groupBy(f => bucketIdOf(f.getPath.getName))
+      .collect { case (Some(b), fsOfB)
+        if bucketIds.forall(_.contains(b)) && select(fsOfB) => b -> fsOfB }
+    if (chosen.isEmpty) return 0
+    val oldFiles = chosen.values.flatten.toSeq
+    val rows = transform(spark.read.schema(meta.schema)
+      .parquet(oldFiles.map(_.getPath.toString): _*))
     val keyCols = bucketSpec.bucketColumnNames
       .map(org.apache.spark.sql.functions.col)
-    val staging = s"${table}__compact"
-    save(rows1.repartition(bucketSpec.numBuckets, keyCols: _*),
+    val staging = s"${table}__rewrite"
+    save(rows.repartition(bucketSpec.numBuckets, keyCols: _*),
       staging, bucketSpec.bucketColumnNames, bucketSpec.numBuckets,
       sortCols = bucketSpec.sortColumnNames)
     try {
@@ -141,10 +167,10 @@ object Bucketed {
         spark.sessionState.sqlParser.parseTableIdentifier(staging)).location)
       val newFiles = fs.listStatus(stagingDir).toSeq
         .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      // visible-first swap: the compacted files land BEFORE the
-      // originals go, so a crash mid-swap leaves duplicate posting rows
-      // (verdict-neutral for the gate, removed by the next pass),
-      // never missing ones
+      // visible-first swap: the rewritten files land BEFORE the
+      // originals go, so a crash mid-swap leaves BOTH generations
+      // visible (duplicates / not-yet-deleted rows) rather than losing
+      // rows — recovered by re-running the same maintenance op
       newFiles.foreach { f =>
         val target = new Path(dir, f.getPath.getName)
         require(fs.rename(f.getPath, target), s"rename to $target failed")
@@ -154,6 +180,6 @@ object Bucketed {
       s"DROP TABLE IF EXISTS ${staging.split('.').map(p => s"`$p`").mkString(".")}")
     // drop the cached file listing so the next scan sees the new layout
     spark.catalog.refreshTable(table)
-    oversized.size
+    chosen.size
   }
 }

@@ -68,6 +68,35 @@ object IncrementalDedup {
       bandsOf(newDocs, textCol, idCol, k, numHashes, bands),
       table, Seq("bkey"), buckets, mode = SaveMode.Append)
 
+  /** Remove documents from the index at O(touched buckets), not
+    * O(index) — the right-to-erasure primitive a run-forever gate
+    * needs. The deleted docs' band rows are recomputed from their text
+    * (same signature arithmetic as the build, so their bkeys — and
+    * with them the affected bucket ids, via the bucket function
+    * `pmod(hash(bkey), buckets)` — are known without scanning the
+    * index), and ONLY those buckets are rewritten, anti-joining the
+    * deleted ids out. The driver holds one bucket-id set bounded by
+    * `bands × |docs|`; the id set itself stays distributed (broadcast
+    * anti-join). dropDuplicates in the rewrite keeps the op idempotent
+    * and heals duplicate postings left by an interrupted maintenance
+    * swap. Returns the number of buckets rewritten. */
+  def deleteFromIndex(docs: DataFrame, table: String, buckets: Int,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      k: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4): Int = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val del = bandsOf(docs, textCol, idCol, k, numHashes, bands)
+      .localCheckpoint(eager = false) // feeds bucket-id collect + join
+    val bIds = del
+      .select(pmod(hash(col("bkey")), lit(buckets)).cast("int").as("b"))
+      .distinct().as[Int].collect().toSet
+    val ids = del.select("doc").distinct()
+    graft.sources.Bucketed.rewriteBuckets(spark, table, bIds,
+      idx => idx.join(broadcast(ids), Seq("doc"), "left_anti")
+        .dropDuplicates())
+  }
+
   /** Candidate (new_doc, corpus_doc) near-dup pairs of a new shard
     * against the persisted index — WITHOUT rescanning or re-signing the
     * corpus. When the shard's distinct bkey count is at most

@@ -190,6 +190,32 @@ class IncrementalAnnSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("deleteFromIndex erases vectors and matches a from-scratch index on the remainder") {
+    try {
+      IncrementalAnn.buildIndex(corpus, table, buckets, cents)
+      val n = IncrementalAnn.deleteFromIndex(
+        corpus.filter(col("id") % 5 === 0), table, buckets, cents)
+      assert(n >= 1, s"expected rewritten buckets, got $n")
+      val got = IncrementalAnn.probe(spark, batch, table, cents,
+          k = 3, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank"))
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(!got.exists(_._2 % 5 == 0), s"deleted ids still ranked: $got")
+      // equivalent to building the index WITHOUT the deleted slice
+      val refTable = s"${table}_ref"
+      IncrementalAnn.buildIndex(corpus.filter(col("id") % 5 =!= 0),
+        refTable, buckets, cents)
+      val ref = IncrementalAnn.probe(spark, batch, refTable, cents,
+          k = 3, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank"))
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(got == ref)
+      spark.sql(s"DROP TABLE IF EXISTS $refTable")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("appended vectors are visible to later probes without a rebuild") {
     try {
       IncrementalAnn.buildIndex(corpus, table, buckets, cents)

@@ -155,6 +155,49 @@ class IncrementalDedupSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("deleteFromIndex erases at O(touched buckets): hits vanish, untouched buckets stay byte-identical") {
+    try {
+      IncrementalDedup.buildIndex(corpus, table, buckets)
+      // fingerprint every data file before the delete
+      def files(): Map[String, (Long, Long)] = {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        val dir = new org.apache.hadoop.fs.Path(meta.location)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .map(f => f.getPath.getName ->
+            (f.getLen, f.getModificationTime)).toMap
+      }
+      val before = files()
+      // the shard dups corpus docs 5/17/29 — delete 17 from the index
+      val n = IncrementalDedup.deleteFromIndex(
+        corpus.filter(col("doc_id") === 17L), table, buckets)
+      assert(n >= 1 && n < buckets,
+        s"expected a strict subset of buckets rewritten, got $n")
+      val after = files()
+      // every file NOT belonging to a rewritten bucket is untouched
+      val sharedNames = before.keySet intersect after.keySet
+      assert(sharedNames.nonEmpty, "expected untouched files to survive")
+      sharedNames.foreach(f => assert(before(f) == after(f),
+        s"untouched file $f changed"))
+      assert(before.keySet != after.keySet, "expected some files replaced")
+      // probe: 17's hits are gone, 5/29's survive
+      val got = IncrementalDedup.probe(spark, shard, table)
+        .as[(Long, Long)].collect().toSet
+      assert(!got.exists(_._2 == 17L), s"deleted doc still matched: $got")
+      assert(got.map(_._1).contains(100L) && got.map(_._1).contains(102L))
+      assert(!got.map(_._1).contains(101L),
+        s"101 should have no candidates after 17's erasure: $got")
+      // idempotent: re-running changes nothing observable
+      IncrementalDedup.deleteFromIndex(
+        corpus.filter(col("doc_id") === 17L), table, buckets)
+      val again = IncrementalDedup.probe(spark, shard, table)
+        .as[(Long, Long)].collect().toSet
+      assert(again == got)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("appendToIndex keeps the index current across shards") {
     try {
       IncrementalDedup.buildIndex(corpus, table, buckets)
