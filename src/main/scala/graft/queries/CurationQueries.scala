@@ -283,6 +283,17 @@ object CurationQueries {
           qs = Seq(0.25, 0.5, 0.75, 0.95))
         .orderBy("source", "q_e4")),
 
+    // Bounded-state quantile SKETCH (the streaming/mergeable companion
+    // to q129's exact path): per-source bottom-64-by-portable-hash
+    // sample, quantile estimate = sample order statistic. Membership
+    // is a pure function of doc_id, so the whole estimate — sample,
+    // ranks, integer rank arithmetic — replays in the oracle
+    "q135_quantile_sketch" -> ((s, dir) =>
+      graft.ops.QuantileSketch.quantileEstimates(
+          docs(s, dir), Seq("source"), "doc_id", "n_chars",
+          qs = Seq(0.25, 0.5, 0.75), k = 64)
+        .orderBy("source", "q_e4")),
+
     // Per-domain cap (C4/RefinedWeb shape): at most 15 docs per source,
     // picked by deterministic hash order. NOT a partitioned window — the
     // two-pass range-shuffle rank (Curation.capPerGroup) spreads a
@@ -599,6 +610,28 @@ object CurationQueries {
         |         AS value
         |FROM r CROSS JOIN q
         |GROUP BY source, q_e4 ORDER BY source, q_e4""".stripMargin,
+
+    // sketch replay: same bottom-64 membership hash, same sample
+    // order statistic, same integer rank arithmetic
+    "q135_quantile_sketch" ->
+      s"""WITH s AS (
+         |  SELECT source, doc_id, n_chars,
+         |    ${TextQueries.Sql.sqmixOfPoly("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY h, doc_id) AS rn FROM s),
+         |samp AS (
+         |  SELECT source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars, h, doc_id) AS vrn,
+         |    COUNT(*) OVER (PARTITION BY source) AS m
+         |  FROM r WHERE rn <= 64),
+         |q(q_e4) AS (SELECT * FROM (VALUES (2500), (5000), (7500)) v)
+         |SELECT source, CAST(q_e4 AS BIGINT) AS q_e4,
+         |       CAST(MAX(CASE WHEN vrn = (q_e4 * m + 9999) // 10000
+         |                     THEN n_chars END) AS BIGINT) AS est
+         |FROM samp CROSS JOIN q
+         |GROUP BY source, q_e4 ORDER BY source, q_e4""".stripMargin,
 
     "q57_chunk_documents" ->
       s"""WITH w AS (SELECT doc_id, ${TextQueries.Sql.words} AS ws FROM documents),

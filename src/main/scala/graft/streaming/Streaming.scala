@@ -388,4 +388,58 @@ object Streaming {
             .iterator.map { case (t, v) => HeavyHitter(grp, t, v, s.n) }
       }
   }
+
+  final case class QuantileEstimate(group: String, q_e4: Long, est: Long,
+                                    m: Long)
+
+  /** Streaming per-group quantile estimates with BOUNDED state: each
+    * group's state is its bottom-k-by-portable-hash sample
+    * ([[graft.ops.QuantileSketch]] — k (hash, id, value) triples,
+    * ever), refreshed per micro-batch and re-estimated on update.
+    * Because bottom-k membership is a pure, order-independent function
+    * of the row ids, the LAST emitted estimates for a group equal the
+    * batch [[graft.ops.QuantileSketch.quantileEstimates]] over
+    * everything the stream has seen — bit-for-bit, on any batch
+    * split (StreamingSpec pins the parity) — and at-least-once
+    * replays are absorbed by keying the state map on the id. */
+  def quantileSketchStream(rows: DataFrame, groupCol: String,
+                           idCol: String, valueCol: String,
+                           qs: Seq[Double], k: Int = 64
+                          ): Dataset[QuantileEstimate] = {
+    require(qs.nonEmpty, "need at least one quantile")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val qe4 = qs.map(q => math.round(q * 10000.0))
+    rows
+      .select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull && col("id").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[Seq[(Long, Long, Long)]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty)
+          val byId = scala.collection.mutable.LongMap.empty[(Long, Long)]
+          prev.foreach { case (h, id, v) => byId(id) = (h, v) }
+          it.foreach { case (_, id, v) =>
+            byId(id) = (graft.functions.Hashing.squareMix(
+              graft.functions.Hashing.polyHash(id.toString)), v)
+          }
+          val kept = byId.iterator
+            .map { case (id, (h, v)) => (h, id, v) }.toSeq
+            .sortBy { case (h, id, _) => (h, id) }
+            .take(k)
+          state.update(kept)
+          val m = kept.size
+          val byValue = kept.sortBy { case (h, id, v) => (v, h, id) }
+          qe4.iterator.map { q =>
+            val rank = ((q * m + 9999) / 10000).toInt // ceil(q·m/1e4)
+            QuantileEstimate(g, q, byValue(math.max(rank, 1) - 1)._3, m)
+          }
+      }
+  }
 }
