@@ -157,7 +157,26 @@ object IncrementalDedup {
     * Exposed for the spec; the streaming form is [[streamNovel]]. */
   private[graft] def gateBatch(batch: DataFrame, table: String,
                                buckets: Int, textCol: String, idCol: String,
-                               k: Int, numHashes: Int, bands: Int): DataFrame = {
+                               k: Int, numHashes: Int, bands: Int): DataFrame =
+    gateBatchFull(batch, table, buckets, textCol, idCol,
+      k, numHashes, bands, withMetrics = false)._1
+
+  /** Per-batch gate metrics, counted from the very DataFrames the
+    * verdict used — BEFORE the kept bands are appended, so the
+    * index-hit count reflects the index the batch was judged against
+    * (counting lazily after the append would see the batch's own
+    * kept bands). */
+  private[graft] final case class GateMetrics(nIn: Long, nKept: Long,
+                                              nIndexHits: Long,
+                                              nBatchHits: Long)
+
+  /** [[gateBatch]], optionally with [[GateMetrics]] — the two drop-set
+    * counts cost two extra small jobs, so they are opt-in. */
+  private[graft] def gateBatchFull(batch: DataFrame, table: String,
+                                   buckets: Int, textCol: String, idCol: String,
+                                   k: Int, numHashes: Int, bands: Int,
+                                   withMetrics: Boolean
+                                  ): (DataFrame, Option[GateMetrics]) = {
     val spark = batch.sparkSession
     val nb = bandsOf(batch, textCol, idCol, k, numHashes, bands)
       .localCheckpoint(eager = false) // feeds 3 joins — sign once
@@ -187,11 +206,16 @@ object IncrementalDedup {
     // append the kept docs' bands by FILTERING the already-computed
     // batch bands — re-signing the kept docs would double the per-batch
     // signature pass; canonical (bkey, doc) order for the by-name append
+    val metrics =
+      if (withMetrics)
+        Some(GateMetrics(batch.count(), kept.count(),
+          idxHit.count(), internalHit.count()))
+      else None
     graft.sources.Bucketed.save(
       nb.join(kept.select(col(idCol).as("doc")), Seq("doc"))
         .select(col("bkey"), col("doc")),
       table, Seq("bkey"), buckets, mode = SaveMode.Append)
-    kept
+    (kept, metrics)
   }
 
   /** Continuous-ingest near-dup gate (the shape a 100 TB pipeline runs
@@ -207,11 +231,17 @@ object IncrementalDedup {
                   textCol: String = "text", idCol: String = "doc_id",
                   k: Int = 3, numHashes: Int = 16,
                   bands: Int = 4, compactEvery: Int = 8,
-                  maxFilesPerBucket: Int = 4): DataFrame = {
+                  maxFilesPerBucket: Int = 4,
+                  metricsDir: Option[String] = None): DataFrame = {
     val spark = stream.sparkSession
     val out = new org.apache.hadoop.fs.Path(outDir)
     out.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(out, true)
+    metricsDir.foreach { m =>
+      val mp = new org.apache.hadoop.fs.Path(m)
+      mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(mp, true)
+    }
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], id: Long) =>
@@ -220,9 +250,21 @@ object IncrementalDedup {
         // would duplicate its kept docs (the index re-append is
         // harmless — duplicate band rows produce the same matches,
         // and the next compaction pass dedups them away)
-        gateBatch(batch.toDF(), table, buckets, textCol, idCol,
-            k, numHashes, bands)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        val (kept, metrics) = gateBatchFull(batch.toDF(),
+          table, buckets, textCol, idCol, k, numHashes, bands,
+          withMetrics = metricsDir.isDefined)
+        kept.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        // OPT-IN per-batch gate metrics (the run-forever operator's
+        // observability), overwritten per batch id so replays stay
+        // idempotent. Off by default — the drop-set counts cost two
+        // extra joins a bench steady state should not pay
+        for (m <- metricsDir; gm <- metrics) {
+          import spark.implicits._
+          Seq((id, gm.nIn, gm.nKept, gm.nIndexHits, gm.nBatchHits))
+            .toDF("batch", "n_in", "n_kept", "n_index_hits",
+              "n_batch_hits")
+            .coalesce(1).write.mode("overwrite").parquet(s"$m/batch=$id")
+        }
         // every append leaves ≥1 new file per touched bucket; a gate
         // that runs forever needs the periodic rewrite or per-bucket
         // file counts (and with them listing + footer-read cost) grow

@@ -149,9 +149,20 @@ class IncrementalDedupSpec extends SparkSuite {
       val kept = IncrementalDedup.streamNovel(
           graft.streaming.Streaming.fileStream(spark, s"$base/src",
             maxFilesPerTrigger = Some(1)),
-          table, buckets, s"$base/out")
+          table, buckets, s"$base/out",
+          metricsDir = Some(s"$base/metrics"))
         .select("doc_id").as[Long].collect().toSet
       assert(kept == Set(101L, 201L), s"kept $kept")
+      // opt-in per-batch metrics: batch 0 = {100 index-dup of corpus 5,
+      // 101 novel, 102 in-batch dup of 101}; batch 1 = {200 index-dup
+      // of APPENDED 101, 201 novel} — the index-hit count is judged
+      // against the pre-append index, so 200 counts as an index hit
+      // in ITS batch, not retroactively in batch 0's
+      val metrics = spark.read.parquet(s"$base/metrics")
+        .select("batch", "n_in", "n_kept", "n_index_hits", "n_batch_hits")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(metrics == Set((0L, 3L, 1L, 1L, 1L), (1L, 2L, 1L, 1L, 0L)),
+        s"metrics $metrics")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
