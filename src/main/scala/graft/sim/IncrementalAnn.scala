@@ -214,7 +214,22 @@ object IncrementalAnn {
     * in-batch rule is a pure function of the batch. */
   private[graft] def gateBatch(batch: DataFrame, table: String,
                                buckets: Int, cents: Array[Array[Double]],
-                               thresholdE6: Long, nProbe: Int): DataFrame = {
+                               thresholdE6: Long, nProbe: Int): DataFrame =
+    gateBatchFull(batch, table, buckets, cents, thresholdE6, nProbe,
+      withMetrics = false)._1
+
+  /** Per-batch vector-gate metrics — counted BEFORE the kept postings
+    * are appended (the [[graft.text.IncrementalDedup.GateMetrics]]
+    * pre-append judgment semantics). */
+  private[graft] final case class GateMetrics(nIn: Long, nKept: Long,
+                                              nIndexHits: Long,
+                                              nBatchHits: Long)
+
+  private[graft] def gateBatchFull(batch: DataFrame, table: String,
+                                   buckets: Int, cents: Array[Array[Double]],
+                                   thresholdE6: Long, nProbe: Int,
+                                   withMetrics: Boolean
+                                  ): (DataFrame, Option[GateMetrics]) = {
     val spark = batch.sparkSession
     import spark.implicits._
     // nearest-list assignment feeds the in-batch join AND the append;
@@ -239,6 +254,11 @@ object IncrementalAnn {
           .select(col("__drop").as("id")),
         Seq("id"), "left_anti")
       .localCheckpoint(eager = false) // read for append AND for output
+    val metrics =
+      if (withMetrics)
+        Some(GateMetrics(batch.count(), kept.count(),
+          idxHit.distinct().count(), inBatch.distinct().count()))
+      else None
     // append by FILTERING the already-assigned batch rows — canonical
     // (centroid, id, vn) order for the by-name append
     graft.sources.Bucketed.save(
@@ -247,7 +267,8 @@ object IncrementalAnn {
       table, Seq("centroid"), buckets, mode = SaveMode.Append)
     // centroid rides along from the existing assignment — no second
     // signature pass for callers that report the kept list
-    kept.join(asg.select(col("id"), col("centroid")), Seq("id"))
+    (kept.join(asg.select(col("id"), col("centroid")), Seq("id")),
+      metrics)
   }
 
   /** Continuous-ingest novel-vectors gate (the q130 shape for
@@ -263,11 +284,17 @@ object IncrementalAnn {
                   cents: Array[Array[Double]], outDir: String,
                   thresholdE6: Long, nProbe: Int = 8,
                   compactEvery: Int = 8,
-                  maxFilesPerBucket: Int = 4): DataFrame = {
+                  maxFilesPerBucket: Int = 4,
+                  metricsDir: Option[String] = None): DataFrame = {
     val spark = stream.sparkSession
     val out = new org.apache.hadoop.fs.Path(outDir)
     out.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(out, true)
+    metricsDir.foreach { m =>
+      val mp = new org.apache.hadoop.fs.Path(m)
+      mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(mp, true)
+    }
     val bc = spark.sparkContext.broadcast(cents)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -275,10 +302,20 @@ object IncrementalAnn {
         // one OVERWRITTEN dir per batch id — the q130 at-least-once
         // doctrine; gateBatch's self-exclusion + symmetric in-batch
         // rule make the replayed kept set identical
-        gateBatch(batch.toDF(), table, buckets, bc.value,
-            thresholdE6, nProbe)
-          .select(col("id"), col("centroid"))
+        val (kept, metrics) = gateBatchFull(batch.toDF(), table,
+          buckets, bc.value, thresholdE6, nProbe,
+          withMetrics = metricsDir.isDefined)
+        kept.select(col("id"), col("centroid"))
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        // opt-in observability, same shape + pre-append semantics as
+        // the text gate's (IncrementalDedup.streamNovel)
+        for (m <- metricsDir; gm <- metrics) {
+          import spark.implicits._
+          Seq((id, gm.nIn, gm.nKept, gm.nIndexHits, gm.nBatchHits))
+            .toDF("batch", "n_in", "n_kept", "n_index_hits",
+              "n_batch_hits")
+            .coalesce(1).write.mode("overwrite").parquet(s"$m/batch=$id")
+        }
         if (compactEvery > 0 && (id + 1) % compactEvery == 0)
           graft.sources.Bucketed.compactBuckets(spark, table,
             maxFilesPerBucket)

@@ -103,8 +103,16 @@ object Bucketed {
     * 4096-bucket index where only the 30 buckets touched since the
     * last pass are oversized reads and rewrites 30 buckets' files in
     * one 30-task wave — per-bucket selectivity AND full cluster
-    * parallelism, no per-bucket driver-looped jobs. Returns the number
-    * of buckets rewritten. */
+    * parallelism, no per-bucket driver-looped jobs.
+    *
+    * Filesystem caveat: the swap is a driver-side rename-then-delete
+    * loop — atomic and cheap per file on HDFS/local, but a COPY on
+    * S3-style object stores (rename is not native there). A real
+    * object-store deployment puts the index behind a manifest-backed
+    * table format where compaction is a metadata swap; this
+    * implementation targets the HDFS-semantics filesystems Spark's
+    * own bucketed tables assume. Returns the number of buckets
+    * rewritten. */
   def compactBuckets(spark: SparkSession, table: String,
                      maxFilesPerBucket: Int = 4,
                      dedupRows: Boolean = true): Int =

@@ -76,10 +76,14 @@ object IncrementalDedup {
     * `pmod(hash(bkey), buckets)` — are known without scanning the
     * index), and ONLY those buckets are rewritten, anti-joining the
     * deleted ids out. The driver holds one bucket-id set bounded by
-    * `bands × |docs|`; the id set itself stays distributed (broadcast
-    * anti-join). dropDuplicates in the rewrite keeps the op idempotent
-    * and heals duplicate postings left by an interrupted maintenance
-    * swap. Returns the number of buckets rewritten. */
+    * `bands × |docs|` distinct keys but CAPPED at `buckets`; the id
+    * set itself stays distributed (broadcast anti-join — sized for
+    * erasure-request batches, i.e. up to millions of ids; a bulk
+    * purge of a large corpus fraction should rebuild the index
+    * instead, one bucket-write shuffle). dropDuplicates in the
+    * rewrite keeps the op idempotent and heals duplicate postings
+    * left by an interrupted maintenance swap. Returns the number of
+    * buckets rewritten. */
   def deleteFromIndex(docs: DataFrame, table: String, buckets: Int,
                       textCol: String = "text", idCol: String = "doc_id",
                       k: Int = 3, numHashes: Int = 16,

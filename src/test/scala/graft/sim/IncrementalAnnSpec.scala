@@ -148,10 +148,15 @@ class IncrementalAnnSpec extends SparkSuite {
       assert(ref == Seq(Set(101L, 103L), Set(202L)),
         s"reference disagrees with the hand-built scenario: $ref")
       IncrementalAnn.buildIndex(corpus, table, buckets, cents)
-      val k1 = IncrementalAnn.gateBatch(b1.toDF("id", "vec"), table,
-          buckets, cents, thresholdE6 = 990000L, nProbe = 2)
-        .select("id").as[Long].collect().toSet
+      val (kept1, m1) = IncrementalAnn.gateBatchFull(
+        b1.toDF("id", "vec"), table, buckets, cents,
+        thresholdE6 = 990000L, nProbe = 2, withMetrics = true)
+      val k1 = kept1.select("id").as[Long].collect().toSet
       assert(k1 == ref.head, s"batch1 kept $k1")
+      // pre-append metrics: 100 is an index hit (dups corpus vec(3)),
+      // 102 an in-batch hit (dups 101, larger id)
+      assert(m1.contains(IncrementalAnn.GateMetrics(4L, 2L, 1L, 1L)),
+        s"metrics $m1")
       val k2 = IncrementalAnn.gateBatch(b2.toDF("id", "vec"), table,
           buckets, cents, thresholdE6 = 990000L, nProbe = 2)
         .select("id").as[Long].collect().toSet
