@@ -294,6 +294,57 @@ object CurationQueries {
           qs = Seq(0.25, 0.5, 0.75), k = 64)
         .orderBy("source", "q_e4")),
 
+    // The STREAMING form of q135, driver-checked against the SAME
+    // oracle: the documents arrive in 3 mtime-ordered micro-batches,
+    // per-group bottom-64 state is maintained by
+    // flatMapGroupsWithState, and each group's LAST emission — its
+    // state after everything has streamed — must equal the batch
+    // computation over the union (the mergeable, order-independent
+    // membership property, spec-pinned as bit parity). One oracle,
+    // two execution models
+    "q136_stream_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = graft.streaming.Streaming.scratchBase.resolve(
+        s"graft-q136-${System.nanoTime()}").toString
+      val d = docs(s, dir).select("source", "doc_id", "n_chars")
+      for (j <- 0 to 2) {
+        val stage = s"$base/stage$j"
+        d.filter(pmod(col("doc_id"), lit(3)) === j)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/src", s"f$j.parquet")
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        require(dest.setLastModified(1000000L * (j + 1)))
+      }
+      val stream = graft.streaming.Streaming.quantileSketchStream(
+        graft.streaming.Streaming.fileStream(s, s"$base/src",
+          maxFilesPerTrigger = Some(1)),
+        "source", "doc_id", "n_chars", qs = Seq(0.25, 0.5, 0.75), k = 64)
+      val q = stream.toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          b.withColumn("batch", lit(id))
+            .coalesce(1).write.mode("overwrite").parquet(s"$base/out/b=$id")
+          ()
+        }
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(
+            graft.streaming.Streaming.scratchBase, "graft-ckpt-q136")
+            .toString)
+        .start()
+      q.awaitTermination()
+      val w = Window.partitionBy("group", "q_e4")
+        .orderBy(col("batch").desc)
+      s.read.parquet(s"$base/out")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("group").as("source"), col("q_e4"), col("est"))
+        .orderBy("source", "q_e4")
+    }),
+
     // Per-domain cap (C4/RefinedWeb shape): at most 15 docs per source,
     // picked by deterministic hash order. NOT a partitioned window — the
     // two-pass range-shuffle rank (Curation.capPerGroup) spreads a
@@ -347,7 +398,7 @@ object CurationQueries {
        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
        |  LEFT JOIN scored s USING (doc_id))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = restOracles ++ Map(
     "q43_star_join" ->
       """SELECT n_name,
         |       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)) AS BIGINT)
@@ -611,9 +662,15 @@ object CurationQueries {
         |FROM r CROSS JOIN q
         |GROUP BY source, q_e4 ORDER BY source, q_e4""".stripMargin,
 
+    // the streaming form's final state equals the batch computation
+    // (mergeable order-independent membership) — SAME oracle
+    "q136_stream_quantiles" -> quantileSketchOracle,
+
     // sketch replay: same bottom-64 membership hash, same sample
     // order statistic, same integer rank arithmetic
-    "q135_quantile_sketch" ->
+    "q135_quantile_sketch" -> quantileSketchOracle)
+
+  private lazy val quantileSketchOracle: String =
       s"""WITH s AS (
          |  SELECT source, doc_id, n_chars,
          |    ${TextQueries.Sql.sqmixOfPoly("CAST(doc_id AS VARCHAR)")} AS h
@@ -631,7 +688,9 @@ object CurationQueries {
          |       CAST(MAX(CASE WHEN vrn = (q_e4 * m + 9999) // 10000
          |                     THEN n_chars END) AS BIGINT) AS est
          |FROM samp CROSS JOIN q
-         |GROUP BY source, q_e4 ORDER BY source, q_e4""".stripMargin,
+         |GROUP BY source, q_e4 ORDER BY source, q_e4""".stripMargin
+
+  private lazy val restOracles: Map[String, String] = Map(
 
     "q57_chunk_documents" ->
       s"""WITH w AS (SELECT doc_id, ${TextQueries.Sql.words} AS ws FROM documents),
