@@ -79,5 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_e6"),
       new ExpressionInfo(classOf[DotE6].getName, "graft_dot_e6"),
       (children: Seq[Expression]) => DotE6(children.head, children(1))))
+    // whole-operator tier: the native as-of join (§2.12 ladder step c)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

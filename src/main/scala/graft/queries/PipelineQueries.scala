@@ -87,6 +87,27 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // The SAME as-of join through the native whole-operator tier
+    // (AsofJoinNode → injected strategy → AsofJoinExec partition-local
+    // sorted merge): one exchange per side, no union, no WindowExec,
+    // output partitioning reusable downstream. Same oracle as q59 —
+    // two implementations, one contract.
+    "q137_asof_native" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("event_type"))
+      val clicks = e.filter(col("event_type") === "click").drop("event_type")
+      val views = e.filter(col("event_type") === "view").drop("event_type")
+      graft.plans.AsofJoin.join(clicks, views,
+          keys = Seq("user_id"), tsCol = "ts",
+          payload = Seq("event_id", "value"),
+          rightTieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          col("asof_event_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
+
     // Range join (click inside a 30-min window opened by each view):
     // bucketized equi-join — intervals explode to their overlapped
     // buckets, a point hashes to one bucket, exact BETWEEN re-checked —
@@ -323,6 +344,17 @@ object PipelineQueries {
         |ORDER BY click_id, view_id""".stripMargin,
 
     "q59_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'view')
+        |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+        |       r.event_id AS asof_event_id, r.value AS asof_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // identical contract to q59, exercised through the native operator
+    "q137_asof_native" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events
         |           WHERE event_type = 'click'),
         |r AS (SELECT event_id, user_id, ts, value FROM events

@@ -1,0 +1,112 @@
+package graft.plans
+
+import graft.SparkSuite
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+
+/** Native as-of join (AsofJoinNode/Exec): semantics pinned AGAINST the
+  * composed union+window form (same contract, two implementations), plus
+  * the plan promises that justify the custom operator — at most one
+  * exchange per side, no WindowExec, and output partitioning a
+  * downstream key aggregate can reuse. */
+class AsofJoinNativeSpec extends SparkSuite {
+
+  test("matches at-or-before per key, inclusive ties, null payload wins") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 5L),
+      (4L, "b", 10L)
+    ).toDF("lid", "k", "t")
+    val right = Seq(
+      ("a", 8L, 100L, Some("x")), ("a", 10L, 101L, None),
+      ("a", 15L, 102L, Some("y")),
+      ("b", 10L, 103L, Some("z"))
+    ).toDF("k", "t", "rid", "tag")
+    val out = AsofJoin.join(left, right, keys = Seq("k"), tsCol = "t",
+        payload = Seq("rid", "tag"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getString(4))))
+      .toMap
+    // same pins as RelationalSpec's composed-form test: inclusive
+    // equal-ts match, and the t=10 row's null tag must NOT fall back to
+    // the older t=8 payload
+    assert(out(1L) == (Some(101L), None))
+    assert(out(2L) == (Some(102L), Some("y")))
+    assert(out(3L) == (None, None))
+    assert(out(4L) == (Some(103L), Some("z")))
+  }
+
+  test("rightTieBreak: last in ascending tie-break order wins at equal (key, ts)") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 10L)).toDF("lid", "k", "t")
+    val right = Seq(("a", 10L, 7L), ("a", 10L, 3L)).toDF("k", "t", "rid")
+    val r = AsofJoin.join(left, right, Seq("k"), "t", Seq("rid"),
+      rightTieBreak = Seq("rid")).select("asof_rid").head()
+    assert(r.getLong(0) == 7L)
+  }
+
+  test("null handling: null right ts never matches, null left ts gets null payload") {
+    import spark.implicits._
+    val left = Seq((1L, "a", Some(10L)), (2L, "a", None)).toDF("lid", "k", "t")
+    val right = Seq(("a", None: Option[Long], 100L), ("a", Some(9L), 101L))
+      .toDF("k", "t", "rid")
+    val out = AsofJoin.join(left, right, Seq("k"), "t", Seq("rid"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L) == Some(101L)) // the null-ts right row is invisible
+    assert(out(2L) == None)       // null left ts precedes nothing
+  }
+
+  test("empty right side: all left rows survive with null payloads") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("lid", "k", "t")
+    val right = Seq.empty[(String, Long, Long)].toDF("k", "t", "rid")
+    val out = AsofJoin.join(left, right, Seq("k"), "t", Seq("rid")).collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(3)))
+  }
+
+  test("parity with the composed form on randomized multi-key data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // dense ts collisions + duplicate right ts per key so ties and
+    // tie-breaks are exercised, plus keys present on only one side
+    val left = (1 to 400).map { i =>
+      (i.toLong, s"k${rnd.nextInt(12)}", s"g${rnd.nextInt(3)}", rnd.nextInt(40).toLong)
+    }.toDF("lid", "k1", "k2", "t").repartition(7)
+    val right = (1 to 300).map { i =>
+      (i.toLong, s"k${rnd.nextInt(14)}", s"g${rnd.nextInt(3)}", rnd.nextInt(40).toLong)
+    }.toDF("rid", "k1", "k2", "t").repartition(5)
+    val native = AsofJoin.join(left, right, Seq("k1", "k2"), "t",
+      payload = Seq("rid"), rightTieBreak = Seq("rid"))
+    val composed = Relational.asofJoin(left, right, Seq("k1", "k2"), "t",
+      payload = Seq("rid"), rightTieBreak = Seq("rid"))
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    assert(native.count() == 400)
+    assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
+  }
+
+  test("plan: AsofJoinExec, one exchange per side, no window, no nested loop") {
+    import spark.implicits._
+    val left = (1L to 100L).map(i => (i, i % 5, i * 10)).toDF("lid", "k", "t")
+    val right = (1L to 50L).map(i => (i, i % 5, i * 7)).toDF("rid", "k", "t")
+    val p = AsofJoin.join(left, right, Seq("k"), "t", Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+  }
+
+  test("plan: downstream groupBy on the join key reuses the partitioning (no new exchange)") {
+    import spark.implicits._
+    val left = (1L to 100L).map(i => (i, i % 5, i * 10)).toDF("lid", "k", "t")
+    val right = (1L to 50L).map(i => (i, i % 5, i * 7)).toDF("rid", "k", "t")
+    val agg = AsofJoin.join(left, right, Seq("k"), "t", Seq("rid"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val p = agg.queryExecution.executedPlan.toString
+    // two input shuffles only — the aggregate rides the operator's
+    // reported left partitioning, which the union+window form cannot offer
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(agg.collect().map(r => r.getLong(1)).sum == 100L)
+  }
+}
