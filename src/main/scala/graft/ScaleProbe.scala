@@ -52,12 +52,20 @@ object ScaleProbe {
       spark.read.parquet(out)
     }
 
-    def time(name: String, f: Int)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = body
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""SCALE {"op":"$name","factor":$f,"sec":$sec%.2f,"rows":$rows}""")
-    }
+    // SPARK_GRAFT_PROBE_ONLY=op1,op2 runs a subset (substring match) —
+    // the focused-iteration loop; unset runs everything. Mind the
+    // dependencies: the index probe/gate/compact ops read the table
+    // their _index_build op creates, so include the build when
+    // filtering to any of them
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def time(name: String, f: Int)(body: => Long): Unit =
+      if (only.forall(_.exists(name.contains))) {
+        val t0 = System.nanoTime()
+        val rows = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""SCALE {"op":"$name","factor":$f,"sec":$sec%.2f,"rows":$rows}""")
+      }
 
     for (f <- Seq(1, 4, 16)) {
       val d = replicated(f)
@@ -186,6 +194,42 @@ object ScaleProbe {
           thresholdE6 = 990000L, nProbe = 4).count()
       }
       spark.sql(s"DROP TABLE IF EXISTS $annTable")
+
+      // native vs composed as-of join on replicated events (user ids
+      // remapped per replica → f× keys at the same per-key density; the
+      // q59 shape: clicks asof-joined to views). Same contract, two
+      // implementations — the row pair measures what the custom
+      // operator buys: no union of both sides through one sort+window,
+      // and one exchange per side instead.
+      val ev = graft.sources.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id").cast("long").as("user_id"),
+          col("ts"), col("value"), col("event_type"))
+      val strideU = ev.agg(coalesce(max("user_id"), lit(-1L))).head().getLong(0) + 1
+      def replicatedEv(f: Int): DataFrame =
+        ev.crossJoin(spark.range(f).select(col("id").as("__k")))
+          .select(col("event_id"),
+            (col("user_id") + col("__k") * strideU).as("user_id"),
+            col("ts"), col("value"), col("event_type"))
+      val evF = replicatedEv(f).cache(); evF.count()
+      val clicks = evF.filter(col("event_type") === "click").drop("event_type")
+      val views = evF.filter(col("event_type") === "view").drop("event_type")
+      // count(asof_event_id), NOT count(*): counting the PAYLOAD forces
+      // the match computation — a bare count lets Catalyst prune the
+      // composed form's whole window away (the node-opaque native form
+      // can't be pruned), which silently biases the compare
+      def evalAsof(df: DataFrame): Long =
+        df.agg(count(col("asof_event_id"))).head().getLong(0)
+      time("asof_composed", f) {
+        evalAsof(graft.ops.Relational.asofJoin(clicks, views,
+          Seq("user_id"), "ts", payload = Seq("event_id", "value"),
+          rightTieBreak = Seq("event_id")))
+      }
+      time("asof_native", f) {
+        evalAsof(graft.plans.AsofJoin.join(clicks, views,
+          Seq("user_id"), "ts", payload = Seq("event_id", "value"),
+          rightTieBreak = Seq("event_id")))
+      }
+      evF.unpersist()
     }
     spark.stop()
   }

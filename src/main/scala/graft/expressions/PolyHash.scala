@@ -81,5 +81,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => DotE6(children.head, children(1))))
     // whole-operator tier: the native as-of join (§2.12 ladder step c)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // and its optimizer integration: predicate pushdown through the
+    // custom node (a custom operator is otherwise opaque to Catalyst)
+    ext.injectOptimizerRule(_ => graft.plans.AsofJoinPushdown)
   }
 }

@@ -97,6 +97,61 @@ class AsofJoinNativeSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
 
+  test("pushdown: left-column filter moves below the join, key filter to both sides") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val dir = java.nio.file.Files.createTempDirectory("asof_push").toString
+    (1L to 100L).map(i => (i, i % 5, i * 10)).toDF("lid", "k", "t")
+      .write.mode("overwrite").parquet(s"$dir/l")
+    (1L to 50L).map(i => (i, i % 5, i * 7)).toDF("rid", "k", "t")
+      .write.mode("overwrite").parquet(s"$dir/r")
+    val left = spark.read.parquet(s"$dir/l")
+    val right = spark.read.parquet(s"$dir/r")
+    val joinedThenFiltered = AsofJoin.join(left, right, Seq("k"), "t", Seq("rid"))
+      .filter(col("lid") > 10 && col("k") === 2 && col("asof_rid").isNotNull)
+    val optimized = joinedThenFiltered.queryExecution.optimizedPlan
+    val j = optimized.collect { case n: AsofJoinNode => n } match {
+      case Seq(one) => one
+      case other => fail(s"expected one AsofJoinNode, got $other\n$optimized")
+    }
+    // both left conjuncts (lid > 10, k = 2) sit below the join on the
+    // left; the key conjunct transferred to the right side too
+    def filtersIn(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case f: LFilter => f.condition.sql }.mkString(";")
+    assert(filtersIn(j.left).contains("10") && filtersIn(j.left).contains("2"),
+      optimized.toString)
+    assert(filtersIn(j.right).contains("2"), optimized.toString)
+    // the payload conjunct is all that remains above
+    optimized.collect { case f: LFilter if f.child.isInstanceOf[AsofJoinNode] =>
+      assert(f.condition.references.map(_.name).toSet == Set("asof_rid"),
+        f.condition.sql)
+    }
+    // and the pushed conjuncts reach the parquet scans as PushedFilters
+    val phys = joinedThenFiltered.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(k,2\\)".r
+      .findAllIn(phys).length == 2, phys)
+    // semantics unchanged vs filtering the composed form's output
+    val expect = Relational.asofJoin(left, right, Seq("k"), "t", Seq("rid"))
+      .filter(col("lid") > 10 && col("k") === 2 && col("asof_rid").isNotNull)
+    assert(joinedThenFiltered.except(expect).isEmpty &&
+      expect.except(joinedThenFiltered).isEmpty)
+  }
+
+  test("pushdown: payload-referencing and nondeterministic conjuncts stay above") {
+    import spark.implicits._
+    val left = (1L to 50L).map(i => (i, i % 3, i * 10)).toDF("lid", "k", "t")
+    val right = (1L to 30L).map(i => (i, i % 3, i * 7)).toDF("rid", "k", "t")
+    val df = AsofJoin.join(left, right, Seq("k"), "t", Seq("rid"))
+      .filter(col("asof_rid") > 5 && rand(7) >= 0) // nondeterministic conjunct
+    val j = df.queryExecution.optimizedPlan.collect { case n: AsofJoinNode => n }.head
+    // neither conjunct may sink into a child
+    def hasFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.nonEmpty
+    assert(!hasFilter(j.left) && !hasFilter(j.right),
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.count() > 0)
+  }
+
   test("plan: downstream groupBy on the join key reuses the partitioning (no new exchange)") {
     import spark.implicits._
     val left = (1L to 100L).map(i => (i, i % 5, i * 10)).toDF("lid", "k", "t")
