@@ -62,14 +62,23 @@ object QuantileSketch {
   }
 
   /** Per-group quantile ESTIMATES from the bottom-k sample: for each
-    * q, the sample value at 1-based rank ceil(q·m) (m = sample size)
-    * under (value, hash, id) order — integer rank arithmetic on the
-    * e4-scaled q so both engines compute the identical rank. Output:
-    * groupCols ++ (q_e4, est). */
+    * q, the sample value at 1-based rank max(1, ceil(q·m)) (m = sample
+    * size) under (value, hash, id) order — integer rank arithmetic on
+    * the e4-scaled q so both engines compute the identical rank, and
+    * the same >=1 clamp as the streaming form (q = 0.0 emits the group
+    * minimum in BOTH execution models — the batch/stream bit-parity
+    * contract holds at the edge too). Output: groupCols ++ (q_e4, est).
+    *
+    * PRECONDITION: `idCol` values are unique. A duplicated id keeps
+    * both rows in the batch sample here, while the streaming state map
+    * keys on id (last value wins) — parity requires unique ids, the
+    * same identity contract every index/gate operator states. */
   def quantileEstimates(df: DataFrame, groupCols: Seq[String],
                         idCol: String, valueCol: String,
                         qs: Seq[Double], k: Int = 64): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1], got: ${qs.mkString(", ")}")
     val sample = bottomKSample(df, groupCols, idCol, valueCol, k)
     val vw = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(valueCol), col("__h"), col(idCol))
@@ -82,9 +91,10 @@ object QuantileSketch {
     ranked
       .select(groupCols.map(col) ++ Seq(col(valueCol), col("__vrn"),
         col("__m"), qcol): _*)
-      // integer ceil(q_e4·m / 10^4): identical arithmetic in the oracle
+      // integer max(1, ceil(q_e4·m / 10^4)): identical arithmetic in
+      // the oracle AND in quantileSketchStream's math.max(rank, 1)
       .filter(col("__vrn") ===
-        expr("(q_e4 * __m + 9999) div 10000"))
+        greatest(lit(1L), expr("(q_e4 * __m + 9999) div 10000")))
       .select(groupCols.map(col) ++ Seq(col("q_e4"),
         col(valueCol).as("est")): _*)
   }

@@ -166,13 +166,28 @@ object Quantiles {
     val keyed = df
       .select(keyExpr.as("k"), col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull).as[(String, Long)]
+    // ONE stats pass per group also recovers a representative of the
+    // ORIGINAL (typed) group column values via first(): within a
+    // packed key every row carries identical group values (the
+    // encoding is injective), so first() is deterministic. The result
+    // is persisted (≤ maxGroups rows) and reused for the final join —
+    // recovering the values afterwards would re-scan and re-shuffle
+    // the FULL df a second time for data this pass already saw.
+    val statsFull = df
+      .select(keyExpr.as("__k") +: col(valueCol).cast("long").as("__v") +:
+        groupCols.map(col): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy("__k")
+      .agg(count(lit(1)).as("__n"),
+        min("__v").as("__lo") +: max("__v").as("__hi") +:
+          groupCols.map(c => first(col(c)).as(c)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // NARROW driver payload: (packed key, n, lo, hi) only — the group
     // columns themselves never ride the collect (a wide group column
-    // × a million groups is real driver memory); they are joined back
-    // from the data at the end via the injective key
-    val stats: Array[(String, Long, Long, Long)] = keyed
-      .groupBy("k")
-      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+    // × a million groups is real driver memory); they stay on the
+    // executors in statsFull and join back at the end
+    val stats: Array[(String, Long, Long, Long)] = statsFull
+      .select(col("__k"), col("__n"), col("__lo"), col("__hi"))
       .as[(String, Long, Long, Long)]
       .collect()
     require(stats.length <= maxGroups,
@@ -251,12 +266,11 @@ object Quantiles {
     val res = rankOf.toSeq.flatMap { case (k, qr) =>
       qs.map(q => (k, math.round(q * 10000.0), state((k, qr(q)))._1))
     }.toDF("__k", "q_e4", "value")
-    // recover the original group columns (original types) through the
-    // injective packed key — any row of a group carries them, so one
-    // dedup by key + a broadcast join replaces shipping the group
-    // values through the driver
-    df.select(groupCols.map(col) :+ keyExpr.as("__k"): _*)
-      .dropDuplicates("__k")
+    // recover the original group columns (original types) from the
+    // persisted stats pass — no extra scan of df, no driver shipping.
+    // statsFull stays persisted for the returned lazy plan; the
+    // ContextCleaner reclaims its blocks once the result is GC'd
+    statsFull.select(groupCols.map(col) :+ col("__k"): _*)
       .join(broadcast(res), Seq("__k"))
       .select(groupCols.map(col) ++ Seq(col("q_e4"), col("value")): _*)
   }

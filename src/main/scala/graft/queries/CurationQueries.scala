@@ -685,7 +685,7 @@ object CurationQueries {
          |  FROM r WHERE rn <= 64),
          |q(q_e4) AS (SELECT * FROM (VALUES (2500), (5000), (7500)) v)
          |SELECT source, CAST(q_e4 AS BIGINT) AS q_e4,
-         |       CAST(MAX(CASE WHEN vrn = (q_e4 * m + 9999) // 10000
+         |       CAST(MAX(CASE WHEN vrn = greatest(1, (q_e4 * m + 9999) // 10000)
          |                     THEN n_chars END) AS BIGINT) AS est
          |FROM samp CROSS JOIN q
          |GROUP BY source, q_e4 ORDER BY source, q_e4""".stripMargin

@@ -211,7 +211,13 @@ object IncrementalAnn {
     * `id =!= query_id` excludes each kept vector's own re-appended
     * posting, and replay reproduces the identical kept set.
     * Drop verdicts also replay stably: the index only grows, and the
-    * in-batch rule is a pure function of the batch. */
+    * in-batch rule is a pure function of the batch.
+    *
+    * ID CONTRACT (the [[graft.text.IncrementalDedup.gateBatch]]
+    * doctrine): `id` is an identity arriving in at most ONE batch;
+    * only same-batch redelivery is absorbed by the self-exclusion. An
+    * already-kept id re-sent in a LATER batch matches only its own
+    * posting, passes the gate, and is emitted twice. */
   private[graft] def gateBatch(batch: DataFrame, table: String,
                                buckets: Int, cents: Array[Array[Double]],
                                thresholdE6: Long, nProbe: Int): DataFrame =

@@ -158,6 +158,19 @@ object IncrementalDedup {
     * docs never enter the index, so a dup-of-a-dropped-doc survives
     * unless it also matches something kept — the standard online-LSH
     * trade, and what the unrolled q130 oracle replays step for step.
+    *
+    * ID CONTRACT: `idCol` is an identity — a given id arrives in at
+    * most ONE batch. Only same-batch redelivery (foreachBatch's
+    * at-least-once replay of an identical batch) is absorbed, via the
+    * self-exclusion below. A pipeline that re-sends an already-kept id
+    * in a LATER batch violates the contract, and the violation leaks:
+    * the re-arrival's only index match is its own posting, which the
+    * self-exclusion ignores, so the doc is kept twice (two batch
+    * dirs). Distinguishing replay from genuine re-arrival would need
+    * batch ids stored per posting; the contract is the standard one
+    * (doc ids are stable identities) so the gate does not pay that
+    * storage. IncrementalDedupSpec pins the documented leak.
+    *
     * Exposed for the spec; the streaming form is [[streamNovel]]. */
   private[graft] def gateBatch(batch: DataFrame, table: String,
                                buckets: Int, textCol: String, idCol: String,

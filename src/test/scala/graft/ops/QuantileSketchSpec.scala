@@ -22,7 +22,7 @@ class QuantileSketchSpec extends SparkSuite {
       val byValue = sample.sortBy { case (h, id, v) => (v, h, id) }
       qs.map { q =>
         val qe4 = math.round(q * 10000.0)
-        val rank = ((qe4 * m + 9999) / 10000).toInt
+        val rank = math.max(1, ((qe4 * m + 9999) / 10000).toInt)
         (g, qe4, byValue(rank - 1)._3)
       }
     }.toSet
@@ -40,6 +40,22 @@ class QuantileSketchSpec extends SparkSuite {
           Seq("g"), "id", "v", qs, k = 16)
         .as[(String, Long, Long)].collect().toSet
       assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("q = 0.0 emits the sample minimum — the streaming clamp, batch side") {
+    // the rank clamp to >=1 must match quantileSketchStream's
+    // math.max(rank, 1): q=0.0 yields rank 1, never an empty result
+    val got = QuantileSketch.quantileEstimates(
+        rows.toDF("g", "id", "v"), Seq("g"), "id", "v",
+        Seq(0.0), k = 16)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == ref(rows, k = 16, qs = Seq(0.0)), s"got $got")
+    assert(got.size == 3, s"expected one row per group, got $got")
+    // and out-of-range quantiles are rejected loudly
+    intercept[IllegalArgumentException] {
+      QuantileSketch.quantileEstimates(
+        rows.toDF("g", "id", "v"), Seq("g"), "id", "v", Seq(1.5))
     }
   }
 

@@ -125,6 +125,32 @@ class IncrementalDedupSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("id contract: a kept id re-sent in a LATER batch leaks through (documented)") {
+    try {
+      IncrementalDedup.buildIndex(corpus, table, buckets)
+      val b1 = Seq((101L, text(950))).toDF("doc_id", "text")
+      val k1 = IncrementalDedup.gateBatch(b1, table, buckets,
+        "text", "doc_id", 3, 16, 4).select("doc_id").as[Long].collect().toSet
+      assert(k1 == Set(101L))
+      // contract violation: the same id arrives again in a NEW batch.
+      // Its only index match is its own posting, which the replay
+      // self-exclusion must ignore — so it passes the gate a second
+      // time. This test pins the documented behavior (gateBatch's ID
+      // CONTRACT scaladoc): if this assertion ever flips, the replay
+      // idempotence test above must be re-examined, because the two
+      // cases are indistinguishable without batch ids in the index.
+      val k2 = IncrementalDedup.gateBatch(b1, table, buckets,
+        "text", "doc_id", 3, 16, 4).select("doc_id").as[Long].collect().toSet
+      assert(k2 == Set(101L),
+        s"documented re-arrival leak changed behavior: kept $k2")
+      // a DIFFERENT id with the same text is still caught
+      val b3 = Seq((300L, text(950))).toDF("doc_id", "text")
+      val k3 = IncrementalDedup.gateBatch(b3, table, buckets,
+        "text", "doc_id", 3, 16, 4).select("doc_id").as[Long].collect().toSet
+      assert(k3 == Set.empty[Long], s"duplicate under a fresh id kept $k3")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streamNovel runs the gate per micro-batch over a file stream") {
     try {
       IncrementalDedup.buildIndex(corpus, table, buckets)
