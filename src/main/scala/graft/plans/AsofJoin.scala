@@ -55,7 +55,10 @@ object AsofJoin {
     *
     * The right side is pruned here to keys ++ ts ++ payload ++
     * tieBreak: the custom node is opaque to ColumnPruning, so the API
-    * does the pruning Catalyst otherwise would. */
+    * does the pruning Catalyst otherwise would. The LEFT side is
+    * pruned by the injected [[AsofJoinPushdown]] rule's Project case —
+    * a downstream select of few columns narrows the left child before
+    * the exchange/sort/merge (plan-pinned in AsofJoinNativeSpec). */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            tsCol: String, payload: Seq[String],
            prefix: String = "asof_",

@@ -1,16 +1,21 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeMap, AttributeSet, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Predicate pushdown through [[AsofJoinNode]] — the optimizer work
-  * Catalyst does for built-in joins but cannot do for an opaque custom
-  * node. Without this rule a `Filter` above an as-of join evaluates
-  * AFTER the merge, so both sides shuffle and sort rows the query is
-  * about to drop; at scale the filter belongs at the scans
-  * (PushedFilters), which only happens once it sits directly above
-  * them.
+/** Predicate AND projection pushdown through [[AsofJoinNode]] — the
+  * optimizer work Catalyst does for built-in joins but cannot do for an
+  * opaque custom node. Without this rule a `Filter` above an as-of
+  * join evaluates AFTER the merge, so both sides shuffle and sort rows
+  * the query is about to drop; at scale the filter belongs at the
+  * scans (PushedFilters), which only happens once it sits directly
+  * above them. Likewise a `Project` of few columns above the join
+  * would still drag every LEFT column through the exchange, sort, and
+  * merge (the API prunes only the right side at construction) — the
+  * projection case below narrows the left child to the referenced
+  * columns plus the join's own keys/ts, and Catalyst's ColumnPruning
+  * then carries that Project into the scan's ReadSchema.
   *
   * Soundness: the as-of join emits exactly one output row per left row
   * (left-outer shape), and a left row's match depends only on that
@@ -55,5 +60,22 @@ object AsofJoinPushdown extends Rule[LogicalPlan] with PredicateHelper {
         val pushed = j.copy(left = newLeft, right = newRight)
         keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
+
+    // Left-side column pruning: rows out ARE left rows (one per left
+    // row), and the merge itself reads only the left keys and ts — so
+    // any left column the parent projection does not reference can be
+    // dropped BELOW the join. Sound for the same reason the left
+    // filter push is: the operator neither reads nor reorders other
+    // left columns. The right side needs no case here — the public API
+    // already narrows it to keys ++ ts ++ payload ++ tieBreak at
+    // construction. Fixed-point safe: fires only while the left child
+    // still carries unreferenced columns.
+    case p @ Project(fields, j: AsofJoinNode) =>
+      val required = AttributeSet(fields.flatMap(_.references)) ++
+        AttributeSet(j.leftKeys.flatMap(_.references)) ++
+        j.leftTs.references
+      val keptLeft = j.left.output.filter(required.contains)
+      if (keptLeft.size == j.left.output.size) p
+      else p.copy(child = j.copy(left = Project(keptLeft, j.left)))
   }
 }

@@ -296,11 +296,7 @@ object IncrementalAnn {
     val out = new org.apache.hadoop.fs.Path(outDir)
     out.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(out, true)
-    metricsDir.foreach { m =>
-      val mp = new org.apache.hadoop.fs.Path(m)
-      mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(mp, true)
-    }
+    metricsDir.foreach(m => graft.streaming.GateMetricsLog.clear(spark, m))
     val bc = spark.sparkContext.broadcast(cents)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -314,17 +310,17 @@ object IncrementalAnn {
         kept.select(col("id"), col("centroid"))
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
         // opt-in observability, same shape + pre-append semantics as
-        // the text gate's (IncrementalDedup.streamNovel)
-        for (m <- metricsDir; gm <- metrics) {
-          import spark.implicits._
-          Seq((id, gm.nIn, gm.nKept, gm.nIndexHits, gm.nBatchHits))
-            .toDF("batch", "n_in", "n_kept", "n_index_hits",
-              "n_batch_hits")
-            .coalesce(1).write.mode("overwrite").parquet(s"$m/batch=$id")
-        }
-        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        // the text gate's (IncrementalDedup.streamNovel), folded
+        // periodically so the log stays bounded (GateMetricsLog)
+        for (m <- metricsDir; gm <- metrics)
+          graft.streaming.GateMetricsLog.write(spark, m, id,
+            gm.nIn, gm.nKept, gm.nIndexHits, gm.nBatchHits)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           graft.sources.Bucketed.compactBuckets(spark, table,
             maxFilesPerBucket)
+          metricsDir.foreach(m =>
+            graft.streaming.GateMetricsLog.compact(spark, m, id))
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

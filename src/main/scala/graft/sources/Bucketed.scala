@@ -13,6 +13,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * self-join from a full shuffle of both inputs into a partition-local
   * merge. The write pays one shuffle ONCE; every subsequent join is
   * shuffle-free (asserted in BucketedSpec against the physical plan).
+  *
+  * CONCURRENCY CONTRACT (single maintenance writer): the rewrite-based
+  * maintenance ops — [[compactBuckets]], [[rewriteBuckets]], and their
+  * callers (index deletion, codebook reassignment) — are individually
+  * crash-safe (visible-first swap) but NOT safe to run concurrently
+  * with each other on one table: two overlapping rewrites each read
+  * the pre-op file set, so the second swap can resurrect rows the
+  * first removed (a compaction racing a delete would silently undo the
+  * erasure). A best-effort lock file (`_graft_maintenance.lock` in the
+  * table dir) makes the mistake loud: a second maintenance op fails
+  * fast instead of corrupting. A crash leaves the lock behind — delete
+  * it once no maintenance writer is running (the error says so). Plain
+  * [[save]] appends are NOT lock-guarded: an append lands a fresh file
+  * the in-flight rewrite never read and never deletes, so
+  * append-during-maintenance is safe; ordering an append against a
+  * delete of the SAME keys is the caller's pipeline contract.
   */
 object Bucketed {
 
@@ -146,10 +162,35 @@ object Bucketed {
     import org.apache.hadoop.fs.Path
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
-    val bucketSpec = meta.bucketSpec.getOrElse(
-      throw new IllegalArgumentException(s"$table is not bucketed"))
+    require(meta.bucketSpec.isDefined, s"$table is not bucketed")
     val dir = new Path(meta.location)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // single-maintenance-writer guard (see the object scaladoc):
+    // created atomically before the file listing — the listing is part
+    // of the read-modify-write a concurrent rewrite would corrupt
+    val lock = new Path(dir, "_graft_maintenance.lock")
+    val acquired =
+      try { fs.create(lock, /* overwrite = */ false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!acquired) throw new IllegalStateException(
+      s"maintenance already in flight on $table (lock $lock exists); " +
+        "if the previous op crashed, delete the lock file and re-run — " +
+        "the visible-first swap makes re-running safe")
+    try rewriteLocked(spark, table, meta, dir, fs, select, bucketIds,
+      transform)
+    finally fs.delete(lock, false)
+  }
+
+  private def rewriteLocked(spark: SparkSession, table: String,
+                            meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+                            dir: org.apache.hadoop.fs.Path,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            select: Seq[org.apache.hadoop.fs.FileStatus] => Boolean,
+                            bucketIds: Option[Set[Int]],
+                            transform: DataFrame => DataFrame): Int = {
+    import org.apache.hadoop.fs.Path
+    val bucketSpec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table is not bucketed"))
     // Spark's bucketed scan derives the bucket id from the trailing
     // `_<digits>` of the file name (before the extension) — group the
     // data files the same way; anything unparseable is left untouched

@@ -254,11 +254,7 @@ object IncrementalDedup {
     val out = new org.apache.hadoop.fs.Path(outDir)
     out.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(out, true)
-    metricsDir.foreach { m =>
-      val mp = new org.apache.hadoop.fs.Path(m)
-      mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(mp, true)
-    }
+    metricsDir.foreach(m => graft.streaming.GateMetricsLog.clear(spark, m))
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], id: Long) =>
@@ -273,23 +269,24 @@ object IncrementalDedup {
         kept.write.mode("overwrite").parquet(s"$outDir/batch=$id")
         // OPT-IN per-batch gate metrics (the run-forever operator's
         // observability), overwritten per batch id so replays stay
-        // idempotent. Off by default — the drop-set counts cost two
-        // extra joins a bench steady state should not pay
-        for (m <- metricsDir; gm <- metrics) {
-          import spark.implicits._
-          Seq((id, gm.nIn, gm.nKept, gm.nIndexHits, gm.nBatchHits))
-            .toDF("batch", "n_in", "n_kept", "n_index_hits",
-              "n_batch_hits")
-            .coalesce(1).write.mode("overwrite").parquet(s"$m/batch=$id")
-        }
+        // idempotent, periodically folded so the log's own file count
+        // stays bounded (GateMetricsLog). Off by default — the
+        // drop-set counts cost two extra joins a bench steady state
+        // should not pay
+        for (m <- metricsDir; gm <- metrics)
+          graft.streaming.GateMetricsLog.write(spark, m, id,
+            gm.nIn, gm.nKept, gm.nIndexHits, gm.nBatchHits)
         // every append leaves ≥1 new file per touched bucket; a gate
         // that runs forever needs the periodic rewrite or per-bucket
         // file counts (and with them listing + footer-read cost) grow
         // O(batches). Verdict-neutral: compaction preserves the band
         // SET, so it can run between any two batches.
-        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           graft.sources.Bucketed.compactBuckets(spark, table,
             maxFilesPerBucket)
+          metricsDir.foreach(m =>
+            graft.streaming.GateMetricsLog.compact(spark, m, id))
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -137,6 +137,39 @@ class AsofJoinNativeSpec extends SparkSuite {
       expect.except(joinedThenFiltered).isEmpty)
   }
 
+  test("pruning: a narrow select above the join drops unused LEFT columns at the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("asof_prune").toString
+    // wide left table: 4 payload-irrelevant columns beside (lid, k, t)
+    (1L to 100L).map(i => (i, i % 5, i * 10,
+        s"w1_$i", s"w2_$i", s"w3_$i", s"w4_$i"))
+      .toDF("lid", "k", "t", "w1", "w2", "w3", "w4")
+      .write.mode("overwrite").parquet(s"$dir/l")
+    (1L to 50L).map(i => (i, i % 5, i * 7)).toDF("rid", "k", "t")
+      .write.mode("overwrite").parquet(s"$dir/r")
+    val left = spark.read.parquet(s"$dir/l")
+    val right = spark.read.parquet(s"$dir/r")
+    val narrow = AsofJoin.join(left, right, Seq("k"), "t", Seq("rid"))
+      .select("lid", "asof_rid")
+    // the wide columns never reach the merge: the left scan's
+    // ReadSchema carries only lid + the join's own k, t
+    val phys = narrow.queryExecution.executedPlan.toString
+    assert(!phys.contains("w1") && !phys.contains("w4"),
+      s"unused left columns survived into the physical plan:\n$phys")
+    assert("ReadSchema: [^\\n]*lid".r.findFirstIn(phys).isDefined, phys)
+    // semantics unchanged
+    val expect = Relational.asofJoin(left, right, Seq("k"), "t", Seq("rid"))
+      .select("lid", "asof_rid")
+    assert(narrow.except(expect).isEmpty && expect.except(narrow).isEmpty)
+    // ...and a select that KEEPS a wide column keeps exactly that one
+    val partial = AsofJoin.join(left, right, Seq("k"), "t", Seq("rid"))
+      .select("lid", "w2", "asof_rid")
+    val physPartial = partial.queryExecution.executedPlan.toString
+    assert(physPartial.contains("w2") && !physPartial.contains("w3"),
+      physPartial)
+    assert(partial.count() == 100)
+  }
+
   test("pushdown: payload-referencing and nondeterministic conjuncts stay above") {
     import spark.implicits._
     val left = (1L to 50L).map(i => (i, i % 3, i * 10)).toDF("lid", "k", "t")

@@ -131,4 +131,36 @@ class BucketedCompactionSpec extends SparkSuite {
       assert(after == before)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("single-maintenance-writer lock: a held lock fails fast, release restores, no stale lock after success") {
+    val table = "graft_compact_lock_idx"
+    try {
+      (0 until 50).map(i => (s"k$i", i.toLong)).toDF("bkey", "doc")
+        .createOrReplaceTempView("lock_rows")
+      Bucketed.save(spark.table("lock_rows"), table, Seq("bkey"), 4)
+      Bucketed.save(spark.table("lock_rows"), table, Seq("bkey"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      val dir = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val lock = new org.apache.hadoop.fs.Path(dir, "_graft_maintenance.lock")
+      // a concurrent maintenance writer holds the lock -> fail fast,
+      // table untouched
+      fs.create(lock, false).close()
+      val filesBefore = filesPerBucket(table)
+      val e = intercept[IllegalStateException] {
+        Bucketed.compactBuckets(spark, table, maxFilesPerBucket = 1)
+      }
+      assert(e.getMessage.contains("maintenance already in flight"))
+      assert(filesPerBucket(table) == filesBefore,
+        "a lock-rejected op must not touch the table")
+      // the documented recovery: delete the stale lock, re-run
+      fs.delete(lock, false)
+      assert(Bucketed.compactBuckets(spark, table, maxFilesPerBucket = 1) > 0)
+      assert(filesPerBucket(table).values.max == 1)
+      // a successful op releases its lock
+      assert(!fs.exists(lock), "lock must be released after completion")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

@@ -184,7 +184,7 @@ class IncrementalDedupSpec extends SparkSuite {
       // of APPENDED 101, 201 novel} — the index-hit count is judged
       // against the pre-append index, so 200 counts as an index hit
       // in ITS batch, not retroactively in batch 0's
-      val metrics = spark.read.parquet(s"$base/metrics")
+      val metrics = graft.streaming.GateMetricsLog.read(spark, s"$base/metrics")
         .select("batch", "n_in", "n_kept", "n_index_hits", "n_batch_hits")
         .as[(Long, Long, Long, Long, Long)].collect().toSet
       assert(metrics == Set((0L, 3L, 1L, 1L, 1L), (1L, 2L, 1L, 1L, 0L)),
