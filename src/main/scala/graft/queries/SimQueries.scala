@@ -330,6 +330,29 @@ object SimQueries {
           thresholdE6 = 330000L, nProbe = 4, compactEvery = 4)
         .select(col("id"), col("centroid").cast("long").as("centroid"))
         .orderBy("id")
+    }),
+
+    // Codebook refresh on the inverted-list index (the run-forever
+    // drift-maintenance op): build under pinned codebook A, re-key
+    // every posting to pinned codebook B in one full-table rewrite —
+    // ids and stored vectors preserved bit-for-bit — then probe with
+    // B. The oracle replays the probe against codebook B DIRECTLY
+    // (q131's CTE, salted): a refreshed index must be
+    // indistinguishable from a fresh build under B. Fresh index per
+    // execution (the refresh MUTATES it)
+    "q138_ann_codebook_refresh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      val table = s"graft_q138_idx_$tag"
+      graft.sim.IncrementalAnn.buildIndex(e.filter(col("id") % 5 =!= 0),
+        table, buckets = 8, graft.sim.Pinned.ivfCentroids())
+      val centsB = graft.sim.Pinned.ivfCentroids(salt = "r:")
+      graft.sim.IncrementalAnn.reassignIndex(s, table, centsB)
+      graft.sim.IncrementalAnn.probe(s, e.filter(col("id") % 5 === 0),
+          table, centsB, k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   private val dotSql =
@@ -592,6 +615,32 @@ object SimQueries {
          |  FROM scored)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    // refresh replay: q131's probe computed entirely under the SALTED
+    // pinned codebook — refresh-then-probe must equal
+    // build-under-B-then-probe, so the oracle never models the
+    // refresh, only codebook B
+    "q138_ann_codebook_refresh" ->
+      s"""${pinnedAssignCteWith("r:")},
+         |pr AS (SELECT id AS query_id, c AS centroid FROM (
+         |         SELECT id, c, row_number() OVER (PARTITION BY id
+         |                          ORDER BY dot DESC, c) AS rn
+         |         FROM sc WHERE id % 5 = 0)
+         |       WHERE rn <= 4),
+         |qn AS (SELECT pr.query_id, pr.centroid, vn.vn AS qv
+         |       FROM pr JOIN vn ON vn.id = pr.query_id),
+         |idx AS (SELECT asg.id AS neighbor_id, asg.centroid, vn.vn AS cv
+         |        FROM asg JOIN vn USING (id) WHERE asg.id % 5 <> 0),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(floor($dotSql * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM qn JOIN idx USING (centroid))
+         |SELECT query_id, neighbor_id, cos_e6, rank FROM (
+         |  SELECT query_id, neighbor_id, cos_e6,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     // delete replay: q131's probe with the erased corpus slice
     // (id%3==0) excluded from the index side
     "q134_ann_index_delete" ->
@@ -669,11 +718,13 @@ object SimQueries {
     })
 
   /** Shared q114/q120/q131 oracle base: pinned-codebook nearest-centroid
-    * assignment, ending in `asg(id, centroid)`. */
-  private lazy val pinnedAssignCte: String =
+    * assignment, ending in `asg(id, centroid)`. `salt` selects the
+    * alternate pinned codebook (Pinned.ivfCentroids' salt — q138's
+    * refreshed-to codebook). */
+  private def pinnedAssignCteWith(salt: String): String =
     s"""$vnCte,
        |cd AS (SELECT c, d,
-       |         (CAST(${sqmixOfPoly("CAST(c AS VARCHAR) || ':' || CAST(d AS VARCHAR)")} % 5
+       |         (CAST(${sqmixOfPoly(s"'$salt' || CAST(c AS VARCHAR) || ':' || CAST(d AS VARCHAR)")} % 5
        |               AS BIGINT) - 2) * 0.25 AS w
        |       FROM (SELECT unnest(range(0, 16)) AS c) cc
        |       CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dd),
@@ -688,6 +739,8 @@ object SimQueries {
        |                                           ORDER BY dot DESC, c) AS rn
        |          FROM sc)
        |        WHERE rn = 1)""".stripMargin
+
+  private lazy val pinnedAssignCte: String = pinnedAssignCteWith("")
 
   private def sqmixOfPoly(e: String): String =
     TextQueries.Sql.sqmixOfPoly(e)

@@ -112,6 +112,71 @@ object IncrementalAnn {
         .dropDuplicates())
   }
 
+  /** Re-key every posting of the index against a NEW codebook in ONE
+    * full-table rewrite job — the codebook-refresh primitive. An index
+    * that runs forever with a frozen codebook degrades: as the corpus
+    * distribution drifts away from the centroids it was trained on,
+    * vectors pile into few lists and probes stop finding true
+    * neighbours (the ANN analogue of the append-without-compaction
+    * file growth). The refresh preserves ids and the STORED normalized
+    * vectors bit-for-bit — only the `centroid` key is recomputed via
+    * the same [[Ivf.nearestCentroid]] arithmetic a fresh build runs on
+    * the same doubles — so a reassigned index is INDISTINGUISHABLE
+    * from `buildIndex(corpus, newCents)`: probe parity is
+    * oracle-checkable with a pinned codebook (q138) and spec-pinned
+    * against a fresh rebuild. Cost: one read + one bucket-write
+    * shuffle over the index, the same shape as buildIndex, with the
+    * source corpus never re-read or re-normalized. Crash-safe and
+    * duplicate-healing like every [[graft.sources.Bucketed]] rewrite
+    * (duplicate postings of an interrupted swap collapse onto one new
+    * key and dedup away); guarded by the single-maintenance-writer
+    * lock. Returns the number of buckets read. */
+  def reassignIndex(spark: SparkSession, table: String,
+                    cents: Array[Array[Double]]): Int = {
+    val bc = spark.sparkContext.broadcast(cents)
+    graft.sources.Bucketed.rewriteAll(spark, table, { df =>
+      val s = df.sparkSession
+      import s.implicits._
+      df.select(col("id").cast("long"), col("vn").cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { rows =>
+          val cs = bc.value
+          rows.map { case (id, vn) => (Ivf.nearestCentroid(vn, cs), id, vn) }
+        }
+        .toDF("centroid", "id", "vn")
+        .dropDuplicates()
+    })
+  }
+
+  /** Retrain the codebook on a deterministic sample of the INDEXED
+    * vectors and [[reassignIndex]] against it — the complete
+    * maintenance op for codebook drift. Sampling is membership-by-
+    * portable-hash (keep ids with squareMix(polyHash(id)) mod
+    * `sampleOneIn` == 0 — the [[graft.ops.QuantileSketch]] doctrine:
+    * deterministic, order- and partition-independent), so the training
+    * set is reproducible and scales as index/sampleOneIn. Training
+    * reuses [[Ivf.trainCentroids]]' Lloyd rounds seeded by the
+    * lowest-id sampled vectors; the stored vn is passed as the vector
+    * (re-normalizing a unit vector is an IEEE no-op at trainer
+    * precision and the trained path is recall-gated, not
+    * oracle-replayed). Returns the new codebook, already applied. */
+  def refreshCodebook(spark: SparkSession, table: String,
+                      nCentroids: Int, iters: Int = 3,
+                      sampleOneIn: Int = 1): Array[Array[Double]] = {
+    require(sampleOneIn >= 1, "sampleOneIn must be >= 1")
+    val idx = graft.sources.Bucketed.load(spark, table)
+    val sample =
+      if (sampleOneIn == 1) idx
+      else idx.filter(pmod(
+        graft.functions.Hashing.squareMixCol(
+          graft.functions.Hashing.polyHashCol(col("id").cast("string"))),
+        lit(sampleOneIn)) === 0)
+    val cents = Ivf.trainCentroids(
+      sample.select(col("id"), col("vn").as("vec")), nCentroids, iters)
+    reassignIndex(spark, table, cents)
+    cents
+  }
+
   /** Periodic maintenance for a continuously-appended index: rewrite
     * any inverted-list bucket that has accumulated more than
     * `maxFilesPerBucket` files into one sorted file (see

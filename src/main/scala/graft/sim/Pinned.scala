@@ -25,9 +25,13 @@ object Pinned {
   def value(key: String): Double =
     ((Hashing.squareMix(Hashing.polyHash(key)) % 5) - 2) * 0.25
 
-  /** Pinned IVF codebook: centroid c, dim d -> value("c:d"). */
-  def ivfCentroids(n: Int = 16, dim: Int = 64): Array[Array[Double]] =
-    Array.tabulate(n, dim)((c, d) => value(s"$c:$d"))
+  /** Pinned IVF codebook: centroid c, dim d -> value("<salt>c:d"). A
+    * non-empty `salt` yields a SECOND independent pinned codebook from
+    * the same generator — the before/after pair the codebook-refresh
+    * oracle (q138) replays. */
+  def ivfCentroids(n: Int = 16, dim: Int = 64,
+                   salt: String = ""): Array[Array[Double]] =
+    Array.tabulate(n, dim)((c, d) => value(s"$salt$c:$d"))
 
   /** Pinned PQ codebooks: subspace s, centroid c, dim j -> value("s:c:j")
     * (64-d corpus => 8 subspaces x 8 dims at the defaults). */

@@ -155,6 +155,21 @@ object Bucketed {
     else rewriteCore(spark, table, select = _ => true,
       bucketIds = Some(bucketIds), transform = transform)
 
+  /** Rewrite the WHOLE table's rows through `transform` in one job,
+    * preserving the bucket spec — the full-table maintenance primitive
+    * (e.g. re-keying every posting after an ANN codebook refresh,
+    * where the bucket-key VALUES change and rows migrate buckets). The
+    * transform may rewrite the bucket column itself: the staging write
+    * re-derives each row's bucket from the transformed values, so the
+    * swap lands every row in its correct new bucket file. Same
+    * one-job staging + visible-first swap + maintenance lock as
+    * [[compactBuckets]]; `transform` MUST be idempotent and
+    * duplicate-tolerant. Returns the number of buckets read. */
+  def rewriteAll(spark: SparkSession, table: String,
+                 transform: DataFrame => DataFrame): Int =
+    rewriteCore(spark, table, select = _ => true, bucketIds = None,
+      transform = transform)
+
   private def rewriteCore(spark: SparkSession, table: String,
                           select: Seq[org.apache.hadoop.fs.FileStatus] => Boolean,
                           bucketIds: Option[Set[Int]],

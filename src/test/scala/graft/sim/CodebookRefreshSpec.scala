@@ -1,0 +1,136 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Codebook refresh on the incremental ANN index: a reassigned index
+  * must be indistinguishable from a fresh build under the new codebook
+  * (probe parity + idempotence), and retraining on the indexed vectors
+  * must recover the recall a frozen codebook loses under distribution
+  * drift — the drift story of an index that runs forever. */
+class CodebookRefreshSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dim = 16
+
+  private def vecsOf(rows: Seq[(Long, Array[Double])]) =
+    rows.toDF("id", "vec")
+
+  test("reassignIndex equals a fresh build under the new codebook; idempotent") {
+    val tableR = "graft_refresh_parity_idx"
+    val tableF = "graft_refresh_fresh_idx"
+    def vecs(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, Array.tabulate(dim)(d =>
+        math.sin(i * 0.37 + d).abs + 0.01)))
+      .toDF("id", "vec")
+    val centsA = Pinned.ivfCentroids(8, dim)
+    val centsB = Pinned.ivfCentroids(8, dim, salt = "r:")
+    try {
+      val corpus = vecs(0, 150)
+      IncrementalAnn.buildIndex(corpus, tableR, 4, centsA)
+      // append after the build so the refresh also re-keys appended
+      // postings (multi-file buckets)
+      IncrementalAnn.appendToIndex(vecs(150, 200), tableR, 4, centsA)
+      IncrementalAnn.buildIndex(corpus.unionByName(vecs(150, 200)),
+        tableF, 4, centsB)
+      val n = IncrementalAnn.reassignIndex(spark, tableR, centsB)
+      assert(n > 0)
+      val q = vecs(500, 505)
+      def probeOf(t: String) = IncrementalAnn
+        .probe(spark, q, t, centsB, k = 5, nProbe = 3)
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val refreshed = probeOf(tableR)
+      assert(refreshed == probeOf(tableF),
+        "refresh-then-probe must equal build-under-B-then-probe")
+      // idempotent: re-running the reassignment changes nothing
+      IncrementalAnn.reassignIndex(spark, tableR, centsB)
+      assert(probeOf(tableR) == refreshed)
+      // and the index layout is still one clean posting per vector
+      assert(graft.sources.Bucketed.load(spark, tableR).count() == 200)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tableR")
+      spark.sql(s"DROP TABLE IF EXISTS $tableF")
+    }
+  }
+
+  test("refreshCodebook recovers recall lost to distribution drift") {
+    val table = "graft_refresh_drift_idx"
+    // 16 well-separated one-hot clusters: 8 "old" on axes 0..7, 8
+    // "drifted" on axes 8..15 — the drifted mass is ORTHOGONAL to
+    // everything the frozen codebook was trained on, so a drifted
+    // vector's frozen list assignment is decided by its private jitter
+    // and same-cluster neighbours scatter across lists. Ids 0..15 are
+    // one representative per cluster so the refresh trainer's
+    // lowest-id Lloyd seeds cover every cluster deterministically. The
+    // refresh also GROWS the codebook 8 -> 16 with the corpus — the
+    // production posture SCALE.md describes.
+    def member(cluster: Int, i: Long): Array[Double] =
+      Array.tabulate(dim)(d =>
+        (if (d == cluster) 1.0 else 0.0) +
+          0.05 * math.sin(i * 0.7 + d * 1.3))
+    val oldCorpus = (0 until 8).map(c => (c.toLong, member(c, c.toLong))) ++
+      (0 until 120).map(i => (100L + i, member(i % 8, 100L + i)))
+    val drifted = (8 until 16).map(c => (c.toLong, member(c, c.toLong))) ++
+      (0 until 120).map(i => (2000L + i, member(8 + i % 8, 2000L + i)))
+    val queries = (0 until 24).map(i => (9000L + i, member(8 + i % 8, 9000L + i)))
+    try {
+      // frozen codebook: trained before the drift, on the old corpus
+      val frozenCents = Ivf.trainCentroids(vecsOf(oldCorpus), 8, iters = 3)
+      IncrementalAnn.buildIndex(vecsOf(oldCorpus), table, 4, frozenCents)
+      IncrementalAnn.appendToIndex(vecsOf(drifted), table, 4, frozenCents)
+      val truth = Similarity
+        .bruteForceTopK(vecsOf(queries), vecsOf(oldCorpus ++ drifted), k = 5)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      def recall(cents: Array[Array[Double]]): Double = {
+        val got = IncrementalAnn
+          .probe(spark, vecsOf(queries), table, cents, k = 5, nProbe = 1)
+          .select("query_id", "neighbor_id")
+          .as[(Long, Long)].collect().toSet
+        (got intersect truth).size.toDouble / truth.size
+      }
+      val frozenRecall = recall(frozenCents)
+      // the maintenance op under test: retrain on the indexed vectors
+      // (ids preserved), grow the codebook, re-key every posting
+      val newCents = IncrementalAnn.refreshCodebook(spark, table,
+        nCentroids = 16, iters = 4)
+      val refreshedRecall = recall(newCents)
+      assert(refreshedRecall >= frozenRecall + 0.2,
+        s"refresh did not improve recall by >=20 points: " +
+          s"$frozenRecall -> $refreshedRecall")
+      assert(refreshedRecall >= 0.9,
+        s"refreshed recall $refreshedRecall below 0.9 on separable clusters")
+      // anti-vacuous bar: the frozen codebook must be genuinely hurt
+      // by the drift. It stays above ~0.5 because a query's TRUE
+      // nearest neighbours share its jitter pattern and therefore
+      // correlate with its (jitter-decided) frozen list — an honest
+      // property of any fixture where ranking and assignment read the
+      // same vector
+      assert(frozenRecall <= 0.7,
+        s"drift fixture too easy: frozen recall $frozenRecall — the " +
+          "test would pass vacuously")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("deterministic hash sampling trains on a reproducible subset") {
+    val table = "graft_refresh_sample_idx"
+    def vecs(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, Array.tabulate(dim)(d =>
+        math.sin(i * 0.53 + d).abs + 0.01)))
+      .toDF("id", "vec")
+    try {
+      IncrementalAnn.buildIndex(vecs(0, 300), table, 4,
+        Pinned.ivfCentroids(8, dim))
+      val c1 = IncrementalAnn.refreshCodebook(spark, table,
+        nCentroids = 4, iters = 2, sampleOneIn = 3)
+      // rebuild the same index and refresh again: the sampled training
+      // set is a pure function of the ids, so the codebook replays
+      IncrementalAnn.buildIndex(vecs(0, 300), table, 4,
+        Pinned.ivfCentroids(8, dim))
+      val c2 = IncrementalAnn.refreshCodebook(spark, table,
+        nCentroids = 4, iters = 2, sampleOneIn = 3)
+      assert(c1.length == 4 &&
+        (c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}
