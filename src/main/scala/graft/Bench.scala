@@ -27,11 +27,12 @@ object Bench {
     // (verified: identical builds swing 61s..391s total; min-of-3
     // steady-state per-query times are stable — e.g. q35 1.7s steady vs
     // 6-15s inside a window). Back-to-back repeats land in the SAME
-    // window, so instead: two full INTERLEAVED passes over the suite
-    // (attempt 2 of a query runs a whole suite-length away from attempt
-    // 1), then a third targeted pass for queries whose best is still
-    // above the floor. Min per query is the steady-state cost;
-    // runs/agg are recorded in the JSON.
+    // window, so instead: THREE full INTERLEAVED passes over the suite
+    // (each attempt of a query runs a whole suite-length away from the
+    // previous), then targeted retry rounds for queries whose best is
+    // still above the floor. Min per query is the steady-state cost;
+    // runs/agg and a per-pass floor-reference probe are recorded in
+    // the JSON so a contended window is visible from the artifact.
     // optional comma-separated query filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -60,11 +61,39 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // Floor-reference probe: a fixed tiny shuffle job timed at the
+    // start of every pass. Its cost is pure scheduler/shuffle machinery
+    // (FloorProbe pinned that), so pass-to-pass floor variance exposes
+    // a host-contention window FROM THE ARTIFACT ITSELF — a run whose
+    // floors disagree by 2x+ was measured inside one (BENCH_r08's
+    // uniform ~1.2x inflation vs the same code in a quiet window).
+    val floors = scala.collection.mutable.ArrayBuffer[Double]()
+    def floorProbe(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 20).repartition(32)
+        .write.format("noop").mode("overwrite").save()
+      floors += (System.nanoTime() - t0) / 1e9
+    }
+    // untimed first-touch of the probe's own path, so the recorded
+    // floors compare pass conditions, not initialization
+    spark.range(1L << 20).repartition(32)
+      .write.format("noop").mode("overwrite").save()
+    // THREE full interleaved passes (the min-of-3 doctrine): each
+    // query's attempts are spaced a whole suite-length apart, so at
+    // most one lands inside a given starvation window.
+    floorProbe()
     val pass1 = selected.map { case (name, fn) => once(name, fn) }
+    floorProbe()
     val pass2 = selected.zip(pass1).map { case ((name, fn), (t1, ok1)) =>
       if (!ok1) (t1, ok1)
       else { val (t2, ok2) = once(name, fn); (math.min(t1, t2), ok2) }
     }
+    floorProbe()
+    val pass3 = selected.zip(pass2).map { case ((name, fn), (t2, ok2)) =>
+      if (!ok2) (t2, ok2)
+      else { val (t3, ok3) = once(name, fn); (math.min(t2, t3), ok3) }
+    }
+    floorProbe()
     // Targeted outlier passes, in BATCHED ROUNDS: a single immediate
     // retry still lands inside the same multi-minute starvation window
     // (r3 driver run: q28 58s on all attempts, 7s on a later rerun of
@@ -75,7 +104,7 @@ object Bench {
     // contribute its short time-to-failure as a fake steady-state min.
     val outlierFloorSec = 4.0
     val best = scala.collection.mutable.ArrayBuffer(
-      selected.zip(pass2).map { case ((name, fn), (t, ok)) =>
+      selected.zip(pass3).map { case ((name, fn), (t, ok)) =>
         (name, fn, t, ok)
       }: _*)
     // converged(i): the last retry landed within 20% of the current best
@@ -111,8 +140,9 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val floorsJson = floors.map(f => f"$f%.3f").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":2,"agg":"min","interleaved":true,"outlier_retry_above_sec":$outlierFloorSec,"outlier_retry_rounds":$round,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":3,"agg":"min","interleaved":true,"floor_per_pass_sec":$floorsJson,"outlier_retry_above_sec":$outlierFloorSec,"outlier_retry_rounds":$round,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench_result.json"), json)
     spark.stop()

@@ -231,6 +231,42 @@ object ScaleProbe {
       }
       evF.unpersist()
     }
+
+    // Gate-batch LATENCY with compaction on vs off the critical path:
+    // streamNovel runs Bucketed.compactBuckets synchronously inside
+    // every compactEvery-th foreachBatch, so that batch pays the full
+    // rewrite in its own latency. 12 fixed disjoint batches against a
+    // corpus-seeded index; median = steady-state batch, max = the
+    // compacting batch (on) / plain worst batch (off). Decides VERDICT
+    // r8 item 3: if the inline max is tolerable, synchronous stays —
+    // an async compaction thread would race the next batch's ANN
+    // top-k window (duplicate postings double-count mid-swap).
+    if (only.forall(_.exists("gate_latency".contains))) {
+      def gateLatency(compactEvery: Int): Seq[Double] = {
+        val t = s"graft_scaleprobe_gatelat_$compactEvery"
+        graft.text.IncrementalDedup.buildIndex(replicated(1), t, buckets = 32)
+        val times = (0 until 12).map { b =>
+          val batch = replicated(1)
+            .filter(pmod(col("doc_id"), lit(53)) === b)
+            .select((col("doc_id") + lit((40 + b) * 1000000L)).as("doc_id"),
+              col("text"))
+          val t0 = System.nanoTime()
+          graft.text.IncrementalDedup.gateBatch(batch, t, 32,
+            "text", "doc_id", 3, 16, 4).count()
+          if (compactEvery > 0 && (b + 1) % compactEvery == 0)
+            graft.sources.Bucketed.compactBuckets(spark, t,
+              maxFilesPerBucket = 4)
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        times
+      }
+      for ((label, every) <- Seq(("nocompact", 0), ("compact4", 4))) {
+        val times = gateLatency(every).sorted
+        val med = times(times.length / 2)
+        println(f"""SCALE {"op":"gate_batch_latency_$label","batches":${times.length},"median_sec":$med%.2f,"max_sec":${times.last}%.2f}""")
+      }
+    }
     spark.stop()
   }
 }
