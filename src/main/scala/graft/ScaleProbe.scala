@@ -195,6 +195,24 @@ object ScaleProbe {
       }
       spark.sql(s"DROP TABLE IF EXISTS $annTable")
 
+      // PQ-compressed incremental index: same probe contract served
+      // from codes (~8 effective bytes/posting vs 512 of float64) —
+      // the flatness must hold AND the index bytes must shrink
+      val pqBooks = graft.sim.Pinned.pqBooks()
+      val pqTable = s"graft_scaleprobe_pq_x$f"
+      time("incpq_index_build", f) {
+        graft.sim.IncrementalPq.buildIndex(replicatedEmb(f), pqTable,
+          buckets = 16, cents, pqBooks)
+        spark.table(pqTable).count()
+      }
+      time("incpq_probe", f) {
+        val qs = replicatedEmb(1).filter(col("id") % 97 === 0)
+          .select((col("id") + lit(90000000L)).as("id"), col("vec"))
+        graft.sim.IncrementalPq.probe(spark, qs, pqTable, cents, pqBooks,
+          k = 10, nProbe = 4).count()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $pqTable")
+
       // native vs composed as-of join on replicated events (user ids
       // remapped per replica → f× keys at the same per-key density; the
       // q59 shape: clicks asof-joined to views). Same contract, two

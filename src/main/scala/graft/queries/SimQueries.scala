@@ -353,6 +353,30 @@ object SimQueries {
         .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // PQ-compressed incremental index (IVF-PQ, incrementalized): the
+    // q131 layout with postings holding PQ CODES instead of the
+    // vector — m·log2(ksub) bits vs dim float64s per posting, the
+    // 100 TB index-storage answer. Probe = probed-list bucket-pruned
+    // scan + broadcast integer-LUT ADC scoring (floor per subspace
+    // BEFORE the order-free BIGINT sum), all of it pinned-codebook
+    // arithmetic the oracle replays (the q114 coarse CTE + the q115
+    // PQ CTEs, composed)
+    "q139_incremental_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      Setup.once(s"q139:$dir") {
+        graft.sim.IncrementalPq.buildIndex(e.filter(col("id") % 5 =!= 0),
+          s"graft_q139_idx_$tag", buckets = 8,
+          graft.sim.Pinned.ivfCentroids(), graft.sim.Pinned.pqBooks())
+      }
+      graft.sim.IncrementalPq.probe(s, e.filter(col("id") % 5 === 0),
+          s"graft_q139_idx_$tag", graft.sim.Pinned.ivfCentroids(),
+          graft.sim.Pinned.pqBooks(), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("adc_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   private val dotSql =
@@ -639,6 +663,61 @@ object SimQueries {
          |         row_number() OVER (PARTITION BY query_id
          |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
          |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ replay: the coarse assignment + probe lists come from the
+    // q114/q131 pinned CTE; PQ code assignment and the per-query
+    // integer LUT come from the q115 CTEs (index side restricted to
+    // id%5<>0, queries to id%5=0); candidates join on centroid, score
+    // = order-free BIGINT sum of per-subspace LUT entries, top-3
+    "q139_incremental_ivfpq" ->
+      s"""$pinnedAssignCte,
+         |bk AS (SELECT s, c, j,
+         |         (CAST(${sqmixOfPoly(
+                     "CAST(s AS VARCHAR) || ':' || CAST(c AS VARCHAR)" +
+                     " || ':' || CAST(j AS VARCHAR)")} % 5
+         |               AS BIGINT) - 2) * 0.25 AS w
+         |       FROM (SELECT unnest(range(0, 8)) AS s) ss
+         |       CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cc
+         |       CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+         |bl AS (SELECT s, c, list(w ORDER BY j) AS bv FROM bk GROUP BY s, c),
+         |dist AS (SELECT id, s, c,
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             [(vn[s * 8 + j + 1] - bv[j + 1])
+         |                * (vn[s * 8 + j + 1] - bv[j + 1])
+         |              for j in range(0, 8)]),
+         |             (a, b) -> a + b) AS d2
+         |         FROM vn CROSS JOIN bl WHERE id % 5 <> 0),
+         |codes AS (SELECT id AS neighbor_id, s, c AS code FROM (
+         |            SELECT id, s, c, row_number() OVER (PARTITION BY id, s
+         |                                                ORDER BY d2 ASC, c) AS rn
+         |            FROM dist)
+         |          WHERE rn = 1),
+         |pr AS (SELECT id AS query_id, c AS centroid FROM (
+         |         SELECT id, c, row_number() OVER (PARTITION BY id
+         |                          ORDER BY dot DESC, c) AS rn
+         |         FROM sc WHERE id % 5 = 0)
+         |       WHERE rn <= 4),
+         |lut AS (SELECT q.id AS query_id, bl.s, bl.c AS code,
+         |          CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            [q.vn[bl.s * 8 + j + 1] * bv[j + 1] for j in range(0, 8)]),
+         |            (a, b) -> a + b) * 1000000.0) AS BIGINT) AS lut_e6
+         |        FROM vn q CROSS JOIN bl WHERE q.id % 5 = 0),
+         |cand AS (SELECT pr.query_id, a.id AS neighbor_id
+         |         FROM pr JOIN asg a USING (centroid)
+         |         WHERE a.id % 5 <> 0 AND a.id <> pr.query_id),
+         |score AS (SELECT c2.query_id, c2.neighbor_id,
+         |            CAST(SUM(lut_e6) AS BIGINT) AS adc_e6
+         |          FROM cand c2
+         |          JOIN codes USING (neighbor_id)
+         |          JOIN lut ON lut.query_id = c2.query_id
+         |                  AND lut.s = codes.s AND lut.code = codes.code
+         |          GROUP BY c2.query_id, c2.neighbor_id)
+         |SELECT query_id, neighbor_id, adc_e6, rank FROM (
+         |  SELECT query_id, neighbor_id, adc_e6,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc_e6 DESC, neighbor_id) AS rank
+         |  FROM score)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // delete replay: q131's probe with the erased corpus slice

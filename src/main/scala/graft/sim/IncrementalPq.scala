@@ -1,0 +1,179 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PQ-COMPRESSED incremental ANN index — [[IncrementalAnn]]'s layout
+  * with the stored vector replaced by its product-quantization codes:
+  * postings are (centroid, id, codes array<int> of length m), i.e.
+  * m·log2(ksub) bits of payload instead of dim float64s. At the
+  * default 64-d/8-subspace/16-code params that is ~8 effective bytes
+  * per vector vs 512 — at 100 TB of embeddings the index storage (and
+  * with it every probe's scan bytes) is the dominant cost, and this is
+  * the standard answer (IVF-PQ, Jégou et al. 2011), incrementalized.
+  *
+  * Same bucketed-table contract as [[IncrementalAnn]] (centroid-
+  * bucketed, probe join Exchange-free on the index side, probed-
+  * centroid `isin` pushdown bucket-prunes the scan, append/delete/
+  * compact via [[graft.sources.Bucketed]]), so the whole run-forever
+  * maintenance story — bounded-cost deletion, compaction, codebook
+  * refresh — carries over unchanged.
+  *
+  * Scoring is pure ADC in the DECLARATIVE shape of
+  * [[Pq.pinnedAdcTopK]]: codes posexplode to (s, code) rows, one
+  * broadcast join against the per-query integer LUT (each subspace dot
+  * floor-quantized to e6 BEFORE the sum, so the aggregation is an
+  * order-free BIGINT sum), partial-agg sum, top-k window. Candidate
+  * rows carry ~24 bytes; no float vector ever rides a shuffle —
+  * there are none in the index to ride. With pinned codebooks the
+  * entire build→probe path is arithmetic the DuckDB oracle replays
+  * (q139); trained codebooks stay recall-gated as everywhere else.
+  * IncrementalPqSpec additionally pins probe parity against
+  * [[Pq.pinnedAdcTopK]] when every list is probed (the IVF restriction
+  * dropped, the two paths must rank identically).
+  *
+  * The trade vs [[IncrementalAnn]]: ADC ranks by approximate scores
+  * (recall-bounded by the codebooks), and an exact re-rank would need
+  * the original vectors from a side table — by design NOT stored here.
+  * Deployments wanting exact top-k keep the full-vector index; this
+  * one exists for the 64× smaller scan.
+  */
+object IncrementalPq {
+
+  /** One pass over `vecs`: normalize (the shared IEEE operation
+    * order), coarse-assign against `coarse`, PQ-encode against
+    * `books` — (centroid, id, codes). */
+  private def postings(vecs: DataFrame, coarse: Array[Array[Double]],
+                       books: Pq.Codebooks): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dim = books.map(_.head.length).sum
+    val bounds = Pq.sliceBounds(dim, books.length)
+    val bc = spark.sparkContext.broadcast((coarse, books, bounds))
+    graft.sources.Tables.widen(vecs)
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val (crs, bks, bds) = bc.value
+        rows.map { case (id, v) =>
+          var ss = 0.0
+          var i = 0
+          while (i < v.length) { ss += v(i) * v(i); i += 1 }
+          val inv = if (ss == 0) 0.0 else 1.0 / math.sqrt(ss)
+          val vn = v.map(_ * inv)
+          val codes = Array.tabulate(bds.length) { s =>
+            val (lo, hi) = bds(s); Pq.nearestSub(vn, lo, hi, bks(s))
+          }
+          (Ivf.nearestCentroid(vn, crs), id, codes)
+        }
+      }
+      .toDF("centroid", "id", "codes")
+  }
+
+  /** (Re)build the persistent code-postings table: one
+    * normalize+assign+encode pass + one bucket-write shuffle. */
+  def buildIndex(corpus: DataFrame, table: String, buckets: Int,
+                 coarse: Array[Array[Double]], books: Pq.Codebooks): Unit =
+    graft.sources.Bucketed.save(postings(corpus, coarse, books),
+      table, Seq("centroid"), buckets)
+
+  /** Append newly-ingested vectors (same bucket spec — the co-located
+    * probe join stays valid). */
+  def appendToIndex(newVecs: DataFrame, table: String, buckets: Int,
+                    coarse: Array[Array[Double]], books: Pq.Codebooks): Unit =
+    graft.sources.Bucketed.save(postings(newVecs, coarse, books),
+      table, Seq("centroid"), buckets, mode = SaveMode.Append)
+
+  /** Remove vectors at O(touched buckets) — the
+    * [[IncrementalAnn.deleteFromIndex]] doctrine: the deleted vectors
+    * re-assign map-only, so the affected bucket ids are known without
+    * scanning the index; only those buckets rewrite, anti-joining the
+    * ids out. Returns the number of buckets rewritten. */
+  def deleteFromIndex(vecs: DataFrame, table: String, buckets: Int,
+                      coarse: Array[Array[Double]],
+                      books: Pq.Codebooks): Int = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val del = postings(vecs, coarse, books)
+      .select("centroid", "id")
+      .localCheckpoint(eager = false) // feeds bucket-id collect + join
+    val bIds = del
+      .select(pmod(hash(col("centroid")), lit(buckets)).cast("int").as("b"))
+      .distinct().as[Int].collect().toSet
+    val ids = del.select("id").distinct()
+    graft.sources.Bucketed.rewriteBuckets(spark, table, bIds,
+      idx => idx.join(broadcast(ids), Seq("id"), "left_anti")
+        .dropDuplicates())
+  }
+
+  /** Periodic compaction — the code-postings table is a SET, same as
+    * the full-vector index. */
+  def compactIndex(spark: SparkSession, table: String,
+                   maxFilesPerBucket: Int = 4): Int =
+    graft.sources.Bucketed.compactBuckets(spark, table, maxFilesPerBucket)
+
+  /** Top-k ADC neighbours of each query via its nProbe nearest
+    * inverted lists, served entirely from codes. The query batch is
+    * collected (bounded — the [[Pq.adcTopK]]/[[Similarity]] query-side
+    * contract): probe-list selection and the m×ksub-entry integer LUT
+    * per query are driver arithmetic, broadcast to two map-side joins.
+    * Output: (query_id, neighbor_id, adc_e6, rank). */
+  def probe(spark: SparkSession, queries: DataFrame, table: String,
+            coarse: Array[Array[Double]], books: Pq.Codebooks, k: Int,
+            nProbe: Int = 8): DataFrame = {
+    import spark.implicits._
+    val m = books.length
+    val ksub = books.head.length
+    val bounds = Pq.sliceBounds(books.map(_.head.length).sum, m)
+    val qRows = Ivf.normalized(queries, "query_id", "qv")
+      .as[(Long, Array[Double])].collect()
+    // per-query probe lists: the same (-dot, centroid) order as
+    // IncrementalAnn.probeRows and the oracle's window
+    val probePairs = qRows.toSeq.flatMap { case (qid, qv) =>
+      coarse.indices
+        .map { c =>
+          var dot = 0.0
+          var i = 0
+          val n = math.min(qv.length, coarse(c).length)
+          while (i < n) { dot += qv(i) * coarse(c)(i); i += 1 }
+          (c, dot)
+        }
+        .sortBy { case (c, d) => (-d, c) }
+        .take(nProbe)
+        .map { case (c, _) => (qid, c) }
+    }
+    // per-(query, subspace, code) integer LUT: floor BEFORE the sum so
+    // the cross-subspace aggregation is order-free (the q115 doctrine)
+    val lutRows = for {
+      (qid, qv) <- qRows.toSeq
+      s <- 0 until m
+      c <- 0 until ksub
+    } yield {
+      val (lo, hi) = bounds(s)
+      val ct = books(s)(c)
+      var dot = 0.0
+      var i = lo
+      var j = 0
+      while (i < hi && j < ct.length) { dot += qv(i) * ct(j); i += 1; j += 1 }
+      (qid, s, c, math.floor(dot * 1000000.0).toLong)
+    }
+    val probed = probePairs.map(_._2).distinct.sorted
+    val idx = graft.sources.Bucketed.load(spark, table)
+      .filter(col("centroid").isin(probed: _*))
+    val cand = idx
+      .join(broadcast(probePairs.toDF("query_id", "centroid")),
+        Seq("centroid"))
+      .filter(col("id") =!= col("query_id"))
+    val scored = cand
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(lutRows.toDF("query_id", "s", "code", "lut_e6")),
+        Seq("query_id", "s", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("lut_e6").as("adc_e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -33,7 +33,7 @@ object Pq {
     * doubles). Plain nested arrays so the broadcast is compact. */
   type Codebooks = Array[Array[Array[Double]]]
 
-  private def sliceBounds(dim: Int, m: Int): Array[(Int, Int)] = {
+  private[sim] def sliceBounds(dim: Int, m: Int): Array[(Int, Int)] = {
     // first (dim % m) subspaces get the extra element when m ∤ dim
     val base = dim / m
     val extra = dim % m
@@ -49,8 +49,8 @@ object Pq {
     out
   }
 
-  private def nearestSub(v: Array[Double], lo: Int, hi: Int,
-                         cents: Array[Array[Double]]): Int = {
+  private[sim] def nearestSub(v: Array[Double], lo: Int, hi: Int,
+                              cents: Array[Array[Double]]): Int = {
     // argmin_c ||v[lo,hi) - c||^2 = argmin_c (||c||^2 - 2 v·c); compute
     // the dot form so centroids' norms amortize — here inline both terms
     var best = 0

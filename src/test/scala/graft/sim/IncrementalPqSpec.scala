@@ -1,0 +1,125 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** PQ-compressed incremental index: ADC ranking must equal the
+  * full-scan pinned ADC path when every list is probed, the probe plan
+  * must stay Exchange-free on the index side and bucket-prune, the
+  * maintenance ops (append/delete/compact) must carry over, and the
+  * codes table must actually be small — the reason it exists. */
+class IncrementalPqSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dim = 64
+  private val coarse = Pinned.ivfCentroids(8, dim)
+  private val books = Pinned.pqBooks() // 8 subspaces x 16 codes x 8 dims
+
+  private def vecs(lo: Int, hi: Int) = (lo until hi)
+    .map(i => (i.toLong, Array.tabulate(dim)(d =>
+      math.sin(i * 0.37 + d * 0.61) + 0.1)))
+    .toDF("id", "vec")
+
+  test("probing every list equals the full-scan pinned ADC ranking") {
+    val table = "graft_incpq_parity_idx"
+    try {
+      val corpus = vecs(0, 150)
+      IncrementalPq.buildIndex(corpus, table, 4, coarse, books)
+      val q = vecs(500, 510)
+      // nProbe = nCentroids drops the IVF restriction: the index path
+      // must then rank EXACTLY like the full-scan ADC (same integer
+      // LUT arithmetic, same (adc_e6 DESC, neighbor_id) order)
+      val got = IncrementalPq.probe(spark, q, table, coarse, books,
+          k = 5, nProbe = coarse.length)
+        .select("query_id", "neighbor_id", "adc_e6", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val expected = Pq.pinnedAdcTopK(q, corpus, books, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("adc_e6"),
+          col("rank").cast("int"))
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(got == expected && got.nonEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("probe plan: no index-side shuffle, bucket-pruned scan, 24-byte candidates") {
+    val table = "graft_incpq_plan_idx"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      IncrementalPq.buildIndex(vecs(0, 200), table, 8, coarse, books)
+      val one = vecs(500, 501)
+      val df = IncrementalPq.probe(spark, one, table, coarse, books,
+        k = 5, nProbe = 2)
+      val plan = df.queryExecution.executedPlan.toString
+      // both LUT and probe-pair joins broadcast; the only hash
+      // exchanges are the partial-agg sum and the top-k window
+      val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(nEx == 2, s"expected 2 hash exchanges (agg + window):\n$plan")
+      // a 1-query probe of 2 of 8 lists cannot need all 8 buckets
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"expected bucket pruning:\n$plan")
+      assert(sel.get.group(1).toInt <= 2 && sel.get.group(2).toInt == 8,
+        sel.get.matched)
+      assert(df.count() == 5)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("append is visible to later probes; delete erases; compaction preserves") {
+    val table = "graft_incpq_maint_idx"
+    try {
+      IncrementalPq.buildIndex(vecs(0, 100), table, 4, coarse, books)
+      val q = vecs(500, 505)
+      def ids(k: Int): Set[Long] = IncrementalPq
+        .probe(spark, q, table, coarse, books, k = k, nProbe = 8)
+        .select("neighbor_id").as[Long].collect().toSet
+      val before = ids(3)
+      // append clones of the queries' own vectors: with every list
+      // probed they MUST surface in a k-wide probe (PQ quantization
+      // ties mean they need not beat smaller ids into the top-3 — the
+      // tie-break is neighbor_id ASC — so visibility is asserted wide)
+      def clones = (0 until 5).map(i => (700L + i,
+        Array.tabulate(dim)(d => math.sin((500 + i) * 0.37 + d * 0.61) + 0.1)))
+        .toDF("id", "vec")
+      IncrementalPq.appendToIndex(clones, table, 4, coarse, books)
+      val wide = ids(500)
+      assert((700L until 705L).forall(wide.contains),
+        s"appended clones missing from the k-wide probe: $wide")
+      // bounded-cost erasure: the clones go, results return to before
+      val n = IncrementalPq.deleteFromIndex(clones, table, 4, coarse, books)
+      assert(n >= 1)
+      assert(!ids(500).exists(id => id >= 700L && id < 705L),
+        "deleted postings still probed")
+      assert(ids(3) == before, "delete must restore the pre-append results")
+      // compaction is verdict-neutral
+      IncrementalPq.compactIndex(spark, table, maxFilesPerBucket = 1)
+      assert(ids(3) == before)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("codes postings are at least 4x smaller on disk than full-vector postings") {
+    val tPq = "graft_incpq_size_codes"
+    val tVn = "graft_incpq_size_vn"
+    def tableBytes(t: String): Long = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t))
+      val dir = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(dir).filter(f => f.isFile &&
+        f.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    }
+    try {
+      val corpus = vecs(0, 2000)
+      IncrementalPq.buildIndex(corpus, tPq, 4, coarse, books)
+      IncrementalAnn.buildIndex(corpus, tVn, 4, coarse)
+      val (pqB, vnB) = (tableBytes(tPq), tableBytes(tVn))
+      assert(pqB * 4 <= vnB,
+        s"codes table $pqB B vs vector table $vnB B — expected >=4x smaller")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tPq")
+      spark.sql(s"DROP TABLE IF EXISTS $tVn")
+    }
+  }
+}
