@@ -377,6 +377,28 @@ object SimQueries {
         .select(col("query_id"), col("neighbor_id"), col("adc_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // RESIDUAL IVF-PQ (the canonical Jégou form): codes quantize
+    // vn − coarse(centroid) — residuals are smaller, the same codebook
+    // budget quantizes finer — and the probe adds the q·centroid
+    // offset back per probed list, integer-quantized so the score
+    // stays an order-free BIGINT sum the oracle replays
+    "q140_ivfpq_residual" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      Setup.once(s"q140:$dir") {
+        graft.sim.IncrementalPq.buildIndex(e.filter(col("id") % 5 =!= 0),
+          s"graft_q140_idx_$tag", buckets = 8,
+          graft.sim.Pinned.ivfCentroids(), graft.sim.Pinned.pqBooks(),
+          residual = true)
+      }
+      graft.sim.IncrementalPq.probe(s, e.filter(col("id") % 5 === 0),
+          s"graft_q140_idx_$tag", graft.sim.Pinned.ivfCentroids(),
+          graft.sim.Pinned.pqBooks(), k = 3, nProbe = 4, residual = true)
+        .select(col("query_id"), col("neighbor_id"), col("adc_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   private val dotSql =
@@ -713,6 +735,66 @@ object SimQueries {
          |          JOIN lut ON lut.query_id = c2.query_id
          |                  AND lut.s = codes.s AND lut.code = codes.code
          |          GROUP BY c2.query_id, c2.neighbor_id)
+         |SELECT query_id, neighbor_id, adc_e6, rank FROM (
+         |  SELECT query_id, neighbor_id, adc_e6,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc_e6 DESC, neighbor_id) AS rank
+         |  FROM score)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // residual IVF-PQ replay: q139's oracle with the dist CTE on
+    // RESIDUALS (vn minus the assigned centroid's vector) and the
+    // probe pairs carrying the floor(q·centroid × 1e6) offset that the
+    // score adds back
+    "q140_ivfpq_residual" ->
+      s"""$pinnedAssignCte,
+         |bk AS (SELECT s, c, j,
+         |         (CAST(${sqmixOfPoly(
+                     "CAST(s AS VARCHAR) || ':' || CAST(c AS VARCHAR)" +
+                     " || ':' || CAST(j AS VARCHAR)")} % 5
+         |               AS BIGINT) - 2) * 0.25 AS w
+         |       FROM (SELECT unnest(range(0, 8)) AS s) ss
+         |       CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cc
+         |       CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+         |bl AS (SELECT s, c, list(w ORDER BY j) AS bv FROM bk GROUP BY s, c),
+         |rv AS (SELECT vn.id,
+         |         [vn.vn[d + 1] - cl.cv[d + 1] for d in range(0, 64)] AS rv
+         |       FROM vn JOIN asg USING (id) JOIN cl ON cl.c = asg.centroid
+         |       WHERE vn.id % 5 <> 0),
+         |dist AS (SELECT id, s, c,
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             [(rv[s * 8 + j + 1] - bv[j + 1])
+         |                * (rv[s * 8 + j + 1] - bv[j + 1])
+         |              for j in range(0, 8)]),
+         |             (a, b) -> a + b) AS d2
+         |         FROM rv CROSS JOIN bl),
+         |codes AS (SELECT id AS neighbor_id, s, c AS code FROM (
+         |            SELECT id, s, c, row_number() OVER (PARTITION BY id, s
+         |                                                ORDER BY d2 ASC, c) AS rn
+         |            FROM dist)
+         |          WHERE rn = 1),
+         |pr AS (SELECT id AS query_id, c AS centroid,
+         |              CAST(floor(dot * 1000000.0) AS BIGINT) AS off_e6
+         |       FROM (
+         |         SELECT id, c, dot, row_number() OVER (PARTITION BY id
+         |                          ORDER BY dot DESC, c) AS rn
+         |         FROM sc WHERE id % 5 = 0)
+         |       WHERE rn <= 4),
+         |lut AS (SELECT q.id AS query_id, bl.s, bl.c AS code,
+         |          CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            [q.vn[bl.s * 8 + j + 1] * bv[j + 1] for j in range(0, 8)]),
+         |            (a, b) -> a + b) * 1000000.0) AS BIGINT) AS lut_e6
+         |        FROM vn q CROSS JOIN bl WHERE q.id % 5 = 0),
+         |cand AS (SELECT pr.query_id, a.id AS neighbor_id, pr.off_e6
+         |         FROM pr JOIN asg a USING (centroid)
+         |         WHERE a.id % 5 <> 0 AND a.id <> pr.query_id),
+         |score AS (SELECT c2.query_id, c2.neighbor_id,
+         |            CAST(c2.off_e6 + SUM(lut_e6) AS BIGINT) AS adc_e6
+         |          FROM cand c2
+         |          JOIN codes USING (neighbor_id)
+         |          JOIN lut ON lut.query_id = c2.query_id
+         |                  AND lut.s = codes.s AND lut.code = codes.code
+         |          GROUP BY c2.query_id, c2.neighbor_id, c2.off_e6)
          |SELECT query_id, neighbor_id, adc_e6, rank FROM (
          |  SELECT query_id, neighbor_id, adc_e6,
          |         row_number() OVER (PARTITION BY query_id

@@ -37,15 +37,27 @@ import org.apache.spark.sql.functions._
   * (recall-bounded by the codebooks), and an exact re-rank would need
   * the original vectors from a side table — by design NOT stored here.
   * Deployments wanting exact top-k keep the full-vector index; this
-  * one exists for the 64× smaller scan.
+  * one exists for the 64× smaller scan. The same trade bounds
+  * maintenance: a codebook refresh cannot re-derive postings from the
+  * index (codes are lossy — there is no vn to re-encode), so drift
+  * maintenance here is [[buildIndex]] from the source corpus — one
+  * pass, the same cost the build paid — where the full-vector index
+  * refreshes in place ([[IncrementalAnn.reassignIndex]]). Bounded-cost
+  * DELETION still works from content alone (re-encode the deleted
+  * vectors, rewrite their buckets), as does compaction.
   */
 object IncrementalPq {
 
   /** One pass over `vecs`: normalize (the shared IEEE operation
     * order), coarse-assign against `coarse`, PQ-encode against
-    * `books` — (centroid, id, codes). */
+    * `books` — (centroid, id, codes). With `residual = true` the codes
+    * quantize vn − coarse(centroid) instead of vn (the canonical
+    * IVF-PQ refinement, Jégou et al. 2011 §III: residuals have
+    * smaller magnitude, so the same codebook budget quantizes finer);
+    * the probe adds the q·centroid offset back per probed list. */
   private def postings(vecs: DataFrame, coarse: Array[Array[Double]],
-                       books: Pq.Codebooks): DataFrame = {
+                       books: Pq.Codebooks,
+                       residual: Boolean): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val dim = books.map(_.head.length).sum
@@ -62,10 +74,18 @@ object IncrementalPq {
           while (i < v.length) { ss += v(i) * v(i); i += 1 }
           val inv = if (ss == 0) 0.0 else 1.0 / math.sqrt(ss)
           val vn = v.map(_ * inv)
+          val cOf = Ivf.nearestCentroid(vn, crs)
+          val enc =
+            if (!residual) vn
+            else {
+              val ct = crs(cOf)
+              Array.tabulate(vn.length)(d =>
+                vn(d) - (if (d < ct.length) ct(d) else 0.0))
+            }
           val codes = Array.tabulate(bds.length) { s =>
-            val (lo, hi) = bds(s); Pq.nearestSub(vn, lo, hi, bks(s))
+            val (lo, hi) = bds(s); Pq.nearestSub(enc, lo, hi, bks(s))
           }
-          (Ivf.nearestCentroid(vn, crs), id, codes)
+          (cOf, id, codes)
         }
       }
       .toDF("centroid", "id", "codes")
@@ -74,15 +94,17 @@ object IncrementalPq {
   /** (Re)build the persistent code-postings table: one
     * normalize+assign+encode pass + one bucket-write shuffle. */
   def buildIndex(corpus: DataFrame, table: String, buckets: Int,
-                 coarse: Array[Array[Double]], books: Pq.Codebooks): Unit =
-    graft.sources.Bucketed.save(postings(corpus, coarse, books),
+                 coarse: Array[Array[Double]], books: Pq.Codebooks,
+                 residual: Boolean = false): Unit =
+    graft.sources.Bucketed.save(postings(corpus, coarse, books, residual),
       table, Seq("centroid"), buckets)
 
   /** Append newly-ingested vectors (same bucket spec — the co-located
-    * probe join stays valid). */
+    * probe join stays valid). `residual` MUST match the build's. */
   def appendToIndex(newVecs: DataFrame, table: String, buckets: Int,
-                    coarse: Array[Array[Double]], books: Pq.Codebooks): Unit =
-    graft.sources.Bucketed.save(postings(newVecs, coarse, books),
+                    coarse: Array[Array[Double]], books: Pq.Codebooks,
+                    residual: Boolean = false): Unit =
+    graft.sources.Bucketed.save(postings(newVecs, coarse, books, residual),
       table, Seq("centroid"), buckets, mode = SaveMode.Append)
 
   /** Remove vectors at O(touched buckets) — the
@@ -95,7 +117,9 @@ object IncrementalPq {
                       books: Pq.Codebooks): Int = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val del = postings(vecs, coarse, books)
+    // residual flag irrelevant here: only (centroid, id) are used, and
+    // the coarse assignment is residual-independent
+    val del = postings(vecs, coarse, books, residual = false)
       .select("centroid", "id")
       .localCheckpoint(eager = false) // feeds bucket-id collect + join
     val bIds = del
@@ -121,7 +145,7 @@ object IncrementalPq {
     * Output: (query_id, neighbor_id, adc_e6, rank). */
   def probe(spark: SparkSession, queries: DataFrame, table: String,
             coarse: Array[Array[Double]], books: Pq.Codebooks, k: Int,
-            nProbe: Int = 8): DataFrame = {
+            nProbe: Int = 8, residual: Boolean = false): DataFrame = {
     import spark.implicits._
     val m = books.length
     val ksub = books.head.length
@@ -129,7 +153,11 @@ object IncrementalPq {
     val qRows = Ivf.normalized(queries, "query_id", "qv")
       .as[(Long, Array[Double])].collect()
     // per-query probe lists: the same (-dot, centroid) order as
-    // IncrementalAnn.probeRows and the oracle's window
+    // IncrementalAnn.probeRows and the oracle's window. In residual
+    // mode each pair also carries floor(q·centroid × 1e6) — the score
+    // decomposition q·x ≈ q·c + q·r̂ puts the coarse term here and the
+    // residual term in the LUT sum, both integer-quantized so the
+    // total stays an order-free BIGINT sum
     val probePairs = qRows.toSeq.flatMap { case (qid, qv) =>
       coarse.indices
         .map { c =>
@@ -141,7 +169,8 @@ object IncrementalPq {
         }
         .sortBy { case (c, d) => (-d, c) }
         .take(nProbe)
-        .map { case (c, _) => (qid, c) }
+        .map { case (c, d) =>
+          (qid, c, if (residual) math.floor(d * 1000000.0).toLong else 0L) }
     }
     // per-(query, subspace, code) integer LUT: floor BEFORE the sum so
     // the cross-subspace aggregation is order-free (the q115 doctrine)
@@ -162,16 +191,20 @@ object IncrementalPq {
     val idx = graft.sources.Bucketed.load(spark, table)
       .filter(col("centroid").isin(probed: _*))
     val cand = idx
-      .join(broadcast(probePairs.toDF("query_id", "centroid")),
+      .join(broadcast(probePairs.toDF("query_id", "centroid", "off_e6")),
         Seq("centroid"))
       .filter(col("id") =!= col("query_id"))
+    // off_e6 is constant per (query, centroid) and a neighbor lives in
+    // exactly one list, so it is a grouping key, not an aggregate
     val scored = cand
-      .select(col("query_id"), col("id").as("neighbor_id"),
+      .select(col("query_id"), col("id").as("neighbor_id"), col("off_e6"),
         posexplode(col("codes")).as(Seq("s", "code")))
       .join(broadcast(lutRows.toDF("query_id", "s", "code", "lut_e6")),
         Seq("query_id", "s", "code"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum("lut_e6").as("adc_e6"))
+      .groupBy("query_id", "neighbor_id", "off_e6")
+      .agg(sum("lut_e6").as("__lutsum"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("off_e6") + col("__lutsum")).as("adc_e6"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_e6").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

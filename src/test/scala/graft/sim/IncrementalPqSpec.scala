@@ -20,6 +20,9 @@ class IncrementalPqSpec extends SparkSuite {
       math.sin(i * 0.37 + d * 0.61) + 0.1)))
     .toDF("id", "vec")
 
+  private def vecsOf(rows: Seq[(Long, Array[Double])]) =
+    rows.toDF("id", "vec")
+
   test("probing every list equals the full-scan pinned ADC ranking") {
     val table = "graft_incpq_parity_idx"
     try {
@@ -97,6 +100,73 @@ class IncrementalPqSpec extends SparkSuite {
       IncrementalPq.compactIndex(spark, table, maxFilesPerBucket = 1)
       assert(ids(3) == before)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("residual encoding improves recall over raw encoding on clustered corpora") {
+    val tRaw = "graft_incpq_res_raw"
+    val tRes = "graft_incpq_res_res"
+    // 8 clusters with DENSE centers (spread across every subspace —
+    // the real-embedding regime) + small deterministic noise. This is
+    // exactly where residual encoding earns its keep: raw books must
+    // spend their 16 codes per subspace covering 8 distinct center
+    // projections × noise, residual books cover only the noise.
+    // (With subspace-ALIGNED one-hot centers the raw books quantize
+    // the structure trivially and residual measures WORSE — verified
+    // while building this test; the claim is regime-dependent and the
+    // fixture encodes the regime the refinement exists for.)
+    def member(cluster: Int, i: Long): Array[Double] =
+      Array.tabulate(dim)(d =>
+        math.sin(cluster * 2.17 + d * 1.31) +
+          0.35 * math.sin(i * 0.83 + d * 0.47))
+    val corpus = (0 until 320).map(i => (i.toLong, member(i % 8, i.toLong)))
+    val queries = (0 until 16).map(i => (9000L + i, member(i % 8, 9000L + i)))
+    try {
+      val coarseT = Ivf.trainCentroids(vecsOf(corpus), 8, iters = 3)
+      // residual training set: vn - coarse(assigned), the same
+      // arithmetic the index build runs
+      val spark2 = spark
+      import spark2.implicits._
+      val resCorpus = Ivf.normalized(vecsOf(corpus), "id", "vn")
+        .as[(Long, Array[Double])]
+        .map { case (id, vn) =>
+          val c = coarseT(Ivf.nearestCentroid(vn, coarseT))
+          (id, Array.tabulate(vn.length)(d =>
+            vn(d) - (if (d < c.length) c(d) else 0.0)))
+        }
+        .toDF("id", "vn")
+      val booksRaw = Pq.trainCodebooks(vecsOf(corpus), m = 8, ksub = 16,
+        iters = 3)
+      val booksRes = Pq.trainFromNormalized(resCorpus, m = 8, ksub = 16,
+        iters = 3)
+      IncrementalPq.buildIndex(vecsOf(corpus), tRaw, 4, coarseT, booksRaw)
+      IncrementalPq.buildIndex(vecsOf(corpus), tRes, 4, coarseT, booksRes,
+        residual = true)
+      val truth = Similarity
+        .bruteForceTopK(vecsOf(queries), vecsOf(corpus), k = 5)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      def recall(t: String, books: Pq.Codebooks, res: Boolean): Double = {
+        val got = IncrementalPq
+          .probe(spark, vecsOf(queries), t, coarseT, books, k = 5,
+            nProbe = 8, residual = res)
+          .select("query_id", "neighbor_id")
+          .as[(Long, Long)].collect().toSet
+        (got intersect truth).size.toDouble / truth.size
+      }
+      val raw = recall(tRaw, booksRaw, res = false)
+      val residual = recall(tRes, booksRes, res = true)
+      info(s"recall@5, pure ADC (no re-rank): raw $raw, residual $residual")
+      assert(residual >= raw + 0.1,
+        s"residual encoding did not clearly improve recall: " +
+          s"raw $raw vs residual $residual")
+      // loose collapse floor — pure ADC at m=8/ksub=16 with no re-rank
+      // is not a high-recall configuration, and that is fine; the
+      // refinement claim above is the test's point
+      assert(residual >= 0.4, s"residual recall collapsed: $residual")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tRaw")
+      spark.sql(s"DROP TABLE IF EXISTS $tRes")
+    }
   }
 
   test("codes postings are at least 4x smaller on disk than full-vector postings") {
