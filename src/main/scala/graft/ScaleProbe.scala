@@ -193,6 +193,13 @@ object ScaleProbe {
         graft.sim.IncrementalAnn.gateBatch(batch, annTable, 16, cents,
           thresholdE6 = 990000L, nProbe = 4).count()
       }
+      time("incann_reassign", f) {
+        // codebook refresh's re-key job over the WHOLE f-scaled index:
+        // the claim is "same cost shape as buildIndex" — one read +
+        // one bucket-write shuffle, corpus never re-read
+        graft.sim.IncrementalAnn.reassignIndex(spark, annTable,
+          graft.sim.Pinned.ivfCentroids(salt = "r:")).toLong
+      }
       spark.sql(s"DROP TABLE IF EXISTS $annTable")
 
       // PQ-compressed incremental index: same probe contract served
