@@ -399,6 +399,32 @@ object SimQueries {
         .select(col("query_id"), col("neighbor_id"), col("adc_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // The full IVF-PQ serving stack: ADC shortlist from the CODE index
+    // (q139's), exact re-rank fetching vectors from the FULL-VECTOR
+    // index (q131's layout) for the shortlist only — the bulk scan
+    // reads codes, the big table is touched for queries × 5k rows via
+    // a broadcast against its probed buckets. Oracle = q139's ADC
+    // CTEs top-15 → q131's exact-dot re-rank → top-3
+    "q141_ivfpq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      Setup.once(s"q141:$dir") {
+        graft.sim.IncrementalPq.buildIndex(e.filter(col("id") % 5 =!= 0),
+          s"graft_q141_codes_$tag", buckets = 8,
+          graft.sim.Pinned.ivfCentroids(), graft.sim.Pinned.pqBooks())
+        graft.sim.IncrementalAnn.buildIndex(e.filter(col("id") % 5 =!= 0),
+          s"graft_q141_vn_$tag", buckets = 8,
+          graft.sim.Pinned.ivfCentroids())
+      }
+      graft.sim.IncrementalPq.probeRerank(s, e.filter(col("id") % 5 === 0),
+          s"graft_q141_codes_$tag", s"graft_q141_vn_$tag",
+          graft.sim.Pinned.ivfCentroids(), graft.sim.Pinned.pqBooks(),
+          k = 3, nProbe = 4, rerankFactor = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   private val dotSql =
@@ -740,6 +766,73 @@ object SimQueries {
          |         row_number() OVER (PARTITION BY query_id
          |                            ORDER BY adc_e6 DESC, neighbor_id) AS rank
          |  FROM score)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ + exact-re-rank replay: q139's ADC CTEs produce the
+    // top-15 shortlist per query, q131's exact normalized-dot scores
+    // re-rank it, top-3
+    "q141_ivfpq_rerank" ->
+      s"""$pinnedAssignCte,
+         |bk AS (SELECT s, c, j,
+         |         (CAST(${sqmixOfPoly(
+                     "CAST(s AS VARCHAR) || ':' || CAST(c AS VARCHAR)" +
+                     " || ':' || CAST(j AS VARCHAR)")} % 5
+         |               AS BIGINT) - 2) * 0.25 AS w
+         |       FROM (SELECT unnest(range(0, 8)) AS s) ss
+         |       CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cc
+         |       CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+         |bl AS (SELECT s, c, list(w ORDER BY j) AS bv FROM bk GROUP BY s, c),
+         |dist AS (SELECT id, s, c,
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             [(vn[s * 8 + j + 1] - bv[j + 1])
+         |                * (vn[s * 8 + j + 1] - bv[j + 1])
+         |              for j in range(0, 8)]),
+         |             (a, b) -> a + b) AS d2
+         |         FROM vn CROSS JOIN bl WHERE id % 5 <> 0),
+         |codes AS (SELECT id AS neighbor_id, s, c AS code FROM (
+         |            SELECT id, s, c, row_number() OVER (PARTITION BY id, s
+         |                                                ORDER BY d2 ASC, c) AS rn
+         |            FROM dist)
+         |          WHERE rn = 1),
+         |pr AS (SELECT id AS query_id, c AS centroid FROM (
+         |         SELECT id, c, row_number() OVER (PARTITION BY id
+         |                          ORDER BY dot DESC, c) AS rn
+         |         FROM sc WHERE id % 5 = 0)
+         |       WHERE rn <= 4),
+         |lut AS (SELECT q.id AS query_id, bl.s, bl.c AS code,
+         |          CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            [q.vn[bl.s * 8 + j + 1] * bv[j + 1] for j in range(0, 8)]),
+         |            (a, b) -> a + b) * 1000000.0) AS BIGINT) AS lut_e6
+         |        FROM vn q CROSS JOIN bl WHERE q.id % 5 = 0),
+         |cand AS (SELECT pr.query_id, a.id AS neighbor_id
+         |         FROM pr JOIN asg a USING (centroid)
+         |         WHERE a.id % 5 <> 0 AND a.id <> pr.query_id),
+         |adc AS (SELECT c2.query_id, c2.neighbor_id,
+         |          CAST(SUM(lut_e6) AS BIGINT) AS adc_e6
+         |        FROM cand c2
+         |        JOIN codes USING (neighbor_id)
+         |        JOIN lut ON lut.query_id = c2.query_id
+         |                AND lut.s = codes.s AND lut.code = codes.code
+         |        GROUP BY c2.query_id, c2.neighbor_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |            SELECT query_id, neighbor_id,
+         |                   row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY adc_e6 DESC, neighbor_id) AS rn
+         |            FROM adc)
+         |          WHERE rn <= 15),
+         |scored AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |         CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(list_zip(q.vn, n.vn), p -> p[1] * p[2])),
+         |           (a, b) -> a + b) * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM short sh
+         |  JOIN vn q ON q.id = sh.query_id
+         |  JOIN vn n ON n.id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, cos_e6, rank FROM (
+         |  SELECT query_id, neighbor_id, cos_e6,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |  FROM scored)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // residual IVF-PQ replay: q139's oracle with the dist CTE on

@@ -209,4 +209,58 @@ object IncrementalPq {
       .orderBy(col("adc_e6").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** The full IVF-PQ serving stack: ADC shortlist from the CODE index
+    * ([[probe]] at rerankFactor·k), exact cosine re-rank fetching full
+    * vectors from the companion FULL-VECTOR index
+    * ([[IncrementalAnn.buildIndex]]'s table) for the shortlist ids
+    * only. This is the deployment split PQ exists for at 100 TB: the
+    * bulk scan reads the ~64× smaller code postings; the big vector
+    * table is touched for queries × rerankFactor·k rows, via a
+    * broadcast of the (small) shortlist against a scan pruned to the
+    * probed centroids' buckets — Exchange-free on the vector-index
+    * side, no full-table read ever. Exact scores use the same
+    * [[graft.expressions.DotE6]]/(cos_e6 DESC, neighbor_id) contract
+    * as every other ANN path, so with the shortlist wide enough the
+    * result EQUALS [[IncrementalAnn.probe]] (spec-pinned).
+    * Output: (query_id, neighbor_id, cos_e6, rank). */
+  def probeRerank(spark: SparkSession, queries: DataFrame,
+                  codeTable: String, vnTable: String,
+                  coarse: Array[Array[Double]], books: Pq.Codebooks,
+                  k: Int, nProbe: Int = 8, rerankFactor: Int = 10,
+                  residual: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val shortlist = probe(spark, queries, codeTable, coarse, books,
+        k = math.max(k, rerankFactor * k), nProbe, residual)
+      .select("query_id", "neighbor_id")
+    // the probed-centroid set prunes the vector fetch to the same
+    // buckets the code scan read (bounded by the codebook, the
+    // IncrementalAnn.probe pushdown); queries are a bounded batch —
+    // the second normalize pass costs one small job, not a scan
+    val qRows = Ivf.normalized(queries, "query_id", "qv")
+      .as[(Long, Array[Double])].collect()
+    val probed = qRows.flatMap { case (_, qv) =>
+      coarse.indices
+        .map { c =>
+          var dot = 0.0
+          var i = 0
+          val n = math.min(qv.length, coarse(c).length)
+          while (i < n) { dot += qv(i) * coarse(c)(i); i += 1 }
+          (c, dot)
+        }
+        .sortBy { case (c, d) => (-d, c) }
+        .take(nProbe).map(_._1)
+    }.distinct.sorted
+    val vnIdx = graft.sources.Bucketed.load(spark, vnTable)
+      .filter(col("centroid").isin(probed.toIndexedSeq: _*))
+      .select(col("id").as("neighbor_id"), col("vn"))
+    val scored = vnIdx
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qRows.toSeq.toDF("query_id", "qv")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.expressions.DotE6.col(col("qv"), col("vn")).as("cos_e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

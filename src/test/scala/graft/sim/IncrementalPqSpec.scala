@@ -102,6 +102,49 @@ class IncrementalPqSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("probeRerank with a full-width shortlist equals the exact full-vector probe") {
+    val tCodes = "graft_incpq_rr_codes"
+    val tVn = "graft_incpq_rr_vn"
+    try {
+      val corpus = vecs(0, 150)
+      IncrementalPq.buildIndex(corpus, tCodes, 4, coarse, books)
+      IncrementalAnn.buildIndex(corpus, tVn, 4, coarse)
+      val q = vecs(500, 508)
+      // every list probed + shortlist wider than the corpus: the ADC
+      // stage degenerates to pure candidate generation, so the exact
+      // re-rank must reproduce IncrementalAnn.probe bit for bit (same
+      // DotE6, same (cos_e6 DESC, neighbor_id) order)
+      val got = IncrementalPq.probeRerank(spark, q, tCodes, tVn,
+          coarse, books, k = 5, nProbe = coarse.length,
+          rerankFactor = 100)
+        .select("query_id", "neighbor_id", "cos_e6", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val exact = IncrementalAnn.probe(spark, q, tVn, coarse, k = 5,
+          nProbe = coarse.length)
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank").cast("int"))
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(got == exact && got.nonEmpty)
+      // and the vector fetch stays bucket-pruned + broadcast: the only
+      // hash exchanges in the WHOLE plan are the ADC agg, the ADC
+      // window, and the re-rank window — both index scans bucket-prune
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val narrow = IncrementalPq.probeRerank(spark, vecs(500, 501),
+        tCodes, tVn, coarse, books, k = 3, nProbe = 2)
+      val plan = narrow.queryExecution.executedPlan.toString
+      val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(nEx == 3, s"expected 3 hash exchanges:\n$plan")
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(plan).toSeq
+      assert(sel.size == 2 && sel.forall(m => m.group(1).toInt <= 2),
+        s"expected BOTH index scans bucket-pruned:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql(s"DROP TABLE IF EXISTS $tCodes")
+      spark.sql(s"DROP TABLE IF EXISTS $tVn")
+    }
+  }
+
   test("residual encoding improves recall over raw encoding on clustered corpora") {
     val tRaw = "graft_incpq_res_raw"
     val tRes = "graft_incpq_res_res"
