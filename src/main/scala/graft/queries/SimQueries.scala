@@ -425,6 +425,55 @@ object SimQueries {
         .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // FILTERED vector search (the vector-store feature): attribute
+    // columns ride the postings, and the probe's predicate applies
+    // BEFORE scoring — pushed into the index scan beside the
+    // probed-centroid set — so the top-k is the exact filtered answer
+    // (post-filtering an unfiltered top-k under-delivers whenever
+    // non-matching neighbours crowd the window)
+    "q142_filtered_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      Setup.once(s"q142:$dir") {
+        graft.sim.IncrementalAnn.buildIndex(
+          e.filter(col("id") % 5 =!= 0)
+            .withColumn("grp", pmod(col("id"), lit(7))),
+          s"graft_q142_idx_$tag", buckets = 8,
+          graft.sim.Pinned.ivfCentroids(), attrCols = Seq("grp"))
+      }
+      graft.sim.IncrementalAnn.probe(s, e.filter(col("id") % 5 === 0),
+          s"graft_q142_idx_$tag", graft.sim.Pinned.ivfCentroids(),
+          k = 3, nProbe = 4, filter = Some(col("grp") === 3))
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Hybrid retrieval: BM25 keyword top-20 and exact-cosine vector
+    // top-20 for one session (terms + doc 7's embedding, ids aligned
+    // doc_id = vec_id), fused by reciprocal-rank fusion with
+    // integer-quantized contributions (1e6 div (60 + rank)) — the
+    // standard normalization-free fusion, order-free BIGINT sum
+    "q143_hybrid_rrf" -> ((s, dir) => {
+      val d = graft.sources.Tables.table(s, dir, "documents")
+      val e = emb(s, dir)
+      val text = graft.text.Hybrid.rankCut(
+          graft.text.Bm25.topK(d,
+            Seq("spark", "join", "window", "stream"), k = 20),
+          queryId = 7L,
+          Seq(col("score_e6").desc, col("doc_id").asc))
+        .select("query_id", "doc_id", "rank")
+      val vec = graft.sim.Similarity
+        .bruteForceTopK(e.filter(col("id") === 7), e, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      graft.text.Hybrid.rrf(Seq(text, vec), queryCols = Seq("query_id"),
+          idCol = "doc_id", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rrf_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   private val dotSql =
@@ -767,6 +816,94 @@ object SimQueries {
          |                            ORDER BY adc_e6 DESC, neighbor_id) AS rank
          |  FROM score)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // filtered-ANN replay: q131's probe with the attribute predicate
+    // (id % 7 = 3, the stored grp column's definition) applied to the
+    // index side BEFORE the top-k — exact pre-filtered semantics
+    "q142_filtered_ann" ->
+      s"""$pinnedAssignCte,
+         |pr AS (SELECT id AS query_id, c AS centroid FROM (
+         |         SELECT id, c, row_number() OVER (PARTITION BY id
+         |                          ORDER BY dot DESC, c) AS rn
+         |         FROM sc WHERE id % 5 = 0)
+         |       WHERE rn <= 4),
+         |qn AS (SELECT pr.query_id, pr.centroid, vn.vn AS qv
+         |       FROM pr JOIN vn ON vn.id = pr.query_id),
+         |idx AS (SELECT asg.id AS neighbor_id, asg.centroid, vn.vn AS cv
+         |        FROM asg JOIN vn USING (id)
+         |        WHERE asg.id % 5 <> 0 AND asg.id % 7 = 3),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(floor($dotSql * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM qn JOIN idx USING (centroid))
+         |SELECT query_id, neighbor_id, cos_e6, rank FROM (
+         |  SELECT query_id, neighbor_id, cos_e6,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // hybrid-RRF replay: the q88 BM25 CTEs produce the keyword top-20,
+    // the q27 cosine CTEs the vector top-20 for query 7; contributions
+    // 1e6 // (60 + rank) sum per doc, top-10
+    "q143_hybrid_rrf" -> {
+      val words = TextQueries.Sql.words
+      s"""WITH dl AS (
+         |  SELECT doc_id, CAST(len($words) AS BIGINT) AS dl FROM documents),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM dl),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($words) AS tok FROM documents)
+         |  WHERE tok IN ('spark', 'join', 'window', 'stream')
+         |  GROUP BY doc_id, tok),
+         |idf AS (
+         |  SELECT tok,
+         |         CAST(floor((CAST(n_docs - df AS DOUBLE) + 0.5)
+         |           / (CAST(df AS DOUBLE) + 0.5) * 1000000.0) AS BIGINT) AS idf_e6
+         |  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+         |  CROSS JOIN stats),
+         |w AS (
+         |  SELECT tf.doc_id,
+         |         CAST(floor(CAST(idf_e6 AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf AS DOUBLE)
+         |             + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+         |           AS BIGINT) AS w_e6
+         |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok)
+         |  CROSS JOIN stats),
+         |bm AS (SELECT doc_id, CAST(SUM(w_e6) AS BIGINT) AS score_e6
+         |       FROM w GROUP BY doc_id
+         |       ORDER BY score_e6 DESC, doc_id LIMIT 20),
+         |tr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rank
+         |       FROM bm),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id = 7),
+         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(floor($dotSql / (${normSql("qv")} * ${normSql("cv")}) * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         |vr AS (SELECT neighbor_id AS doc_id, rank FROM (
+         |         SELECT neighbor_id,
+         |                row_number() OVER (ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |         FROM scored)
+         |       WHERE rank <= 20),
+         |contrib AS (SELECT doc_id, 1000000 // (60 + rank) AS c2 FROM tr
+         |            UNION ALL
+         |            SELECT doc_id, 1000000 // (60 + rank) FROM vr),
+         |f AS (SELECT doc_id, CAST(SUM(c2) AS BIGINT) AS rrf_e6
+         |      FROM contrib GROUP BY doc_id)
+         |SELECT query_id, doc_id, rrf_e6, rank FROM (
+         |  SELECT CAST(7 AS BIGINT) AS query_id, doc_id, rrf_e6,
+         |         CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id)
+         |              AS BIGINT) AS rank
+         |  FROM f)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
 
     // IVF-PQ + exact-re-rank replay: q139's ADC CTEs produce the
     // top-15 shortlist per query, q131's exact normalized-dot scores

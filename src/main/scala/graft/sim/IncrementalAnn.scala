@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,12 +70,35 @@ object IncrementalAnn {
       .toDF("centroid", "id", "vn")
   }
 
+  /** (centroid, id, vn, attrs...) — [[assignedVectors]] plus the
+    * requested ATTRIBUTE columns of the corpus carried into the
+    * postings (joined back on id: one extra build-time shuffle of the
+    * small attr projection — the vectors ride it once, at build, so
+    * every filtered probe can prune at the scan instead). */
+  private def assignedWithAttrs(vecs: DataFrame,
+                                cents: Array[Array[Double]],
+                                attrCols: Seq[String]): DataFrame = {
+    val asg = assignedVectors(vecs, cents)
+    if (attrCols.isEmpty) asg
+    else asg.join(
+      graft.sources.Tables.widen(vecs)
+        .select(col("id").cast("long").as("id") +: attrCols.map(col): _*),
+      Seq("id"))
+      .select(col("centroid") +: col("id") +: col("vn") +:
+        attrCols.map(col): _*)
+  }
+
   /** Assign `corpus` against `cents` and (re)build the persistent
     * inverted-list table. One normalize+assign pass + one bucket-write
-    * shuffle — paid once, not per probe. */
+    * shuffle — paid once, not per probe. `attrCols` names corpus
+    * columns to store beside each posting for FILTERED search
+    * ([[probe]]'s `filter`): pre-filtering at the scan beats
+    * post-filtering a top-k that may have been consumed by
+    * non-matching neighbours. */
   def buildIndex(corpus: DataFrame, table: String, buckets: Int,
-                 cents: Array[Array[Double]]): Unit =
-    graft.sources.Bucketed.save(assignedVectors(corpus, cents),
+                 cents: Array[Array[Double]],
+                 attrCols: Seq[String] = Nil): Unit =
+    graft.sources.Bucketed.save(assignedWithAttrs(corpus, cents, attrCols),
       table, Seq("centroid"), buckets)
 
   /** Append newly-ingested vectors to the index (same bucket spec — the
@@ -83,8 +106,9 @@ object IncrementalAnn {
     * The continuous-ingest half of the loop: probe a batch for
     * neighbours, then append it so later batches see it. */
   def appendToIndex(newVecs: DataFrame, table: String, buckets: Int,
-                    cents: Array[Array[Double]]): Unit =
-    graft.sources.Bucketed.save(assignedVectors(newVecs, cents),
+                    cents: Array[Array[Double]],
+                    attrCols: Seq[String] = Nil): Unit =
+    graft.sources.Bucketed.save(assignedWithAttrs(newVecs, cents, attrCols),
       table, Seq("centroid"), buckets, mode = SaveMode.Append)
 
   /** Remove vectors from the index at O(touched buckets), not
@@ -135,16 +159,22 @@ object IncrementalAnn {
                     cents: Array[Array[Double]]): Int = {
     val bc = spark.sparkContext.broadcast(cents)
     graft.sources.Bucketed.rewriteAll(spark, table, { df =>
-      val s = df.sparkSession
-      import s.implicits._
-      df.select(col("id").cast("long"), col("vn").cast("array<double>"))
-        .as[(Long, Array[Double])]
-        .mapPartitions { rows =>
-          val cs = bc.value
-          rows.map { case (id, vn) => (Ivf.nearestCentroid(vn, cs), id, vn) }
+      // generic over the posting schema (map-only, Row-encoded), so
+      // attribute columns stored for filtered search survive the
+      // refresh with their postings
+      val schema = df.schema
+      val cIdx = schema.fieldIndex("centroid")
+      val vnIdx = schema.fieldIndex("vn")
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      df.mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { r =>
+          val vn = r.getSeq[Double](vnIdx).toArray
+          val vals = r.toSeq.toArray
+          vals(cIdx) = Ivf.nearestCentroid(vn, cs)
+          org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
         }
-        .toDF("centroid", "id", "vn")
-        .dropDuplicates()
+      }(enc).dropDuplicates()
     })
   }
 
@@ -234,9 +264,17 @@ object IncrementalAnn {
       .toDF("centroid", "query_id", "qv")
   }
 
+  /** `filter`: optional predicate over the index's ATTRIBUTE columns
+    * (stored at build via `attrCols`) — applied BEFORE scoring, so the
+    * top-k is the exact filtered answer and Catalyst pushes the
+    * conjunct into the index scan's PushedFilters beside the
+    * probed-centroid set (post-filtering an unfiltered top-k instead
+    * would under-deliver whenever non-matching neighbours crowd the
+    * window — the standard filtered-ANN pitfall). */
   def probe(spark: SparkSession, queries: DataFrame, table: String,
             cents: Array[Array[Double]], k: Int,
-            nProbe: Int = 8): DataFrame = {
+            nProbe: Int = 8,
+            filter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val probes = probeRows(queries, cents, nProbe)
       // feeds the centroid-set collect AND the join — assign once
@@ -246,8 +284,10 @@ object IncrementalAnn {
     // bucketed scan prunes to the probed lists' buckets
     val probed = probes.select("centroid").distinct()
       .as[Int].collect().sorted
-    val idx = graft.sources.Bucketed.load(spark, table)
+    val idx0 = graft.sources.Bucketed.load(spark, table)
       .filter(col("centroid").isin(probed.toIndexedSeq: _*))
+    val idx = filter.fold(idx0)(idx0.filter)
+      .select("centroid", "id", "vn")
     val scored = idx.join(probes, Seq("centroid"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
