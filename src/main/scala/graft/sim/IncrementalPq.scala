@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   * [[Pq.pinnedAdcTopK]] when every list is probed (the IVF restriction
   * dropped, the two paths must rank identically).
   *
+  * Duplicate-posting window: between an interrupted maintenance swap
+  * and its re-run (or the next compaction — both dedup), a duplicated
+  * posting DOUBLE-COUNTS in the ADC sum here, where the full-vector
+  * index's duplicate merely occupies two top-k slots at the same
+  * score. Same healing contract ([[graft.sources.Bucketed]]: re-run
+  * the op / compact), one notch more reason to run it promptly.
+  *
   * The trade vs [[IncrementalAnn]]: ADC ranks by approximate scores
   * (recall-bounded by the codebooks), and an exact re-rank would need
   * the original vectors from a side table — by design NOT stored here.
