@@ -271,10 +271,20 @@ object ScaleProbe {
         val t = s"graft_scaleprobe_gatelat_$compactEvery"
         graft.text.IncrementalDedup.buildIndex(replicated(1), t, buckets = 32)
         val times = (0 until 12).map { b =>
+          // NOVEL batches (synthesized per-doc text, unique shingles):
+          // every batch's docs are kept and APPENDED, so the
+          // every-compactEvery-th compaction rewrites genuinely
+          // re-fragmented buckets — verbatim corpus slices would all
+          // be dropped as dups, append nothing, and leave nothing to
+          // compact after the first pass (measured: that fixture only
+          // timed the one-off seed-fragmentation cleanup)
           val batch = replicated(1)
             .filter(pmod(col("doc_id"), lit(53)) === b)
-            .select((col("doc_id") + lit((40 + b) * 1000000L)).as("doc_id"),
-              col("text"))
+            .select((col("doc_id") + lit((40 + b) * 1000000L)).as("doc_id"))
+            .select(col("doc_id"), concat_ws(" ",
+              (0 until 30).map(j => concat(lit("n"),
+                ((col("doc_id") * 31 + j * 7) % 9973).cast("string"),
+                lit("v"), col("doc_id").cast("string"))): _*).as("text"))
           val t0 = System.nanoTime()
           graft.text.IncrementalDedup.gateBatch(batch, t, 32,
             "text", "doc_id", 3, 16, 4).count()

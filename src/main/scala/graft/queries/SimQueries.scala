@@ -768,42 +768,8 @@ object SimQueries {
     // id%5<>0, queries to id%5=0); candidates join on centroid, score
     // = order-free BIGINT sum of per-subspace LUT entries, top-3
     "q139_incremental_ivfpq" ->
-      s"""$pinnedAssignCte,
-         |bk AS (SELECT s, c, j,
-         |         (CAST(${sqmixOfPoly(
-                     "CAST(s AS VARCHAR) || ':' || CAST(c AS VARCHAR)" +
-                     " || ':' || CAST(j AS VARCHAR)")} % 5
-         |               AS BIGINT) - 2) * 0.25 AS w
-         |       FROM (SELECT unnest(range(0, 8)) AS s) ss
-         |       CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cc
-         |       CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
-         |bl AS (SELECT s, c, list(w ORDER BY j) AS bv FROM bk GROUP BY s, c),
-         |dist AS (SELECT id, s, c,
-         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |             [(vn[s * 8 + j + 1] - bv[j + 1])
-         |                * (vn[s * 8 + j + 1] - bv[j + 1])
-         |              for j in range(0, 8)]),
-         |             (a, b) -> a + b) AS d2
-         |         FROM vn CROSS JOIN bl WHERE id % 5 <> 0),
-         |codes AS (SELECT id AS neighbor_id, s, c AS code FROM (
-         |            SELECT id, s, c, row_number() OVER (PARTITION BY id, s
-         |                                                ORDER BY d2 ASC, c) AS rn
-         |            FROM dist)
-         |          WHERE rn = 1),
-         |pr AS (SELECT id AS query_id, c AS centroid FROM (
-         |         SELECT id, c, row_number() OVER (PARTITION BY id
-         |                          ORDER BY dot DESC, c) AS rn
-         |         FROM sc WHERE id % 5 = 0)
-         |       WHERE rn <= 4),
-         |lut AS (SELECT q.id AS query_id, bl.s, bl.c AS code,
-         |          CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |            [q.vn[bl.s * 8 + j + 1] * bv[j + 1] for j in range(0, 8)]),
-         |            (a, b) -> a + b) * 1000000.0) AS BIGINT) AS lut_e6
-         |        FROM vn q CROSS JOIN bl WHERE q.id % 5 = 0),
-         |cand AS (SELECT pr.query_id, a.id AS neighbor_id
-         |         FROM pr JOIN asg a USING (centroid)
-         |         WHERE a.id % 5 <> 0 AND a.id <> pr.query_id),
-         |score AS (SELECT c2.query_id, c2.neighbor_id,
+      (s"$pinnedAssignCte,\n${ivfPqReplayCtes(residual = false)},\n" +
+       """score AS (SELECT c2.query_id, c2.neighbor_id,
          |            CAST(SUM(lut_e6) AS BIGINT) AS adc_e6
          |          FROM cand c2
          |          JOIN codes USING (neighbor_id)
@@ -815,7 +781,7 @@ object SimQueries {
          |         row_number() OVER (PARTITION BY query_id
          |                            ORDER BY adc_e6 DESC, neighbor_id) AS rank
          |  FROM score)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     // filtered-ANN replay: q131's probe with the attribute predicate
     // (id % 7 = 3, the stored grp column's definition) applied to the
@@ -909,42 +875,8 @@ object SimQueries {
     // top-15 shortlist per query, q131's exact normalized-dot scores
     // re-rank it, top-3
     "q141_ivfpq_rerank" ->
-      s"""$pinnedAssignCte,
-         |bk AS (SELECT s, c, j,
-         |         (CAST(${sqmixOfPoly(
-                     "CAST(s AS VARCHAR) || ':' || CAST(c AS VARCHAR)" +
-                     " || ':' || CAST(j AS VARCHAR)")} % 5
-         |               AS BIGINT) - 2) * 0.25 AS w
-         |       FROM (SELECT unnest(range(0, 8)) AS s) ss
-         |       CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cc
-         |       CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
-         |bl AS (SELECT s, c, list(w ORDER BY j) AS bv FROM bk GROUP BY s, c),
-         |dist AS (SELECT id, s, c,
-         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |             [(vn[s * 8 + j + 1] - bv[j + 1])
-         |                * (vn[s * 8 + j + 1] - bv[j + 1])
-         |              for j in range(0, 8)]),
-         |             (a, b) -> a + b) AS d2
-         |         FROM vn CROSS JOIN bl WHERE id % 5 <> 0),
-         |codes AS (SELECT id AS neighbor_id, s, c AS code FROM (
-         |            SELECT id, s, c, row_number() OVER (PARTITION BY id, s
-         |                                                ORDER BY d2 ASC, c) AS rn
-         |            FROM dist)
-         |          WHERE rn = 1),
-         |pr AS (SELECT id AS query_id, c AS centroid FROM (
-         |         SELECT id, c, row_number() OVER (PARTITION BY id
-         |                          ORDER BY dot DESC, c) AS rn
-         |         FROM sc WHERE id % 5 = 0)
-         |       WHERE rn <= 4),
-         |lut AS (SELECT q.id AS query_id, bl.s, bl.c AS code,
-         |          CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |            [q.vn[bl.s * 8 + j + 1] * bv[j + 1] for j in range(0, 8)]),
-         |            (a, b) -> a + b) * 1000000.0) AS BIGINT) AS lut_e6
-         |        FROM vn q CROSS JOIN bl WHERE q.id % 5 = 0),
-         |cand AS (SELECT pr.query_id, a.id AS neighbor_id
-         |         FROM pr JOIN asg a USING (centroid)
-         |         WHERE a.id % 5 <> 0 AND a.id <> pr.query_id),
-         |adc AS (SELECT c2.query_id, c2.neighbor_id,
+      (s"$pinnedAssignCte,\n${ivfPqReplayCtes(residual = false)},\n" +
+       """adc AS (SELECT c2.query_id, c2.neighbor_id,
          |          CAST(SUM(lut_e6) AS BIGINT) AS adc_e6
          |        FROM cand c2
          |        JOIN codes USING (neighbor_id)
@@ -970,55 +902,15 @@ object SimQueries {
          |         row_number() OVER (PARTITION BY query_id
          |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
          |  FROM scored)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     // residual IVF-PQ replay: q139's oracle with the dist CTE on
     // RESIDUALS (vn minus the assigned centroid's vector) and the
     // probe pairs carrying the floor(q·centroid × 1e6) offset that the
     // score adds back
     "q140_ivfpq_residual" ->
-      s"""$pinnedAssignCte,
-         |bk AS (SELECT s, c, j,
-         |         (CAST(${sqmixOfPoly(
-                     "CAST(s AS VARCHAR) || ':' || CAST(c AS VARCHAR)" +
-                     " || ':' || CAST(j AS VARCHAR)")} % 5
-         |               AS BIGINT) - 2) * 0.25 AS w
-         |       FROM (SELECT unnest(range(0, 8)) AS s) ss
-         |       CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cc
-         |       CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
-         |bl AS (SELECT s, c, list(w ORDER BY j) AS bv FROM bk GROUP BY s, c),
-         |rv AS (SELECT vn.id,
-         |         [vn.vn[d + 1] - cl.cv[d + 1] for d in range(0, 64)] AS rv
-         |       FROM vn JOIN asg USING (id) JOIN cl ON cl.c = asg.centroid
-         |       WHERE vn.id % 5 <> 0),
-         |dist AS (SELECT id, s, c,
-         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |             [(rv[s * 8 + j + 1] - bv[j + 1])
-         |                * (rv[s * 8 + j + 1] - bv[j + 1])
-         |              for j in range(0, 8)]),
-         |             (a, b) -> a + b) AS d2
-         |         FROM rv CROSS JOIN bl),
-         |codes AS (SELECT id AS neighbor_id, s, c AS code FROM (
-         |            SELECT id, s, c, row_number() OVER (PARTITION BY id, s
-         |                                                ORDER BY d2 ASC, c) AS rn
-         |            FROM dist)
-         |          WHERE rn = 1),
-         |pr AS (SELECT id AS query_id, c AS centroid,
-         |              CAST(floor(dot * 1000000.0) AS BIGINT) AS off_e6
-         |       FROM (
-         |         SELECT id, c, dot, row_number() OVER (PARTITION BY id
-         |                          ORDER BY dot DESC, c) AS rn
-         |         FROM sc WHERE id % 5 = 0)
-         |       WHERE rn <= 4),
-         |lut AS (SELECT q.id AS query_id, bl.s, bl.c AS code,
-         |          CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |            [q.vn[bl.s * 8 + j + 1] * bv[j + 1] for j in range(0, 8)]),
-         |            (a, b) -> a + b) * 1000000.0) AS BIGINT) AS lut_e6
-         |        FROM vn q CROSS JOIN bl WHERE q.id % 5 = 0),
-         |cand AS (SELECT pr.query_id, a.id AS neighbor_id, pr.off_e6
-         |         FROM pr JOIN asg a USING (centroid)
-         |         WHERE a.id % 5 <> 0 AND a.id <> pr.query_id),
-         |score AS (SELECT c2.query_id, c2.neighbor_id,
+      (s"$pinnedAssignCte,\n${ivfPqReplayCtes(residual = true)},\n" +
+       """score AS (SELECT c2.query_id, c2.neighbor_id,
          |            CAST(c2.off_e6 + SUM(lut_e6) AS BIGINT) AS adc_e6
          |          FROM cand c2
          |          JOIN codes USING (neighbor_id)
@@ -1030,7 +922,7 @@ object SimQueries {
          |         row_number() OVER (PARTITION BY query_id
          |                            ORDER BY adc_e6 DESC, neighbor_id) AS rank
          |  FROM score)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     // delete replay: q131's probe with the erased corpus slice
     // (id%3==0) excluded from the index side
@@ -1132,6 +1024,84 @@ object SimQueries {
        |        WHERE rn = 1)""".stripMargin
 
   private lazy val pinnedAssignCte: String = pinnedAssignCteWith("")
+
+  /** Shared q139/q140/q141 IVF-PQ replay fragment (follows
+    * [[pinnedAssignCte]]): pinned PQ books, code assignment for the
+    * id%5<>0 index side — over vn, or over residuals vs the assigned
+    * centroid when `residual` — top-4 probe lists for the id%5=0
+    * queries (carrying the floor(q·centroid × 1e6) offset when
+    * `residual`), the per-query integer LUT, and the centroid-joined
+    * candidate set. ONE copy for the three oracles, so the replay
+    * arithmetic cannot drift between them (the pinnedAssignCteWith /
+    * dotSql factoring doctrine). */
+  private def ivfPqReplayCtes(residual: Boolean): String = {
+    val pqBooks =
+      s"""bk AS (SELECT s, c, j,
+         |         (CAST(${sqmixOfPoly(
+                     "CAST(s AS VARCHAR) || ':' || CAST(c AS VARCHAR)" +
+                     " || ':' || CAST(j AS VARCHAR)")} % 5
+         |               AS BIGINT) - 2) * 0.25 AS w
+         |       FROM (SELECT unnest(range(0, 8)) AS s) ss
+         |       CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cc
+         |       CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+         |bl AS (SELECT s, c, list(w ORDER BY j) AS bv FROM bk GROUP BY s, c)""".stripMargin
+    val enc = if (residual) "rv" else "vn"
+    val distBody =
+      s"""dist0 AS (SELECT id, s, c,
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             [($enc[s * 8 + j + 1] - bv[j + 1])
+         |                * ($enc[s * 8 + j + 1] - bv[j + 1])
+         |              for j in range(0, 8)]),
+         |             (a, b) -> a + b) AS d2""".stripMargin
+    val dist =
+      if (residual)
+        s"""rv AS (SELECT vn.id,
+           |         [vn.vn[d + 1] - cl.cv[d + 1] for d in range(0, 64)] AS rv
+           |       FROM vn JOIN asg USING (id) JOIN cl ON cl.c = asg.centroid
+           |       WHERE vn.id % 5 <> 0),
+           |$distBody
+           |         FROM rv CROSS JOIN bl)""".stripMargin
+      else
+        s"""$distBody
+           |         FROM vn CROSS JOIN bl WHERE id % 5 <> 0)""".stripMargin
+    val codes =
+      """codes AS (SELECT id AS neighbor_id, s, c AS code FROM (
+        |            SELECT id, s, c, row_number() OVER (PARTITION BY id, s
+        |                                                ORDER BY d2 ASC, c) AS rn
+        |            FROM dist0)
+        |          WHERE rn = 1)""".stripMargin
+    val pr =
+      if (residual)
+        """pr AS (SELECT id AS query_id, c AS centroid,
+          |              CAST(floor(dot * 1000000.0) AS BIGINT) AS off_e6
+          |       FROM (
+          |         SELECT id, c, dot, row_number() OVER (PARTITION BY id
+          |                          ORDER BY dot DESC, c) AS rn
+          |         FROM sc WHERE id % 5 = 0)
+          |       WHERE rn <= 4)""".stripMargin
+      else
+        """pr AS (SELECT id AS query_id, c AS centroid FROM (
+          |         SELECT id, c, row_number() OVER (PARTITION BY id
+          |                          ORDER BY dot DESC, c) AS rn
+          |         FROM sc WHERE id % 5 = 0)
+          |       WHERE rn <= 4)""".stripMargin
+    val lut =
+      """lut AS (SELECT q.id AS query_id, bl.s, bl.c AS code,
+        |          CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |            [q.vn[bl.s * 8 + j + 1] * bv[j + 1] for j in range(0, 8)]),
+        |            (a, b) -> a + b) * 1000000.0) AS BIGINT) AS lut_e6
+        |        FROM vn q CROSS JOIN bl WHERE q.id % 5 = 0)""".stripMargin
+    val cand =
+      if (residual)
+        """cand AS (SELECT pr.query_id, a.id AS neighbor_id, pr.off_e6
+          |         FROM pr JOIN asg a USING (centroid)
+          |         WHERE a.id % 5 <> 0 AND a.id <> pr.query_id)""".stripMargin
+      else
+        """cand AS (SELECT pr.query_id, a.id AS neighbor_id
+          |         FROM pr JOIN asg a USING (centroid)
+          |         WHERE a.id % 5 <> 0 AND a.id <> pr.query_id)""".stripMargin
+    Seq(pqBooks, dist, codes, pr, lut, cand).mkString(",\n")
+  }
 
   private def sqmixOfPoly(e: String): String =
     TextQueries.Sql.sqmixOfPoly(e)

@@ -144,6 +144,31 @@ object IncrementalPq {
                    maxFilesPerBucket: Int = 4): Int =
     graft.sources.Bucketed.compactBuckets(spark, table, maxFilesPerBucket)
 
+  /** Per-query probe lists with the coarse dot for each probed
+    * centroid — ONE implementation of the (-dot, centroid) selection
+    * shared by [[probe]] (which also derives the residual offset from
+    * the dot) and [[probeRerank]] (which prunes the vector fetch to
+    * the same lists): the code-scan pruning and the fetch pruning must
+    * never desynchronize, or shortlist ids would silently vanish from
+    * the re-rank. Same arithmetic as IncrementalAnn.probeRows (its
+    * distributed form, parity-pinned by the specs). */
+  private def probeLists(qRows: Array[(Long, Array[Double])],
+                         coarse: Array[Array[Double]],
+                         nProbe: Int): Seq[(Long, Int, Double)] =
+    qRows.toSeq.flatMap { case (qid, qv) =>
+      coarse.indices
+        .map { c =>
+          var dot = 0.0
+          var i = 0
+          val n = math.min(qv.length, coarse(c).length)
+          while (i < n) { dot += qv(i) * coarse(c)(i); i += 1 }
+          (c, dot)
+        }
+        .sortBy { case (c, d) => (-d, c) }
+        .take(nProbe)
+        .map { case (c, d) => (qid, c, d) }
+    }
+
   /** Top-k ADC neighbours of each query via its nProbe nearest
     * inverted lists, served entirely from codes. The query batch is
     * collected (bounded — the [[Pq.adcTopK]]/[[Similarity]] query-side
@@ -159,25 +184,14 @@ object IncrementalPq {
     val bounds = Pq.sliceBounds(books.map(_.head.length).sum, m)
     val qRows = Ivf.normalized(queries, "query_id", "qv")
       .as[(Long, Array[Double])].collect()
-    // per-query probe lists: the same (-dot, centroid) order as
-    // IncrementalAnn.probeRows and the oracle's window. In residual
-    // mode each pair also carries floor(q·centroid × 1e6) — the score
-    // decomposition q·x ≈ q·c + q·r̂ puts the coarse term here and the
-    // residual term in the LUT sum, both integer-quantized so the
-    // total stays an order-free BIGINT sum
-    val probePairs = qRows.toSeq.flatMap { case (qid, qv) =>
-      coarse.indices
-        .map { c =>
-          var dot = 0.0
-          var i = 0
-          val n = math.min(qv.length, coarse(c).length)
-          while (i < n) { dot += qv(i) * coarse(c)(i); i += 1 }
-          (c, dot)
-        }
-        .sortBy { case (c, d) => (-d, c) }
-        .take(nProbe)
-        .map { case (c, d) =>
-          (qid, c, if (residual) math.floor(d * 1000000.0).toLong else 0L) }
+    // per-query probe lists ([[probeLists]] — shared arithmetic). In
+    // residual mode each pair also carries floor(q·centroid × 1e6) —
+    // the score decomposition q·x ≈ q·c + q·r̂ puts the coarse term
+    // here and the residual term in the LUT sum, both
+    // integer-quantized so the total stays an order-free BIGINT sum
+    val probePairs = probeLists(qRows, coarse, nProbe).map {
+      case (qid, c, d) =>
+        (qid, c, if (residual) math.floor(d * 1000000.0).toLong else 0L)
     }
     // per-(query, subspace, code) integer LUT: floor BEFORE the sum so
     // the cross-subspace aggregation is order-free (the q115 doctrine)
@@ -246,18 +260,8 @@ object IncrementalPq {
     // the second normalize pass costs one small job, not a scan
     val qRows = Ivf.normalized(queries, "query_id", "qv")
       .as[(Long, Array[Double])].collect()
-    val probed = qRows.flatMap { case (_, qv) =>
-      coarse.indices
-        .map { c =>
-          var dot = 0.0
-          var i = 0
-          val n = math.min(qv.length, coarse(c).length)
-          while (i < n) { dot += qv(i) * coarse(c)(i); i += 1 }
-          (c, dot)
-        }
-        .sortBy { case (c, d) => (-d, c) }
-        .take(nProbe).map(_._1)
-    }.distinct.sorted
+    val probed = probeLists(qRows, coarse, nProbe)
+      .map(_._2).distinct.sorted
     val vnIdx = graft.sources.Bucketed.load(spark, vnTable)
       .filter(col("centroid").isin(probed.toIndexedSeq: _*))
       .select(col("id").as("neighbor_id"), col("vn"))

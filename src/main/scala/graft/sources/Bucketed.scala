@@ -21,12 +21,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * with each other on one table: two overlapping rewrites each read
   * the pre-op file set, so the second swap can resurrect rows the
   * first removed (a compaction racing a delete would silently undo the
-  * erasure). A best-effort lock file (`_graft_maintenance.lock` in the
-  * table dir) makes the mistake loud: a second maintenance op fails
-  * fast instead of corrupting. A crash leaves the lock behind — delete
-  * it once no maintenance writer is running (the error says so). Plain
-  * [[save]] appends are NOT lock-guarded: an append lands a fresh file
-  * the in-flight rewrite never read and never deletes, so
+  * erasure). A per-table in-process lock makes the mistake loud: a
+  * second concurrent maintenance op in the same driver fails fast
+  * instead of corrupting. The lock is deliberately NOT a lock FILE: a
+  * file survives a crashed writer, and a stale lock would brick the
+  * gates' documented self-healing replay (streamNovel re-runs its
+  * inline compaction after a crash — with a leftover file it would
+  * fail forever instead of healing); the in-process lock dies with
+  * the JVM that held it, exactly when its op does. CROSS-PROCESS
+  * exclusion is the deployment's contract — one maintenance owner per
+  * index, the same assumption Spark's own non-transactional tables
+  * make — and is documented rather than half-enforced. Plain [[save]]
+  * appends are NOT lock-guarded: an append lands a fresh file the
+  * in-flight rewrite never read and never deletes, so
   * append-during-maintenance is safe; ordering an append against a
   * delete of the SAME keys is the caller's pipeline contract.
   */
@@ -181,20 +188,31 @@ object Bucketed {
     val dir = new Path(meta.location)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // single-maintenance-writer guard (see the object scaladoc):
-    // created atomically before the file listing — the listing is part
-    // of the read-modify-write a concurrent rewrite would corrupt
-    val lock = new Path(dir, "_graft_maintenance.lock")
-    val acquired =
-      try { fs.create(lock, /* overwrite = */ false).close(); true }
-      catch { case _: java.io.IOException => false }
-    if (!acquired) throw new IllegalStateException(
-      s"maintenance already in flight on $table (lock $lock exists); " +
-        "if the previous op crashed, delete the lock file and re-run — " +
-        "the visible-first swap makes re-running safe")
+    // acquired before the file listing — the listing is part of the
+    // read-modify-write a concurrent rewrite would corrupt. Keyed on
+    // the resolved location, not the name, so db-qualified aliases of
+    // one table contend on one lock.
+    val lock = maintenanceLockFor(dir.toString)
+    if (!lock.tryLock()) throw new IllegalStateException(
+      s"maintenance already in flight on $table — compaction, deletion " +
+        "and reassignment are single-writer ops; retry after the " +
+        "running op finishes")
     try rewriteLocked(spark, table, meta, dir, fs, select, bucketIds,
       transform)
-    finally fs.delete(lock, false)
+    finally lock.unlock()
   }
+
+  /** Per-table-location maintenance locks (see the object scaladoc:
+    * in-process by design — a crashed holder's lock must die with it). */
+  private val maintenanceLocks =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Test hook: the lock a maintenance op on `location` would take. */
+  private[sources] def maintenanceLockFor(location: String)
+      : java.util.concurrent.locks.ReentrantLock =
+    maintenanceLocks.computeIfAbsent(new org.apache.hadoop.fs.Path(location).toString,
+      _ => new java.util.concurrent.locks.ReentrantLock())
 
   private def rewriteLocked(spark: SparkSession, table: String,
                             meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,

@@ -132,7 +132,7 @@ class BucketedCompactionSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
-  test("single-maintenance-writer lock: a held lock fails fast, release restores, no stale lock after success") {
+  test("single-maintenance-writer lock: concurrent op fails fast, failed op releases, nothing persists a crash") {
     val table = "graft_compact_lock_idx"
     try {
       (0 until 50).map(i => (s"k$i", i.toLong)).toDF("bkey", "doc")
@@ -140,14 +140,20 @@ class BucketedCompactionSpec extends SparkSuite {
       Bucketed.save(spark.table("lock_rows"), table, Seq("bkey"), 4)
       Bucketed.save(spark.table("lock_rows"), table, Seq("bkey"), 4,
         mode = org.apache.spark.sql.SaveMode.Append)
+      // a maintenance writer in ANOTHER thread holds the table's lock:
+      // this thread's op must fail fast and leave the table untouched
       val meta = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(table))
-      val dir = new org.apache.hadoop.fs.Path(meta.location)
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val lock = new org.apache.hadoop.fs.Path(dir, "_graft_maintenance.lock")
-      // a concurrent maintenance writer holds the lock -> fail fast,
-      // table untouched
-      fs.create(lock, false).close()
+      val lock = Bucketed.maintenanceLockFor(meta.location.toString)
+      val held = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() => {
+        lock.lock()
+        try { held.countDown(); release.await() }
+        finally lock.unlock()
+      })
+      holder.start()
+      held.await()
       val filesBefore = filesPerBucket(table)
       val e = intercept[IllegalStateException] {
         Bucketed.compactBuckets(spark, table, maxFilesPerBucket = 1)
@@ -155,12 +161,17 @@ class BucketedCompactionSpec extends SparkSuite {
       assert(e.getMessage.contains("maintenance already in flight"))
       assert(filesPerBucket(table) == filesBefore,
         "a lock-rejected op must not touch the table")
-      // the documented recovery: delete the stale lock, re-run
-      fs.delete(lock, false)
+      release.countDown()
+      holder.join()
+      // after the holder finishes, the op proceeds — and a FAILING op
+      // releases the lock too (the crash analogue: nothing persists,
+      // so the gates' self-healing replay can never be bricked)
+      intercept[RuntimeException] {
+        Bucketed.rewriteBuckets(spark, table, Set(0, 1, 2, 3),
+          _ => throw new RuntimeException("boom"))
+      }
       assert(Bucketed.compactBuckets(spark, table, maxFilesPerBucket = 1) > 0)
       assert(filesPerBucket(table).values.max == 1)
-      // a successful op releases its lock
-      assert(!fs.exists(lock), "lock must be released after completion")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }
