@@ -1,0 +1,96 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** The run-forever index lifecycle END TO END: every maintenance op is
+  * individually spec-pinned, but a production index runs them in
+  * sequence against one table — build, append, erase, codebook
+  * refresh, compact — and the probes (plain and filtered) must stay
+  * exact through every transition. This is the integration the
+  * per-op specs cannot see: e.g. a delete AFTER a refresh must erase
+  * under the NEW keys, and compaction after the full sequence must
+  * change nothing but the file layout. */
+class IndexLifecycleSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dim = 16
+  private val table = "graft_lifecycle_idx"
+  private val centsA = Pinned.ivfCentroids(8, dim)
+  private val centsB = Pinned.ivfCentroids(8, dim, salt = "r:")
+
+  private def vecs(lo: Int, hi: Int) = (lo until hi)
+    .map(i => (i.toLong, Array.tabulate(dim)(d =>
+      math.sin(i * 0.37 + d * 0.61) + 0.1)))
+    .toDF("id", "vec")
+    .withColumn("grp", pmod(col("id"), lit(5)))
+
+  test("build -> append -> delete -> refresh -> compact keeps probes exact throughout") {
+    try {
+      val q = vecs(500, 506).drop("grp")
+      def probeIds(cents: Array[Array[Double]],
+                   filtered: Boolean): Set[Long] = IncrementalAnn
+        .probe(spark, q, table, cents, k = 5, nProbe = 8,
+          filter = if (filtered) Some(col("grp") === 2) else None)
+        .select("neighbor_id").as[Long].collect().toSet
+      // reference: the same probe against a FRESH single-shot build of
+      // whatever the lifecycle says the index should now contain
+      def freshIds(corpus: org.apache.spark.sql.DataFrame,
+                   cents: Array[Array[Double]],
+                   filtered: Boolean): Set[Long] = {
+        val t2 = s"${table}_ref"
+        try {
+          IncrementalAnn.buildIndex(corpus, t2, 4, cents,
+            attrCols = Seq("grp"))
+          IncrementalAnn
+            .probe(spark, q, t2, cents, k = 5, nProbe = 8,
+              filter = if (filtered) Some(col("grp") === 2) else None)
+            .select("neighbor_id").as[Long].collect().toSet
+        } finally spark.sql(s"DROP TABLE IF EXISTS $t2")
+      }
+      // 1. build + 2 appends (multi-file buckets)
+      IncrementalAnn.buildIndex(vecs(0, 100), table, 4, centsA,
+        attrCols = Seq("grp"))
+      IncrementalAnn.appendToIndex(vecs(100, 160), table, 4, centsA,
+        attrCols = Seq("grp"))
+      IncrementalAnn.appendToIndex(vecs(160, 200), table, 4, centsA,
+        attrCols = Seq("grp"))
+      val all = vecs(0, 200)
+      assert(probeIds(centsA, filtered = false)
+        == freshIds(all, centsA, filtered = false))
+      // 2. right-to-erasure of a slice
+      IncrementalAnn.deleteFromIndex(
+        vecs(0, 200).filter(col("id") % 9 === 0), table, 4, centsA)
+      val afterDelete = all.filter(col("id") % 9 =!= 0)
+      assert(probeIds(centsA, filtered = false)
+        == freshIds(afterDelete, centsA, filtered = false))
+      // 3. codebook refresh (attrs must ride along)
+      IncrementalAnn.reassignIndex(spark, table, centsB)
+      assert(probeIds(centsB, filtered = true)
+        == freshIds(afterDelete, centsB, filtered = true))
+      // 4. delete AFTER the refresh: erasure must work under the NEW
+      // keys (the deleted vectors re-assign against centsB)
+      IncrementalAnn.deleteFromIndex(
+        afterDelete.filter(col("id") % 7 === 1), table, 4, centsB)
+      val afterDelete2 = afterDelete.filter(col("id") % 7 =!= 1)
+      assert(probeIds(centsB, filtered = false)
+        == freshIds(afterDelete2, centsB, filtered = false))
+      // 5. another append re-fragments the buckets (the refresh and
+      // delete rewrites had left one file per bucket — compaction
+      // right after them is correctly a no-op), then compaction
+      // restores the layout without changing a verdict
+      IncrementalAnn.appendToIndex(vecs(200, 240), table, 4, centsB,
+        attrCols = Seq("grp"))
+      val finalCorpus = afterDelete2.unionByName(vecs(200, 240))
+      val before = probeIds(centsB, filtered = true)
+      assert(before == freshIds(finalCorpus, centsB, filtered = true))
+      assert(IncrementalAnn.compactIndex(spark, table,
+        maxFilesPerBucket = 1) > 0)
+      assert(probeIds(centsB, filtered = true) == before)
+      // ...and the final index really is row-equivalent to the fresh
+      // build of the surviving corpus
+      assert(graft.sources.Bucketed.load(spark, table).count()
+        == finalCorpus.count())
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}
