@@ -170,9 +170,15 @@ object Quantiles {
     // ORIGINAL (typed) group column values via first(): within a
     // packed key every row carries identical group values (the
     // encoding is injective), so first() is deterministic. The result
-    // is persisted (≤ maxGroups rows) and reused for the final join —
-    // recovering the values afterwards would re-scan and re-shuffle
-    // the FULL df a second time for data this pass already saw.
+    // (≤ maxGroups rows) is reused for the final join — recovering the
+    // values afterwards would re-scan and re-shuffle the FULL df a
+    // second time for data this pass already saw. localCheckpoint, not
+    // persist: persist registers the plan in the shared CacheManager,
+    // which holds a strong reference a long-lived session never drops
+    // (and can silently substitute the cached fragment into later
+    // matching queries); checkpointed RDD blocks are ContextCleaner-
+    // managed and die with the result's GC (the Streaming/Fuzzy
+    // doctrine).
     val statsFull = df
       .select(keyExpr.as("__k") +: col(valueCol).cast("long").as("__v") +:
         groupCols.map(col): _*)
@@ -181,7 +187,7 @@ object Quantiles {
       .agg(count(lit(1)).as("__n"),
         min("__v").as("__lo") +: max("__v").as("__hi") +:
           groupCols.map(c => first(col(c)).as(c)): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     // NARROW driver payload: (packed key, n, lo, hi) only — the group
     // columns themselves never ride the collect (a wide group column
     // × a million groups is real driver memory); they stay on the
@@ -267,9 +273,9 @@ object Quantiles {
       qs.map(q => (k, math.round(q * 10000.0), state((k, qr(q)))._1))
     }.toDF("__k", "q_e4", "value")
     // recover the original group columns (original types) from the
-    // persisted stats pass — no extra scan of df, no driver shipping.
-    // statsFull stays persisted for the returned lazy plan; the
-    // ContextCleaner reclaims its blocks once the result is GC'd
+    // checkpointed stats pass — no extra scan of df, no driver
+    // shipping; the checkpoint's RDD blocks back the returned lazy
+    // plan and are ContextCleaner-reclaimed once the result is GC'd
     statsFull.select(groupCols.map(col) :+ col("__k"): _*)
       .join(broadcast(res), Seq("__k"))
       .select(groupCols.map(col) ++ Seq(col("q_e4"), col("value")): _*)

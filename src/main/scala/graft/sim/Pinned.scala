@@ -25,16 +25,32 @@ object Pinned {
   def value(key: String): Double =
     ((Hashing.squareMix(Hashing.polyHash(key)) % 5) - 2) * 0.25
 
+  /** The salt is CONCATENATED into the key (the oracle CTEs replicate
+    * the exact string), so a digit-ending salt would alias with
+    * unsalted keys (salt "1", c=2 -> "12:…" == unsalted c=12) and
+    * silently correlate the 'independent' codebooks — reject it. */
+  private def checkSalt(salt: String): Unit =
+    require(salt.isEmpty || !salt.last.isDigit,
+      s"pinned-codebook salt must end in a non-digit, got: '$salt'")
+
   /** Pinned IVF codebook: centroid c, dim d -> value("<salt>c:d"). A
     * non-empty `salt` yields a SECOND independent pinned codebook from
     * the same generator — the before/after pair the codebook-refresh
     * oracle (q138) replays. */
   def ivfCentroids(n: Int = 16, dim: Int = 64,
-                   salt: String = ""): Array[Array[Double]] =
+                   salt: String = ""): Array[Array[Double]] = {
+    checkSalt(salt)
     Array.tabulate(n, dim)((c, d) => value(s"$salt$c:$d"))
+  }
 
-  /** Pinned PQ codebooks: subspace s, centroid c, dim j -> value("s:c:j")
-    * (64-d corpus => 8 subspaces x 8 dims at the defaults). */
-  def pqBooks(m: Int = 8, ksub: Int = 16, subDim: Int = 8): Pq.Codebooks =
-    Array.tabulate(m, ksub, subDim)((s, c, j) => value(s"$s:$c:$j"))
+  /** Pinned PQ codebooks: subspace s, centroid c, dim j ->
+    * value("<salt>s:c:j") (64-d corpus => 8 subspaces x 8 dims at the
+    * defaults). A non-empty `salt` yields a second independent pinned
+    * book set — the before/after pair the PQ-refresh oracle (q144)
+    * replays. */
+  def pqBooks(m: Int = 8, ksub: Int = 16, subDim: Int = 8,
+              salt: String = ""): Pq.Codebooks = {
+    checkSalt(salt)
+    Array.tabulate(m, ksub, subDim)((s, c, j) => value(s"$salt$s:$c:$j"))
+  }
 }

@@ -203,7 +203,13 @@ object Bucketed {
   }
 
   /** Per-table-location maintenance locks (see the object scaladoc:
-    * in-process by design — a crashed holder's lock must die with it). */
+    * in-process by design — a crashed holder's lock must die with it).
+    * Entries are never removed: safe removal would race computeIfAbsent
+    * (a waiter on the removed instance vs a fresh instance for the next
+    * caller = two holders on one table), and the growth is one
+    * ~48-byte ReentrantLock per DISTINCT table location ever
+    * maintained in this driver — bounded by the session's table count,
+    * not by op count. */
   private val maintenanceLocks =
     new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.locks.ReentrantLock]()

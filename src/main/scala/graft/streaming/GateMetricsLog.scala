@@ -88,11 +88,35 @@ private[graft] object GateMetricsLog {
     inputs.foreach(p => f.delete(p, true))
   }
 
+  private val schema = org.apache.spark.sql.types.StructType(
+    Seq("batch", "n_in", "n_kept", "n_index_hits", "n_batch_hits")
+      .map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.LongType)))
+
   /** All metric rows, one per batch id, whatever mix of per-batch dirs
-    * and generations is on disk. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(dir)
-      .dropDuplicates("batch")
+    * and generations is on disk. Only COMMITTED entries (dirs whose
+    * `_SUCCESS` landed) are read: a torn dir from a crash mid-write
+    * holds partial parquet, and a missing dir or one holding only torn
+    * entries reads as ZERO rows, not an error — this is the
+    * observability reader for the crash windows; failing loudly right
+    * after the crash it exists to diagnose would be useless. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    val committed =
+      if (!f.exists(root)) Seq.empty
+      else f.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(p => (p.getName match {
+          case Batch(_) | Gen(_) => true
+          case _ => false
+        }) && f.exists(new Path(p, "_SUCCESS")))
+    if (committed.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.parquet(committed.map(_.toString): _*)
+        .dropDuplicates("batch")
+  }
 
   /** Number of entries (dirs) under the log — the boundedness the spec
     * pins: ≤ compactEvery per-batch dirs + 1 generation. */

@@ -57,6 +57,26 @@ class GateMetricsLogSpec extends SparkSuite {
     assert(rowsOf(dir) == (0L until 6L).map(id => (id, 100 + id)).toSet)
   }
 
+  test("read() of a missing dir or torn-only entries is empty, not an error") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-gmetrics4").toString
+    // missing dir — the state right after a crash before the first write
+    val missing = s"$base/never-written"
+    assert(GateMetricsLog.read(spark, missing).count() == 0)
+    assert(GateMetricsLog.read(spark, missing).columns.toSeq ==
+      Seq("batch", "n_in", "n_kept", "n_index_hits", "n_batch_hits"))
+    // dir holding only a torn generation (no _SUCCESS, partial file)
+    val torn = s"$base/torn"
+    val g = new java.io.File(torn, "g3")
+    assert(g.mkdirs())
+    java.nio.file.Files.write(g.toPath.resolve("part-00000.parquet"),
+      "not parquet".getBytes)
+    assert(GateMetricsLog.read(spark, torn).count() == 0)
+    // a committed write beside the torn dir reads back — torn skipped
+    GateMetricsLog.write(spark, torn, 7L, 42, 1, 0, 0)
+    assert(rowsOf(torn) == Set((7L, 42L)))
+  }
+
   test("replayed write before a later fold changes nothing") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-gmetrics3").toString + "/m"
