@@ -474,6 +474,40 @@ object SimQueries {
         .select(col("query_id"), col("doc_id"), col("rrf_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // PQ codebook refresh WITHOUT the corpus re-read (the 100 TB
+    // drift answer for the lossy-code family): the code index
+    // re-encodes itself from the companion FULL-VECTOR index (q141's
+    // pair) — one vn-index read + one staged code-table write through
+    // the generation-manifest commit — under NEW pinned coarse +
+    // product codebooks (salt "r:"), then probes under them. The
+    // oracle replays q139's CTEs entirely under the salted codebooks:
+    // a refreshed code index must be indistinguishable from a fresh
+    // buildIndex under the new books (the q138 doctrine, for codes).
+    // The refresh runs per execution (idempotent — its output depends
+    // only on the vn index and the new codebooks)
+    "q144_ivfpq_refresh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      val codes = s"graft_q144_codes_$tag"
+      val vn = s"graft_q144_vn_$tag"
+      Setup.once(s"q144:$dir") {
+        graft.sim.IncrementalPq.buildIndex(e.filter(col("id") % 5 =!= 0),
+          codes, buckets = 8,
+          graft.sim.Pinned.ivfCentroids(), graft.sim.Pinned.pqBooks())
+        graft.sim.IncrementalAnn.buildIndex(e.filter(col("id") % 5 =!= 0),
+          vn, buckets = 8, graft.sim.Pinned.ivfCentroids())
+      }
+      graft.sim.IncrementalPq.refreshFromVnIndex(s, codes, vn,
+        graft.sim.Pinned.ivfCentroids(salt = "r:"),
+        graft.sim.Pinned.pqBooks(salt = "r:"))
+      graft.sim.IncrementalPq.probe(s, e.filter(col("id") % 5 === 0),
+          codes, graft.sim.Pinned.ivfCentroids(salt = "r:"),
+          graft.sim.Pinned.pqBooks(salt = "r:"), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("adc_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   private val dotSql =
@@ -904,6 +938,27 @@ object SimQueries {
          |  FROM scored)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
+    // refresh replay: q139's oracle computed entirely under the SALTED
+    // pinned coarse AND product codebooks — refresh-from-vn-then-probe
+    // must equal build-under-B-then-probe, so the oracle never models
+    // the refresh, only codebook set B (the q138 doctrine)
+    "q144_ivfpq_refresh" ->
+      (s"${pinnedAssignCteWith("r:")},\n" +
+       s"${ivfPqReplayCtes(residual = false, salt = "r:")},\n" +
+       """score AS (SELECT c2.query_id, c2.neighbor_id,
+         |            CAST(SUM(lut_e6) AS BIGINT) AS adc_e6
+         |          FROM cand c2
+         |          JOIN codes USING (neighbor_id)
+         |          JOIN lut ON lut.query_id = c2.query_id
+         |                  AND lut.s = codes.s AND lut.code = codes.code
+         |          GROUP BY c2.query_id, c2.neighbor_id)
+         |SELECT query_id, neighbor_id, adc_e6, rank FROM (
+         |  SELECT query_id, neighbor_id, adc_e6,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc_e6 DESC, neighbor_id) AS rank
+         |  FROM score)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
     // residual IVF-PQ replay: q139's oracle with the dist CTE on
     // RESIDUALS (vn minus the assigned centroid's vector) and the
     // probe pairs carrying the floor(q·centroid × 1e6) offset that the
@@ -1034,10 +1089,13 @@ object SimQueries {
     * candidate set. ONE copy for the three oracles, so the replay
     * arithmetic cannot drift between them (the pinnedAssignCteWith /
     * dotSql factoring doctrine). */
-  private def ivfPqReplayCtes(residual: Boolean): String = {
+  private def ivfPqReplayCtes(residual: Boolean,
+                              salt: String = ""): String = {
+    val saltSql = if (salt.isEmpty) "" else s"'$salt' || "
     val pqBooks =
       s"""bk AS (SELECT s, c, j,
          |         (CAST(${sqmixOfPoly(
+                     saltSql +
                      "CAST(s AS VARCHAR) || ':' || CAST(c AS VARCHAR)" +
                      " || ':' || CAST(j AS VARCHAR)")} % 5
          |               AS BIGINT) - 2) * 0.25 AS w

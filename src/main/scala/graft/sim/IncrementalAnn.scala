@@ -118,8 +118,8 @@ object IncrementalAnn {
     * the affected bucket ids, via `pmod(hash(centroid), buckets)` —
     * are known without scanning the index, then rewrite only those
     * buckets anti-joining the ids out. Idempotent; dropDuplicates in
-    * the rewrite also heals duplicate postings from an interrupted
-    * maintenance swap. Returns the number of buckets rewritten. */
+    * the rewrite also heals duplicate postings from an at-least-once
+    * append replay. Returns the number of buckets rewritten. */
   def deleteFromIndex(vecs: DataFrame, table: String, buckets: Int,
                       cents: Array[Array[Double]]): Int = {
     val spark = vecs.sparkSession
@@ -150,11 +150,12 @@ object IncrementalAnn {
     * oracle-checkable with a pinned codebook (q138) and spec-pinned
     * against a fresh rebuild. Cost: one read + one bucket-write
     * shuffle over the index, the same shape as buildIndex, with the
-    * source corpus never re-read or re-normalized. Crash-safe and
-    * duplicate-healing like every [[graft.sources.Bucketed]] rewrite
-    * (duplicate postings of an interrupted swap collapse onto one new
-    * key and dedup away); guarded by the single-maintenance-writer
-    * lock. Returns the number of buckets read. */
+    * source corpus never re-read or re-normalized. Crash-safe like
+    * every [[graft.sources.Bucketed]] rewrite — the staged new keys
+    * become visible in ONE manifest commit, so a crash serves either
+    * the old assignment or the new one, never a mix — and guarded by
+    * the single-maintenance-writer lock. Returns the number of
+    * buckets read. */
   def reassignIndex(spark: SparkSession, table: String,
                     cents: Array[Array[Double]]): Int = {
     val bc = spark.sparkContext.broadcast(cents)
@@ -212,8 +213,9 @@ object IncrementalAnn {
     * `maxFilesPerBucket` files into one sorted file (see
     * [[graft.sources.Bucketed.compactBuckets]]). Deduplication is ON —
     * the index is a SET of (centroid, id, vn) postings, and a
-    * duplicated posting (at-least-once replay, interrupted compaction)
-    * would otherwise occupy two slots of a probe's top-k window.
+    * duplicated posting (an at-least-once append replay landing the
+    * same rows twice) would otherwise occupy two slots of a probe's
+    * top-k window.
     * Returns the number of buckets rewritten. */
   def compactIndex(spark: SparkSession, table: String,
                    maxFilesPerBucket: Int = 4): Int =

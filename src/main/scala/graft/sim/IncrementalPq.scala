@@ -33,22 +33,25 @@ import org.apache.spark.sql.functions._
   * [[Pq.pinnedAdcTopK]] when every list is probed (the IVF restriction
   * dropped, the two paths must rank identically).
   *
-  * Duplicate-posting window: between an interrupted maintenance swap
-  * and its re-run (or the next compaction — both dedup), a duplicated
+  * Duplicate postings: maintenance crashes leave NO duplicate window
+  * (the [[graft.sources.Bucketed]] generation-manifest commit serves
+  * a complete generation on every crash path), so the remaining
+  * source is an at-least-once APPEND replay landing identical rows
+  * twice — and until the next compaction dedups them, a duplicated
   * posting DOUBLE-COUNTS in the ADC sum here, where the full-vector
   * index's duplicate merely occupies two top-k slots at the same
-  * score. Same healing contract ([[graft.sources.Bucketed]]: re-run
-  * the op / compact), one notch more reason to run it promptly.
+  * score. One notch more reason to compact promptly on this family.
   *
   * The trade vs [[IncrementalAnn]]: ADC ranks by approximate scores
   * (recall-bounded by the codebooks), and an exact re-rank would need
   * the original vectors from a side table — by design NOT stored here.
   * Deployments wanting exact top-k keep the full-vector index; this
-  * one exists for the 64× smaller scan. The same trade bounds
-  * maintenance: a codebook refresh cannot re-derive postings from the
-  * index (codes are lossy — there is no vn to re-encode), so drift
-  * maintenance here is [[buildIndex]] from the source corpus — one
-  * pass, the same cost the build paid — where the full-vector index
+  * one exists for the 64× smaller scan. Codes being lossy, a codebook
+  * refresh cannot re-derive postings from THIS index — but it never
+  * needs the 100 TB corpus either: [[refreshFromVnIndex]] re-encodes
+  * from the companion FULL-VECTOR index (the same table the
+  * [[probeRerank]] serving stack already maintains), one vn-index
+  * read + one staged code-table write, where the full-vector index
   * refreshes in place ([[IncrementalAnn.reassignIndex]]). Bounded-cost
   * DELETION still works from content alone (re-encode the deleted
   * vectors, rewrite their buckets), as does compaction.
@@ -64,23 +67,40 @@ object IncrementalPq {
     * the probe adds the q·centroid offset back per probed list. */
   private def postings(vecs: DataFrame, coarse: Array[Array[Double]],
                        books: Pq.Codebooks,
-                       residual: Boolean): DataFrame = {
-    val spark = vecs.sparkSession
+                       residual: Boolean): DataFrame =
+    encodePostings(
+      graft.sources.Tables.widen(vecs)
+        .select(col("id").cast("long"), col("vec").cast("array<double>")),
+      coarse, books, residual, normalize = true)
+
+  /** (centroid, id, codes) from (id, vector) rows. With `normalize =
+    * false` the input vectors are taken as ALREADY L2-normalized — the
+    * refresh path: the companion index's stored vn are bit-for-bit the
+    * build's normalize outputs, and re-normalizing a unit vector is
+    * NOT an IEEE no-op at the last ulp, so skipping it is what keeps a
+    * refreshed index bit-identical to a fresh build. */
+  private def encodePostings(rows: DataFrame, coarse: Array[Array[Double]],
+                             books: Pq.Codebooks, residual: Boolean,
+                             normalize: Boolean): DataFrame = {
+    val spark = rows.sparkSession
     import spark.implicits._
     val dim = books.map(_.head.length).sum
     val bounds = Pq.sliceBounds(dim, books.length)
     val bc = spark.sparkContext.broadcast((coarse, books, bounds))
-    graft.sources.Tables.widen(vecs)
-      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+    rows
       .as[(Long, Array[Double])]
       .mapPartitions { rows =>
         val (crs, bks, bds) = bc.value
         rows.map { case (id, v) =>
-          var ss = 0.0
-          var i = 0
-          while (i < v.length) { ss += v(i) * v(i); i += 1 }
-          val inv = if (ss == 0) 0.0 else 1.0 / math.sqrt(ss)
-          val vn = v.map(_ * inv)
+          val vn =
+            if (!normalize) v
+            else {
+              var ss = 0.0
+              var i = 0
+              while (i < v.length) { ss += v(i) * v(i); i += 1 }
+              val inv = if (ss == 0) 0.0 else 1.0 / math.sqrt(ss)
+              v.map(_ * inv)
+            }
           val cOf = Ivf.nearestCentroid(vn, crs)
           val enc =
             if (!residual) vn
@@ -144,6 +164,42 @@ object IncrementalPq {
                    maxFilesPerBucket: Int = 4): Int =
     graft.sources.Bucketed.compactBuckets(spark, table, maxFilesPerBucket)
 
+  /** Codebook-drift maintenance WITHOUT a corpus re-read: re-encode the
+    * ENTIRE code index under NEW codebooks from the companion
+    * full-vector index ([[IncrementalAnn.buildIndex]]'s table — the
+    * one the [[probeRerank]] serving stack already keeps beside the
+    * codes, with the same ids). Codes are lossy, so the new generation
+    * cannot derive from the code table itself; the vn index stores
+    * exactly what a fresh build would re-derive — the L2-normalized
+    * vectors, bit-for-bit — so re-encoding them (normalize SKIPPED;
+    * see [[encodePostings]]) yields an index INDISTINGUISHABLE from
+    * `buildIndex(corpus, newCoarse, newBooks)`: probe parity is
+    * oracle-checkable with pinned codebooks (q144) and spec-pinned
+    * against a fresh rebuild.
+    *
+    * Cost: one read of the vn index + one staged bucket-write of the
+    * ~64× smaller code table (plus a dedup shuffle of those small
+    * rows, keeping the posting SET invariant if the vn index carries
+    * replay duplicates) — vs the full corpus scan the codes'
+    * lossiness would otherwise force at 100 TB. Commits through
+    * [[graft.sources.Bucketed.replaceAll]]'s one-file generation
+    * manifest: a crash serves either the complete old code index or
+    * the complete new one, never a mix of codebooks. The companion vn
+    * index refreshes separately ([[IncrementalAnn.reassignIndex]],
+    * same new coarse codebook) — order is free, since this op reads
+    * only (id, vn), which reassignment preserves. Returns the number
+    * of files in the new code generation. */
+  def refreshFromVnIndex(spark: SparkSession, codeTable: String,
+                         vnTable: String, coarse: Array[Array[Double]],
+                         books: Pq.Codebooks,
+                         residual: Boolean = false): Int = {
+    val vn = graft.sources.Bucketed.load(spark, vnTable)
+      .select(col("id").cast("long"), col("vn").cast("array<double>"))
+    graft.sources.Bucketed.replaceAll(spark, codeTable,
+      encodePostings(vn, coarse, books, residual, normalize = false)
+        .dropDuplicates())
+  }
+
   /** Per-query probe lists with the coarse dot for each probed
     * centroid — ONE implementation of the (-dot, centroid) selection
     * shared by [[probe]] (which also derives the residual offset from
@@ -177,7 +233,21 @@ object IncrementalPq {
     * Output: (query_id, neighbor_id, adc_e6, rank). */
   def probe(spark: SparkSession, queries: DataFrame, table: String,
             coarse: Array[Array[Double]], books: Pq.Codebooks, k: Int,
-            nProbe: Int = 8, residual: Boolean = false): DataFrame = {
+            nProbe: Int = 8, residual: Boolean = false): DataFrame =
+    probeImpl(spark, queries, table, coarse, books, k, nProbe,
+      residual).result
+
+  /** [[probe]]'s result plus the normalized query batch and the probed
+    * centroid set it derived — shared with [[probeRerank]] so the
+    * vector fetch prunes to exactly the lists the code scan read and
+    * the query batch is normalized ONCE per serving call. */
+  private final case class Probed(result: DataFrame, probed: Seq[Int],
+                                  qRows: Array[(Long, Array[Double])])
+
+  private def probeImpl(spark: SparkSession, queries: DataFrame,
+                        table: String, coarse: Array[Array[Double]],
+                        books: Pq.Codebooks, k: Int, nProbe: Int,
+                        residual: Boolean): Probed = {
     import spark.implicits._
     val m = books.length
     val ksub = books.head.length
@@ -228,7 +298,9 @@ object IncrementalPq {
         (col("off_e6") + col("__lutsum")).as("adc_e6"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_e6").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    Probed(
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k),
+      probed, qRows)
   }
 
   /** The full IVF-PQ serving stack: ADC shortlist from the CODE index
@@ -251,23 +323,19 @@ object IncrementalPq {
                   k: Int, nProbe: Int = 8, rerankFactor: Int = 10,
                   residual: Boolean = false): DataFrame = {
     import spark.implicits._
-    val shortlist = probe(spark, queries, codeTable, coarse, books,
-        k = math.max(k, rerankFactor * k), nProbe, residual)
-      .select("query_id", "neighbor_id")
-    // the probed-centroid set prunes the vector fetch to the same
-    // buckets the code scan read (bounded by the codebook, the
-    // IncrementalAnn.probe pushdown); queries are a bounded batch —
-    // the second normalize pass costs one small job, not a scan
-    val qRows = Ivf.normalized(queries, "query_id", "qv")
-      .as[(Long, Array[Double])].collect()
-    val probed = probeLists(qRows, coarse, nProbe)
-      .map(_._2).distinct.sorted
+    // ONE normalize + probe-list derivation serves both scans: the ADC
+    // shortlist reuses pp.result, and the probed-centroid set prunes
+    // the vector fetch to the same buckets the code scan read (bounded
+    // by the codebook, the IncrementalAnn.probe pushdown)
+    val pp = probeImpl(spark, queries, codeTable, coarse, books,
+      k = math.max(k, rerankFactor * k), nProbe, residual)
+    val shortlist = pp.result.select("query_id", "neighbor_id")
     val vnIdx = graft.sources.Bucketed.load(spark, vnTable)
-      .filter(col("centroid").isin(probed.toIndexedSeq: _*))
+      .filter(col("centroid").isin(pp.probed.toIndexedSeq: _*))
       .select(col("id").as("neighbor_id"), col("vn"))
     val scored = vnIdx
       .join(broadcast(shortlist), Seq("neighbor_id"))
-      .join(broadcast(qRows.toSeq.toDF("query_id", "qv")), Seq("query_id"))
+      .join(broadcast(pp.qRows.toSeq.toDF("query_id", "qv")), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.expressions.DotE6.col(col("qv"), col("vn")).as("cos_e6"))
     val w = Window.partitionBy("query_id")

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Bucketed-table helpers — the zero-shuffle co-located join path the
@@ -14,28 +15,51 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * merge. The write pays one shuffle ONCE; every subsequent join is
   * shuffle-free (asserted in BucketedSpec against the physical plan).
   *
+  * GENERATION MANIFEST (one-file commit on every filesystem): each
+  * table dir carries a `_graft_manifest.&lt;gen&gt;` file listing the
+  * CURRENT data files; [[load]] resolves through the highest valid
+  * generation and treats unlisted `part-` files as invisible (deleting
+  * them when it is safe to — see below). Every mutation commits by
+  * atomically CREATING the next generation file — a single small
+  * object PUT, atomic on HDFS, local disk, and S3-style stores alike —
+  * so the maintenance swap no longer leans on multi-file rename
+  * atomicity: staged files land in the dir INVISIBLE (unlisted), and
+  * one manifest write flips readers from the old generation to the
+  * new. Crash windows therefore serve the OLD generation intact — no
+  * duplicate-rows window, no lost-rows window:
+  *
+  *   - crash before the manifest commit → new files are unlisted
+  *     orphans; readers serve the old generation; the next [[load]] or
+  *     maintenance op reconciles (deletes) the orphans;
+  *   - crash after the commit, before the old files are deleted → old
+  *     files are unlisted; same reconciliation;
+  *   - a torn manifest write (crash mid-PUT) fails validation (magic
+  *     header + `END &lt;count&gt;` trailer) and readers fall back to the
+  *     previous generation.
+  *
+  * Plain [[save]] appends stay safe during maintenance: an append's
+  * files join the manifest via its own commit (set-union under the
+  * in-process manifest lock), and reconciliation never deletes files
+  * while an append is in flight in this process.
+  *
   * CONCURRENCY CONTRACT (single maintenance writer): the rewrite-based
-  * maintenance ops — [[compactBuckets]], [[rewriteBuckets]], and their
-  * callers (index deletion, codebook reassignment) — are individually
-  * crash-safe (visible-first swap) but NOT safe to run concurrently
-  * with each other on one table: two overlapping rewrites each read
-  * the pre-op file set, so the second swap can resurrect rows the
-  * first removed (a compaction racing a delete would silently undo the
-  * erasure). A per-table in-process lock makes the mistake loud: a
-  * second concurrent maintenance op in the same driver fails fast
-  * instead of corrupting. The lock is deliberately NOT a lock FILE: a
-  * file survives a crashed writer, and a stale lock would brick the
-  * gates' documented self-healing replay (streamNovel re-runs its
-  * inline compaction after a crash — with a leftover file it would
-  * fail forever instead of healing); the in-process lock dies with
-  * the JVM that held it, exactly when its op does. CROSS-PROCESS
-  * exclusion is the deployment's contract — one maintenance owner per
-  * index, the same assumption Spark's own non-transactional tables
-  * make — and is documented rather than half-enforced. Plain [[save]]
-  * appends are NOT lock-guarded: an append lands a fresh file the
-  * in-flight rewrite never read and never deletes, so
-  * append-during-maintenance is safe; ordering an append against a
-  * delete of the SAME keys is the caller's pipeline contract.
+  * maintenance ops — [[compactBuckets]], [[rewriteBuckets]],
+  * [[rewriteAll]], [[replaceAll]] and their callers (index deletion,
+  * codebook reassignment, PQ refresh) — are individually crash-safe
+  * but NOT safe to run concurrently with each other on one table: two
+  * overlapping rewrites each read the pre-op manifest, so the second
+  * commit would re-list rows the first removed. A per-table in-process
+  * lock makes the mistake loud: a second concurrent maintenance op in
+  * the same driver fails fast instead of corrupting. The lock is
+  * deliberately NOT a lock FILE: a file survives a crashed writer, and
+  * a stale lock would brick the gates' documented self-healing replay
+  * (streamNovel re-runs its inline compaction after a crash — with a
+  * leftover file it would fail forever instead of healing); the
+  * in-process lock dies with the JVM that held it, exactly when its op
+  * does. CROSS-PROCESS exclusion is the deployment's contract — one
+  * WRITER process per index, the same assumption Spark's own
+  * non-transactional tables make — and is documented rather than
+  * half-enforced.
   */
 object Bucketed {
 
@@ -69,24 +93,84 @@ object Bucketed {
         if (parts.length == 2) (parts(0), parts(1))
         else (spark.catalog.currentDatabase, parts(0))
       if (spark.catalog.databaseExists(db)) {
-        val loc = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(
-            spark.catalog.getDatabase(db).locationUri),
+        val loc = new Path(
+          new Path(spark.catalog.getDatabase(db).locationUri),
           tbl.toLowerCase(java.util.Locale.ROOT))
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
       }
     }
-    val sort = if (sortCols.nonEmpty) sortCols else keys
-    df.write.mode(mode)
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(sort.head, sort.tail: _*)
-      .format("parquet")
-      .saveAsTable(table)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val existedBefore = spark.sessionState.catalog.tableExists(ident)
+    def locOf: Path =
+      new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+    // the append commit adds (post-write listing − pre-write listing)
+    // to the manifest; capture the pre-write listing while the table
+    // still has only its committed files
+    val beforeNames: Set[String] =
+      if (mode == SaveMode.Append && existedBefore) {
+        val loc = locOf
+        dataFileNames(fileSystemOf(spark, loc), loc)
+      } else Set.empty
+    val guard = if (existedBefore) Some(locOf.toString) else None
+    guard.foreach(appendBegin)
+    try {
+      val sort = if (sortCols.nonEmpty) sortCols else keys
+      df.write.mode(mode)
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(sort.head, sort.tail: _*)
+        .format("parquet")
+        .saveAsTable(table)
+      if (!(mode == SaveMode.Ignore && existedBefore)) {
+        val loc = locOf
+        val fs = fileSystemOf(spark, loc)
+        withManifestLock(loc.toString) {
+          val names = dataFileNames(fs, loc)
+          if (mode == SaveMode.Append && existedBefore) {
+            // union-add: a concurrent append's files may appear in this
+            // listing diff too — adding them twice is idempotent
+            val base = readManifest(fs, loc).map(_._2).getOrElse(beforeNames)
+            writeNextManifest(fs, loc, base ++ (names -- beforeNames))
+          } else writeNextManifest(fs, loc, names)
+        }
+      }
+    } finally guard.foreach(appendEnd)
   }
 
-  def load(spark: SparkSession, table: String): DataFrame =
+  /** The table as a DataFrame, resolved through its generation
+    * manifest: unlisted `part-` files (uncommitted staging from a
+    * crashed maintenance op, or an old generation a crashed op already
+    * committed away) are deleted before the scan — Spark's bucketed
+    * scan reads every file in the dir, so reconciliation is what makes
+    * the manifest authoritative. Deletion is skipped while an append
+    * is in flight in this process (its files are legitimately unlisted
+    * until its commit). A table without a manifest (pre-manifest
+    * layout) is served as-is. */
+  def load(spark: SparkSession, table: String): DataFrame = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val loc = new Path(meta.location)
+    val fs = fileSystemOf(spark, loc)
+    for ((_, listed) <- readManifest(fs, loc)) {
+      val onDisk = dataFileNames(fs, loc)
+      val missing = listed -- onDisk
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"$table is corrupt: manifest lists ${missing.size} data file(s) " +
+          s"not on disk (e.g. ${missing.head}) — files were removed " +
+          "outside the maintenance ops")
+      if ((onDisk -- listed).nonEmpty && !appendInFlight(loc.toString))
+        withManifestLock(loc.toString) {
+          // re-read under the lock — a commit may have just landed
+          val listedNow = readManifest(fs, loc).map(_._2).getOrElse(Set.empty)
+          val extraNow = dataFileNames(fs, loc) -- listedNow
+          if (extraNow.nonEmpty && !appendInFlight(loc.toString)) {
+            extraNow.foreach(n => fs.delete(new Path(loc, n), false))
+            spark.catalog.refreshTable(table)
+          }
+        }
+    }
     spark.table(table)
+  }
 
   /** Rewrite every bucket whose file count exceeds `maxFilesPerBucket`
     * into ONE sorted file, preserving the table's bucket spec — the
@@ -104,18 +188,17 @@ object Bucketed {
     * (`..._<bucketId>.ext` — how Spark's bucketed scan groups files),
     * so each oversized bucket is rewritten by reading just its files,
     * deduplicating if requested, sorting by the table's sort columns,
-    * and swapping in a single correctly-named file. The swap makes the
-    * compacted file visible BEFORE deleting the originals: a crash
-    * mid-compaction therefore leaves duplicate rows, never missing
-    * ones — the safe side for the callers (a missing band/posting row
-    * would silently pass a duplicate document through the novel-docs
-    * gate; duplicates change no gate verdict and are removed by the
-    * next compaction pass). `dedupRows` defaults true because both
-    * index layouts are SETS of posting rows — (bkey, doc) bands and
-    * (centroid, id, vn) inverted lists — where duplicates (from
-    * at-least-once batch replay or a prior interrupted compaction) are
-    * semantically idle for the dedup gate but would double-count a
-    * neighbor in the ANN probe's top-k window.
+    * and committing a single correctly-named file per bucket through
+    * the generation manifest (see the object scaladoc): staged files
+    * land unlisted, ONE atomically-created manifest file flips
+    * readers, and every crash window serves a complete generation —
+    * the old one before the commit, the new one after. `dedupRows`
+    * defaults true because both index layouts are SETS of posting
+    * rows — (bkey, doc) bands and (centroid, id, vn) inverted lists —
+    * where duplicates from at-least-once batch REPLAY (an append run
+    * twice lands its rows twice) are semantically idle for the dedup
+    * gate but would double-count a neighbor in the ANN probe's top-k
+    * window.
     *
     * Runs as ONE job over only the oversized buckets' files: their
     * rows are re-bucketed through a staging table written with the
@@ -126,16 +209,8 @@ object Bucketed {
     * 4096-bucket index where only the 30 buckets touched since the
     * last pass are oversized reads and rewrites 30 buckets' files in
     * one 30-task wave — per-bucket selectivity AND full cluster
-    * parallelism, no per-bucket driver-looped jobs.
-    *
-    * Filesystem caveat: the swap is a driver-side rename-then-delete
-    * loop — atomic and cheap per file on HDFS/local, but a COPY on
-    * S3-style object stores (rename is not native there). A real
-    * object-store deployment puts the index behind a manifest-backed
-    * table format where compaction is a metadata swap; this
-    * implementation targets the HDFS-semantics filesystems Spark's
-    * own bucketed tables assume. Returns the number of buckets
-    * rewritten. */
+    * parallelism, no per-bucket driver-looped jobs. Returns the number
+    * of buckets rewritten. */
   def compactBuckets(spark: SparkSession, table: String,
                      maxFilesPerBucket: Int = 4,
                      dedupRows: Boolean = true): Int =
@@ -150,11 +225,11 @@ object Bucketed {
     * affected keys (the bucket function is `pmod(hash(key), n)` —
     * Spark's own `HashPartitioning.partitionIdExpression`) pays
     * O(those buckets), not O(table). Same one-job staging +
-    * visible-first swap as [[compactBuckets]]; `transform` MUST be
+    * manifest commit as [[compactBuckets]]; `transform` MUST be
     * idempotent and duplicate-tolerant (compose with dropDuplicates
-    * for posting sets) because a crash between the swap-in and the
-    * old-file deletes leaves both generations visible until the
-    * caller re-runs. Returns the number of buckets rewritten. */
+    * for posting sets) because at-least-once replay can run the same
+    * op — and the same upstream append — twice. Returns the number of
+    * buckets rewritten. */
   def rewriteBuckets(spark: SparkSession, table: String,
                      bucketIds: Set[Int],
                      transform: DataFrame => DataFrame): Int =
@@ -168,8 +243,8 @@ object Bucketed {
     * where the bucket-key VALUES change and rows migrate buckets). The
     * transform may rewrite the bucket column itself: the staging write
     * re-derives each row's bucket from the transformed values, so the
-    * swap lands every row in its correct new bucket file. Same
-    * one-job staging + visible-first swap + maintenance lock as
+    * commit lands every row in its correct new bucket file. Same
+    * one-job staging + manifest commit + maintenance lock as
     * [[compactBuckets]]; `transform` MUST be idempotent and
     * duplicate-tolerant. Returns the number of buckets read. */
   def rewriteAll(spark: SparkSession, table: String,
@@ -177,16 +252,51 @@ object Bucketed {
     rewriteCore(spark, table, select = _ => true, bucketIds = None,
       transform = transform)
 
+  /** Replace the table's ENTIRE contents with `rows` in one staged,
+    * manifest-committed generation — the maintenance primitive for
+    * indexes whose new generation derives from somewhere OTHER than
+    * their own files (the PQ-refresh shape: codes are lossy, so the
+    * refreshed code postings re-encode from the companion full-vector
+    * index, not from the code table). Unlike [[save]](Overwrite) there
+    * is no window where the table is empty or partially written:
+    * staged files land unlisted, one manifest write flips readers from
+    * the complete old generation to the complete new one, and a crash
+    * anywhere leaves one of the two fully served. Files committed by
+    * appends that land DURING the replace survive it (their manifest
+    * entries are preserved); ordering an append's rows against the
+    * replacement is the caller's pipeline contract. Returns the number
+    * of data files in the new generation. */
+  def replaceAll(spark: SparkSession, table: String,
+                 rows: DataFrame): Int =
+    withMaintenanceLock(spark, table) { (meta, dir, fs) =>
+      val listed = readManifest(fs, dir).map(_._2)
+      val all = listDataFiles(fs, dir)
+      reconcileOrphans(spark, table, dir, fs, listed, all)
+      val oldFiles = listed match {
+        case Some(names) => all.filter(f => names(f.getPath.getName))
+        case None => all
+      }
+      stageSwapCommit(spark, table, meta, dir, fs, rows, oldFiles,
+        legacyBase = oldFiles.map(_.getPath.getName).toSet)
+    }
+
   private def rewriteCore(spark: SparkSession, table: String,
-                          select: Seq[org.apache.hadoop.fs.FileStatus] => Boolean,
+                          select: Seq[FileStatus] => Boolean,
                           bucketIds: Option[Set[Int]],
-                          transform: DataFrame => DataFrame): Int = {
-    import org.apache.hadoop.fs.Path
+                          transform: DataFrame => DataFrame): Int =
+    withMaintenanceLock(spark, table) { (meta, dir, fs) =>
+      rewriteLocked(spark, table, meta, dir, fs, select, bucketIds,
+        transform)
+    }
+
+  private def withMaintenanceLock[A](spark: SparkSession, table: String)(
+      body: (org.apache.spark.sql.catalyst.catalog.CatalogTable, Path,
+             FileSystem) => A): A = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     require(meta.bucketSpec.isDefined, s"$table is not bucketed")
     val dir = new Path(meta.location)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fileSystemOf(spark, dir)
     // single-maintenance-writer guard (see the object scaladoc):
     // acquired before the file listing — the listing is part of the
     // read-modify-write a concurrent rewrite would corrupt. Keyed on
@@ -194,11 +304,10 @@ object Bucketed {
     // one table contend on one lock.
     val lock = maintenanceLockFor(dir.toString)
     if (!lock.tryLock()) throw new IllegalStateException(
-      s"maintenance already in flight on $table — compaction, deletion " +
-        "and reassignment are single-writer ops; retry after the " +
-        "running op finishes")
-    try rewriteLocked(spark, table, meta, dir, fs, select, bucketIds,
-      transform)
+      s"maintenance already in flight on $table — compaction, deletion, " +
+        "reassignment and replacement are single-writer ops; retry " +
+        "after the running op finishes")
+    try body(meta, dir, fs)
     finally lock.unlock()
   }
 
@@ -217,26 +326,31 @@ object Bucketed {
   /** Test hook: the lock a maintenance op on `location` would take. */
   private[sources] def maintenanceLockFor(location: String)
       : java.util.concurrent.locks.ReentrantLock =
-    maintenanceLocks.computeIfAbsent(new org.apache.hadoop.fs.Path(location).toString,
+    maintenanceLocks.computeIfAbsent(new Path(location).toString,
       _ => new java.util.concurrent.locks.ReentrantLock())
 
   private def rewriteLocked(spark: SparkSession, table: String,
                             meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
-                            dir: org.apache.hadoop.fs.Path,
-                            fs: org.apache.hadoop.fs.FileSystem,
-                            select: Seq[org.apache.hadoop.fs.FileStatus] => Boolean,
+                            dir: Path, fs: FileSystem,
+                            select: Seq[FileStatus] => Boolean,
                             bucketIds: Option[Set[Int]],
                             transform: DataFrame => DataFrame): Int = {
-    import org.apache.hadoop.fs.Path
-    val bucketSpec = meta.bucketSpec.getOrElse(
-      throw new IllegalArgumentException(s"$table is not bucketed"))
+    val all = listDataFiles(fs, dir)
+    val listed = readManifest(fs, dir).map(_._2)
+    // reconcile BEFORE choosing inputs: a crashed maintenance op's
+    // uncommitted staging files are on disk but unlisted, and folding
+    // them into this op's read (e.g. a compaction after a crashed
+    // reassign) would commit a mix of two generations
+    reconcileOrphans(spark, table, dir, fs, listed, all)
+    val dataFiles = listed match {
+      case Some(names) => all.filter(f => names(f.getPath.getName))
+      case None => all
+    }
     // Spark's bucketed scan derives the bucket id from the trailing
     // `_<digits>` of the file name (before the extension) — group the
     // data files the same way; anything unparseable is left untouched
     val bucketIdOf: String => Option[Int] = name =>
       """.*_(\d+)(?:\..*)?$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
-    val dataFiles = fs.listStatus(dir).toSeq
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
     val chosen = dataFiles.groupBy(f => bucketIdOf(f.getPath.getName))
       .collect { case (Some(b), fsOfB)
         if bucketIds.forall(_.contains(b)) && select(fsOfB) => b -> fsOfB }
@@ -244,30 +358,181 @@ object Bucketed {
     val oldFiles = chosen.values.flatten.toSeq
     val rows = transform(spark.read.schema(meta.schema)
       .parquet(oldFiles.map(_.getPath.toString): _*))
+    stageSwapCommit(spark, table, meta, dir, fs, rows, oldFiles,
+      legacyBase = dataFiles.map(_.getPath.getName).toSet)
+    chosen.size
+  }
+
+  /** Stage `rows` through a same-bucket-spec staging table, rename the
+    * staged files into `dir` (still INVISIBLE — unlisted), commit by
+    * writing the next generation manifest (old file names out, new in,
+    * entries appended concurrently preserved), then delete the old
+    * files. A crash before the manifest write leaves the old
+    * generation served and the staged files as reconcilable orphans;
+    * after it, the new generation is served and the old files are the
+    * orphans. Returns the number of staged data files. */
+  private def stageSwapCommit(spark: SparkSession, table: String,
+                              meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+                              dir: Path, fs: FileSystem, rows: DataFrame,
+                              oldFiles: Seq[FileStatus],
+                              legacyBase: Set[String]): Int = {
+    val bucketSpec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table is not bucketed"))
     val keyCols = bucketSpec.bucketColumnNames
       .map(org.apache.spark.sql.functions.col)
     val staging = s"${table}__rewrite"
     save(rows.repartition(bucketSpec.numBuckets, keyCols: _*),
       staging, bucketSpec.bucketColumnNames, bucketSpec.numBuckets,
       sortCols = bucketSpec.sortColumnNames)
-    try {
-      val stagingDir = new Path(spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(staging)).location)
-      val newFiles = fs.listStatus(stagingDir).toSeq
-        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      // visible-first swap: the rewritten files land BEFORE the
-      // originals go, so a crash mid-swap leaves BOTH generations
-      // visible (duplicates / not-yet-deleted rows) rather than losing
-      // rows — recovered by re-running the same maintenance op
-      newFiles.foreach { f =>
-        val target = new Path(dir, f.getPath.getName)
-        require(fs.rename(f.getPath, target), s"rename to $target failed")
-      }
-      oldFiles.foreach(f => fs.delete(f.getPath, false))
-    } finally spark.sql(
-      s"DROP TABLE IF EXISTS ${staging.split('.').map(p => s"`$p`").mkString(".")}")
+    val nNew =
+      try {
+        val stagingDir = new Path(spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(staging)).location)
+        val newFiles = listDataFiles(fs, stagingDir)
+        newFiles.foreach { f =>
+          val target = new Path(dir, f.getPath.getName)
+          require(fs.rename(f.getPath, target), s"rename to $target failed")
+        }
+        val oldNames = oldFiles.map(_.getPath.getName).toSet
+        val newNames = newFiles.map(_.getPath.getName).toSet
+        withManifestLock(dir.toString) {
+          val base = readManifest(fs, dir).map(_._2).getOrElse(legacyBase)
+          writeNextManifest(fs, dir, base -- oldNames ++ newNames)
+        }
+        oldFiles.foreach(f => fs.delete(f.getPath, false))
+        newFiles.size
+      } finally spark.sql(
+        s"DROP TABLE IF EXISTS ${staging.split('.').map(p => s"`$p`").mkString(".")}")
     // drop the cached file listing so the next scan sees the new layout
     spark.catalog.refreshTable(table)
-    chosen.size
+    nNew
   }
+
+  /** Delete on-disk `part-` files the manifest does not list — crash
+    * leftovers of an interrupted maintenance op (either its
+    * uncommitted staging or the superseded generation it didn't get to
+    * delete). Skipped while an append is in flight in this process:
+    * an append's files are legitimately unlisted until its commit. */
+  private def reconcileOrphans(spark: SparkSession, table: String,
+                               dir: Path, fs: FileSystem,
+                               listed: Option[Set[String]],
+                               onDisk: Seq[FileStatus]): Unit =
+    for (names <- listed) {
+      val extra = onDisk.filterNot(f => names(f.getPath.getName))
+      if (extra.nonEmpty && !appendInFlight(dir.toString)) {
+        extra.foreach(f => fs.delete(f.getPath, false))
+        spark.catalog.refreshTable(table)
+      }
+    }
+
+  // ---- generation manifest ------------------------------------------
+
+  private val ManifestName = """^_graft_manifest\.(\d+)$""".r
+  private val ManifestMagic = "graft-manifest-v1"
+
+  private def fileSystemOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listDataFiles(fs: FileSystem, dir: Path): Seq[FileStatus] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+
+  private def dataFileNames(fs: FileSystem, dir: Path): Set[String] =
+    listDataFiles(fs, dir).map(_.getPath.getName).toSet
+
+  private def manifestEntries(fs: FileSystem, dir: Path): Seq[(Long, Path)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath)
+      .flatMap(p => p.getName match {
+        case ManifestName(g) => Some(g.toLong -> p)
+        case _ => None
+      })
+      .sortBy(_._1)
+
+  /** The highest VALID generation: (gen, listed file names). A torn
+    * manifest (crash mid-write — bad magic, bad trailer, short read)
+    * is skipped, falling back to the previous generation. */
+  private[sources] def readManifest(fs: FileSystem,
+                                    dir: Path): Option[(Long, Set[String])] =
+    manifestEntries(fs, dir).reverseIterator.flatMap { case (gen, p) =>
+      parseManifest(fs, p).map(gen -> _)
+    }.nextOption()
+
+  private def parseManifest(fs: FileSystem, p: Path): Option[Set[String]] =
+    try {
+      val in = fs.open(p)
+      val bytes =
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n", -1).toSeq
+      val End = """^END (\d+)$""".r
+      lines match {
+        case ManifestMagic +: rest if rest.nonEmpty =>
+          rest.last match {
+            case End(n) if rest.length - 1 == n.toInt =>
+              Some(rest.dropRight(1).toSet)
+            case _ => None
+          }
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Create generation (highest-seen + 1) listing `names`, then delete
+    * the superseded manifest files (best-effort: a crash between the
+    * create and the deletes leaves lower generations the reader's
+    * highest-wins resolution ignores). */
+  private def writeNextManifest(fs: FileSystem, dir: Path,
+                                names: Set[String]): Unit = {
+    val prev = manifestEntries(fs, dir)
+    val gen = prev.map(_._1).maxOption.getOrElse(0L) + 1
+    val p = new Path(dir, s"_graft_manifest.$gen")
+    val out = fs.create(p, false)
+    try out.write(
+      ((ManifestMagic +: names.toSeq.sorted) :+ s"END ${names.size}")
+        .mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    prev.foreach { case (_, op) => fs.delete(op, false) }
+  }
+
+  /** Short-critical-section lock serializing manifest read-modify-
+    * writes (append commits vs maintenance commits vs load
+    * reconciliation) — distinct from the maintenance lock, which is
+    * held for a whole op and must NOT block appends. Same in-process
+    * design and growth bound as [[maintenanceLocks]]. */
+  private val manifestLocks =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.locks.ReentrantLock]()
+
+  private def withManifestLock[A](location: String)(body: => A): A = {
+    val lock = manifestLocks.computeIfAbsent(location,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    lock.lock()
+    try body finally lock.unlock()
+  }
+
+  /** In-flight append counters per table location: while >0, unlisted
+    * files may belong to a running append and reconciliation must not
+    * delete them. */
+  private val appendsInFlight =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicInteger]()
+
+  private def appendBegin(location: String): Unit =
+    appendsInFlight.computeIfAbsent(location,
+      _ => new java.util.concurrent.atomic.AtomicInteger()).incrementAndGet()
+
+  private def appendEnd(location: String): Unit =
+    appendsInFlight.get(location) match {
+      case null => ()
+      case c => c.decrementAndGet()
+    }
+
+  private def appendInFlight(location: String): Boolean =
+    appendsInFlight.get(location) match {
+      case null => false
+      case c => c.get() > 0
+    }
 }

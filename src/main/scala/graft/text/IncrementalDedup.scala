@@ -82,7 +82,7 @@ object IncrementalDedup {
     * purge of a large corpus fraction should rebuild the index
     * instead, one bucket-write shuffle). dropDuplicates in the
     * rewrite keeps the op idempotent and heals duplicate postings
-    * left by an interrupted maintenance swap. Returns the number of
+    * left by an at-least-once append replay. Returns the number of
     * buckets rewritten. */
   def deleteFromIndex(docs: DataFrame, table: String, buckets: Int,
                       textCol: String = "text", idCol: String = "doc_id",

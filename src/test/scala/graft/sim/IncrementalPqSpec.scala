@@ -212,6 +212,49 @@ class IncrementalPqSpec extends SparkSuite {
     }
   }
 
+  test("refreshFromVnIndex is bit-identical to a fresh build under the new codebooks") {
+    val tCodes = "graft_incpq_refresh_codes"
+    val tVn = "graft_incpq_refresh_vn"
+    val tFresh = "graft_incpq_refresh_fresh"
+    val coarseB = Pinned.ivfCentroids(8, dim, salt = "r:")
+    val booksB = Pinned.pqBooks(salt = "r:")
+    try {
+      val corpus = vecs(0, 150)
+      val q = vecs(500, 508)
+      for (res <- Seq(false, true)) {
+        IncrementalPq.buildIndex(corpus, tCodes, 4, coarse, books,
+          residual = res)
+        IncrementalAnn.buildIndex(corpus, tVn, 4, coarse)
+        // drift maintenance: no corpus re-read — the code table
+        // re-encodes from the companion vn index under codebook set B
+        IncrementalPq.refreshFromVnIndex(spark, tCodes, tVn, coarseB,
+          booksB, residual = res)
+        IncrementalPq.buildIndex(corpus, tFresh, 4, coarseB, booksB,
+          residual = res)
+        // the refreshed index's ROWS equal the fresh build's — the
+        // stored vn is bit-for-bit the normalize output, so skipping
+        // re-normalization reproduces identical codes and centroids
+        def rowsOf(t: String): Set[(Int, Long, Seq[Int])] =
+          graft.sources.Bucketed.load(spark, t)
+            .select("centroid", "id", "codes")
+            .as[(Int, Long, Seq[Int])].collect().toSet
+        assert(rowsOf(tCodes) == rowsOf(tFresh) && rowsOf(tCodes).nonEmpty,
+          s"residual=$res: refreshed rows differ from a fresh build")
+        def probeSet(t: String): Set[(Long, Long, Long, Int)] =
+          IncrementalPq.probe(spark, q, t, coarseB, booksB, k = 5,
+              nProbe = 8, residual = res)
+            .select("query_id", "neighbor_id", "adc_e6", "rank")
+            .as[(Long, Long, Long, Int)].collect().toSet
+        assert(probeSet(tCodes) == probeSet(tFresh),
+          s"residual=$res: refreshed probe differs from a fresh build")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tCodes")
+      spark.sql(s"DROP TABLE IF EXISTS $tVn")
+      spark.sql(s"DROP TABLE IF EXISTS $tFresh")
+    }
+  }
+
   test("codes postings are at least 4x smaller on disk than full-vector postings") {
     val tPq = "graft_incpq_size_codes"
     val tVn = "graft_incpq_size_vn"

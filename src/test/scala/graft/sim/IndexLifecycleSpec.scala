@@ -93,4 +93,87 @@ class IndexLifecycleSpec extends SparkSuite {
         == finalCorpus.count())
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("PQ code+vn pair: build -> append -> delete -> refresh -> crash window -> compact keeps serving exact") {
+    val tC = "graft_lifecycle_pq_codes"
+    val tV = "graft_lifecycle_pq_vn"
+    // dim 16 => 8 subspaces x 2 dims
+    val booksA = Pinned.pqBooks(m = 8, ksub = 16, subDim = 2)
+    val booksB = Pinned.pqBooks(m = 8, ksub = 16, subDim = 2, salt = "r:")
+    def plantOrphans(table: String): Unit = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      val dir = new java.io.File(
+        new org.apache.hadoop.fs.Path(meta.location).toUri)
+      dir.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+        .foreach { f =>
+          java.nio.file.Files.copy(f.toPath, new java.io.File(f.getParentFile,
+            "part-9" + f.getName.stripPrefix("part-")).toPath)
+        }
+      spark.catalog.refreshTable(table)
+    }
+    try {
+      val q = vecs(500, 506).drop("grp")
+      def servedIds(cents: Array[Array[Double]],
+                    books: Pq.Codebooks): Set[(Long, Long, Long, Int)] =
+        IncrementalPq.probeRerank(spark, q, tC, tV, cents, books, k = 5,
+            nProbe = 8, rerankFactor = 4)
+          .select("query_id", "neighbor_id", "cos_e6", "rank")
+          .as[(Long, Long, Long, Int)].collect().toSet
+      def freshIds(corpus: org.apache.spark.sql.DataFrame,
+                   cents: Array[Array[Double]],
+                   books: Pq.Codebooks): Set[(Long, Long, Long, Int)] = {
+        val (c2, v2) = (s"${tC}_ref", s"${tV}_ref")
+        try {
+          IncrementalPq.buildIndex(corpus, c2, 4, cents, books)
+          IncrementalAnn.buildIndex(corpus, v2, 4, cents)
+          IncrementalPq.probeRerank(spark, q, c2, v2, cents, books, k = 5,
+              nProbe = 8, rerankFactor = 4)
+            .select("query_id", "neighbor_id", "cos_e6", "rank")
+            .as[(Long, Long, Long, Int)].collect().toSet
+        } finally {
+          spark.sql(s"DROP TABLE IF EXISTS $c2")
+          spark.sql(s"DROP TABLE IF EXISTS $v2")
+        }
+      }
+      // 1. build + append on BOTH halves of the serving pair
+      IncrementalPq.buildIndex(vecs(0, 100), tC, 4, centsA, booksA)
+      IncrementalAnn.buildIndex(vecs(0, 100), tV, 4, centsA)
+      IncrementalPq.appendToIndex(vecs(100, 160), tC, 4, centsA, booksA)
+      IncrementalAnn.appendToIndex(vecs(100, 160), tV, 4, centsA)
+      val all = vecs(0, 160)
+      assert(servedIds(centsA, booksA) == freshIds(all, centsA, booksA))
+      // 2. erasure from both
+      IncrementalPq.deleteFromIndex(all.filter(col("id") % 9 === 0),
+        tC, 4, centsA, booksA)
+      IncrementalAnn.deleteFromIndex(all.filter(col("id") % 9 === 0),
+        tV, 4, centsA)
+      val afterDelete = all.filter(col("id") % 9 =!= 0)
+      assert(servedIds(centsA, booksA)
+        == freshIds(afterDelete, centsA, booksA))
+      // 3. codebook refresh across the pair: the vn index re-keys in
+      // place, the code index re-encodes FROM it — no corpus re-read
+      IncrementalAnn.reassignIndex(spark, tV, centsB)
+      IncrementalPq.refreshFromVnIndex(spark, tC, tV, centsB, booksB)
+      val underB = freshIds(afterDelete, centsB, booksB)
+      assert(servedIds(centsB, booksB) == underB)
+      // 4. crash window: an interrupted maintenance swap leaves staged
+      // (uncommitted) files beside the live generation of the CODE
+      // index — the family where a visible duplicate would change ADC
+      // SCORES, not just occupy a slot. The generation manifest keeps
+      // them invisible, so serving stays exact through the window...
+      plantOrphans(tC)
+      assert(servedIds(centsB, booksB) == underB,
+        "uncommitted staging files must not change served scores")
+      // ...and compaction (any later maintenance) reconciles them
+      IncrementalPq.compactIndex(spark, tC, maxFilesPerBucket = 1)
+      IncrementalAnn.compactIndex(spark, tV, maxFilesPerBucket = 1)
+      assert(servedIds(centsB, booksB) == underB)
+      assert(graft.sources.Bucketed.load(spark, tC).count()
+        == afterDelete.count())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tC")
+      spark.sql(s"DROP TABLE IF EXISTS $tV")
+    }
+  }
 }
