@@ -508,6 +508,35 @@ object SimQueries {
         .select(col("query_id"), col("neighbor_id"), col("adc_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // MULTI-QUERY hybrid retrieval — the batch contract on the TEXT
+    // side too: Bm25.topKBatch scores a (query_id, terms) table in
+    // one postings scan (queries enter as a broadcast join, so adding
+    // a query adds rows, not jobs or scans — the shape the ANN side's
+    // query-batch probes already serve), the dense side retrieves the
+    // same ids' embeddings, and RRF fuses per query. Oracle composes
+    // the q88 BM25 CTEs grouped per query with the q27 cosine CTEs
+    // and replays the fusion
+    "q145_hybrid_batch" -> ((s, dir) => {
+      import s.implicits._
+      val d = graft.sources.Tables.table(s, dir, "documents")
+      val e = emb(s, dir)
+      val qterms = Seq(
+        (3L, Seq("hash", "scan", "filter")),
+        (7L, Seq("spark", "join", "window", "stream")),
+        (11L, Seq("vector", "merge", "sort"))).toDF("query_id", "terms")
+      val text = graft.text.Bm25.topKBatch(d, qterms, k = 20)
+        .select("query_id", "doc_id", "rank")
+      val vec = graft.sim.Similarity
+        .bruteForceTopK(e.filter(col("id").isin(3, 7, 11)), e, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      graft.text.Hybrid.rrf(Seq(text, vec), queryCols = Seq("query_id"),
+          idCol = "doc_id", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rrf_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   private val dotSql =
@@ -901,6 +930,78 @@ object SimQueries {
          |  SELECT CAST(7 AS BIGINT) AS query_id, doc_id, rrf_e6,
          |         CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id)
          |              AS BIGINT) AS rank
+         |  FROM f)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // multi-query hybrid replay: the q88 BM25 CTEs with a qt
+    // (query_id, tok) VALUES table and per-query grouping, the q27
+    // cosine CTEs for the same query ids, RRF contributions
+    // 1e6 // (60 + rank) summed per (query, doc), top-10 per query
+    "q145_hybrid_batch" -> {
+      val words = TextQueries.Sql.words
+      s"""WITH qt(query_id, tok) AS (VALUES
+         |  (3, 'hash'), (3, 'scan'), (3, 'filter'),
+         |  (7, 'spark'), (7, 'join'), (7, 'window'), (7, 'stream'),
+         |  (11, 'vector'), (11, 'merge'), (11, 'sort')),
+         |dl AS (
+         |  SELECT doc_id, CAST(len($words) AS BIGINT) AS dl FROM documents),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM dl),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($words) AS tok FROM documents)
+         |  WHERE tok IN (SELECT DISTINCT tok FROM qt)
+         |  GROUP BY doc_id, tok),
+         |idf AS (
+         |  SELECT tok,
+         |         CAST(floor((CAST(n_docs - df AS DOUBLE) + 0.5)
+         |           / (CAST(df AS DOUBLE) + 0.5) * 1000000.0) AS BIGINT) AS idf_e6
+         |  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+         |  CROSS JOIN stats),
+         |w AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |         CAST(floor(CAST(idf_e6 AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf AS DOUBLE)
+         |             + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+         |           AS BIGINT) AS w_e6
+         |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok)
+         |  CROSS JOIN stats),
+         |bmq AS (SELECT qt.query_id, w.doc_id,
+         |          CAST(SUM(w_e6) AS BIGINT) AS score_e6
+         |        FROM w JOIN qt USING (tok) GROUP BY qt.query_id, w.doc_id),
+         |tr AS (SELECT query_id, doc_id, rank FROM (
+         |         SELECT query_id, doc_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score_e6 DESC, doc_id) AS rank
+         |         FROM bmq)
+         |       WHERE rank <= 20),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id IN (3, 7, 11)),
+         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(floor($dotSql / (${normSql("qv")} * ${normSql("cv")}) * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         |vr AS (SELECT query_id, neighbor_id AS doc_id, rank FROM (
+         |         SELECT query_id, neighbor_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |         FROM scored)
+         |       WHERE rank <= 20),
+         |contrib AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS c2
+         |            FROM tr
+         |            UNION ALL
+         |            SELECT query_id, doc_id, 1000000 // (60 + rank) FROM vr),
+         |f AS (SELECT query_id, doc_id, CAST(SUM(c2) AS BIGINT) AS rrf_e6
+         |      FROM contrib GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, rrf_e6, rank FROM (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_e6,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rank
          |  FROM f)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },

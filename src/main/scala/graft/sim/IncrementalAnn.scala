@@ -97,9 +97,16 @@ object IncrementalAnn {
     * non-matching neighbours. */
   def buildIndex(corpus: DataFrame, table: String, buckets: Int,
                  cents: Array[Array[Double]],
-                 attrCols: Seq[String] = Nil): Unit =
-    graft.sources.Bucketed.save(assignedWithAttrs(corpus, cents, attrCols),
+                 attrCols: Seq[String] = Nil,
+                 batchTagged: Boolean = false): Unit = {
+    val asg = assignedWithAttrs(corpus, cents, attrCols)
+    // `batchTagged` adds per-posting batch provenance (seed rows -1) —
+    // the storage the opt-in cross-batch re-arrival guard pays (see
+    // [[gateBatch]]'s ID CONTRACT)
+    graft.sources.Bucketed.save(
+      if (batchTagged) asg.withColumn("batch", lit(-1L)) else asg,
       table, Seq("centroid"), buckets)
+  }
 
   /** Append newly-ingested vectors to the index (same bucket spec — the
     * bucketed-table contract keeps the co-located probe join valid).
@@ -322,14 +329,23 @@ object IncrementalAnn {
     *
     * ID CONTRACT (the [[graft.text.IncrementalDedup.gateBatch]]
     * doctrine): `id` is an identity arriving in at most ONE batch;
-    * only same-batch redelivery is absorbed by the self-exclusion. An
-    * already-kept id re-sent in a LATER batch matches only its own
-    * posting, passes the gate, and is emitted twice. */
+    * only same-batch redelivery is absorbed by the self-exclusion. By
+    * default an already-kept id re-sent in a LATER batch matches only
+    * its own posting, passes the gate, and is emitted twice. The
+    * OPT-IN `reArrivalGuard` closes that leak by paying per-posting
+    * batch provenance ([[buildIndex]]'s `batchTagged`): an own-id
+    * match from a DIFFERENT batch counts as an index hit (the re-sent
+    * vector's cos against its own stored vn is exactly 1.0, always
+    * over threshold), while same-batch matches stay excluded so
+    * replay keeps its identical kept set. Detects re-delivery of the
+    * same vector; an id reused for a different vector is an
+    * id-collision bug upstream. */
   private[graft] def gateBatch(batch: DataFrame, table: String,
                                buckets: Int, cents: Array[Array[Double]],
-                               thresholdE6: Long, nProbe: Int): DataFrame =
+                               thresholdE6: Long, nProbe: Int,
+                               reArrivalGuard: Option[Long] = None): DataFrame =
     gateBatchFull(batch, table, buckets, cents, thresholdE6, nProbe,
-      withMetrics = false)._1
+      withMetrics = false, reArrivalGuard = reArrivalGuard)._1
 
   /** Per-batch vector-gate metrics — counted BEFORE the kept postings
     * are appended (the [[graft.text.IncrementalDedup.GateMetrics]]
@@ -341,7 +357,8 @@ object IncrementalAnn {
   private[graft] def gateBatchFull(batch: DataFrame, table: String,
                                    buckets: Int, cents: Array[Array[Double]],
                                    thresholdE6: Long, nProbe: Int,
-                                   withMetrics: Boolean
+                                   withMetrics: Boolean,
+                                   reArrivalGuard: Option[Long] = None
                                   ): (DataFrame, Option[GateMetrics]) = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -354,9 +371,21 @@ object IncrementalAnn {
       .as[Int].collect().sorted
     val idx = graft.sources.Bucketed.load(spark, table)
       .filter(col("centroid").isin(probed.toIndexedSeq: _*))
+    reArrivalGuard.foreach { _ =>
+      require(idx.columns.contains("batch"),
+        "reArrivalGuard needs a batch-tagged index — build it with " +
+          "buildIndex(..., batchTagged = true)")
+    }
     val cos = graft.expressions.DotE6.col(col("qv"), col("vn"))
+    // the guard narrows the own-posting exclusion to SAME-BATCH rows:
+    // an own-id match from an earlier batch is a genuine re-arrival
+    val ownExcl = reArrivalGuard match {
+      case Some(bid) =>
+        col("id") =!= col("query_id") || col("batch") =!= lit(bid)
+      case None => col("id") =!= col("query_id")
+    }
     val idxHit = idx.join(probes, Seq("centroid"))
-      .filter(col("id") =!= col("query_id") && cos >= thresholdE6)
+      .filter(ownExcl && cos >= thresholdE6)
       .select(col("query_id").as("__drop"))
     val inBatch = asg.join(probes, Seq("centroid"))
       .filter(col("id") =!= col("query_id") && cos >= thresholdE6)
@@ -374,9 +403,11 @@ object IncrementalAnn {
       else None
     // append by FILTERING the already-assigned batch rows — canonical
     // (centroid, id, vn) order for the by-name append
+    val keptPostings = asg.join(kept.select("id"), Seq("id"))
+      .select(col("centroid"), col("id"), col("vn"))
     graft.sources.Bucketed.save(
-      asg.join(kept.select("id"), Seq("id"))
-        .select(col("centroid"), col("id"), col("vn")),
+      reArrivalGuard.fold(keptPostings)(bid =>
+        keptPostings.withColumn("batch", lit(bid))),
       table, Seq("centroid"), buckets, mode = SaveMode.Append)
     // centroid rides along from the existing assignment — no second
     // signature pass for callers that report the kept list
@@ -398,7 +429,8 @@ object IncrementalAnn {
                   thresholdE6: Long, nProbe: Int = 8,
                   compactEvery: Int = 8,
                   maxFilesPerBucket: Int = 4,
-                  metricsDir: Option[String] = None): DataFrame = {
+                  metricsDir: Option[String] = None,
+                  dropReArrivals: Boolean = false): DataFrame = {
     val spark = stream.sparkSession
     val out = new org.apache.hadoop.fs.Path(outDir)
     out.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -413,7 +445,8 @@ object IncrementalAnn {
         // rule make the replayed kept set identical
         val (kept, metrics) = gateBatchFull(batch.toDF(), table,
           buckets, bc.value, thresholdE6, nProbe,
-          withMetrics = metricsDir.isDefined)
+          withMetrics = metricsDir.isDefined,
+          reArrivalGuard = if (dropReArrivals) Some(id) else None)
         kept.select(col("id"), col("centroid"))
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
         // opt-in observability, same shape + pre-append semantics as

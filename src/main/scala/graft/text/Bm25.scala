@@ -94,4 +94,74 @@ object Bm25 {
       .limit(k)
       .select(col("id").as(idCol), col("score_e6"), col("n_terms"))
   }
+
+  /** BATCHED retrieval — score `docs` against a TABLE of queries
+    * (`queryIdCol`, `termsCol` array&lt;string&gt;) and return each query's
+    * top `k` (query_id, doc_id, score_e6, n_terms, rank), the same
+    * batch contract the ANN serving paths take (every probe accepts a
+    * queries DataFrame). Per-term statistics (df, idf, dl, avgdl) are
+    * CORPUS-global and computed once for the whole batch, so each
+    * query's rows equal [[topK]] run with its terms — spec-pinned.
+    *
+    * Scale shape: the corpus is scanned ONCE for doc lengths and ONCE
+    * for postings regardless of batch size — queries enter as a small
+    * broadcast (query_id, tok) table joined onto the term-filtered
+    * postings, so adding a query adds broadcast rows, not jobs or
+    * scans. Postings explode → semi-join against the batch's distinct
+    * terms BEFORE the aggregation shuffle (no driver-side term
+    * collect, no full inverted index); per-doc weights are computed
+    * once per (doc, term) and fan out to the queries sharing the term
+    * at ~24 bytes a row; the final top-k is one query-partitioned
+    * window over ≤ |batch terms| × matching docs rows. */
+  def topKBatch(docs: DataFrame, queries: DataFrame, k: Int = 20,
+                textCol: String = "text", idCol: String = "doc_id",
+                queryIdCol: String = "query_id",
+                termsCol: String = "terms",
+                reuseTables: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def reuse(df: DataFrame): DataFrame =
+      if (reuseTables) df.localCheckpoint(eager = false) else df
+    // (query_id, tok) pairs — per-query duplicate terms dropped so a
+    // repeated term cannot double its weight; bounded by the batch
+    val qt = reuse(queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      explode(array_distinct(col(termsCol))).as("tok")))
+    val dl = reuse(docs.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.tokenCountCol(col(textCol)).cast("long").as("dl")))
+    val (nDocs, totTok) = dl.agg(count(lit(1)), sum("dl")).as[(Long, Long)].head()
+    require(nDocs > 0, "BM25 over an empty corpus")
+    val avgdl = totTok.toDouble / nDocs.toDouble
+    // postings restricted to the batch's term set via a broadcast
+    // semi-join — the terms stay distributed, no isin literal list
+    val tf = reuse(docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.wordsCol(col(textCol))).as("tok"))
+      .join(broadcast(qt.select("tok").distinct()), Seq("tok"), "left_semi")
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf")))
+    val idf = broadcast(
+      tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        .withColumn("idf_e6",
+          floor(((lit(nDocs) - col("df")).cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) * lit(1000000.0))
+            .cast("long"))
+        .select("tok", "idf_e6"))
+    val w = tf.join(dl, "id").join(idf, "tok")
+      .withColumn("w_e6",
+        floor(col("idf_e6").cast("double") * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double")
+            + lit(1.2) * (lit(0.25) + lit(0.75)
+              * (col("dl").cast("double") / lit(avgdl)))))
+          .cast("long"))
+    val scored = w.join(broadcast(qt), Seq("tok"))
+      .groupBy("query_id", "id")
+      .agg(sum("w_e6").as("score_e6"), count(lit(1)).as("n_terms"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score_e6").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as(idCol), col("score_e6"),
+        col("n_terms"), col("rank"))
+  }
 }

@@ -50,13 +50,19 @@ object IncrementalDedup {
 
   /** Sign `corpus` and (re)build the persistent band index table. One
     * signature pass + one bucket-write shuffle — paid once, not per
-    * probe. */
+    * probe. `batchTagged = true` adds a `batch` provenance column
+    * (seed rows get -1) — the storage the opt-in cross-batch
+    * re-arrival guard pays (see [[gateBatch]]'s ID CONTRACT); leave it
+    * off for pipelines that uphold the contract upstream. */
   def buildIndex(corpus: DataFrame, table: String, buckets: Int,
                  textCol: String = "text", idCol: String = "doc_id",
-                 k: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit =
+                 k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                 batchTagged: Boolean = false): Unit = {
+    val b = bandsOf(corpus, textCol, idCol, k, numHashes, bands)
     graft.sources.Bucketed.save(
-      bandsOf(corpus, textCol, idCol, k, numHashes, bands),
+      if (batchTagged) b.withColumn("batch", lit(-1L)) else b,
       table, Seq("bkey"), buckets)
+  }
 
   /** Append a new shard's bands to the index (same bucket spec — the
     * bucketed-table contract keeps the co-located join valid). Call
@@ -163,20 +169,30 @@ object IncrementalDedup {
     * most ONE batch. Only same-batch redelivery (foreachBatch's
     * at-least-once replay of an identical batch) is absorbed, via the
     * self-exclusion below. A pipeline that re-sends an already-kept id
-    * in a LATER batch violates the contract, and the violation leaks:
-    * the re-arrival's only index match is its own posting, which the
-    * self-exclusion ignores, so the doc is kept twice (two batch
-    * dirs). Distinguishing replay from genuine re-arrival would need
-    * batch ids stored per posting; the contract is the standard one
-    * (doc ids are stable identities) so the gate does not pay that
-    * storage. IncrementalDedupSpec pins the documented leak.
+    * in a LATER batch violates the contract, and by default the
+    * violation leaks: the re-arrival's only index match is its own
+    * posting, which the self-exclusion ignores, so the doc is kept
+    * twice (two batch dirs). Distinguishing replay from genuine
+    * re-arrival needs batch ids stored per posting — the OPT-IN
+    * `reArrivalGuard` pays exactly that storage (a `batch` column on
+    * the index, [[buildIndex]]'s `batchTagged`): with the current
+    * batch id passed in, an own-id match from a DIFFERENT batch counts
+    * as an index hit (the re-sent doc drops, emitted once in its
+    * original batch) while same-batch matches stay excluded (replay
+    * keeps its identical kept set). The guard detects re-DELIVERY of
+    * the same content — an id REUSED for different content changes the
+    * bands, may miss its own posting entirely, and is an id-collision
+    * bug no content-keyed index can catch. IncrementalDedupSpec pins
+    * the default leak AND the guarded behavior.
     *
     * Exposed for the spec; the streaming form is [[streamNovel]]. */
   private[graft] def gateBatch(batch: DataFrame, table: String,
                                buckets: Int, textCol: String, idCol: String,
-                               k: Int, numHashes: Int, bands: Int): DataFrame =
+                               k: Int, numHashes: Int, bands: Int,
+                               reArrivalGuard: Option[Long] = None): DataFrame =
     gateBatchFull(batch, table, buckets, textCol, idCol,
-      k, numHashes, bands, withMetrics = false)._1
+      k, numHashes, bands, withMetrics = false,
+      reArrivalGuard = reArrivalGuard)._1
 
   /** Per-batch gate metrics, counted from the very DataFrames the
     * verdict used — BEFORE the kept bands are appended, so the
@@ -192,12 +208,18 @@ object IncrementalDedup {
   private[graft] def gateBatchFull(batch: DataFrame, table: String,
                                    buckets: Int, textCol: String, idCol: String,
                                    k: Int, numHashes: Int, bands: Int,
-                                   withMetrics: Boolean
+                                   withMetrics: Boolean,
+                                   reArrivalGuard: Option[Long] = None
                                   ): (DataFrame, Option[GateMetrics]) = {
     val spark = batch.sparkSession
     val nb = bandsOf(batch, textCol, idCol, k, numHashes, bands)
       .localCheckpoint(eager = false) // feeds 3 joins — sign once
     val idx = graft.sources.Bucketed.load(spark, table)
+    reArrivalGuard.foreach { _ =>
+      require(idx.columns.contains("batch"),
+        "reArrivalGuard needs a batch-tagged index — build it with " +
+          "buildIndex(..., batchTagged = true)")
+    }
     // `idx.doc =!= nb.doc` makes the gate idempotent under foreachBatch's
     // at-least-once replay: if the batch crashed AFTER its kept docs'
     // bands were appended but BEFORE the checkpoint committed, the
@@ -207,9 +229,14 @@ object IncrementalDedup {
     // the data. With it, replay reproduces the identical kept set: a
     // kept doc can't match itself, and kept docs of one batch never
     // share a bkey (internalHit dropped one of any such pair), so the
-    // re-appended bands change no verdict.
-    val idxHit = idx.join(nb, idx("bkey") === nb("bkey") &&
-        idx("doc") =!= nb("doc"))
+    // re-appended bands change no verdict. The opt-in guard narrows the
+    // exclusion to SAME-BATCH own-postings: an own-id match from an
+    // earlier batch is a genuine re-arrival and counts as a hit.
+    val ownExcl = reArrivalGuard match {
+      case Some(bid) => idx("doc") =!= nb("doc") || idx("batch") =!= lit(bid)
+      case None => idx("doc") =!= nb("doc")
+    }
+    val idxHit = idx.join(nb, idx("bkey") === nb("bkey") && ownExcl)
       .select(nb("doc").as(idCol)).distinct()
     val a = nb.select(col("bkey"), col("doc").as("__a"))
     val b = nb.select(col("bkey"), col("doc").as("__b"))
@@ -228,9 +255,11 @@ object IncrementalDedup {
         Some(GateMetrics(batch.count(), kept.count(),
           idxHit.count(), internalHit.count()))
       else None
+    val keptBands = nb.join(kept.select(col(idCol).as("doc")), Seq("doc"))
+      .select(col("bkey"), col("doc"))
     graft.sources.Bucketed.save(
-      nb.join(kept.select(col(idCol).as("doc")), Seq("doc"))
-        .select(col("bkey"), col("doc")),
+      reArrivalGuard.fold(keptBands)(bid =>
+        keptBands.withColumn("batch", lit(bid))),
       table, Seq("bkey"), buckets, mode = SaveMode.Append)
     (kept, metrics)
   }
@@ -249,7 +278,8 @@ object IncrementalDedup {
                   k: Int = 3, numHashes: Int = 16,
                   bands: Int = 4, compactEvery: Int = 8,
                   maxFilesPerBucket: Int = 4,
-                  metricsDir: Option[String] = None): DataFrame = {
+                  metricsDir: Option[String] = None,
+                  dropReArrivals: Boolean = false): DataFrame = {
     val spark = stream.sparkSession
     val out = new org.apache.hadoop.fs.Path(outDir)
     out.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -265,7 +295,8 @@ object IncrementalDedup {
         // and the next compaction pass dedups them away)
         val (kept, metrics) = gateBatchFull(batch.toDF(),
           table, buckets, textCol, idCol, k, numHashes, bands,
-          withMetrics = metricsDir.isDefined)
+          withMetrics = metricsDir.isDefined,
+          reArrivalGuard = if (dropReArrivals) Some(id) else None)
         kept.write.mode("overwrite").parquet(s"$outDir/batch=$id")
         // OPT-IN per-batch gate metrics (the run-forever operator's
         // observability), overwritten per batch id so replays stay

@@ -241,4 +241,34 @@ class IncrementalAnnSpec extends SparkSuite {
         top.head._2 >= 999999L, s"got ${top.toSeq}")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("opt-in re-arrival guard: a re-sent kept vector drops in later batches, replay stays idempotent") {
+    val t = "graft_inc_ann_guard_idx"
+    try {
+      IncrementalAnn.buildIndex(corpus, t, buckets, cents,
+        batchTagged = true)
+      // directions the 11-class corpus does not contain; threshold 0.99
+      // so only (near-)identical vectors collide
+      val e0 = Array.tabulate(dim)(d => if (d == 0) 1.0 else 0.0)
+      val e1 = Array.tabulate(dim)(d => if (d == 1) 1.0 else 0.0)
+      val b1 = Seq((200L, e0)).toDF("id", "vec")
+      def gate(b: org.apache.spark.sql.DataFrame, bid: Long): Set[Long] =
+        IncrementalAnn.gateBatch(b, t, buckets, cents,
+            thresholdE6 = 990000L, nProbe = 2,
+            reArrivalGuard = Some(bid))
+          .select("id").as[Long].collect().toSet
+      assert(gate(b1, 0L) == Set(200L))
+      // same-batch replay: the own posting carries batch 0, excluded
+      assert(gate(b1, 0L) == Set(200L))
+      // later-batch re-arrival: own posting (cos exactly 1.0) hits
+      assert(gate(b1, 1L) == Set.empty[Long],
+        "re-sent kept vector must drop under the guard")
+      assert(gate(b1, 1L) == Set.empty[Long])
+      // a fresh id carrying the kept vector drops the ordinary way;
+      // a genuinely novel vector still passes
+      assert(gate(Seq((201L, e0)).toDF("id", "vec"), 2L)
+        == Set.empty[Long])
+      assert(gate(Seq((202L, e1)).toDF("id", "vec"), 3L) == Set(202L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

@@ -43,6 +43,32 @@ class Bm25Spec extends graft.SparkSuite {
     assert(Bm25.topK(docs, Seq("zzz"), k = 5).count() == 0)
   }
 
+  test("topKBatch equals per-query topK; one corpus scan set serves the whole batch") {
+    val qs = Seq(
+      (10L, Seq("spark", "join")),
+      (20L, Seq("window")),
+      (30L, Seq("scan", "table", "scan"))) // duplicate term must not double-weight
+    val batch = Bm25.topKBatch(docs, qs.toDF("query_id", "terms"), k = 10)
+    val got = batch
+      .select("query_id", "doc_id", "score_e6", "n_terms", "rank")
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    val expected = qs.flatMap { case (qid, terms) =>
+      Bm25.topK(docs, terms, k = 10)
+        .as[(Long, Long, Long)].collect().toSeq.zipWithIndex
+        .map { case ((doc, s, n), i) => (qid, doc, s, n, i + 1) }
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+    // batch contract: the corpus is scanned per TABLE, not per query —
+    // the outer plan reads only the checkpointed dl/tf/qt tables (each
+    // materialized with one scan of its own), and the per-query top-k
+    // is ONE window, so adding queries adds broadcast rows, not jobs
+    val p = batch.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan") && !p.contains("LocalTableScan"),
+      s"outer plan should read checkpoints only:\n$p")
+    assert("\\+- Window \\[".r.findAllIn(p).size == 1,
+      s"expected one query-partitioned top-k window:\n$p")
+  }
+
   test("reuse variant matches the lazy plan exactly; outer plan reads checkpoints") {
     val terms = Seq("spark", "join")
     val a = Bm25.topK(docs, terms, k = 10).collect().map(_.toSeq).toSeq

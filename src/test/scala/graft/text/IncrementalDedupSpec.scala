@@ -151,6 +151,45 @@ class IncrementalDedupSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("opt-in re-arrival guard: a re-sent kept id drops in later batches, replay stays idempotent") {
+    val t = "graft_inc_guard_idx"
+    val t2 = "graft_inc_guard_untagged"
+    try {
+      IncrementalDedup.buildIndex(corpus, t, buckets, batchTagged = true)
+      val b1 = Seq((101L, text(950))).toDF("doc_id", "text")
+      def gate(b: org.apache.spark.sql.DataFrame, bid: Long): Set[Long] =
+        IncrementalDedup.gateBatch(b, t, buckets, "text", "doc_id",
+            3, 16, 4, reArrivalGuard = Some(bid))
+          .select("doc_id").as[Long].collect().toSet
+      assert(gate(b1, 0L) == Set(101L))
+      // replay of the SAME batch id: the appended own posting carries
+      // batch 0 and stays excluded — identical kept set
+      assert(gate(b1, 0L) == Set(101L))
+      // genuine re-arrival in a LATER batch: the own posting from
+      // batch 0 now counts as an index hit — emitted once, in its
+      // original batch
+      assert(gate(b1, 1L) == Set.empty[Long],
+        "re-sent kept id must drop under the guard")
+      // the later batch replays to the same (empty) kept set
+      assert(gate(b1, 1L) == Set.empty[Long])
+      // novel ids still pass, and ordinary dup detection still works
+      assert(gate(Seq((102L, text(951))).toDF("doc_id", "text"), 2L)
+        == Set(102L))
+      assert(gate(Seq((103L, text(950))).toDF("doc_id", "text"), 3L)
+        == Set.empty[Long], "fresh-id duplicate of a kept doc must drop")
+      // the guard refuses an untagged index loudly
+      IncrementalDedup.buildIndex(corpus, t2, buckets)
+      val e = intercept[IllegalArgumentException] {
+        IncrementalDedup.gateBatch(b1, t2, buckets, "text", "doc_id",
+          3, 16, 4, reArrivalGuard = Some(0L)).collect()
+      }
+      assert(e.getMessage.contains("batch-tagged"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS $t2")
+    }
+  }
+
   test("streamNovel runs the gate per micro-batch over a file stream") {
     try {
       IncrementalDedup.buildIndex(corpus, table, buckets)
