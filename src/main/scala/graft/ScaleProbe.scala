@@ -27,6 +27,7 @@ object ScaleProbe {
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
@@ -193,14 +194,26 @@ object ScaleProbe {
         graft.sim.IncrementalAnn.gateBatch(batch, annTable, 16, cents,
           thresholdE6 = 990000L, nProbe = 4).count()
       }
-      time("incann_reassign", f) {
-        // codebook refresh's re-key job over the WHOLE f-scaled index:
-        // the claim is "same cost shape as buildIndex" — one read +
-        // one bucket-write shuffle, corpus never re-read
-        graft.sim.IncrementalAnn.reassignIndex(spark, annTable,
-          graft.sim.Pinned.ivfCentroids(salt = "r:")).toLong
+      // FILTERED vector search: its own attr-tagged index (the gate
+      // appends attr-less postings, so the shared table stays plain and
+      // every pre-existing row stays comparable); the build delta vs
+      // incann_index_build is the attr id-join, the probe claim is
+      // "filtered probe ≈ plain probe" — the predicate prunes at the
+      // scan beside the probed-centroid set, no post-filter blowup
+      val annAttrTable = s"graft_scaleprobe_annattr_x$f"
+      time("incann_attr_index_build", f) {
+        graft.sim.IncrementalAnn.buildIndex(
+          replicatedEmb(f).withColumn("grp", pmod(col("id"), lit(7))),
+          annAttrTable, buckets = 16, cents, attrCols = Seq("grp"))
+        spark.table(annAttrTable).count()
       }
-      spark.sql(s"DROP TABLE IF EXISTS $annTable")
+      time("incann_probe_filtered", f) {
+        val qs = replicatedEmb(1).filter(col("id") % 97 === 0)
+          .select((col("id") + lit(90000000L)).as("id"), col("vec"))
+        graft.sim.IncrementalAnn.probe(spark, qs, annAttrTable, cents,
+          k = 10, nProbe = 4, filter = Some(col("grp") === 3)).count()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $annAttrTable")
 
       // PQ-compressed incremental index: same probe contract served
       // from codes (~8 effective bytes/posting vs 512 of float64) —
@@ -218,7 +231,58 @@ object ScaleProbe {
         graft.sim.IncrementalPq.probe(spark, qs, pqTable, cents, pqBooks,
           k = 10, nProbe = 4).count()
       }
+      time("incpq_rerank", f) {
+        // the q141 serving stack: ADC shortlist from the code index +
+        // exact re-rank fetching full vectors for the shortlist only —
+        // both scans bucket-pruned, vn table touched via a broadcast
+        // of the shortlist. Fixed queries + codebook-bounded probed
+        // lists ⇒ should track incpq_probe, NOT the index size
+        val qs = replicatedEmb(1).filter(col("id") % 97 === 0)
+          .select((col("id") + lit(90000000L)).as("id"), col("vec"))
+        graft.sim.IncrementalPq.probeRerank(spark, qs, pqTable, annTable,
+          cents, pqBooks, k = 10, nProbe = 4, rerankFactor = 5).count()
+      }
+      time("incpq_refresh_from_vn", f) {
+        // PQ drift maintenance WITHOUT the corpus: re-encode the whole
+        // code table from the companion vn index under new codebooks —
+        // the claim is cost ≈ one code-table rewrite (one vn read +
+        // one staged bucket write), i.e. the same shape as
+        // incpq_index_build, never MORE
+        graft.sim.IncrementalPq.refreshFromVnIndex(spark, pqTable,
+          annTable, graft.sim.Pinned.ivfCentroids(salt = "r:"),
+          graft.sim.Pinned.pqBooks(salt = "r:")).toLong
+      }
       spark.sql(s"DROP TABLE IF EXISTS $pqTable")
+
+      time("incann_reassign", f) {
+        // codebook refresh's re-key job over the WHOLE f-scaled index:
+        // the claim is "same cost shape as buildIndex" — one read +
+        // one bucket-write shuffle, corpus never re-read
+        graft.sim.IncrementalAnn.reassignIndex(spark, annTable,
+          graft.sim.Pinned.ivfCentroids(salt = "r:")).toLong
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $annTable")
+
+      time("hybrid_fusion_batch", f) {
+        // the q145 shape at scale: batched BM25 over the f-scaled
+        // documents (one postings scan for all queries) + brute-force
+        // dense top-20 over the f-scaled embeddings (linear by
+        // design — the brute baseline) + RRF. Dominated by the two
+        // corpus passes; fusion itself is rank-row arithmetic
+        val qterms = Seq(
+          (3L, Seq("hash", "scan", "filter")),
+          (7L, Seq("spark", "join", "window", "stream")),
+          (11L, Seq("vector", "merge", "sort"))).toDF("query_id", "terms")
+        val text = graft.text.Bm25.topKBatch(d, qterms, k = 20)
+          .select("query_id", "doc_id", "rank")
+        val vec = graft.sim.Similarity
+          .bruteForceTopK(replicatedEmb(1).filter(col("id").isin(3, 7, 11)),
+            replicatedEmb(f), k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank"))
+        graft.text.Hybrid.rrf(Seq(text, vec), queryCols = Seq("query_id"),
+          idCol = "doc_id", k = 10).count()
+      }
 
       // native vs composed as-of join on replicated events (user ids
       // remapped per replica → f× keys at the same per-key density; the
