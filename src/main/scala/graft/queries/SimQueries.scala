@@ -537,6 +537,36 @@ object SimQueries {
         .select(col("query_id"), col("doc_id"), col("rrf_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Cross-batch re-arrival guard, driver-checked end to end: gate
+    // the id%5=0 slice against a batch-tagged index (batch 0 keeps
+    // the novel vectors and appends their postings), then re-send the
+    // IDENTICAL batch as batch 1 — every kept id's own posting now
+    // carries a DIFFERENT batch and counts as an index hit, and every
+    // originally-dropped id still hits, so batch 1 contributes
+    // NOTHING. The oracle replays only the single batch-0 gate step
+    // (the q132 arithmetic): output ≡ batch-0 kept set, each id
+    // emitted once. Fresh index per execution (the gate mutates it)
+    "q146_gate_rearrival_guard" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      val table = s"graft_q146_idx_$tag"
+      graft.sim.IncrementalAnn.buildIndex(e.filter(col("id") % 5 =!= 0),
+        table, buckets = 8, graft.sim.Pinned.ivfCentroids(),
+        batchTagged = true)
+      val batch = e.filter(col("id") % 5 === 0)
+      def gate(bid: Long): DataFrame =
+        graft.sim.IncrementalAnn.gateBatch(batch, table, 8,
+            graft.sim.Pinned.ivfCentroids(), thresholdE6 = 330000L,
+            nProbe = 4, reArrivalGuard = Some(bid))
+          .select(col("id"), col("centroid").cast("long").as("centroid"),
+            lit(bid).as("batch"))
+      // gate(0) both evaluates and appends before gate(1) runs — the
+      // save inside gateBatch materializes the kept checkpoint
+      val k0 = gate(0L).localCheckpoint(eager = false)
+      val k1 = gate(1L)
+      k0.unionByName(k1).orderBy("id")
     }))
 
   private val dotSql =
@@ -1104,6 +1134,44 @@ object SimQueries {
          |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // re-arrival-guard replay: ONE q132-style gate step for batch 0
+    // (index hits vs the id%5<>0 seed, symmetric in-batch rule) — the
+    // re-sent batch 1 must contribute nothing, so the oracle never
+    // models it; its kept set being empty IS the checked claim
+    "q146_gate_rearrival_guard" -> {
+      def gdot(a: String, b: String) =
+        s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(list_zip($a, $b), p -> p[1] * p[2])),
+           |  (x, y) -> x + y) * 1000000.0) AS BIGINT)""".stripMargin
+      s"""$pinnedAssignCte,
+         |pr AS (SELECT id AS query_id, c AS centroid FROM (
+         |         SELECT id, c, row_number() OVER (PARTITION BY id
+         |                          ORDER BY dot DESC, c) AS rn
+         |         FROM sc WHERE id % 5 = 0)
+         |       WHERE rn <= 4),
+         |prq AS MATERIALIZED (SELECT pr.query_id, pr.centroid, vn.vn AS qv
+         |       FROM pr JOIN vn ON vn.id = pr.query_id),
+         |strm AS MATERIALIZED (SELECT asg.id, asg.centroid, vn.vn AS cv
+         |       FROM asg JOIN vn USING (id) WHERE asg.id % 5 = 0),
+         |i_seed AS MATERIALIZED (SELECT asg.id, asg.centroid, vn.vn AS cv
+         |        FROM asg JOIN vn USING (id) WHERE asg.id % 5 <> 0),
+         |d0 AS (SELECT DISTINCT p.query_id AS id
+         |        FROM prq p JOIN i_seed u ON u.centroid = p.centroid
+         |        WHERE u.id <> p.query_id
+         |          AND ${gdot("p.qv", "u.cv")} >= 330000
+         |      UNION
+         |      SELECT DISTINCT CASE WHEN x.id > p.query_id THEN x.id
+         |                           ELSE p.query_id END AS id
+         |        FROM strm x JOIN prq p ON p.centroid = x.centroid
+         |        WHERE x.id <> p.query_id
+         |          AND ${gdot("p.qv", "x.cv")} >= 330000),
+         |k0 AS (SELECT id FROM strm
+         |       WHERE id NOT IN (SELECT id FROM d0))
+         |SELECT s.id, CAST(s.centroid AS BIGINT) AS centroid,
+         |       CAST(0 AS BIGINT) AS batch
+         |FROM strm s JOIN k0 USING (id) ORDER BY id""".stripMargin
+    },
 
     // vector-gate replay: 4 unrolled batch steps over the pinned
     // assignment — d_j = batch-j vectors dropped (cos>=0.33 match in

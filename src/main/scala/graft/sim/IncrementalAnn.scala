@@ -343,9 +343,11 @@ object IncrementalAnn {
   private[graft] def gateBatch(batch: DataFrame, table: String,
                                buckets: Int, cents: Array[Array[Double]],
                                thresholdE6: Long, nProbe: Int,
-                               reArrivalGuard: Option[Long] = None): DataFrame =
+                               reArrivalGuard: Option[Long] = None,
+                               attrCols: Seq[String] = Nil): DataFrame =
     gateBatchFull(batch, table, buckets, cents, thresholdE6, nProbe,
-      withMetrics = false, reArrivalGuard = reArrivalGuard)._1
+      withMetrics = false, reArrivalGuard = reArrivalGuard,
+      attrCols = attrCols)._1
 
   /** Per-batch vector-gate metrics — counted BEFORE the kept postings
     * are appended (the [[graft.text.IncrementalDedup.GateMetrics]]
@@ -354,17 +356,26 @@ object IncrementalAnn {
                                               nIndexHits: Long,
                                               nBatchHits: Long)
 
+  /** `attrCols`: batch columns carried into the kept postings (the
+    * [[buildIndex]] attr contract) so a GATED index keeps serving
+    * FILTERED search — without this a gate appending attr-less rows to
+    * an attr-tagged index would fail the append, forcing deployments
+    * to choose between the gate and filtered probes. */
   private[graft] def gateBatchFull(batch: DataFrame, table: String,
                                    buckets: Int, cents: Array[Array[Double]],
                                    thresholdE6: Long, nProbe: Int,
                                    withMetrics: Boolean,
-                                   reArrivalGuard: Option[Long] = None
+                                   reArrivalGuard: Option[Long] = None,
+                                   attrCols: Seq[String] = Nil
                                   ): (DataFrame, Option[GateMetrics]) = {
     val spark = batch.sparkSession
     import spark.implicits._
     // nearest-list assignment feeds the in-batch join AND the append;
-    // probe rows feed the centroid collect and both joins — sign once
-    val asg = assignedVectors(batch, cents).localCheckpoint(eager = false)
+    // probe rows feed the centroid collect and both joins — sign once.
+    // Attrs ride the assignment only to the APPEND; the verdict joins
+    // ignore them.
+    val asg = assignedWithAttrs(batch, cents, attrCols)
+      .localCheckpoint(eager = false)
     val probes = probeRows(batch, cents, nProbe)
       .localCheckpoint(eager = false)
     val probed = probes.select("centroid").distinct()
@@ -402,9 +413,10 @@ object IncrementalAnn {
           idxHit.distinct().count(), inBatch.distinct().count()))
       else None
     // append by FILTERING the already-assigned batch rows — canonical
-    // (centroid, id, vn) order for the by-name append
+    // (centroid, id, vn, attrs...) order for the by-name append
     val keptPostings = asg.join(kept.select("id"), Seq("id"))
-      .select(col("centroid"), col("id"), col("vn"))
+      .select(col("centroid") +: col("id") +: col("vn") +:
+        attrCols.map(col): _*)
     graft.sources.Bucketed.save(
       reArrivalGuard.fold(keptPostings)(bid =>
         keptPostings.withColumn("batch", lit(bid))),
@@ -430,7 +442,8 @@ object IncrementalAnn {
                   compactEvery: Int = 8,
                   maxFilesPerBucket: Int = 4,
                   metricsDir: Option[String] = None,
-                  dropReArrivals: Boolean = false): DataFrame = {
+                  dropReArrivals: Boolean = false,
+                  attrCols: Seq[String] = Nil): DataFrame = {
     val spark = stream.sparkSession
     val out = new org.apache.hadoop.fs.Path(outDir)
     out.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -446,7 +459,8 @@ object IncrementalAnn {
         val (kept, metrics) = gateBatchFull(batch.toDF(), table,
           buckets, bc.value, thresholdE6, nProbe,
           withMetrics = metricsDir.isDefined,
-          reArrivalGuard = if (dropReArrivals) Some(id) else None)
+          reArrivalGuard = if (dropReArrivals) Some(id) else None,
+          attrCols = attrCols)
         kept.select(col("id"), col("centroid"))
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
         // opt-in observability, same shape + pre-append semantics as

@@ -242,6 +242,30 @@ class IncrementalAnnSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("gate over an attr-tagged index keeps filtered search serving") {
+    val t = "graft_inc_ann_gateattr_idx"
+    try {
+      IncrementalAnn.buildIndex(
+        corpus.withColumn("grp", pmod(col("id"), lit(3))),
+        t, buckets, cents, attrCols = Seq("grp"))
+      val e0 = Array.tabulate(dim)(d => if (d == 0) 1.0 else 0.0)
+      val b = Seq((300L, e0)).toDF("id", "vec").withColumn("grp", lit(2))
+      val kept = IncrementalAnn.gateBatch(b, t, buckets, cents,
+          thresholdE6 = 990000L, nProbe = 2, attrCols = Seq("grp"))
+        .select("id").as[Long].collect().toSet
+      assert(kept == Set(300L))
+      // the gated vector's attr rode the append: it serves filtered
+      // probes under its group and stays invisible under others
+      def top(filterGrp: Int): Set[Long] = IncrementalAnn
+        .probe(spark, Seq((400L, e0)).toDF("id", "vec"), t, cents,
+          k = 1, nProbe = cents.length,
+          filter = Some(col("grp") === filterGrp))
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(top(2) == Set(300L))
+      assert(!top(1).contains(300L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("opt-in re-arrival guard: a re-sent kept vector drops in later batches, replay stays idempotent") {
     val t = "graft_inc_ann_guard_idx"
     try {
