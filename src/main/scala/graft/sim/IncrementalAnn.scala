@@ -413,12 +413,18 @@ object IncrementalAnn {
           idxHit.distinct().count(), inBatch.distinct().count()))
       else None
     // append by FILTERING the already-assigned batch rows — canonical
-    // (centroid, id, vn, attrs...) order for the by-name append
+    // (centroid, id, vn, attrs...) order for the by-name append. A
+    // batch-tagged index gated WITHOUT the guard still appends a tag
+    // (-1, the seed value) so the append's schema matches — and a
+    // later GUARDED batch correctly treats those rows as
+    // different-batch postings
     val keptPostings = asg.join(kept.select("id"), Seq("id"))
       .select(col("centroid") +: col("id") +: col("vn") +:
         attrCols.map(col): _*)
+    val tagVal = reArrivalGuard
+      .orElse(if (idx.columns.contains("batch")) Some(-1L) else None)
     graft.sources.Bucketed.save(
-      reArrivalGuard.fold(keptPostings)(bid =>
+      tagVal.fold(keptPostings)(bid =>
         keptPostings.withColumn("batch", lit(bid))),
       table, Seq("centroid"), buckets, mode = SaveMode.Append)
     // centroid rides along from the existing assignment — no second
@@ -436,6 +442,16 @@ object IncrementalAnn {
     * either. Periodic [[compactIndex]] keeps per-bucket file counts
     * bounded (the run-forever contract). Returns the kept vectors'
     * (id, centroid) rows. */
+  /** `checkpointDir = None` (default) is the ONE-SHOT mode: each
+    * invocation wipes the output and uses a throwaway checkpoint, so
+    * the whole available stream reprocesses and batch ids restart at
+    * 0 — `dropReArrivals`' provenance domain is then a single
+    * invocation. Passing a PERSISTENT `checkpointDir` keeps output and
+    * metrics across invocations: Structured Streaming resumes with
+    * monotonic batch ids and AvailableNow processes only newly-arrived
+    * data, which is what makes the re-arrival guard correct across
+    * restarts (an old id re-delivered in a new file lands in a
+    * strictly newer batch than its posting's tag). */
   def streamNovel(stream: DataFrame, table: String, buckets: Int,
                   cents: Array[Array[Double]], outDir: String,
                   thresholdE6: Long, nProbe: Int = 8,
@@ -443,12 +459,15 @@ object IncrementalAnn {
                   maxFilesPerBucket: Int = 4,
                   metricsDir: Option[String] = None,
                   dropReArrivals: Boolean = false,
-                  attrCols: Seq[String] = Nil): DataFrame = {
+                  attrCols: Seq[String] = Nil,
+                  checkpointDir: Option[String] = None): DataFrame = {
     val spark = stream.sparkSession
-    val out = new org.apache.hadoop.fs.Path(outDir)
-    out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(out, true)
-    metricsDir.foreach(m => graft.streaming.GateMetricsLog.clear(spark, m))
+    if (checkpointDir.isEmpty) {
+      val out = new org.apache.hadoop.fs.Path(outDir)
+      out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(out, true)
+      metricsDir.foreach(m => graft.streaming.GateMetricsLog.clear(spark, m))
+    }
     val bc = spark.sparkContext.broadcast(cents)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -478,10 +497,10 @@ object IncrementalAnn {
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation",
+      .option("checkpointLocation", checkpointDir.getOrElse(
         java.nio.file.Files.createTempDirectory(
           graft.streaming.Streaming.scratchBase, "graft-ckpt-vnovel")
-          .toString)
+          .toString))
       .start()
     q.awaitTermination()
     spark.read.parquet(outDir).drop("batch")

@@ -113,7 +113,7 @@ object Bucketed {
         dataFileNames(fileSystemOf(spark, loc), loc)
       } else Set.empty
     val guard = if (existedBefore) Some(locOf.toString) else None
-    guard.foreach(appendBegin)
+    guard.foreach { l => verifiedGenerations.remove(l); appendBegin(l) }
     try {
       val sort = if (sortCols.nonEmpty) sortCols else keys
       df.write.mode(mode)
@@ -127,11 +127,21 @@ object Bucketed {
         withManifestLock(loc.toString) {
           val names = dataFileNames(fs, loc)
           if (mode == SaveMode.Append && existedBefore) {
-            // union-add: a concurrent append's files may appear in this
-            // listing diff too — adding them twice is idempotent
+            // union-add: a concurrent append's files may appear in
+            // this listing diff too — adding them twice is idempotent
             val base = readManifest(fs, loc).map(_._2).getOrElse(beforeNames)
-            writeNextManifest(fs, loc, base ++ (names -- beforeNames))
-          } else writeNextManifest(fs, loc, names)
+            val gen = writeNextManifest(fs, loc, base ++ (names -- beforeNames))
+            // verified only if the PRE-append dir carried no unlisted
+            // orphans (an append into a crashed-and-never-reloaded
+            // table must not mark the orphans clean — the next load's
+            // recovery pass reconciles them)
+            if ((beforeNames -- base).isEmpty)
+              verifiedGenerations.put(loc.toString, gen)
+          } else {
+            // fresh write into a pre-cleared dir: dir == manifest
+            val gen = writeNextManifest(fs, loc, names)
+            verifiedGenerations.put(loc.toString, gen)
+          }
         }
       }
     } finally guard.foreach(appendEnd)
@@ -142,32 +152,45 @@ object Bucketed {
     * crashed maintenance op, or an old generation a crashed op already
     * committed away) are deleted before the scan — Spark's bucketed
     * scan reads every file in the dir, so reconciliation is what makes
-    * the manifest authoritative. Deletion is skipped while an append
-    * is in flight in this process (its files are legitimately unlisted
-    * until its commit). A table without a manifest (pre-manifest
-    * layout) is served as-is. */
+    * the manifest authoritative.
+    *
+    * Hot-path cost: ZERO filesystem calls. The verify+reconcile pass
+    * runs once per table per process (the crash-recovery case — a
+    * crash empties the in-process [[verifiedGenerations]] cache with
+    * the process); afterwards every mutation goes through this
+    * process's save/maintenance ops, which keep the cache current
+    * under the single-WRITER-process contract, so a serving probe's
+    * load() is a map lookup + `spark.table`. The slow path runs
+    * entirely under the manifest lock — it can never observe a
+    * commit's intermediate state (spurious corruption reports) or
+    * delete a live op's staged files (both land inside the same
+    * lock). Deletion is also skipped while an append is in flight in
+    * this process (its files are legitimately unlisted until its
+    * commit). A table without a manifest (pre-manifest layout) is
+    * served as-is. */
   def load(spark: SparkSession, table: String): DataFrame = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val loc = new Path(meta.location)
-    val fs = fileSystemOf(spark, loc)
-    for ((_, listed) <- readManifest(fs, loc)) {
-      val onDisk = dataFileNames(fs, loc)
-      val missing = listed -- onDisk
-      if (missing.nonEmpty) throw new IllegalStateException(
-        s"$table is corrupt: manifest lists ${missing.size} data file(s) " +
-          s"not on disk (e.g. ${missing.head}) — files were removed " +
-          "outside the maintenance ops")
-      if ((onDisk -- listed).nonEmpty && !appendInFlight(loc.toString))
-        withManifestLock(loc.toString) {
-          // re-read under the lock — a commit may have just landed
-          val listedNow = readManifest(fs, loc).map(_._2).getOrElse(Set.empty)
-          val extraNow = dataFileNames(fs, loc) -- listedNow
-          if (extraNow.nonEmpty && !appendInFlight(loc.toString)) {
-            extraNow.foreach(n => fs.delete(new Path(loc, n), false))
+    if (!verifiedGenerations.containsKey(loc.toString)) {
+      val fs = fileSystemOf(spark, loc)
+      withManifestLock(loc.toString) {
+        for ((gen, listed) <- readManifest(fs, loc)) {
+          val onDisk = dataFileNames(fs, loc)
+          val missing = listed -- onDisk
+          if (missing.nonEmpty) throw new IllegalStateException(
+            s"$table is corrupt: manifest lists ${missing.size} data file(s) " +
+              s"not on disk (e.g. ${missing.head}) — files were removed " +
+              "outside the maintenance ops")
+          val extra = onDisk -- listed
+          if (extra.nonEmpty && !appendInFlight(loc.toString)) {
+            extra.foreach(n => fs.delete(new Path(loc, n), false))
             spark.catalog.refreshTable(table)
           }
+          if (!appendInFlight(loc.toString))
+            verifiedGenerations.put(loc.toString, gen)
         }
+      }
     }
     spark.table(table)
   }
@@ -307,6 +330,9 @@ object Bucketed {
       s"maintenance already in flight on $table — compaction, deletion, " +
         "reassignment and replacement are single-writer ops; retry " +
         "after the running op finishes")
+    // a failed/crashed op leaves the table needing re-verification;
+    // clean completions re-mark it themselves
+    verifiedGenerations.remove(dir.toString)
     try body(meta, dir, fs)
     finally lock.unlock()
   }
@@ -354,7 +380,17 @@ object Bucketed {
     val chosen = dataFiles.groupBy(f => bucketIdOf(f.getPath.getName))
       .collect { case (Some(b), fsOfB)
         if bucketIds.forall(_.contains(b)) && select(fsOfB) => b -> fsOfB }
-    if (chosen.isEmpty) return 0
+    if (chosen.isEmpty) {
+      // nothing to rewrite: the table is clean after the reconcile
+      // above — re-mark it so the frequent no-op compaction (every
+      // compactEvery-th gate batch) doesn't leave the next probe's
+      // load() re-listing the dir
+      if (!appendInFlight(dir.toString))
+        readManifest(fs, dir).foreach { case (gen, _) =>
+          verifiedGenerations.put(dir.toString, gen)
+        }
+      return 0
+    }
     val oldFiles = chosen.values.flatten.toSeq
     val rows = transform(spark.read.schema(meta.schema)
       .parquet(oldFiles.map(_.getPath.toString): _*))
@@ -389,17 +425,23 @@ object Bucketed {
         val stagingDir = new Path(spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(staging)).location)
         val newFiles = listDataFiles(fs, stagingDir)
-        newFiles.foreach { f =>
-          val target = new Path(dir, f.getPath.getName)
-          require(fs.rename(f.getPath, target), s"rename to $target failed")
-        }
-        val oldNames = oldFiles.map(_.getPath.getName).toSet
-        val newNames = newFiles.map(_.getPath.getName).toSet
+        // renames, commit, AND old-file deletes all inside the manifest
+        // lock: staged files are therefore never visible-but-unlisted
+        // to another lock-holder (a cold-cache load's reconcile pass
+        // could otherwise delete a LIVE op's staged files), and no
+        // reader under the lock can observe the between-steps state
         withManifestLock(dir.toString) {
+          newFiles.foreach { f =>
+            val target = new Path(dir, f.getPath.getName)
+            require(fs.rename(f.getPath, target), s"rename to $target failed")
+          }
+          val oldNames = oldFiles.map(_.getPath.getName).toSet
+          val newNames = newFiles.map(_.getPath.getName).toSet
           val base = readManifest(fs, dir).map(_._2).getOrElse(legacyBase)
-          writeNextManifest(fs, dir, base -- oldNames ++ newNames)
+          val gen = writeNextManifest(fs, dir, base -- oldNames ++ newNames)
+          oldFiles.foreach(f => fs.delete(f.getPath, false))
+          verifiedGenerations.put(dir.toString, gen)
         }
-        oldFiles.foreach(f => fs.delete(f.getPath, false))
         newFiles.size
       } finally spark.sql(
         s"DROP TABLE IF EXISTS ${staging.split('.').map(p => s"`$p`").mkString(".")}")
@@ -419,10 +461,11 @@ object Bucketed {
                                onDisk: Seq[FileStatus]): Unit =
     for (names <- listed) {
       val extra = onDisk.filterNot(f => names(f.getPath.getName))
-      if (extra.nonEmpty && !appendInFlight(dir.toString)) {
-        extra.foreach(f => fs.delete(f.getPath, false))
-        spark.catalog.refreshTable(table)
-      }
+      if (extra.nonEmpty && !appendInFlight(dir.toString))
+        withManifestLock(dir.toString) {
+          extra.foreach(f => fs.delete(f.getPath, false))
+          spark.catalog.refreshTable(table)
+        }
     }
 
   // ---- generation manifest ------------------------------------------
@@ -479,12 +522,10 @@ object Bucketed {
       }
     } catch { case _: java.io.IOException => None }
 
-  /** Create generation (highest-seen + 1) listing `names`, then delete
-    * the superseded manifest files (best-effort: a crash between the
-    * create and the deletes leaves lower generations the reader's
-    * highest-wins resolution ignores). */
+  /** Create generation (highest-seen + 1) listing `names`; returns the
+    * generation written. */
   private def writeNextManifest(fs: FileSystem, dir: Path,
-                                names: Set[String]): Unit = {
+                                names: Set[String]): Long = {
     val prev = manifestEntries(fs, dir)
     val gen = prev.map(_._1).maxOption.getOrElse(0L) + 1
     val p = new Path(dir, s"_graft_manifest.$gen")
@@ -494,7 +535,15 @@ object Bucketed {
         .mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    prev.foreach { case (_, op) => fs.delete(op, false) }
+    // delete superseded manifests EXCEPT the immediately-previous
+    // generation — kept so a cross-process reader that listed the dir
+    // just before this commit can still open what it listed instead
+    // of falling back to an unresolved raw scan (in-process readers
+    // are serialized by the manifest lock and never race this). A
+    // crash mid-delete leaves lower generations the reader's
+    // highest-wins resolution ignores.
+    prev.dropRight(1).foreach { case (_, op) => fs.delete(op, false) }
+    gen
   }
 
   /** Short-critical-section lock serializing manifest read-modify-
@@ -512,6 +561,22 @@ object Bucketed {
     lock.lock()
     try body finally lock.unlock()
   }
+
+  /** Per-location generation verified clean (manifest == disk) by this
+    * process — the load() hot path's zero-filesystem-call ticket.
+    * Valid under the single-WRITER-process contract: every mutation
+    * goes through this process's save/maintenance ops, which remove
+    * the entry before touching the table and re-put it on clean
+    * completion, so a present entry means no crash recovery is
+    * pending. A process crash empties the cache with the process —
+    * exactly when re-verification is needed. Bounded like the lock
+    * maps (one entry per table location). */
+  private val verifiedGenerations =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Test hook: simulate a process restart (cold caches) so specs can
+    * exercise the crash-recovery reconcile path in-process. */
+  private[graft] def forgetVerified(): Unit = verifiedGenerations.clear()
 
   /** In-flight append counters per table location: while >0, unlisted
     * files may belong to a running append and reconciliation must not

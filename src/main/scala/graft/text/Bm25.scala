@@ -122,11 +122,15 @@ object Bm25 {
     import spark.implicits._
     def reuse(df: DataFrame): DataFrame =
       if (reuseTables) df.localCheckpoint(eager = false) else df
-    // (query_id, tok) pairs — per-query duplicate terms dropped so a
-    // repeated term cannot double its weight; bounded by the batch
+    // (query_id, tok) pairs — duplicate terms dropped so a repeated
+    // term cannot double its weight, WITHIN a row (array_distinct,
+    // cheap pre-shuffle) and ACROSS rows of one query id
+    // (dropDuplicates — a query split over several input rows must
+    // behave like its merged term set); bounded by the batch
     val qt = reuse(queries.select(
-      col(queryIdCol).cast("long").as("query_id"),
-      explode(array_distinct(col(termsCol))).as("tok")))
+        col(queryIdCol).cast("long").as("query_id"),
+        explode(array_distinct(col(termsCol))).as("tok"))
+      .dropDuplicates("query_id", "tok"))
     val dl = reuse(docs.select(col(idCol).cast("long").as("id"),
       TextAnalysis.tokenCountCol(col(textCol)).cast("long").as("dl")))
     val (nDocs, totTok) = dl.agg(count(lit(1)), sum("dl")).as[(Long, Long)].head()

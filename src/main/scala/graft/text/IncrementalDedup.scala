@@ -257,8 +257,14 @@ object IncrementalDedup {
       else None
     val keptBands = nb.join(kept.select(col(idCol).as("doc")), Seq("doc"))
       .select(col("bkey"), col("doc"))
+    // a batch-tagged index gated WITHOUT the guard still appends a tag
+    // (-1, the seed value) so the append's schema matches — and a
+    // later GUARDED batch correctly treats those rows as
+    // different-batch postings
+    val tagVal = reArrivalGuard
+      .orElse(if (idx.columns.contains("batch")) Some(-1L) else None)
     graft.sources.Bucketed.save(
-      reArrivalGuard.fold(keptBands)(bid =>
+      tagVal.fold(keptBands)(bid =>
         keptBands.withColumn("batch", lit(bid))),
       table, Seq("bkey"), buckets, mode = SaveMode.Append)
     (kept, metrics)
@@ -272,6 +278,16 @@ object IncrementalDedup {
     * rescanning either. Returns the kept docs. Per batch: sign the
     * batch, one co-located index join, one self band join, one
     * bucketed append — O(batch + matched buckets). */
+  /** `checkpointDir = None` (default) is the ONE-SHOT mode: each
+    * invocation wipes the output and uses a throwaway checkpoint, so
+    * the whole available stream reprocesses and batch ids restart at
+    * 0 — `dropReArrivals`' provenance domain is then a single
+    * invocation. Passing a PERSISTENT `checkpointDir` keeps output and
+    * metrics across invocations: Structured Streaming resumes with
+    * monotonic batch ids and AvailableNow processes only newly-arrived
+    * data, which is what makes the re-arrival guard correct across
+    * restarts (an old id re-delivered in a new file lands in a
+    * strictly newer batch than its posting's tag). */
   def streamNovel(stream: DataFrame, table: String, buckets: Int,
                   outDir: String,
                   textCol: String = "text", idCol: String = "doc_id",
@@ -279,12 +295,15 @@ object IncrementalDedup {
                   bands: Int = 4, compactEvery: Int = 8,
                   maxFilesPerBucket: Int = 4,
                   metricsDir: Option[String] = None,
-                  dropReArrivals: Boolean = false): DataFrame = {
+                  dropReArrivals: Boolean = false,
+                  checkpointDir: Option[String] = None): DataFrame = {
     val spark = stream.sparkSession
-    val out = new org.apache.hadoop.fs.Path(outDir)
-    out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(out, true)
-    metricsDir.foreach(m => graft.streaming.GateMetricsLog.clear(spark, m))
+    if (checkpointDir.isEmpty) {
+      val out = new org.apache.hadoop.fs.Path(outDir)
+      out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(out, true)
+      metricsDir.foreach(m => graft.streaming.GateMetricsLog.clear(spark, m))
+    }
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], id: Long) =>
@@ -321,10 +340,10 @@ object IncrementalDedup {
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation",
+      .option("checkpointLocation", checkpointDir.getOrElse(
         java.nio.file.Files.createTempDirectory(
           graft.streaming.Streaming.scratchBase, "graft-ckpt-novel")
-          .toString)
+          .toString))
       .start()
     q.awaitTermination()
     spark.read.parquet(outDir).drop("batch")

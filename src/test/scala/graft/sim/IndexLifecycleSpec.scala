@@ -157,12 +157,15 @@ class IndexLifecycleSpec extends SparkSuite {
       IncrementalPq.refreshFromVnIndex(spark, tC, tV, centsB, booksB)
       val underB = freshIds(afterDelete, centsB, booksB)
       assert(servedIds(centsB, booksB) == underB)
-      // 4. crash window: an interrupted maintenance swap leaves staged
-      // (uncommitted) files beside the live generation of the CODE
-      // index — the family where a visible duplicate would change ADC
-      // SCORES, not just occupy a slot. The generation manifest keeps
-      // them invisible, so serving stays exact through the window...
+      // 4. crash window: an interrupted maintenance swap dies WITH its
+      // process, leaving staged (uncommitted) files beside the live
+      // generation of the CODE index — the family where a visible
+      // duplicate would change ADC SCORES, not just occupy a slot. On
+      // restart (cold verified-state), the first load resolves through
+      // the manifest and reconciles the orphans, so serving stays
+      // exact...
       plantOrphans(tC)
+      graft.sources.Bucketed.forgetVerified()
       assert(servedIds(centsB, booksB) == underB,
         "uncommitted staging files must not change served scores")
       // ...and compaction (any later maintenance) reconciles them

@@ -42,6 +42,10 @@ class BucketedManifestSpec extends SparkSuite {
       Bucketed.save(spark.table("mrows"), table, Seq("bkey"), 4)
       val orphans = plantOrphans(table)
       spark.catalog.refreshTable(table)
+      // the crash killed the process: in-process verified-state dies
+      // with it (the cache is exactly as durable as the crash windows
+      // it guards against)
+      Bucketed.forgetVerified()
       // the raw dir scan DOES see both generations — that is the
       // window the manifest exists to close
       assert(spark.table(table).count() == 200)
@@ -76,6 +80,7 @@ class BucketedManifestSpec extends SparkSuite {
       assert(Bucketed.compactBuckets(spark, table, maxFilesPerBucket = 1) > 0)
       java.nio.file.Files.copy(stash, victim.toPath)
       spark.catalog.refreshTable(table)
+      Bucketed.forgetVerified() // the crash took the process with it
       assert(spark.table(table).count() > 80,
         "the resurrected old-generation file must be visible to a raw scan")
       assert(Bucketed.load(spark, table).count() == 80)
@@ -96,6 +101,7 @@ class BucketedManifestSpec extends SparkSuite {
       val torn = new java.io.File(tableDir(table), "_graft_manifest.99")
       java.nio.file.Files.write(torn.toPath,
         "graft-manifest-v1\npart-nonexistent\n".getBytes)
+      Bucketed.forgetVerified() // reader starts cold after the crash
       assert(Bucketed.load(spark, table).count() == 40)
       // the next commit supersedes the torn generation (gen 100)
       Bucketed.save((100 until 110).map(i => (s"k${i % 7}", i.toLong))
@@ -116,6 +122,7 @@ class BucketedManifestSpec extends SparkSuite {
         .createOrReplaceTempView("mrows4")
       Bucketed.save(spark.table("mrows4"), table, Seq("bkey"), 4)
       plantOrphans(table)
+      Bucketed.forgetVerified()
       // a compaction that read the orphans would commit 100 rows; the
       // manifest restricts its inputs to the committed generation
       Bucketed.compactBuckets(spark, table, maxFilesPerBucket = 0)

@@ -67,6 +67,18 @@ class Bm25Spec extends graft.SparkSuite {
       s"outer plan should read checkpoints only:\n$p")
     assert("\\+- Window \\[".r.findAllIn(p).size == 1,
       s"expected one query-partitioned top-k window:\n$p")
+    // a query id split across input rows (and repeating a term across
+    // them) behaves like its merged DISTINCT term set — not a
+    // double-weighted union
+    val split = Seq((7L, Seq("spark")), (7L, Seq("spark", "join")))
+      .toDF("query_id", "terms")
+    val merged = Bm25.topKBatch(docs, split, k = 10)
+      .select("doc_id", "score_e6", "n_terms")
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = Bm25.topK(docs, Seq("spark", "join"), k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged == direct,
+      s"split-row query diverged: $merged vs $direct")
   }
 
   test("reuse variant matches the lazy plan exactly; outer plan reads checkpoints") {

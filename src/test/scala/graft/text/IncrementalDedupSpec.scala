@@ -184,10 +184,62 @@ class IncrementalDedupSpec extends SparkSuite {
           3, 16, 4, reArrivalGuard = Some(0L)).collect()
       }
       assert(e.getMessage.contains("batch-tagged"))
+      // UNGUARDED gating of a TAGGED index still works — the append
+      // auto-tags with the seed value (-1), and a later guarded batch
+      // treats those rows as different-batch postings (re-arrival hit)
+      val k4 = IncrementalDedup.gateBatch(
+          Seq((104L, text(952))).toDF("doc_id", "text"),
+          t, buckets, "text", "doc_id", 3, 16, 4)
+        .select("doc_id").as[Long].collect().toSet
+      assert(k4 == Set(104L))
+      assert(gate(Seq((104L, text(952))).toDF("doc_id", "text"), 9L)
+        == Set.empty[Long],
+        "a -1-tagged posting must count as a different batch")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS $t2")
     }
+  }
+
+  test("persistent checkpoint: guard holds across invocations, output accumulates") {
+    val t2 = "graft_inc_persist_idx"
+    try {
+      IncrementalDedup.buildIndex(corpus, t2, buckets, batchTagged = true)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-novel-p").toString
+      def writeFile(name: String, mtimeMs: Long,
+                    rows: Seq[(Long, String)]): Unit = {
+        val stage = java.nio.file.Files.createTempDirectory("graft-np-st")
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/src", name)
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        assert(dest.setLastModified(mtimeMs))
+      }
+      def run(): Set[Long] = IncrementalDedup.streamNovel(
+          graft.streaming.Streaming.fileStream(spark, s"$base/src",
+            maxFilesPerTrigger = Some(1)),
+          t2, buckets, s"$base/out", dropReArrivals = true,
+          checkpointDir = Some(s"$base/ckpt"))
+        .select("doc_id").as[Long].collect().toSet
+      writeFile("f1.parquet", 1000000L,
+        Seq((101L, text(960)), (102L, text(961))))
+      assert(run() == Set(101L, 102L))
+      // a later invocation's new file RE-DELIVERS kept id 101 and adds
+      // novel 103: the resumed checkpoint processes only the new file
+      // in a strictly later batch, the guard drops the re-arrival, and
+      // the accumulated output holds each id exactly once
+      writeFile("f2.parquet", 2000000L,
+        Seq((101L, text(960)), (103L, text(962))))
+      assert(run() == Set(101L, 102L, 103L))
+      val all = spark.read.parquet(s"$base/out")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(all.count(_ == 101L) == 1,
+        s"re-sent id must be emitted once across invocations: $all")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t2")
   }
 
   test("streamNovel runs the gate per micro-batch over a file stream") {
