@@ -263,6 +263,26 @@ object ScaleProbe {
       }
       spark.sql(s"DROP TABLE IF EXISTS $annTable")
 
+      // incremental BM25 index: tokenize once, serve query batches
+      // from the persisted postings — probe cost is bound by the
+      // MATCHING postings (term df grows with the corpus), never a
+      // corpus re-scan; the fixed job floor dominates at this size
+      val bmName = s"graft_scaleprobe_bm25_x$f"
+      time("incbm25_index_build", f) {
+        graft.text.IncrementalBm25.buildIndex(d, bmName, buckets = 32)
+        spark.table(s"${bmName}_postings").count()
+      }
+      time("incbm25_probe", f) {
+        val qterms = Seq(
+          (3L, Seq("hash", "scan", "filter")),
+          (7L, Seq("spark", "join", "window", "stream")),
+          (11L, Seq("vector", "merge", "sort"))).toDF("query_id", "terms")
+        graft.text.IncrementalBm25.probe(spark, qterms, bmName, k = 20)
+          .count()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS ${bmName}_postings")
+      spark.sql(s"DROP TABLE IF EXISTS ${bmName}_stats")
+
       time("hybrid_fusion_batch", f) {
         // the q145 shape at scale: batched BM25 over the f-scaled
         // documents (one postings scan for all queries) + brute-force

@@ -567,6 +567,32 @@ object SimQueries {
       val k0 = gate(0L).localCheckpoint(eager = false)
       val k1 = gate(1L)
       k0.unionByName(k1).orderBy("id")
+    }),
+
+    // Incremental BM25 index (the text-retrieval third index family):
+    // tokenize the corpus ONCE into persisted (tok, id, tf, dl)
+    // postings bucketed on tok + a one-row stats table, then serve
+    // the q145 query batch from the index — term-pruned postings
+    // scan, df/idf from the pruned rows, dl riding the posting, the
+    // corpus never re-read. The oracle replays the index-transparent
+    // batched BM25 (the q145 CTEs): an index probe must be
+    // indistinguishable from scoring the raw documents
+    "q147_incremental_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val d = graft.sources.Tables.table(s, dir, "documents")
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q147_bm25_$tag"
+      Setup.once(s"q147:$dir") {
+        graft.text.IncrementalBm25.buildIndex(d, name, buckets = 8)
+      }
+      val qterms = Seq(
+        (3L, Seq("hash", "scan", "filter")),
+        (7L, Seq("spark", "join", "window", "stream")),
+        (11L, Seq("vector", "merge", "sort"))).toDF("query_id", "terms")
+      graft.text.IncrementalBm25.probe(s, qterms, name, k = 10)
+        .select(col("query_id"), col("doc_id"), col("score_e6"),
+          col("n_terms"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   private val dotSql =
@@ -969,36 +995,7 @@ object SimQueries {
     // cosine CTEs for the same query ids, RRF contributions
     // 1e6 // (60 + rank) summed per (query, doc), top-10 per query
     "q145_hybrid_batch" -> {
-      val words = TextQueries.Sql.words
-      s"""WITH qt(query_id, tok) AS (VALUES
-         |  (3, 'hash'), (3, 'scan'), (3, 'filter'),
-         |  (7, 'spark'), (7, 'join'), (7, 'window'), (7, 'stream'),
-         |  (11, 'vector'), (11, 'merge'), (11, 'sort')),
-         |dl AS (
-         |  SELECT doc_id, CAST(len($words) AS BIGINT) AS dl FROM documents),
-         |stats AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-         |  FROM dl),
-         |tf AS (
-         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest($words) AS tok FROM documents)
-         |  WHERE tok IN (SELECT DISTINCT tok FROM qt)
-         |  GROUP BY doc_id, tok),
-         |idf AS (
-         |  SELECT tok,
-         |         CAST(floor((CAST(n_docs - df AS DOUBLE) + 0.5)
-         |           / (CAST(df AS DOUBLE) + 0.5) * 1000000.0) AS BIGINT) AS idf_e6
-         |  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
-         |  CROSS JOIN stats),
-         |w AS (
-         |  SELECT tf.doc_id, tf.tok,
-         |         CAST(floor(CAST(idf_e6 AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2)
-         |           / (CAST(tf AS DOUBLE)
-         |             + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
-         |           AS BIGINT) AS w_e6
-         |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok)
-         |  CROSS JOIN stats),
+      s"""$bm25BatchCtes,
          |bmq AS (SELECT qt.query_id, w.doc_id,
          |          CAST(SUM(w_e6) AS BIGINT) AS score_e6
          |        FROM w JOIN qt USING (tok) GROUP BY qt.query_id, w.doc_id),
@@ -1134,6 +1131,24 @@ object SimQueries {
          |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // incremental-BM25 replay: the shared q145 batched-BM25 CTEs,
+    // per-query top-10 with score and matched-term count — the oracle
+    // never models the index, only the scoring the index must
+    // reproduce bit for bit
+    "q147_incremental_bm25" ->
+      (s"$bm25BatchCtes,\n" +
+       """bmq AS (SELECT qt.query_id, w.doc_id,
+         |          CAST(SUM(w_e6) AS BIGINT) AS score_e6,
+         |          CAST(COUNT(*) AS BIGINT) AS n_terms
+         |        FROM w JOIN qt USING (tok) GROUP BY qt.query_id, w.doc_id)
+         |SELECT query_id, doc_id, score_e6, n_terms, rank FROM (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_e6,
+         |         n_terms,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM bmq)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
     // re-arrival-guard replay: ONE q132-style gate step for batch 0
     // (index hits vs the id%5<>0 seed, symmetric in-batch rule) — the
@@ -1332,6 +1347,45 @@ object SimQueries {
 
   private def sqmixOfPoly(e: String): String =
     TextQueries.Sql.sqmixOfPoly(e)
+
+  /** Shared q145/q147 batched-BM25 replay base: the q88 arithmetic
+    * with a qt (query_id, tok) VALUES table — per-term df/idf over the
+    * batch's term union, quantized weights joined per query. ONE copy
+    * so the hybrid fusion and the incremental-index probe cannot
+    * drift (the pinnedAssignCteWith factoring doctrine); ends in
+    * `w(doc_id, tok, w_e6)` + `qt`. */
+  private lazy val bm25BatchCtes: String = {
+    val words = TextQueries.Sql.words
+    s"""WITH qt(query_id, tok) AS (VALUES
+       |  (3, 'hash'), (3, 'scan'), (3, 'filter'),
+       |  (7, 'spark'), (7, 'join'), (7, 'window'), (7, 'stream'),
+       |  (11, 'vector'), (11, 'merge'), (11, 'sort')),
+       |dl AS (
+       |  SELECT doc_id, CAST(len($words) AS BIGINT) AS dl FROM documents),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest($words) AS tok FROM documents)
+       |  WHERE tok IN (SELECT DISTINCT tok FROM qt)
+       |  GROUP BY doc_id, tok),
+       |idf AS (
+       |  SELECT tok,
+       |         CAST(floor((CAST(n_docs - df AS DOUBLE) + 0.5)
+       |           / (CAST(df AS DOUBLE) + 0.5) * 1000000.0) AS BIGINT) AS idf_e6
+       |  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+       |  CROSS JOIN stats),
+       |w AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |         CAST(floor(CAST(idf_e6 AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2)
+       |           / (CAST(tf AS DOUBLE)
+       |             + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+       |           AS BIGINT) AS w_e6
+       |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok)
+       |  CROSS JOIN stats)""".stripMargin
+  }
 
   /** Shared pinned-codebook oracle base: L2-normalized vectors with the
     * exact Ivf.normalized operation order (ordered sum of squares,

@@ -37,6 +37,28 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** Quantized odds-idf: floor((N − df + 0.5) / (df + 0.5) · 1e6) —
+    * ONE copy of the arithmetic for the in-memory paths and the
+    * persisted-index probe ([[IncrementalBm25]]), so the replayed
+    * oracle formula cannot drift between them. */
+  private[text] def idfE6Col(nDocs: Long,
+                             df: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(((lit(nDocs) - df).cast("double") + lit(0.5))
+      / (df.cast("double") + lit(0.5)) * lit(1000000.0))
+      .cast("long")
+
+  /** Quantized per-(doc, term) BM25 weight (k1 = 1.2, b = 0.75):
+    * floor(idf_e6 · tf·2.2 / (tf + 1.2·(0.25 + 0.75·dl/avgdl))). */
+  private[text] def wE6Col(idfE6: org.apache.spark.sql.Column,
+                           tf: org.apache.spark.sql.Column,
+                           dl: org.apache.spark.sql.Column,
+                           avgdl: Double): org.apache.spark.sql.Column =
+    floor(idfE6.cast("double") * (tf.cast("double") * lit(2.2))
+      / (tf.cast("double")
+        + lit(1.2) * (lit(0.25) + lit(0.75)
+          * (dl.cast("double") / lit(avgdl)))))
+      .cast("long")
+
   /** Score `docs` against `terms`, returning the top `k` rows
     * (doc_id, score_e6, n_terms) by quantized BM25 score (ties break to
     * the smaller doc id). `n_terms` = distinct query terms hit.
@@ -76,18 +98,10 @@ object Bm25 {
     // df per query term (≤ |terms| rows) + quantized odds-idf, broadcast
     val idf = broadcast(
       tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        .withColumn("idf_e6",
-          floor(((lit(nDocs) - col("df")).cast("double") + lit(0.5))
-            / (col("df").cast("double") + lit(0.5)) * lit(1000000.0))
-            .cast("long"))
+        .withColumn("idf_e6", idfE6Col(nDocs, col("df")))
         .select("tok", "idf_e6"))
     tf.join(dl, "id").join(idf, "tok")
-      .withColumn("w_e6",
-        floor(col("idf_e6").cast("double") * (col("tf").cast("double") * lit(2.2))
-          / (col("tf").cast("double")
-            + lit(1.2) * (lit(0.25) + lit(0.75)
-              * (col("dl").cast("double") / lit(avgdl)))))
-          .cast("long"))
+      .withColumn("w_e6", wE6Col(col("idf_e6"), col("tf"), col("dl"), avgdl))
       .groupBy("id")
       .agg(sum("w_e6").as("score_e6"), count(lit(1)).as("n_terms"))
       .orderBy(col("score_e6").desc, col("id").asc)
@@ -145,18 +159,10 @@ object Bm25 {
       .groupBy("id", "tok").agg(count(lit(1)).as("tf")))
     val idf = broadcast(
       tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        .withColumn("idf_e6",
-          floor(((lit(nDocs) - col("df")).cast("double") + lit(0.5))
-            / (col("df").cast("double") + lit(0.5)) * lit(1000000.0))
-            .cast("long"))
+        .withColumn("idf_e6", idfE6Col(nDocs, col("df")))
         .select("tok", "idf_e6"))
     val w = tf.join(dl, "id").join(idf, "tok")
-      .withColumn("w_e6",
-        floor(col("idf_e6").cast("double") * (col("tf").cast("double") * lit(2.2))
-          / (col("tf").cast("double")
-            + lit(1.2) * (lit(0.25) + lit(0.75)
-              * (col("dl").cast("double") / lit(avgdl)))))
-          .cast("long"))
+      .withColumn("w_e6", wE6Col(col("idf_e6"), col("tf"), col("dl"), avgdl))
     val scored = w.join(broadcast(qt), Seq("tok"))
       .groupBy("query_id", "id")
       .agg(sum("w_e6").as("score_e6"), count(lit(1)).as("n_terms"))
