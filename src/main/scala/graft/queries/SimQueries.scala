@@ -593,6 +593,49 @@ object SimQueries {
         .select(col("query_id"), col("doc_id"), col("score_e6"),
           col("n_terms"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // The fully-INDEXED hybrid serving stack — the deployment shape
+    // all the index families exist for, composed and driver-checked:
+    // BM25 from the persisted postings index (q147), dense from the
+    // IVF-PQ code index + exact re-rank off the companion full-vector
+    // index (q141), RRF-fused per query — at serving time neither the
+    // corpus nor the embeddings table is ever scanned. The oracle
+    // composes the shared batched-BM25 CTEs with the parameterized
+    // IVF-PQ rerank replay (queries 3/7/11 against the whole-table
+    // index, self excluded) and replays the fusion
+    "q148_indexed_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val d = graft.sources.Tables.table(s, dir, "documents")
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      val bm = s"graft_q148_bm25_$tag"
+      val codes = s"graft_q148_codes_$tag"
+      val vn = s"graft_q148_vn_$tag"
+      Setup.once(s"q148:$dir") {
+        graft.text.IncrementalBm25.buildIndex(d, bm, buckets = 8)
+        graft.sim.IncrementalPq.buildIndex(e, codes, buckets = 8,
+          graft.sim.Pinned.ivfCentroids(), graft.sim.Pinned.pqBooks())
+        graft.sim.IncrementalAnn.buildIndex(e, vn, buckets = 8,
+          graft.sim.Pinned.ivfCentroids())
+      }
+      val qterms = Seq(
+        (3L, Seq("hash", "scan", "filter")),
+        (7L, Seq("spark", "join", "window", "stream")),
+        (11L, Seq("vector", "merge", "sort"))).toDF("query_id", "terms")
+      val text = graft.text.IncrementalBm25.probe(s, qterms, bm, k = 20)
+        .select("query_id", "doc_id", "rank")
+      val dense = graft.sim.IncrementalPq.probeRerank(s,
+          e.filter(col("id").isin(3, 7, 11)), codes, vn,
+          graft.sim.Pinned.ivfCentroids(), graft.sim.Pinned.pqBooks(),
+          k = 20, nProbe = 4, rerankFactor = 3)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      graft.text.Hybrid.rrf(Seq(text, dense), queryCols = Seq("query_id"),
+          idCol = "doc_id", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rrf_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   private val dotSql =
@@ -1150,6 +1193,66 @@ object SimQueries {
          |  FROM bmq)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
+    // indexed-hybrid replay: the shared batched-BM25 CTEs + the
+    // parameterized IVF-PQ rerank CTEs (queries id IN (3,7,11),
+    // whole-table index side — self excluded by the cand CTE), fused
+    // per query by RRF exactly as q145
+    "q148_indexed_hybrid" -> {
+      val pq = ivfPqReplayCtes(residual = false,
+        querySel = "id IN (3, 7, 11)", indexSel = "id >= 0")
+      s"""$pinnedAssignCte,
+         |${bm25BatchCtes.stripPrefix("WITH ")},
+         |$pq,
+         |adc AS (SELECT c2.query_id, c2.neighbor_id,
+         |          CAST(SUM(lut_e6) AS BIGINT) AS adc_e6
+         |        FROM cand c2
+         |        JOIN codes USING (neighbor_id)
+         |        JOIN lut ON lut.query_id = c2.query_id
+         |                AND lut.s = codes.s AND lut.code = codes.code
+         |        GROUP BY c2.query_id, c2.neighbor_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |            SELECT query_id, neighbor_id,
+         |                   row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY adc_e6 DESC, neighbor_id) AS rn
+         |            FROM adc)
+         |          WHERE rn <= 60),
+         |rs AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |         CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(list_zip(q.vn, n.vn), p -> p[1] * p[2])),
+         |           (a, b) -> a + b) * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM short sh
+         |  JOIN vn q ON q.id = sh.query_id
+         |  JOIN vn n ON n.id = sh.neighbor_id),
+         |vr AS (SELECT query_id, neighbor_id AS doc_id, rank FROM (
+         |         SELECT query_id, neighbor_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |         FROM rs)
+         |       WHERE rank <= 20),
+         |bmq AS (SELECT qt.query_id, w.doc_id,
+         |          CAST(SUM(w_e6) AS BIGINT) AS score_e6
+         |        FROM w JOIN qt USING (tok) GROUP BY qt.query_id, w.doc_id),
+         |tr AS (SELECT query_id, doc_id, rank FROM (
+         |         SELECT query_id, doc_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score_e6 DESC, doc_id) AS rank
+         |         FROM bmq)
+         |       WHERE rank <= 20),
+         |contrib AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS c2
+         |            FROM tr
+         |            UNION ALL
+         |            SELECT query_id, doc_id, 1000000 // (60 + rank) FROM vr),
+         |f AS (SELECT query_id, doc_id, CAST(SUM(c2) AS BIGINT) AS rrf_e6
+         |      FROM contrib GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, rrf_e6, rank FROM (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_e6,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM f)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
     // re-arrival-guard replay: ONE q132-style gate step for batch 0
     // (index hits vs the id%5<>0 seed, symmetric in-batch rule) — the
     // re-sent batch 1 must contribute nothing, so the oracle never
@@ -1274,7 +1377,10 @@ object SimQueries {
     * arithmetic cannot drift between them (the pinnedAssignCteWith /
     * dotSql factoring doctrine). */
   private def ivfPqReplayCtes(residual: Boolean,
-                              salt: String = ""): String = {
+                              salt: String = "",
+                              querySel: String = "id % 5 = 0",
+                              indexSel: String = "id % 5 <> 0",
+                              nProbe: Int = 4): String = {
     val saltSql = if (salt.isEmpty) "" else s"'$salt' || "
     val pqBooks =
       s"""bk AS (SELECT s, c, j,
@@ -1300,12 +1406,12 @@ object SimQueries {
         s"""rv AS (SELECT vn.id,
            |         [vn.vn[d + 1] - cl.cv[d + 1] for d in range(0, 64)] AS rv
            |       FROM vn JOIN asg USING (id) JOIN cl ON cl.c = asg.centroid
-           |       WHERE vn.id % 5 <> 0),
+           |       WHERE vn.$indexSel),
            |$distBody
            |         FROM rv CROSS JOIN bl)""".stripMargin
       else
         s"""$distBody
-           |         FROM vn CROSS JOIN bl WHERE id % 5 <> 0)""".stripMargin
+           |         FROM vn CROSS JOIN bl WHERE $indexSel)""".stripMargin
     val codes =
       """codes AS (SELECT id AS neighbor_id, s, c AS code FROM (
         |            SELECT id, s, c, row_number() OVER (PARTITION BY id, s
@@ -1314,34 +1420,34 @@ object SimQueries {
         |          WHERE rn = 1)""".stripMargin
     val pr =
       if (residual)
-        """pr AS (SELECT id AS query_id, c AS centroid,
+        s"""pr AS (SELECT id AS query_id, c AS centroid,
           |              CAST(floor(dot * 1000000.0) AS BIGINT) AS off_e6
           |       FROM (
           |         SELECT id, c, dot, row_number() OVER (PARTITION BY id
           |                          ORDER BY dot DESC, c) AS rn
-          |         FROM sc WHERE id % 5 = 0)
-          |       WHERE rn <= 4)""".stripMargin
+          |         FROM sc WHERE $querySel)
+          |       WHERE rn <= $nProbe)""".stripMargin
       else
-        """pr AS (SELECT id AS query_id, c AS centroid FROM (
+        s"""pr AS (SELECT id AS query_id, c AS centroid FROM (
           |         SELECT id, c, row_number() OVER (PARTITION BY id
           |                          ORDER BY dot DESC, c) AS rn
-          |         FROM sc WHERE id % 5 = 0)
-          |       WHERE rn <= 4)""".stripMargin
+          |         FROM sc WHERE $querySel)
+          |       WHERE rn <= $nProbe)""".stripMargin
     val lut =
-      """lut AS (SELECT q.id AS query_id, bl.s, bl.c AS code,
+      s"""lut AS (SELECT q.id AS query_id, bl.s, bl.c AS code,
         |          CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |            [q.vn[bl.s * 8 + j + 1] * bv[j + 1] for j in range(0, 8)]),
         |            (a, b) -> a + b) * 1000000.0) AS BIGINT) AS lut_e6
-        |        FROM vn q CROSS JOIN bl WHERE q.id % 5 = 0)""".stripMargin
+        |        FROM vn q CROSS JOIN bl WHERE q.$querySel)""".stripMargin
     val cand =
       if (residual)
-        """cand AS (SELECT pr.query_id, a.id AS neighbor_id, pr.off_e6
+        s"""cand AS (SELECT pr.query_id, a.id AS neighbor_id, pr.off_e6
           |         FROM pr JOIN asg a USING (centroid)
-          |         WHERE a.id % 5 <> 0 AND a.id <> pr.query_id)""".stripMargin
+          |         WHERE a.$indexSel AND a.id <> pr.query_id)""".stripMargin
       else
-        """cand AS (SELECT pr.query_id, a.id AS neighbor_id
+        s"""cand AS (SELECT pr.query_id, a.id AS neighbor_id
           |         FROM pr JOIN asg a USING (centroid)
-          |         WHERE a.id % 5 <> 0 AND a.id <> pr.query_id)""".stripMargin
+          |         WHERE a.$indexSel AND a.id <> pr.query_id)""".stripMargin
     Seq(pqBooks, dist, codes, pr, lut, cand).mkString(",\n")
   }
 
