@@ -273,10 +273,8 @@ object ScaleProbe {
         spark.table(s"${bmName}_postings").count()
       }
       time("incbm25_probe", f) {
-        val qterms = Seq(
-          (3L, Seq("hash", "scan", "filter")),
-          (7L, Seq("spark", "join", "window", "stream")),
-          (11L, Seq("vector", "merge", "sort"))).toDF("query_id", "terms")
+        val qterms = graft.queries.SimQueries.hybridQueryTerms
+          .toDF("query_id", "terms")
         graft.text.IncrementalBm25.probe(spark, qterms, bmName, k = 20)
           .count()
       }
@@ -289,10 +287,8 @@ object ScaleProbe {
         // dense top-20 over the f-scaled embeddings (linear by
         // design — the brute baseline) + RRF. Dominated by the two
         // corpus passes; fusion itself is rank-row arithmetic
-        val qterms = Seq(
-          (3L, Seq("hash", "scan", "filter")),
-          (7L, Seq("spark", "join", "window", "stream")),
-          (11L, Seq("vector", "merge", "sort"))).toDF("query_id", "terms")
+        val qterms = graft.queries.SimQueries.hybridQueryTerms
+          .toDF("query_id", "terms")
         val text = graft.text.Bm25.topKBatch(d, qterms, k = 20)
           .select("query_id", "doc_id", "rank")
         val vec = graft.sim.Similarity

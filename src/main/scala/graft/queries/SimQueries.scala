@@ -522,10 +522,7 @@ object SimQueries {
       import s.implicits._
       val d = graft.sources.Tables.table(s, dir, "documents")
       val e = emb(s, dir)
-      val qterms = Seq(
-        (3L, Seq("hash", "scan", "filter")),
-        (7L, Seq("spark", "join", "window", "stream")),
-        (11L, Seq("vector", "merge", "sort"))).toDF("query_id", "terms")
+      val qterms = hybridQueryTerms.toDF("query_id", "terms")
       val text = graft.text.Bm25.topKBatch(d, qterms, k = 20)
         .select("query_id", "doc_id", "rank")
       val vec = graft.sim.Similarity
@@ -585,10 +582,7 @@ object SimQueries {
       Setup.once(s"q147:$dir") {
         graft.text.IncrementalBm25.buildIndex(d, name, buckets = 8)
       }
-      val qterms = Seq(
-        (3L, Seq("hash", "scan", "filter")),
-        (7L, Seq("spark", "join", "window", "stream")),
-        (11L, Seq("vector", "merge", "sort"))).toDF("query_id", "terms")
+      val qterms = hybridQueryTerms.toDF("query_id", "terms")
       graft.text.IncrementalBm25.probe(s, qterms, name, k = 10)
         .select(col("query_id"), col("doc_id"), col("score_e6"),
           col("n_terms"), col("rank").cast("long").as("rank"))
@@ -619,10 +613,7 @@ object SimQueries {
         graft.sim.IncrementalAnn.buildIndex(e, vn, buckets = 8,
           graft.sim.Pinned.ivfCentroids())
       }
-      val qterms = Seq(
-        (3L, Seq("hash", "scan", "filter")),
-        (7L, Seq("spark", "join", "window", "stream")),
-        (11L, Seq("vector", "merge", "sort"))).toDF("query_id", "terms")
+      val qterms = hybridQueryTerms.toDF("query_id", "terms")
       val text = graft.text.IncrementalBm25.probe(s, qterms, bm, k = 20)
         .select("query_id", "doc_id", "rank")
       val dense = graft.sim.IncrementalPq.probeRerank(s,
@@ -1081,32 +1072,12 @@ object SimQueries {
     // re-rank it, top-3
     "q141_ivfpq_rerank" ->
       (s"$pinnedAssignCte,\n${ivfPqReplayCtes(residual = false)},\n" +
-       """adc AS (SELECT c2.query_id, c2.neighbor_id,
-         |          CAST(SUM(lut_e6) AS BIGINT) AS adc_e6
-         |        FROM cand c2
-         |        JOIN codes USING (neighbor_id)
-         |        JOIN lut ON lut.query_id = c2.query_id
-         |                AND lut.s = codes.s AND lut.code = codes.code
-         |        GROUP BY c2.query_id, c2.neighbor_id),
-         |short AS (SELECT query_id, neighbor_id FROM (
-         |            SELECT query_id, neighbor_id,
-         |                   row_number() OVER (PARTITION BY query_id
-         |                     ORDER BY adc_e6 DESC, neighbor_id) AS rn
-         |            FROM adc)
-         |          WHERE rn <= 15),
-         |scored AS (
-         |  SELECT sh.query_id, sh.neighbor_id,
-         |         CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |           list_transform(list_zip(q.vn, n.vn), p -> p[1] * p[2])),
-         |           (a, b) -> a + b) * 1000000.0) AS BIGINT) AS cos_e6
-         |  FROM short sh
-         |  JOIN vn q ON q.id = sh.query_id
-         |  JOIN vn n ON n.id = sh.neighbor_id)
-         |SELECT query_id, neighbor_id, cos_e6, rank FROM (
+       s"${adcRerankCtes(15)}\n" +
+       """SELECT query_id, neighbor_id, cos_e6, rank FROM (
          |  SELECT query_id, neighbor_id, cos_e6,
          |         row_number() OVER (PARTITION BY query_id
          |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
-         |  FROM scored)
+         |  FROM rs)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     // refresh replay: q139's oracle computed entirely under the SALTED
@@ -1203,27 +1174,7 @@ object SimQueries {
       s"""$pinnedAssignCte,
          |${bm25BatchCtes.stripPrefix("WITH ")},
          |$pq,
-         |adc AS (SELECT c2.query_id, c2.neighbor_id,
-         |          CAST(SUM(lut_e6) AS BIGINT) AS adc_e6
-         |        FROM cand c2
-         |        JOIN codes USING (neighbor_id)
-         |        JOIN lut ON lut.query_id = c2.query_id
-         |                AND lut.s = codes.s AND lut.code = codes.code
-         |        GROUP BY c2.query_id, c2.neighbor_id),
-         |short AS (SELECT query_id, neighbor_id FROM (
-         |            SELECT query_id, neighbor_id,
-         |                   row_number() OVER (PARTITION BY query_id
-         |                     ORDER BY adc_e6 DESC, neighbor_id) AS rn
-         |            FROM adc)
-         |          WHERE rn <= 60),
-         |rs AS (
-         |  SELECT sh.query_id, sh.neighbor_id,
-         |         CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |           list_transform(list_zip(q.vn, n.vn), p -> p[1] * p[2])),
-         |           (a, b) -> a + b) * 1000000.0) AS BIGINT) AS cos_e6
-         |  FROM short sh
-         |  JOIN vn q ON q.id = sh.query_id
-         |  JOIN vn n ON n.id = sh.neighbor_id),
+         |${adcRerankCtes(60)},
          |vr AS (SELECT query_id, neighbor_id AS doc_id, rank FROM (
          |         SELECT query_id, neighbor_id,
          |                row_number() OVER (PARTITION BY query_id
@@ -1451,8 +1402,48 @@ object SimQueries {
     Seq(pqBooks, dist, codes, pr, lut, cand).mkString(",\n")
   }
 
+  /** Shared q141/q148 replay tail (follows [[ivfPqReplayCtes]]): the
+    * ADC sum over cand×codes×lut, the top-`shortN` shortlist, and the
+    * exact normalized-dot re-rank `rs(query_id, neighbor_id, cos_e6)`
+    * — ONE copy of the serving-stack arithmetic (the factoring
+    * doctrine; q139/q140/q144's plain-ADC `score` projections differ
+    * and keep their own CTE). */
+  private def adcRerankCtes(shortN: Int): String =
+    s"""adc AS (SELECT c2.query_id, c2.neighbor_id,
+       |          CAST(SUM(lut_e6) AS BIGINT) AS adc_e6
+       |        FROM cand c2
+       |        JOIN codes USING (neighbor_id)
+       |        JOIN lut ON lut.query_id = c2.query_id
+       |                AND lut.s = codes.s AND lut.code = codes.code
+       |        GROUP BY c2.query_id, c2.neighbor_id),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |            SELECT query_id, neighbor_id,
+       |                   row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY adc_e6 DESC, neighbor_id) AS rn
+       |            FROM adc)
+       |          WHERE rn <= $shortN),
+       |rs AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |         CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(list_zip(q.vn, n.vn), p -> p[1] * p[2])),
+       |           (a, b) -> a + b) * 1000000.0) AS BIGINT) AS cos_e6
+       |  FROM short sh
+       |  JOIN vn q ON q.id = sh.query_id
+       |  JOIN vn n ON n.id = sh.neighbor_id)""".stripMargin
+
   private def sqmixOfPoly(e: String): String =
     TextQueries.Sql.sqmixOfPoly(e)
+
+  /** The shared 3-query hybrid/BM25 batch (q145/q147/q148 drivers,
+    * ScaleProbe's fusion row) — ONE copy, mirrored into
+    * [[bm25BatchCtes]]' qt VALUES so the driver term lists and the
+    * oracle's cannot drift. */
+  // lazy: bm25BatchCtes (forced by the eager `oracles` val) reads it
+  // during object init, which precedes this declaration in source order
+  private[graft] lazy val hybridQueryTerms: Seq[(Long, Seq[String])] = Seq(
+    (3L, Seq("hash", "scan", "filter")),
+    (7L, Seq("spark", "join", "window", "stream")),
+    (11L, Seq("vector", "merge", "sort")))
 
   /** Shared q145/q147 batched-BM25 replay base: the q88 arithmetic
     * with a qt (query_id, tok) VALUES table — per-term df/idf over the
@@ -1462,10 +1453,10 @@ object SimQueries {
     * `w(doc_id, tok, w_e6)` + `qt`. */
   private lazy val bm25BatchCtes: String = {
     val words = TextQueries.Sql.words
-    s"""WITH qt(query_id, tok) AS (VALUES
-       |  (3, 'hash'), (3, 'scan'), (3, 'filter'),
-       |  (7, 'spark'), (7, 'join'), (7, 'window'), (7, 'stream'),
-       |  (11, 'vector'), (11, 'merge'), (11, 'sort')),
+    val qtValues = hybridQueryTerms
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""WITH qt(query_id, tok) AS (VALUES $qtValues),
        |dl AS (
        |  SELECT doc_id, CAST(len($words) AS BIGINT) AS dl FROM documents),
        |stats AS (

@@ -40,7 +40,15 @@ import org.apache.spark.sql.functions._
   *     corpus-global N and avgdl, maintained INCREMENTALLY by
   *     append/delete through [[graft.sources.Bucketed.replaceAll]]'s
   *     atomic one-manifest swap — a probe must not pay an O(corpus)
-  *     aggregation for two scalars.
+  *     aggregation for two scalars. Each table's commit is atomic,
+  *     but the PAIR is not: a crash between the postings commit and
+  *     the stats commit (or an uncertain retry of a mutation — the
+  *     stats row is an accumulator and must not be re-applied
+  *     blindly) leaves the two out of step. [[repairStats]] is the
+  *     healing op for exactly that window: one index scan recomputes
+  *     the row from the postings themselves. In-process, concurrent
+  *     mutations serialize their read-modify-write on a per-index
+  *     monitor so no delta is lost.
   *
   * Determinism: the probe reuses [[Bm25]]'s exact quantized formulas
   * (ONE copy of the idf/weight arithmetic), so against the same corpus
@@ -60,30 +68,35 @@ object IncrementalBm25 {
   private def postingsTable(name: String) = s"${name}_postings"
   private def statsTable(name: String) = s"${name}_stats"
 
-  /** (tok, id, tf, dl) posting rows for `docs` — the same tokenization
-    * as the in-memory paths; dl rides each posting (see the object
+  /** The checkpointed (id, dl) projection of `docs` — ONE
+    * tokenization-count pass serving the posting join AND the stats
+    * delta (the Bm25.topK reuse doctrine: without it every consumer
+    * re-tokenizes the input). IDs UNIQUE within the input is the
+    * shared batch contract (a duplicated row would double tf and the
+    * stats delta alike). */
+  private def dlOf(docs: DataFrame, textCol: String,
+                   idCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokenCountCol(col(textCol)).cast("long").as("dl"))
+      .localCheckpoint(eager = false)
+
+  /** (tok, id, tf, dl) posting rows — the same tokenization as the
+    * in-memory paths; dl rides each posting (see the object
     * scaladoc). */
-  private def postingsOf(docs: DataFrame, textCol: String,
-                         idCol: String): DataFrame = {
-    val dl = docs.select(col(idCol).cast("long").as("id"),
-      TextAnalysis.tokenCountCol(col(textCol)).cast("long").as("dl"))
+  private def postingsOf(docs: DataFrame, dl: DataFrame, textCol: String,
+                         idCol: String): DataFrame =
     docs
       .select(col(idCol).cast("long").as("id"),
         explode(TextAnalysis.wordsCol(col(textCol))).as("tok"))
       .groupBy("tok", "id").agg(count(lit(1)).as("tf"))
       .join(dl, "id")
       .select("tok", "id", "tf", "dl")
-  }
 
-  /** (n_docs, tot_tok) per-doc stats of a batch — shared by
-    * build/append/delete for their stats delta. */
-  private def batchStats(docs: DataFrame, textCol: String,
-                         idCol: String): (Long, Long) = {
-    val spark = docs.sparkSession
+  /** (n_docs, tot_tok) of a batch, from its checkpointed dl rows. */
+  private def batchStats(dl: DataFrame): (Long, Long) = {
+    val spark = dl.sparkSession
     import spark.implicits._
-    docs.agg(count(lit(1)),
-        coalesce(sum(TextAnalysis.tokenCountCol(col(textCol)).cast("long")),
-          lit(0L)))
+    dl.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
       .as[(Long, Long)].head()
   }
 
@@ -92,6 +105,18 @@ object IncrementalBm25 {
       .select("n_docs", "tot_tok").head()
     (r.getLong(0), r.getLong(1))
   }
+
+  /** Per-index monitors serializing the stats read-modify-write: two
+    * concurrent mutations would otherwise lose one delta (the stats
+    * row is the only cross-mutation accumulator in the family).
+    * In-process like every lock here; cross-process mutation is the
+    * single-writer-process contract. */
+  private val statsMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withStatsLock[A](name: String)(body: => A): A =
+    statsMonitors.computeIfAbsent(name, _ => new Object)
+      .synchronized(body)
 
   private def writeStats(spark: SparkSession, name: String, nDocs: Long,
                          totTok: Long, fresh: Boolean): Unit = {
@@ -105,16 +130,40 @@ object IncrementalBm25 {
     }
   }
 
+  /** Recompute the stats row FROM the postings table — the healing op
+    * for the one crash window this two-table family has: postings and
+    * stats commit through separate manifests, so a crash between the
+    * two commits (or an uncertain retry) can leave the delta applied
+    * to one table only. Each (id, dl) pair appears once per distinct
+    * term of the doc; distinct-ing recovers the per-doc lengths, one
+    * index scan. Run after any mutation whose completion is in doubt
+    * — the "re-run the op" doctrine's counterpart for accumulators
+    * that must not be re-applied blindly. NOTE: a doc with ZERO
+    * tokens has no postings and is invisible here; its absence
+    * shifts N by its (empty) contribution only. */
+  def repairStats(spark: SparkSession, name: String): (Long, Long) = {
+    import spark.implicits._
+    val (n, tot) = graft.sources.Bucketed.load(spark, postingsTable(name))
+      .select("id", "dl").distinct()
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
+      .as[(Long, Long)].head()
+    withStatsLock(name) {
+      writeStats(spark, name, n, tot, fresh = false)
+    }
+    (n, tot)
+  }
+
   /** Tokenize `corpus` and (re)build the index. One tokenize pass +
     * one bucket-write shuffle (+ the dl id-join) — paid once, not per
     * query batch. */
   def buildIndex(corpus: DataFrame, name: String, buckets: Int,
                  textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val spark = corpus.sparkSession
-    graft.sources.Bucketed.save(postingsOf(corpus, textCol, idCol),
+    val dl = dlOf(corpus, textCol, idCol)
+    graft.sources.Bucketed.save(postingsOf(corpus, dl, textCol, idCol),
       postingsTable(name), Seq("tok"), buckets)
-    val (n, tot) = batchStats(corpus, textCol, idCol)
-    writeStats(spark, name, n, tot, fresh = true)
+    val (n, tot) = batchStats(dl)
+    withStatsLock(name) { writeStats(spark, name, n, tot, fresh = true) }
   }
 
   /** Append newly-ingested docs: their postings land in the existing
@@ -124,11 +173,14 @@ object IncrementalBm25 {
   def appendToIndex(newDocs: DataFrame, name: String, buckets: Int,
                     textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val spark = newDocs.sparkSession
-    graft.sources.Bucketed.save(postingsOf(newDocs, textCol, idCol),
+    val dl = dlOf(newDocs, textCol, idCol)
+    graft.sources.Bucketed.save(postingsOf(newDocs, dl, textCol, idCol),
       postingsTable(name), Seq("tok"), buckets, mode = SaveMode.Append)
-    val (dn, dtot) = batchStats(newDocs, textCol, idCol)
-    val (n, tot) = statsOf(spark, name)
-    writeStats(spark, name, n + dn, tot + dtot, fresh = false)
+    val (dn, dtot) = batchStats(dl)
+    withStatsLock(name) {
+      val (n, tot) = statsOf(spark, name)
+      writeStats(spark, name, n + dn, tot + dtot, fresh = false)
+    }
   }
 
   /** Remove docs at O(touched buckets): their terms recompute from
@@ -142,7 +194,13 @@ object IncrementalBm25 {
                       textCol: String = "text", idCol: String = "doc_id"): Int = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val del = postingsOf(docs, textCol, idCol)
+    // dedup by id FIRST: the postings anti-join is naturally
+    // duplicate-tolerant (ids.distinct) but the stats retreat is an
+    // accumulator — a doc repeated in an erasure batch must subtract
+    // its (1, dl) delta exactly once
+    val uniq = docs.dropDuplicates(idCol)
+    val dl = dlOf(uniq, textCol, idCol)
+    val del = postingsOf(uniq, dl, textCol, idCol)
       .localCheckpoint(eager = false) // bucket-id collect + id join
     val tokBuckets = del
       .select(pmod(hash(col("tok")), lit(buckets)).cast("int").as("b"))
@@ -152,9 +210,11 @@ object IncrementalBm25 {
       postingsTable(name), tokBuckets,
       idx => idx.join(broadcast(ids), Seq("id"), "left_anti")
         .dropDuplicates())
-    val (dn, dtot) = batchStats(docs, textCol, idCol)
-    val (n, tot) = statsOf(spark, name)
-    writeStats(spark, name, n - dn, tot - dtot, fresh = false)
+    val (dn, dtot) = batchStats(dl)
+    withStatsLock(name) {
+      val (n, tot) = statsOf(spark, name)
+      writeStats(spark, name, n - dn, tot - dtot, fresh = false)
+    }
     nRewritten
   }
 

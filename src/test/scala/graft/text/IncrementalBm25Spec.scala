@@ -60,6 +60,32 @@ class IncrementalBm25Spec extends SparkSuite {
     } finally drop()
   }
 
+  test("duplicated erasure rows subtract once; repairStats heals the cross-table window") {
+    try {
+      IncrementalBm25.buildIndex(docs(0, 40), name, buckets)
+      // an erasure batch re-sends doc 5 twice: the postings anti-join
+      // is naturally idempotent (ids.distinct) and the stats retreat —
+      // an accumulator — must be deduped the same way
+      val dupBatch = docs(5, 6).unionByName(docs(5, 6))
+        .unionByName(docs(10, 11))
+      IncrementalBm25.deleteFromIndex(dupBatch, name, buckets)
+      val remaining = docs(0, 40)
+        .filter(!col("doc_id").isin(5, 10))
+      assert(probeSet() == batchSet(remaining))
+      // the documented cross-table window: an uncertain RETRY of a
+      // completed delete finds no postings to remove but subtracts the
+      // stats delta again — N shifts, every idf shifts, probes diverge
+      IncrementalBm25.deleteFromIndex(docs(10, 11), name, buckets)
+      assert(probeSet() != batchSet(remaining),
+        "the retry window should shift scores (documented)")
+      // healing: one postings scan recomputes the stats row
+      val (n, tot) = IncrementalBm25.repairStats(spark, name)
+      assert(n == 38, s"repaired n_docs $n")
+      assert(tot > 0)
+      assert(probeSet() == batchSet(remaining))
+    } finally drop()
+  }
+
   test("append-replay duplicate postings heal at compaction") {
     try {
       IncrementalBm25.buildIndex(docs(0, 30), name, buckets)
