@@ -249,8 +249,8 @@ object ScaleProbe {
         // one staged bucket write), i.e. the same shape as
         // incpq_index_build, never MORE
         graft.sim.IncrementalPq.refreshFromVnIndex(spark, pqTable,
-          annTable, graft.sim.Pinned.ivfCentroids(salt = "r:"),
-          graft.sim.Pinned.pqBooks(salt = "r:")).toLong
+          annTable, graft.sim.Pinned.ivfCentroids(salt = "r-"),
+          graft.sim.Pinned.pqBooks(salt = "r-")).toLong
       }
       spark.sql(s"DROP TABLE IF EXISTS $pqTable")
 
@@ -259,7 +259,7 @@ object ScaleProbe {
         // the claim is "same cost shape as buildIndex" — one read +
         // one bucket-write shuffle, corpus never re-read
         graft.sim.IncrementalAnn.reassignIndex(spark, annTable,
-          graft.sim.Pinned.ivfCentroids(salt = "r:")).toLong
+          graft.sim.Pinned.ivfCentroids(salt = "r-")).toLong
       }
       spark.sql(s"DROP TABLE IF EXISTS $annTable")
 

@@ -346,7 +346,7 @@ object SimQueries {
       val table = s"graft_q138_idx_$tag"
       graft.sim.IncrementalAnn.buildIndex(e.filter(col("id") % 5 =!= 0),
         table, buckets = 8, graft.sim.Pinned.ivfCentroids())
-      val centsB = graft.sim.Pinned.ivfCentroids(salt = "r:")
+      val centsB = graft.sim.Pinned.ivfCentroids(salt = "r-")
       graft.sim.IncrementalAnn.reassignIndex(s, table, centsB)
       graft.sim.IncrementalAnn.probe(s, e.filter(col("id") % 5 === 0),
           table, centsB, k = 3, nProbe = 4)
@@ -481,7 +481,7 @@ object SimQueries {
     // re-encodes itself from the companion FULL-VECTOR index (q141's
     // pair) — one vn-index read + one staged code-table write through
     // the generation-manifest commit — under NEW pinned coarse +
-    // product codebooks (salt "r:"), then probes under them. The
+    // product codebooks (salt "r-"), then probes under them. The
     // oracle replays q139's CTEs entirely under the salted codebooks:
     // a refreshed code index must be indistinguishable from a fresh
     // buildIndex under the new books (the q138 doctrine, for codes).
@@ -500,11 +500,11 @@ object SimQueries {
           vn, buckets = 8, graft.sim.Pinned.ivfCentroids())
       }
       graft.sim.IncrementalPq.refreshFromVnIndex(s, codes, vn,
-        graft.sim.Pinned.ivfCentroids(salt = "r:"),
-        graft.sim.Pinned.pqBooks(salt = "r:"))
+        graft.sim.Pinned.ivfCentroids(salt = "r-"),
+        graft.sim.Pinned.pqBooks(salt = "r-"))
       graft.sim.IncrementalPq.probe(s, e.filter(col("id") % 5 === 0),
-          codes, graft.sim.Pinned.ivfCentroids(salt = "r:"),
-          graft.sim.Pinned.pqBooks(salt = "r:"), k = 3, nProbe = 4)
+          codes, graft.sim.Pinned.ivfCentroids(salt = "r-"),
+          graft.sim.Pinned.pqBooks(salt = "r-"), k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("adc_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -894,7 +894,7 @@ object SimQueries {
     // build-under-B-then-probe, so the oracle never models the
     // refresh, only codebook B
     "q138_ann_codebook_refresh" ->
-      s"""${pinnedAssignCteWith("r:")},
+      s"""${pinnedAssignCteWith("r-")},
          |pr AS (SELECT id AS query_id, c AS centroid FROM (
          |         SELECT id, c, row_number() OVER (PARTITION BY id
          |                          ORDER BY dot DESC, c) AS rn
@@ -1085,8 +1085,8 @@ object SimQueries {
     // must equal build-under-B-then-probe, so the oracle never models
     // the refresh, only codebook set B (the q138 doctrine)
     "q144_ivfpq_refresh" ->
-      (s"${pinnedAssignCteWith("r:")},\n" +
-       s"${ivfPqReplayCtes(residual = false, salt = "r:")},\n" +
+      (s"${pinnedAssignCteWith("r-")},\n" +
+       s"${ivfPqReplayCtes(residual = false, salt = "r-")},\n" +
        """score AS (SELECT c2.query_id, c2.neighbor_id,
          |            CAST(SUM(lut_e6) AS BIGINT) AS adc_e6
          |          FROM cand c2

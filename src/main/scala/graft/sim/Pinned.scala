@@ -27,11 +27,17 @@ object Pinned {
 
   /** The salt is CONCATENATED into the key (the oracle CTEs replicate
     * the exact string), so a digit-ending salt would alias with
-    * unsalted keys (salt "1", c=2 -> "12:…" == unsalted c=12) and
-    * silently correlate the 'independent' codebooks — reject it. */
+    * unsalted keys (salt "1", c=2 -> "12:…" == unsalted c=12) — and a
+    * colon-bearing salt aliases ACROSS families (salt "3:" turns IVF
+    * key "3:"+"c:d" into "3:c:d", a PQ key shape), silently
+    * correlating 'independent' codebooks either way. Reject both: the
+    * salt may use neither a trailing digit nor the key grammar's own
+    * separator. */
   private def checkSalt(salt: String): Unit =
-    require(salt.isEmpty || !salt.last.isDigit,
-      s"pinned-codebook salt must end in a non-digit, got: '$salt'")
+    require(salt.isEmpty ||
+        (!salt.last.isDigit && !salt.contains(':')),
+      s"pinned-codebook salt must end in a non-digit and contain no " +
+        s"':', got: '$salt'")
 
   /** Pinned IVF codebook: centroid c, dim d -> value("<salt>c:d"). A
     * non-empty `salt` yields a SECOND independent pinned codebook from

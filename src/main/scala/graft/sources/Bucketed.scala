@@ -25,8 +25,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * so the maintenance swap no longer leans on multi-file rename
   * atomicity: staged files land in the dir INVISIBLE (unlisted), and
   * one manifest write flips readers from the old generation to the
-  * new. Crash windows therefore serve the OLD generation intact — no
-  * duplicate-rows window, no lost-rows window:
+  * new. The flip governs CRASH WINDOWS and cold [[load]]s — what a
+  * restarted or fresh reader resolves to is always one complete
+  * generation. It does NOT retime in-flight scans: `spark.table`
+  * reads the directory, not the manifest, so a hot-path load (cache
+  * hit, no reconcile) or an already-planned lazy DataFrame that
+  * evaluates DURING a maintenance commit's rename→commit→delete
+  * window can still observe both generations or a just-deleted file —
+  * in-process, callers that probe concurrently with maintenance must
+  * order probe vs maintenance themselves (every gate here runs them
+  * sequentially per batch). Crash windows serve the OLD generation
+  * intact — no duplicate-rows window, no lost-rows window:
   *
   *   - crash before the manifest commit → new files are unlisted
   *     orphans; readers serve the old generation; the next [[load]] or
@@ -42,24 +51,36 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * in-process manifest lock), and reconciliation never deletes files
   * while an append is in flight in this process.
   *
-  * CONCURRENCY CONTRACT (single maintenance writer): the rewrite-based
-  * maintenance ops — [[compactBuckets]], [[rewriteBuckets]],
-  * [[rewriteAll]], [[replaceAll]] and their callers (index deletion,
-  * codebook reassignment, PQ refresh) — are individually crash-safe
-  * but NOT safe to run concurrently with each other on one table: two
-  * overlapping rewrites each read the pre-op manifest, so the second
-  * commit would re-list rows the first removed. A per-table in-process
-  * lock makes the mistake loud: a second concurrent maintenance op in
-  * the same driver fails fast instead of corrupting. The lock is
-  * deliberately NOT a lock FILE: a file survives a crashed writer, and
-  * a stale lock would brick the gates' documented self-healing replay
-  * (streamNovel re-runs its inline compaction after a crash — with a
-  * leftover file it would fail forever instead of healing); the
-  * in-process lock dies with the JVM that held it, exactly when its op
-  * does. CROSS-PROCESS exclusion is the deployment's contract — one
-  * WRITER process per index, the same assumption Spark's own
-  * non-transactional tables make — and is documented rather than
-  * half-enforced.
+  * CONCURRENCY CONTRACT (single maintenance writer, ENFORCED): the
+  * rewrite-based maintenance ops — [[compactBuckets]],
+  * [[rewriteBuckets]], [[rewriteAll]], [[replaceAll]] and their
+  * callers (index deletion, codebook reassignment, PQ refresh) — are
+  * individually crash-safe but NOT safe to run concurrently with each
+  * other on one table: two overlapping rewrites each read the pre-op
+  * manifest, so the second commit would re-list rows the first
+  * removed. IN-PROCESS, a per-table lock makes the mistake loud: a
+  * second concurrent maintenance op in the same driver fails fast.
+  * The lock is deliberately NOT a lock FILE: a file survives a
+  * crashed writer, and a stale lock would brick the gates' documented
+  * self-healing replay (streamNovel re-runs its inline compaction
+  * after a crash — with a leftover file it would fail forever instead
+  * of healing); the in-process lock dies with the JVM that held it,
+  * exactly when its op does. CROSS-PROCESS, the generation manifest's
+  * own atomic create IS the enforcement (optimistic CAS): a
+  * maintenance commit targets exactly generation
+  * `&lt;read-set generation&gt; + 1` — the parent read at op start plus
+  * this process's own interleaved commits, every one of which passes
+  * through [[writeNextManifest]] under the manifest lock. Any on-disk
+  * generation this process did not write (checked at commit, plus
+  * `fs.create(overwrite = false)` as the listing-lag backstop, plus a
+  * foreign-generation observation counter covering commits between op
+  * start and commit) means another maintenance writer raced this op:
+  * the commit ABORTS loudly, the old generation stays served, and the
+  * staged files reconcile as orphans — a stale read-modify-write can
+  * no longer commit silently. Plain appends stay exempt: their
+  * commits are commutative set-unions into whatever generation is
+  * current, so they proceed over a foreign commit (and flag it for
+  * any in-flight maintenance op to see).
   */
 object Bucketed {
 
@@ -292,15 +313,15 @@ object Bucketed {
   def replaceAll(spark: SparkSession, table: String,
                  rows: DataFrame): Int =
     withMaintenanceLock(spark, table) { (meta, dir, fs) =>
-      val listed = readManifest(fs, dir).map(_._2)
+      reconcileOrphans(spark, table, dir, fs)
+      val readSet = snapshotReadSet(fs, dir)
       val all = listDataFiles(fs, dir)
-      reconcileOrphans(spark, table, dir, fs, listed, all)
-      val oldFiles = listed match {
+      val oldFiles = readSet.listed match {
         case Some(names) => all.filter(f => names(f.getPath.getName))
         case None => all
       }
       stageSwapCommit(spark, table, meta, dir, fs, rows, oldFiles,
-        legacyBase = oldFiles.map(_.getPath.getName).toSet)
+        legacyBase = oldFiles.map(_.getPath.getName).toSet, readSet)
     }
 
   private def rewriteCore(spark: SparkSession, table: String,
@@ -361,13 +382,14 @@ object Bucketed {
                             select: Seq[FileStatus] => Boolean,
                             bucketIds: Option[Set[Int]],
                             transform: DataFrame => DataFrame): Int = {
-    val all = listDataFiles(fs, dir)
-    val listed = readManifest(fs, dir).map(_._2)
     // reconcile BEFORE choosing inputs: a crashed maintenance op's
     // uncommitted staging files are on disk but unlisted, and folding
     // them into this op's read (e.g. a compaction after a crashed
     // reassign) would commit a mix of two generations
-    reconcileOrphans(spark, table, dir, fs, listed, all)
+    reconcileOrphans(spark, table, dir, fs)
+    val readSet = snapshotReadSet(fs, dir)
+    val all = listDataFiles(fs, dir)
+    val listed = readSet.listed
     val dataFiles = listed match {
       case Some(names) => all.filter(f => names(f.getPath.getName))
       case None => all
@@ -395,9 +417,31 @@ object Bucketed {
     val rows = transform(spark.read.schema(meta.schema)
       .parquet(oldFiles.map(_.getPath.toString): _*))
     stageSwapCommit(spark, table, meta, dir, fs, rows, oldFiles,
-      legacyBase = dataFiles.map(_.getPath.getName).toSet)
+      legacyBase = dataFiles.map(_.getPath.getName).toSet, readSet)
     chosen.size
   }
+
+  /** What a maintenance op's read is based on, captured at op start
+    * (under the maintenance lock, post-reconcile): the parent
+    * generation and the foreign-commit counter at that instant — the
+    * optimistic-CAS token [[stageSwapCommit]] validates at commit.
+    * Capturing also SYNCS [[lastSeenGen]] to the parent: a foreign
+    * generation committed BEFORE this op started is the op's
+    * legitimate base, not a conflict. */
+  private final case class ReadSet(parentGen: Long,
+                                   listed: Option[Set[String]],
+                                   foreignSeen: Long)
+
+  private def snapshotReadSet(fs: FileSystem, dir: Path): ReadSet =
+    withManifestLock(dir.toString) {
+      val m = readManifest(fs, dir)
+      // sync to the RAW highest manifest file (torn ones included —
+      // commit targets must never collide with an existing file name)
+      val rawMax = manifestEntries(fs, dir).map(_._1).maxOption.getOrElse(0L)
+      lastSeenGen.put(dir.toString, rawMax)
+      ReadSet(m.map(_._1).getOrElse(0L), m.map(_._2),
+        foreignCommitCount(dir.toString))
+    }
 
   /** Stage `rows` through a same-bucket-spec staging table, rename the
     * staged files into `dir` (still INVISIBLE — unlisted), commit by
@@ -411,7 +455,8 @@ object Bucketed {
                               meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
                               dir: Path, fs: FileSystem, rows: DataFrame,
                               oldFiles: Seq[FileStatus],
-                              legacyBase: Set[String]): Int = {
+                              legacyBase: Set[String],
+                              readSet: ReadSet): Int = {
     val bucketSpec = meta.bucketSpec.getOrElse(
       throw new IllegalArgumentException(s"$table is not bucketed"))
     val keyCols = bucketSpec.bucketColumnNames
@@ -431,6 +476,28 @@ object Bucketed {
         // could otherwise delete a LIVE op's staged files), and no
         // reader under the lock can observe the between-steps state
         withManifestLock(dir.toString) {
+          // optimistic CAS (see the object scaladoc): this op's read
+          // set is `readSet.parentGen` plus this process's own
+          // interleaved commits (each of which advanced lastSeenGen
+          // under this same lock). A raw on-disk generation beyond
+          // that — or a foreign generation any in-process append
+          // observed since op start — means another maintenance
+          // writer raced this op's read-modify-write: abort with the
+          // old generation intact (staged files reconcile as orphans)
+          // BEFORE any rename makes the swap ambiguous.
+          val diskGen = manifestEntries(fs, dir).map(_._1).maxOption
+            .getOrElse(0L)
+          val expected = Option(lastSeenGen.get(dir.toString))
+            .map(_.longValue).getOrElse(readSet.parentGen)
+          if (diskGen != expected ||
+              foreignCommitCount(dir.toString) != readSet.foreignSeen)
+            throw new ConcurrentMaintenanceException(
+              s"maintenance commit on $table aborted: generation " +
+                s"$diskGen on disk was not written by this process " +
+                s"(read set was generation ${readSet.parentGen}) — a " +
+                "concurrent maintenance writer committed first; the " +
+                "table still serves the winner's generation and this " +
+                "op's staged files will reconcile as orphans")
           newFiles.foreach { f =>
             val target = new Path(dir, f.getPath.getName)
             require(fs.rename(f.getPath, target), s"rename to $target failed")
@@ -438,7 +505,8 @@ object Bucketed {
           val oldNames = oldFiles.map(_.getPath.getName).toSet
           val newNames = newFiles.map(_.getPath.getName).toSet
           val base = readManifest(fs, dir).map(_._2).getOrElse(legacyBase)
-          val gen = writeNextManifest(fs, dir, base -- oldNames ++ newNames)
+          val gen = writeNextManifest(fs, dir, base -- oldNames ++ newNames,
+            pinnedGen = Some(diskGen + 1))
           oldFiles.foreach(f => fs.delete(f.getPath, false))
           verifiedGenerations.put(dir.toString, gen)
         }
@@ -453,18 +521,26 @@ object Bucketed {
   /** Delete on-disk `part-` files the manifest does not list — crash
     * leftovers of an interrupted maintenance op (either its
     * uncommitted staging or the superseded generation it didn't get to
-    * delete). Skipped while an append is in flight in this process:
-    * an append's files are legitimately unlisted until its commit. */
+    * delete). Everything — the append-in-flight check, the manifest
+    * read, the dir listing, the deletes — happens INSIDE the manifest
+    * lock on fresh reads, mirroring load()'s slow path: a stale
+    * caller-side snapshot could otherwise race a concurrent append
+    * (append writes files, this op snapshots, append commits and
+    * appendEnd runs, then a stale-snapshot reconcile would delete the
+    * append's now-COMMITTED files and corrupt the table). Skipped
+    * while an append is in flight in this process: an append's files
+    * are legitimately unlisted until its commit. */
   private def reconcileOrphans(spark: SparkSession, table: String,
-                               dir: Path, fs: FileSystem,
-                               listed: Option[Set[String]],
-                               onDisk: Seq[FileStatus]): Unit =
-    for (names <- listed) {
-      val extra = onDisk.filterNot(f => names(f.getPath.getName))
-      if (extra.nonEmpty && !appendInFlight(dir.toString))
-        withManifestLock(dir.toString) {
-          extra.foreach(f => fs.delete(f.getPath, false))
-          spark.catalog.refreshTable(table)
+                               dir: Path, fs: FileSystem): Unit =
+    withManifestLock(dir.toString) {
+      if (!appendInFlight(dir.toString))
+        for ((_, names) <- readManifest(fs, dir)) {
+          val extra = listDataFiles(fs, dir)
+            .filterNot(f => names(f.getPath.getName))
+          if (extra.nonEmpty) {
+            extra.foreach(f => fs.delete(f.getPath, false))
+            spark.catalog.refreshTable(table)
+          }
         }
     }
 
@@ -520,21 +596,58 @@ object Bucketed {
           }
         case _ => None
       }
-    } catch { case _: java.io.IOException => None }
+    // NonFatal, not just IOException: a torn/garbage manifest must
+    // fall back to the previous generation whatever the parse throws
+    // (e.g. an END trailer whose digits overflow Int would otherwise
+    // escape load() as NumberFormatException)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Create generation (highest-seen + 1) listing `names`; returns the
-    * generation written. */
-  private def writeNextManifest(fs: FileSystem, dir: Path,
-                                names: Set[String]): Long = {
+  /** A maintenance commit lost the optimistic CAS to a concurrent
+    * maintenance writer (see the object scaladoc): the table still
+    * serves the winner's generation; the loser's staged files
+    * reconcile as orphans. Retry the op against the new generation if
+    * it is still wanted. */
+  final class ConcurrentMaintenanceException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Create the next generation listing `names`; returns the
+    * generation written. Callers hold the manifest lock. Without
+    * `pinnedGen` (append commits — commutative set-unions) the target
+    * is highest-seen + 1 and a foreign generation in the listing is
+    * tolerated but COUNTED (see [[foreignCommitCount]]); with it
+    * (maintenance commits) the target is exact and the
+    * `overwrite = false` create doubles as the listing-lag CAS
+    * backstop: two processes racing the same generation → one create
+    * fails → that op aborts. */
+  private[sources] def writeNextManifest(fs: FileSystem, dir: Path,
+                                         names: Set[String],
+                                         pinnedGen: Option[Long] = None): Long = {
     val prev = manifestEntries(fs, dir)
-    val gen = prev.map(_._1).maxOption.getOrElse(0L) + 1
+    val prevMax = prev.map(_._1).maxOption.getOrElse(0L)
+    Option(lastSeenGen.get(dir.toString)).map(_.longValue).foreach { known =>
+      if (prevMax != known && pinnedGen.isEmpty)
+        // an append is committing over a generation this process did
+        // not write — fine for the append (set-union), but any
+        // maintenance op in flight must see the foreign writer
+        foreignCommits.computeIfAbsent(dir.toString,
+          _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    }
+    val gen = pinnedGen.getOrElse(prevMax + 1)
     val p = new Path(dir, s"_graft_manifest.$gen")
-    val out = fs.create(p, false)
+    val out =
+      try fs.create(p, false)
+      catch { case e: java.io.IOException if pinnedGen.isDefined =>
+        throw new ConcurrentMaintenanceException(
+          s"maintenance commit lost the generation-$gen create race " +
+            s"($p already exists): a concurrent maintenance writer " +
+            s"committed first — ${e.getMessage}")
+      }
     try out.write(
       ((ManifestMagic +: names.toSeq.sorted) :+ s"END ${names.size}")
         .mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    lastSeenGen.put(dir.toString, gen)
     // delete superseded manifests EXCEPT the immediately-previous
     // generation — kept so a cross-process reader that listed the dir
     // just before this commit can still open what it listed instead
@@ -542,7 +655,65 @@ object Bucketed {
     // are serialized by the manifest lock and never race this). A
     // crash mid-delete leaves lower generations the reader's
     // highest-wins resolution ignores.
-    prev.dropRight(1).foreach { case (_, op) => fs.delete(op, false) }
+    prev.filter(_._1 < gen).dropRight(1)
+      .foreach { case (_, op) => fs.delete(op, false) }
+    gen
+  }
+
+  /** Highest manifest generation this process has WRITTEN or based a
+    * maintenance read on — the optimistic-CAS expectation. Updated
+    * only under the manifest lock; bounded like the lock maps. */
+  private val lastSeenGen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Count of foreign generations observed by this process's APPEND
+    * commits (per location) — appends proceed over them, maintenance
+    * commits abort on them (see the object scaladoc). */
+  private val foreignCommits =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def foreignCommitCount(location: String): Long =
+    foreignCommits.get(location) match {
+      case null => 0L
+      case c => c.get()
+    }
+
+  /** The table's current committed generation (0 for a pre-manifest
+    * table): a map lookup when this process has verified the table,
+    * one manifest read under the lock otherwise. */
+  def currentGeneration(spark: SparkSession, table: String): Long = {
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val key = loc.toString
+    if (verifiedGenerations.containsKey(key)) verifiedGenerations.get(key)
+    else {
+      val fs = fileSystemOf(spark, loc)
+      withManifestLock(key) {
+        readManifest(fs, loc).map(_._1).getOrElse(0L)
+      }
+    }
+  }
+
+  /** Test hook: commit a no-op FOREIGN generation (same file set, next
+    * raw generation) WITHOUT updating this process's CAS expectation —
+    * simulates a second maintenance process committing concurrently.
+    * Returns the generation planted. */
+  private[graft] def plantForeignCommit(spark: SparkSession,
+                                        table: String): Long = {
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val fs = fileSystemOf(spark, loc)
+    val names = readManifest(fs, loc).map(_._2)
+      .getOrElse(dataFileNames(fs, loc))
+    val gen = manifestEntries(fs, loc).map(_._1).maxOption.getOrElse(0L) + 1
+    val p = new Path(loc, s"_graft_manifest.$gen")
+    val out = fs.create(p, false)
+    try out.write(
+      ((ManifestMagic +: names.toSeq.sorted) :+ s"END ${names.size}")
+        .mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     gen
   }
 

@@ -24,7 +24,7 @@ class CodebookRefreshSpec extends SparkSuite {
         math.sin(i * 0.37 + d).abs + 0.01)))
       .toDF("id", "vec")
     val centsA = Pinned.ivfCentroids(8, dim)
-    val centsB = Pinned.ivfCentroids(8, dim, salt = "r:")
+    val centsB = Pinned.ivfCentroids(8, dim, salt = "r-")
     try {
       val corpus = vecs(0, 150)
       IncrementalAnn.buildIndex(corpus, tableR, 4, centsA)

@@ -75,7 +75,7 @@ class FilteredAnnSpec extends SparkSuite {
   test("attributes survive a codebook refresh with their postings") {
     val tableR = "graft_fann_refresh_idx"
     val tableF = "graft_fann_fresh_idx"
-    val centsB = Pinned.ivfCentroids(8, dim, salt = "r:")
+    val centsB = Pinned.ivfCentroids(8, dim, salt = "r-")
     try {
       val corpus = vecs(0, 200)
       IncrementalAnn.buildIndex(corpus, tableR, 4, cents,

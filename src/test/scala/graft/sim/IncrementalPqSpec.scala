@@ -216,8 +216,8 @@ class IncrementalPqSpec extends SparkSuite {
     val tCodes = "graft_incpq_refresh_codes"
     val tVn = "graft_incpq_refresh_vn"
     val tFresh = "graft_incpq_refresh_fresh"
-    val coarseB = Pinned.ivfCentroids(8, dim, salt = "r:")
-    val booksB = Pinned.pqBooks(salt = "r:")
+    val coarseB = Pinned.ivfCentroids(8, dim, salt = "r-")
+    val booksB = Pinned.pqBooks(salt = "r-")
     try {
       val corpus = vecs(0, 150)
       val q = vecs(500, 508)

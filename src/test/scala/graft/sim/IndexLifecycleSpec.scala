@@ -17,7 +17,7 @@ class IndexLifecycleSpec extends SparkSuite {
   private val dim = 16
   private val table = "graft_lifecycle_idx"
   private val centsA = Pinned.ivfCentroids(8, dim)
-  private val centsB = Pinned.ivfCentroids(8, dim, salt = "r:")
+  private val centsB = Pinned.ivfCentroids(8, dim, salt = "r-")
 
   private def vecs(lo: Int, hi: Int) = (lo until hi)
     .map(i => (i.toLong, Array.tabulate(dim)(d =>
@@ -99,7 +99,7 @@ class IndexLifecycleSpec extends SparkSuite {
     val tV = "graft_lifecycle_pq_vn"
     // dim 16 => 8 subspaces x 2 dims
     val booksA = Pinned.pqBooks(m = 8, ksub = 16, subDim = 2)
-    val booksB = Pinned.pqBooks(m = 8, ksub = 16, subDim = 2, salt = "r:")
+    val booksB = Pinned.pqBooks(m = 8, ksub = 16, subDim = 2, salt = "r-")
     def plantOrphans(table: String): Unit = {
       val meta = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(table))
