@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,45 +10,51 @@ import org.apache.spark.sql.functions._
   * [[Bm25.topKBatch]] re-tokenizes and re-scans the corpus per query
   * batch, which is right for one-shot jobs; at 100 TB the steady state
   * is "tokenize ONCE into persisted postings, then serve every query
-  * batch from the index" — with append/delete/compaction so the index
-  * runs forever without a rebuild.
+  * batch from the index" — with append/delete/compaction/streaming
+  * ingest so the index runs forever without a rebuild.
   *
   * Layout (via [[graft.sources.Bucketed]], so both tables get the
-  * generation-manifest commit + maintenance lock for free):
+  * generation-manifest commit + maintenance lock + cross-process CAS
+  * for free):
   *
-  *   - `<name>_postings` (tok, id, tf, dl), bucketed AND sorted on
-  *     `tok`. The doc length is DENORMALIZED into the posting (one
-  *     extra long per row, one build-time id-join shuffle — the
-  *     filtered-ANN attr doctrine): scoring needs dl per candidate
-  *     row, and fetching it from a side table would cost a full
-  *     doc-length scan or an id-keyed shuffle PER PROBE — at corpus
-  *     scale, the difference between a serving call and a batch job.
-  *     A probe therefore touches nothing but the pruned postings: the
-  *     batch's distinct terms (bounded driver state, the
-  *     [[IncrementalDedup.probe]] pushdown doctrine) land as an
-  *     `isin` in the scan's PushedFilters, and because every file is
-  *     SORTED on tok, parquet row-group min/max skipping cuts the
-  *     read to the matching row groups. (Whole-bucket pruning does
-  *     not apply here: Spark keeps a bucketed scan only when a
-  *     downstream operator uses the bucketing, and this serving
-  *     plan's joins are broadcasts — the bucket layout still bounds
-  *     per-bucket file counts via compaction, keeps deletion
-  *     O(touched buckets), and keeps the sorted-run skip property
-  *     compaction restores.) df(term) derives from the same pruned
-  *     rows (each (tok, id) appears once).
-  *   - `<name>_stats` one (k=0, n_docs, tot_tok) row, 1 bucket:
+  *   - `<name>_postings` (tok, id, tf, dl[, attrs…]), bucketed AND
+  *     sorted on `tok`. The doc length is DENORMALIZED into the
+  *     posting (one extra long per row, one build-time id-join
+  *     shuffle — the filtered-ANN attr doctrine): scoring needs dl
+  *     per candidate row, and fetching it from a side table would
+  *     cost a full doc-length scan or an id-keyed shuffle PER PROBE —
+  *     at corpus scale, the difference between a serving call and a
+  *     batch job. Optional ATTRIBUTE columns (license, lang, source…)
+  *     ride each posting the same way, so a filtered probe prunes at
+  *     the scan instead of post-filtering a top-k (see [[probe]]'s
+  *     `filter`). A probe therefore touches nothing but the pruned
+  *     postings: the batch's distinct terms (bounded driver state,
+  *     the [[IncrementalDedup.probe]] pushdown doctrine) land as an
+  *     `isin` in the scan's PushedFilters — beside the attribute
+  *     conjunct when filtering — and because every file is SORTED on
+  *     tok, parquet row-group min/max skipping cuts the read to the
+  *     matching row groups. (Whole-bucket pruning does not apply
+  *     here: Spark keeps a bucketed scan only when a downstream
+  *     operator uses the bucketing, and this serving plan's joins are
+  *     broadcasts — the bucket layout still bounds per-bucket file
+  *     counts via compaction, keeps deletion O(touched buckets), and
+  *     keeps the sorted-run skip property compaction restores.)
+  *     df(term) derives from the same pruned rows (each (tok, id)
+  *     appears once).
+  *   - `<name>_stats` one (k=0, n_docs, tot_tok, pgen) row, 1 bucket:
   *     corpus-global N and avgdl, maintained INCREMENTALLY by
   *     append/delete through [[graft.sources.Bucketed.replaceAll]]'s
   *     atomic one-manifest swap — a probe must not pay an O(corpus)
   *     aggregation for two scalars. Each table's commit is atomic,
-  *     but the PAIR is not: a crash between the postings commit and
-  *     the stats commit (or an uncertain retry of a mutation — the
-  *     stats row is an accumulator and must not be re-applied
-  *     blindly) leaves the two out of step. [[repairStats]] is the
-  *     healing op for exactly that window: one index scan recomputes
-  *     the row from the postings themselves. In-process, concurrent
-  *     mutations serialize their read-modify-write on a per-index
-  *     monitor so no delta is lost.
+  *     but the PAIR is not — so the stats row is SELF-VALIDATING:
+  *     `pgen` records the postings generation the row was computed
+  *     against ([[graft.sources.Bucketed.currentGeneration]]), and
+  *     [[probe]] compares it to the LIVE postings generation before
+  *     trusting N/avgdl. A crash between the two commits (the one
+  *     window the two-table family has) therefore cannot silently
+  *     serve drifted idf: the mismatch is detected and [[repairStats]]
+  *     auto-heals — one index scan recomputes the row — before any
+  *     score is produced.
   *
   * Determinism: the probe reuses [[Bm25]]'s exact quantized formulas
   * (ONE copy of the idf/weight arithmetic), so against the same corpus
@@ -59,38 +65,48 @@ import org.apache.spark.sql.functions._
   * Duplicate postings (an at-least-once append replay landing the same
   * rows twice) inflate per-doc term multiplicity AND df counts until
   * the next compaction dedups them — the band-index healing contract,
-  * one notch sharper here because df feeds idf. Deletion is
-  * content-derived like every index in the family: the deleted docs'
-  * terms recompute from their text, naming the affected buckets
-  * without an index scan. */
+  * one notch sharper here because df feeds idf; a replayed append also
+  * re-adds its stats delta, which the compaction-paired [[repairStats]]
+  * heals (see [[streamAppend]]). Deletion is content-derived like
+  * every index in the family: the deleted docs' terms recompute from
+  * their text, naming the affected buckets without an index scan — but
+  * the stats RETREAT is derived from the postings actually present
+  * (one term-pruned semi-join), so deleting never-indexed ids,
+  * re-running a delete, or deleting with drifted content cannot skew
+  * n_docs/tot_tok. (Zero-token docs have no postings and are invisible
+  * to both the verified retreat and [[repairStats]] — the documented
+  * blind spot the repair converges to.) */
 object IncrementalBm25 {
 
   private def postingsTable(name: String) = s"${name}_postings"
   private def statsTable(name: String) = s"${name}_stats"
 
-  /** The checkpointed (id, dl) projection of `docs` — ONE
+  /** The checkpointed (id, dl[, attrs…]) projection of `docs` — ONE
     * tokenization-count pass serving the posting join AND the stats
     * delta (the Bm25.topK reuse doctrine: without it every consumer
     * re-tokenizes the input). IDs UNIQUE within the input is the
     * shared batch contract (a duplicated row would double tf and the
     * stats delta alike). */
-  private def dlOf(docs: DataFrame, textCol: String,
-                   idCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("id"),
-        TextAnalysis.tokenCountCol(col(textCol)).cast("long").as("dl"))
+  private def dlOf(docs: DataFrame, textCol: String, idCol: String,
+                   attrCols: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol).cast("long").as("id") +:
+        TextAnalysis.tokenCountCol(col(textCol)).cast("long").as("dl") +:
+        attrCols.map(col): _*)
       .localCheckpoint(eager = false)
 
-  /** (tok, id, tf, dl) posting rows — the same tokenization as the
-    * in-memory paths; dl rides each posting (see the object
-    * scaladoc). */
+  /** (tok, id, tf, dl[, attrs…]) posting rows — the same tokenization
+    * as the in-memory paths; dl and the attribute columns ride each
+    * posting (see the object scaladoc). */
   private def postingsOf(docs: DataFrame, dl: DataFrame, textCol: String,
-                         idCol: String): DataFrame =
+                         idCol: String,
+                         attrCols: Seq[String] = Nil): DataFrame =
     docs
       .select(col(idCol).cast("long").as("id"),
         explode(TextAnalysis.wordsCol(col(textCol))).as("tok"))
       .groupBy("tok", "id").agg(count(lit(1)).as("tf"))
       .join(dl, "id")
-      .select("tok", "id", "tf", "dl")
+      .select(col("tok") +: col("id") +: col("tf") +: col("dl") +:
+        attrCols.map(col): _*)
 
   /** (n_docs, tot_tok) of a batch, from its checkpointed dl rows. */
   private def batchStats(dl: DataFrame): (Long, Long) = {
@@ -100,17 +116,22 @@ object IncrementalBm25 {
       .as[(Long, Long)].head()
   }
 
-  private def statsOf(spark: SparkSession, name: String): (Long, Long) = {
+  /** (n_docs, tot_tok, pgen) — the stats row plus the postings
+    * generation it was computed against. */
+  private def statsOf(spark: SparkSession, name: String): (Long, Long, Long) = {
     val r = graft.sources.Bucketed.load(spark, statsTable(name))
-      .select("n_docs", "tot_tok").head()
-    (r.getLong(0), r.getLong(1))
+      .select("n_docs", "tot_tok", "pgen").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
+
+  private def postingsGen(spark: SparkSession, name: String): Long =
+    graft.sources.Bucketed.currentGeneration(spark, postingsTable(name))
 
   /** Per-index monitors serializing the stats read-modify-write: two
     * concurrent mutations would otherwise lose one delta (the stats
     * row is the only cross-mutation accumulator in the family).
-    * In-process like every lock here; cross-process mutation is the
-    * single-writer-process contract. */
+    * In-process like every lock here; cross-process mutation is
+    * caught by the Bucketed CAS commit. */
   private val statsMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -119,9 +140,10 @@ object IncrementalBm25 {
       .synchronized(body)
 
   private def writeStats(spark: SparkSession, name: String, nDocs: Long,
-                         totTok: Long, fresh: Boolean): Unit = {
+                         totTok: Long, pgen: Long, fresh: Boolean): Unit = {
     import spark.implicits._
-    val row = Seq((0, nDocs, totTok)).toDF("k", "n_docs", "tot_tok")
+    val row = Seq((0, nDocs, totTok, pgen))
+      .toDF("k", "n_docs", "tot_tok", "pgen")
     if (fresh)
       graft.sources.Bucketed.save(row, statsTable(name), Seq("k"), 1)
     else {
@@ -133,109 +155,203 @@ object IncrementalBm25 {
   /** Recompute the stats row FROM the postings table — the healing op
     * for the one crash window this two-table family has: postings and
     * stats commit through separate manifests, so a crash between the
-    * two commits (or an uncertain retry) can leave the delta applied
-    * to one table only. Each (id, dl) pair appears once per distinct
-    * term of the doc; distinct-ing recovers the per-doc lengths, one
-    * index scan. Run after any mutation whose completion is in doubt
-    * — the "re-run the op" doctrine's counterpart for accumulators
-    * that must not be re-applied blindly. NOTE: a doc with ZERO
-    * tokens has no postings and is invisible here; its absence
-    * shifts N by its (empty) contribution only. */
+    * two commits (or an uncertain retry) can leave the two out of
+    * step. Each (id, dl) pair appears once per distinct term of the
+    * doc; distinct-ing recovers the per-doc lengths, one index scan.
+    * [[probe]] runs this AUTOMATICALLY when the stats row's bound
+    * generation disagrees with the live postings generation; calling
+    * it after any mutation whose completion is in doubt remains valid
+    * (idempotent). NOTE: a doc with ZERO tokens has no postings and
+    * is invisible here; repair converges the row to the
+    * postings-visible corpus. */
   def repairStats(spark: SparkSession, name: String): (Long, Long) = {
     import spark.implicits._
+    // bind the generation read BEFORE the scan: if a mutation lands
+    // mid-repair the row is stamped with the pre-mutation generation
+    // and the next probe's check simply heals again
+    val gen = postingsGen(spark, name)
     val (n, tot) = graft.sources.Bucketed.load(spark, postingsTable(name))
       .select("id", "dl").distinct()
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
       .as[(Long, Long)].head()
     withStatsLock(name) {
-      writeStats(spark, name, n, tot, fresh = false)
+      writeStats(spark, name, n, tot, gen, fresh = false)
     }
     (n, tot)
   }
 
   /** Tokenize `corpus` and (re)build the index. One tokenize pass +
     * one bucket-write shuffle (+ the dl id-join) — paid once, not per
-    * query batch. */
+    * query batch. `attrCols` names corpus columns stored beside each
+    * posting for FILTERED retrieval (see [[probe]]). */
   def buildIndex(corpus: DataFrame, name: String, buckets: Int,
-                 textCol: String = "text", idCol: String = "doc_id"): Unit = {
+                 textCol: String = "text", idCol: String = "doc_id",
+                 attrCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
-    val dl = dlOf(corpus, textCol, idCol)
-    graft.sources.Bucketed.save(postingsOf(corpus, dl, textCol, idCol),
+    val dl = dlOf(corpus, textCol, idCol, attrCols)
+    graft.sources.Bucketed.save(
+      postingsOf(corpus, dl, textCol, idCol, attrCols),
       postingsTable(name), Seq("tok"), buckets)
     val (n, tot) = batchStats(dl)
-    withStatsLock(name) { writeStats(spark, name, n, tot, fresh = true) }
+    withStatsLock(name) {
+      writeStats(spark, name, n, tot, postingsGen(spark, name),
+        fresh = true)
+    }
   }
 
   /** Append newly-ingested docs: their postings land in the existing
     * bucket layout (probe plans stay valid), the stats row advances by
-    * the batch's delta through one atomic manifest swap. Call AFTER
-    * any probe that should not see the batch. */
+    * the batch's delta — stamped with the POST-append postings
+    * generation — through one atomic manifest swap. Call AFTER any
+    * probe that should not see the batch. `attrCols` must match the
+    * build's. */
   def appendToIndex(newDocs: DataFrame, name: String, buckets: Int,
-                    textCol: String = "text", idCol: String = "doc_id"): Unit = {
+                    textCol: String = "text", idCol: String = "doc_id",
+                    attrCols: Seq[String] = Nil): Unit = {
     val spark = newDocs.sparkSession
-    val dl = dlOf(newDocs, textCol, idCol)
-    graft.sources.Bucketed.save(postingsOf(newDocs, dl, textCol, idCol),
+    val dl = dlOf(newDocs, textCol, idCol, attrCols)
+    graft.sources.Bucketed.save(
+      postingsOf(newDocs, dl, textCol, idCol, attrCols),
       postingsTable(name), Seq("tok"), buckets, mode = SaveMode.Append)
     val (dn, dtot) = batchStats(dl)
     withStatsLock(name) {
-      val (n, tot) = statsOf(spark, name)
-      writeStats(spark, name, n + dn, tot + dtot, fresh = false)
+      val (n, tot, _) = statsOf(spark, name)
+      writeStats(spark, name, n + dn, tot + dtot,
+        postingsGen(spark, name), fresh = false)
     }
   }
 
   /** Remove docs at O(touched buckets): their terms recompute from
     * content, naming the affected buckets (pmod(hash(tok), buckets))
     * without an index scan; those buckets rewrite anti-joining the ids
-    * out, and the stats row retreats by the deleted docs' delta.
-    * Content must match what was indexed (the content-derived deletion
-    * doctrine shared by every index family). Returns the number of
-    * buckets rewritten. */
+    * out. The stats retreat is VERIFIED, not assumed: the delta is the
+    * distinct (id, dl) pairs actually PRESENT in the index for the
+    * batch's ids (one term-pruned semi-join against the same buckets
+    * the rewrite touches, read before it), so deleting ids that were
+    * never indexed, re-running a delete, or deleting with drifted
+    * content retreats by exactly what the index loses — n_docs and
+    * tot_tok cannot drift negative or poison idf/avgdl. Returns the
+    * number of buckets rewritten. */
   def deleteFromIndex(docs: DataFrame, name: String, buckets: Int,
                       textCol: String = "text", idCol: String = "doc_id"): Int = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // dedup by id FIRST: the postings anti-join is naturally
-    // duplicate-tolerant (ids.distinct) but the stats retreat is an
-    // accumulator — a doc repeated in an erasure batch must subtract
-    // its (1, dl) delta exactly once
     val uniq = docs.dropDuplicates(idCol)
     val dl = dlOf(uniq, textCol, idCol)
     val del = postingsOf(uniq, dl, textCol, idCol)
       .localCheckpoint(eager = false) // bucket-id collect + id join
+    val delTerms = del.select("tok").distinct().as[String].collect().sorted
     val tokBuckets = del
       .select(pmod(hash(col("tok")), lit(buckets)).cast("int").as("b"))
       .distinct().as[Int].collect().toSet
     val ids = del.select("id").distinct()
+    // the verified retreat: what the index ACTUALLY holds for these
+    // ids, from the same term-pruned scan shape the probe uses (the
+    // stored dl is authoritative — it is what repairStats would
+    // count). Materialized BEFORE the rewrite removes the rows.
+    val (dn, dtot) = {
+      val present = graft.sources.Bucketed.load(spark, postingsTable(name))
+        .filter(col("tok").isin(delTerms.toIndexedSeq: _*))
+        .join(broadcast(ids), Seq("id"), "left_semi")
+        .select("id", "dl").distinct()
+      import spark.implicits._
+      present.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
+        .as[(Long, Long)].head()
+    }
     val nRewritten = graft.sources.Bucketed.rewriteBuckets(spark,
       postingsTable(name), tokBuckets,
       idx => idx.join(broadcast(ids), Seq("id"), "left_anti")
         .dropDuplicates())
-    val (dn, dtot) = batchStats(dl)
     withStatsLock(name) {
-      val (n, tot) = statsOf(spark, name)
-      writeStats(spark, name, n - dn, tot - dtot, fresh = false)
+      val (n, tot, _) = statsOf(spark, name)
+      writeStats(spark, name, math.max(0L, n - dn), math.max(0L, tot - dtot),
+        postingsGen(spark, name), fresh = false)
     }
     nRewritten
   }
 
   /** Periodic compaction — postings are a SET, and dedup-on-rewrite
     * also heals append-replay duplicates (which here would inflate
-    * df). Returns buckets rewritten. */
+    * df). A non-trivial compaction advances the postings generation,
+    * so the stats row is re-stamped (values unchanged — the distinct
+    * (id, dl) set is compaction-invariant) to keep the probe's
+    * generation check quiet. Returns buckets rewritten. */
   def compactIndex(spark: SparkSession, name: String,
-                   maxFilesPerBucket: Int = 4): Int =
-    graft.sources.Bucketed.compactBuckets(spark, postingsTable(name),
-      maxFilesPerBucket)
+                   maxFilesPerBucket: Int = 4): Int = {
+    val n = graft.sources.Bucketed.compactBuckets(spark,
+      postingsTable(name), maxFilesPerBucket)
+    if (n > 0) withStatsLock(name) {
+      val (nd, tot, _) = statsOf(spark, name)
+      writeStats(spark, name, nd, tot, postingsGen(spark, name),
+        fresh = false)
+    }
+    n
+  }
+
+  /** Continuous corpus ingest into the retrieval index — the
+    * [[IncrementalDedup.streamNovel]] shape WITHOUT the gate: each
+    * micro-batch's postings append to the index and the stats row
+    * advances, with periodic compaction + [[repairStats]] keeping the
+    * run-forever invariants (bounded per-bucket files; postings/stats
+    * agreement) under foreachBatch's at-least-once replay: a replayed
+    * batch lands duplicate postings (compaction dedups them) and
+    * re-adds its stats delta (the paired repair recomputes the row
+    * from the healed postings). Between a replay and the next
+    * compaction tick the affected docs score inflated — the band
+    * index's documented healing contract, accepted here for the same
+    * reason: no per-batch index scan. */
+  def streamAppend(stream: DataFrame, name: String, buckets: Int,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   attrCols: Seq[String] = Nil,
+                   compactEvery: Int = 8, maxFilesPerBucket: Int = 4,
+                   checkpointDir: Option[String] = None): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        appendToIndex(batch.toDF(), name, buckets, textCol, idCol,
+          attrCols)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          compactIndex(spark, name, maxFilesPerBucket)
+          repairStats(spark, name)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        java.nio.file.Files.createTempDirectory(
+          graft.streaming.Streaming.scratchBase, "graft-ckpt-bm25")
+          .toString))
+      .start()
+    q.awaitTermination()
+  }
 
   /** Per-query BM25 top-`k` — (query_id, doc_id, score_e6, n_terms,
     * rank), the [[Bm25.topKBatch]] contract — served from the index
     * WITHOUT touching the corpus: the batch's distinct terms (bounded
-    * driver state) prune the postings scan to their buckets, df/idf
-    * derive from the same pruned rows, dl rides the posting, and
-    * N/avgdl come from the one-row stats table. Adding a query adds
-    * broadcast rows, not scans. */
+    * driver state) prune the postings scan, df/idf derive from the
+    * same pruned rows, dl rides the posting, and N/avgdl come from
+    * the one-row stats table — TRUSTED only after its bound
+    * generation matches the live postings generation (auto-healing
+    * via [[repairStats]] on mismatch; fails loudly if the pair will
+    * not converge). Adding a query adds broadcast rows, not scans.
+    *
+    * `filter`: optional predicate over the index's ATTRIBUTE columns
+    * (stored at build via `attrCols`) — applied BEFORE scoring, in
+    * the SAME pruned scan as the term `isin` (both land in
+    * PushedFilters), so the top-k is k SURVIVING docs: post-filtering
+    * an unfiltered top-k would under-deliver whenever non-matching
+    * docs crowd the window (the filtered-ANN pitfall, q142 doctrine).
+    * df under a filter counts SURVIVING docs per term (term rarity
+    * within the searched sub-corpus — derivable from the one pruned
+    * scan; global df would cost a second unfiltered pass) while
+    * N/avgdl stay corpus-global from the stats row (two scalars, not
+    * an O(sub-corpus) count per probe) — deterministic and replayed
+    * verbatim by the oracle. */
   def probe(spark: SparkSession, queries: DataFrame, name: String,
             k: Int = 20, queryIdCol: String = "query_id",
-            termsCol: String = "terms"): DataFrame = {
+            termsCol: String = "terms",
+            filter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val qt = queries.select(
         col(queryIdCol).cast("long").as("query_id"),
@@ -243,11 +359,13 @@ object IncrementalBm25 {
       .dropDuplicates("query_id", "tok")
       .localCheckpoint(eager = false) // term collect + per-query fan-out
     val terms = qt.select("tok").distinct().as[String].collect().sorted
-    val (nDocs, totTok) = statsOf(spark, name)
+    val (nDocs, totTok) = trustedStats(spark, name)
     require(nDocs > 0, "BM25 probe against an empty index")
     val avgdl = totTok.toDouble / nDocs.toDouble
-    val tf = graft.sources.Bucketed.load(spark, postingsTable(name))
+    val pruned = graft.sources.Bucketed.load(spark, postingsTable(name))
       .filter(col("tok").isin(terms.toIndexedSeq: _*))
+    val tf = filter.fold(pruned)(pruned.filter)
+      .select("tok", "id", "tf", "dl")
       .localCheckpoint(eager = false) // feeds df AND the scoring rows
     val idf = broadcast(
       tf.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -265,5 +383,28 @@ object IncrementalBm25 {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("doc_id"), col("score_e6"),
         col("n_terms"), col("rank"))
+  }
+
+  /** N/tot_tok from the stats row, AFTER validating its bound
+    * generation against the live postings generation — the
+    * self-validation that turns the two-table crash window from
+    * "silently drifted idf" into "detected, healed, served". One
+    * heal attempt; a persistent mismatch (a mutation racing the
+    * repair) fails loudly rather than serve numbers of unknown
+    * vintage. */
+  private def trustedStats(spark: SparkSession, name: String): (Long, Long) = {
+    val (n0, tot0, pgen0) = statsOf(spark, name)
+    val live0 = postingsGen(spark, name)
+    if (pgen0 == live0) (n0, tot0)
+    else {
+      repairStats(spark, name)
+      val (n1, tot1, pgen1) = statsOf(spark, name)
+      val live1 = postingsGen(spark, name)
+      require(pgen1 == live1,
+        s"BM25 stats for '$name' still bound to postings generation " +
+          s"$pgen1 after repair (live: $live1) — a mutation is racing " +
+          "this probe; retry when the index is quiescent")
+      (n1, tot1)
+    }
   }
 }

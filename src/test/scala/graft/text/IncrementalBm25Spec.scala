@@ -60,29 +60,175 @@ class IncrementalBm25Spec extends SparkSuite {
     } finally drop()
   }
 
-  test("duplicated erasure rows subtract once; repairStats heals the cross-table window") {
+  test("the stats retreat is verified: dup rows subtract once, retries and never-indexed ids are no-ops") {
     try {
       IncrementalBm25.buildIndex(docs(0, 40), name, buckets)
       // an erasure batch re-sends doc 5 twice: the postings anti-join
       // is naturally idempotent (ids.distinct) and the stats retreat —
-      // an accumulator — must be deduped the same way
+      // derived from the postings actually present — subtracts once
       val dupBatch = docs(5, 6).unionByName(docs(5, 6))
         .unionByName(docs(10, 11))
       IncrementalBm25.deleteFromIndex(dupBatch, name, buckets)
       val remaining = docs(0, 40)
         .filter(!col("doc_id").isin(5, 10))
       assert(probeSet() == batchSet(remaining))
-      // the documented cross-table window: an uncertain RETRY of a
-      // completed delete finds no postings to remove but subtracts the
-      // stats delta again — N shifts, every idf shifts, probes diverge
+      // an uncertain RETRY of a completed delete finds no postings for
+      // its ids — the verified retreat subtracts exactly what the
+      // index loses (nothing), so N, idf, and every probe stay put
       IncrementalBm25.deleteFromIndex(docs(10, 11), name, buckets)
-      assert(probeSet() != batchSet(remaining),
-        "the retry window should shift scores (documented)")
-      // healing: one postings scan recomputes the stats row
+      assert(probeSet() == batchSet(remaining),
+        "a delete retry must not skew the stats accumulator")
+      // deleting ids that were NEVER indexed: same verified no-op
+      IncrementalBm25.deleteFromIndex(docs(900, 905), name, buckets)
+      assert(probeSet() == batchSet(remaining),
+        "deleting never-indexed ids must not skew the stats accumulator")
+      // repairStats stays the idempotent healer (and agrees)
       val (n, tot) = IncrementalBm25.repairStats(spark, name)
       assert(n == 38, s"repaired n_docs $n")
       assert(tot > 0)
       assert(probeSet() == batchSet(remaining))
+    } finally drop()
+  }
+
+  test("a lost stats commit is detected by the generation binding and auto-healed by the probe") {
+    try {
+      IncrementalBm25.buildIndex(docs(0, 40), name, buckets)
+      // capture the pre-append stats row, run a full append, then
+      // RESTORE the old row — byte-for-byte the state a crash between
+      // the postings commit and the stats commit leaves behind (the
+      // postings advanced a generation; the stats row still carries
+      // the pre-append values AND the pre-append generation binding)
+      val statsTable = s"${name}_stats"
+      val oldRow = graft.sources.Bucketed.load(spark, statsTable)
+        .select("k", "n_docs", "tot_tok", "pgen")
+        .as[(Int, Long, Long, Long)].head()
+      IncrementalBm25.appendToIndex(docs(40, 55), name, buckets)
+      graft.sources.Bucketed.replaceAll(spark, statsTable,
+        Seq(oldRow).toDF("k", "n_docs", "tot_tok", "pgen"))
+      // without the binding this probe would silently score with the
+      // stale N/avgdl; with it the mismatch is detected, repairStats
+      // runs, and the scores equal the clean-pair baseline
+      assert(probeSet() == batchSet(docs(0, 55)),
+        "probe must detect the stale stats row and heal before scoring")
+      // the healed row is re-bound to the live postings generation
+      val pgen = graft.sources.Bucketed.load(spark, statsTable)
+        .select("pgen").as[Long].head()
+      assert(pgen == graft.sources.Bucketed.currentGeneration(
+        spark, s"${name}_postings"))
+    } finally drop()
+  }
+
+  test("filtered probe: predicate lands in the pruned scan, full k delivered, df counts survivors") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // lang rides the postings as an attribute column; "en" docs are
+      // a minority, so an unfiltered top-k is crowded by "xx" docs
+      val d = docs(0, 60)
+        .withColumn("lang", when(col("doc_id") % 4 === 0, "en")
+          .otherwise("xx"))
+      IncrementalBm25.buildIndex(d, name, buckets, attrCols = Seq("lang"))
+      val filtered = IncrementalBm25.probe(spark, queries, name, k = 5,
+        filter = Some(col("lang") === "en"))
+      val rows = filtered
+        .select("query_id", "doc_id", "score_e6", "n_terms", "rank")
+        .as[(Long, Long, Long, Long, Int)].collect()
+      // every survivor matches; full k delivered per query (the
+      // post-filter approach under-delivers here: the unfiltered
+      // top-5 of q2 contains at most two doc_id%4==0 docs)
+      assert(rows.forall(_._2 % 4 == 0))
+      assert(rows.groupBy(_._1).values.forall(_.length == 5),
+        "filtered top-k must deliver k SURVIVING docs")
+      val unfilteredTop = IncrementalBm25.probe(spark, queries, name, k = 5)
+        .select("query_id", "doc_id")
+        .as[(Long, Long)].collect()
+      assert(unfilteredTop.count(_._2 % 4 == 0) <
+        rows.length,
+        "post-filtering the unfiltered top-k must under-deliver vs pre-filtering")
+      // value check against a spec-local reference: df over SURVIVING
+      // docs (term rarity within the searched sub-corpus), N/avgdl
+      // corpus-global from the stats row — the documented semantics
+      val en = d.filter(col("lang") === "en")
+      val (nAll, totAll) = d
+        .select(TextAnalysis.tokenCountCol(col("text")).cast("long").as("dl"))
+        .agg(count(lit(1)), sum("dl")).as[(Long, Long)].head()
+      val avgdl = totAll.toDouble / nAll.toDouble
+      val tfEn = en.select(col("doc_id").as("id"),
+          explode(TextAnalysis.wordsCol(col("text"))).as("tok"))
+        .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+        .join(en.select(col("doc_id").as("id"),
+          TextAnalysis.tokenCountCol(col("text")).cast("long").as("dl")), "id")
+      val idfEn = tfEn.groupBy("tok").agg(count(lit(1)).as("df"))
+        .withColumn("idf_e6", Bm25.idfE6Col(nAll, col("df")))
+      val qt = queries.select(col("query_id"),
+          explode(array_distinct(col("terms"))).as("tok"))
+      val expected = tfEn.join(idfEn.select("tok", "idf_e6"), "tok")
+        .withColumn("w_e6",
+          Bm25.wE6Col(col("idf_e6"), col("tf"), col("dl"), avgdl))
+        .join(qt, "tok")
+        .groupBy("query_id", "id")
+        .agg(sum("w_e6").as("score_e6"), count(lit(1)).as("n_terms"))
+      val expTop = expected.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("score_e6").desc, col("id").asc)))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("id"), col("score_e6"),
+          col("n_terms"), col("rank"))
+        .as[(Long, Long, Long, Long, Int)].collect().toSet
+      assert(rows.toSet == expTop,
+        "filtered probe must equal the reference (filtered df, global N/avgdl)")
+      // and the scan shape: term set AND attribute conjunct both in
+      // PushedFilters of the same pruned postings scan
+      val scanPlan = graft.sources.Bucketed
+        .load(spark, s"${name}_postings")
+        .filter(col("tok").isin(Seq("t0", "t1", "t3"): _*))
+        .filter(col("lang") === "en")
+        .queryExecution.executedPlan.toString
+      val pushed = "PushedFilters: \\[[^\n]*".r.findFirstIn(scanPlan)
+        .getOrElse("")
+      assert(pushed.contains("In(tok") && pushed.contains("EqualTo(lang,en)"),
+        s"expected term isin AND lang conjunct in PushedFilters:\n$scanPlan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      drop()
+    }
+  }
+
+  test("streamAppend ingests micro-batches; replayed appends heal at the compaction tick") {
+    try {
+      IncrementalBm25.buildIndex(docs(0, 20), name, buckets)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bm25-ingest").toString
+      def writeFile(fname: String, mtimeMs: Long, lo: Int, hi: Int): Unit = {
+        val stage = java.nio.file.Files.createTempDirectory("graft-bm25-st")
+        docs(lo, hi).coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/src", fname)
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        assert(dest.setLastModified(mtimeMs))
+      }
+      writeFile("f1.parquet", 1000000L, 20, 30)
+      writeFile("f2.parquet", 2000000L, 30, 40)
+      IncrementalBm25.streamAppend(
+        graft.streaming.Streaming.fileStream(spark, s"$base/src",
+          maxFilesPerTrigger = Some(1)),
+        name, buckets, compactEvery = 2, maxFilesPerBucket = 1)
+      assert(probeSet() == batchSet(docs(0, 40)),
+        "continuous ingest must equal the batch build over the union")
+      // at-least-once REPLAY: the same shard appended twice (the
+      // redelivery appendToIndex cannot distinguish), then the
+      // periodic tick's pair — compaction dedups the postings,
+      // repairStats recomputes the doubled accumulator — restores
+      // exact agreement with a clean build
+      IncrementalBm25.appendToIndex(docs(40, 45), name, buckets)
+      IncrementalBm25.appendToIndex(docs(40, 45), name, buckets)
+      IncrementalBm25.compactIndex(spark, name, maxFilesPerBucket = 1)
+      IncrementalBm25.repairStats(spark, name)
+      assert(probeSet() == batchSet(docs(0, 45)),
+        "replayed append must heal to the clean-build verdicts")
     } finally drop()
   }
 
