@@ -278,6 +278,20 @@ object ScaleProbe {
         graft.text.IncrementalBm25.probe(spark, qterms, bmName, k = 20)
           .count()
       }
+      time("incbm25_append", f) {
+        // continuous-ingest steady state (streamAppend's per-batch
+        // body): a FIXED-size batch appended to the f-scaled index.
+        // Cost claim: flat vs index size — an append tokenizes ITS
+        // batch and bucket-writes it plus one stats-row swap; the
+        // existing postings are never read (compaction, measured by
+        // its own rows elsewhere, amortizes the file growth)
+        val batch = replicated(1).limit(500)
+          .select((col("doc_id") + lit(90000000L)).as("doc_id"),
+            col("text"))
+        graft.text.IncrementalBm25.appendToIndex(batch, bmName,
+          buckets = 32)
+        500L
+      }
       spark.sql(s"DROP TABLE IF EXISTS ${bmName}_postings")
       spark.sql(s"DROP TABLE IF EXISTS ${bmName}_stats")
 

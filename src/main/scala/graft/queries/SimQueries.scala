@@ -627,6 +627,49 @@ object SimQueries {
         .select(col("query_id"), col("doc_id"), col("rrf_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // FILTERED hybrid retrieval — the q148 serving stack under a
+    // metadata predicate (lang = 'de'): the attribute rides BOTH
+    // index families' postings (the q142 attr doctrine), so each
+    // retriever applies the filter BEFORE scoring, inside its pruned
+    // index scan (term isin + lang conjunct for BM25; probed
+    // centroids + lang conjunct for the vector side), and RRF fuses
+    // k SURVIVING docs per query — post-filtering either top-k would
+    // under-deliver whenever non-matching docs crowd the window.
+    // BM25 df counts surviving docs (derivable from the one pruned
+    // scan); N/avgdl stay corpus-global from the stats row
+    "q149_filtered_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val d = graft.sources.Tables.table(s, dir, "documents")
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      val bm = s"graft_q149_bm25_$tag"
+      val vn = s"graft_q149_vn_$tag"
+      Setup.once(s"q149:$dir") {
+        graft.text.IncrementalBm25.buildIndex(d, bm, buckets = 8,
+          attrCols = Seq("lang"))
+        graft.sim.IncrementalAnn.buildIndex(
+          e.join(d.select(col("doc_id").as("id"), col("lang")), "id"),
+          vn, buckets = 8, graft.sim.Pinned.ivfCentroids(),
+          attrCols = Seq("lang"))
+      }
+      val pred = col("lang") === "de"
+      val qterms = hybridQueryTerms.toDF("query_id", "terms")
+      val text = graft.text.IncrementalBm25.probe(s, qterms, bm, k = 20,
+          filter = Some(pred))
+        .select("query_id", "doc_id", "rank")
+      val dense = graft.sim.IncrementalAnn.probe(s,
+          e.filter(col("id").isin(3, 7, 11)), vn,
+          graft.sim.Pinned.ivfCentroids(), k = 20, nProbe = 4,
+          filter = Some(pred))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      graft.text.Hybrid.rrf(Seq(text, dense), queryCols = Seq("query_id"),
+          idCol = "doc_id", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rrf_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   private val dotSql =
@@ -1204,6 +1247,58 @@ object SimQueries {
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
+    // filtered-hybrid replay: the batched-BM25 CTEs under the doc
+    // predicate (df over surviving docs, N/avgdl global — the probe's
+    // documented filter semantics), the q142-style filtered-ANN CTEs
+    // against the lang attribute (index side restricted BEFORE
+    // scoring, self excluded), RRF-fused exactly as q148
+    "q149_filtered_hybrid" ->
+      (s"$pinnedAssignCte,\n" +
+       s"${bm25BatchCtesWhere("lang = 'de'").stripPrefix("WITH ")},\n" +
+       s"""pr AS (SELECT id AS query_id, c AS centroid FROM (
+         |         SELECT id, c, row_number() OVER (PARTITION BY id
+         |                          ORDER BY dot DESC, c) AS rn
+         |         FROM sc WHERE id IN (3, 7, 11))
+         |       WHERE rn <= 4),
+         |qn AS (SELECT pr.query_id, pr.centroid, vn.vn AS qv
+         |       FROM pr JOIN vn ON vn.id = pr.query_id),
+         |fidx AS (SELECT asg.id AS neighbor_id, asg.centroid, vn.vn AS cv
+         |         FROM asg JOIN vn USING (id)
+         |         JOIN documents dd ON dd.doc_id = asg.id
+         |         WHERE dd.lang = 'de'),
+         |vscore AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(floor($dotSql * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM qn JOIN fidx USING (centroid)
+         |  WHERE neighbor_id <> query_id),
+         |vr AS (SELECT query_id, neighbor_id AS doc_id, rank FROM (
+         |         SELECT query_id, neighbor_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |         FROM vscore)
+         |       WHERE rank <= 20),
+         |bmq AS (SELECT qt.query_id, w.doc_id,
+         |          CAST(SUM(w_e6) AS BIGINT) AS score_e6
+         |        FROM w JOIN qt USING (tok) GROUP BY qt.query_id, w.doc_id),
+         |tr AS (SELECT query_id, doc_id, rank FROM (
+         |         SELECT query_id, doc_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score_e6 DESC, doc_id) AS rank
+         |         FROM bmq)
+         |       WHERE rank <= 20),
+         |contrib AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS c2
+         |            FROM tr
+         |            UNION ALL
+         |            SELECT query_id, doc_id, 1000000 // (60 + rank) FROM vr),
+         |f AS (SELECT query_id, doc_id, CAST(SUM(c2) AS BIGINT) AS rrf_e6
+         |      FROM contrib GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, rrf_e6, rank FROM (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_e6,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM f)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
     // re-arrival-guard replay: ONE q132-style gate step for batch 0
     // (index hits vs the id%5<>0 seed, symmetric in-batch rule) — the
     // re-sent batch 1 must contribute nothing, so the oracle never
@@ -1445,13 +1540,16 @@ object SimQueries {
     (7L, Seq("spark", "join", "window", "stream")),
     (11L, Seq("vector", "merge", "sort")))
 
-  /** Shared q145/q147 batched-BM25 replay base: the q88 arithmetic
-    * with a qt (query_id, tok) VALUES table — per-term df/idf over the
-    * batch's term union, quantized weights joined per query. ONE copy
-    * so the hybrid fusion and the incremental-index probe cannot
-    * drift (the pinnedAssignCteWith factoring doctrine); ends in
-    * `w(doc_id, tok, w_e6)` + `qt`. */
-  private lazy val bm25BatchCtes: String = {
+  /** Shared q145/q147/q148/q149 batched-BM25 replay base: the q88
+    * arithmetic with a qt (query_id, tok) VALUES table — per-term
+    * df/idf over the batch's term union, quantized weights joined per
+    * query. ONE copy so the hybrid fusion and the incremental-index
+    * probe cannot drift (the pinnedAssignCteWith factoring doctrine);
+    * ends in `w(doc_id, tok, w_e6)` + `qt`. `docSel` restricts the
+    * SCORED docs (the filtered-retrieval replay: df counts surviving
+    * docs) while N/avgdl stay corpus-global — exactly
+    * [[graft.text.IncrementalBm25.probe]]'s filter semantics. */
+  private def bm25BatchCtesWhere(docSel: String): String = {
     val words = TextQueries.Sql.words
     val qtValues = hybridQueryTerms
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
@@ -1465,7 +1563,8 @@ object SimQueries {
        |  FROM dl),
        |tf AS (
        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-       |  FROM (SELECT doc_id, unnest($words) AS tok FROM documents)
+       |  FROM (SELECT doc_id, unnest($words) AS tok FROM documents
+       |        WHERE $docSel)
        |  WHERE tok IN (SELECT DISTINCT tok FROM qt)
        |  GROUP BY doc_id, tok),
        |idf AS (
@@ -1483,6 +1582,8 @@ object SimQueries {
        |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok)
        |  CROSS JOIN stats)""".stripMargin
   }
+
+  private lazy val bm25BatchCtes: String = bm25BatchCtesWhere("TRUE")
 
   /** Shared pinned-codebook oracle base: L2-normalized vectors with the
     * exact Ivf.normalized operation order (ordered sum of squares,
