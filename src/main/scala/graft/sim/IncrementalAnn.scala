@@ -128,20 +128,10 @@ object IncrementalAnn {
     * the rewrite also heals duplicate postings from an at-least-once
     * append replay. Returns the number of buckets rewritten. */
   def deleteFromIndex(vecs: DataFrame, table: String, buckets: Int,
-                      cents: Array[Array[Double]]): Int = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val del = assignedVectors(vecs, cents)
-      .select("centroid", "id")
-      .localCheckpoint(eager = false) // feeds bucket-id collect + join
-    val bIds = del
-      .select(pmod(hash(col("centroid")), lit(buckets)).cast("int").as("b"))
-      .distinct().as[Int].collect().toSet
-    val ids = del.select("id").distinct()
-    graft.sources.Bucketed.rewriteBuckets(spark, table, bIds,
-      idx => idx.join(broadcast(ids), Seq("id"), "left_anti")
-        .dropDuplicates())
-  }
+                      cents: Array[Array[Double]]): Int =
+    graft.sources.IndexMaintenance.deletePostings(
+      assignedVectors(vecs, cents).select("centroid", "id"),
+      table, buckets, bucketKeyCol = "centroid", idCol = "id")
 
   /** Re-key every posting of the index against a NEW codebook in ONE
     * full-table rewrite job — the codebook-refresh primitive. An index
@@ -226,7 +216,8 @@ object IncrementalAnn {
     * Returns the number of buckets rewritten. */
   def compactIndex(spark: SparkSession, table: String,
                    maxFilesPerBucket: Int = 4): Int =
-    graft.sources.Bucketed.compactBuckets(spark, table, maxFilesPerBucket)
+    graft.sources.IndexMaintenance.compactPostings(spark, table,
+      maxFilesPerBucket)
 
   /** Top-k cosine neighbours of each query vector via its nProbe
     * nearest inverted lists, WITHOUT rescanning or re-assigning the
@@ -489,7 +480,7 @@ object IncrementalAnn {
           graft.streaming.GateMetricsLog.write(spark, m, id,
             gm.nIn, gm.nKept, gm.nIndexHits, gm.nBatchHits)
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
-          graft.sources.Bucketed.compactBuckets(spark, table,
+          graft.sources.IndexMaintenance.compactPostings(spark, table,
             maxFilesPerBucket)
           metricsDir.foreach(m =>
             graft.streaming.GateMetricsLog.compact(spark, m, id))

@@ -141,28 +141,20 @@ object IncrementalPq {
     * ids out. Returns the number of buckets rewritten. */
   def deleteFromIndex(vecs: DataFrame, table: String, buckets: Int,
                       coarse: Array[Array[Double]],
-                      books: Pq.Codebooks): Int = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
+                      books: Pq.Codebooks): Int =
     // residual flag irrelevant here: only (centroid, id) are used, and
     // the coarse assignment is residual-independent
-    val del = postings(vecs, coarse, books, residual = false)
-      .select("centroid", "id")
-      .localCheckpoint(eager = false) // feeds bucket-id collect + join
-    val bIds = del
-      .select(pmod(hash(col("centroid")), lit(buckets)).cast("int").as("b"))
-      .distinct().as[Int].collect().toSet
-    val ids = del.select("id").distinct()
-    graft.sources.Bucketed.rewriteBuckets(spark, table, bIds,
-      idx => idx.join(broadcast(ids), Seq("id"), "left_anti")
-        .dropDuplicates())
-  }
+    graft.sources.IndexMaintenance.deletePostings(
+      postings(vecs, coarse, books, residual = false)
+        .select("centroid", "id"),
+      table, buckets, bucketKeyCol = "centroid", idCol = "id")
 
   /** Periodic compaction — the code-postings table is a SET, same as
     * the full-vector index. */
   def compactIndex(spark: SparkSession, table: String,
                    maxFilesPerBucket: Int = 4): Int =
-    graft.sources.Bucketed.compactBuckets(spark, table, maxFilesPerBucket)
+    graft.sources.IndexMaintenance.compactPostings(spark, table,
+      maxFilesPerBucket)
 
   /** Codebook-drift maintenance WITHOUT a corpus re-read: re-encode the
     * ENTIRE code index under NEW codebooks from the companion

@@ -241,9 +241,6 @@ object IncrementalBm25 {
     val del = postingsOf(uniq, dl, textCol, idCol)
       .localCheckpoint(eager = false) // bucket-id collect + id join
     val delTerms = del.select("tok").distinct().as[String].collect().sorted
-    val tokBuckets = del
-      .select(pmod(hash(col("tok")), lit(buckets)).cast("int").as("b"))
-      .distinct().as[Int].collect().toSet
     val ids = del.select("id").distinct()
     // the verified retreat: what the index ACTUALLY holds for these
     // ids, from the same term-pruned scan shape the probe uses (the
@@ -258,10 +255,9 @@ object IncrementalBm25 {
       present.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
         .as[(Long, Long)].head()
     }
-    val nRewritten = graft.sources.Bucketed.rewriteBuckets(spark,
-      postingsTable(name), tokBuckets,
-      idx => idx.join(broadcast(ids), Seq("id"), "left_anti")
-        .dropDuplicates())
+    val nRewritten = graft.sources.IndexMaintenance.deletePostings(
+      del, postingsTable(name), buckets, bucketKeyCol = "tok",
+      idCol = "id")
     withStatsLock(name) {
       val (n, tot, _) = statsOf(spark, name)
       writeStats(spark, name, math.max(0L, n - dn), math.max(0L, tot - dtot),
@@ -278,7 +274,7 @@ object IncrementalBm25 {
     * generation check quiet. Returns buckets rewritten. */
   def compactIndex(spark: SparkSession, name: String,
                    maxFilesPerBucket: Int = 4): Int = {
-    val n = graft.sources.Bucketed.compactBuckets(spark,
+    val n = graft.sources.IndexMaintenance.compactPostings(spark,
       postingsTable(name), maxFilesPerBucket)
     if (n > 0) withStatsLock(name) {
       val (nd, tot, _) = statsOf(spark, name)

@@ -93,19 +93,10 @@ object IncrementalDedup {
   def deleteFromIndex(docs: DataFrame, table: String, buckets: Int,
                       textCol: String = "text", idCol: String = "doc_id",
                       k: Int = 3, numHashes: Int = 16,
-                      bands: Int = 4): Int = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val del = bandsOf(docs, textCol, idCol, k, numHashes, bands)
-      .localCheckpoint(eager = false) // feeds bucket-id collect + join
-    val bIds = del
-      .select(pmod(hash(col("bkey")), lit(buckets)).cast("int").as("b"))
-      .distinct().as[Int].collect().toSet
-    val ids = del.select("doc").distinct()
-    graft.sources.Bucketed.rewriteBuckets(spark, table, bIds,
-      idx => idx.join(broadcast(ids), Seq("doc"), "left_anti")
-        .dropDuplicates())
-  }
+                      bands: Int = 4): Int =
+    graft.sources.IndexMaintenance.deletePostings(
+      bandsOf(docs, textCol, idCol, k, numHashes, bands),
+      table, buckets, bucketKeyCol = "bkey", idCol = "doc")
 
   /** Candidate (new_doc, corpus_doc) near-dup pairs of a new shard
     * against the persisted index — WITHOUT rescanning or re-signing the
@@ -332,7 +323,7 @@ object IncrementalDedup {
         // O(batches). Verdict-neutral: compaction preserves the band
         // SET, so it can run between any two batches.
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
-          graft.sources.Bucketed.compactBuckets(spark, table,
+          graft.sources.IndexMaintenance.compactPostings(spark, table,
             maxFilesPerBucket)
           metricsDir.foreach(m =>
             graft.streaming.GateMetricsLog.compact(spark, m, id))
