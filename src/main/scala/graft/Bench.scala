@@ -18,6 +18,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.icu.caseMappings.enabled", "false") // ICU upper() is ~70x slower + ~100s one-time collator init
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet TIMESTAMP(NANOS)
+      // 148 queries x ~4-6 whole-stage-codegen fragments cycle through
+      // the compiled-class cache (default 100 entries) with ~0% hit
+      // rate pass over pass, so every interleaved pass re-generates,
+      // re-Janino-compiles AND re-JITs the full suite: the r11
+      // telemetry measured +96s/+76s cumulative JIT in passes 2/3
+      // with the cache at 100. Sizing the cache to hold the whole
+      // suite makes passes 2/3 reuse the SAME loaded (already-JITted)
+      // classes — that is what min-of-3 is supposed to measure.
+      // Static conf: must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .getOrCreate()
@@ -68,11 +78,38 @@ object Bench {
     // floors disagree by 2x+ was measured inside one (BENCH_r08's
     // uniform ~1.2x inflation vs the same code in a quiet window).
     val floors = scala.collection.mutable.ArrayBuffer[Double]()
+    // JVM-pressure telemetry beside each floor probe: cumulative JIT
+    // compile time, cumulative GC time, code-cache / metaspace
+    // occupancy, loaded classes. The r10 verdict flagged a +11% UNIFORM
+    // comparable-set drift with LOWER floors — i.e. not host
+    // contention; these counters distinguish "the suite's own codegen
+    // pressure grows pass over pass" (JIT/code-cache deltas per pass
+    // stay high) from a genuinely noisy host (floors move instead).
+    val jvmSnaps = scala.collection.mutable.ArrayBuffer[String]()
+    def jvmSnap(): Unit = {
+      import scala.jdk.CollectionConverters._
+      import java.lang.management.{ManagementFactory => mf}
+      val jit = Option(mf.getCompilationMXBean)
+        .filter(_.isCompilationTimeMonitoringSupported)
+        .map(_.getTotalCompilationTime).getOrElse(-1L)
+      val gc = mf.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).filter(_ >= 0).sum
+      val pools = mf.getMemoryPoolMXBeans.asScala
+      def usedMb(sub: String) = pools
+        .filter(_.getName.toLowerCase(java.util.Locale.ROOT).contains(sub))
+        .map(p => Option(p.getUsage).map(_.getUsed).getOrElse(0L))
+        .sum / (1L << 20)
+      val classes = mf.getClassLoadingMXBean.getLoadedClassCount
+      jvmSnaps += s"""{"jit_ms":$jit,"gc_ms":$gc,""" +
+        s""""codecache_mb":${usedMb("codeheap")},""" +
+        s""""metaspace_mb":${usedMb("metaspace")},"classes":$classes}"""
+    }
     def floorProbe(): Unit = {
       val t0 = System.nanoTime()
       spark.range(1L << 20).repartition(32)
         .write.format("noop").mode("overwrite").save()
       floors += (System.nanoTime() - t0) / 1e9
+      jvmSnap()
     }
     // untimed first-touch of the probe's own path, so the recorded
     // floors compare pass conditions, not initialization
@@ -141,8 +178,26 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val floorsJson = floors.map(f => f"$f%.3f").mkString("[", ",", "]")
+    // FIXED 20-query reference subset, tracked round over round: a
+    // stable cross-section (relational, dedup, text, graph, sketch,
+    // pipeline — none of them index-maintenance queries whose per-run
+    // builds legitimately vary) whose total isolates suite-global
+    // drift from the cost of newly-added queries. Keep this list
+    // FROZEN; additions go to the full suite, never here.
+    val ref20 = Set(
+      "q01_minmax_dates", "q02_join_agg", "q05_semi_join",
+      "q08_group_breaks", "q102_ppl_bucket", "q108_training_data",
+      "q122_count_min", "q12_distinct", "q17_null_fill",
+      "q21_exact_dedup", "q24_minhash_pairs", "q35_flagship_triples",
+      "q36_premis_events", "q47_contamination", "q52_dedup_clusters",
+      "q59_asof_join", "q70_pagerank", "q79_topk_per_group",
+      "q95_bigram_lm", "q98_dsir_weights")
+    val ref20Total = results.collect {
+      case (k, v, true) if ref20(k) => v
+    }.sum
+    val jvmJson = jvmSnaps.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":3,"agg":"min","interleaved":true,"floor_per_pass_sec":$floorsJson,"outlier_retry_above_sec":$outlierFloorSec,"outlier_retry_rounds":$round,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":3,"agg":"min","interleaved":true,"floor_per_pass_sec":$floorsJson,"jvm_per_pass":$jvmJson,"ref20_sec":${f"$ref20Total%.3f"},"ref20_n":${results.count(r => ref20(r._1))},"outlier_retry_above_sec":$outlierFloorSec,"outlier_retry_rounds":$round,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench_result.json"), json)
     spark.stop()

@@ -496,8 +496,8 @@ object Bucketed {
                 s"$diskGen on disk was not written by this process " +
                 s"(read set was generation ${readSet.parentGen}) — a " +
                 "concurrent maintenance writer committed first; the " +
-                "table still serves the winner's generation and this " +
-                "op's staged files will reconcile as orphans")
+                "table still serves the winner's generation (this " +
+                "op's staging is dropped — nothing was renamed in)")
           newFiles.foreach { f =>
             val target = new Path(dir, f.getPath.getName)
             require(fs.rename(f.getPath, target), s"rename to $target failed")
