@@ -25,6 +25,10 @@ object ScaleProbe {
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // the 1x/4x/16x factors re-run each operator's plan shapes; the
+      // default 100-entry compiled-class cache churns them (Bench r11
+      // telemetry) — hold the whole probe suite instead
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

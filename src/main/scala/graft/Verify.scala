@@ -15,6 +15,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // shared codegen fragments across the ~150 queries churn the
+      // default 100-entry compiled-class cache (Bench r11 telemetry)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -670,6 +670,40 @@ object SimQueries {
         .select(col("query_id"), col("doc_id"), col("rrf_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // FILTERED IVF-PQ rerank — the compressed family's filtered
+    // serving stack (q142's doctrine carried to codes, composed with
+    // q141's rerank): the attribute rides each CODE posting, the
+    // predicate prunes the code scan BEFORE the ADC sum, so the
+    // shortlist is already the exact filtered ranking and the exact
+    // re-rank off the companion vn index touches only surviving ids.
+    // Pre-filtering matters doubly here — a post-filtered shortlist
+    // loses both window slots AND re-rank candidates. Oracle: q139's
+    // ADC CTEs with the attr predicate in the index selection, then
+    // q141's rerank tail
+    "q150_filtered_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      Setup.once(s"q150:$dir") {
+        graft.sim.IncrementalPq.buildIndex(
+          e.filter(col("id") % 5 =!= 0)
+            .withColumn("grp", pmod(col("id"), lit(7))),
+          s"graft_q150_codes_$tag", buckets = 8,
+          graft.sim.Pinned.ivfCentroids(), graft.sim.Pinned.pqBooks(),
+          attrCols = Seq("grp"))
+        graft.sim.IncrementalAnn.buildIndex(e.filter(col("id") % 5 =!= 0),
+          s"graft_q150_vn_$tag", buckets = 8,
+          graft.sim.Pinned.ivfCentroids())
+      }
+      graft.sim.IncrementalPq.probeRerank(s, e.filter(col("id") % 5 === 0),
+          s"graft_q150_codes_$tag", s"graft_q150_vn_$tag",
+          graft.sim.Pinned.ivfCentroids(), graft.sim.Pinned.pqBooks(),
+          k = 3, nProbe = 4, rerankFactor = 5,
+          filter = Some(col("grp") === 3))
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   private val dotSql =
@@ -1115,6 +1149,22 @@ object SimQueries {
     // re-rank it, top-3
     "q141_ivfpq_rerank" ->
       (s"$pinnedAssignCte,\n${ivfPqReplayCtes(residual = false)},\n" +
+       s"${adcRerankCtes(15)}\n" +
+       """SELECT query_id, neighbor_id, cos_e6, rank FROM (
+         |  SELECT query_id, neighbor_id, cos_e6,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |  FROM rs)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    // filtered IVF-PQ rerank replay: q141's oracle with the attribute
+    // predicate (id % 7 = 3, the stored grp column's definition) in
+    // the index selection — it restricts cand, so the ADC shortlist
+    // AND the re-rank see only matching rows (exact pre-filtered
+    // semantics on the compressed family)
+    "q150_filtered_ivfpq" ->
+      (s"$pinnedAssignCte,\n${ivfPqReplayCtes(residual = false,
+        indexSel = "id % 5 <> 0 AND id % 7 = 3")},\n" +
        s"${adcRerankCtes(15)}\n" +
        """SELECT query_id, neighbor_id, cos_e6, rank FROM (
          |  SELECT query_id, neighbor_id, cos_e6,

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,12 +66,31 @@ object IncrementalPq {
     * smaller magnitude, so the same codebook budget quantizes finer);
     * the probe adds the q·centroid offset back per probed list. */
   private def postings(vecs: DataFrame, coarse: Array[Array[Double]],
-                       books: Pq.Codebooks,
-                       residual: Boolean): DataFrame =
-    encodePostings(
+                       books: Pq.Codebooks, residual: Boolean,
+                       attrCols: Seq[String] = Nil): DataFrame = {
+    val enc = encodePostings(
       graft.sources.Tables.widen(vecs)
         .select(col("id").cast("long"), col("vec").cast("array<double>")),
       coarse, books, residual, normalize = true)
+    // ATTRIBUTE columns ride each code posting (the IncrementalAnn
+    // assignedWithAttrs doctrine): one build-time join of the small
+    // attr projection so every FILTERED probe prunes candidates at
+    // the scan — BEFORE the ADC shortlist fills with non-matching
+    // neighbours — instead of post-filtering an under-delivered top-k
+    attachAttrs(enc, graft.sources.Tables.widen(vecs), attrCols)
+  }
+
+  /** (centroid, id, codes) ∪ the attr projection of `src` on id —
+    * shared by build/append (attrs from the corpus) and
+    * [[refreshFromVnIndex]] (attrs from the companion vn index). */
+  private def attachAttrs(enc: DataFrame, src: DataFrame,
+                          attrCols: Seq[String]): DataFrame =
+    if (attrCols.isEmpty) enc
+    else enc.join(
+      src.select(col("id").cast("long").as("id") +: attrCols.map(col): _*),
+      Seq("id"))
+      .select(col("centroid") +: col("id") +: col("codes") +:
+        attrCols.map(col): _*)
 
   /** (centroid, id, codes) from (id, vector) rows. With `normalize =
     * false` the input vectors are taken as ALREADY L2-normalized — the
@@ -122,16 +141,21 @@ object IncrementalPq {
     * normalize+assign+encode pass + one bucket-write shuffle. */
   def buildIndex(corpus: DataFrame, table: String, buckets: Int,
                  coarse: Array[Array[Double]], books: Pq.Codebooks,
-                 residual: Boolean = false): Unit =
-    graft.sources.Bucketed.save(postings(corpus, coarse, books, residual),
+                 residual: Boolean = false,
+                 attrCols: Seq[String] = Nil): Unit =
+    graft.sources.Bucketed.save(
+      postings(corpus, coarse, books, residual, attrCols),
       table, Seq("centroid"), buckets)
 
   /** Append newly-ingested vectors (same bucket spec — the co-located
-    * probe join stays valid). `residual` MUST match the build's. */
+    * probe join stays valid). `residual` and `attrCols` MUST match the
+    * build's. */
   def appendToIndex(newVecs: DataFrame, table: String, buckets: Int,
                     coarse: Array[Array[Double]], books: Pq.Codebooks,
-                    residual: Boolean = false): Unit =
-    graft.sources.Bucketed.save(postings(newVecs, coarse, books, residual),
+                    residual: Boolean = false,
+                    attrCols: Seq[String] = Nil): Unit =
+    graft.sources.Bucketed.save(
+      postings(newVecs, coarse, books, residual, attrCols),
       table, Seq("centroid"), buckets, mode = SaveMode.Append)
 
   /** Remove vectors at O(touched buckets) — the
@@ -179,17 +203,25 @@ object IncrementalPq {
     * the complete new one, never a mix of codebooks. The companion vn
     * index refreshes separately ([[IncrementalAnn.reassignIndex]],
     * same new coarse codebook) — order is free, since this op reads
-    * only (id, vn), which reassignment preserves. Returns the number
-    * of files in the new code generation. */
+    * only (id, vn), which reassignment preserves. `attrCols` (MUST
+    * match the build's) re-attach from the same vn read — the
+    * companion index stores them for its own filtered probes
+    * ([[IncrementalAnn.buildIndex]]'s `attrCols`), so a refresh keeps
+    * the FILTERED serving path alive without touching the corpus
+    * either. Returns the number of files in the new code
+    * generation. */
   def refreshFromVnIndex(spark: SparkSession, codeTable: String,
                          vnTable: String, coarse: Array[Array[Double]],
                          books: Pq.Codebooks,
-                         residual: Boolean = false): Int = {
-    val vn = graft.sources.Bucketed.load(spark, vnTable)
+                         residual: Boolean = false,
+                         attrCols: Seq[String] = Nil): Int = {
+    val vnIdx = graft.sources.Bucketed.load(spark, vnTable)
+    val vn = vnIdx
       .select(col("id").cast("long"), col("vn").cast("array<double>"))
+    val enc = encodePostings(vn, coarse, books, residual,
+      normalize = false)
     graft.sources.Bucketed.replaceAll(spark, codeTable,
-      encodePostings(vn, coarse, books, residual, normalize = false)
-        .dropDuplicates())
+      attachAttrs(enc, vnIdx, attrCols).dropDuplicates())
   }
 
   /** Per-query probe lists with the coarse dot for each probed
@@ -222,12 +254,19 @@ object IncrementalPq {
     * collected (bounded — the [[Pq.adcTopK]]/[[Similarity]] query-side
     * contract): probe-list selection and the m×ksub-entry integer LUT
     * per query are driver arithmetic, broadcast to two map-side joins.
+    *
+    * `filter`: optional predicate over the index's ATTRIBUTE columns
+    * (stored at build via `attrCols` — the [[IncrementalAnn.probe]]
+    * doctrine): it applies to the code scan BEFORE the ADC sum, pushed
+    * down beside the probed-centroid `isin`, so the top-k is the exact
+    * filtered answer rather than a post-filtered under-delivery.
     * Output: (query_id, neighbor_id, adc_e6, rank). */
   def probe(spark: SparkSession, queries: DataFrame, table: String,
             coarse: Array[Array[Double]], books: Pq.Codebooks, k: Int,
-            nProbe: Int = 8, residual: Boolean = false): DataFrame =
+            nProbe: Int = 8, residual: Boolean = false,
+            filter: Option[Column] = None): DataFrame =
     probeImpl(spark, queries, table, coarse, books, k, nProbe,
-      residual).result
+      residual, filter).result
 
   /** [[probe]]'s result plus the normalized query batch and the probed
     * centroid set it derived — shared with [[probeRerank]] so the
@@ -239,7 +278,8 @@ object IncrementalPq {
   private def probeImpl(spark: SparkSession, queries: DataFrame,
                         table: String, coarse: Array[Array[Double]],
                         books: Pq.Codebooks, k: Int, nProbe: Int,
-                        residual: Boolean): Probed = {
+                        residual: Boolean,
+                        filter: Option[Column] = None): Probed = {
     import spark.implicits._
     val m = books.length
     val ksub = books.head.length
@@ -271,8 +311,12 @@ object IncrementalPq {
       (qid, s, c, math.floor(dot * 1000000.0).toLong)
     }
     val probed = probePairs.map(_._2).distinct.sorted
-    val idx = graft.sources.Bucketed.load(spark, table)
+    // attr predicate lands beside the probed-centroid isin — both push
+    // into the pruned scan, so non-matching postings never enter the
+    // ADC sum (exact pre-filtered top-k, the FilteredAnnSpec contract)
+    val idx0 = graft.sources.Bucketed.load(spark, table)
       .filter(col("centroid").isin(probed: _*))
+    val idx = filter.fold(idx0)(idx0.filter)
     val cand = idx
       .join(broadcast(probePairs.toDF("query_id", "centroid", "off_e6")),
         Seq("centroid"))
@@ -308,19 +352,27 @@ object IncrementalPq {
     * [[graft.expressions.DotE6]]/(cos_e6 DESC, neighbor_id) contract
     * as every other ANN path, so with the shortlist wide enough the
     * result EQUALS [[IncrementalAnn.probe]] (spec-pinned).
+    *
+    * `filter` prunes the CODE scan (attrs ride the code postings, not
+    * the vn table): the shortlist is already the exact filtered
+    * ranking, so the vector fetch — a semi-join on shortlist ids —
+    * needs no second copy of the attributes. Pre-filtering before the
+    * shortlist matters doubly here: a post-filtered shortlist loses
+    * BOTH window slots and re-rank candidates.
     * Output: (query_id, neighbor_id, cos_e6, rank). */
   def probeRerank(spark: SparkSession, queries: DataFrame,
                   codeTable: String, vnTable: String,
                   coarse: Array[Array[Double]], books: Pq.Codebooks,
                   k: Int, nProbe: Int = 8, rerankFactor: Int = 10,
-                  residual: Boolean = false): DataFrame = {
+                  residual: Boolean = false,
+                  filter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     // ONE normalize + probe-list derivation serves both scans: the ADC
     // shortlist reuses pp.result, and the probed-centroid set prunes
     // the vector fetch to the same buckets the code scan read (bounded
     // by the codebook, the IncrementalAnn.probe pushdown)
     val pp = probeImpl(spark, queries, codeTable, coarse, books,
-      k = math.max(k, rerankFactor * k), nProbe, residual)
+      k = math.max(k, rerankFactor * k), nProbe, residual, filter)
     val shortlist = pp.result.select("query_id", "neighbor_id")
     val vnIdx = graft.sources.Bucketed.load(spark, vnTable)
       .filter(col("centroid").isin(pp.probed.toIndexedSeq: _*))

@@ -17,6 +17,11 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       // same registration path a deployed cluster uses (spark.sql.extensions)
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // ~470 tests in one JVM cycle far more codegen fragments than
+      // the default 100-entry compiled-class cache holds; repeated
+      // plan shapes then re-Janino-compile and re-JIT every time (the
+      // Bench r11 telemetry measured the same churn suite-wide)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
