@@ -246,6 +246,21 @@ object ScaleProbe {
         graft.sim.IncrementalPq.probeRerank(spark, qs, pqTable, annTable,
           cents, pqBooks, k = 10, nProbe = 4, rerankFactor = 5).count()
       }
+      time("incpq_pair_append", f) {
+        // continuous-ingest steady state (streamAppend's per-batch
+        // body): a FIXED 500-vector batch appended to the f-scaled
+        // SERVING PAIR — vn first, then codes. Cost claim: flat vs
+        // index size — each append normalizes+assigns+encodes ITS
+        // batch and bucket-writes it; existing postings are never
+        // read (compaction amortizes file growth, measured elsewhere)
+        val batch = replicatedEmb(1).limit(500)
+          .select((col("id") + lit(80000000L)).as("id"), col("vec"))
+        graft.sim.IncrementalAnn.appendToIndex(batch, annTable,
+          buckets = 16, cents)
+        graft.sim.IncrementalPq.appendToIndex(batch, pqTable,
+          buckets = 16, cents, pqBooks)
+        500L
+      }
       time("incpq_refresh_from_vn", f) {
         // PQ drift maintenance WITHOUT the corpus: re-encode the whole
         // code table from the companion vn index under new codebooks —

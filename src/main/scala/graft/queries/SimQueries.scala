@@ -704,6 +704,80 @@ object SimQueries {
         .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Streaming ingest into the IVF-PQ SERVING PAIR (the last index
+    // family without a continuous-arrival surface): seed half the
+    // index as a batch build, stream the other half in 4 file
+    // micro-batches — each appends codes AND the companion vn
+    // postings (vn first: codes ⊆ vn across every crash window, so a
+    // shortlisted id always re-ranks), with a mid-stream compaction
+    // tick — then serve probeRerank. The pair must be
+    // INDISTINGUISHABLE from q141's batch-built pair, so the oracle
+    // is q141's SQL verbatim. Fresh build + stream per execution
+    // (the temp checkpoint makes AvailableNow reprocess all files —
+    // a rebuild keeps re-execution idempotent, the q132 shape)
+    "q151_pq_stream_ingest" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      val codes = s"graft_q151_codes_$tag"
+      val vn = s"graft_q151_vn_$tag"
+      val cents = graft.sim.Pinned.ivfCentroids()
+      val books = graft.sim.Pinned.pqBooks()
+      val idx = e.filter(col("id") % 5 =!= 0)
+      graft.sim.IncrementalPq.buildIndex(
+        idx.filter(pmod(col("id"), lit(2)) === 1), codes, buckets = 8,
+        cents, books)
+      graft.sim.IncrementalAnn.buildIndex(
+        idx.filter(pmod(col("id"), lit(2)) === 1), vn, buckets = 8,
+        cents)
+      val base = graft.streaming.Streaming.scratchBase.resolve(
+        s"graft-q151-${System.nanoTime()}").toString
+      val stream = idx.filter(pmod(col("id"), lit(2)) === 0)
+        .withColumn("b", pmod(floor(col("id") / 2), lit(4)))
+      for (j <- 0 to 3) {
+        val stage = s"$base/stage$j"
+        stream.filter(col("b") === j).drop("b")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/src", s"f$j.parquet")
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        require(dest.setLastModified(1000000L * (j + 1)))
+      }
+      graft.sim.IncrementalPq.streamAppend(
+        graft.streaming.Streaming.fileStream(s, s"$base/src",
+          maxFilesPerTrigger = Some(1)),
+        codes, buckets = 8, cents, books, vnTable = Some(vn),
+        compactEvery = 2)
+      graft.sim.IncrementalPq.probeRerank(s, e.filter(col("id") % 5 === 0),
+          codes, vn, cents, books, k = 3, nProbe = 4, rerankFactor = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Index HEALTH observability — the per-list load profile that
+    // tells a run-forever deployment WHEN to pay a codebook refresh
+    // (drift piles vectors into few lists; skew shows here long
+    // before probe cost or recall degrades). One partial-agg shuffle
+    // + a broadcast scalar fold, generic over every posting family's
+    // bucketed contract; load_e6 = 1e6 means a perfectly balanced
+    // list. Oracle replays the pinned assignment and the same
+    // left-associated double arithmetic
+    "q152_index_health" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      val table = s"graft_q152_idx_$tag"
+      Setup.once(s"q152:$dir") {
+        graft.sim.IncrementalAnn.buildIndex(e.filter(col("id") % 5 =!= 0),
+          table, buckets = 8, graft.sim.Pinned.ivfCentroids())
+      }
+      graft.sources.IndexMaintenance.listLoadProfile(s, table)
+        .select(col("centroid").cast("long").as("centroid"),
+          col("n_postings"), col("load_e6"))
+        .orderBy("centroid")
     }))
 
   private val dotSql =
@@ -1147,15 +1221,14 @@ object SimQueries {
     // IVF-PQ + exact-re-rank replay: q139's ADC CTEs produce the
     // top-15 shortlist per query, q131's exact normalized-dot scores
     // re-rank it, top-3
-    "q141_ivfpq_rerank" ->
-      (s"$pinnedAssignCte,\n${ivfPqReplayCtes(residual = false)},\n" +
-       s"${adcRerankCtes(15)}\n" +
-       """SELECT query_id, neighbor_id, cos_e6, rank FROM (
-         |  SELECT query_id, neighbor_id, cos_e6,
-         |         row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
-         |  FROM rs)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "q141_ivfpq_rerank" -> ivfPqRerankOracle,
+
+    // stream-ingest replay: q141's oracle VERBATIM — a pair ingested
+    // as seed + micro-batch appends must be indistinguishable from
+    // the batch-built pair, so the oracle never models the stream,
+    // only the final index content (the q138/q144 doctrine, for
+    // continuous ingest)
+    "q151_pq_stream_ingest" -> ivfPqRerankOracle,
 
     // filtered IVF-PQ rerank replay: q141's oracle with the attribute
     // predicate (id % 7 = 3, the stored grp column's definition) in
@@ -1172,6 +1245,21 @@ object SimQueries {
          |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
          |  FROM rs)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    // index-health replay: per-centroid posting counts of the pinned
+    // id%5<>0 index + the left-associated double load ratio — the
+    // denominator is OCCUPIED lists (a zero-posting centroid never
+    // appears in the engine's group-by either)
+    "q152_index_health" ->
+      s"""$pinnedAssignCte,
+         |cnt AS (SELECT centroid, CAST(COUNT(*) AS BIGINT) AS n_postings
+         |        FROM asg WHERE id % 5 <> 0 GROUP BY centroid),
+         |tot AS (SELECT CAST(SUM(n_postings) AS DOUBLE) AS total,
+         |               CAST(COUNT(*) AS DOUBLE) AS lists FROM cnt)
+         |SELECT centroid, n_postings,
+         |       CAST(floor(CAST(n_postings AS DOUBLE) * lists / total
+         |              * 1000000.0) AS BIGINT) AS load_e6
+         |FROM cnt CROSS JOIN tot ORDER BY centroid""".stripMargin,
 
     // refresh replay: q139's oracle computed entirely under the SALTED
     // pinned coarse AND product codebooks — refresh-from-vn-then-probe
@@ -1546,6 +1634,19 @@ object SimQueries {
           |         WHERE a.$indexSel AND a.id <> pr.query_id)""".stripMargin
     Seq(pqBooks, dist, codes, pr, lut, cand).mkString(",\n")
   }
+
+  /** The q141 IVF-PQ + exact-re-rank replay, shared verbatim with
+    * q151 (stream ingest must be indistinguishable from the batch
+    * build, so both probes replay to the same SQL). */
+  private def ivfPqRerankOracle: String =
+    s"$pinnedAssignCte,\n${ivfPqReplayCtes(residual = false)},\n" +
+      s"${adcRerankCtes(15)}\n" +
+      """SELECT query_id, neighbor_id, cos_e6, rank FROM (
+        |  SELECT query_id, neighbor_id, cos_e6,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+        |  FROM rs)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Shared q141/q148 replay tail (follows [[ivfPqReplayCtes]]): the
     * ADC sum over cand×codes×lut, the top-`shortN` shortlist, and the

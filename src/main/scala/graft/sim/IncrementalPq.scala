@@ -224,6 +224,59 @@ object IncrementalPq {
       attachAttrs(enc, vnIdx, attrCols).dropDuplicates())
   }
 
+  /** Continuous vector ingest into the IVF-PQ SERVING PAIR — the
+    * [[graft.text.IncrementalBm25.streamAppend]] shape for the
+    * compressed family, completing the streaming surface across all
+    * four index families: each micro-batch appends its code postings
+    * (and, when `vnTable` is set, its full-vector postings to the
+    * companion index the [[probeRerank]] stack and
+    * [[refreshFromVnIndex]] read), with a periodic compaction tick on
+    * both tables keeping per-bucket file counts bounded forever. No
+    * gate — ingest-everything is the retrieval contract; deployments
+    * wanting novelty gating run [[IncrementalAnn.streamNovel]] on the
+    * vn side and append only its kept set here.
+    *
+    * Order within a batch: the VN append runs FIRST, so across every
+    * crash window codes ⊆ vn — a shortlisted code id always finds its
+    * vector at re-rank (the reverse order could under-deliver the
+    * re-rank until replay). foreachBatch is at-least-once: a replayed
+    * batch lands duplicate postings, which DOUBLE-COUNT in the ADC
+    * sum (the class doc's duplicate contract) until the next
+    * compaction tick dedups them — the documented healing window,
+    * accepted for the same reason as everywhere else: no per-batch
+    * index scan. `attrCols` ride BOTH tables (codes for filtered
+    * probes, vn so [[refreshFromVnIndex]] can re-attach them). */
+  def streamAppend(stream: DataFrame, codeTable: String, buckets: Int,
+                   coarse: Array[Array[Double]], books: Pq.Codebooks,
+                   residual: Boolean = false,
+                   attrCols: Seq[String] = Nil,
+                   vnTable: Option[String] = None,
+                   compactEvery: Int = 8, maxFilesPerBucket: Int = 4,
+                   checkpointDir: Option[String] = None): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        vnTable.foreach(t => IncrementalAnn.appendToIndex(
+          batch.toDF(), t, buckets, coarse, attrCols))
+        appendToIndex(batch.toDF(), codeTable, buckets, coarse, books,
+          residual, attrCols)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          compactIndex(spark, codeTable, maxFilesPerBucket)
+          vnTable.foreach(t =>
+            IncrementalAnn.compactIndex(spark, t, maxFilesPerBucket))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        java.nio.file.Files.createTempDirectory(
+          graft.streaming.Streaming.scratchBase, "graft-ckpt-pq")
+          .toString))
+      .start()
+    q.awaitTermination()
+  }
+
   /** Per-query probe lists with the coarse dot for each probed
     * centroid — ONE implementation of the (-dot, centroid) selection
     * shared by [[probe]] (which also derives the residual offset from

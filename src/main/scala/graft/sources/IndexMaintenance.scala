@@ -54,4 +54,38 @@ object IndexMaintenance {
   def compactPostings(spark: SparkSession, table: String,
                       maxFilesPerBucket: Int = 4): Int =
     Bucketed.compactBuckets(spark, table, maxFilesPerBucket)
+
+  /** Per-list load profile of a posting table — the observability an
+    * index that RUNS FOREVER needs to decide WHEN to pay a codebook
+    * refresh ([[graft.sim.IncrementalAnn.refreshCodebook]] /
+    * [[graft.sim.IncrementalPq.refreshFromVnIndex]]): as the corpus
+    * drifts from the centroids it was trained on, vectors pile into
+    * few inverted lists, probes over-read the fat lists, and recall
+    * degrades — visible here as load skew long before either hurts.
+    * Generic over the shared bucketed contract (key = centroid for
+    * the vector/code families, band for the dedup index, tok for
+    * BM25 — any posting key).
+    *
+    * Output: (key, n_postings, load_e6) with load_e6 =
+    * floor(n · occupiedLists / total · 1e6) — 1,000,000 is a
+    * perfectly balanced list, and the denominator is OCCUPIED lists
+    * (a key with zero postings does not appear in a group-by; the
+    * codebook-sized denominator would understate skew exactly when it
+    * is worst). One partial-agg shuffle over the index + a broadcast
+    * 1-row scalar fold — no collect, no window; the e6 quantization
+    * follows the house floor(x·1e6) doctrine so the profile is
+    * oracle-replayable. */
+  def listLoadProfile(spark: SparkSession, table: String,
+                      keyCol: String = "centroid"): DataFrame = {
+    val counts = Bucketed.load(spark, table)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_postings"))
+    val totals = counts.agg(
+      sum("n_postings").cast("double").as("__total"),
+      count(lit(1)).cast("double").as("__lists"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n_postings"),
+        floor(col("n_postings").cast("double") * col("__lists")
+          / col("__total") * lit(1000000.0)).cast("long").as("load_e6"))
+  }
 }

@@ -255,6 +255,66 @@ class IncrementalPqSpec extends SparkSuite {
     }
   }
 
+  test("streamAppend ingests the serving pair; replay heals at the compaction tick") {
+    val tCodes = "graft_incpq_ing_codes"
+    val tVn = "graft_incpq_ing_vn"
+    val fCodes = "graft_incpq_ing_fcodes"
+    val fVn = "graft_incpq_ing_fvn"
+    try {
+      IncrementalPq.buildIndex(vecs(0, 60), tCodes, 4, coarse, books)
+      IncrementalAnn.buildIndex(vecs(0, 60), tVn, 4, coarse)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-pq-ingest").toString
+      def writeFile(fname: String, mtimeMs: Long, lo: Int, hi: Int): Unit = {
+        val stage = java.nio.file.Files.createTempDirectory("graft-pq-st")
+        vecs(lo, hi).coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/src", fname)
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        assert(dest.setLastModified(mtimeMs))
+      }
+      writeFile("f1.parquet", 1000000L, 60, 80)
+      writeFile("f2.parquet", 2000000L, 80, 100)
+      IncrementalPq.streamAppend(
+        graft.streaming.Streaming.fileStream(spark, s"$base/src",
+          maxFilesPerTrigger = Some(1)),
+        tCodes, 4, coarse, books, vnTable = Some(tVn),
+        compactEvery = 2, maxFilesPerBucket = 1)
+      // the streamed pair must serve exactly like a batch-built pair
+      // over the union — rerank included (vn side ingested too)
+      val q = vecs(500, 506)
+      def rerankOf(c: String, v: String) = IncrementalPq
+        .probeRerank(spark, q, c, v, coarse, books, k = 5,
+          nProbe = coarse.length, rerankFactor = 10)
+        .select("query_id", "neighbor_id", "cos_e6", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      IncrementalPq.buildIndex(vecs(0, 100), fCodes, 4, coarse, books)
+      IncrementalAnn.buildIndex(vecs(0, 100), fVn, 4, coarse)
+      assert(rerankOf(tCodes, tVn) == rerankOf(fCodes, fVn) &&
+        rerankOf(tCodes, tVn).nonEmpty,
+        "continuous ingest must equal the batch-built pair")
+      // at-least-once REPLAY: the same shard appended twice to both
+      // tables (a redelivered batch), then the tick's compaction —
+      // dedup restores the posting SET on each, so the served scores
+      // return to the clean pair's (the ADC double-count window ends)
+      def replay(lo: Int, hi: Int): Unit = {
+        IncrementalAnn.appendToIndex(vecs(lo, hi), tVn, 4, coarse)
+        IncrementalPq.appendToIndex(vecs(lo, hi), tCodes, 4, coarse, books)
+      }
+      replay(100, 110); replay(100, 110)
+      IncrementalPq.compactIndex(spark, tCodes, maxFilesPerBucket = 1)
+      IncrementalAnn.compactIndex(spark, tVn, maxFilesPerBucket = 1)
+      IncrementalPq.buildIndex(vecs(0, 110), fCodes, 4, coarse, books)
+      IncrementalAnn.buildIndex(vecs(0, 110), fVn, 4, coarse)
+      assert(rerankOf(tCodes, tVn) == rerankOf(fCodes, fVn),
+        "replayed append must heal to the clean pair at the tick")
+    } finally Seq(tCodes, tVn, fCodes, fVn)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("codes postings are at least 4x smaller on disk than full-vector postings") {
     val tPq = "graft_incpq_size_codes"
     val tVn = "graft_incpq_size_vn"
