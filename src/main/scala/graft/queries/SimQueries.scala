@@ -778,6 +778,52 @@ object SimQueries {
         .select(col("centroid").cast("long").as("centroid"),
           col("n_postings"), col("load_e6"))
         .orderBy("centroid")
+    }),
+
+    // The FILTERED fully-indexed hybrid stack — the last composition
+    // cell: q148's all-index serving shape (BM25 postings + IVF-PQ
+    // codes + exact rerank off the vn companion + RRF) under q149's
+    // metadata predicate, with the attribute riding BOTH retrievers'
+    // postings so each filters BEFORE scoring inside its pruned scan:
+    // the BM25 term isin gains the lang conjunct, and the PQ code
+    // scan prunes on lang beside the probed centroids — the ADC
+    // shortlist is already the filtered ranking, so the rerank fetch
+    // touches only surviving ids. Neither the corpus nor the
+    // embeddings table is scanned at serving time
+    "q153_filtered_indexed_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val d = graft.sources.Tables.table(s, dir, "documents")
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      val bm = s"graft_q153_bm25_$tag"
+      val codes = s"graft_q153_codes_$tag"
+      val vn = s"graft_q153_vn_$tag"
+      Setup.once(s"q153:$dir") {
+        graft.text.IncrementalBm25.buildIndex(d, bm, buckets = 8,
+          attrCols = Seq("lang"))
+        graft.sim.IncrementalPq.buildIndex(
+          e.join(d.select(col("doc_id").as("id"), col("lang")), "id"),
+          codes, buckets = 8, graft.sim.Pinned.ivfCentroids(),
+          graft.sim.Pinned.pqBooks(), attrCols = Seq("lang"))
+        graft.sim.IncrementalAnn.buildIndex(e, vn, buckets = 8,
+          graft.sim.Pinned.ivfCentroids())
+      }
+      val pred = col("lang") === "de"
+      val qterms = hybridQueryTerms.toDF("query_id", "terms")
+      val text = graft.text.IncrementalBm25.probe(s, qterms, bm, k = 20,
+          filter = Some(pred))
+        .select("query_id", "doc_id", "rank")
+      val dense = graft.sim.IncrementalPq.probeRerank(s,
+          e.filter(col("id").isin(3, 7, 11)), codes, vn,
+          graft.sim.Pinned.ivfCentroids(), graft.sim.Pinned.pqBooks(),
+          k = 20, nProbe = 4, rerankFactor = 3, filter = Some(pred))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      graft.text.Hybrid.rrf(Seq(text, dense), queryCols = Seq("query_id"),
+          idCol = "doc_id", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rrf_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   private val dotSql =
@@ -1356,33 +1402,26 @@ object SimQueries {
          |${bm25BatchCtes.stripPrefix("WITH ")},
          |$pq,
          |${adcRerankCtes(60)},
-         |vr AS (SELECT query_id, neighbor_id AS doc_id, rank FROM (
-         |         SELECT query_id, neighbor_id,
-         |                row_number() OVER (PARTITION BY query_id
-         |                  ORDER BY cos_e6 DESC, neighbor_id) AS rank
-         |         FROM rs)
-         |       WHERE rank <= 20),
-         |bmq AS (SELECT qt.query_id, w.doc_id,
-         |          CAST(SUM(w_e6) AS BIGINT) AS score_e6
-         |        FROM w JOIN qt USING (tok) GROUP BY qt.query_id, w.doc_id),
-         |tr AS (SELECT query_id, doc_id, rank FROM (
-         |         SELECT query_id, doc_id,
-         |                row_number() OVER (PARTITION BY query_id
-         |                  ORDER BY score_e6 DESC, doc_id) AS rank
-         |         FROM bmq)
-         |       WHERE rank <= 20),
-         |contrib AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS c2
-         |            FROM tr
-         |            UNION ALL
-         |            SELECT query_id, doc_id, 1000000 // (60 + rank) FROM vr),
-         |f AS (SELECT query_id, doc_id, CAST(SUM(c2) AS BIGINT) AS rrf_e6
-         |      FROM contrib GROUP BY query_id, doc_id)
-         |SELECT query_id, doc_id, rrf_e6, rank FROM (
-         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_e6,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |              ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rank
-         |  FROM f)
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+         |$indexedHybridFusionTail""".stripMargin
+    },
+
+    // filtered fully-indexed hybrid replay: q148's composition with
+    // the lang predicate in BOTH retrievers — the batched-BM25 CTEs
+    // under the doc predicate (df over survivors, N/avgdl global) and
+    // the IVF-PQ index selection restricted to matching doc ids (an
+    // IN-subquery on documents, the stored lang attribute's
+    // definition) — so shortlist, rerank, and fusion all see only
+    // surviving docs; the shared fusion tail is q148's verbatim
+    "q153_filtered_indexed_hybrid" -> {
+      val pq = ivfPqReplayCtes(residual = false,
+        querySel = "id IN (3, 7, 11)",
+        indexSel =
+          "id IN (SELECT doc_id FROM documents WHERE lang = 'de')")
+      s"""$pinnedAssignCte,
+         |${bm25BatchCtesWhere("lang = 'de'").stripPrefix("WITH ")},
+         |$pq,
+         |${adcRerankCtes(60)},
+         |$indexedHybridFusionTail""".stripMargin
     },
 
     // filtered-hybrid replay: the batched-BM25 CTEs under the doc
@@ -1634,6 +1673,41 @@ object SimQueries {
           |         WHERE a.$indexSel AND a.id <> pr.query_id)""".stripMargin
     Seq(pqBooks, dist, codes, pr, lut, cand).mkString(",\n")
   }
+
+  /** The q148/q153 fusion tail (follows [[adcRerankCtes]] + the
+    * batched-BM25 CTEs): dense top-20 from the reranked shortlist,
+    * keyword top-20 from the per-query BM25 sums, RRF contributions
+    * 1e6 // (60 + rank) summed per (query, doc), top-10 — ONE copy so
+    * the filtered and unfiltered indexed-hybrid replays cannot
+    * drift. */
+  private def indexedHybridFusionTail: String =
+    """vr AS (SELECT query_id, neighbor_id AS doc_id, rank FROM (
+      |         SELECT query_id, neighbor_id,
+      |                row_number() OVER (PARTITION BY query_id
+      |                  ORDER BY cos_e6 DESC, neighbor_id) AS rank
+      |         FROM rs)
+      |       WHERE rank <= 20),
+      |bmq AS (SELECT qt.query_id, w.doc_id,
+      |          CAST(SUM(w_e6) AS BIGINT) AS score_e6
+      |        FROM w JOIN qt USING (tok) GROUP BY qt.query_id, w.doc_id),
+      |tr AS (SELECT query_id, doc_id, rank FROM (
+      |         SELECT query_id, doc_id,
+      |                row_number() OVER (PARTITION BY query_id
+      |                  ORDER BY score_e6 DESC, doc_id) AS rank
+      |         FROM bmq)
+      |       WHERE rank <= 20),
+      |contrib AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS c2
+      |            FROM tr
+      |            UNION ALL
+      |            SELECT query_id, doc_id, 1000000 // (60 + rank) FROM vr),
+      |f AS (SELECT query_id, doc_id, CAST(SUM(c2) AS BIGINT) AS rrf_e6
+      |      FROM contrib GROUP BY query_id, doc_id)
+      |SELECT query_id, doc_id, rrf_e6, rank FROM (
+      |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_e6,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |              ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rank
+      |  FROM f)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** The q141 IVF-PQ + exact-re-rank replay, shared verbatim with
     * q151 (stream ingest must be indistinguishable from the batch
