@@ -426,7 +426,59 @@ object RelationalQueries {
     "q112_rolling_features" -> ((s, dir) =>
       graft.ops.Relational.rollingWindowFeatures(t(s, dir, "events"),
           windows = Seq("1h" -> 3600000000L, "24h" -> 86400000000L))
-        .orderBy("event_id")))
+        .orderBy("event_id")),
+
+    // Incremental materialized aggregate — the fifth index family:
+    // per-part revenue rollup built from one third of lineitem, then
+    // two exactly-once tagged appends + a forced consolidation; serve
+    // merges O(groups) partial rows, never re-reading lineitem. The
+    // oracle is the index-transparent truth: one plain GROUP BY over
+    // the whole table (the view must be indistinguishable from
+    // recomputation)
+    "q154_incremental_agg" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q154_agg_$tag"
+      val li = t(s, dir, "lineitem").select(
+        col("l_partkey").as("g"), col("l_orderkey"),
+        floor(col("l_extendedprice") * 100.0).cast("long").as("v"))
+      Setup.once(s"q154:$dir") {
+        graft.ops.IncrementalAgg.buildIndex(
+          li.filter(col("l_orderkey") % 3 === 0), name, buckets = 8,
+          "g", "v")
+        graft.ops.IncrementalAgg.append(
+          li.filter(col("l_orderkey") % 3 === 1), name, 8, "g", "v", "b1")
+        graft.ops.IncrementalAgg.append(
+          li.filter(col("l_orderkey") % 3 === 2), name, 8, "g", "v", "b2")
+        graft.ops.IncrementalAgg.consolidate(s, name, maxFilesPerBucket = 1)
+        ()
+      }
+      graft.ops.IncrementalAgg.serve(s, name).orderBy("g")
+    }),
+
+    // Retraction + content-derived group repair on the aggregate
+    // index: a tagged retraction keeps count/sum/avg exact at O(batch)
+    // (min/max degrade to null — honest, never stale), then
+    // repairGroups rewrites ONLY the retracted groups' buckets from
+    // the surviving raw rows, restoring exact min/max. The oracle is
+    // the GROUP BY over the survivors
+    "q155_agg_retract_repair" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q155_agg_$tag"
+      val li = t(s, dir, "lineitem").select(
+        col("l_partkey").as("g"), col("l_orderkey"),
+        floor(col("l_extendedprice") * 100.0).cast("long").as("v"))
+      val gonePred = col("g") % 37 === 0 && col("l_orderkey") % 5 === 0
+      Setup.once(s"q155:$dir") {
+        graft.ops.IncrementalAgg.buildIndex(li, name, buckets = 8,
+          "g", "v")
+        val gone = li.filter(gonePred)
+        graft.ops.IncrementalAgg.retract(gone, name, 8, "g", "v", "d0")
+        graft.ops.IncrementalAgg.repairGroups(s, name, 8,
+          li.filter(!gonePred), "g", "v", gone.select("g"))
+        ()
+      }
+      graft.ops.IncrementalAgg.serve(s, name).orderBy("g")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q01_minmax_dates" ->
@@ -901,5 +953,34 @@ object RelationalQueries {
         |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
         |  w24 AS (PARTITION BY user_id ORDER BY ts_us
         |          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    // index-transparent replay: the materialized view must equal one
+    // plain GROUP BY over the full table — the oracle never models
+    // partials, tags, or consolidation, only the aggregate they must
+    // reproduce bit for bit
+    "q154_incremental_agg" ->
+      """WITH v AS (SELECT l_partkey AS g,
+        |                  CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v
+        |           FROM lineitem)
+        |SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(v) AS BIGINT) AS sum_q,
+        |       MIN(v) AS min_q, MAX(v) AS max_q,
+        |       CAST(floor(CAST(SUM(v) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6
+        |FROM v GROUP BY g ORDER BY g""".stripMargin,
+
+    // retract+repair replay: the GROUP BY over the SURVIVING rows
+    "q155_agg_retract_repair" ->
+      """WITH v AS (SELECT l_partkey AS g, l_orderkey,
+        |                  CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v
+        |           FROM lineitem),
+        |s AS (SELECT g, v FROM v
+        |      WHERE NOT (g % 37 = 0 AND l_orderkey % 5 = 0))
+        |SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(v) AS BIGINT) AS sum_q,
+        |       MIN(v) AS min_q, MAX(v) AS max_q,
+        |       CAST(floor(CAST(SUM(v) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6
+        |FROM s GROUP BY g ORDER BY g""".stripMargin)
 }

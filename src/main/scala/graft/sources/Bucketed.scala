@@ -262,6 +262,21 @@ object Bucketed {
       select = _.length > maxFilesPerBucket, bucketIds = None,
       transform = df => if (dedupRows) df.dropDuplicates() else df)
 
+  /** [[compactBuckets]] with a caller-supplied row transform instead
+    * of dropDuplicates — the merge-on-compact hook (LSM-style) for
+    * tables whose rows consolidate by MERGING rather than
+    * deduplicating (e.g. [[graft.ops.IncrementalAgg]]'s partial rows,
+    * which sum per group). Same oversized-bucket trigger, one-job
+    * staging, and manifest commit; `transform` MUST be idempotent and
+    * duplicate-tolerant (the replay contract). Returns the number of
+    * buckets rewritten. */
+  def compactBucketsWith(spark: SparkSession, table: String,
+                         maxFilesPerBucket: Int,
+                         transform: DataFrame => DataFrame): Int =
+    rewriteCore(spark, table,
+      select = _.length > maxFilesPerBucket, bucketIds = None,
+      transform = transform)
+
   /** Rewrite EXACTLY the given buckets' rows through `transform`
     * (rows of other buckets are never read or touched), preserving the
     * bucket spec and sort — the primitive behind bounded-cost DELETEs
