@@ -105,14 +105,12 @@ object IncrementalAgg {
     data.unionByName(sentinel).select(cols.map(col): _*)
   }
 
-  /** Has batch `tag` already committed? One scan pruned to sentinel
-    * rows (`is_tag` and `b` both land in PushedFilters; sentinels are
-    * O(batches) rows against row-group min/max skipping). */
+  /** Has batch `tag` already committed? (shared sentinel check —
+    * [[graft.sources.IndexMaintenance.tagApplied]]). */
   private def tagApplied(spark: SparkSession, name: String,
                          tag: String): Boolean =
-    graft.sources.Bucketed.load(spark, partialsTable(name))
-      .filter(col("is_tag") && col("b") === tag)
-      .take(1).nonEmpty
+    graft.sources.IndexMaintenance.tagApplied(spark, partialsTable(name),
+      tag)
 
   /** (Re)build the index from `base` as batch `tag` — one partial-agg
     * shuffle + one bucket write, O(base). */

@@ -478,6 +478,33 @@ object RelationalQueries {
         ()
       }
       graft.ops.IncrementalAgg.serve(s, name).orderBy("g")
+    }),
+
+    // Incremental per-group approx COUNT DISTINCT: the durable KMV
+    // sketch index — distinct orders per supplier, built from one
+    // third of lineitem then merged forward by two exactly-once
+    // appends + consolidation; serve reads O(k) hashes per group,
+    // never the corpus. KMV's k-min merge is LOSSLESS, so the oracle
+    // replays the one-shot sketch over the FULL table (q119's
+    // portable-hash order statistic, k=64) and must match bit for bit
+    "q156_incremental_distinct" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q156_kmv_$tag"
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("g"), col("l_orderkey").as("v"))
+      Setup.once(s"q156:$dir") {
+        graft.ops.IncrementalDistinct.buildIndex(
+          li.filter(col("v") % 3 === 0), name, buckets = 8, "g", "v",
+          k = 64)
+        graft.ops.IncrementalDistinct.append(
+          li.filter(col("v") % 3 === 1), name, 8, "g", "v", 64, "b1")
+        graft.ops.IncrementalDistinct.append(
+          li.filter(col("v") % 3 === 2), name, 8, "g", "v", 64, "b2")
+        graft.ops.IncrementalDistinct.consolidate(s, name, k = 64,
+          maxFilesPerBucket = 1)
+        ()
+      }
+      graft.ops.IncrementalDistinct.serve(s, name, k = 64).orderBy("g")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -982,5 +1009,27 @@ object RelationalQueries {
         |       MIN(v) AS min_q, MAX(v) AS max_q,
         |       CAST(floor(CAST(SUM(v) AS DOUBLE) * 1000000.0
         |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6
-        |FROM s GROUP BY g ORDER BY g""".stripMargin)
+        |FROM s GROUP BY g ORDER BY g""".stripMargin,
+
+    // index-transparent KMV replay (q119's shape, k=64, over the FULL
+    // table): the incremental sketch's k-min merge is lossless, so the
+    // served estimate must equal the one-shot sketch exactly
+    "q156_incremental_distinct" ->
+      s"""WITH ph AS (SELECT DISTINCT l_suppkey AS g,
+         |         ${TextQueries.Sql.poly("CAST(l_orderkey AS VARCHAR)")} AS p
+         |       FROM lineitem WHERE l_orderkey IS NOT NULL),
+         |h AS (SELECT DISTINCT g, ${TextQueries.Sql.sqmix("p")} AS h
+         |      FROM ph),
+         |r AS (SELECT g, h,
+         |        row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+         |      FROM h),
+         |c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM r WHERE rn <= 64 GROUP BY 1),
+         |k AS (SELECT g, h AS kth FROM r WHERE rn = 64)
+         |SELECT c.g,
+         |       CASE WHEN k.kth IS NULL THEN c.n
+         |            ELSE CAST(${63L * 1000000007L} // k.kth AS BIGINT)
+         |            END AS kmv_distinct
+         |FROM c LEFT JOIN k USING (g)
+         |ORDER BY c.g""".stripMargin)
 }

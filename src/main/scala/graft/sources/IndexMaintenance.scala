@@ -55,6 +55,22 @@ object IndexMaintenance {
                       maxFilesPerBucket: Int = 4): Int =
     Bucketed.compactBuckets(spark, table, maxFilesPerBucket)
 
+  /** Has exactly-once batch `tag` already committed into `table`?
+    * The sentinel-row idempotency check shared by the families whose
+    * rows cannot be content-deduplicated ([[graft.ops.IncrementalAgg]]
+    * partials, [[graft.ops.IncrementalDistinct]] sketch rows): each
+    * batch commits a sentinel (`is_tag`, `b` = tag) in the SAME
+    * DataFrame — and therefore the SAME atomic manifest generation —
+    * as its data rows, so a replayed batch finds its sentinel and
+    * skips with no two-table crash window. One scan pruned to
+    * sentinel rows (`is_tag` and `b` land in PushedFilters; sentinels
+    * are O(batches) rows against row-group min/max skipping). */
+  def tagApplied(spark: SparkSession, table: String,
+                 tag: String): Boolean =
+    Bucketed.load(spark, table)
+      .filter(col("is_tag") && col("b") === tag)
+      .take(1).nonEmpty
+
   /** Per-list load profile of a posting table — the observability an
     * index that RUNS FOREVER needs to decide WHEN to pay a codebook
     * refresh ([[graft.sim.IncrementalAnn.refreshCodebook]] /
