@@ -314,6 +314,45 @@ object ScaleProbe {
       spark.sql(s"DROP TABLE IF EXISTS ${bmName}_postings")
       spark.sql(s"DROP TABLE IF EXISTS ${bmName}_stats")
 
+      // incremental materialized aggregate + distinct sketch: serve
+      // reads O(group partials) / O(k hashes per group) — bounded by
+      // the 4096 fixed groups, NOT the f-scaled corpus; a fixed-size
+      // append is flat vs index size (tokenize/hash ITS batch + one
+      // bucket write + the sentinel check's pruned scan)
+      val aggName = s"graft_scaleprobe_incagg_x$f"
+      time("incagg_build", f) {
+        val src = d.select(pmod(col("doc_id"), lit(4096)).as("g"),
+          length(col("text")).cast("long").as("v"))
+        graft.ops.IncrementalAgg.buildIndex(src, aggName, buckets = 16,
+          "g", "v")
+        spark.table(s"${aggName}_partials").count()
+      }
+      time("incagg_append", f) {
+        val batch = replicated(1).limit(500)
+          .select(pmod(col("doc_id") + lit(70000000L), lit(4096)).as("g"),
+            length(col("text")).cast("long").as("v"))
+        graft.ops.IncrementalAgg.append(batch, aggName, 16, "g", "v",
+          tag = "sp1")
+        500L
+      }
+      time("incagg_serve", f) {
+        graft.ops.IncrementalAgg.serve(spark, aggName).count()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS ${aggName}_partials")
+
+      val kmvName = s"graft_scaleprobe_incdist_x$f"
+      time("incdist_build", f) {
+        val src = d.select(pmod(col("doc_id"), lit(4096)).as("g"),
+          col("doc_id").as("v"))
+        graft.ops.IncrementalDistinct.buildIndex(src, kmvName,
+          buckets = 16, "g", "v", k = 64)
+        spark.table(s"${kmvName}_kmv").count()
+      }
+      time("incdist_serve", f) {
+        graft.ops.IncrementalDistinct.serve(spark, kmvName, k = 64).count()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS ${kmvName}_kmv")
+
       time("hybrid_fusion_batch", f) {
         // the q145 shape at scale: batched BM25 over the f-scaled
         // documents (one postings scan for all queries) + brute-force

@@ -505,6 +505,38 @@ object RelationalQueries {
         ()
       }
       graft.ops.IncrementalDistinct.serve(s, name, k = 64).orderBy("g")
+    }),
+
+    // Generation time travel on the bucketed contract: a table built
+    // from the even-orderkey half, retention enabled, then one append
+    // with the odd half — the query aggregates BOTH the earliest
+    // retained snapshot (loadAsOf: explicit manifest-resolved file
+    // list, stable under later commits) and the head, proving the
+    // snapshot is the exact pre-append state. The oracle recomputes
+    // the two states from the raw splits
+    "q157_time_travel" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q157_tt_$tag"
+      Setup.once(s"q157:$dir") {
+        val li = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("rf"), col("l_orderkey").as("ok"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("c"))
+        graft.sources.Bucketed.save(li.filter(col("ok") % 2 === 0),
+          name, Seq("rf"), 4)
+        graft.sources.Bucketed.setRetention(s, name, 3)
+        graft.sources.Bucketed.save(li.filter(col("ok") % 2 === 1),
+          name, Seq("rf"), 4,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        ()
+      }
+      val gens = graft.sources.Bucketed.generations(s, name)
+      def agg(df: DataFrame, label: String) = df.groupBy("rf")
+        .agg(sum("c").as("sum_q"), count(lit(1)).as("n"))
+        .withColumn("snapshot", lit(label))
+      agg(graft.sources.Bucketed.loadAsOf(s, name, gens.head), "g1")
+        .unionByName(agg(graft.sources.Bucketed.load(s, name), "head"))
+        .select("snapshot", "rf", "sum_q", "n")
+        .orderBy("snapshot", "rf")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1031,5 +1063,20 @@ object RelationalQueries {
          |            ELSE CAST(${63L * 1000000007L} // k.kth AS BIGINT)
          |            END AS kmv_distinct
          |FROM c LEFT JOIN k USING (g)
-         |ORDER BY c.g""".stripMargin)
+         |ORDER BY c.g""".stripMargin,
+
+    // time-travel replay: the snapshot is the even-orderkey build,
+    // the head is the whole table — recomputed from the raw splits
+    "q157_time_travel" ->
+      """WITH v AS (SELECT l_returnflag AS rf, l_orderkey AS ok,
+        |                  CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS c
+        |           FROM lineitem)
+        |SELECT 'g1' AS snapshot, rf, CAST(SUM(c) AS BIGINT) AS sum_q,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM v WHERE ok % 2 = 0 GROUP BY rf
+        |UNION ALL
+        |SELECT 'head' AS snapshot, rf, CAST(SUM(c) AS BIGINT) AS sum_q,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM v GROUP BY rf
+        |ORDER BY snapshot, rf""".stripMargin)
 }

@@ -34,7 +34,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * window can still observe both generations or a just-deleted file —
   * in-process, callers that probe concurrently with maintenance must
   * order probe vs maintenance themselves (every gate here runs them
-  * sequentially per batch). Crash windows serve the OLD generation
+  * sequentially per batch), or read through [[loadSnapshot]] /
+  * [[loadAsOf]] with retention enabled ([[setRetention]]): those
+  * resolve an EXPLICIT file list through the manifest, so a racing
+  * commit can at worst surface as a retryable FileNotFound (a shared
+  * file moving into the retired dir mid-scan), never as silent
+  * duplicates or lost rows. Crash windows serve the OLD generation
   * intact — no duplicate-rows window, no lost-rows window:
   *
   *   - crash before the manifest commit → new files are unlisted
@@ -205,7 +210,7 @@ object Bucketed {
               "outside the maintenance ops")
           val extra = onDisk -- listed
           if (extra.nonEmpty && !appendInFlight(loc.toString)) {
-            extra.foreach(n => fs.delete(new Path(loc, n), false))
+            reconcileExtras(fs, loc, gen, extra.toSeq.sorted)
             spark.catalog.refreshTable(table)
           }
           if (!appendInFlight(loc.toString))
@@ -522,7 +527,13 @@ object Bucketed {
           val base = readManifest(fs, dir).map(_._2).getOrElse(legacyBase)
           val gen = writeNextManifest(fs, dir, base -- oldNames ++ newNames,
             pinnedGen = Some(diskGen + 1))
-          oldFiles.foreach(f => fs.delete(f.getPath, false))
+          // superseded files retire (move) instead of dying when the
+          // table retains history; generations that fell out of the
+          // window are pruned here so history stays bounded at the
+          // retention setting without an explicit vacuum
+          val retention = retentionOf(fs, dir)
+          retireFiles(fs, dir, oldNames.toSeq.sorted, retention)
+          if (retention > 1) vacuumLocked(fs, dir, retention)
           verifiedGenerations.put(dir.toString, gen)
         }
         newFiles.size
@@ -549,15 +560,220 @@ object Bucketed {
                                dir: Path, fs: FileSystem): Unit =
     withManifestLock(dir.toString) {
       if (!appendInFlight(dir.toString))
-        for ((_, names) <- readManifest(fs, dir)) {
+        for ((gen, names) <- readManifest(fs, dir)) {
           val extra = listDataFiles(fs, dir)
             .filterNot(f => names(f.getPath.getName))
           if (extra.nonEmpty) {
-            extra.foreach(f => fs.delete(f.getPath, false))
+            reconcileExtras(fs, dir, gen, extra.map(_.getPath.getName))
             spark.catalog.refreshTable(table)
           }
         }
     }
+
+  // ---- retention / time travel / vacuum ------------------------------
+
+  private val RetentionName = "_graft_retention"
+  private val RetentionMagic = "graft-retention-v1"
+  private val RetiredDirName = "_graft_retired"
+
+  private def retiredDir(dir: Path): Path = new Path(dir, RetiredDirName)
+
+  /** Keep the last `n` generations readable via [[loadAsOf]]: from the
+    * next maintenance commit on, superseded data files RETIRE into
+    * `_graft_retired/` (invisible to `spark.table` — Spark's scan
+    * ignores `_`-prefixed paths, so the hot dir keeps its invariant of
+    * exactly one generation and the serving path is unchanged) instead
+    * of being deleted, and generations that fall out of the window are
+    * pruned automatically at each maintenance commit. n = 1 restores
+    * the default delete-at-commit behavior (already-retired files stay
+    * until [[vacuum]]). The setting is a small marker file beside the
+    * manifests — per-table, crash-safe (rewritten atomically enough
+    * for a single small PUT; a torn write falls back to the default),
+    * and read at each commit rather than cached so cross-process
+    * writers converge on the next op. */
+  def setRetention(spark: SparkSession, table: String, n: Int): Unit = {
+    require(n >= 1, "retention must be >= 1 generation")
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val fs = fileSystemOf(spark, loc)
+    withManifestLock(loc.toString) {
+      val out = fs.create(new Path(loc, RetentionName), true)
+      try out.write(s"$RetentionMagic\n$n\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** The table's retention setting (default 1 — delete at commit). */
+  private def retentionOf(fs: FileSystem, dir: Path): Int =
+    try {
+      val p = new Path(dir, RetentionName)
+      if (!fs.exists(p)) 1
+      else {
+        val in = fs.open(p)
+        val bytes =
+          try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close()
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq match {
+          case RetentionMagic +: n +: _ =>
+            n.trim.toLongOption.map(_.toInt).filter(_ >= 1).getOrElse(1)
+          case _ => 1
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => 1 }
+
+  /** Retire superseded HOT files: move into `_graft_retired/` when the
+    * table retains history, delete otherwise. A rename target that
+    * already exists (an op replayed after a crash mid-retire) keeps
+    * the retired copy and drops the hot one — same end state. */
+  private def retireFiles(fs: FileSystem, dir: Path, names: Seq[String],
+                          retention: Int): Unit =
+    if (names.nonEmpty) {
+      if (retention <= 1) names.foreach(n => fs.delete(new Path(dir, n), false))
+      else {
+        val rd = retiredDir(dir)
+        if (!fs.exists(rd)) fs.mkdirs(rd)
+        names.foreach { n =>
+          val src = new Path(dir, n)
+          val dst = new Path(rd, n)
+          if (fs.exists(dst)) fs.delete(src, false)
+          else if (!fs.rename(src, dst)) fs.delete(src, false)
+        }
+      }
+    }
+
+  /** File names listed by any VALID manifest OTHER than generation
+    * `headGen` — the set reconciliation must retire rather than delete
+    * when the table retains history (e.g. the superseded generation a
+    * crashed commit did not get to retire). */
+  private def retainedElsewhere(fs: FileSystem, dir: Path,
+                                headGen: Long): Set[String] =
+    manifestEntries(fs, dir).filter(_._1 != headGen)
+      .flatMap { case (_, p) => parseManifest(fs, p) }
+      .flatten.toSet
+
+  /** Move each `extra` hot file that an older retained generation still
+    * lists into the retired dir; DELETE the rest (uncommitted staging
+    * orphans). With the default retention the elsewhere set is empty —
+    * behavior identical to plain deletion. */
+  private def reconcileExtras(fs: FileSystem, dir: Path, headGen: Long,
+                              extra: Seq[String]): Unit =
+    if (extra.nonEmpty) {
+      val keep =
+        if (retentionOf(fs, dir) <= 1) Set.empty[String]
+        else retainedElsewhere(fs, dir, headGen)
+      val (retire, orphans) = extra.partition(keep)
+      retireFiles(fs, dir, retire, retention = 2)
+      orphans.foreach(n => fs.delete(new Path(dir, n), false))
+    }
+
+  /** The table's readable generations, oldest first — every manifest
+    * still on disk that parses as valid. */
+  def generations(spark: SparkSession, table: String): Seq[Long] = {
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val fs = fileSystemOf(spark, loc)
+    withManifestLock(loc.toString) {
+      manifestEntries(fs, loc)
+        .filter { case (_, p) => parseManifest(fs, p).isDefined }
+        .map(_._1)
+    }
+  }
+
+  /** TIME-TRAVEL read: the table EXACTLY as generation `gen` committed
+    * it, as long as that generation is still retained ([[setRetention]]
+    * / [[vacuum]]). Resolution goes through the generation's manifest
+    * to an EXPLICIT file list (hot dir for files the current
+    * generation still shares, `_graft_retired/` for superseded ones),
+    * so unlike `spark.table` the read never depends on the directory's
+    * current contents: a snapshot of any generation < HEAD is stable
+    * under further appends and maintenance commits, except that a
+    * maintenance commit racing an IN-FLIGHT scan can move a
+    * still-shared file into the retired dir mid-read — that scan fails
+    * with a retryable FileNotFound (files only ever move or die, never
+    * mutate; the retry re-resolves) rather than the silent
+    * duplicate/lost-row window a dir scan would have. The returned
+    * frame carries the table's schema but NOT its bucket metadata
+    * (explicit-file reads cannot: audit, diff, and recovery reads —
+    * the time-travel consumers — do not need co-located joins). */
+  def loadAsOf(spark: SparkSession, table: String, gen: Long): DataFrame = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val dir = new Path(meta.location)
+    val fs = fileSystemOf(spark, dir)
+    val paths = withManifestLock(dir.toString) {
+      val listed = manifestEntries(fs, dir).collectFirst {
+        case (g, p) if g == gen => parseManifest(fs, p)
+      }.flatten.getOrElse {
+        val have = manifestEntries(fs, dir)
+          .filter { case (_, p) => parseManifest(fs, p).isDefined }
+          .map(_._1)
+        throw new IllegalArgumentException(
+          s"$table has no readable generation $gen — retained: " +
+            s"[${have.mkString(", ")}] (vacuumed, never committed, or " +
+            "retention was never enabled; see Bucketed.setRetention)")
+      }
+      val hot = dataFileNames(fs, dir)
+      val retired =
+        if (fs.exists(retiredDir(dir)))
+          fs.listStatus(retiredDir(dir)).toSeq.filter(_.isFile)
+            .map(_.getPath.getName).toSet
+        else Set.empty[String]
+      listed.toSeq.sorted.map { n =>
+        if (hot(n)) new Path(dir, n).toString
+        else if (retired(n)) new Path(retiredDir(dir), n).toString
+        else throw new IllegalStateException(
+          s"$table generation $gen lists $n but the file is neither " +
+            "hot nor retired — vacuumed while this generation's " +
+            "manifest survived, or removed outside the maintenance ops")
+      }
+    }
+    if (paths.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    else spark.read.schema(meta.schema).parquet(paths: _*)
+  }
+
+  /** The current generation pinned as an explicit-file-list read — the
+    * snapshot-isolated alternative to [[load]] for probes that may run
+    * concurrently with maintenance commits (see [[loadAsOf]] for the
+    * exact stability contract). */
+  def loadSnapshot(spark: SparkSession, table: String): DataFrame =
+    loadAsOf(spark, table, currentGeneration(spark, table))
+
+  /** Drop history beyond the newest `retain` generations: delete their
+    * manifests and every retired file no kept generation lists. Hot
+    * files are never touched (the head generation is always kept).
+    * Runs under the maintenance lock — vacuum is a maintenance writer.
+    * Returns (manifests dropped, retired files deleted). */
+  def vacuum(spark: SparkSession, table: String,
+             retain: Int = 1): (Int, Int) = {
+    require(retain >= 1, "vacuum must retain at least the head generation")
+    withMaintenanceLock(spark, table) { (_, dir, fs) =>
+      withManifestLock(dir.toString) {
+        vacuumLocked(fs, dir, retain)
+      }
+    }
+  }
+
+  /** [[vacuum]]'s core, callers hold both locks. Bounded work: one
+    * retired-dir listing + `retain` manifest parses. */
+  private def vacuumLocked(fs: FileSystem, dir: Path, retain: Int): (Int, Int) = {
+    val entries = manifestEntries(fs, dir)
+    val (drop, keep) = entries.splitAt(math.max(0, entries.size - retain))
+    val kept = keep.flatMap { case (_, p) => parseManifest(fs, p) }
+      .flatten.toSet
+    drop.foreach { case (_, p) => fs.delete(p, false) }
+    val rd = retiredDir(dir)
+    var deleted = 0
+    if (fs.exists(rd))
+      fs.listStatus(rd).toSeq.filter(_.isFile).foreach { f =>
+        if (!kept(f.getPath.getName)) {
+          fs.delete(f.getPath, false); deleted += 1
+        }
+      }
+    (drop.size, deleted)
+  }
 
   // ---- generation manifest ------------------------------------------
 
@@ -663,14 +879,17 @@ object Bucketed {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     lastSeenGen.put(dir.toString, gen)
-    // delete superseded manifests EXCEPT the immediately-previous
-    // generation — kept so a cross-process reader that listed the dir
-    // just before this commit can still open what it listed instead
-    // of falling back to an unresolved raw scan (in-process readers
-    // are serialized by the manifest lock and never race this). A
-    // crash mid-delete leaves lower generations the reader's
-    // highest-wins resolution ignores.
-    prev.filter(_._1 < gen).dropRight(1)
+    // delete superseded manifests beyond the retention window (and
+    // ALWAYS keep the immediately-previous generation — a
+    // cross-process reader that listed the dir just before this
+    // commit can still open what it listed instead of falling back
+    // to an unresolved raw scan; in-process readers are serialized
+    // by the manifest lock and never race this). A crash mid-delete
+    // leaves lower generations the reader's highest-wins resolution
+    // ignores. With retention n, the last n manifests survive so
+    // [[loadAsOf]] can resolve them.
+    val keepPrev = math.max(retentionOf(fs, dir), 2) - 1
+    prev.filter(_._1 < gen).dropRight(keepPrev)
       .foreach { case (_, op) => fs.delete(op, false) }
     gen
   }

@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Generation retention, time travel, and vacuum: with retention
+  * enabled, superseded files retire into `_graft_retired/` (invisible
+  * to the hot `spark.table` scan), loadAsOf reconstructs any retained
+  * generation exactly, crash-window reconciliation retires (not
+  * deletes) files older retained generations still list, and vacuum
+  * bounds history loudly. Default retention keeps round-10 behavior
+  * byte for byte — every pre-existing Bucketed spec pins that. */
+class BucketedTimeTravelSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mk(table: String, lo: Int, hi: Int): Unit = {
+    val rows = (lo until hi).map(i => (s"k${i % 5}", i.toLong))
+    rows.toDF("bkey", "doc").createOrReplaceTempView(s"${table}_rows")
+    Bucketed.save(spark.table(s"${table}_rows"), table, Seq("bkey"), 4)
+  }
+
+  private def append(table: String, lo: Int, hi: Int): Unit = {
+    val rows = (lo until hi).map(i => (s"k${i % 5}", i.toLong))
+    Bucketed.save(rows.toDF("bkey", "doc"), table, Seq("bkey"), 4,
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
+  private def docsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc").as[Long].collect().toSet
+
+  test("loadAsOf reconstructs every retained generation through append and rewrite") {
+    val table = "graft_tt_basic"
+    try {
+      mk(table, 0, 40)
+      Bucketed.setRetention(spark, table, 4)
+      val g1 = Bucketed.currentGeneration(spark, table)
+      append(table, 40, 60) // g2
+      val g2 = Bucketed.currentGeneration(spark, table)
+      Bucketed.rewriteAll(spark, table, _.filter(col("doc") % 2 === 0)) // g3
+      val g3 = Bucketed.currentGeneration(spark, table)
+      assert(g2 == g1 + 1 && g3 == g2 + 1)
+      assert(Bucketed.generations(spark, table).takeRight(3)
+        == Seq(g1, g2, g3))
+      // each snapshot is the state as of its commit
+      assert(docsOf(Bucketed.loadAsOf(spark, table, g1))
+        == (0L until 40L).toSet)
+      assert(docsOf(Bucketed.loadAsOf(spark, table, g2))
+        == (0L until 60L).toSet)
+      assert(docsOf(Bucketed.loadAsOf(spark, table, g3))
+        == (0L until 60L by 2).toSet)
+      // the HOT path still serves exactly the head generation: the
+      // retired files are invisible to the dir scan
+      assert(docsOf(Bucketed.load(spark, table))
+        == (0L until 60L by 2).toSet)
+      // snapshot-isolated current read ≡ hot read
+      assert(docsOf(Bucketed.loadSnapshot(spark, table))
+        == (0L until 60L by 2).toSet)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("history stays bounded at the retention setting without explicit vacuum") {
+    val table = "graft_tt_bound"
+    try {
+      mk(table, 0, 30)
+      Bucketed.setRetention(spark, table, 2)
+      // three rewrites: each commit retires the superseded generation
+      // and auto-prunes beyond the 2-generation window
+      Bucketed.rewriteAll(spark, table, _.filter(col("doc") < 25))
+      Bucketed.rewriteAll(spark, table, _.filter(col("doc") < 20))
+      Bucketed.rewriteAll(spark, table, _.filter(col("doc") < 15))
+      val gens = Bucketed.generations(spark, table)
+      assert(gens.size == 2, s"expected 2 retained generations, got $gens")
+      assert(docsOf(Bucketed.loadAsOf(spark, table, gens.head))
+        == (0L until 20L).toSet)
+      assert(docsOf(Bucketed.loadAsOf(spark, table, gens.last))
+        == (0L until 15L).toSet)
+      // a generation beyond the window fails loudly, naming what IS there
+      val ex = intercept[IllegalArgumentException] {
+        Bucketed.loadAsOf(spark, table, gens.head - 1)
+      }
+      assert(ex.getMessage.contains("no readable generation"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("crash window: reconciliation retires files a retained generation lists, deletes true orphans") {
+    val table = "graft_tt_crash"
+    try {
+      mk(table, 0, 30)
+      Bucketed.setRetention(spark, table, 3)
+      append(table, 30, 45)
+      val g2 = Bucketed.currentGeneration(spark, table)
+      Bucketed.rewriteAll(spark, table, _.filter(col("doc") < 10)) // g3
+      val g3 = Bucketed.currentGeneration(spark, table)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // simulate "crash between manifest write and retire": copy a
+      // retired g2 file back into the hot dir (unlisted by head, but
+      // listed by the retained g2 manifest)
+      val retired = fs.listStatus(new org.apache.hadoop.fs.Path(loc,
+        "_graft_retired")).filter(_.isFile)
+      assert(retired.nonEmpty)
+      val back = retired.head.getPath
+      val hotCopy = new org.apache.hadoop.fs.Path(loc, back.getName)
+      org.apache.hadoop.fs.FileUtil.copy(fs, back, fs, hotCopy, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(back, false)
+      // plus a TRUE orphan (never listed by any manifest)
+      val orphan = new org.apache.hadoop.fs.Path(loc, "part-orphan-xyz_0.parquet")
+      val out = fs.create(orphan, true)
+      out.write(Array[Byte](1, 2, 3)); out.close()
+      // cold reconcile: forget the verified cache, then load
+      Bucketed.forgetVerified()
+      assert(docsOf(Bucketed.load(spark, table)) == (0L until 10L).toSet)
+      // the g2-listed file went BACK to retired (g2 still readable),
+      // the orphan is gone
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc, "_graft_retired"), back.getName)))
+      assert(!fs.exists(orphan))
+      assert(docsOf(Bucketed.loadAsOf(spark, table, g2))
+        == (0L until 45L).toSet)
+      assert(g3 == g2 + 1)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("vacuum drops history beyond retain and deletes unreferenced retired files") {
+    val table = "graft_tt_vac"
+    try {
+      mk(table, 0, 30)
+      Bucketed.setRetention(spark, table, 4)
+      Bucketed.rewriteAll(spark, table, _.filter(col("doc") < 25))
+      Bucketed.rewriteAll(spark, table, _.filter(col("doc") < 20))
+      assert(Bucketed.generations(spark, table).size == 3)
+      val (dropped, deleted) = Bucketed.vacuum(spark, table, retain = 1)
+      assert(dropped == 2 && deleted > 0)
+      assert(Bucketed.generations(spark, table).size == 1)
+      // head unaffected; history gone loudly
+      assert(docsOf(Bucketed.load(spark, table)) == (0L until 20L).toSet)
+      intercept[IllegalArgumentException] {
+        Bucketed.loadAsOf(spark, table,
+          Bucketed.currentGeneration(spark, table) - 1)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("default retention (no marker) keeps delete-at-commit behavior") {
+    val table = "graft_tt_default"
+    try {
+      mk(table, 0, 20)
+      Bucketed.rewriteAll(spark, table, _.filter(col("doc") < 10))
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(loc, "_graft_retired")))
+      assert(Bucketed.generations(spark, table).size <= 2)
+      assert(docsOf(Bucketed.load(spark, table)) == (0L until 10L).toSet)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}
