@@ -537,6 +537,36 @@ object RelationalQueries {
         .unionByName(agg(graft.sources.Bucketed.load(s, name), "head"))
         .select("snapshot", "rf", "sum_q", "n")
         .orderBy("snapshot", "rf")
+    }),
+
+    // Change-data read between retained generations: build from the
+    // even-orderkey half (g1), append the odd half, then rewrite away
+    // the 'R' rows (g3) — diffGenerations(g1, g3) emits the row-level
+    // delta from ONLY the files the two manifests disagree on (shared
+    // files are provably unchanged and never read). The oracle
+    // recomputes the multiset delta from the raw predicates: inserts =
+    // odd ∧ not-R, deletes = even ∧ R
+    "q158_generation_diff" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q158_cdc_$tag"
+      Setup.once(s"q158:$dir") {
+        val li = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("rf"), col("l_orderkey").as("ok"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("c"))
+        graft.sources.Bucketed.save(li.filter(col("ok") % 2 === 0),
+          name, Seq("rf"), 4)
+        graft.sources.Bucketed.setRetention(s, name, 5)
+        graft.sources.Bucketed.save(li.filter(col("ok") % 2 === 1),
+          name, Seq("rf"), 4,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.rewriteAll(s, name,
+          _.filter(col("rf") =!= "R"))
+        ()
+      }
+      val gens = graft.sources.Bucketed.generations(s, name)
+      graft.sources.Bucketed.diffGenerations(s, name, gens.head, gens.last)
+        .select("change", "rf", "ok", "c")
+        .orderBy("change", "ok", "rf", "c")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1078,5 +1108,18 @@ object RelationalQueries {
         |SELECT 'head' AS snapshot, rf, CAST(SUM(c) AS BIGINT) AS sum_q,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM v GROUP BY rf
-        |ORDER BY snapshot, rf""".stripMargin)
+        |ORDER BY snapshot, rf""".stripMargin,
+
+    // generation-diff replay: the multiset delta from the raw
+    // predicates (g1 = even half; g3 = everything minus 'R' rows)
+    "q158_generation_diff" ->
+      """WITH v AS (SELECT l_returnflag AS rf, l_orderkey AS ok,
+        |                  CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS c
+        |           FROM lineitem)
+        |SELECT 'insert' AS change, rf, ok, c FROM v
+        |WHERE ok % 2 = 1 AND rf <> 'R'
+        |UNION ALL
+        |SELECT 'delete' AS change, rf, ok, c FROM v
+        |WHERE ok % 2 = 0 AND rf = 'R'
+        |ORDER BY change, ok, rf, c""".stripMargin)
 }

@@ -703,36 +703,55 @@ object Bucketed {
     val dir = new Path(meta.location)
     val fs = fileSystemOf(spark, dir)
     val paths = withManifestLock(dir.toString) {
-      val listed = manifestEntries(fs, dir).collectFirst {
-        case (g, p) if g == gen => parseManifest(fs, p)
-      }.flatten.getOrElse {
-        val have = manifestEntries(fs, dir)
-          .filter { case (_, p) => parseManifest(fs, p).isDefined }
-          .map(_._1)
-        throw new IllegalArgumentException(
-          s"$table has no readable generation $gen — retained: " +
-            s"[${have.mkString(", ")}] (vacuumed, never committed, or " +
-            "retention was never enabled; see Bucketed.setRetention)")
-      }
-      val hot = dataFileNames(fs, dir)
-      val retired =
-        if (fs.exists(retiredDir(dir)))
-          fs.listStatus(retiredDir(dir)).toSeq.filter(_.isFile)
-            .map(_.getPath.getName).toSet
-        else Set.empty[String]
-      listed.toSeq.sorted.map { n =>
-        if (hot(n)) new Path(dir, n).toString
-        else if (retired(n)) new Path(retiredDir(dir), n).toString
-        else throw new IllegalStateException(
-          s"$table generation $gen lists $n but the file is neither " +
-            "hot nor retired — vacuumed while this generation's " +
-            "manifest survived, or removed outside the maintenance ops")
-      }
+      resolvePaths(fs, dir, table, gen,
+        listedOf(fs, dir, table, gen).toSeq.sorted)
     }
-    if (paths.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-    else spark.read.schema(meta.schema).parquet(paths: _*)
+    readExplicit(spark, meta.schema, paths)
   }
+
+  /** Generation `gen`'s listed file names, or a loud error naming what
+    * IS retained. Callers hold the manifest lock. */
+  private def listedOf(fs: FileSystem, dir: Path, table: String,
+                       gen: Long): Set[String] =
+    manifestEntries(fs, dir).collectFirst {
+      case (g, p) if g == gen => parseManifest(fs, p)
+    }.flatten.getOrElse {
+      val have = manifestEntries(fs, dir)
+        .filter { case (_, p) => parseManifest(fs, p).isDefined }
+        .map(_._1)
+      throw new IllegalArgumentException(
+        s"$table has no readable generation $gen — retained: " +
+          s"[${have.mkString(", ")}] (vacuumed, never committed, or " +
+          "retention was never enabled; see Bucketed.setRetention)")
+    }
+
+  /** Resolve listed names to concrete paths (hot dir for files the
+    * current generation still shares, retired dir for superseded
+    * ones). Callers hold the manifest lock. */
+  private def resolvePaths(fs: FileSystem, dir: Path, table: String,
+                           gen: Long, names: Seq[String]): Seq[String] = {
+    val hot = dataFileNames(fs, dir)
+    val retired =
+      if (fs.exists(retiredDir(dir)))
+        fs.listStatus(retiredDir(dir)).toSeq.filter(_.isFile)
+          .map(_.getPath.getName).toSet
+      else Set.empty[String]
+    names.map { n =>
+      if (hot(n)) new Path(dir, n).toString
+      else if (retired(n)) new Path(retiredDir(dir), n).toString
+      else throw new IllegalStateException(
+        s"$table generation $gen lists $n but the file is neither " +
+          "hot nor retired — vacuumed while this generation's " +
+          "manifest survived, or removed outside the maintenance ops")
+    }
+  }
+
+  private def readExplicit(spark: SparkSession,
+                           schema: org.apache.spark.sql.types.StructType,
+                           paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
 
   /** The current generation pinned as an explicit-file-list read — the
     * snapshot-isolated alternative to [[load]] for probes that may run
@@ -740,6 +759,36 @@ object Bucketed {
     * exact stability contract). */
   def loadSnapshot(spark: SparkSession, table: String): DataFrame =
     loadAsOf(spark, table, currentGeneration(spark, table))
+
+  /** CHANGE-DATA read: the row-level delta between two retained
+    * generations, computed from ONLY the files the two manifests
+    * disagree on — rows in files both generations share are provably
+    * unchanged and never read, so a small append/compact/delete diffs
+    * at O(changed files), not O(table). Multiset semantics via
+    * exceptAll (duplicate rows carry their multiplicity): `insert`
+    * rows are in `toGen` but not `fromGen`, `delete` rows the
+    * reverse — a pure rewrite (compaction) diffs empty. Output: the
+    * table's columns plus a `change` column. The shuffle is over the
+    * changed files' rows only. */
+  def diffGenerations(spark: SparkSession, table: String,
+                      fromGen: Long, toGen: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val dir = new Path(meta.location)
+    val fs = fileSystemOf(spark, dir)
+    val (fromPaths, toPaths) = withManifestLock(dir.toString) {
+      val from = listedOf(fs, dir, table, fromGen)
+      val to = listedOf(fs, dir, table, toGen)
+      (resolvePaths(fs, dir, table, fromGen, (from -- to).toSeq.sorted),
+        resolvePaths(fs, dir, table, toGen, (to -- from).toSeq.sorted))
+    }
+    val fromOnly = readExplicit(spark, meta.schema, fromPaths)
+    val toOnly = readExplicit(spark, meta.schema, toPaths)
+    toOnly.exceptAll(fromOnly).withColumn("change", lit("insert"))
+      .unionByName(
+        fromOnly.exceptAll(toOnly).withColumn("change", lit("delete")))
+  }
 
   /** Drop history beyond the newest `retain` generations: delete their
     * manifests and every retired file no kept generation lists. Hot

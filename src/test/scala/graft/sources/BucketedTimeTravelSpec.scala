@@ -144,6 +144,42 @@ class BucketedTimeTravelSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("diffGenerations emits the row-level delta from only the changed files") {
+    val table = "graft_tt_diff"
+    try {
+      mk(table, 0, 40)
+      Bucketed.setRetention(spark, table, 5)
+      val g1 = Bucketed.currentGeneration(spark, table)
+      append(table, 40, 55) // g2: inserts only
+      val g2 = Bucketed.currentGeneration(spark, table)
+      Bucketed.rewriteAll(spark, table, _.filter(col("doc") % 3 =!= 0)) // g3
+      val g3 = Bucketed.currentGeneration(spark, table)
+
+      def delta(a: Long, b: Long): Set[(String, Long)] =
+        Bucketed.diffGenerations(spark, table, a, b)
+          .select("change", "doc").as[(String, Long)].collect().toSet
+
+      // append: pure inserts
+      assert(delta(g1, g2) ==
+        (40L until 55L).map(("insert", _)).toSet)
+      // rewrite: pure deletes (the %3 rows), across BOTH prior batches
+      assert(delta(g2, g3) ==
+        (0L until 55L by 3).map(("delete", _)).toSet)
+      // composed diff g1 -> g3
+      assert(delta(g1, g3) ==
+        ((40L until 55L).filter(_ % 3 != 0).map(("insert", _)) ++
+          (0L until 40L by 3).map(("delete", _))).toSet)
+      // O(changed files): the g1->g2 diff reads only the appended
+      // files, never g1's untouched ones
+      val g1Files = docsOf(Bucketed.loadAsOf(spark, table, g1)) // force ok
+      val diffInputs = Bucketed.diffGenerations(spark, table, g1, g2)
+        .inputFiles.toSet
+      val g1Inputs = Bucketed.loadAsOf(spark, table, g1).inputFiles.toSet
+      assert(diffInputs.nonEmpty && diffInputs.intersect(g1Inputs).isEmpty)
+      assert(g1Files == (0L until 40L).toSet)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("default retention (no marker) keeps delete-at-commit behavior") {
     val table = "graft_tt_default"
     try {
