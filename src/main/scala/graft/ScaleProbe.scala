@@ -353,6 +353,20 @@ object ScaleProbe {
       }
       spark.sql(s"DROP TABLE IF EXISTS ${kmvName}_kmv")
 
+      val qskName = s"graft_scaleprobe_incq_x$f"
+      time("incq_build", f) {
+        val src = d.select(pmod(col("doc_id"), lit(4096)).as("g"),
+          col("doc_id").as("id"), length(col("text")).cast("long").as("v"))
+        graft.ops.IncrementalQuantiles.buildIndex(src, qskName,
+          buckets = 16, "g", "id", "v", k = 64)
+        spark.table(s"${qskName}_qsk").count()
+      }
+      time("incq_serve", f) {
+        graft.ops.IncrementalQuantiles.serve(spark, qskName,
+          qs = Seq(0.5, 0.99), k = 64).count()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS ${qskName}_qsk")
+
       time("hybrid_fusion_batch", f) {
         // the q145 shape at scale: batched BM25 over the f-scaled
         // documents (one postings scan for all queries) + brute-force

@@ -95,14 +95,8 @@ object IncrementalAgg {
           col("s").as("sum_q"), col("mn").as("min_q"),
           col("mx").as("max_q"), lit(0L).as("retr"),
           lit(false).as("is_tag"))
-    val gType = data.schema("g").dataType
-    val sentinel = batch.sparkSession.range(1).select(
-      lit(null).cast(gType).as("g"), lit(tag).as("b"),
-      lit(0L).as("cnt"), lit(0L).as("sum_q"),
-      lit(null).cast("long").as("min_q"),
-      lit(null).cast("long").as("max_q"),
-      lit(0L).as("retr"), lit(true).as("is_tag"))
-    data.unionByName(sentinel).select(cols.map(col): _*)
+    graft.sources.IndexMaintenance.withSentinel(data, tag)
+      .select(cols.map(col): _*)
   }
 
   /** Has batch `tag` already committed? (shared sentinel check —

@@ -60,11 +60,8 @@ object IncrementalDistinct {
       .filter(col("__r") <= k)
       .select(col("g"), lit(tag).as("b"), col("h"),
         lit(false).as("is_tag"))
-    val gType = data.schema("g").dataType
-    val sentinel = batch.sparkSession.range(1).select(
-      lit(null).cast(gType).as("g"), lit(tag).as("b"),
-      lit(null).cast("long").as("h"), lit(true).as("is_tag"))
-    data.unionByName(sentinel).select(cols.map(col): _*)
+    graft.sources.IndexMaintenance.withSentinel(data, tag)
+      .select(cols.map(col): _*)
   }
 
   /** (Re)build the sketch table from `base` as batch `tag`. */

@@ -567,6 +567,38 @@ object RelationalQueries {
       graft.sources.Bucketed.diffGenerations(s, name, gens.head, gens.last)
         .select("change", "rf", "ok", "c")
         .orderBy("change", "ok", "rf", "c")
+    }),
+
+    // Incremental per-group quantile estimates: the durable
+    // bottom-64-by-portable-hash sample (q135's sketch) merged forward
+    // by exactly-once tagged appends + consolidation — price quantiles
+    // per returnflag served from O(k) sample rows per group, the
+    // corpus never re-read. Bottom-k merge is lossless, so the oracle
+    // replays the ONE-SHOT sketch over the full table and must match
+    // bit for bit
+    "q159_incremental_quantiles" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q159_qsk_$tag"
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
+        col("l_orderkey").as("ok"),
+        floor(col("l_extendedprice") * 100.0).cast("long").as("v"))
+      Setup.once(s"q159:$dir") {
+        graft.ops.IncrementalQuantiles.buildIndex(
+          li.filter(col("ok") % 3 === 0), name, buckets = 4,
+          "g", "id", "v", k = 64)
+        graft.ops.IncrementalQuantiles.append(
+          li.filter(col("ok") % 3 === 1), name, 4, "g", "id", "v", 64, "b1")
+        graft.ops.IncrementalQuantiles.append(
+          li.filter(col("ok") % 3 === 2), name, 4, "g", "id", "v", 64, "b2")
+        graft.ops.IncrementalQuantiles.consolidate(s, name, k = 64,
+          maxFilesPerBucket = 1)
+        ()
+      }
+      graft.ops.IncrementalQuantiles.serve(s, name,
+          qs = Seq(0.25, 0.5, 0.9), k = 64)
+        .orderBy("g", "q_e4")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1121,5 +1153,30 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'delete' AS change, rf, ok, c FROM v
         |WHERE ok % 2 = 0 AND rf = 'R'
-        |ORDER BY change, ok, rf, c""".stripMargin)
+        |ORDER BY change, ok, rf, c""".stripMargin,
+
+    // incremental-quantile replay: the q135 sketch shape over the FULL
+    // table — same bottom-64 membership hash, same sample order
+    // statistic, same integer rank arithmetic; the index must be
+    // indistinguishable from the one-shot sketch
+    "q159_incremental_quantiles" ->
+      s"""WITH base AS (SELECT l_returnflag AS g,
+         |    l_orderkey * 10 + l_linenumber AS id,
+         |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v
+         |  FROM lineitem),
+         |s AS (SELECT g, id, v,
+         |    ${TextQueries.Sql.sqmixOfPoly("CAST(id AS VARCHAR)")} AS h
+         |  FROM base WHERE v IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY g
+         |        ORDER BY h, id) AS rn FROM s),
+         |samp AS (SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY v, h, id) AS vrn,
+         |    COUNT(*) OVER (PARTITION BY g) AS m
+         |  FROM r WHERE rn <= 64),
+         |q(q_e4) AS (SELECT * FROM (VALUES (2500), (5000), (9000)) t)
+         |SELECT g, CAST(q_e4 AS BIGINT) AS q_e4,
+         |  CAST(MAX(CASE WHEN vrn = greatest(1, (q_e4 * m + 9999) // 10000)
+         |           THEN v END) AS BIGINT) AS est
+         |FROM samp CROSS JOIN q
+         |GROUP BY g, q_e4 ORDER BY g, q_e4""".stripMargin)
 }

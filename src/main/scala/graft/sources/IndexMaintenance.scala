@@ -71,6 +71,22 @@ object IndexMaintenance {
       .filter(col("is_tag") && col("b") === tag)
       .take(1).nonEmpty
 
+  /** `data` plus its exactly-once sentinel row — every column null
+    * except `b` = tag and `is_tag` = true, so the sentinel commits in
+    * the SAME DataFrame (and manifest generation) as the batch it
+    * marks, whatever the family's schema. */
+  def withSentinel(data: DataFrame, tag: String): DataFrame = {
+    val row = data.sparkSession.range(1).select(
+      data.schema.fields.map { f =>
+        f.name match {
+          case "b" => lit(tag).as("b")
+          case "is_tag" => lit(true).as("is_tag")
+          case n => lit(null).cast(f.dataType).as(n)
+        }
+      }.toIndexedSeq: _*)
+    data.unionByName(row)
+  }
+
   /** Per-list load profile of a posting table — the observability an
     * index that RUNS FOREVER needs to decide WHEN to pay a codebook
     * refresh ([[graft.sim.IncrementalAnn.refreshCodebook]] /
