@@ -599,6 +599,77 @@ object RelationalQueries {
       graft.ops.IncrementalQuantiles.serve(s, name,
           qs = Seq(0.25, 0.5, 0.9), k = 64)
         .orderBy("g", "q_e4")
+    }),
+
+    // Keyed MERGE on the bucketed contract: one atomic delete-then-
+    // insert generation whose cost is bounded to the buckets the
+    // update keys hash to (pmod(hash(k), n) from the update side
+    // alone — the table is never scanned to find the work). The batch
+    // upserts existing keys, inserts new ones, and deletes flagged
+    // ones at once; the oracle recomputes latest-wins from the raw
+    // predicates
+    "q160_merge_upsert" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q160_merge_$tag"
+      Setup.once(s"q160:$dir") {
+        val ord = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("v"))
+        graft.sources.Bucketed.save(ord.filter(col("k") % 3 =!= 2),
+          name, Seq("k"), 8)
+        val updates = ord.filter(col("k") % 5 === 0).select(
+          col("k"), (col("v") + 7L).as("v"),
+          (col("k") % 7 === 3).as("del"))
+        graft.sources.Bucketed.mergeByKey(s, name, updates,
+          deleteCol = Some("del"))
+        ()
+      }
+      graft.sources.Bucketed.load(s, name).select("k", "v").orderBy("k")
+    }),
+
+    // Incremental table replication: the source commits an append, a
+    // keyed merge update, and a keyed merge delete; each consecutive
+    // generation pair's diffGenerations delta (O(changed files), never
+    // O(table)) is shipped to a replica via applyChanges — after the
+    // last diff the replica must equal the source head bit for bit.
+    // The oracle recomputes the source's final state from the raw
+    // predicates, so replica drift anywhere in the
+    // produce→ship→apply chain fails the hash
+    "q161_cdc_replicate" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val src = s"graft_q161_src_$tag"
+      val dst = s"graft_q161_dst_$tag"
+      Setup.once(s"q161:$dir") {
+        val li = t(s, dir, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber"))
+            .cast("long").as("id"),
+          col("l_orderkey").cast("long").as("ok"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("v"))
+        graft.sources.Bucketed.save(
+          li.filter(col("ok") % 2 === 0).drop("ok"), src, Seq("id"), 8)
+        graft.sources.Bucketed.setRetention(s, src, 6)
+        val g0 = graft.sources.Bucketed.currentGeneration(s, src)
+        graft.sources.Bucketed.save(
+          graft.sources.Bucketed.loadAsOf(s, src, g0), dst, Seq("id"), 8)
+        graft.sources.Bucketed.save(
+          li.filter(col("ok") % 2 === 1).drop("ok"), src, Seq("id"), 8,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, src,
+          li.filter(col("id") % 11 === 0)
+            .select(col("id"), (col("v") + 5000L).as("v")))
+        graft.sources.Bucketed.mergeByKey(s, src,
+          li.filter(col("id") % 13 === 2)
+            .select(col("id"), col("v"), lit(true).as("del")),
+          deleteCol = Some("del"))
+        val gens = graft.sources.Bucketed.generations(s, src)
+          .dropWhile(_ < g0)
+        gens.sliding(2).foreach { case Seq(from, to) =>
+          graft.sources.Bucketed.applyChanges(s, dst,
+            graft.sources.Bucketed.diffGenerations(s, src, from, to))
+        }
+        ()
+      }
+      graft.sources.Bucketed.load(s, dst).select("id", "v").orderBy("id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1178,5 +1249,33 @@ object RelationalQueries {
          |  CAST(MAX(CASE WHEN vrn = greatest(1, (q_e4 * m + 9999) // 10000)
          |           THEN v END) AS BIGINT) AS est
          |FROM samp CROSS JOIN q
-         |GROUP BY g, q_e4 ORDER BY g, q_e4""".stripMargin)
+         |GROUP BY g, q_e4 ORDER BY g, q_e4""".stripMargin,
+
+    // latest-wins keyed merge recomputed from the raw predicates:
+    // base keys not in the update batch survive unchanged; update
+    // rows land unless flagged deleted
+    "q160_merge_upsert" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderkey % 3 <> 2),
+        |upd AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) + 7 AS v,
+        |    (o_orderkey % 7 = 3) AS del
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT k, v FROM base WHERE k NOT IN (SELECT k FROM upd)
+        |UNION ALL
+        |SELECT k, v FROM upd WHERE NOT del
+        |ORDER BY k""".stripMargin,
+
+    // the source's final state recomputed directly: the replica must
+    // be indistinguishable from it after replaying the shipped diffs
+    "q161_cdc_replicate" ->
+      """WITH li AS (SELECT
+        |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+        |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v
+        |  FROM lineitem)
+        |SELECT id,
+        |       CASE WHEN id % 11 = 0 THEN v + 5000 ELSE v END AS v
+        |FROM li WHERE id % 13 <> 2
+        |ORDER BY id""".stripMargin)
 }

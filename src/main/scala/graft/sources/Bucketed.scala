@@ -344,6 +344,100 @@ object Bucketed {
         legacyBase = oldFiles.map(_.getPath.getName).toSet, readSet)
     }
 
+  /** Keyed MERGE — delete-then-insert upsert in ONE atomic generation,
+    * touching only the buckets the update keys hash to. The merge key
+    * IS the table's bucket key (that is what makes the cost
+    * bucket-bounded: the affected buckets are computable from the
+    * update side alone — `pmod(hash(keys…), n)`, Spark's own
+    * `HashPartitioning.partitionIdExpression` — without scanning the
+    * table). Semantics per update key: every existing row with that
+    * key is deleted, then the update's rows for it (those whose
+    * optional `deleteCol` flag is false) are inserted — so a key with
+    * only flagged rows is a pure DELETE, a new key is a pure INSERT
+    * (including into a bucket that has no files yet — unlike
+    * [[rewriteBuckets]], file-less touched buckets still receive
+    * their staged rows), and a key with both old rows and unflagged
+    * update rows is a group-wise UPSERT. Multi-row-per-key tables
+    * merge group-wise (the whole group is replaced), which is exactly
+    * the shape [[applyChanges]] needs for row-level CDC apply.
+    *
+    * Atomicity and crash behavior are [[stageSwapCommit]]'s: updates
+    * land as unlisted staged files, one manifest CREATE flips readers
+    * from the complete old generation to the complete new one, and a
+    * replay of the SAME merge is idempotent (the anti-join removes
+    * the previously merged rows before re-inserting them). `updates`
+    * must be deterministic — it is evaluated once behind a lazy
+    * localCheckpoint feeding both the bucket-id collect (bounded by
+    * the bucket count) and the staged write. At 100 TB the cost is
+    * O(touched buckets) read + one staged write of those buckets —
+    * never O(table). Returns the number of staged data files. */
+  def mergeByKey(spark: SparkSession, table: String, updates: DataFrame,
+                 deleteCol: Option[String] = None): Int =
+    withMaintenanceLock(spark, table) { (meta, dir, fs) =>
+      import org.apache.spark.sql.functions.{col, hash, lit, not, pmod}
+      val bucketSpec = meta.bucketSpec.getOrElse(
+        throw new IllegalArgumentException(s"$table is not bucketed"))
+      val keys = bucketSpec.bucketColumnNames
+      val n = bucketSpec.numBuckets
+      val dataCols = meta.schema.fieldNames.toSeq
+      val upd = updates.localCheckpoint(eager = false)
+      reconcileOrphans(spark, table, dir, fs)
+      val readSet = snapshotReadSet(fs, dir)
+      val all = listDataFiles(fs, dir)
+      val dataFiles = readSet.listed match {
+        case Some(names) => all.filter(f => names(f.getPath.getName))
+        case None => all
+      }
+      // bounded collect: ≤ n distinct bucket ids, however large `upd` is
+      val touched = upd
+        .select(pmod(hash(keys.map(col): _*), lit(n)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val bucketIdOf: String => Option[Int] = name =>
+        """.*_(\d+)(?:\..*)?$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
+      val oldFiles = dataFiles.filter(f =>
+        bucketIdOf(f.getPath.getName).exists(touched))
+      val existing =
+        if (oldFiles.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+        else spark.read.schema(meta.schema)
+          .parquet(oldFiles.map(_.getPath.toString): _*)
+      val delKeys = upd.select(keys.map(col): _*).distinct()
+      val inserts = deleteCol
+        .map(c => upd.filter(not(col(c))))
+        .getOrElse(upd)
+        .select(dataCols.map(col): _*)
+      // no broadcast hint: a merge batch can be arbitrarily large
+      // (unlike the index families' bounded delete batches) — AQE
+      // picks the broadcast side when the keys fit, and the shuffle
+      // alternative is over the touched buckets only, never the table
+      val rows = existing
+        .join(delKeys, keys, "left_anti")
+        .unionByName(inserts)
+      stageSwapCommit(spark, table, meta, dir, fs, rows, oldFiles,
+        legacyBase = dataFiles.map(_.getPath.getName).toSet, readSet)
+    }
+
+  /** Row-level CDC APPLY — replays a [[diffGenerations]] delta onto a
+    * replica table in one atomic [[mergeByKey]] generation, the
+    * consumer half of incremental table replication: ship the O(changed
+    * files) diff, not the table. `diff` carries the replica's columns
+    * plus the `change` column (`insert` / `delete`); the replica's
+    * bucket key must identify rows uniquely (row-level CDC needs a row
+    * key — for multiset tables, replicate by snapshot instead). A key
+    * appearing as both `delete` (its old row) and `insert` (its new
+    * row) — an UPDATE — lands correctly because [[mergeByKey]] deletes
+    * every update key before re-inserting the unflagged rows. Applying
+    * the same diff twice is idempotent. Returns staged file count. */
+  def applyChanges(spark: SparkSession, table: String,
+                   diff: DataFrame): Int = {
+    import org.apache.spark.sql.functions.col
+    mergeByKey(spark, table,
+      diff.withColumn("_graft_delete", col("change") === "delete")
+        .drop("change"),
+      deleteCol = Some("_graft_delete"))
+  }
+
   private def rewriteCore(spark: SparkSession, table: String,
                           select: Seq[FileStatus] => Boolean,
                           bucketIds: Option[Set[Int]],
