@@ -670,6 +670,42 @@ object RelationalQueries {
         ()
       }
       graft.sources.Bucketed.load(s, dst).select("id", "v").orderBy("id")
+    }),
+
+    // File-level data skipping: three time-ordered appends (each
+    // commit's files cover one shipdate slice), then a range read that
+    // prunes the non-matching slices' files from parquet FOOTER
+    // min/max before Spark plans the scan — no data pages of the
+    // pruned files are touched, and the driver proves pruning happened
+    // (pruned_any) while the oracle proves the pruned read returns
+    // exactly the full-scan rows
+    "q162_stat_pruned_scan" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q162_skip_$tag"
+      Setup.once(s"q162:$dir") {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey").cast("long").as("k"),
+          col("l_shipdate").as("d"),
+          col("l_returnflag").as("rf"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("v"))
+        graft.sources.Bucketed.save(li.filter(col("d") < "1997-01-01"),
+          name, Seq("k"), 4)
+        graft.sources.Bucketed.save(
+          li.filter(col("d") >= "1997-01-01" && col("d") < "1998-01-01"),
+          name, Seq("k"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.save(li.filter(col("d") >= "1998-01-01"),
+          name, Seq("k"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+        ()
+      }
+      val lo = java.time.Instant.parse("1998-06-01T00:00:00Z")
+      val hi = java.time.Instant.parse("1998-12-31T00:00:00Z")
+      val (_, pruned) =
+        graft.sources.FileStats.splitFiles(s, name, "d", lo, hi)
+      graft.sources.FileStats.loadBetween(s, name, "d", lo, hi)
+        .groupBy("rf")
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+        .withColumn("pruned_any", lit(pruned.nonEmpty))
+        .orderBy("rf")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1277,5 +1313,18 @@ object RelationalQueries {
         |SELECT id,
         |       CASE WHEN id % 11 = 0 THEN v + 5000 ELSE v END AS v
         |FROM li WHERE id % 13 <> 2
-        |ORDER BY id""".stripMargin)
+        |ORDER BY id""".stripMargin,
+
+    // the pruned read must return exactly the full-scan rows (pruning
+    // is an I/O optimization, never a semantic one); pruned_any pins
+    // that the non-matching slices' files actually pruned
+    "q162_stat_pruned_scan" ->
+      """SELECT l_returnflag AS rf, COUNT(*) AS n,
+        |       CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+        |            AS BIGINT) AS sum_v,
+        |       true AS pruned_any
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1998-06-01 00:00:00'
+        |                     AND TIMESTAMP '1998-12-31 00:00:00'
+        |GROUP BY rf ORDER BY rf""".stripMargin)
 }

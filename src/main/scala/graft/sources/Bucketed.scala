@@ -1072,6 +1072,25 @@ object Bucketed {
     }
   }
 
+  /** The head generation and its data files, resolved through the
+    * manifest under the lock — the explicit file list stat-based
+    * pruning ([[FileStats]]) reads through. Pre-manifest tables list
+    * the dir (generation 0). */
+  private[sources] def currentDataFiles(
+      spark: SparkSession, table: String): (Long, Seq[FileStatus]) = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val dir = new Path(meta.location)
+    val fs = fileSystemOf(spark, dir)
+    withManifestLock(dir.toString) {
+      readManifest(fs, dir) match {
+        case Some((gen, names)) =>
+          (gen, listDataFiles(fs, dir).filter(f => names(f.getPath.getName)))
+        case None => (0L, listDataFiles(fs, dir))
+      }
+    }
+  }
+
   /** Test hook: commit a no-op FOREIGN generation (same file set, next
     * raw generation) WITHOUT updating this process's CAS expectation —
     * simulates a second maintenance process committing concurrently.

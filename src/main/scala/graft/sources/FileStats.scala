@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** FILE-LEVEL data skipping on the bucketed contract — the missing
+  * layer between the generation manifest (which files exist) and
+  * parquet's own row-group skipping (which needs every file's footer
+  * OPENED before it can skip anything). At 100 TB a time-range query
+  * against an append-mostly table should not plan a task per file: the
+  * per-file min/max already sitting in every parquet FOOTER prunes the
+  * file list on the driver, and the scan that Spark plans afterwards
+  * contains only the surviving files.
+  *
+  * Stats are DERIVED metadata, never part of the commit protocol: they
+  * are read from the footers of the head generation's files on first
+  * use (O(files) footer reads — metadata-only, no column data is
+  * scanned) and cached in-process keyed by (table location,
+  * generation), so any commit — append, merge, compact — naturally
+  * invalidates them by advancing the generation. A cross-process
+  * reader rebuilds them with the same cheap footer pass; there is no
+  * sidecar file to tear, race, or repair.
+  *
+  * Pruning is CONSERVATIVE — a file is dropped only when its stats
+  * PROVE it cannot match: its column's [min, max] misses [lo, hi] in a
+  * comparable domain, or every value in it is null (BETWEEN never
+  * matches null). Missing stats, unknown physical types (e.g. INT96
+  * timestamps), or a domain mismatch between the stats and the bounds
+  * all KEEP the file, and the real predicate is re-applied to the
+  * surviving rows regardless — so a pruned read can never return
+  * different rows than the full scan, only read fewer files.
+  *
+  * WHEN it wins: the stat column must correlate with file placement —
+  * time-ordered appends (each append's files cover that batch's time
+  * span), range-clustered writes, or a [[graft.ops.Layout]] Z-order
+  * pass. A column hashed across buckets (the bucket key itself)
+  * spreads every value range over every file and prunes nothing —
+  * that is what bucket pruning is for. */
+object FileStats {
+
+  /** One column's aggregated footer stats for one file: min/max over
+    * all row groups (None = unknown), allNull = every value in the
+    * file is null (provably — num_nulls was recorded everywhere). */
+  final case class ColStat(min: Option[Any], max: Option[Any],
+                           allNull: Boolean)
+
+  // (table location, generation) -> file name -> column -> stat.
+  // Generation-keyed: any commit invalidates by advancing the key.
+  private val cache =
+    new ConcurrentHashMap[(String, Long), Map[String, Map[String, ColStat]]]()
+
+  /** Per-file footer stats of the table's HEAD generation (cached per
+    * (location, generation) in-process). */
+  def statsOf(spark: SparkSession,
+              table: String): Map[String, Map[String, ColStat]] = {
+    val (gen, files) = Bucketed.currentDataFiles(spark, table)
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val conf = spark.sparkContext.hadoopConfiguration
+    cache.computeIfAbsent((loc.toString, gen), _ =>
+      files.map(f => f.getPath.getName -> footerStats(conf, f.getPath))
+        .toMap)
+  }
+
+  /** The head generation's file paths split by the range predicate:
+    * (kept, pruned). Kept = stats cannot rule the file out. */
+  def splitFiles(spark: SparkSession, table: String, column: String,
+                 lo: Any, hi: Any): (Seq[Path], Seq[Path]) = {
+    val stats = statsOf(spark, table)
+    val (_, files) = Bucketed.currentDataFiles(spark, table)
+    val (loK, hiK) = (toKey(lo), toKey(hi))
+    val (kept, pruned) = files.partition { f =>
+      stats.get(f.getPath.getName).flatMap(_.get(column)) match {
+        case Some(st) if st.allNull => false
+        case Some(ColStat(Some(mn), Some(mx), _)) =>
+          (toKey(mn), toKey(mx), loK, hiK) match {
+            case (Some(mnK), Some(mxK), Some(l), Some(h))
+              if sameDomain(mnK, l) && sameDomain(mxK, h) =>
+              !(cmp(mxK, l) < 0 || cmp(mnK, h) > 0)
+            case _ => true // incomparable → keep (safe)
+          }
+        case _ => true // no stats → keep (safe)
+      }
+    }
+    (kept.map(_.getPath), pruned.map(_.getPath))
+  }
+
+  /** Range read with file-level skipping: prune the head generation's
+    * file list by footer min/max, scan only the survivors, and
+    * re-apply the exact predicate (so parquet row-group skipping still
+    * runs inside the kept files, and pruning can never change the
+    * result — only the files read). */
+  def loadBetween(spark: SparkSession, table: String, column: String,
+                  lo: Any, hi: Any): DataFrame = {
+    val schema = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).schema
+    val (kept, _) = splitFiles(spark, table, column, lo, hi)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(kept.map(_.toString): _*)
+    base.filter(col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** All row groups' column stats of one file, merged per column — one
+    * footer read, no data pages touched. */
+  private def footerStats(conf: Configuration,
+                          p: Path): Map[String, ColStat] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      val perCol = scala.collection.mutable.Map.empty[String, ColStat]
+      reader.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          val st = c.getStatistics
+          val cur =
+            if (st == null) ColStat(None, None, allNull = false)
+            else if (!st.hasNonNullValue)
+              ColStat(None, None,
+                allNull = st.isNumNullsSet && st.getNumNulls == c.getValueCount)
+            else ColStat(Some(st.genericGetMin), Some(st.genericGetMax),
+              allNull = false)
+          perCol(name) = perCol.get(name).fold(cur)(merge(_, cur))
+        }
+      }
+      perCol.toMap
+    } finally reader.close()
+  }
+
+  private def merge(a: ColStat, b: ColStat): ColStat =
+    if (a.allNull && b.allNull) a
+    else if (a.allNull) b
+    else if (b.allNull) a
+    else (a.min, a.max, b.min, b.max) match {
+      case (Some(amn), Some(amx), Some(bmn), Some(bmx)) =>
+        (toKey(amn), toKey(amx), toKey(bmn), toKey(bmx)) match {
+          case (Some(k1), Some(k2), Some(k3), Some(k4))
+            if sameDomain(k1, k3) && sameDomain(k2, k4) =>
+            ColStat(Some(if (cmp(k1, k3) <= 0) amn else bmn),
+              Some(if (cmp(k2, k4) >= 0) amx else bmx), allNull = false)
+          case _ => ColStat(None, None, allNull = false)
+        }
+      case _ => ColStat(None, None, allNull = false)
+    }
+
+  // comparable domains: numeric (ints, longs, floats, date→epoch-day,
+  // instant→epoch-micros) and UTF-8 string. Anything else → None (keep).
+  private def toKey(v: Any): Option[Either[BigDecimal, String]] = v match {
+    case n: java.lang.Integer => Some(Left(BigDecimal(n.intValue)))
+    case n: java.lang.Long => Some(Left(BigDecimal(n.longValue)))
+    case n: java.lang.Double => Some(Left(BigDecimal(n.doubleValue)))
+    case n: java.lang.Float => Some(Left(BigDecimal(n.floatValue.toDouble)))
+    case d: java.time.LocalDate => Some(Left(BigDecimal(d.toEpochDay)))
+    case d: java.sql.Date => Some(Left(BigDecimal(d.toLocalDate.toEpochDay)))
+    case t: java.time.Instant =>
+      Some(Left(BigDecimal(t.getEpochSecond) * 1000000 +
+        BigDecimal(t.getNano / 1000)))
+    case b: Binary => Some(Right(b.toStringUsingUTF8))
+    case s: String => Some(Right(s))
+    case _ => None
+  }
+
+  private def sameDomain(a: Either[BigDecimal, String],
+                         b: Either[BigDecimal, String]): Boolean =
+    a.isLeft == b.isLeft
+
+  private def cmp(a: Either[BigDecimal, String],
+                  b: Either[BigDecimal, String]): Int = (a, b) match {
+    case (Left(x), Left(y)) => x.compare(y)
+    case (Right(x), Right(y)) => x.compareTo(y)
+    case _ => 0
+  }
+}
