@@ -706,6 +706,66 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
         .withColumn("pruned_any", lit(pruned.nonEmpty))
         .orderBy("rf")
+    }),
+
+    // Resumable replication: bootstrap bookmarks the snapshot, each
+    // sync ships ONE net diff (bookmark → head, reading only the files
+    // the two end manifests disagree on) and advances the durable
+    // bookmark — two syncs across two change sets, and the replica
+    // must equal the recomputed source head bit for bit
+    "q163_replica_sync" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val src = s"graft_q163_src_$tag"
+      val dst = s"graft_q163_dst_$tag"
+      Setup.once(s"q163:$dir") {
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("v"))
+        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 0),
+          src, Seq("k"), 8)
+        graft.sources.Bucketed.setRetention(s, src, 8)
+        graft.sources.Replication.bootstrap(s, src, dst, buckets = 8)
+        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 1),
+          src, Seq("k"), 8, mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, src,
+          o.filter(col("k") % 9 === 0)
+            .select(col("k"), (col("v") + 11L).as("v")))
+        graft.sources.Replication.sync(s, src, dst)
+        graft.sources.Bucketed.mergeByKey(s, src,
+          o.filter(col("k") % 17 === 5)
+            .select(col("k"), col("v"), lit(true).as("del")),
+          deleteCol = Some("del"))
+        graft.sources.Replication.sync(s, src, dst)
+        ()
+      }
+      graft.sources.Bucketed.load(s, dst).select("k", "v").orderBy("k")
+    }),
+
+    // Z-order clustering × file skipping: lineitem written through the
+    // Morton layout (each file a compact z-square), then range reads
+    // over EACH dimension served through footer-stat pruning — the
+    // pruned aggregates must equal the plain full-scan filters (the
+    // layout changes the files read, never the rows returned)
+    "q164_zorder_pruned" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q164_zp_$tag"
+      Setup.once(s"q164:$dir") {
+        graft.ops.Layout.saveClustered(
+          t(s, dir, "lineitem").select(
+            floor(col("l_extendedprice") * 100.0).cast("long").as("v"),
+            col("l_partkey").cast("long").as("p")),
+          name, "v", "p", numFiles = 12)
+        ()
+      }
+      val byV = graft.sources.FileStats
+        .loadBetween(s, name, "v", 1000000L, 2000000L)
+        .agg(count(lit(1)).as("n"), sum("p").as("s"))
+        .withColumn("dim", lit("v"))
+      val byP = graft.sources.FileStats
+        .loadBetween(s, name, "p", 10L, 50L)
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .withColumn("dim", lit("p"))
+      byV.unionByName(byP).select("dim", "n", "s").orderBy("dim")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1326,5 +1386,29 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1998-06-01 00:00:00'
         |                     AND TIMESTAMP '1998-12-31 00:00:00'
-        |GROUP BY rf ORDER BY rf""".stripMargin)
+        |GROUP BY rf ORDER BY rf""".stripMargin,
+
+    // the replica after the second sync must equal the source's final
+    // state recomputed from the raw predicates
+    "q163_replica_sync" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders)
+        |SELECT k, CASE WHEN k % 9 = 0 THEN v + 11 ELSE v END AS v
+        |FROM o WHERE k % 17 <> 5
+        |ORDER BY k""".stripMargin,
+
+    // each pruned range read must equal the plain filter over the raw
+    // table — the Morton layout is an I/O plan, not a semantic one
+    "q164_zorder_pruned" ->
+      """WITH li AS (SELECT
+        |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v,
+        |    CAST(l_partkey AS BIGINT) AS p
+        |  FROM lineitem)
+        |SELECT 'p' AS dim, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s
+        |FROM li WHERE p BETWEEN 10 AND 50
+        |UNION ALL
+        |SELECT 'v' AS dim, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS s
+        |FROM li WHERE v BETWEEN 1000000 AND 2000000
+        |ORDER BY dim""".stripMargin)
 }
