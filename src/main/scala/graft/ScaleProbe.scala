@@ -367,6 +367,61 @@ object ScaleProbe {
       }
       spark.sql(s"DROP TABLE IF EXISTS ${qskName}_qsk")
 
+      // keyed merge: cost tracks the TOUCHED buckets' size, not the
+      // table — an 8-key batch against 64 buckets rewrites ≤ 8/64 of
+      // the data whatever the factor (the bucket count is the knob: at
+      // 100 TB size buckets so a batch touches a small fraction).
+      // replica_sync ships the merge's changed files only, so it
+      // should track merge_batch, not the table.
+      val mrgName = s"graft_scaleprobe_merge_x$f"
+      val dstName = s"graft_scaleprobe_replica_x$f"
+      time("merge_table_build", f) {
+        val src = d.select(col("doc_id").as("k"),
+          length(col("text")).cast("long").as("v"))
+        graft.sources.Bucketed.save(src, mrgName, Seq("k"), 64)
+        graft.sources.Bucketed.setRetention(spark, mrgName, 4)
+        graft.sources.Replication.bootstrap(spark, mrgName, dstName, 64)
+        spark.table(mrgName).count()
+      }
+      time("merge_batch", f) {
+        val batch = replicated(1).limit(8)
+          .select(col("doc_id").as("k"), lit(-1L).as("v"))
+        graft.sources.Bucketed.mergeByKey(spark, mrgName, batch)
+        8L
+      }
+      time("replica_sync", f) {
+        graft.sources.Replication.sync(spark, mrgName, dstName)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $dstName")
+      spark.sql(s"DROP TABLE IF EXISTS $mrgName")
+
+      // file skipping: three time-ordered thirds, a range read inside
+      // one third — pruned scan cost should stay ~1/3 of the full scan
+      // at every factor (the pruning itself is O(files) footer reads)
+      val skipName = s"graft_scaleprobe_skip_x$f"
+      time("statprune_table_build", f) {
+        val src = d.select(col("doc_id").as("k"),
+          (col("doc_id") % 300L).as("t"),
+          length(col("text")).cast("long").as("v"))
+        graft.sources.Bucketed.save(src.filter(col("t") < 100), skipName,
+          Seq("k"), 8)
+        graft.sources.Bucketed.save(
+          src.filter(col("t") >= 100 && col("t") < 200), skipName,
+          Seq("k"), 8, mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.save(src.filter(col("t") >= 200), skipName,
+          Seq("k"), 8, mode = org.apache.spark.sql.SaveMode.Append)
+        spark.table(skipName).count()
+      }
+      time("statprune_scan_full", f) {
+        graft.sources.Bucketed.load(spark, skipName)
+          .filter(col("t").between(220L, 260L)).count()
+      }
+      time("statprune_scan_pruned", f) {
+        graft.sources.FileStats.loadBetween(spark, skipName, "t",
+          220L, 260L).count()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $skipName")
+
       time("hybrid_fusion_batch", f) {
         // the q145 shape at scale: batched BM25 over the f-scaled
         // documents (one postings scan for all queries) + brute-force

@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions.{col, lit}
   *
   * Stats are DERIVED metadata, never part of the commit protocol: they
   * are read from the footers of the head generation's files on first
-  * use (O(files) footer reads — metadata-only, no column data is
-  * scanned) and cached in-process keyed by (table location,
-  * generation), so any commit — append, merge, compact — naturally
-  * invalidates them by advancing the generation. A cross-process
-  * reader rebuilds them with the same cheap footer pass; there is no
-  * sidecar file to tear, race, or repair.
+  * use and cached in-process keyed by (table location, generation), so
+  * any commit — append, merge, compact — naturally invalidates them by
+  * advancing the generation. A cross-process reader rebuilds them with
+  * the same footer pass; there is no sidecar file to tear, race, or
+  * repair. The footer pass is metadata-only (no data pages) and runs
+  * as a SPARK JOB once the file count outgrows a driver loop — at
+  * 100k files that is one short stage of footer opens across the
+  * cluster, not a sequential driver crawl; under the threshold the
+  * driver reads them directly (no job-scheduling overhead on the
+  * handful-of-files case).
   *
   * Pruning is CONSERVATIVE — a file is dropped only when its stats
   * PROVE it cannot match: its column's [min, max] misses [lo, hi] in a
@@ -40,21 +44,32 @@ import org.apache.spark.sql.functions.{col, lit}
   * WHEN it wins: the stat column must correlate with file placement —
   * time-ordered appends (each append's files cover that batch's time
   * span), range-clustered writes, or a [[graft.ops.Layout]] Z-order
-  * pass. A column hashed across buckets (the bucket key itself)
+  * pass ([[graft.ops.Layout.saveClustered]] prunes on BOTH clustered
+  * columns). A column hashed across buckets (the bucket key itself)
   * spreads every value range over every file and prunes nothing —
   * that is what bucket pruning is for. */
 object FileStats {
 
+  /** Comparable stat key: numeric domain (ints, longs, floats,
+    * date→epoch-day, instant/INT64-timestamp→epoch-micros) or UTF-8
+    * string domain. Serializable — footer stats may be gathered on
+    * executors. */
+  type Key = Either[BigDecimal, String]
+
   /** One column's aggregated footer stats for one file: min/max over
-    * all row groups (None = unknown), allNull = every value in the
-    * file is null (provably — num_nulls was recorded everywhere). */
-  final case class ColStat(min: Option[Any], max: Option[Any],
+    * all row groups in the comparable domain (None = unknown or not
+    * comparable), allNull = every value in the file is provably
+    * null. */
+  final case class ColStat(min: Option[Key], max: Option[Key],
                            allNull: Boolean)
 
   // (table location, generation) -> file name -> column -> stat.
   // Generation-keyed: any commit invalidates by advancing the key.
   private val cache =
     new ConcurrentHashMap[(String, Long), Map[String, Map[String, ColStat]]]()
+
+  // below this many files a driver loop beats a job's scheduling cost
+  private val DriverReadMax = 32
 
   /** Per-file footer stats of the table's HEAD generation (cached per
     * (location, generation) in-process). */
@@ -63,10 +78,43 @@ object FileStats {
     val (gen, files) = Bucketed.currentDataFiles(spark, table)
     val loc = new Path(spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
-    val conf = spark.sparkContext.hadoopConfiguration
-    cache.computeIfAbsent((loc.toString, gen), _ =>
-      files.map(f => f.getPath.getName -> footerStats(conf, f.getPath))
-        .toMap)
+    cache.computeIfAbsent((loc.toString, gen), _ => {
+      val conf = spark.sparkContext.hadoopConfiguration
+      if (files.size <= DriverReadMax) {
+        // a footer open costs ~100 ms even locally — thread the driver
+        // loop so the handful-of-files case stays sub-second
+        import scala.concurrent.{Await, Future, ExecutionContext}
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(
+          Future.traverse(files)(f => Future(
+            f.getPath.getName -> footerStats(conf, f.getPath))),
+          scala.concurrent.duration.Duration(600, "s")).toMap
+      }
+      else {
+        // one short metadata-only stage: footer opens parallelize
+        // across the cluster instead of crawling the driver. Hadoop
+        // Configuration is not serializable — ship its entries and
+        // rebuild per executor partition.
+        val entries = {
+          val it = conf.iterator()
+          val b = Seq.newBuilder[(String, String)]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+          b.result()
+        }
+        val bc = spark.sparkContext.broadcast(entries)
+        val paths = files.map(_.getPath.toString)
+        spark.sparkContext
+          .parallelize(paths,
+            math.min(paths.size,
+              math.max(1, spark.sparkContext.defaultParallelism * 2)))
+          .mapPartitions { ps =>
+            val c = new Configuration(false)
+            bc.value.foreach { case (k, v) => c.set(k, v) }
+            ps.map(p => new Path(p).getName -> footerStats(c, new Path(p)))
+          }
+          .collect().toMap
+      }
+    })
   }
 
   /** The head generation's file paths split by the range predicate:
@@ -80,11 +128,11 @@ object FileStats {
       stats.get(f.getPath.getName).flatMap(_.get(column)) match {
         case Some(st) if st.allNull => false
         case Some(ColStat(Some(mn), Some(mx), _)) =>
-          (toKey(mn), toKey(mx), loK, hiK) match {
-            case (Some(mnK), Some(mxK), Some(l), Some(h))
-              if sameDomain(mnK, l) && sameDomain(mxK, h) =>
-              !(cmp(mxK, l) < 0 || cmp(mnK, h) > 0)
-            case _ => true // incomparable → keep (safe)
+          (loK, hiK) match {
+            case (Some(l), Some(h))
+              if sameDomain(mn, l) && sameDomain(mx, h) =>
+              !(cmp(mx, l) < 0 || cmp(mn, h) > 0)
+            case _ => true // incomparable bounds → keep (safe)
           }
         case _ => true // no stats → keep (safe)
       }
@@ -111,7 +159,8 @@ object FileStats {
   }
 
   /** All row groups' column stats of one file, merged per column — one
-    * footer read, no data pages touched. */
+    * footer read, no data pages touched. Runs on the driver or an
+    * executor (returns only serializable keys). */
   private def footerStats(conf: Configuration,
                           p: Path): Map[String, ColStat] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
@@ -126,7 +175,7 @@ object FileStats {
             else if (!st.hasNonNullValue)
               ColStat(None, None,
                 allNull = st.isNumNullsSet && st.getNumNulls == c.getValueCount)
-            else ColStat(Some(st.genericGetMin), Some(st.genericGetMax),
+            else ColStat(toKey(st.genericGetMin), toKey(st.genericGetMax),
               allNull = false)
           perCol(name) = perCol.get(name).fold(cur)(merge(_, cur))
         }
@@ -140,20 +189,16 @@ object FileStats {
     else if (a.allNull) b
     else if (b.allNull) a
     else (a.min, a.max, b.min, b.max) match {
-      case (Some(amn), Some(amx), Some(bmn), Some(bmx)) =>
-        (toKey(amn), toKey(amx), toKey(bmn), toKey(bmx)) match {
-          case (Some(k1), Some(k2), Some(k3), Some(k4))
-            if sameDomain(k1, k3) && sameDomain(k2, k4) =>
-            ColStat(Some(if (cmp(k1, k3) <= 0) amn else bmn),
-              Some(if (cmp(k2, k4) >= 0) amx else bmx), allNull = false)
-          case _ => ColStat(None, None, allNull = false)
-        }
+      case (Some(amn), Some(amx), Some(bmn), Some(bmx))
+        if sameDomain(amn, bmn) && sameDomain(amx, bmx) =>
+        ColStat(Some(if (cmp(amn, bmn) <= 0) amn else bmn),
+          Some(if (cmp(amx, bmx) >= 0) amx else bmx), allNull = false)
       case _ => ColStat(None, None, allNull = false)
     }
 
   // comparable domains: numeric (ints, longs, floats, date→epoch-day,
   // instant→epoch-micros) and UTF-8 string. Anything else → None (keep).
-  private def toKey(v: Any): Option[Either[BigDecimal, String]] = v match {
+  private def toKey(v: Any): Option[Key] = v match {
     case n: java.lang.Integer => Some(Left(BigDecimal(n.intValue)))
     case n: java.lang.Long => Some(Left(BigDecimal(n.longValue)))
     case n: java.lang.Double => Some(Left(BigDecimal(n.doubleValue)))
@@ -168,12 +213,9 @@ object FileStats {
     case _ => None
   }
 
-  private def sameDomain(a: Either[BigDecimal, String],
-                         b: Either[BigDecimal, String]): Boolean =
-    a.isLeft == b.isLeft
+  private def sameDomain(a: Key, b: Key): Boolean = a.isLeft == b.isLeft
 
-  private def cmp(a: Either[BigDecimal, String],
-                  b: Either[BigDecimal, String]): Int = (a, b) match {
+  private def cmp(a: Key, b: Key): Int = (a, b) match {
     case (Left(x), Left(y)) => x.compare(y)
     case (Right(x), Right(y)) => x.compareTo(y)
     case _ => 0
