@@ -766,6 +766,34 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum("v").as("s"))
         .withColumn("dim", lit("p"))
       byV.unionByName(byP).select("dim", "n", "s").orderBy("dim")
+    }),
+
+    // Schema evolution: addColumn touches no data file (old rows
+    // null-fill on read), the next append carries the column, and a
+    // keyed merge backfills a subset — the oracle recomputes the
+    // evolved state with CASE over the raw predicates, so null-fill,
+    // append, and backfill must all compose exactly
+    "q165_schema_evolution" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q165_evo_$tag"
+      Setup.once(s"q165:$dir") {
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("v"))
+        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 0),
+          name, Seq("k"), 8)
+        graft.sources.Bucketed.addColumn(s, name, "note", "STRING")
+        graft.sources.Bucketed.save(
+          o.filter(col("k") % 2 === 1).withColumn("note",
+            concat(lit("n"), (col("k") % 10).cast("string"))),
+          name, Seq("k"), 8, mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, name,
+          o.filter(col("k") % 7 === 0).select(
+            col("k"), (col("v") + 3L).as("v"), lit("m").as("note")))
+        ()
+      }
+      graft.sources.Bucketed.load(s, name)
+        .select("k", "v", "note").orderBy("k")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1410,5 +1438,18 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'v' AS dim, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS s
         |FROM li WHERE v BETWEEN 1000000 AND 2000000
-        |ORDER BY dim""".stripMargin)
+        |ORDER BY dim""".stripMargin,
+
+    // the evolved table recomputed: old rows null unless backfilled by
+    // the merge, appended rows carry their note, merged keys win
+    "q165_schema_evolution" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders)
+        |SELECT k,
+        |       CASE WHEN k % 7 = 0 THEN v + 3 ELSE v END AS v,
+        |       CASE WHEN k % 7 = 0 THEN 'm'
+        |            WHEN k % 2 = 1 THEN 'n' || CAST(k % 10 AS VARCHAR)
+        |            ELSE NULL END AS note
+        |FROM o ORDER BY k""".stripMargin)
 }

@@ -418,6 +418,28 @@ object Bucketed {
         legacyBase = dataFiles.map(_.getPath.getName).toSet, readSet)
     }
 
+  /** SCHEMA EVOLUTION — append a nullable column to a bucketed table
+    * without touching a single data file: the catalog schema gains the
+    * column, files written before the change simply lack it and every
+    * read path null-fills (parquet reads resolve columns by name —
+    * `spark.table`, [[load]], [[loadAsOf]] across the change,
+    * [[diffGenerations]], and [[mergeByKey]]'s touched-bucket read all
+    * use the CURRENT catalog schema). Subsequent appends and merges
+    * carry the new column; old rows keep null until a merge or rewrite
+    * backfills them — at 100 TB an O(table) backfill is a choice, not
+    * a prerequisite. The bucket spec is untouched (the new column is
+    * never a bucket key). [[FileStats]] pruning on the new column
+    * stays conservative: pre-evolution files have no stats for it and
+    * are always kept. `ddlType` is a DDL type string (e.g. "STRING",
+    * "BIGINT", "DECIMAL(18,2)"). */
+  def addColumn(spark: SparkSession, table: String, column: String,
+                ddlType: String): Unit = {
+    require(!column.contains("`"), s"bad column name: $column")
+    val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+    spark.sql(s"ALTER TABLE $quoted ADD COLUMNS (`$column` $ddlType)")
+    spark.catalog.refreshTable(table)
+  }
+
   /** Row-level CDC APPLY — replays a [[diffGenerations]] delta onto a
     * replica table in one atomic [[mergeByKey]] generation, the
     * consumer half of incremental table replication: ship the O(changed
