@@ -151,6 +151,43 @@ object StreamGeoQueries {
         .withColumn("lon_e6",
           floor(Geo.lonCol(p("x"), p("y")) * 1000000.0).cast("long"))
         .orderBy("o_orderkey")
+    }),
+
+    // Streaming MERGE INTO the GOVERNED bucketed table: each
+    // micro-batch is one atomic mergeByKey generation, so the target
+    // keeps the manifest contract (time travel, CDC, replication,
+    // retention) WHILE ingesting. The op rows — odd-key inserts,
+    // k%18=0 updates, disjoint even-key deletes — are KEY-DISJOINT, so
+    // any partitioning of them into micro-batches commutes and the
+    // final state is deterministic whatever file order the stream
+    // picks. The oracle recomputes that state from the raw predicates
+    "q166_stream_merge_governed" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q166_gm_$tag"
+      Setup.once(s"q166:$dir") {
+        val o = graft.sources.Tables.table(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("v"))
+        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 0),
+          name, Seq("k"), 8)
+        val inserts = o.filter(col("k") % 2 === 1)
+          .select(col("k"), col("v"), lit(false).as("del"))
+        val updates = o.filter(col("k") % 18 === 0)
+          .select(col("k"), (col("v") + 21L).as("v"), lit(false).as("del"))
+        val deletes = o.filter(
+            col("k") % 2 === 0 && col("k") % 13 === 7 && col("k") % 18 =!= 0)
+          .select(col("k"), col("v"), lit(true).as("del"))
+        val base = Streaming.scratchBase.resolve(
+          s"graft-q166-${Setup.dirTag(dir)}").toString
+        inserts.unionByName(updates).unionByName(deletes)
+          .repartition(3)
+          .write.mode("overwrite").parquet(s"$base/src")
+        Streaming.mergeStreamIntoBucketed(
+          Streaming.fileStream(s, s"$base/src", maxFilesPerTrigger = Some(1)),
+          name, deleteCol = Some("del"))
+        ()
+      }
+      graft.sources.Bucketed.load(s, name).select("k", "v").orderBy("k")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -289,5 +326,18 @@ object StreamGeoQueries {
          |  CAST(floor(${Geo.latSql(x, y)} * 1000000.0) AS BIGINT) AS lat_e6,
          |  CAST(floor(${Geo.lonSql(x, y)} * 1000000.0) AS BIGINT) AS lon_e6
          |FROM orders ORDER BY o_orderkey""".stripMargin
-    })
+    },
+
+    // the governed table after the stream drains: all keys (evens from
+    // the base, odds streamed in) with the streamed updates applied
+    // and the streamed deletes gone — the key-disjoint op sets make
+    // this state batch-order-independent
+    "q166_stream_merge_governed" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders)
+        |SELECT k, CASE WHEN k % 18 = 0 THEN v + 21 ELSE v END AS v
+        |FROM o
+        |WHERE NOT (k % 2 = 0 AND k % 13 = 7 AND k % 18 <> 0)
+        |ORDER BY k""".stripMargin)
 }

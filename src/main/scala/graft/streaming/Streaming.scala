@@ -219,6 +219,43 @@ object Streaming {
     spark.read.parquet(targetDir).drop("__bucket")
   }
 
+  /** Streaming MERGE INTO the GOVERNED bucketed table — each
+    * micro-batch commits as ONE atomic
+    * [[graft.sources.Bucketed.mergeByKey]] generation, so the target
+    * keeps every contract the batch table has WHILE the stream runs:
+    * readers flip whole generations (never a half-applied batch), the
+    * table stays time-travelable, CDC-diffable, and replica-syncable
+    * mid-stream, and retention/vacuum govern its history. Contrast
+    * [[upsertAvailableNow]]: that sink owns a private recency-aware
+    * `__bucket=` directory layout (keeps the max-orderCols row per
+    * key, late batches can't regress it); this one is LATEST-BATCH-
+    * WINS on the catalog table — ordering across batches is the
+    * stream's contract, so streams whose batches may interleave per
+    * key should carry an order column and pre-reduce, or use the
+    * recency-aware sink.
+    *
+    * Exactly-once EFFECT from at-least-once foreachBatch: a replayed
+    * batch re-merges idempotently (delete-then-insert of the same
+    * keys). Rows with `deleteCol` = true delete their keys —
+    * CDC-style streams apply directly. Cost per batch is
+    * O(buckets the batch's keys hash to), never O(table). */
+  def mergeStreamIntoBucketed(stream: DataFrame, table: String,
+                              deleteCol: Option[String] = None): Unit = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Bucketed.mergeByKey(spark, table, batch.toDF(),
+          deleteCol)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(scratchBase,
+          "graft-ckpt-gmerge").toString)
+      .start()
+    q.awaitTermination()
+  }
+
   /** In-stream exact dedup — the continuous-ingest form of
     * `Dedup.exact` (q21): keep the first-arriving document per
     * normalized-content hash. Pass `eventTime = Some((tsCol, delay))`
