@@ -765,7 +765,15 @@ object RelationalQueries {
         .loadBetween(s, name, "p", 10L, 50L)
         .agg(count(lit(1)).as("n"), sum("v").as("s"))
         .withColumn("dim", lit("p"))
-      byV.unionByName(byP).select("dim", "n", "s").orderBy("dim")
+      // conjunctive 2-D box: kept files = intersection of the two
+      // ranges' kept sets — the layout's whole point
+      val byBox = graft.sources.FileStats
+        .loadWhere(s, name,
+          Seq(("v", 1000000L, 2000000L), ("p", 10L, 50L)))
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .withColumn("dim", lit("b"))
+      byV.unionByName(byP).unionByName(byBox)
+        .select("dim", "n", "s").orderBy("dim")
     }),
 
     // Schema evolution: addColumn touches no data file (old rows
@@ -794,6 +802,45 @@ object RelationalQueries {
       }
       graft.sources.Bucketed.load(s, name)
         .select("k", "v", "note").orderBy("k")
+    }),
+
+    // Bloom-filter file skipping: equality lookup on a
+    // high-cardinality UNCLUSTERED md5 column, where min/max prunes
+    // nothing (every file spans the whole hex range) — the parquet
+    // blooms written through Bucketed.save's writeOptions prune to
+    // (nearly) the files actually holding the value; bloom_pruned
+    // pins that skipping happened, the oracle pins exactness
+    "q167_bloom_lookup" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q167_bloom_$tag"
+      Setup.once(s"q167:$dir") {
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          md5(concat(lit("u"), col("o_orderkey").cast("string"))).as("u"))
+        val opts = Map(
+          "parquet.bloom.filter.enabled#u" -> "true",
+          "parquet.bloom.filter.expected.ndv#u" -> "200000")
+        graft.sources.Bucketed.save(o.filter(col("k") % 3 === 0),
+          name, Seq("k"), 4, writeOptions = opts)
+        graft.sources.Bucketed.save(o.filter(col("k") % 3 === 1),
+          name, Seq("k"), 4,
+          mode = org.apache.spark.sql.SaveMode.Append, writeOptions = opts)
+        graft.sources.Bucketed.save(o.filter(col("k") % 3 === 2),
+          name, Seq("k"), 4,
+          mode = org.apache.spark.sql.SaveMode.Append, writeOptions = opts)
+        ()
+      }
+      val minK = t(s, dir, "orders")
+        .agg(min(col("o_orderkey").cast("long"))).head().getLong(0)
+      val needle = s.range(1)
+        .select(md5(concat(lit("u"), lit(minK).cast("string"))))
+        .head().getString(0)
+      val (_, pruned) =
+        graft.sources.FileStats.splitFilesEquals(s, name, "u", needle)
+      graft.sources.FileStats.loadEquals(s, name, "u", needle)
+        .select("k", "u")
+        .withColumn("bloom_pruned", lit(pruned.nonEmpty))
+        .orderBy("k")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1438,6 +1485,10 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'v' AS dim, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS s
         |FROM li WHERE v BETWEEN 1000000 AND 2000000
+        |UNION ALL
+        |SELECT 'b' AS dim, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s
+        |FROM li WHERE v BETWEEN 1000000 AND 2000000
+        |          AND p BETWEEN 10 AND 50
         |ORDER BY dim""".stripMargin,
 
     // the evolved table recomputed: old rows null unless backfilled by
@@ -1451,5 +1502,17 @@ object RelationalQueries {
         |       CASE WHEN k % 7 = 0 THEN 'm'
         |            WHEN k % 2 = 1 THEN 'n' || CAST(k % 10 AS VARCHAR)
         |            ELSE NULL END AS note
-        |FROM o ORDER BY k""".stripMargin)
+        |FROM o ORDER BY k""".stripMargin,
+
+    // the pruned lookup must return exactly the one matching row —
+    // bloom skipping is an I/O plan, never a semantic one
+    "q167_bloom_lookup" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    md5('u' || CAST(o_orderkey AS VARCHAR)) AS u
+        |  FROM orders)
+        |SELECT k, u, true AS bloom_pruned
+        |FROM o
+        |WHERE u = (SELECT md5('u' || CAST(min(k2.o_orderkey) AS VARCHAR))
+        |           FROM orders k2)
+        |ORDER BY k""".stripMargin)
 }

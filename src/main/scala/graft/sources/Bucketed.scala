@@ -100,7 +100,8 @@ object Bucketed {
     * (LOCATION_ALREADY_EXISTS). Drop + clear explicitly first. */
   def save(df: DataFrame, table: String, keys: Seq[String],
            buckets: Int, mode: SaveMode = SaveMode.Overwrite,
-           sortCols: Seq[String] = Nil): Unit = {
+           sortCols: Seq[String] = Nil,
+           writeOptions: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     // destructive pre-clear ONLY under Overwrite — Append/Ignore/
     // ErrorIfExists must keep their SaveMode contracts
@@ -142,7 +143,13 @@ object Bucketed {
     guard.foreach { l => verifiedGenerations.remove(l); appendBegin(l) }
     try {
       val sort = if (sortCols.nonEmpty) sortCols else keys
+      // writeOptions reach the parquet writer (e.g.
+      // `parquet.bloom.filter.enabled#col` for [[FileStats.loadEquals]]
+      // pruning) AND persist as table storage properties, so
+      // maintenance rewrites ([[stageSwapCommit]]) re-apply them — a
+      // compacted or merged file keeps its blooms
       df.write.mode(mode)
+        .options(writeOptions)
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(sort.head, sort.tail: _*)
         .format("parquet")
@@ -598,9 +605,14 @@ object Bucketed {
     val keyCols = bucketSpec.bucketColumnNames
       .map(org.apache.spark.sql.functions.col)
     val staging = s"${table}__rewrite"
+    // carry the table's parquet writer options (bloom filters etc.)
+    // into the staging write: a maintenance rewrite must not silently
+    // strip the file features reads prune on
+    val parquetOpts = meta.storage.properties
+      .filter { case (k, _) => k.startsWith("parquet.") }
     save(rows.repartition(bucketSpec.numBuckets, keyCols: _*),
       staging, bucketSpec.bucketColumnNames, bucketSpec.numBuckets,
-      sortCols = bucketSpec.sortColumnNames)
+      sortCols = bucketSpec.sortColumnNames, writeOptions = parquetOpts)
     val nNew =
       try {
         val stagingDir = new Path(spark.sessionState.catalog.getTableMetadata(

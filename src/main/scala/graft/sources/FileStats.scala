@@ -146,16 +146,127 @@ object FileStats {
     * runs inside the kept files, and pruning can never change the
     * result — only the files read). */
   def loadBetween(spark: SparkSession, table: String, column: String,
-                  lo: Any, hi: Any): DataFrame = {
+                  lo: Any, hi: Any): DataFrame =
+    loadWhere(spark, table, Seq((column, lo, hi)))
+
+  /** CONJUNCTIVE multi-range read: a file survives only if NO range
+    * rules it out, so each extra range can only shrink the file list —
+    * on a [[graft.ops.Layout.saveClustered]] Morton layout a 2-D box
+    * (x AND y) prunes to the files whose z-squares intersect the box,
+    * strictly tighter than either 1-D range alone. All exact
+    * predicates re-apply to the survivors (AND of BETWEENs). */
+  def loadWhere(spark: SparkSession, table: String,
+                ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "at least one (column, lo, hi) range")
     val schema = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table)).schema
-    val (kept, _) = splitFiles(spark, table, column, lo, hi)
+    val kept = ranges.map { case (c, lo, hi) =>
+      splitFiles(spark, table, c, lo, hi)._1.map(_.toString).toSet
+    }.reduce(_ intersect _)
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(kept.map(_.toString): _*)
-    base.filter(col(column).between(lit(lo), lit(hi)))
+      else spark.read.schema(schema).parquet(kept.toSeq.sorted: _*)
+    ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c).between(lit(lo), lit(hi)))
+    }
+  }
+
+  /** EQUALITY read with bloom-filter file skipping — the point-lookup
+    * path for a HIGH-CARDINALITY, UNCLUSTERED column, where min/max
+    * cannot prune (every file spans the whole value range): if the
+    * table was written with `parquet.bloom.filter.enabled#<col>`
+    * ([[Bucketed.save]]'s writeOptions — maintenance rewrites re-apply
+    * it from the stored table properties), a file whose every row
+    * group's bloom filter rules the value out is provably matchless
+    * and skips. Order of defenses: min/max first (free, already
+    * cached), then blooms on the survivors (one footer + bloom-page
+    * read per file, parallelized on a driver pool). Conservative like
+    * all pruning here: a missing bloom, an unhashable type, or a
+    * bloom false positive keeps the file, and the exact `=` predicate
+    * re-applies to the survivors. */
+  def loadEquals(spark: SparkSession, table: String, column: String,
+                 value: Any): DataFrame = {
+    val schema = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).schema
+    val (surviving, _) = splitFilesEquals(spark, table, column, value)
+    val base =
+      if (surviving.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(surviving.map(_.toString): _*)
+    base.filter(col(column) === lit(value))
+  }
+
+  /** The head generation's files split by an equality predicate:
+    * (kept, pruned) after BOTH defenses — min/max range first, then
+    * per-row-group bloom filters on the survivors. */
+  def splitFilesEquals(spark: SparkSession, table: String,
+                       column: String, value: Any): (Seq[Path], Seq[Path]) = {
+    val (kept, prunedMm) = splitFiles(spark, table, column, value, value)
+    val conf = spark.sparkContext.hadoopConfiguration
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val checked = Await.result(
+      Future.traverse(kept)(p => Future(
+        p -> bloomMightContain(conf, p, column, value))),
+      scala.concurrent.duration.Duration(600, "s"))
+    val (surviving, bloomPruned) = checked.partition(_._2)
+    (surviving.map(_._1), prunedMm ++ bloomPruned.map(_._1))
+  }
+
+  /** False only when EVERY row group of `p` has a bloom filter for
+    * `column` and none might contain `value` — the provably-matchless
+    * case. Anything uncertain (no bloom, unknown type) keeps. */
+  private[sources] def bloomMightContain(conf: Configuration, p: Path,
+                                         column: String, value: Any): Boolean = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var i = 0
+      while (i < blocks.size()) {
+        val cc = blocks.get(i).getColumns
+        var j = 0
+        var found = false
+        while (j < cc.size()) {
+          val c = cc.get(j)
+          if (c.getPath.toDotString == column) {
+            found = true
+            val bf = reader.readBloomFilter(c)
+            if (bf == null) return true
+            hashFor(bf, c.getPrimitiveType.getPrimitiveTypeName, value)
+              match {
+              case None => return true
+              case Some(h) => if (bf.findHash(h)) return true
+            }
+          }
+          j += 1
+        }
+        if (!found) return true // column absent (pre-evolution file)
+        i += 1
+      }
+      false // every row group's bloom said no (or the file is empty)
+    } finally reader.close()
+  }
+
+  private def hashFor(
+      bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      t: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+      value: Any): Option[Long] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    (t, value) match {
+      case (INT64, v: java.lang.Long) => Some(bf.hash(v.longValue))
+      case (INT64, v: java.lang.Integer) => Some(bf.hash(v.longValue))
+      case (INT32, v: java.lang.Integer) => Some(bf.hash(v.intValue))
+      case (INT32, v: java.lang.Long) if v.longValue.isValidInt =>
+        Some(bf.hash(v.intValue))
+      case (DOUBLE, v: java.lang.Double) => Some(bf.hash(v.doubleValue))
+      case (FLOAT, v: java.lang.Float) => Some(bf.hash(v.floatValue))
+      case (BINARY, v: String) => Some(bf.hash(Binary.fromString(v)))
+      case _ => None
+    }
   }
 
   /** All row groups' column stats of one file, merged per column — one

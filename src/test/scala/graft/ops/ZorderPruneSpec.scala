@@ -38,6 +38,19 @@ class ZorderPruneSpec extends SparkSuite {
       val wantY = spark.table(table).filter(col("y").between(80, 89))
         .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
       assert(gotY == wantY && gotY._1 == 1000L)
+      // the conjunctive 2-D box prunes to the INTERSECTION of the two
+      // kept sets — never more files than either 1-D range — and the
+      // result still equals the plain conjunctive filter
+      val boxKept = keptX.map(_.toString).toSet
+        .intersect(keptY.map(_.toString).toSet)
+      assert(boxKept.size <= math.min(keptX.size, keptY.size))
+      val gotBox = FileStats.loadWhere(spark, table,
+          Seq(("x", 10L, 19L), ("y", 80L, 89L)))
+        .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+      val wantBox = spark.table(table)
+        .filter(col("x").between(10, 19) && col("y").between(80, 89))
+        .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+      assert(gotBox == wantBox && gotBox._1 == 100L)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }
