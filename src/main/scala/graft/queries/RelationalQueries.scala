@@ -841,6 +841,36 @@ object RelationalQueries {
         .select("k", "u")
         .withColumn("bloom_pruned", lit(pruned.nonEmpty))
         .orderBy("k")
+    }),
+
+    // Metadata-only range COUNT: files provably fully inside the range
+    // answer from their footer row/null counts (no data read), pruned
+    // files contribute zero, and only the range-boundary files scan —
+    // a wide time-range count on an append-ordered table costs two
+    // boundary files plus driver arithmetic, whatever the table size.
+    // covered_any pins that metadata actually answered; the oracle
+    // pins the count is exactly the full scan's
+    "q168_metadata_count" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q168_cnt_$tag"
+      Setup.once(s"q168:$dir") {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey").cast("long").as("k"),
+          col("l_shipdate").as("d"))
+        graft.sources.Bucketed.save(li.filter(col("d") < "1997-01-01"),
+          name, Seq("k"), 4)
+        graft.sources.Bucketed.save(
+          li.filter(col("d") >= "1997-01-01" && col("d") < "1998-01-01"),
+          name, Seq("k"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.save(li.filter(col("d") >= "1998-01-01"),
+          name, Seq("k"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+        ()
+      }
+      val r = graft.sources.FileStats.countWhere(s, name, "d",
+        java.time.Instant.parse("1996-06-01T00:00:00Z"),
+        java.time.Instant.parse("1998-06-30T00:00:00Z"))
+      s.range(1).select(lit(r.count).as("n"),
+        lit(r.coveredFiles > 0).as("covered_any"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1514,5 +1544,12 @@ object RelationalQueries {
         |FROM o
         |WHERE u = (SELECT md5('u' || CAST(min(k2.o_orderkey) AS VARCHAR))
         |           FROM orders k2)
-        |ORDER BY k""".stripMargin)
+        |ORDER BY k""".stripMargin,
+
+    // the metadata-answered count must equal the real count
+    "q168_metadata_count" ->
+      """SELECT COUNT(*) AS n, true AS covered_any
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01 00:00:00'
+        |                     AND TIMESTAMP '1998-06-30 00:00:00'""".stripMargin)
 }

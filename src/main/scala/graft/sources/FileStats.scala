@@ -58,15 +58,21 @@ object FileStats {
 
   /** One column's aggregated footer stats for one file: min/max over
     * all row groups in the comparable domain (None = unknown or not
-    * comparable), allNull = every value in the file is provably
-    * null. */
+    * comparable), allNull = every value in the file is provably null,
+    * nullCount = the file's total nulls in the column when every row
+    * group recorded it (None = at least one didn't — unusable for
+    * metadata aggregation). */
   final case class ColStat(min: Option[Key], max: Option[Key],
-                           allNull: Boolean)
+                           allNull: Boolean,
+                           nullCount: Option[Long] = None)
 
-  // (table location, generation) -> file name -> column -> stat.
+  /** One file's footer stats: total row count + per-column stats. */
+  final case class FileStat(rows: Long, cols: Map[String, ColStat])
+
+  // (table location, generation) -> file name -> stats.
   // Generation-keyed: any commit invalidates by advancing the key.
   private val cache =
-    new ConcurrentHashMap[(String, Long), Map[String, Map[String, ColStat]]]()
+    new ConcurrentHashMap[(String, Long), Map[String, FileStat]]()
 
   // below this many files a driver loop beats a job's scheduling cost
   private val DriverReadMax = 32
@@ -74,7 +80,7 @@ object FileStats {
   /** Per-file footer stats of the table's HEAD generation (cached per
     * (location, generation) in-process). */
   def statsOf(spark: SparkSession,
-              table: String): Map[String, Map[String, ColStat]] = {
+              table: String): Map[String, FileStat] = {
     val (gen, files) = Bucketed.currentDataFiles(spark, table)
     val loc = new Path(spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
@@ -125,9 +131,9 @@ object FileStats {
     val (_, files) = Bucketed.currentDataFiles(spark, table)
     val (loK, hiK) = (toKey(lo), toKey(hi))
     val (kept, pruned) = files.partition { f =>
-      stats.get(f.getPath.getName).flatMap(_.get(column)) match {
+      stats.get(f.getPath.getName).flatMap(_.cols.get(column)) match {
         case Some(st) if st.allNull => false
-        case Some(ColStat(Some(mn), Some(mx), _)) =>
+        case Some(ColStat(Some(mn), Some(mx), _, _)) =>
           (loK, hiK) match {
             case (Some(l), Some(h))
               if sameDomain(mn, l) && sameDomain(mx, h) =>
@@ -138,6 +144,62 @@ object FileStats {
       }
     }
     (kept.map(_.getPath), pruned.map(_.getPath))
+  }
+
+  /** How [[countWhere]] answered: rows counted, files answered from
+    * METADATA alone (provably fully inside the range), files actually
+    * scanned (range-boundary or stat-less), files pruned. */
+  final case class CountResult(count: Long, coveredFiles: Int,
+                               scannedFiles: Int, prunedFiles: Int)
+
+  /** Metadata-only range COUNT: a file whose [min, max] lies FULLY
+    * inside [lo, hi] (and whose null count is known) contributes
+    * `rows − nulls` from its FOOTER — no data read at all; files the
+    * stats prune contribute zero; only the range-BOUNDARY files (and
+    * stat-less ones) are scanned, with the exact predicate. On a
+    * time-ordered table a count over a wide range costs two boundary
+    * files' scan + driver arithmetic, whatever the table's size — the
+    * aggregation analogue of file skipping, and exactly as
+    * conservative (anything uncertain is scanned, never guessed). */
+  def countWhere(spark: SparkSession, table: String, column: String,
+                 lo: Any, hi: Any): CountResult = {
+    val stats = statsOf(spark, table)
+    val (_, files) = Bucketed.currentDataFiles(spark, table)
+    val (loK, hiK) = (toKey(lo), toKey(hi))
+    // 0 = pruned, 1 = covered (metadata), 2 = scan
+    def classOf(f: org.apache.hadoop.fs.FileStatus): Int =
+      stats.get(f.getPath.getName) match {
+        case Some(fs) => fs.cols.get(column) match {
+          case Some(st) if st.allNull => 0
+          case Some(ColStat(Some(mn), Some(mx), _, nc)) =>
+            (loK, hiK) match {
+              case (Some(l), Some(h))
+                if sameDomain(mn, l) && sameDomain(mx, h) =>
+                if (cmp(mx, l) < 0 || cmp(mn, h) > 0) 0
+                else if (cmp(mn, l) >= 0 && cmp(mx, h) <= 0 && nc.isDefined) 1
+                else 2
+              case _ => 2
+            }
+          case _ => 2
+        }
+        case None => 2
+      }
+    val classed = files.map(f => f -> classOf(f))
+    val covered = classed.collect { case (f, 1) =>
+      val fs = stats(f.getPath.getName)
+      fs.rows - fs.cols(column).nullCount.get
+    }
+    val toScan = classed.collect { case (f, 2) => f.getPath.toString }
+    val scanned =
+      if (toScan.isEmpty) 0L
+      else {
+        val schema = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).schema
+        spark.read.schema(schema).parquet(toScan: _*)
+          .filter(col(column).between(lit(lo), lit(hi))).count()
+      }
+    CountResult(covered.sum + scanned, covered.size, toScan.size,
+      classed.count(_._2 == 0))
   }
 
   /** Range read with file-level skipping: prune the head generation's
@@ -272,40 +334,49 @@ object FileStats {
   /** All row groups' column stats of one file, merged per column — one
     * footer read, no data pages touched. Runs on the driver or an
     * executor (returns only serializable keys). */
-  private def footerStats(conf: Configuration,
-                          p: Path): Map[String, ColStat] = {
+  private def footerStats(conf: Configuration, p: Path): FileStat = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try {
       val perCol = scala.collection.mutable.Map.empty[String, ColStat]
+      var rows = 0L
       reader.getFooter.getBlocks.forEach { b =>
+        rows += b.getRowCount
         b.getColumns.forEach { c =>
           val name = c.getPath.toDotString
           val st = c.getStatistics
+          val nc =
+            if (st != null && st.isNumNullsSet) Some(st.getNumNulls)
+            else None
           val cur =
-            if (st == null) ColStat(None, None, allNull = false)
+            if (st == null) ColStat(None, None, allNull = false, nc)
             else if (!st.hasNonNullValue)
               ColStat(None, None,
-                allNull = st.isNumNullsSet && st.getNumNulls == c.getValueCount)
+                allNull = st.isNumNullsSet && st.getNumNulls == c.getValueCount,
+                nullCount = nc)
             else ColStat(toKey(st.genericGetMin), toKey(st.genericGetMax),
-              allNull = false)
+              allNull = false, nullCount = nc)
           perCol(name) = perCol.get(name).fold(cur)(merge(_, cur))
         }
       }
-      perCol.toMap
+      FileStat(rows, perCol.toMap)
     } finally reader.close()
   }
 
-  private def merge(a: ColStat, b: ColStat): ColStat =
-    if (a.allNull && b.allNull) a
-    else if (a.allNull) b
-    else if (b.allNull) a
+  private def merge(a: ColStat, b: ColStat): ColStat = {
+    // null counts sum across row groups; one unknown poisons the file
+    val nc = for (x <- a.nullCount; y <- b.nullCount) yield x + y
+    if (a.allNull && b.allNull) a.copy(nullCount = nc)
+    else if (a.allNull) b.copy(nullCount = nc)
+    else if (b.allNull) a.copy(nullCount = nc)
     else (a.min, a.max, b.min, b.max) match {
       case (Some(amn), Some(amx), Some(bmn), Some(bmx))
         if sameDomain(amn, bmn) && sameDomain(amx, bmx) =>
         ColStat(Some(if (cmp(amn, bmn) <= 0) amn else bmn),
-          Some(if (cmp(amx, bmx) >= 0) amx else bmx), allNull = false)
-      case _ => ColStat(None, None, allNull = false)
+          Some(if (cmp(amx, bmx) >= 0) amx else bmx), allNull = false,
+          nullCount = nc)
+      case _ => ColStat(None, None, allNull = false, nullCount = nc)
     }
+  }
 
   // comparable domains: numeric (ints, longs, floats, date→epoch-day,
   // instant→epoch-micros) and UTF-8 string. Anything else → None (keep).

@@ -77,6 +77,31 @@ class FileStatsSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("countWhere answers covered files from metadata and scans only the boundary") {
+    val table = "graft_stats_count"
+    try {
+      mk(table) // three appends: v spans [0,300), [300,600), [600,900)
+      // range [150, 750): append 1 partially covered (scan), append 2
+      // fully covered (metadata), append 3 partially covered (scan)
+      val r = FileStats.countWhere(spark, table, "v", 150L, 750L)
+      assert(r.count == (50 until 251).size.toLong,
+        s"v=3i in [150,750] → i in [50,250]: $r")
+      assert(r.coveredFiles > 0, s"interior files must answer from metadata: $r")
+      assert(r.scannedFiles < r.coveredFiles + r.prunedFiles,
+        s"only the range boundary should scan: $r")
+      // fully-pruned range: zero rows, zero scan
+      val r2 = FileStats.countWhere(spark, table, "v", 5000L, 6000L)
+      assert(r2.count == 0L && r2.coveredFiles == 0 &&
+        r2.scannedFiles == 0 && r2.prunedFiles > 0, s"$r2")
+      // whole-table range: all metadata, zero scan
+      val r3 = FileStats.countWhere(spark, table, "v", 0L, 10000L)
+      assert(r3.count == 300L && r3.scannedFiles == 0 && r3.coveredFiles > 0)
+      // agreement with the real count, always
+      assert(r.count == Bucketed.load(spark, table)
+        .filter(col("v").between(150L, 750L)).count())
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("an all-null file is provably prunable; a commit refreshes the stats") {
     val table = "graft_stats_null"
     try {
