@@ -375,9 +375,13 @@ object Bucketed {
     * the previously merged rows before re-inserting them). `updates`
     * must be deterministic — it is evaluated once behind a lazy
     * localCheckpoint feeding both the bucket-id collect (bounded by
-    * the bucket count) and the staged write. At 100 TB the cost is
-    * O(touched buckets) read + one staged write of those buckets —
-    * never O(table). Returns the number of staged data files. */
+    * the bucket count) and the staged write. Merge keys must be
+    * non-null (the bucket-key contract everywhere here): a null key
+    * never equi-joins, so the anti-join could not replace a
+    * previously merged null-key row and replays would accumulate. At
+    * 100 TB the cost is O(touched buckets) read + one staged write of
+    * those buckets — never O(table). Returns the number of staged
+    * data files. */
   def mergeByKey(spark: SparkSession, table: String, updates: DataFrame,
                  deleteCol: Option[String] = None): Int =
     withMaintenanceLock(spark, table) { (meta, dir, fs) =>

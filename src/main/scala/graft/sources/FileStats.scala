@@ -84,6 +84,9 @@ object FileStats {
     val (gen, files) = Bucketed.currentDataFiles(spark, table)
     val loc = new Path(spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    // a run-forever process commits thousands of generations; stats of
+    // superseded ones are dead weight — keep only the head's per table
+    cache.keySet.removeIf(k => k._1 == loc.toString && k._2 != gen)
     cache.computeIfAbsent((loc.toString, gen), _ => {
       val conf = spark.sparkContext.hadoopConfiguration
       if (files.size <= DriverReadMax) {
