@@ -871,6 +871,33 @@ object RelationalQueries {
         java.time.Instant.parse("1998-06-30T00:00:00Z"))
       s.range(1).select(lit(r.count).as("n"),
         lit(r.coveredFiles > 0).as("covered_any"))
+    }),
+
+    // Metadata-first range MIN/MAX over the same append-ordered table
+    // shape: fully-covered files prove their extrema from footers, and
+    // only boundary files whose span could beat the proven bounds are
+    // scanned — the oracle pins exact agreement with the full scan
+    "q169_metadata_minmax" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q169_mm_$tag"
+      Setup.once(s"q169:$dir") {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey").cast("long").as("k"),
+          col("l_shipdate").as("d"))
+        graft.sources.Bucketed.save(li.filter(col("d") < "1997-01-01"),
+          name, Seq("k"), 4)
+        graft.sources.Bucketed.save(
+          li.filter(col("d") >= "1997-01-01" && col("d") < "1998-01-01"),
+          name, Seq("k"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.save(li.filter(col("d") >= "1998-01-01"),
+          name, Seq("k"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+        ()
+      }
+      val (mn, mx) = graft.sources.FileStats.minMaxWhere(s, name, "d",
+        java.time.Instant.parse("1996-06-01T00:00:00Z"),
+        java.time.Instant.parse("1998-06-30T00:00:00Z"))
+      s.range(1).select(lit(mn.get).cast("timestamp").as("min_d"),
+        lit(mx.get).cast("timestamp").as("max_d"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1549,6 +1576,13 @@ object RelationalQueries {
     // the metadata-answered count must equal the real count
     "q168_metadata_count" ->
       """SELECT COUNT(*) AS n, true AS covered_any
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01 00:00:00'
+        |                     AND TIMESTAMP '1998-06-30 00:00:00'""".stripMargin,
+
+    // the metadata-first extrema must equal the full scan's
+    "q169_metadata_minmax" ->
+      """SELECT min(l_shipdate) AS min_d, max(l_shipdate) AS max_d
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01 00:00:00'
         |                     AND TIMESTAMP '1998-06-30 00:00:00'""".stripMargin)

@@ -334,6 +334,103 @@ object FileStats {
     }
   }
 
+  /** Metadata-first range MIN/MAX: over the files the range keeps,
+    * the file-level min/max BOUND the answer — but a file's extremum
+    * need not lie inside [lo, hi], so metadata alone answers only
+    * when some file's whole span sits inside the range at the right
+    * end. Strategy: compute the best PROVEN candidate (covered files'
+    * stats), then scan only the files whose stats ADMIT a better
+    * value inside the range — on a range-clustered table that is the
+    * boundary files, whatever the table size. Conservative as ever:
+    * any file with unusable stats is scanned. Returns (min, max) as
+    * Spark values (None when no row matches). */
+  def minMaxWhere(spark: SparkSession, table: String, column: String,
+                  lo: Any, hi: Any): (Option[Any], Option[Any]) = {
+    val (kept, _) = splitFiles(spark, table, column, lo, hi)
+    if (kept.isEmpty) return (None, None)
+    val stats = statsOf(spark, table)
+    val (loK, hiK) = (toKey(lo), toKey(hi))
+    def statOf(p: Path): Option[ColStat] =
+      stats.get(p.getName).flatMap(_.cols.get(column))
+    // a file whose span is fully inside the range (and null-countable)
+    // PROVES its min/max are attained in-range
+    // min/max need no null count: defined stats imply ≥1 non-null
+    // value and parquet min/max range over the non-null values only
+    def spanInRange(mn: Key, mx: Key): Boolean = (loK, hiK) match {
+      case (Some(l), Some(h)) =>
+        sameDomain(mn, l) && sameDomain(mx, h) &&
+          cmp(mn, l) >= 0 && cmp(mx, h) <= 0
+      case _ => false
+    }
+    def provenBounds(p: Path): Option[(Key, Key)] =
+      statOf(p) match {
+        case Some(ColStat(Some(mn), Some(mx), false, _))
+          if spanInRange(mn, mx) => Some((mn, mx))
+        case _ => None
+      }
+    val proven = kept.flatMap(provenBounds)
+    val provenMin = proven.map(_._1).reduceOption((a, b) =>
+      if (cmp(a, b) <= 0) a else b)
+    val provenMax = proven.map(_._2).reduceOption((a, b) =>
+      if (cmp(a, b) >= 0) a else b)
+    // scan only files whose stats admit beating the proven bounds
+    // inside the range (or whose stats are unusable)
+    val toScan = kept.filter { p =>
+      (statOf(p), provenBounds(p)) match {
+        // fully covered: its in-range min/max ARE its file min/max,
+        // already folded into the proven bounds — never scanned
+        case (_, Some(_)) => false
+        case (Some(ColStat(Some(mn), Some(mx), _, _)), None) =>
+          // a boundary file matters only if its span ADMITS beating a
+          // proven bound (file min below proven min / max above max);
+          // with no proven bound yet, every boundary file matters
+          val beatsMin = provenMin.forall(pm => cmp(mn, pm) < 0)
+          val beatsMax = provenMax.forall(pm => cmp(mx, pm) > 0)
+          beatsMin || beatsMax
+        case _ => true // unusable stats → scan
+      }
+    }
+    if (toScan.isEmpty)
+      (provenMin.map(fromKey(_, lo)), provenMax.map(fromKey(_, lo)))
+    else {
+      val schema = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).schema
+      import org.apache.spark.sql.functions.{max => smax, min => smin}
+      val r = spark.read.schema(schema)
+        .parquet(toScan.map(_.toString): _*)
+        .filter(col(column).between(lit(lo), lit(hi)))
+        .agg(smin(col(column)), smax(col(column))).head()
+      val scanMin = Option(r.get(0))
+      val scanMax = Option(r.get(1))
+      def better(a: Option[Any], b: Option[Any], takeMin: Boolean) =
+        (a.flatMap(toKey), b.flatMap(toKey)) match {
+          case (Some(x), Some(y)) =>
+            if ((cmp(x, y) <= 0) == takeMin) a else b
+          case (Some(_), None) => a
+          case _ => b
+        }
+      (better(provenMin.map(fromKey(_, lo)), scanMin, takeMin = true),
+        better(provenMax.map(fromKey(_, lo)), scanMax, takeMin = false))
+    }
+  }
+
+  /** Render a stats Key back into the caller's value domain, using the
+    * bound value as the type witness (date/instant/long/string). */
+  private def fromKey(k: Key, witness: Any): Any = (k, witness) match {
+    case (Left(n), _: java.time.LocalDate) =>
+      java.time.LocalDate.ofEpochDay(n.toLong)
+    case (Left(n), _: java.sql.Date) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n.toLong))
+    case (Left(n), _: java.time.Instant) =>
+      java.time.Instant.ofEpochSecond(n.toLong / 1000000L,
+        (n.toLong % 1000000L) * 1000L)
+    case (Left(n), _: java.lang.Double) => n.toDouble
+    case (Left(n), _: java.lang.Float) => n.toFloat
+    case (Left(n), _: java.lang.Integer) => n.toInt
+    case (Left(n), _) => n.toLong
+    case (Right(s), _) => s
+  }
+
   /** All row groups' column stats of one file, merged per column — one
     * footer read, no data pages touched. Runs on the driver or an
     * executor (returns only serializable keys). */
@@ -393,6 +490,13 @@ object FileStats {
     case t: java.time.Instant =>
       Some(Left(BigDecimal(t.getEpochSecond) * 1000000 +
         BigDecimal(t.getNano / 1000)))
+    case t: java.sql.Timestamp => // scanned aggregates (java8 API off)
+      Some(Left(BigDecimal(t.getTime) * 1000 +
+        BigDecimal((t.getNanos / 1000) % 1000)))
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ scan aggregates
+      Some(Left(
+        BigDecimal(t.toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000 +
+          BigDecimal(t.getNano / 1000)))
     case b: Binary => Some(Right(b.toStringUsingUTF8))
     case s: String => Some(Right(s))
     case _ => None

@@ -102,6 +102,27 @@ class FileStatsSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("minMaxWhere answers from proven file bounds, scanning only admissible boundary files") {
+    val table = "graft_stats_minmax"
+    try {
+      mk(table) // v = 3i over three appends
+      // interior range: min/max attained in fully-covered files
+      val (mn, mx) = FileStats.minMaxWhere(spark, table, "v", 150L, 750L)
+      assert(mn.contains(150L) && mx.contains(750L), s"$mn $mx")
+      // boundary-straddling odd range
+      val (mn2, mx2) = FileStats.minMaxWhere(spark, table, "v", 151L, 749L)
+      assert(mn2.contains(153L) && mx2.contains(747L), s"$mn2 $mx2")
+      // empty range
+      assert(FileStats.minMaxWhere(spark, table, "v", 5000L, 6000L)
+        == (None, None))
+      // agreement with the real aggregates
+      val r = Bucketed.load(spark, table)
+        .filter(col("v").between(150L, 750L))
+        .agg(min("v"), max("v")).head()
+      assert(mn.contains(r.getLong(0)) && mx.contains(r.getLong(1)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("an all-null file is provably prunable; a commit refreshes the stats") {
     val table = "graft_stats_null"
     try {
