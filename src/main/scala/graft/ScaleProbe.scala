@@ -375,12 +375,15 @@ object ScaleProbe {
       // should track merge_batch, not the table.
       val mrgName = s"graft_scaleprobe_merge_x$f"
       val dstName = s"graft_scaleprobe_replica_x$f"
+      val ivmName = s"graft_scaleprobe_ivm_x$f"
       time("merge_table_build", f) {
         val src = d.select(col("doc_id").as("k"),
           length(col("text")).cast("long").as("v"))
         graft.sources.Bucketed.save(src, mrgName, Seq("k"), 64)
-        graft.sources.Bucketed.setRetention(spark, mrgName, 4)
+        graft.sources.Bucketed.setRetention(spark, mrgName, 6)
         graft.sources.Replication.bootstrap(spark, mrgName, dstName, 64)
+        graft.ops.Ivm.create(spark, mrgName,
+          ivmName, 16, "k", "v")
         spark.table(mrgName).count()
       }
       time("merge_batch", f) {
@@ -392,6 +395,12 @@ object ScaleProbe {
       time("replica_sync", f) {
         graft.sources.Replication.sync(spark, mrgName, dstName)
       }
+      // the view refreshes off the SAME merge delta: per-changed-files
+      // cost, flat vs the table's factor like replica_sync
+      time("ivm_refresh", f) {
+        graft.ops.Ivm.refresh(spark, mrgName, ivmName, 16, "k", "v")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS ${ivmName}_partials")
       spark.sql(s"DROP TABLE IF EXISTS $dstName")
       spark.sql(s"DROP TABLE IF EXISTS $mrgName")
 

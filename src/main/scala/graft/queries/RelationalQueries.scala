@@ -898,6 +898,40 @@ object RelationalQueries {
         java.time.Instant.parse("1998-06-30T00:00:00Z"))
       s.range(1).select(lit(mn.get).cast("timestamp").as("min_d"),
         lit(mx.get).cast("timestamp").as("max_d"))
+    }),
+
+    // Incremental view maintenance: a materialized per-part rollup
+    // FOLLOWS a governed source through an append and a keyed delete
+    // via per-generation-pair deltas (inserts → exactly-once append
+    // partials, deletes → retract partials, bookmark last) — count /
+    // sum / avg must equal the plain GROUP BY over the source's final
+    // state, and groups that saw retractions serve null min/max (the
+    // honest ledger contract, replayed by the oracle's CASE)
+    "q170_ivm_refresh" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val src = s"graft_q170_src_$tag"
+      val view = s"graft_q170_view_$tag"
+      Setup.once(s"q170:$dir") {
+        val li = t(s, dir, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber"))
+            .cast("long").as("id"),
+          col("l_partkey").cast("long").as("g"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("v"))
+        graft.sources.Bucketed.save(
+          li.filter(col("id") % 2 === 0), src, Seq("id"), 8)
+        graft.sources.Bucketed.setRetention(s, src, 8)
+        graft.ops.Ivm.create(s, src, view, 8, "g", "v")
+        graft.sources.Bucketed.save(
+          li.filter(col("id") % 2 === 1), src, Seq("id"), 8,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, src,
+          li.filter(col("id") % 13 === 2)
+            .select(col("id"), col("g"), col("v"), lit(true).as("del")),
+          deleteCol = Some("del"))
+        graft.ops.Ivm.refresh(s, src, view, 8, "g", "v")
+        ()
+      }
+      graft.ops.Ivm.serve(s, view).orderBy("g")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1585,5 +1619,26 @@ object RelationalQueries {
       """SELECT min(l_shipdate) AS min_d, max(l_shipdate) AS max_d
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01 00:00:00'
-        |                     AND TIMESTAMP '1998-06-30 00:00:00'""".stripMargin)
+        |                     AND TIMESTAMP '1998-06-30 00:00:00'""".stripMargin,
+
+    // the view must be indistinguishable from a GROUP BY over the
+    // source's final state for count/sum/avg; retracted groups (any
+    // deleted row) serve null min/max until repaired
+    "q170_ivm_refresh" ->
+      """WITH li AS (SELECT
+        |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+        |    CAST(l_partkey AS BIGINT) AS g,
+        |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v
+        |  FROM lineitem),
+        |fin AS (SELECT * FROM li WHERE id % 13 <> 2),
+        |dg AS (SELECT DISTINCT g FROM li WHERE id % 13 = 2)
+        |SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(v) AS BIGINT) AS sum_q,
+        |       CASE WHEN g IN (SELECT g FROM dg) THEN NULL
+        |            ELSE MIN(v) END AS min_q,
+        |       CASE WHEN g IN (SELECT g FROM dg) THEN NULL
+        |            ELSE MAX(v) END AS max_q,
+        |       CAST(floor(CAST(SUM(v) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6
+        |FROM fin GROUP BY g ORDER BY g""".stripMargin)
 }

@@ -102,8 +102,11 @@ object Replication {
     head
   }
 
-  private def writeBookmark(spark: SparkSession, replica: String,
-                            gen: Long): Unit = {
+  /** Stamp `replica`'s sync bookmark (also used by derived-table
+    * followers, e.g. [[graft.ops.Ivm]]'s materialized views — any
+    * table that tracks a source generation can carry one). */
+  private[graft] def writeBookmark(spark: SparkSession, replica: String,
+                                   gen: Long): Unit = {
     val dir = locationOf(spark, replica)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(dir, SyncName), true)
