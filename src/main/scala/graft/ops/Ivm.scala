@@ -96,4 +96,34 @@ object Ivm {
   /** The view's current rollup — [[IncrementalAgg.serve]]. */
   def serve(spark: SparkSession, view: String): DataFrame =
     IncrementalAgg.serve(spark, view)
+
+  /** Restore exact min/max for every group the deltas retracted: the
+    * retracted groups are read from the view's own partials
+    * (`retr > 0` — no side ledger), and their partials are recomputed
+    * from the source's CURRENT rows via
+    * [[IncrementalAgg.repairGroups]] (one source scan semi-joined to
+    * the bounded group set + a rewrite of those groups' buckets).
+    * Requires the view to be CAUGHT UP (bookmark == source head) —
+    * repairing against a head the view hasn't applied would fold
+    * unapplied deltas into the repaired groups ahead of their
+    * exactly-once application. Returns buckets rewritten. */
+  def repair(spark: SparkSession, source: String, view: String,
+             buckets: Int, groupCol: String, valueCol: String): Int = {
+    val partials = s"${view}_partials"
+    val from = Replication.bookmark(spark, partials).getOrElse(
+      throw new IllegalStateException(s"$view has no bookmark"))
+    val head = Bucketed.currentGeneration(spark, source)
+    require(from == head,
+      s"$view is at generation $from but $source is at $head — " +
+        "refresh before repairing")
+    val retracted = Bucketed.load(spark, partials)
+      .filter(!org.apache.spark.sql.functions.col("is_tag"))
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.sum("retr").as("r"))
+      .filter(org.apache.spark.sql.functions.col("r") > 0)
+      .select("g")
+    IncrementalAgg.repairGroups(spark, view, buckets,
+      Bucketed.load(spark, source).select(col(groupCol), col(valueCol)),
+      groupCol, valueCol, retracted)
+  }
 }

@@ -932,6 +932,38 @@ object RelationalQueries {
         ()
       }
       graft.ops.Ivm.serve(s, view).orderBy("g")
+    }),
+
+    // IVM repair: after the q170 pipeline, repair recomputes the
+    // retracted groups' partials from the source's current rows —
+    // the view becomes indistinguishable from a plain GROUP BY,
+    // exact min/max included (no CASE in this oracle)
+    "q171_ivm_repair" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val src = s"graft_q171_src_$tag"
+      val view = s"graft_q171_view_$tag"
+      Setup.once(s"q171:$dir") {
+        val li = t(s, dir, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber"))
+            .cast("long").as("id"),
+          col("l_partkey").cast("long").as("g"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("v"))
+        graft.sources.Bucketed.save(
+          li.filter(col("id") % 2 === 0), src, Seq("id"), 8)
+        graft.sources.Bucketed.setRetention(s, src, 8)
+        graft.ops.Ivm.create(s, src, view, 8, "g", "v")
+        graft.sources.Bucketed.save(
+          li.filter(col("id") % 2 === 1), src, Seq("id"), 8,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, src,
+          li.filter(col("id") % 13 === 2)
+            .select(col("id"), col("g"), col("v"), lit(true).as("del")),
+          deleteCol = Some("del"))
+        graft.ops.Ivm.refresh(s, src, view, 8, "g", "v")
+        graft.ops.Ivm.repair(s, src, view, 8, "g", "v")
+        ()
+      }
+      graft.ops.Ivm.serve(s, view).orderBy("g")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1638,6 +1670,21 @@ object RelationalQueries {
         |            ELSE MIN(v) END AS min_q,
         |       CASE WHEN g IN (SELECT g FROM dg) THEN NULL
         |            ELSE MAX(v) END AS max_q,
+        |       CAST(floor(CAST(SUM(v) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6
+        |FROM fin GROUP BY g ORDER BY g""".stripMargin,
+
+    // after repair the view IS the plain GROUP BY — exact everywhere
+    "q171_ivm_repair" ->
+      """WITH li AS (SELECT
+        |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+        |    CAST(l_partkey AS BIGINT) AS g,
+        |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v
+        |  FROM lineitem),
+        |fin AS (SELECT * FROM li WHERE id % 13 <> 2)
+        |SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(v) AS BIGINT) AS sum_q,
+        |       MIN(v) AS min_q, MAX(v) AS max_q,
         |       CAST(floor(CAST(SUM(v) AS DOUBLE) * 1000000.0
         |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6
         |FROM fin GROUP BY g ORDER BY g""".stripMargin)

@@ -54,6 +54,25 @@ class IvmSpec extends SparkSuite {
         .select("g", "min_q").as[(Long, Option[Long])].collect().toMap
       assert(mm.values.exists(_.isEmpty),
         "retracted groups must serve null min until repair")
+      // repair recomputes the retracted groups from the source's
+      // current rows: exact min/max everywhere, count/sum unchanged
+      assert(Ivm.repair(spark, table, view, 4, "g", "v") > 0)
+      assert(served(view) == truth(table))
+      val mmTruth = Bucketed.load(spark, table).groupBy("g")
+        .agg(min("v").as("mn"), max("v").as("mx"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (g, mn, mx) => g -> ((mn, mx)) }.toMap
+      val mmAfter = Ivm.serve(spark, view)
+        .select("g", "min_q", "max_q").as[(Long, Long, Long)].collect()
+        .map { case (g, mn, mx) => g -> ((mn, mx)) }.toMap
+      assert(mmAfter == mmTruth, "repair must restore exact extrema")
+      // repairing a stale view fails loudly
+      Bucketed.mergeByKey(spark, table,
+        Seq((999L, 0L, 999L)).toDF("id", "g", "v"))
+      val e = intercept[IllegalArgumentException] {
+        Ivm.repair(spark, table, view, 4, "g", "v")
+      }
+      assert(e.getMessage.contains("refresh before repairing"))
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(s"DROP TABLE IF EXISTS ${view}_partials")
