@@ -227,11 +227,29 @@ object IncrementalAgg {
     * stronger guarantee: the foreachBatch id IS the idempotency tag,
     * so at-least-once replay is EXACTLY-ONCE here (no healing window —
     * the sentinel commits with the data). Periodic consolidation keeps
-    * files and partial rows bounded. */
+    * files and partial rows bounded.
+    *
+    * The id-as-tag guarantee holds ONLY under the checkpoint that
+    * minted the ids: the same checkpoint replays batch N with
+    * identical content, but a FRESH checkpoint over grown sources
+    * restarts ids at 0 with DIFFERENT batch boundaries — its batch 0
+    * would find the old run's `sb0` sentinel and silently drop rows.
+    * The index therefore records its owning checkpoint
+    * (`_graft_stream_owner` beside the partials) on first ingest, and
+    * a streamAppend under any OTHER checkpoint fails LOUDLY: resume
+    * the owning checkpoint (pass `checkpointDir` explicitly for
+    * continuing ingest — the default fresh temp dir is a ONE-SHOT
+    * drain), or rebuild the index (buildIndex's overwrite clears the
+    * claim). */
   def streamAppend(stream: DataFrame, name: String, buckets: Int,
                    groupCol: String, valueCol: String,
                    consolidateEvery: Int = 8, maxFilesPerBucket: Int = 4,
                    checkpointDir: Option[String] = None): Unit = {
+    val ckpt = checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory(
+        graft.streaming.Streaming.scratchBase, "graft-ckpt-incagg")
+        .toString)
+    claimStreamOwner(stream.sparkSession, partialsTable(name), ckpt)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], id: Long) =>
@@ -243,11 +261,40 @@ object IncrementalAgg {
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir.getOrElse(
-        java.nio.file.Files.createTempDirectory(
-          graft.streaming.Streaming.scratchBase, "graft-ckpt-incagg")
-          .toString))
+      .option("checkpointLocation", ckpt)
       .start()
     q.awaitTermination()
+  }
+
+  /** One checkpoint owns an index's stream ingest for life (see
+    * [[streamAppend]]): first ingest claims, later ingests must match
+    * or fail loudly — the silent alternative is id-tag collisions
+    * dropping data. */
+  private def claimStreamOwner(spark: SparkSession, table: String,
+                               ckpt: String): Unit = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(loc, "_graft_stream_owner")
+    val canon = new org.apache.hadoop.fs.Path(ckpt).toString
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val owner =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      require(owner == canon,
+        s"$table's stream ingest is owned by checkpoint $owner; a " +
+          s"different checkpoint ($canon) would restart batch ids and " +
+          "collide with committed idempotency tags — resume the owning " +
+          "checkpoint or rebuild the index")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(s"$canon\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 }

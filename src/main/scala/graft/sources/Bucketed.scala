@@ -546,9 +546,19 @@ object Bucketed {
     // data files the same way; anything unparseable is left untouched
     val bucketIdOf: String => Option[Int] = name =>
       """.*_(\d+)(?:\..*)?$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
-    val chosen = dataFiles.groupBy(f => bucketIdOf(f.getPath.getName))
-      .collect { case (Some(b), fsOfB)
-        if bucketIds.forall(_.contains(b)) && select(fsOfB) => b -> fsOfB }
+    val byBucket = dataFiles.groupBy(f => bucketIdOf(f.getPath.getName))
+      .collect { case (Some(b), fsOfB) => b -> fsOfB }
+    // EXPLICIT bucket targets transform even when the bucket has no
+    // files yet: an additive rewrite (repairGroups/rebuildGroups
+    // unioning fresh rows in) must stage its rows for a file-less
+    // bucket too — silently skipping it would drop the healed group
+    // while reporting success. Count-triggered selection (compaction)
+    // keeps its files-only view.
+    val chosen: Map[Int, Seq[FileStatus]] = bucketIds match {
+      case Some(ids) => ids.map(b => b -> byBucket.getOrElse(b, Seq.empty))
+        .toMap
+      case None => byBucket.filter { case (_, fsOfB) => select(fsOfB) }
+    }
     if (chosen.isEmpty) {
       // nothing to rewrite: the table is clean after the reconcile
       // above — re-mark it so the frequent no-op compaction (every
@@ -561,8 +571,13 @@ object Bucketed {
       return 0
     }
     val oldFiles = chosen.values.flatten.toSeq
-    val rows = transform(spark.read.schema(meta.schema)
-      .parquet(oldFiles.map(_.getPath.toString): _*))
+    val base =
+      if (oldFiles.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+      else spark.read.schema(meta.schema)
+        .parquet(oldFiles.map(_.getPath.toString): _*)
+    val rows = transform(base)
     stageSwapCommit(spark, table, meta, dir, fs, rows, oldFiles,
       legacyBase = dataFiles.map(_.getPath.getName).toSet, readSet)
     chosen.size
@@ -871,6 +886,12 @@ object Bucketed {
     names.map { n =>
       if (hot(n)) new Path(dir, n).toString
       else if (retired(n)) new Path(retiredDir(dir), n).toString
+      else if (retentionOf(fs, dir) <= 1) throw new IllegalStateException(
+        s"$table generation $gen is no longer readable: default " +
+          "retention deletes superseded files at each commit (its " +
+          "manifest survives only as torn-write fallback) — " +
+          "setRetention(n > 1) BEFORE the commits whose history you " +
+          "want to read")
       else throw new IllegalStateException(
         s"$table generation $gen lists $n but the file is neither " +
           "hot nor retired — vacuumed while this generation's " +
@@ -1101,7 +1122,14 @@ object Bucketed {
     val loc = new Path(spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
     val key = loc.toString
-    if (verifiedGenerations.containsKey(key)) verifiedGenerations.get(key)
+    // one getOrDefault, not containsKey-then-get: a concurrent
+    // maintenance/append start removes the entry between the two
+    // calls and the second get would unbox null to 0 (plain get has
+    // the same unboxing trap — the map's value type is primitive, so
+    // absent must be encoded as a sentinel, and committed generations
+    // are always >= 1)
+    val cached = verifiedGenerations.getOrDefault(key, -1L)
+    if (cached >= 0L) cached
     else {
       val fs = fileSystemOf(spark, loc)
       withManifestLock(key) {

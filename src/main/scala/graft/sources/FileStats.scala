@@ -415,7 +415,9 @@ object FileStats {
   }
 
   /** Render a stats Key back into the caller's value domain, using the
-    * bound value as the type witness (date/instant/long/string). */
+    * bound value as the type witness (date/timestamp/long/string) — so
+    * a metadata-only answer carries the SAME runtime type as a scanned
+    * one, whatever the file layout chose. */
   private def fromKey(k: Key, witness: Any): Any = (k, witness) match {
     case (Left(n), _: java.time.LocalDate) =>
       java.time.LocalDate.ofEpochDay(n.toLong)
@@ -424,6 +426,12 @@ object FileStats {
     case (Left(n), _: java.time.Instant) =>
       java.time.Instant.ofEpochSecond(n.toLong / 1000000L,
         (n.toLong % 1000000L) * 1000L)
+    case (Left(n), _: java.sql.Timestamp) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        n.toLong / 1000000L, (n.toLong % 1000000L) * 1000L))
+    case (Left(n), _: java.time.LocalDateTime) =>
+      java.time.LocalDateTime.ofEpochSecond(n.toLong / 1000000L,
+        ((n.toLong % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
     case (Left(n), _: java.lang.Double) => n.toDouble
     case (Left(n), _: java.lang.Float) => n.toFloat
     case (Left(n), _: java.lang.Integer) => n.toInt
@@ -506,7 +514,16 @@ object FileStats {
 
   private def cmp(a: Key, b: Key): Int = (a, b) match {
     case (Left(x), Left(y)) => x.compare(y)
-    case (Right(x), Right(y)) => x.compareTo(y)
+    // UNSIGNED UTF-8 byte order, matching parquet's string min/max
+    // (and Spark's binary string comparisons) — Java's UTF-16
+    // String.compareTo disagrees beyond the BMP (a supplementary
+    // character's surrogate 0xD800 sorts BELOW U+E000 in UTF-16 but
+    // ABOVE it in UTF-8 bytes), and a wrong order here PRUNES a file
+    // that holds matching rows
+    case (Right(x), Right(y)) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     case _ => 0
   }
 }

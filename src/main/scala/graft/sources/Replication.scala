@@ -13,17 +13,20 @@ import org.apache.spark.sql.SparkSession
   * The replica carries a durable BOOKMARK (`_graft_sync`, a small
   * marker file beside its manifests, same shape as the retention
   * marker): the last source generation it has fully applied. Each
-  * [[sync]] reads the bookmark, computes ONE net diff
-  * bookmark → head (a multi-commit delta reads only the files the two
-  * end manifests disagree on — intermediate generations are never
-  * touched), applies it as one atomic merge generation on the
-  * replica, and then advances the bookmark. Crash anywhere in that
-  * sequence is safe WITHOUT a two-phase commit: a crash before the
-  * replica's merge commits leaves both bookmark and replica at the
-  * old state; a crash between the merge and the bookmark write leaves
-  * the bookmark stale, and the retried sync re-applies the same diff
-  * — idempotent by [[Bucketed.mergeByKey]]'s delete-then-insert
-  * contract. Exactly-once EFFECT from at-least-once application.
+  * [[sync]] walks the retained generations from the bookmark one
+  * CONSECUTIVE pair at a time — each pair's diff reads only the files
+  * its two manifests disagree on, applies as one atomic merge
+  * generation on the replica, and the bookmark advances per pair.
+  * Crash anywhere is safe WITHOUT a two-phase commit: a crash before
+  * a pair's merge commits leaves bookmark and replica at that pair's
+  * start; a crash between the merge and the bookmark write leaves the
+  * bookmark stale, and the retried sync re-applies the SAME immutable
+  * pair — idempotent by [[Bucketed.mergeByKey]]'s delete-then-insert
+  * contract. (A net bookmark→head diff would NOT be retry-exact: the
+  * span reshapes if the source commits between crash and retry, and a
+  * change-then-revert key diffs as no-change over the reshaped span,
+  * freezing the replica's mid value.) Exactly-once EFFECT from
+  * at-least-once application.
   *
   * The source must RETAIN generations back to the bookmark
   * ([[Bucketed.setRetention]]): a bookmark that has fallen behind the
@@ -76,11 +79,16 @@ object Replication {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Bring `replica` up to `source`'s current head: one net diff from
-    * the bookmark, one atomic merge, then the bookmark advances.
-    * Returns the new bookmark (= the source head at sync start); a
-    * no-op when already caught up. Retrying after ANY crash is safe —
-    * re-applying an already-applied diff changes nothing. */
+  /** Bring `replica` up to `source`'s current head, one CONSECUTIVE
+    * generation pair at a time, the bookmark advancing after each
+    * pair. Per-pair spans — not one net bookmark→head diff — are what
+    * makes a crash retry exact: a net span RESHAPES if the source
+    * commits between the crash and the retry, and a key changed
+    * before the crash but REVERTED after it diffs as no-change over
+    * the reshaped span, leaving the replica's mid value in place
+    * forever. Pair spans are immutable, and re-applying an
+    * already-applied pair changes nothing (the merge is idempotent).
+    * Returns the new bookmark; a no-op when already caught up. */
   def sync(spark: SparkSession, source: String, replica: String): Long = {
     val from = bookmark(spark, replica).getOrElse(
       throw new IllegalStateException(
@@ -96,9 +104,14 @@ object Replication {
         s"$source no longer retains generation $from (oldest retained: " +
           s"${retained.headOption.getOrElse(-1L)}) — the bookmark fell " +
           "behind the retention window; re-bootstrap the replica")
-    Bucketed.applyChanges(spark, replica,
-      Bucketed.diffGenerations(spark, source, from, head))
-    writeBookmark(spark, replica, head)
+    retained.dropWhile(_ < from).takeWhile(_ <= head)
+      .sliding(2).foreach {
+        case Seq(a, b) =>
+          Bucketed.applyChanges(spark, replica,
+            Bucketed.diffGenerations(spark, source, a, b))
+          writeBookmark(spark, replica, b)
+        case _ => ()
+      }
     head
   }
 

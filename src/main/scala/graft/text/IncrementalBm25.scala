@@ -240,15 +240,26 @@ object IncrementalBm25 {
     val dl = dlOf(uniq, textCol, idCol)
     val del = postingsOf(uniq, dl, textCol, idCol)
       .localCheckpoint(eager = false) // bucket-id collect + id join
-    val delTerms = del.select("tok").distinct().as[String].collect().sorted
+    // term pruning for the verified-retreat scan, with BOUNDED driver
+    // state: up to 512 distinct terms push down as an isin (the q128
+    // cap — a bigger literal list costs more in Catalyst than it
+    // saves), beyond that the terms stay distributed as a semi-join —
+    // a delete that large is proportionate to a pruned-less scan, and
+    // collecting a million-token vocabulary to the driver is not
+    val delTermsCapped = del.select("tok").distinct().as[String].take(513)
     val ids = del.select("id").distinct()
     // the verified retreat: what the index ACTUALLY holds for these
     // ids, from the same term-pruned scan shape the probe uses (the
     // stored dl is authoritative — it is what repairStats would
     // count). Materialized BEFORE the rewrite removes the rows.
     val (dn, dtot) = {
-      val present = graft.sources.Bucketed.load(spark, postingsTable(name))
-        .filter(col("tok").isin(delTerms.toIndexedSeq: _*))
+      val all = graft.sources.Bucketed.load(spark, postingsTable(name))
+      val termPruned =
+        if (delTermsCapped.length <= 512)
+          all.filter(col("tok").isin(
+            delTermsCapped.sorted.toIndexedSeq: _*))
+        else all.join(del.select("tok").distinct(), Seq("tok"), "left_semi")
+      val present = termPruned
         .join(broadcast(ids), Seq("id"), "left_semi")
         .select("id", "dl").distinct()
       import spark.implicits._

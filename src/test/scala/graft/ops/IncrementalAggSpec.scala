@@ -109,6 +109,28 @@ class IncrementalAggSpec extends SparkSuite {
     } finally drop()
   }
 
+  test("repairGroups heals a group whose bucket has no files yet") {
+    try {
+      // index holds ONLY group 1 — most of the 8 buckets have no files
+      IncrementalAgg.buildIndex(Seq((1L, 1L)).toDF("g", "v"), name,
+        buckets = 8, "g", "v")
+      def bucketOf(g: Long): Int = spark.range(1)
+        .select(pmod(hash(lit(g)), lit(8)).cast("int")).head().getInt(0)
+      val g2 = (2L to 100L).find(g => bucketOf(g) != bucketOf(1L)).get
+      // heal g2 from raw truth: its bucket has no files, but the
+      // recomputed partials must still stage (the explicit-target
+      // rewrite cannot silently skip file-less buckets)
+      val raw = Seq((1L, 1L), (g2, 5L), (g2, 7L)).toDF("g", "v")
+      IncrementalAgg.repairGroups(spark, name, 8, raw, "g", "v",
+        Seq(g2).toDF("g"))
+      assert(IncrementalAgg.serve(spark, name)
+        .filter(col("g") === g2)
+        .select("n", "sum_q").as[(Long, Long)].collect().toSeq
+        == Seq((2L, 12L)),
+        "the healed group must be served from its file-less bucket")
+    } finally drop()
+  }
+
   test("streaming ingest: foreachBatch ids are idempotency tags; serve matches batch") {
     try {
       val all = rows(0, 64)
