@@ -276,25 +276,16 @@ object IncrementalAgg {
       spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(loc, "_graft_stream_owner")
     val canon = new org.apache.hadoop.fs.Path(ckpt).toString
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val owner =
-        try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      require(owner == canon,
+    graft.sources.Bucketed.readMarker(fs, loc, "_graft_stream_owner",
+        "graft-stream-owner-v1") match {
+      case Some(owner) => require(owner == canon,
         s"$table's stream ingest is owned by checkpoint $owner; a " +
           s"different checkpoint ($canon) would restart batch ids and " +
           "collide with committed idempotency tags — resume the owning " +
           "checkpoint or rebuild the index")
-    } else {
-      val out = fs.create(marker, true)
-      try out.write(s"$canon\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      case None => graft.sources.Bucketed.writeMarker(fs, loc,
+        "_graft_stream_owner", "graft-stream-owner-v1", canon)
     }
   }
 }

@@ -672,13 +672,13 @@ object Bucketed {
           val oldNames = oldFiles.map(_.getPath.getName).toSet
           val newNames = newFiles.map(_.getPath.getName).toSet
           val base = readManifest(fs, dir).map(_._2).getOrElse(legacyBase)
-          val gen = writeNextManifest(fs, dir, base -- oldNames ++ newNames,
-            pinnedGen = Some(diskGen + 1))
           // superseded files retire (move) instead of dying when the
           // table retains history; generations that fell out of the
           // window are pruned here so history stays bounded at the
           // retention setting without an explicit vacuum
           val retention = retentionOf(fs, dir)
+          val gen = writeNextManifest(fs, dir, base -- oldNames ++ newNames,
+            pinnedGen = Some(diskGen + 1), retention = Some(retention))
           retireFiles(fs, dir, oldNames.toSeq.sorted, retention)
           if (retention > 1) vacuumLocked(fs, dir, retention)
           verifiedGenerations.put(dir.toString, gen)
@@ -744,18 +744,29 @@ object Bucketed {
       spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
     val fs = fileSystemOf(spark, loc)
     withManifestLock(loc.toString) {
-      val out = fs.create(new Path(loc, RetentionName), true)
-      try out.write(s"$RetentionMagic\n$n\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      writeMarker(fs, loc, RetentionName, RetentionMagic, n.toString)
     }
   }
 
-  /** The table's retention setting (default 1 — delete at commit). */
-  private def retentionOf(fs: FileSystem, dir: Path): Int =
+  /** ONE write shape for the small magic-headed marker files beside
+    * the manifests (retention setting, replication sync bookmark,
+    * stream-ingest owner): magic line + value line, single small PUT. */
+  private[graft] def writeMarker(fs: FileSystem, dir: Path, name: String,
+                                 magic: String, value: String): Unit = {
+    val out = fs.create(new Path(dir, name), true)
+    try out.write(s"$magic\n$value\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** ONE parse for the marker files: magic-checked, a torn or garbage
+    * read falls back to None — a fix to marker semantics lands here
+    * for every marker at once. */
+  private[graft] def readMarker(fs: FileSystem, dir: Path, name: String,
+                                magic: String): Option[String] =
     try {
-      val p = new Path(dir, RetentionName)
-      if (!fs.exists(p)) 1
+      val p = new Path(dir, name)
+      if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
         val bytes =
@@ -763,12 +774,16 @@ object Bucketed {
           finally in.close()
         new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
           .split("\n").toSeq match {
-          case RetentionMagic +: n +: _ =>
-            n.trim.toLongOption.map(_.toInt).filter(_ >= 1).getOrElse(1)
-          case _ => 1
+          case `magic` +: v +: _ => Some(v.trim)
+          case _ => None
         }
       }
-    } catch { case scala.util.control.NonFatal(_) => 1 }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The table's retention setting (default 1 — delete at commit). */
+  private def retentionOf(fs: FileSystem, dir: Path): Int =
+    readMarker(fs, dir, RetentionName, RetentionMagic)
+      .flatMap(_.toLongOption).map(_.toInt).filter(_ >= 1).getOrElse(1)
 
   /** Retire superseded HOT files: move into `_graft_retired/` when the
     * table retains history, delete otherwise. A rename target that
@@ -1054,7 +1069,8 @@ object Bucketed {
     * fails → that op aborts. */
   private[sources] def writeNextManifest(fs: FileSystem, dir: Path,
                                          names: Set[String],
-                                         pinnedGen: Option[Long] = None): Long = {
+                                         pinnedGen: Option[Long] = None,
+                                         retention: Option[Int] = None): Long = {
     val prev = manifestEntries(fs, dir)
     val prevMax = prev.map(_._1).maxOption.getOrElse(0L)
     Option(lastSeenGen.get(dir.toString)).map(_.longValue).foreach { known =>
@@ -1090,7 +1106,11 @@ object Bucketed {
     // leaves lower generations the reader's highest-wins resolution
     // ignores. With retention n, the last n manifests survive so
     // [[loadAsOf]] can resolve them.
-    val keepPrev = math.max(retentionOf(fs, dir), 2) - 1
+    // callers that already read the retention marker this commit pass
+    // it in — one small-file read per commit, not two (material on
+    // object stores)
+    val keepPrev =
+      math.max(retention.getOrElse(retentionOf(fs, dir)), 2) - 1
     prev.filter(_._1 < gen).dropRight(keepPrev)
       .foreach { case (_, op) => fs.delete(op, false) }
     gen

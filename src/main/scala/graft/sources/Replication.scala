@@ -62,21 +62,8 @@ object Replication {
   def bookmark(spark: SparkSession, replica: String): Option[Long] = {
     val dir = locationOf(spark, replica)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new Path(dir, SyncName)
-    try {
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val bytes =
-          try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-          finally in.close()
-        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").toSeq match {
-          case SyncMagic +: g +: _ => g.trim.toLongOption
-          case _ => None
-        }
-      }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    Bucketed.readMarker(fs, dir, SyncName, SyncMagic)
+      .flatMap(_.toLongOption)
   }
 
   /** Bring `replica` up to `source`'s current head, one CONSECUTIVE
@@ -122,10 +109,7 @@ object Replication {
                                    gen: Long): Unit = {
     val dir = locationOf(spark, replica)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(dir, SyncName), true)
-    try out.write(s"$SyncMagic\n$gen\n"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    Bucketed.writeMarker(fs, dir, SyncName, SyncMagic, gen.toString)
   }
 
   private def locationOf(spark: SparkSession, table: String): Path =
