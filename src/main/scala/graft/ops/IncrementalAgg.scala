@@ -276,7 +276,15 @@ object IncrementalAgg {
       spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val canon = new org.apache.hadoop.fs.Path(ckpt).toString
+    // qualify against the CHECKPOINT's own filesystem: '/tmp/ckpt',
+    // 'file:/tmp/ckpt', and a relative spelling of the same directory
+    // must all canonicalize to one owner string, or a legitimate
+    // resume of the owning checkpoint fails the ownership check
+    val canon = {
+      val p = new org.apache.hadoop.fs.Path(ckpt)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+    }
     graft.sources.Bucketed.readMarker(fs, loc, "_graft_stream_owner",
         "graft-stream-owner-v1") match {
       case Some(owner) => require(owner == canon,

@@ -238,9 +238,18 @@ object Streaming {
     * batch re-merges idempotently (delete-then-insert of the same
     * keys). Rows with `deleteCol` = true delete their keys —
     * CDC-style streams apply directly. Cost per batch is
-    * O(buckets the batch's keys hash to), never O(table). */
+    * O(buckets the batch's keys hash to), never O(table).
+    *
+    * CONTINUING ingest must pass `checkpointDir` and resume it every
+    * call: the checkpoint is what makes a re-invocation process only
+    * the NEW source files. The default (a fresh temp checkpoint) is a
+    * ONE-SHOT drain — calling it again re-reads the whole source
+    * directory (O(all files), not O(new)) and, being latest-batch-wins,
+    * would regress keys other writers updated in between back to the
+    * re-streamed values. */
   def mergeStreamIntoBucketed(stream: DataFrame, table: String,
-                              deleteCol: Option[String] = None): Unit = {
+                              deleteCol: Option[String] = None,
+                              checkpointDir: Option[String] = None): Unit = {
     val spark = stream.sparkSession
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -249,9 +258,9 @@ object Streaming {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
+      .option("checkpointLocation", checkpointDir.getOrElse(
         java.nio.file.Files.createTempDirectory(scratchBase,
-          "graft-ckpt-gmerge").toString)
+          "graft-ckpt-gmerge").toString))
       .start()
     q.awaitTermination()
   }
