@@ -25,22 +25,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * so the maintenance swap no longer leans on multi-file rename
   * atomicity: staged files land in the dir INVISIBLE (unlisted), and
   * one manifest write flips readers from the old generation to the
-  * new. The flip governs CRASH WINDOWS and cold [[load]]s — what a
-  * restarted or fresh reader resolves to is always one complete
-  * generation. It does NOT retime in-flight scans: `spark.table`
-  * reads the directory, not the manifest, so a hot-path load (cache
-  * hit, no reconcile) or an already-planned lazy DataFrame that
-  * evaluates DURING a maintenance commit's rename→commit→delete
-  * window can still observe both generations or a just-deleted file —
-  * in-process, callers that probe concurrently with maintenance must
-  * order probe vs maintenance themselves (every gate here runs them
-  * sequentially per batch), or read through [[loadSnapshot]] /
-  * [[loadAsOf]] with retention enabled ([[setRetention]]): those
-  * resolve an EXPLICIT file list through the manifest, so a racing
-  * commit can at worst surface as a retryable FileNotFound (a shared
-  * file moving into the retired dir mid-scan), never as silent
-  * duplicates or lost rows. Crash windows serve the OLD generation
-  * intact — no duplicate-rows window, no lost-rows window:
+  * new. The flip governs crash windows, cold loads, AND in-flight
+  * scans: [[load]] is SNAPSHOT-RESOLVED by default (round 12) — it
+  * returns an explicit manifest-pinned file list (bucket spec
+  * preserved), so an already-planned lazy DataFrame that evaluates
+  * DURING a racing maintenance commit still reads exactly the
+  * generation it resolved. Superseded files are never moved: with
+  * retention enabled ([[setRetention]]) they stay IN PLACE, unlisted,
+  * until they fall out of the retention window — a pinned snapshot
+  * inside the window can never observe a mixed generation OR a
+  * FileNotFound. (At default retention 1 superseded files delete at
+  * commit, so a frame held across a commit can hit the deleted file —
+  * retention is the concurrency dial.) The dir-scan read survives as
+  * [[loadDirect]], the documented opt-out, correct only at default
+  * retention because the dir holds multiple generations otherwise.
+  * Crash windows serve the OLD generation intact — no duplicate-rows
+  * window, no lost-rows window:
   *
   *   - crash before the manifest commit → new files are unlisted
   *     orphans; readers serve the old generation; the next [[load]] or
@@ -125,6 +125,13 @@ object Bucketed {
           tbl.toLowerCase(java.util.Locale.ROOT))
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
+        // a replaced table restarts its generation numbering, so every
+        // per-(location, generation) cache would otherwise serve the
+        // DEAD table's state under colliding keys
+        verifiedGenerations.remove(loc.toString)
+        lastSeenGen.remove(loc.toString)
+        invalidateSnapshots(loc.toString)
+        FileStats.invalidate(loc.toString)
       }
     }
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
@@ -167,8 +174,13 @@ object Bucketed {
             // verified only if the PRE-append dir carried no unlisted
             // orphans (an append into a crashed-and-never-reloaded
             // table must not mark the orphans clean — the next load's
-            // recovery pass reconciles them)
-            if ((beforeNames -- base).isEmpty)
+            // recovery pass reconciles them). Files an older RETAINED
+            // generation lists are in-place-retired history, not
+            // orphans.
+            val unexplained = beforeNames -- base
+            if (unexplained.isEmpty ||
+                (retentionOf(fs, loc) > 1 &&
+                  (unexplained -- retainedElsewhere(fs, loc, gen)).isEmpty))
               verifiedGenerations.put(loc.toString, gen)
           } else {
             // fresh write into a pre-cleared dir: dir == manifest
@@ -180,31 +192,71 @@ object Bucketed {
     } finally guard.foreach(appendEnd)
   }
 
-  /** The table as a DataFrame, resolved through its generation
-    * manifest: unlisted `part-` files (uncommitted staging from a
-    * crashed maintenance op, or an old generation a crashed op already
-    * committed away) are deleted before the scan — Spark's bucketed
-    * scan reads every file in the dir, so reconciliation is what makes
-    * the manifest authoritative.
+  /** The table as a DataFrame, SNAPSHOT-resolved through its
+    * generation manifest: the returned frame reads an EXPLICIT file
+    * list (the head generation's, pinned at load time) carried
+    * through a relation that KEEPS the table's bucket spec — so
+    * co-located zero-shuffle joins still plan, and a lazy frame that
+    * evaluates DURING a later maintenance commit still reads exactly
+    * the generation it resolved: never a mix of two generations, and
+    * (when the table retains history — [[setRetention]]) never a
+    * FileNotFound either, because superseded files stay IN PLACE
+    * until they fall out of the retention window. With the default
+    * retention (1) superseded files are deleted at the next commit,
+    * so a frame held across a commit can fail on the deleted file —
+    * enable retention on tables with concurrent readers. This closes
+    * the round-11 gap where `spark.table`'s directory scan could
+    * observe a racing commit's rename→commit→delete window.
     *
-    * Hot-path cost: ZERO filesystem calls. The verify+reconcile pass
-    * runs once per table per process (the crash-recovery case — a
-    * crash empties the in-process [[verifiedGenerations]] cache with
-    * the process); afterwards every mutation goes through this
-    * process's save/maintenance ops, which keep the cache current
-    * under the single-WRITER-process contract, so a serving probe's
-    * load() is a map lookup + `spark.table`. The slow path runs
-    * entirely under the manifest lock — it can never observe a
-    * commit's intermediate state (spurious corruption reports) or
-    * delete a live op's staged files (both land inside the same
-    * lock). Deletion is also skipped while an append is in flight in
-    * this process (its files are legitimately unlisted until its
-    * commit). A table without a manifest (pre-manifest layout) is
-    * served as-is. */
+    * Unlisted `part-` files (uncommitted staging from a crashed
+    * maintenance op) are still reconciled — deleted — on the cold
+    * path, which also verifies manifest↔disk agreement.
+    *
+    * Hot-path cost: ZERO filesystem calls — a [[verifiedGenerations]]
+    * lookup plus a per-(session, location, generation) snapshot-frame
+    * cache hit. The verify+reconcile pass runs once per table per
+    * process; each commit advances the generation, so the next load
+    * builds (and caches) the new snapshot with one dir listing under
+    * the manifest lock. A table without a manifest (pre-manifest
+    * layout), or one with an append in flight in this process, is
+    * served as the directory scan ([[loadDirect]] — the documented
+    * opt-out). */
   def load(spark: SparkSession, table: String): DataFrame = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val loc = new Path(meta.location)
+    verifyOnce(spark, table, loc)
+    val gen = verifiedGenerations.getOrDefault(loc.toString, -1L)
+    // pre-manifest table, or an append in flight (its files are
+    // legitimately unlisted until its commit): serve the dir scan
+    if (gen < 0L) spark.table(table)
+    else snapshotFrame(spark, table, meta, loc, gen)
+  }
+
+  /** The DIRECTORY-scan read (`spark.table`) behind the same
+    * verify+reconcile pass — the opt-out from [[load]]'s
+    * snapshot-resolved default for callers that specifically want the
+    * catalog relation (it retimes to whatever generation is current
+    * at each evaluation). Only correct under default retention:
+    * with [[setRetention]] > 1 superseded generations' files stay in
+    * the directory (unlisted) and a dir scan would read them as live
+    * rows. */
+  def loadDirect(spark: SparkSession, table: String): DataFrame = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val loc = new Path(meta.location)
+    verifyOnce(spark, table, loc)
+    spark.table(table)
+  }
+
+  /** [[load]]'s cold path: verify manifest↔disk agreement, reconcile
+    * crash orphans, and mark the location verified — once per table
+    * per process (a crash empties the cache with the process). Runs
+    * entirely under the manifest lock, so it can never observe a
+    * commit's intermediate state or delete a live op's staged files.
+    * Skipped marking while an append is in flight in this process. */
+  private def verifyOnce(spark: SparkSession, table: String,
+                         loc: Path): Unit =
     if (!verifiedGenerations.containsKey(loc.toString)) {
       val fs = fileSystemOf(spark, loc)
       withManifestLock(loc.toString) {
@@ -225,7 +277,76 @@ object Bucketed {
         }
       }
     }
-    spark.table(table)
+
+  /** A FileIndex over an EXPLICIT, immutable file list — what pins a
+    * snapshot read to one generation. No partitions (the bucketed
+    * contract's tables are unpartitioned; bucket pruning and parquet
+    * pushdown still apply through the scan exec), no refresh (the
+    * list IS the snapshot). */
+  private final class ExplicitFileIndex(files: Seq[FileStatus])
+    extends org.apache.spark.sql.execution.datasources.FileIndex {
+    override val rootPaths: Seq[Path] = files.map(_.getPath).toSeq
+    override def listFiles(
+        partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
+      Seq(org.apache.spark.sql.execution.datasources.PartitionDirectory(
+        org.apache.spark.sql.catalyst.InternalRow.empty, files.toArray))
+    override def inputFiles: Array[String] =
+      files.map(_.getPath.toString).toArray
+    override def refresh(): Unit = ()
+    override val sizeInBytes: Long = files.map(_.getLen).sum
+    override def partitionSchema: org.apache.spark.sql.types.StructType =
+      new org.apache.spark.sql.types.StructType()
+  }
+
+  // (session, location, generation) -> the snapshot frame. Session in
+  // the key: DataFrames are session-bound (stopped sessions evicted
+  // lazily, the Tables-cache pattern). Superseded generations evicted
+  // on build, so growth is one frame per live table per session.
+  private val snapshotFrames = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
+
+  /** Drop cached snapshot frames for `location` — the hook for
+    * schema-changing ops that do NOT advance the generation
+    * ([[addColumn]]): the cached frame carries the old schema. */
+  private def invalidateSnapshots(location: String): Unit =
+    snapshotFrames.keySet.removeIf(_._2 == location)
+
+  /** Build (or serve cached) the explicit-file-list, bucket-spec-
+    * preserving frame of generation `gen`. One dir listing under the
+    * manifest lock per (table, generation); hot calls are a map
+    * lookup. */
+  private def snapshotFrame(spark: SparkSession, table: String,
+                            meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+                            loc: Path, gen: Long): DataFrame = {
+    val it = snapshotFrames.keySet.iterator
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1.sparkContext.isStopped ||
+          (k._2 == loc.toString && k._3 != gen)) it.remove()
+    }
+    snapshotFrames.computeIfAbsent((spark, loc.toString, gen), _ => {
+      val fs = fileSystemOf(spark, loc)
+      val files = withManifestLock(loc.toString) {
+        readManifest(fs, loc) match {
+          case Some((g, names)) if g == gen =>
+            listDataFiles(fs, loc).filter(f => names(f.getPath.getName))
+          case _ => // a commit raced the lookup: resolve that gen's list
+            listDataFiles(fs, loc).filter(f =>
+              listedOf(fs, loc, table, gen)(f.getPath.getName))
+        }
+      }
+      val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        new ExplicitFileIndex(files),
+        partitionSchema = new org.apache.spark.sql.types.StructType(),
+        dataSchema = meta.schema,
+        bucketSpec = meta.bucketSpec,
+        fileFormat =
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+        options = meta.storage.properties)(spark)
+      spark.baseRelationToDataFrame(rel)
+    })
   }
 
   /** Rewrite every bucket whose file count exceeds `maxFilesPerBucket`
@@ -449,6 +570,11 @@ object Bucketed {
     val quoted = table.split('.').map(p => s"`$p`").mkString(".")
     spark.sql(s"ALTER TABLE $quoted ADD COLUMNS (`$column` $ddlType)")
     spark.catalog.refreshTable(table)
+    // schema changed but the generation did not: cached snapshot
+    // frames carry the OLD schema and must rebuild on next load
+    invalidateSnapshots(new Path(spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier(table)).location).toString)
   }
 
   /** Row-level CDC APPLY — replays a [[diffGenerations]] delta onto a
@@ -725,19 +851,20 @@ object Bucketed {
 
   private def retiredDir(dir: Path): Path = new Path(dir, RetiredDirName)
 
-  /** Keep the last `n` generations readable via [[loadAsOf]]: from the
-    * next maintenance commit on, superseded data files RETIRE into
-    * `_graft_retired/` (invisible to `spark.table` — Spark's scan
-    * ignores `_`-prefixed paths, so the hot dir keeps its invariant of
-    * exactly one generation and the serving path is unchanged) instead
-    * of being deleted, and generations that fall out of the window are
-    * pruned automatically at each maintenance commit. n = 1 restores
-    * the default delete-at-commit behavior (already-retired files stay
-    * until [[vacuum]]). The setting is a small marker file beside the
-    * manifests — per-table, crash-safe (rewritten atomically enough
-    * for a single small PUT; a torn write falls back to the default),
-    * and read at each commit rather than cached so cross-process
-    * writers converge on the next op. */
+  /** Keep the last `n` generations readable via [[loadAsOf]]: from
+    * the next maintenance commit on, superseded data files stay IN
+    * PLACE (unlisted by newer manifests — invisible to every
+    * manifest-resolved read, which is the default [[load]] path), and
+    * generations that fall out of the window are pruned automatically
+    * at each maintenance commit. In-place retention is also what
+    * makes pinned snapshot frames stable across racing commits — see
+    * [[retireFiles]]. n = 1 restores the default delete-at-commit
+    * behavior (files already retired stay until [[vacuum]]). The
+    * setting is a small marker file beside the manifests — per-table,
+    * crash-safe (rewritten atomically enough for a single small PUT;
+    * a torn write falls back to the default), and read at each commit
+    * rather than cached so cross-process writers converge on the next
+    * op. */
   def setRetention(spark: SparkSession, table: String, n: Int): Unit = {
     require(n >= 1, "retention must be >= 1 generation")
     val loc = new Path(spark.sessionState.catalog.getTableMetadata(
@@ -785,25 +912,22 @@ object Bucketed {
     readMarker(fs, dir, RetentionName, RetentionMagic)
       .flatMap(_.toLongOption).map(_.toInt).filter(_ >= 1).getOrElse(1)
 
-  /** Retire superseded HOT files: move into `_graft_retired/` when the
-    * table retains history, delete otherwise. A rename target that
-    * already exists (an op replayed after a crash mid-retire) keeps
-    * the retired copy and drops the hot one — same end state. */
+  /** Retire superseded HOT files: with history retained they stay IN
+    * PLACE — data files are immutable at immutable paths from creation
+    * until they fall out of every retained generation ([[vacuumLocked]]
+    * collects them then). Leaving them put (rather than moving them
+    * into a retired dir, the pre-round-12 design) is what makes a
+    * pinned snapshot frame ([[load]]/[[loadAsOf]]) stable across
+    * racing commits: a move would break the explicit paths an
+    * in-flight scan resolved. The directory therefore holds MULTIPLE
+    * generations when retention > 1 — fine for every manifest-resolved
+    * read, and exactly why the dir-scan ([[loadDirect]]) is only
+    * correct at default retention. With retention 1, superseded files
+    * delete at commit (the single-generation-dir invariant holds). */
   private def retireFiles(fs: FileSystem, dir: Path, names: Seq[String],
                           retention: Int): Unit =
-    if (names.nonEmpty) {
-      if (retention <= 1) names.foreach(n => fs.delete(new Path(dir, n), false))
-      else {
-        val rd = retiredDir(dir)
-        if (!fs.exists(rd)) fs.mkdirs(rd)
-        names.foreach { n =>
-          val src = new Path(dir, n)
-          val dst = new Path(rd, n)
-          if (fs.exists(dst)) fs.delete(src, false)
-          else if (!fs.rename(src, dst)) fs.delete(src, false)
-        }
-      }
-    }
+    if (names.nonEmpty && retention <= 1)
+      names.foreach(n => fs.delete(new Path(dir, n), false))
 
   /** File names listed by any VALID manifest OTHER than generation
     * `headGen` — the set reconciliation must retire rather than delete
@@ -815,19 +939,18 @@ object Bucketed {
       .flatMap { case (_, p) => parseManifest(fs, p) }
       .flatten.toSet
 
-  /** Move each `extra` hot file that an older retained generation still
-    * lists into the retired dir; DELETE the rest (uncommitted staging
+  /** Keep (in place) each `extra` hot file that an older retained
+    * generation still lists; DELETE the rest (uncommitted staging
     * orphans). With the default retention the elsewhere set is empty —
-    * behavior identical to plain deletion. */
+    * every extra is an orphan. */
   private def reconcileExtras(fs: FileSystem, dir: Path, headGen: Long,
                               extra: Seq[String]): Unit =
     if (extra.nonEmpty) {
       val keep =
         if (retentionOf(fs, dir) <= 1) Set.empty[String]
         else retainedElsewhere(fs, dir, headGen)
-      val (retire, orphans) = extra.partition(keep)
-      retireFiles(fs, dir, retire, retention = 2)
-      orphans.foreach(n => fs.delete(new Path(dir, n), false))
+      extra.filterNot(keep)
+        .foreach(n => fs.delete(new Path(dir, n), false))
     }
 
   /** The table's readable generations, oldest first — every manifest
@@ -846,19 +969,15 @@ object Bucketed {
   /** TIME-TRAVEL read: the table EXACTLY as generation `gen` committed
     * it, as long as that generation is still retained ([[setRetention]]
     * / [[vacuum]]). Resolution goes through the generation's manifest
-    * to an EXPLICIT file list (hot dir for files the current
-    * generation still shares, `_graft_retired/` for superseded ones),
-    * so unlike `spark.table` the read never depends on the directory's
-    * current contents: a snapshot of any generation < HEAD is stable
-    * under further appends and maintenance commits, except that a
-    * maintenance commit racing an IN-FLIGHT scan can move a
-    * still-shared file into the retired dir mid-read — that scan fails
-    * with a retryable FileNotFound (files only ever move or die, never
-    * mutate; the retry re-resolves) rather than the silent
-    * duplicate/lost-row window a dir scan would have. The returned
-    * frame carries the table's schema but NOT its bucket metadata
-    * (explicit-file reads cannot: audit, diff, and recovery reads —
-    * the time-travel consumers — do not need co-located joins). */
+    * to an EXPLICIT file list — data files are immutable and stay in
+    * place for as long as any retained generation lists them (see
+    * [[retireFiles]]), so the snapshot is fully stable under further
+    * appends and maintenance commits inside the retention window; only
+    * a vacuum that drops the generation can invalidate it. The
+    * returned frame carries the table's schema but NOT its bucket
+    * metadata (audit, diff, and recovery reads — the time-travel
+    * consumers — do not need co-located joins; the head-generation
+    * [[load]] keeps the bucket spec). */
   def loadAsOf(spark: SparkSession, table: String, gen: Long): DataFrame = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
@@ -974,17 +1093,29 @@ object Bucketed {
   }
 
   /** [[vacuum]]'s core, callers hold both locks. Bounded work: one
-    * retired-dir listing + `retain` manifest parses. */
+    * dir listing + `retain` manifest parses. Deletes (a) manifests
+    * beyond the window, (b) legacy retired-dir files no kept
+    * generation lists, and (c) HOT files no kept generation lists —
+    * the in-place-retired files of dropped generations (retire leaves
+    * files put; this is their collector). Hot deletion is skipped
+    * while an append is in flight in this process: an append's files
+    * are legitimately unlisted until its commit. */
   private def vacuumLocked(fs: FileSystem, dir: Path, retain: Int): (Int, Int) = {
     val entries = manifestEntries(fs, dir)
     val (drop, keep) = entries.splitAt(math.max(0, entries.size - retain))
     val kept = keep.flatMap { case (_, p) => parseManifest(fs, p) }
       .flatten.toSet
     drop.foreach { case (_, p) => fs.delete(p, false) }
-    val rd = retiredDir(dir)
     var deleted = 0
+    val rd = retiredDir(dir)
     if (fs.exists(rd))
       fs.listStatus(rd).toSeq.filter(_.isFile).foreach { f =>
+        if (!kept(f.getPath.getName)) {
+          fs.delete(f.getPath, false); deleted += 1
+        }
+      }
+    if (!appendInFlight(dir.toString))
+      listDataFiles(fs, dir).foreach { f =>
         if (!kept(f.getPath.getName)) {
           fs.delete(f.getPath, false); deleted += 1
         }

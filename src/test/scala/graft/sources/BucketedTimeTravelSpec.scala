@@ -4,12 +4,13 @@ import org.apache.spark.sql.functions._
 import graft.SparkSuite
 
 /** Generation retention, time travel, and vacuum: with retention
-  * enabled, superseded files retire into `_graft_retired/` (invisible
-  * to the hot `spark.table` scan), loadAsOf reconstructs any retained
-  * generation exactly, crash-window reconciliation retires (not
-  * deletes) files older retained generations still list, and vacuum
-  * bounds history loudly. Default retention keeps round-10 behavior
-  * byte for byte — every pre-existing Bucketed spec pins that. */
+  * enabled, superseded files stay IN PLACE (unlisted — invisible to
+  * every manifest-resolved read, which load() now is), loadAsOf
+  * reconstructs any retained generation exactly, crash-window
+  * reconciliation keeps files older retained generations still list
+  * and deletes true orphans, and vacuum bounds history loudly.
+  * Default retention keeps delete-at-commit behavior byte for byte —
+  * every pre-existing Bucketed spec pins that. */
 class BucketedTimeTravelSpec extends SparkSuite {
   import spark.implicits._
 
@@ -49,7 +50,7 @@ class BucketedTimeTravelSpec extends SparkSuite {
       assert(docsOf(Bucketed.loadAsOf(spark, table, g3))
         == (0L until 60L by 2).toSet)
       // the HOT path still serves exactly the head generation: the
-      // retired files are invisible to the dir scan
+      // in-place-retired files are unlisted by the head manifest
       assert(docsOf(Bucketed.load(spark, table))
         == (0L until 60L by 2).toSet)
       // snapshot-isolated current read ≡ hot read
@@ -82,7 +83,7 @@ class BucketedTimeTravelSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
-  test("crash window: reconciliation retires files a retained generation lists, deletes true orphans") {
+  test("crash window: reconciliation keeps files a retained generation lists, deletes true orphans") {
     val table = "graft_tt_crash"
     try {
       mk(table, 0, 30)
@@ -95,29 +96,29 @@ class BucketedTimeTravelSpec extends SparkSuite {
         spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // simulate "crash between manifest write and retire": copy a
-      // retired g2 file back into the hot dir (unlisted by head, but
-      // listed by the retained g2 manifest)
-      val retired = fs.listStatus(new org.apache.hadoop.fs.Path(loc,
-        "_graft_retired")).filter(_.isFile)
-      assert(retired.nonEmpty)
-      val back = retired.head.getPath
-      val hotCopy = new org.apache.hadoop.fs.Path(loc, back.getName)
-      org.apache.hadoop.fs.FileUtil.copy(fs, back, fs, hotCopy, false,
-        spark.sparkContext.hadoopConfiguration)
-      fs.delete(back, false)
-      // plus a TRUE orphan (never listed by any manifest)
+      // in-place retention: g2's superseded files are STILL in the hot
+      // dir, unlisted by the head manifest but listed by g2's
+      val hotNames = fs.listStatus(loc).filter(f =>
+        f.isFile && f.getPath.getName.startsWith("part-"))
+        .map(_.getPath.getName).toSet
+      val g2Only = Bucketed.loadAsOf(spark, table, g2).inputFiles
+        .map(p => new org.apache.hadoop.fs.Path(p).getName)
+        .filterNot(Bucketed.loadAsOf(spark, table, g3).inputFiles
+          .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet)
+      assert(g2Only.nonEmpty && g2Only.forall(hotNames))
+      // plus a TRUE orphan (never listed by any manifest) — a crashed
+      // maintenance op's uncommitted staging leftover
       val orphan = new org.apache.hadoop.fs.Path(loc, "part-orphan-xyz_0.parquet")
       val out = fs.create(orphan, true)
       out.write(Array[Byte](1, 2, 3)); out.close()
       // cold reconcile: forget the verified cache, then load
       Bucketed.forgetVerified()
       assert(docsOf(Bucketed.load(spark, table)) == (0L until 10L).toSet)
-      // the g2-listed file went BACK to retired (g2 still readable),
-      // the orphan is gone
-      assert(fs.exists(new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(loc, "_graft_retired"), back.getName)))
+      // the retained generations' files are untouched (g2 still
+      // readable), the orphan is gone
       assert(!fs.exists(orphan))
+      assert(g2Only.forall(n =>
+        fs.exists(new org.apache.hadoop.fs.Path(loc, n))))
       assert(docsOf(Bucketed.loadAsOf(spark, table, g2))
         == (0L until 45L).toSet)
       assert(g3 == g2 + 1)
