@@ -21,16 +21,22 @@ import org.apache.spark.sql.functions.{col, lit}
   *
   * Stats are DERIVED metadata, never part of the commit protocol: they
   * are read from the footers of the head generation's files on first
-  * use and cached in-process keyed by (table location, generation), so
-  * any commit — append, merge, compact — naturally invalidates them by
-  * advancing the generation. A cross-process reader rebuilds them with
-  * the same footer pass; there is no sidecar file to tear, race, or
-  * repair. The footer pass is metadata-only (no data pages) and runs
-  * as a SPARK JOB once the file count outgrows a driver loop — at
-  * 100k files that is one short stage of footer opens across the
-  * cluster, not a sequential driver crawl; under the threshold the
-  * driver reads them directly (no job-scheduling overhead on the
-  * handful-of-files case).
+  * use, cached in-process keyed by (table location, generation) — any
+  * commit naturally invalidates by advancing the generation — and
+  * PERSISTED as a stats sidecar (`_graft_stats.<gen>`, one small file
+  * beside the manifests, round 12): a fresh process reads one small
+  * file instead of re-opening every footer, and because stats are
+  * per-FILE and files immutable, a commit invalidates nothing — the
+  * next reader reuses the prior sidecar's entries for surviving files
+  * and footer-reads only the new ones. Being derived, the sidecar can
+  * tear or go missing harmlessly (parse failure degrades to footer
+  * reads, never to wrong stats), and commits never wait on it
+  * (write-behind by the first reader). The footer pass for uncovered
+  * files is metadata-only (no data pages) and runs as a SPARK JOB once
+  * the file count outgrows a driver loop — at 100k files that is one
+  * short stage of footer opens across the cluster, not a sequential
+  * driver crawl; under the threshold the driver reads them directly
+  * (no job-scheduling overhead on the handful-of-files case).
   *
   * Pruning is CONSERVATIVE — a file is dropped only when its stats
   * PROVE it cannot match: its column's [min, max] misses [lo, hi] in a
@@ -66,19 +72,51 @@ object FileStats {
                            allNull: Boolean,
                            nullCount: Option[Long] = None)
 
-  /** One file's footer stats: total row count + per-column stats. */
-  final case class FileStat(rows: Long, cols: Map[String, ColStat])
+  /** One file's footer stats: total row count + per-column stats +
+    * the columns for which the file carries parquet bloom filters
+    * (presence only — the bloom BITS always need the footer; presence
+    * lets [[splitFilesEquals]] skip opening files that provably have
+    * no bloom to consult). */
+  final case class FileStat(rows: Long, cols: Map[String, ColStat],
+                            bloomCols: Set[String] = Set.empty)
 
   // (table location, generation) -> file name -> stats.
   // Generation-keyed: any commit invalidates by advancing the key.
-  private val cache =
-    new ConcurrentHashMap[(String, Long), Map[String, FileStat]]()
+  // Values are MEMO holders, not the maps themselves: the footer pass
+  // is real I/O (a Spark job, or a driver pool Await) and must never
+  // run inside computeIfAbsent — holding the map's bin lock across it
+  // would block unrelated tables hashing to the same bin (and a
+  // re-entrant same-key call would deadlock). computeIfAbsent only
+  // installs the cheap holder; the work runs under the holder's own
+  // per-key lazy-val lock.
+  private final class Memo(thunk: () => Map[String, FileStat]) {
+    lazy val value: Map[String, FileStat] = thunk()
+  }
+  private val cache = new ConcurrentHashMap[(String, Long), Memo]()
+
+  /** Drop cached stats for `location` — the hook for table REPLACEMENT
+    * (Bucketed.save Overwrite), which restarts generation numbering
+    * and would otherwise collide with the dead table's cache keys. */
+  private[sources] def invalidate(location: String): Unit =
+    cache.keySet.removeIf(_._1 == location)
 
   // below this many files a driver loop beats a job's scheduling cost
   private val DriverReadMax = 32
 
-  /** Per-file footer stats of the table's HEAD generation (cached per
-    * (location, generation) in-process). */
+  /** Per-file footer stats of the table's HEAD generation. Three
+    * tiers, cheapest first: the in-process (location, generation)
+    * cache; the PERSISTED stats sidecar (`_graft_stats.<gen>` beside
+    * the manifests — one small-file read covers every file it lists,
+    * so a FRESH PROCESS answers metadata queries with ZERO footer
+    * opens); footer reads for only the files the sidecar lacks (new
+    * appends since the sidecar was stamped, or no sidecar at all).
+    * Stats are per-FILE and files are immutable, so a prior
+    * generation's sidecar entries stay valid for every file the head
+    * still lists — after a commit only the NEW files pay a footer
+    * read. The merged map is written back as the head generation's
+    * sidecar (write-behind: commits pay nothing; the first reader
+    * amortizes), a single small PUT whose torn write degrades to
+    * footer reads, never to wrong stats. */
   def statsOf(spark: SparkSession,
               table: String): Map[String, FileStat] = {
     val (gen, files) = Bucketed.currentDataFiles(spark, table)
@@ -87,43 +125,54 @@ object FileStats {
     // a run-forever process commits thousands of generations; stats of
     // superseded ones are dead weight — keep only the head's per table
     cache.keySet.removeIf(k => k._1 == loc.toString && k._2 != gen)
-    cache.computeIfAbsent((loc.toString, gen), _ => {
+    cache.computeIfAbsent((loc.toString, gen), _ => new Memo(() => {
       val conf = spark.sparkContext.hadoopConfiguration
-      if (files.size <= DriverReadMax) {
-        // a footer open costs ~100 ms even locally — thread the driver
-        // loop so the handful-of-files case stays sub-second
-        import scala.concurrent.{Await, Future, ExecutionContext}
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        Await.result(
-          Future.traverse(files)(f => Future(
-            f.getPath.getName -> footerStats(conf, f.getPath))),
-          scala.concurrent.duration.Duration(600, "s")).toMap
-      }
-      else {
-        // one short metadata-only stage: footer opens parallelize
-        // across the cluster instead of crawling the driver. Hadoop
-        // Configuration is not serializable — ship its entries and
-        // rebuild per executor partition.
-        val entries = {
-          val it = conf.iterator()
-          val b = Seq.newBuilder[(String, String)]
-          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-          b.result()
+      val fs = loc.getFileSystem(conf)
+      val names = files.map(_.getPath.getName).toSet
+      val (sidecarGen, prior) = readSidecar(fs, loc)
+      val have = prior.filter { case (n, _) => names(n) }
+      val missing = files.filterNot(f => have.contains(f.getPath.getName))
+      val fresh: Map[String, FileStat] =
+        if (missing.isEmpty) Map.empty
+        else if (missing.size <= DriverReadMax) {
+          // a footer open costs ~100 ms even locally — thread the
+          // driver loop so the handful-of-files case stays sub-second
+          import scala.concurrent.{Await, Future, ExecutionContext}
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          Await.result(
+            Future.traverse(missing)(f => Future(
+              f.getPath.getName -> footerStats(conf, f.getPath))),
+            scala.concurrent.duration.Duration(600, "s")).toMap
         }
-        val bc = spark.sparkContext.broadcast(entries)
-        val paths = files.map(_.getPath.toString)
-        spark.sparkContext
-          .parallelize(paths,
-            math.min(paths.size,
-              math.max(1, spark.sparkContext.defaultParallelism * 2)))
-          .mapPartitions { ps =>
-            val c = new Configuration(false)
-            bc.value.foreach { case (k, v) => c.set(k, v) }
-            ps.map(p => new Path(p).getName -> footerStats(c, new Path(p)))
+        else {
+          // one short metadata-only stage: footer opens parallelize
+          // across the cluster instead of crawling the driver. Hadoop
+          // Configuration is not serializable — ship its entries and
+          // rebuild per executor partition.
+          val entries = {
+            val it = conf.iterator()
+            val b = Seq.newBuilder[(String, String)]
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+            b.result()
           }
-          .collect().toMap
-      }
-    })
+          val bc = spark.sparkContext.broadcast(entries)
+          val paths = missing.map(_.getPath.toString)
+          spark.sparkContext
+            .parallelize(paths,
+              math.min(paths.size,
+                math.max(1, spark.sparkContext.defaultParallelism * 2)))
+            .mapPartitions { ps =>
+              val c = new Configuration(false)
+              bc.value.foreach { case (k, v) => c.set(k, v) }
+              ps.map(p => new Path(p).getName -> footerStats(c, new Path(p)))
+            }
+            .collect().toMap
+        }
+      val all = have ++ fresh
+      if (fresh.nonEmpty || !sidecarGen.contains(gen))
+        writeSidecar(fs, loc, gen, all)
+      all
+    })).value
   }
 
   /** The head generation's file paths split by the range predicate:
@@ -132,7 +181,7 @@ object FileStats {
                  lo: Any, hi: Any): (Seq[Path], Seq[Path]) = {
     val stats = statsOf(spark, table)
     val (_, files) = Bucketed.currentDataFiles(spark, table)
-    val (loK, hiK) = (toKey(lo), toKey(hi))
+    val (loK, hiK) = boundKeys(spark, table, column, lo, hi)
     val (kept, pruned) = files.partition { f =>
       stats.get(f.getPath.getName).flatMap(_.cols.get(column)) match {
         case Some(st) if st.allNull => false
@@ -168,7 +217,7 @@ object FileStats {
                  lo: Any, hi: Any): CountResult = {
     val stats = statsOf(spark, table)
     val (_, files) = Bucketed.currentDataFiles(spark, table)
-    val (loK, hiK) = (toKey(lo), toKey(hi))
+    val (loK, hiK) = boundKeys(spark, table, column, lo, hi)
     // 0 = pruned, 1 = covered (metadata), 2 = scan
     def classOf(f: org.apache.hadoop.fs.FileStatus): Int =
       stats.get(f.getPath.getName) match {
@@ -267,19 +316,26 @@ object FileStats {
 
   /** The head generation's files split by an equality predicate:
     * (kept, pruned) after BOTH defenses — min/max range first, then
-    * per-row-group bloom filters on the survivors. */
+    * per-row-group bloom filters on the survivors. Files whose
+    * persisted stats PROVE they carry no bloom for the column are
+    * kept WITHOUT a footer open (the bloom could only have said
+    * "keep" anyway); only files with a bloom to consult — or no
+    * stats at all — pay the open. */
   def splitFilesEquals(spark: SparkSession, table: String,
                        column: String, value: Any): (Seq[Path], Seq[Path]) = {
     val (kept, prunedMm) = splitFiles(spark, table, column, value, value)
+    val stats = statsOf(spark, table)
+    val (bloomless, toCheck) = kept.partition(p =>
+      stats.get(p.getName).exists(st => !st.bloomCols(column)))
     val conf = spark.sparkContext.hadoopConfiguration
     import scala.concurrent.{Await, Future, ExecutionContext}
     implicit val ec: ExecutionContext = ExecutionContext.global
     val checked = Await.result(
-      Future.traverse(kept)(p => Future(
+      Future.traverse(toCheck)(p => Future(
         p -> bloomMightContain(conf, p, column, value))),
       scala.concurrent.duration.Duration(600, "s"))
     val (surviving, bloomPruned) = checked.partition(_._2)
-    (surviving.map(_._1), prunedMm ++ bloomPruned.map(_._1))
+    (bloomless ++ surviving.map(_._1), prunedMm ++ bloomPruned.map(_._1))
   }
 
   /** False only when EVERY row group of `p` has a bloom filter for
@@ -287,6 +343,7 @@ object FileStats {
     * case. Anything uncertain (no bloom, unknown type) keeps. */
   private[sources] def bloomMightContain(conf: Configuration, p: Path,
                                          column: String, value: Any): Boolean = {
+    footerOpens.incrementAndGet()
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try {
       val blocks = reader.getFooter.getBlocks
@@ -349,7 +406,7 @@ object FileStats {
     val (kept, _) = splitFiles(spark, table, column, lo, hi)
     if (kept.isEmpty) return (None, None)
     val stats = statsOf(spark, table)
-    val (loK, hiK) = (toKey(lo), toKey(hi))
+    val (loK, hiK) = boundKeys(spark, table, column, lo, hi)
     def statOf(p: Path): Option[ColStat] =
       stats.get(p.getName).flatMap(_.cols.get(column))
     // a file whose span is fully inside the range (and null-countable)
@@ -402,10 +459,24 @@ object FileStats {
         .agg(smin(col(column)), smax(col(column))).head()
       val scanMin = Option(r.get(0))
       val scanMax = Option(r.get(1))
+      // a scanned extremum can be ±Infinity/NaN (no stat Key exists for
+      // it — that is exactly WHY its file was scanned); compare those
+      // as doubles, where Double.compare's NaN-greatest total order
+      // matches Spark's own min/max semantics. The double fallback only
+      // fires when a side is a non-finite float/double, so the
+      // precision loss of a long→double cast never applies.
+      def numOf(v: Any): Double = v match {
+        case n: java.lang.Number => n.doubleValue
+        case _ => Double.NaN
+      }
       def better(a: Option[Any], b: Option[Any], takeMin: Boolean) =
-        (a.flatMap(toKey), b.flatMap(toKey)) match {
+        (a, b) match {
           case (Some(x), Some(y)) =>
-            if ((cmp(x, y) <= 0) == takeMin) a else b
+            val c = (toKey(x), toKey(y)) match {
+              case (Some(kx), Some(ky)) => cmp(kx, ky)
+              case _ => java.lang.Double.compare(numOf(x), numOf(y))
+            }
+            if ((c <= 0) == takeMin) a else b
           case (Some(_), None) => a
           case _ => b
         }
@@ -413,6 +484,84 @@ object FileStats {
         better(provenMax.map(fromKey(_, lo)), scanMax, takeMin = false))
     }
   }
+
+  /** How [[topK]] answered: the rows, files scanned, files skipped
+    * (their footer max provably cannot reach the running top-k). */
+  final case class TopKResult(rows: org.apache.spark.sql.DataFrame,
+                              scannedFiles: Int, totalFiles: Int)
+
+  /** Metadata-first ORDER BY `column` DESC LIMIT `k` — the pruning
+    * analogue of [[minMaxWhere]] for the top-k shape every retrieval
+    * pipeline runs: files are visited in FOOTER-MAX order, and the
+    * scan STOPS as soon as the running k-th value strictly beats every
+    * unvisited file's max — on a range-clustered or append-ordered
+    * table that is the boundary file(s), whatever the table size.
+    * `tieCols` complete the ordering (ascending) so the result is
+    * deterministic under ties; the stop condition is STRICT (kth >
+    * next max) because a tie at the boundary could be beaten on the
+    * tiebreaker by an unvisited row. Conservative like every pruning
+    * here: files with unusable stats sort FIRST (always scanned),
+    * all-null files sort last and are visited only if the visited set
+    * cannot fill k rows, and the worst case degrades to the full
+    * scan's answer, never a different one. The prefix grows
+    * geometrically, so convergence costs O(log files) Spark jobs even
+    * when the layout does not cooperate. */
+  def topK(spark: SparkSession, table: String, column: String, k: Int,
+           tieCols: Seq[String] = Nil): TopKResult = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.functions.{asc, desc}
+    val stats = statsOf(spark, table)
+    val (_, files) = Bucketed.currentDataFiles(spark, table)
+    val schema = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).schema
+    def statOf(f: org.apache.hadoop.fs.FileStatus): Option[ColStat] =
+      stats.get(f.getPath.getName).flatMap(_.cols.get(column))
+    // visit order: unusable stats first (must scan), then max desc,
+    // all-null files last (they contribute only when k is not filled)
+    val ordered = files.sortBy { f =>
+      statOf(f) match {
+        case Some(st) if st.allNull => (2, None: Option[Key])
+        case Some(ColStat(_, Some(mx), _, _)) => (1, Some(mx))
+        case _ => (0, None)
+      }
+    }(Ordering.Tuple2(Ordering.Int, Ordering.Option(cmpOrdering.reverse)))
+    val order = desc(column) +: tieCols.map(asc)
+    def result(prefix: Seq[org.apache.hadoop.fs.FileStatus]) =
+      spark.read.schema(schema)
+        .parquet(prefix.map(_.getPath.toString): _*)
+        .orderBy(order: _*).limit(k)
+    var n = math.max(1, math.min(ordered.size, {
+      // smallest prefix whose row counts can fill k (stats-known rows)
+      var acc = 0L; var i = 0
+      while (i < ordered.size && acc < k) {
+        acc += stats.get(ordered(i).getPath.getName).map(_.rows).getOrElse(0L)
+        i += 1
+      }
+      i
+    }))
+    while (n < ordered.size) {
+      val prefix = ordered.take(n)
+      val rows = result(prefix).select(column).collect()
+      val kth = if (rows.length >= k) Option(rows.last.get(0)) else None
+      val nextMax = statOf(ordered(n)) match {
+        case Some(st) if st.allNull => None // nulls cannot beat anything
+        case Some(ColStat(_, mx, _, _)) => mx
+        case _ => Some(Right(""): Key) // unreachable (unusables sort first)
+      }
+      (kth.flatMap(toKey), nextMax) match {
+        case (Some(kv), Some(mx)) if sameDomain(kv, mx) && cmp(kv, mx) > 0 =>
+          return TopKResult(result(prefix), n, ordered.size)
+        case (_, None) => // next file is all-null: only matters if k unfilled
+          if (rows.length >= k)
+            return TopKResult(result(prefix), n, ordered.size)
+          else n = math.min(ordered.size, n * 2)
+        case _ => n = math.min(ordered.size, n * 2)
+      }
+    }
+    TopKResult(result(ordered), ordered.size, ordered.size)
+  }
+
+  private val cmpOrdering: Ordering[Key] = (a, b) => cmp(a, b)
 
   /** Render a stats Key back into the caller's value domain, using the
     * bound value as the type witness (date/timestamp/long/string) — so
@@ -439,34 +588,182 @@ object FileStats {
     case (Right(s), _) => s
   }
 
+  // ---- persisted stats sidecar ---------------------------------------
+
+  private val StatsMagic = "graft-stats-v1"
+  private val StatsName = """^_graft_stats\.(\d+)$""".r
+
+  /** Footer opens performed by this process (footer-stat reads + bloom
+    * consultations) — the instrumentation the cold-start spec pins:
+    * with a sidecar covering the head generation, a fresh process's
+    * metadata queries must not open a single footer. */
+  private[sources] val footerOpens =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Drop the in-process stats cache for every table — the test hook
+    * simulating a fresh process (the sidecar file is what survives). */
+  private[sources] def forgetCached(): Unit = cache.clear()
+
+  private def sidecarEntries(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: Path): Seq[(Long, Path)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath)
+      .flatMap(p => p.getName match {
+        case StatsName(g) => Some(g.toLong -> p)
+        case _ => None
+      }).sortBy(_._1)
+
+  /** The newest parseable sidecar's (generation, file→stats). A torn
+    * or garbage sidecar reads as absent — degrade to footer reads. */
+  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: Path): (Option[Long], Map[String, FileStat]) =
+    sidecarEntries(fs, dir).reverseIterator.flatMap { case (g, p) =>
+      parseSidecar(fs, p).map(m => (Option(g), m))
+    }.nextOption().getOrElse((None, Map.empty))
+
+  private def parseSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                           p: Path): Option[Map[String, FileStat]] =
+    try {
+      val in = fs.open(p)
+      val bytes =
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n", -1).toSeq
+      val End = """^END (\d+)$""".r
+      lines match {
+        case StatsMagic +: rest if rest.nonEmpty =>
+          rest.last match {
+            case End(n) if rest.length - 1 == n.toInt =>
+              val parsed = rest.dropRight(1).map(fileStatFromJson)
+              if (parsed.forall(_.isDefined)) Some(parsed.flatten.toMap)
+              else None
+            case _ => None
+          }
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Persist `stats` as generation `gen`'s sidecar and drop superseded
+    * sidecars. Derived metadata: safe to overwrite (two writers write
+    * the same content for the same generation), safe to tear (the
+    * parse falls back to footer reads). */
+  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                           gen: Long, stats: Map[String, FileStat]): Unit =
+    try {
+      val p = new Path(dir, s"_graft_stats.$gen")
+      val out = fs.create(p, true)
+      try out.write(
+        ((StatsMagic +: stats.toSeq.sortBy(_._1).map(fileStatToJson))
+          :+ s"END ${stats.size}").mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      sidecarEntries(fs, dir).filter(_._1 != gen)
+        .foreach { case (_, op) => fs.delete(op, false) }
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+
+  private def keyJson(k: Key): org.json4s.JValue = k match {
+    case Left(n) => org.json4s.JObject("n" -> org.json4s.JString(n.toString))
+    case Right(s) => org.json4s.JObject("s" -> org.json4s.JString(s))
+  }
+
+  private def keyFromJson(j: org.json4s.JValue): Option[Key] = j match {
+    case org.json4s.JObject(fields) =>
+      val m = fields.toMap
+      m.get("n").collect { case org.json4s.JString(v) =>
+        Left(BigDecimal(v)): Key }
+        .orElse(m.get("s").collect { case org.json4s.JString(v) =>
+          Right(v): Key })
+    case _ => None
+  }
+
+  private def fileStatToJson(e: (String, FileStat)): String = {
+    import org.json4s._
+    val (name, fsStat) = e
+    val cols = JObject(fsStat.cols.toList.sortBy(_._1).map { case (c, st) =>
+      c -> JObject(List(
+        "mn" -> st.min.map(keyJson).getOrElse(JNull),
+        "mx" -> st.max.map(keyJson).getOrElse(JNull),
+        "an" -> JBool(st.allNull),
+        "nc" -> st.nullCount.map(n => JLong(n): JValue).getOrElse(JNull)))
+    })
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(JObject(List(
+        "f" -> JString(name), "r" -> JLong(fsStat.rows), "c" -> cols,
+        "b" -> JArray(fsStat.bloomCols.toList.sorted.map(JString(_)))))))
+  }
+
+  private def fileStatFromJson(line: String): Option[(String, FileStat)] =
+    try {
+      import org.json4s._
+      val o = org.json4s.jackson.JsonMethods.parse(line)
+      val m = o.asInstanceOf[JObject].obj.toMap
+      val name = m("f").asInstanceOf[JString].s
+      val rows = m("r") match {
+        case JLong(v) => v
+        case JInt(v) => v.toLong
+        case _ => return None
+      }
+      val cols = m("c").asInstanceOf[JObject].obj.map { case (c, cj) =>
+        val cm = cj.asInstanceOf[JObject].obj.toMap
+        val nc = cm.get("nc").flatMap {
+          case JLong(v) => Some(v)
+          case JInt(v) => Some(v.toLong)
+          case _ => None
+        }
+        c -> ColStat(cm.get("mn").flatMap(keyFromJson),
+          cm.get("mx").flatMap(keyFromJson),
+          allNull = cm.get("an").collect { case JBool(b) => b }
+            .getOrElse(false),
+          nullCount = nc)
+      }.toMap
+      val blooms = m.get("b") match {
+        case Some(JArray(xs)) =>
+          xs.collect { case JString(s) => s }.toSet
+        case _ => Set.empty[String]
+      }
+      Some(name -> FileStat(rows, cols, blooms))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** All row groups' column stats of one file, merged per column — one
     * footer read, no data pages touched. Runs on the driver or an
     * executor (returns only serializable keys). */
   private def footerStats(conf: Configuration, p: Path): FileStat = {
+    footerOpens.incrementAndGet()
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try {
       val perCol = scala.collection.mutable.Map.empty[String, ColStat]
+      val withBloom = scala.collection.mutable.Set.empty[String]
       var rows = 0L
       reader.getFooter.getBlocks.forEach { b =>
         rows += b.getRowCount
         b.getColumns.forEach { c =>
           val name = c.getPath.toDotString
+          if (c.getBloomFilterOffset >= 0) withBloom += name
           val st = c.getStatistics
           val nc =
             if (st != null && st.isNumNullsSet) Some(st.getNumNulls)
             else None
+          // per-column non-fatal guard: one column's unconvertible
+          // stats (an exotic physical type, a stats-decode quirk) must
+          // degrade to unknown-stats-for-that-column, not fail the
+          // whole file's footer pass
           val cur =
-            if (st == null) ColStat(None, None, allNull = false, nc)
-            else if (!st.hasNonNullValue)
-              ColStat(None, None,
-                allNull = st.isNumNullsSet && st.getNumNulls == c.getValueCount,
-                nullCount = nc)
-            else ColStat(toKey(st.genericGetMin), toKey(st.genericGetMax),
-              allNull = false, nullCount = nc)
+            try {
+              if (st == null) ColStat(None, None, allNull = false, nc)
+              else if (!st.hasNonNullValue)
+                ColStat(None, None,
+                  allNull = st.isNumNullsSet && st.getNumNulls == c.getValueCount,
+                  nullCount = nc)
+              else ColStat(toKey(st.genericGetMin), toKey(st.genericGetMax),
+                allNull = false, nullCount = nc)
+            } catch { case scala.util.control.NonFatal(_) =>
+              ColStat(None, None, allNull = false, nullCount = nc)
+            }
           perCol(name) = perCol.get(name).fold(cur)(merge(_, cur))
         }
       }
-      FileStat(rows, perCol.toMap)
+      FileStat(rows, perCol.toMap, withBloom.toSet)
     } finally reader.close()
   }
 
@@ -491,8 +788,17 @@ object FileStats {
   private def toKey(v: Any): Option[Key] = v match {
     case n: java.lang.Integer => Some(Left(BigDecimal(n.intValue)))
     case n: java.lang.Long => Some(Left(BigDecimal(n.longValue)))
-    case n: java.lang.Double => Some(Left(BigDecimal(n.doubleValue)))
-    case n: java.lang.Float => Some(Left(BigDecimal(n.floatValue.toDouble)))
+    // ±Infinity/NaN have no BigDecimal form (the wrap THROWS) — treat
+    // the stat as unknown so the file is KEPT, never crash the read
+    // path of a whole table over one non-finite value in one column
+    case n: java.lang.Double =>
+      if (java.lang.Double.isFinite(n.doubleValue))
+        Some(Left(BigDecimal(n.doubleValue)))
+      else None
+    case n: java.lang.Float =>
+      if (java.lang.Float.isFinite(n.floatValue))
+        Some(Left(BigDecimal(n.floatValue.toDouble)))
+      else None
     case d: java.time.LocalDate => Some(Left(BigDecimal(d.toEpochDay)))
     case d: java.sql.Date => Some(Left(BigDecimal(d.toLocalDate.toEpochDay)))
     case t: java.time.Instant =>
@@ -511,6 +817,47 @@ object FileStats {
   }
 
   private def sameDomain(a: Key, b: Key): Boolean = a.isLeft == b.isLeft
+
+  /** The caller's bounds as stat keys, validated against the CATALOG
+    * schema's column type — not just against the bound's runtime class.
+    * sameDomain alone cannot catch a UNIT mismatch inside the numeric
+    * domain: Instant bounds on a DATE column would compare epoch-micros
+    * (~1e15) against epoch-day stats (~1e4) and wrongly prune every
+    * file, silently breaking the "pruning is conservative" contract.
+    * Here the column's logical type dictates which bound classes are
+    * comparable at all (raw numerics ↔ numeric columns, LocalDate/Date
+    * ↔ DATE, Instant/Timestamp ↔ TIMESTAMP, LocalDateTime ↔
+    * TIMESTAMP_NTZ, String ↔ STRING); anything else — including a
+    * column absent from the schema — yields None and every file is
+    * KEPT, with the exact predicate still applied to the scan. */
+  private def boundKeys(spark: SparkSession, table: String,
+                        column: String, lo: Any,
+                        hi: Any): (Option[Key], Option[Key]) = {
+    import org.apache.spark.sql.types._
+    val dt = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .schema.fields.find(_.name == column).map(_.dataType)
+    def ok(v: Any): Boolean = (dt, v) match {
+      case (Some(_: ByteType | _: ShortType | _: IntegerType |
+                 _: LongType | _: FloatType | _: DoubleType |
+                 _: DecimalType),
+            _: java.lang.Integer | _: java.lang.Long |
+            _: java.lang.Double | _: java.lang.Float) => true
+      case (Some(_: DateType),
+            _: java.time.LocalDate | _: java.sql.Date) => true
+      // TIMESTAMP and TIMESTAMP_NTZ both keep epoch-micros stats, and
+      // all three bound classes key to epoch-micros (LocalDateTime via
+      // the session's pinned-UTC offset) — unit-compatible either way;
+      // what this check must reject is the CROSS-UNIT case (Instant on
+      // a DATE column, LocalDate on a numeric one)
+      case (Some(_: TimestampType | _: TimestampNTZType),
+            _: java.time.Instant | _: java.sql.Timestamp |
+            _: java.time.LocalDateTime) => true
+      case (Some(_: StringType), _: String) => true
+      case _ => false
+    }
+    if (ok(lo) && ok(hi)) (toKey(lo), toKey(hi)) else (None, None)
+  }
 
   private def cmp(a: Key, b: Key): Int = (a, b) match {
     case (Left(x), Left(y)) => x.compare(y)

@@ -123,6 +123,164 @@ class FileStatsSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("a bound whose type mismatches the column's logical type keeps every file (conservative, never wrong-prunes)") {
+    val table = "graft_stats_domain"
+    try {
+      mk(table)
+      // Instant bounds on a DATE column: both sides are numeric keys
+      // (epoch-micros vs epoch-day), so a class-only check would
+      // compare ~1e15 against ~1e2 and prune EVERY file — the schema
+      // check must keep them all instead
+      val inst = java.time.LocalDate.of(1994, 5, 1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      val (kept, pruned) = FileStats.splitFiles(spark, table, "d",
+        inst, inst.plusSeconds(86400 * 40))
+      assert(pruned.isEmpty, s"domain mismatch must keep all files, pruned ${pruned.size}")
+      assert(kept.nonEmpty)
+      // LocalDate bounds on a BIGINT column: same rule
+      val (kept2, pruned2) = FileStats.splitFiles(spark, table, "v",
+        java.time.LocalDate.of(1994, 1, 1), java.time.LocalDate.of(1994, 2, 1))
+      assert(pruned2.isEmpty && kept2.nonEmpty)
+      // countWhere under a mismatch degrades to scanning everything,
+      // never to a silent zero
+      val r = FileStats.countWhere(spark, table, "d", inst,
+        inst.plusSeconds(86400 * 40))
+      assert(r.prunedFiles == 0 && r.coveredFiles == 0,
+        s"mismatch must neither prune nor metadata-answer: $r")
+      // and a column the schema lacks keeps everything too
+      val (_, pruned3) = FileStats.splitFiles(spark, table, "nope", 1L, 2L)
+      assert(pruned3.isEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("±Infinity in a double column degrades that column's stats to unknown — reads keep working and stay exact") {
+    val table = "graft_stats_inf"
+    try {
+      Bucketed.save(
+        (0 until 50).map(i => (i.toLong, i.toDouble)).toDF("k", "x"),
+        table, Seq("k"), 2)
+      Bucketed.save(
+        Seq((1000L, Double.NegativeInfinity), (1001L, 99999.0),
+            (1002L, Double.PositiveInfinity))
+          .toDF("k", "x"),
+        table, Seq("k"), 2, mode = org.apache.spark.sql.SaveMode.Append)
+      // statsOf must not throw (BigDecimal cannot represent ±Inf); the
+      // infinite file's x-stats are unknown, so it is always kept
+      val (kept, _) = FileStats.splitFiles(spark, table, "x", 10.0, 20.0)
+      assert(kept.nonEmpty)
+      assert(FileStats.loadBetween(spark, table, "x", 10.0, 20.0)
+        .count() == 11)
+      val r = FileStats.countWhere(spark, table, "x", 10.0, 20.0)
+      assert(r.count == 11)
+      // minMaxWhere over a range whose scan returns -Infinity must
+      // fold the scanned extremum in, not crash or drop it
+      val (mn, mx) = FileStats.minMaxWhere(spark, table, "x",
+        Double.NegativeInfinity, 1e9)
+      assert(mn.contains(Double.NegativeInfinity), s"$mn")
+      assert(mx.contains(99999.0), s"+Inf is outside [−Inf, 1e9]: $mx")
+      val (mn2, mx2) = FileStats.minMaxWhere(spark, table, "x",
+        Double.NegativeInfinity, Double.PositiveInfinity)
+      assert(mn2.contains(Double.NegativeInfinity), s"$mn2")
+      assert(mx2.contains(Double.PositiveInfinity), s"$mx2")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("persisted sidecar: a fresh process answers metadata queries with ZERO footer opens") {
+    val table = "graft_stats_sidecar"
+    try {
+      mk(table)
+      // first touch: footer-reads everything and writes the sidecar
+      FileStats.statsOf(spark, table)
+      // simulate a fresh process: in-process cache gone, sidecar stays
+      FileStats.forgetCached()
+      val before = FileStats.footerOpens.get()
+      val r = FileStats.countWhere(spark, table, "v", 0L, 10000L)
+      assert(r.count == 300L && r.scannedFiles == 0)
+      val (mn, mx) = FileStats.minMaxWhere(spark, table, "v", 0L, 10000L)
+      assert(mn.contains(0L) && mx.contains(897L))
+      val (_, pruned) = FileStats.splitFiles(spark, table, "v", 330L, 360L)
+      assert(pruned.nonEmpty)
+      assert(FileStats.footerOpens.get() == before,
+        s"cold metadata queries must not open footers: " +
+          s"${FileStats.footerOpens.get() - before} opened")
+      // an APPEND invalidates nothing already known: only the new
+      // files' footers are read
+      val filesBefore = FileStats.statsOf(spark, table).keySet
+      Bucketed.save(slice(300, 320), table, Seq("k"), 2,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      FileStats.forgetCached()
+      val before2 = FileStats.footerOpens.get()
+      assert(FileStats.countWhere(spark, table, "v", 0L, 10000L).count == 320L)
+      val newFiles = FileStats.statsOf(spark, table).keySet -- filesBefore
+      val opened = FileStats.footerOpens.get() - before2
+      assert(opened > 0 && opened == newFiles.size,
+        s"only the ${newFiles.size} appended files' footers should open, got $opened")
+      // and the refreshed sidecar covers them for the NEXT fresh process
+      FileStats.forgetCached()
+      val before3 = FileStats.footerOpens.get()
+      assert(FileStats.countWhere(spark, table, "v", 0L, 10000L).count == 320L)
+      assert(FileStats.footerOpens.get() == before3)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("sidecar round-trips every stat shape: strings, dates, all-null, non-finite, bloom presence") {
+    val table = "graft_stats_roundtrip"
+    try {
+      Bucketed.save(
+        (0 until 40).map(i => (i.toLong,
+          java.sql.Date.valueOf(java.time.LocalDate.of(2000, 1, 1).plusDays(i)),
+          s"s$i", if (i < 20) i.toDouble else Double.PositiveInfinity))
+          .toDF("k", "d", "s", "x"),
+        table, Seq("k"), 2,
+        writeOptions = Map("parquet.bloom.filter.enabled#s" -> "true"))
+      Bucketed.save(
+        (100 until 120).map(i => (i.toLong,
+          null.asInstanceOf[java.sql.Date], s"t$i", i.toDouble))
+          .toDF("k", "d", "s", "x"),
+        table, Seq("k"), 2, mode = org.apache.spark.sql.SaveMode.Append)
+      val direct = FileStats.statsOf(spark, table)
+      FileStats.forgetCached()
+      val viaSidecar = FileStats.statsOf(spark, table)
+      assert(viaSidecar == direct,
+        "sidecar round-trip must reproduce the footer stats exactly")
+      assert(viaSidecar.values.exists(_.bloomCols("s")),
+        "bloom presence must survive the round trip")
+      // bloom-presence shortcut: equality split on a bloom-less column
+      // opens no footers (every file provably lacks a 'k'-bloom)
+      val before = FileStats.footerOpens.get()
+      FileStats.splitFilesEquals(spark, table, "k", 7L)
+      assert(FileStats.footerOpens.get() == before,
+        "equality split on a bloomless column must not open footers")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("metadata-first topK scans only boundary files and equals the full sort") {
+    val table = "graft_stats_topk"
+    try {
+      mk(table) // three appends: v = 3i over [0,300), d time-ordered
+      val r = FileStats.topK(spark, table, "v", k = 7, tieCols = Seq("k"))
+      import spark.implicits._
+      val got = r.rows.select("k", "v").as[(Long, Long)].collect().toSeq
+      val want = Bucketed.load(spark, table)
+        .orderBy(col("v").desc, col("k").asc)
+        .limit(7).select("k", "v").as[(Long, Long)].collect().toSeq
+      assert(got == want)
+      assert(r.scannedFiles < r.totalFiles,
+        s"older appends must not be read: $r")
+      // k larger than the table: full result, everything scanned
+      val rAll = FileStats.topK(spark, table, "v", k = 1000)
+      assert(rAll.rows.count() == 300)
+      // ties at the boundary must not stop the scan early: a column
+      // with ONE value everywhere forces the full sweep and still
+      // agrees with the plain sort
+      val tied = FileStats.topK(spark, table, "d", k = 5, tieCols = Seq("k"))
+      val wantTied = Bucketed.load(spark, table)
+        .orderBy(col("d").desc, col("k").asc).limit(5)
+        .select("k").as[Long].collect().toSeq
+      assert(tied.rows.select("k").as[Long].collect().toSeq == wantTied)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("an all-null file is provably prunable; a commit refreshes the stats") {
     val table = "graft_stats_null"
     try {
