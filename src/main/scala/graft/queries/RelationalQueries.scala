@@ -900,6 +900,36 @@ object RelationalQueries {
         lit(mx.get).cast("timestamp").as("max_d"))
     }),
 
+    // Metadata-first TOP-K (ORDER BY d DESC LIMIT k) over the same
+    // append-ordered table shape: files are visited in footer-max
+    // order and the scan stops once the running k-th value strictly
+    // beats every unvisited file's max — the older appends' files are
+    // never read (pruned_any pins it), and the oracle pins the result
+    // is exactly the global top-k with a deterministic tiebreaker
+    "q172_metadata_topk" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q172_topk_$tag"
+      Setup.once(s"q172:$dir") {
+        val li = t(s, dir, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber"))
+            .cast("long").as("id"),
+          col("l_shipdate").as("d"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("v"))
+        graft.sources.Bucketed.save(li.filter(col("d") < "1997-01-01"),
+          name, Seq("id"), 4)
+        graft.sources.Bucketed.save(
+          li.filter(col("d") >= "1997-01-01" && col("d") < "1998-01-01"),
+          name, Seq("id"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.save(li.filter(col("d") >= "1998-01-01"),
+          name, Seq("id"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+        ()
+      }
+      val r = graft.sources.FileStats.topK(s, name, "d", k = 12,
+        tieCols = Seq("id"))
+      r.rows.select(col("id"), col("d"), col("v"))
+        .withColumn("pruned_any", lit(r.scannedFiles < r.totalFiles))
+    }),
+
     // Incremental view maintenance: a materialized per-part rollup
     // FOLLOWS a governed source through an append and a keyed delete
     // via per-generation-pair deltas (inserts → exactly-once append
@@ -1652,6 +1682,18 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01 00:00:00'
         |                     AND TIMESTAMP '1998-06-30 00:00:00'""".stripMargin,
+
+    // the metadata-first top-k must be exactly the global ORDER BY
+    // LIMIT (deterministic under the id tiebreaker); pruned_any pins
+    // that the older appends' files were never read
+    "q172_metadata_topk" ->
+      """WITH li AS (SELECT
+        |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+        |    l_shipdate AS d,
+        |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v
+        |  FROM lineitem)
+        |SELECT id, d, v, true AS pruned_any
+        |FROM li ORDER BY d DESC, id ASC LIMIT 12""".stripMargin,
 
     // the view must be indistinguishable from a GROUP BY over the
     // source's final state for count/sum/avg; retracted groups (any

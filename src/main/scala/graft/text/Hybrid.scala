@@ -26,11 +26,16 @@ object Hybrid {
     * (e.g. [[Bm25.topK]]'s ≤k rows): the window partitions on the
     * injected constant query id, so the one task it funnels holds ≤k
     * rows BY CONSTRUCTION (the cut ran first) — not a corpus-sized
-    * partition-less window. */
+    * partition-less window. The constant rides an
+    * [[graft.expressions.Opaque]] barrier so Catalyst cannot fold the
+    * partition key away: the physical WindowExec KEEPS its partition
+    * spec, and the `No Partition Defined` warning channel stays a
+    * usable regression signal for real unpartitioned windows. */
   def rankCut(cut: DataFrame, queryId: Long,
               orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(orderCols: _*)
-    cut.withColumn("query_id", lit(queryId))
+    cut.withColumn("query_id",
+        graft.expressions.Opaque.col(lit(queryId)))
       .withColumn("rank", row_number().over(w))
   }
 

@@ -54,9 +54,17 @@ class HybridSpec extends SparkSuite {
   test("rankCut ranks an already-cut list after the cut, never the corpus") {
     val cut = Seq((5L, 900L), (3L, 950L), (9L, 900L))
       .toDF("doc_id", "score_e6")
-    val ranked = Hybrid.rankCut(cut, queryId = 42L,
-        Seq(col("score_e6").desc, col("doc_id").asc))
-      .select("query_id", "doc_id", "rank")
+    val df = Hybrid.rankCut(cut, queryId = 42L,
+      Seq(col("score_e6").desc, col("doc_id").asc))
+    // the Opaque barrier must keep the constant partition key in the
+    // PHYSICAL plan: a partition-less WindowExec here would re-open
+    // the warning channel that masks real unpartitioned-window bugs
+    val plan = df.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("windowspecdefinition(query_id"),
+        s"rankCut's window must keep its partition spec:\n$l")
+    }
+    val ranked = df.select("query_id", "doc_id", "rank")
       .as[(Long, Long, Int)].collect().toSet
     assert(ranked == Set((42L, 3L, 1), (42L, 5L, 2), (42L, 9L, 3)))
   }
