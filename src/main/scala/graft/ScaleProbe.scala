@@ -154,6 +154,15 @@ object ScaleProbe {
         graft.sources.Bucketed.compactBuckets(spark, idxTable,
           maxFilesPerBucket = 1).toLong
       }
+      time("maintain_decision", f) {
+        // the auto-maintenance DECISION scan on a just-compacted index:
+        // a metadata-only file-count profile + one partial-agg load
+        // profile — the recurring cost of asking "does this index need
+        // work?", which must track the index scan, never blow past it
+        val d0 = graft.sources.IndexMaintenance.maintainIfNeeded(
+          spark, idxTable, keyCol = "bkey")
+        d0.maxLoadE6
+      }
       time("incdedup_probe_postcompact", f) {
         // same shard as probe_1pct against the compacted index — the
         // probe contract must survive (and benefit from) compaction

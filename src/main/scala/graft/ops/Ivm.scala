@@ -97,6 +97,122 @@ object Ivm {
   def serve(spark: SparkSession, view: String): DataFrame =
     IncrementalAgg.serve(spark, view)
 
+  // ---- JOIN-view maintenance ------------------------------------------
+
+  private val JoinSyncMagic = "graft-jsync-v1"
+  private def syncName(side: Char) = s"_graft_jsync_$side"
+
+  private def joinBookmark(spark: SparkSession, view: String,
+                           side: Char): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(view)).location)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Bucketed.readMarker(fs, dir, syncName(side), JoinSyncMagic)
+      .flatMap(_.toLongOption)
+  }
+
+  private[ops] def writeJoinBookmark(spark: SparkSession, view: String,
+                                     side: Char, gen: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(view)).location)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Bucketed.writeMarker(fs, dir, syncName(side), JoinSyncMagic,
+      gen.toString)
+  }
+
+  /** Materialize the two-table equi-join `a ⋈_on b` over both sources'
+    * current heads and bookmark BOTH generations on the view (one
+    * durable marker per side). `aKey`/`bKey` are the sides' UNIQUE row
+    * keys — the view's rows are therefore uniquely keyed by
+    * (aKey, bKey), which is what lets each delta apply as an atomic
+    * [[Bucketed.applyChanges]] merge. Column names of the two sides
+    * must be disjoint apart from `on` (the standard equi-join shape).
+    * Both sources must retain generations back to their bookmarks
+    * ([[Bucketed.setRetention]]). Returns (genA, genB). */
+  def createJoin(spark: SparkSession, a: String, b: String, on: String,
+                 view: String, buckets: Int, aKey: String,
+                 bKey: String): (Long, Long) = {
+    val ga = Bucketed.currentGeneration(spark, a)
+    val gb = Bucketed.currentGeneration(spark, b)
+    Bucketed.save(
+      Bucketed.loadAsOf(spark, a, ga)
+        .join(Bucketed.loadAsOf(spark, b, gb), on),
+      view, Seq(aKey, bKey), buckets)
+    writeJoinBookmark(spark, view, 'a', ga)
+    writeJoinBookmark(spark, view, 'b', gb)
+    (ga, gb)
+  }
+
+  /** Bring the join view up to both sources' heads — the classic
+    * delta-join decomposition ΔV = ΔA⋈B_old ∪ A_new⋈ΔB applied one
+    * CONSECUTIVE generation pair at a time per side, each pair's delta
+    * joined against the OTHER side pinned at the generation the view
+    * has folded in (side-b bookmark for phase 1, side-a head reached
+    * in phase 1 for phase 2 — both manifest-pinned snapshots), and
+    * committed as one atomic [[Bucketed.applyChanges]] merge before
+    * the side's bookmark advances. The ΔA⋈ΔB term needs no separate
+    * pass: phase 2 joins ΔB against A AFTER phase 1 folded ΔA in.
+    *
+    * Crash-exactness without tags: re-applying a pair is idempotent
+    * (delete-then-insert on the view's (aKey, bKey) keys), pair spans
+    * are immutable, and the join partners are pinned by the OTHER
+    * side's bookmark — so a retry after a crash at ANY point (between
+    * applies, between an apply and its bookmark write, mid-phase-2)
+    * converges to exactly A_head ⋈ B_head: on retry phase 1 joins any
+    * remaining ΔA against the B generation the view actually holds,
+    * then phase 2 finishes ΔB against the caught-up A. An updated row
+    * arrives as delete+insert and lands group-wise; a row whose JOIN
+    * VALUE changes deletes its old partners' pairs and inserts the
+    * new ones. Sources must retain back to the bookmarks — behind the
+    * window fails loudly (recreate the view). Returns (headA, headB);
+    * no-op when caught up. */
+  def refreshJoin(spark: SparkSession, a: String, b: String, on: String,
+                  view: String): (Long, Long) = {
+    val viewCols = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(view))
+      .schema.fieldNames.toSeq
+    def advance(src: String, side: Char,
+                partnerOf: Unit => DataFrame): Long = {
+      val from = joinBookmark(spark, view, side).getOrElse(
+        throw new IllegalStateException(
+          s"$view has no side-$side bookmark — createJoin it first"))
+      val head = Bucketed.currentGeneration(spark, src)
+      if (head == from) return head
+      require(head > from,
+        s"$view's side-$side bookmark $from is ahead of $src's head " +
+          s"$head — the source was rebuilt; recreate the view")
+      val retained = Bucketed.generations(spark, src)
+      if (!retained.contains(from))
+        throw new IllegalStateException(
+          s"$src no longer retains generation $from — the view's " +
+            "side-$side bookmark fell behind the retention window; " +
+            "recreate it")
+      retained.dropWhile(_ < from).takeWhile(_ <= head)
+        .sliding(2).foreach {
+          case Seq(x, y) =>
+            val delta = Bucketed.diffGenerations(spark, src, x, y)
+            val dV = delta.join(partnerOf(()), on)
+              .select((viewCols :+ "change").map(col): _*)
+            Bucketed.applyChanges(spark, view, dV)
+            writeJoinBookmark(spark, view, side, y)
+          case _ => ()
+        }
+      head
+    }
+    // phase 1: fold ΔA against B AS THE VIEW HOLDS IT (side-b bookmark)
+    val gb0 = joinBookmark(spark, view, 'b').getOrElse(
+      throw new IllegalStateException(
+        s"$view has no side-b bookmark — createJoin it first"))
+    val ha = advance(a, 'a',
+      _ => Bucketed.loadAsOf(spark, b, gb0))
+    // phase 2: fold ΔB against the caught-up A head
+    val hb = advance(b, 'b',
+      _ => Bucketed.loadAsOf(spark, a, ha))
+    (ha, hb)
+  }
+
   /** Restore exact min/max for every group the deltas retracted: the
     * retracted groups are read from the view's own partials
     * (`retr > 0` — no side ledger), and their partials are recomputed

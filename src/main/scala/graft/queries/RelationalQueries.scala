@@ -930,6 +930,58 @@ object RelationalQueries {
         .withColumn("pruned_any", lit(r.scannedFiles < r.totalFiles))
     }),
 
+    // JOIN-view incremental maintenance: a materialized orders⋈customer
+    // equi-join follows BOTH governed sources through appends, value
+    // updates, and deletes via the delta-join decomposition
+    // ΔV = ΔA⋈B_old ∪ A_new⋈ΔB, each generation-pair delta applied as
+    // one atomic merge on the view's (order, customer) key before its
+    // side's bookmark advances — the view must equal the join
+    // recomputed from both sources' final states (the oracle)
+    "q173_join_ivm" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val a = s"graft_q173_a_$tag"
+      val b = s"graft_q173_b_$tag"
+      val view = s"graft_q173_view_$tag"
+      Setup.once(s"q173:$dir") {
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("cust"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("v"))
+        val c = t(s, dir, "customer").select(
+          col("c_custkey").cast("long").as("cust"),
+          col("c_nationkey").cast("long").as("nat"),
+          floor(col("c_acctbal") * 100.0).cast("long").as("acct"))
+        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 0),
+          a, Seq("k"), 8)
+        graft.sources.Bucketed.setRetention(s, a, 8)
+        graft.sources.Bucketed.save(c, b, Seq("cust"), 8)
+        graft.sources.Bucketed.setRetention(s, b, 8)
+        graft.ops.Ivm.createJoin(s, a, b, "cust", view, 8,
+          aKey = "k", bKey = "cust")
+        // side A: append the odd orders, then bump v for k % 9 == 0
+        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 1),
+          a, Seq("k"), 8, mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, a,
+          o.filter(col("k") % 9 === 0)
+            .select(col("k"), col("cust"), (col("v") + 11L).as("v")))
+        // side B: delete customers cust % 10 == 3 (their orders leave
+        // the view), update acct for cust % 10 == 4
+        graft.sources.Bucketed.mergeByKey(s, b,
+          c.filter(col("cust") % 10 === 3)
+            .select(col("cust"), col("nat"), col("acct"),
+              lit(true).as("del")),
+          deleteCol = Some("del"))
+        graft.sources.Bucketed.mergeByKey(s, b,
+          c.filter(col("cust") % 10 === 4)
+            .select(col("cust"), col("nat"), (col("acct") + 7L).as("acct")))
+        graft.ops.Ivm.refreshJoin(s, a, b, "cust", view)
+        ()
+      }
+      graft.sources.Bucketed.load(s, view)
+        .select("k", "cust", "v", "nat", "acct")
+        .orderBy("k")
+    }),
+
     // Incremental view maintenance: a materialized per-part rollup
     // FOLLOWS a governed source through an append and a keyed delete
     // via per-generation-pair deltas (inserts → exactly-once append
@@ -1682,6 +1734,25 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01 00:00:00'
         |                     AND TIMESTAMP '1998-06-30 00:00:00'""".stripMargin,
+
+    // the delta-maintained join view must equal the join recomputed
+    // from both sources' final states
+    "q173_join_ivm" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders),
+        |c AS (SELECT CAST(c_custkey AS BIGINT) AS cust,
+        |    CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(floor(c_acctbal * 100.0) AS BIGINT) AS acct
+        |  FROM customer)
+        |SELECT k, cust,
+        |       CASE WHEN k % 9 = 0 THEN v + 11 ELSE v END AS v,
+        |       nat,
+        |       CASE WHEN cust % 10 = 4 THEN acct + 7 ELSE acct END AS acct
+        |FROM o JOIN c USING (cust)
+        |WHERE cust % 10 <> 3
+        |ORDER BY k""".stripMargin,
 
     // the metadata-first top-k must be exactly the global ORDER BY
     // LIMIT (deterministic under the id tiebreaker); pruned_any pins

@@ -107,6 +107,62 @@ object IndexMaintenance {
     * 1-row scalar fold — no collect, no window; the e6 quantization
     * follows the house floor(x·1e6) doctrine so the profile is
     * oracle-replayable. */
+  /** What [[maintainIfNeeded]] did and what it saw: buckets compacted
+    * (0 = file counts were healthy), whether the refresh hook ran,
+    * whether skew crossed the threshold with NO hook to run (the
+    * operator's page-me signal), and the measured inputs. */
+  final case class MaintenanceDecision(compactedBuckets: Int,
+                                       refreshed: Boolean,
+                                       refreshNeeded: Boolean,
+                                       maxFilesPerBucket: Int,
+                                       maxLoadE6: Long)
+
+  /** The AUTO-MAINTENANCE policy over the two health signals an index
+    * that runs forever emits, with documented thresholds:
+    *
+    *  1. per-bucket FILE COUNT (metadata-only — bucket ids parse from
+    *     the manifest's file names, no scan): append-per-batch grows
+    *     O(batches) files per bucket; above `maxFilesPerBucket` the
+    *     postings compact ([[compactPostings]] — which also dedups
+    *     replay rows, so the skew measurement below is not inflated
+    *     by duplicates);
+    *  2. per-LIST load skew ([[listLoadProfile]] — one partial-agg
+    *     scan): load_e6 = 1,000,000 is a perfectly balanced list;
+    *     above `skewThresholdE6` (default 4×: the fattest list
+    *     carries 4× its fair share — probes over-read it and recall
+    *     sags) the index needs a codebook refresh, which is
+    *     FAMILY-SPECIFIC (reassign for the vector index, re-encode
+    *     from the companion for PQ) and therefore arrives as the
+    *     `refresh` callback. A balanced, compact index is a no-op.
+    *
+    * With no callback the skew verdict still lands in the decision
+    * (`refreshNeeded`) — detection must not be silently coupled to
+    * having wired the cure. Thresholds are per-call so a family can
+    * tighten them (PQ's double-count sensitivity → lower
+    * maxFilesPerBucket). */
+  def maintainIfNeeded(spark: SparkSession, table: String,
+                       keyCol: String = "centroid",
+                       maxFilesPerBucket: Int = 4,
+                       skewThresholdE6: Long = 4000000L,
+                       refresh: Option[() => Unit] = None): MaintenanceDecision = {
+    val (_, files) = Bucketed.currentDataFiles(spark, table)
+    val bucketIdOf: String => Option[Int] = name =>
+      """.*_(\d+)(?:\..*)?$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
+    val maxFiles = files.flatMap(f => bucketIdOf(f.getPath.getName))
+      .groupBy(identity).values.map(_.size).maxOption.getOrElse(0)
+    val compacted =
+      if (maxFiles > maxFilesPerBucket)
+        compactPostings(spark, table, maxFilesPerBucket)
+      else 0
+    val maxLoad = listLoadProfile(spark, table, keyCol)
+      .agg(coalesce(max("load_e6"), lit(0L))).head().getLong(0)
+    val skewed = maxLoad > skewThresholdE6
+    if (skewed) refresh.foreach(_.apply())
+    MaintenanceDecision(compacted, refreshed = skewed && refresh.isDefined,
+      refreshNeeded = skewed && refresh.isEmpty,
+      maxFilesPerBucket = maxFiles, maxLoadE6 = maxLoad)
+  }
+
   def listLoadProfile(spark: SparkSession, table: String,
                       keyCol: String = "centroid"): DataFrame = {
     val counts = Bucketed.load(spark, table)

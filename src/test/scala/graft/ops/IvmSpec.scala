@@ -122,4 +122,112 @@ class IvmSpec extends SparkSuite {
       spark.sql(s"DROP TABLE IF EXISTS ${view}_partials")
     }
   }
+
+  // ---- join-view maintenance -----------------------------------------
+
+  private def mkJoinSources(a: String, b: String): Unit = {
+    Bucketed.save((0 until 60).map(i => (i.toLong, i % 7L, i * 10L))
+      .toDF("id", "j", "v"), a, Seq("id"), 4)
+    Bucketed.setRetention(spark, a, 10)
+    Bucketed.save((0 until 7).map(c => (c.toLong, s"name$c"))
+      .toDF("j", "nm"), b, Seq("j"), 4)
+    Bucketed.setRetention(spark, b, 10)
+  }
+
+  private def joinTruth(a: String, b: String) =
+    Bucketed.load(spark, a).join(Bucketed.load(spark, b), "j")
+      .select("id", "j", "v", "nm")
+      .as[(Long, Long, Long, String)].collect().toSet
+
+  private def joinServed(view: String) =
+    Bucketed.load(spark, view).select("id", "j", "v", "nm")
+      .as[(Long, Long, Long, String)].collect().toSet
+
+  test("join view follows appends, updates, join-key moves, and deletes on BOTH sides") {
+    val a = "graft_jivm_a"; val b = "graft_jivm_b"
+    val view = "graft_jivm_view"
+    try {
+      mkJoinSources(a, b)
+      Ivm.createJoin(spark, a, b, "j", view, 4, aKey = "id", bKey = "j")
+      assert(joinServed(view) == joinTruth(a, b))
+      // side A: append + value update + JOIN-KEY move + delete
+      Bucketed.save((100 until 120).map(i => (i.toLong, i % 7L, i * 10L))
+        .toDF("id", "j", "v"), a, Seq("id"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Bucketed.mergeByKey(spark, a,
+        Seq((3L, 3L, 99999L)).toDF("id", "j", "v"))       // value update
+      Bucketed.mergeByKey(spark, a,
+        Seq((5L, 6L, 50L)).toDF("id", "j", "v"))          // key 5: j 5→6
+      Bucketed.mergeByKey(spark, a,
+        Seq((8L, 1L, 0L, true)).toDF("id", "j", "v", "del"),
+        deleteCol = Some("del"))                           // delete id 8
+      // side B: update one dim row, delete another
+      Bucketed.mergeByKey(spark, b,
+        Seq((2L, "renamed2")).toDF("j", "nm"))
+      Bucketed.mergeByKey(spark, b,
+        Seq((4L, "x", true)).toDF("j", "nm", "del"),
+        deleteCol = Some("del"))
+      Ivm.refreshJoin(spark, a, b, "j", view)
+      assert(joinServed(view) == joinTruth(a, b))
+      // replayed refresh: no-op
+      Ivm.refreshJoin(spark, a, b, "j", view)
+      assert(joinServed(view) == joinTruth(a, b))
+    } finally {
+      Seq(a, b, view).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("join view heals from a crash between an apply and its bookmark (stale-bookmark retry)") {
+    val a = "graft_jivm_ca"; val b = "graft_jivm_cb"
+    val view = "graft_jivm_cview"
+    try {
+      mkJoinSources(a, b)
+      Ivm.createJoin(spark, a, b, "j", view, 4, aKey = "id", bKey = "j")
+      val gb0 = Bucketed.currentGeneration(spark, b)
+      Bucketed.mergeByKey(spark, a,
+        Seq((7L, 0L, 777L)).toDF("id", "j", "v"))
+      Bucketed.mergeByKey(spark, b,
+        Seq((1L, "after1")).toDF("j", "nm"))
+      Ivm.refreshJoin(spark, a, b, "j", view)
+      assert(joinServed(view) == joinTruth(a, b))
+      // simulate "apply landed, bookmark write crashed": roll the side-b
+      // bookmark back one generation and refresh again — the re-applied
+      // pair must be idempotent (delete-then-insert on the view keys)
+      Ivm.writeJoinBookmark(spark, view, 'b', gb0)
+      Ivm.refreshJoin(spark, a, b, "j", view)
+      assert(joinServed(view) == joinTruth(a, b))
+      // and mid-stream source commits between retries still converge
+      Bucketed.mergeByKey(spark, a,
+        Seq((9L, 2L, 909L)).toDF("id", "j", "v"))
+      Ivm.writeJoinBookmark(spark, view, 'b', gb0)
+      Ivm.refreshJoin(spark, a, b, "j", view)
+      assert(joinServed(view) == joinTruth(a, b))
+    } finally {
+      Seq(a, b, view).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("join view: a bookmark behind a source's retention window fails loudly") {
+    val a = "graft_jivm_ga"; val b = "graft_jivm_gb"
+    val view = "graft_jivm_gview"
+    try {
+      Bucketed.save((0 until 20).map(i => (i.toLong, i % 3L, i.toLong))
+        .toDF("id", "j", "v"), a, Seq("id"), 4)
+      Bucketed.setRetention(spark, a, 2)
+      Bucketed.save((0 until 3).map(c => (c.toLong, s"n$c"))
+        .toDF("j", "nm"), b, Seq("j"), 4)
+      Bucketed.setRetention(spark, b, 10)
+      Ivm.createJoin(spark, a, b, "j", view, 4, aKey = "id", bKey = "j")
+      (1 to 3).foreach { i =>
+        Bucketed.mergeByKey(spark, a,
+          Seq((i.toLong, i % 3L, -1L)).toDF("id", "j", "v"))
+      }
+      val e = intercept[IllegalStateException] {
+        Ivm.refreshJoin(spark, a, b, "j", view)
+      }
+      assert(e.getMessage.contains("recreate"))
+    } finally {
+      Seq(a, b, view).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

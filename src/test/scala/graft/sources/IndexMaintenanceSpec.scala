@@ -35,6 +35,67 @@ class IndexMaintenanceSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("maintainIfNeeded: balanced+compact index is a no-op; oversized buckets compact; skew triggers the refresh hook") {
+    val table = "graft_idxmaint_policy_idx"
+    try {
+      // balanced: 4 lists × 25 postings, one file per bucket
+      Bucketed.save((0 until 100).map(i => (i % 4, i.toLong))
+        .toDF("centroid", "id").repartition(4, col("centroid")),
+        table, Seq("centroid"), 4)
+      var hookRuns = 0
+      val d0 = IndexMaintenance.maintainIfNeeded(spark, table,
+        refresh = Some(() => hookRuns += 1))
+      assert(d0.compactedBuckets == 0 && !d0.refreshed && !d0.refreshNeeded,
+        s"balanced index must be a no-op: $d0")
+      assert(hookRuns == 0)
+      assert(d0.maxLoadE6 == 1000000L, s"4 even lists: $d0")
+      // append-per-batch growth: six appends → file counts cross the
+      // threshold → the policy compacts (and only compacts)
+      (0 until 6).foreach { b =>
+        Bucketed.save(Seq((b % 4, 1000L + b)).toDF("centroid", "id"),
+          table, Seq("centroid"), 4,
+          mode = org.apache.spark.sql.SaveMode.Append)
+      }
+      val d1 = IndexMaintenance.maintainIfNeeded(spark, table,
+        refresh = Some(() => hookRuns += 1))
+      assert(d1.compactedBuckets > 0, s"oversized buckets must compact: $d1")
+      assert(!d1.refreshed && hookRuns == 0)
+      // DRIFT: pile postings into one list (the corpus moved away from
+      // the codebook) — the policy must invoke the family's refresh
+      // hook, and the hook's rebalance must be visible in the profile
+      Bucketed.save((0 until 300).map(i => (0, 5000L + i))
+        .toDF("centroid", "id"), table, Seq("centroid"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      val rebalance: () => Unit = () => {
+        hookRuns += 1
+        // family-specific cure, stubbed: re-key every posting evenly
+        // (a real family re-trains centroids / re-encodes codes)
+        Bucketed.rewriteAll(spark, table,
+          _.withColumn("centroid",
+            org.apache.spark.sql.functions.pmod(col("id"), lit(4))
+              .cast("int")))
+        ()
+      }
+      val d2 = IndexMaintenance.maintainIfNeeded(spark, table,
+        skewThresholdE6 = 2000000L, refresh = Some(rebalance))
+      assert(d2.refreshed && hookRuns == 1,
+        s"skew above threshold must trigger the hook: $d2")
+      assert(d2.maxLoadE6 > 2000000L)
+      val after = IndexMaintenance.maintainIfNeeded(spark, table,
+        skewThresholdE6 = 2000000L, refresh = Some(rebalance))
+      assert(!after.refreshed && hookRuns == 1 &&
+        after.maxLoadE6 <= 2000000L,
+        s"the refreshed index must measure balanced: $after")
+      // detection without a wired cure still lands in the decision
+      Bucketed.save((0 until 300).map(i => (1, 9000L + i))
+        .toDF("centroid", "id"), table, Seq("centroid"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      val d3 = IndexMaintenance.maintainIfNeeded(spark, table,
+        skewThresholdE6 = 2000000L)
+      assert(d3.refreshNeeded && !d3.refreshed, s"$d3")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("load profile plan: one partial-agg shuffle + broadcast fold, no window") {
     val table = "graft_idxmaint_plan_idx"
     try {
