@@ -149,7 +149,12 @@ object IncrementalPq {
 
   /** Append newly-ingested vectors (same bucket spec — the co-located
     * probe join stays valid). `residual` and `attrCols` MUST match the
-    * build's. */
+    * build's. On a pair-governed table (see [[commitPair]]) the
+    * pointer deliberately does NOT advance here: the appended codes
+    * may reference vectors the pointer's vn generation predates
+    * (codes ⊄ vn until the batch's own [[commitPair]]), and an
+    * append never deletes files, so the lagging pointer stays
+    * readable without help. */
   def appendToIndex(newVecs: DataFrame, table: String, buckets: Int,
                     coarse: Array[Array[Double]], books: Pq.Codebooks,
                     residual: Boolean = false,
@@ -158,6 +163,33 @@ object IncrementalPq {
       postings(newVecs, coarse, books, residual, attrCols),
       table, Seq("centroid"), buckets, mode = SaveMode.Append)
 
+  /** PAIR COMMIT — the two-table atomic flip for the IVF-PQ serving
+    * pair ([[graft.sources.Bucketed.writePairPointer]]): stamp the
+    * pointer on the CODE table with both tables' current heads, so
+    * every pointer-reading probe ([[probe]]/[[probeRerank]]) flips
+    * from the old (codes, vn) pair to the new one atomically —
+    * a crash between the vn commit, the code commit, and this stamp
+    * leaves readers on the complete OLD pair, never codes⊄vn and
+    * never new codes over old vectors. ONLY this op moves the
+    * pointer — a mid-batch advance from any single-table mutator
+    * would publish new codes against the pre-batch vn. Retention 3
+    * on both tables keeps the lagging pointer readable across the
+    * widest write batch (append + compaction per table between
+    * stamps); a pointer that falls behind the window fails LOUDLY at
+    * the read (re-stamp with commitPair), never silently serves a
+    * mixed pair. Steady state (pointer == heads) plans exactly as
+    * head reads — the pointer costs one marker read per probe. */
+  def commitPair(spark: SparkSession, codeTable: String,
+                 vnTable: String): (Long, Long) = {
+    graft.sources.Bucketed.setRetention(spark, codeTable, 3)
+    graft.sources.Bucketed.setRetention(spark, vnTable, 3)
+    val gc = graft.sources.Bucketed.currentGeneration(spark, codeTable)
+    val gv = graft.sources.Bucketed.currentGeneration(spark, vnTable)
+    graft.sources.Bucketed.writePairPointer(spark, codeTable, gc, gv)
+    (gc, gv)
+  }
+
+
   /** Remove vectors at O(touched buckets) — the
     * [[IncrementalAnn.deleteFromIndex]] doctrine: the deleted vectors
     * re-assign map-only, so the affected bucket ids are known without
@@ -165,13 +197,14 @@ object IncrementalPq {
     * ids out. Returns the number of buckets rewritten. */
   def deleteFromIndex(vecs: DataFrame, table: String, buckets: Int,
                       coarse: Array[Array[Double]],
-                      books: Pq.Codebooks): Int =
+                      books: Pq.Codebooks): Int = {
     // residual flag irrelevant here: only (centroid, id) are used, and
     // the coarse assignment is residual-independent
     graft.sources.IndexMaintenance.deletePostings(
       postings(vecs, coarse, books, residual = false)
         .select("centroid", "id"),
       table, buckets, bucketKeyCol = "centroid", idCol = "id")
+  }
 
   /** Periodic compaction — the code-postings table is a SET, same as
     * the full-vector index. */
@@ -220,8 +253,13 @@ object IncrementalPq {
       .select(col("id").cast("long"), col("vn").cast("array<double>"))
     val enc = encodePostings(vn, coarse, books, residual,
       normalize = false)
-    graft.sources.Bucketed.replaceAll(spark, codeTable,
+    val n = graft.sources.Bucketed.replaceAll(spark, codeTable,
       attachAttrs(enc, vnIdx, attrCols).dropDuplicates())
+    // a pair-governed refresh flips readers to (new codes, current vn)
+    graft.sources.Bucketed.readPairPointer(spark, codeTable).foreach { _ =>
+      commitPair(spark, codeTable, vnTable)
+    }
+    n
   }
 
   /** Continuous vector ingest into the IVF-PQ SERVING PAIR — the
@@ -236,16 +274,20 @@ object IncrementalPq {
     * wanting novelty gating run [[IncrementalAnn.streamNovel]] on the
     * vn side and append only its kept set here.
     *
-    * Order within a batch: the VN append runs FIRST, so across every
-    * crash window codes ⊆ vn — a shortlisted code id always finds its
-    * vector at re-rank (the reverse order could under-deliver the
-    * re-rank until replay). foreachBatch is at-least-once: a replayed
-    * batch lands duplicate postings, which DOUBLE-COUNT in the ADC
-    * sum (the class doc's duplicate contract) until the next
-    * compaction tick dedups them — the documented healing window,
-    * accepted for the same reason as everywhere else: no per-batch
-    * index scan. `attrCols` ride BOTH tables (codes for filtered
-    * probes, vn so [[refreshFromVnIndex]] can re-attach them). */
+    * Pair atomicity (round 12): with `vnTable` set, every batch ends
+    * with a [[commitPair]] stamp, so pointer-reading probes flip from
+    * the old (codes, vn) pair to the new one ATOMICALLY — a crash at
+    * any point inside the batch (after the vn append, after the code
+    * append, after a compaction tick) leaves readers on the complete
+    * old pair; the former vn-append-FIRST ordering contract survives
+    * only as defense in depth for pointer-less readers. foreachBatch
+    * is at-least-once: a replayed batch lands duplicate postings,
+    * which DOUBLE-COUNT in the ADC sum (the class doc's duplicate
+    * contract) until the next compaction tick dedups them — the
+    * documented healing window, accepted for the same reason as
+    * everywhere else: no per-batch index scan. `attrCols` ride BOTH
+    * tables (codes for filtered probes, vn so [[refreshFromVnIndex]]
+    * can re-attach them). */
   def streamAppend(stream: DataFrame, codeTable: String, buckets: Int,
                    coarse: Array[Array[Double]], books: Pq.Codebooks,
                    residual: Boolean = false,
@@ -266,6 +308,7 @@ object IncrementalPq {
           vnTable.foreach(t =>
             IncrementalAnn.compactIndex(spark, t, maxFilesPerBucket))
         }
+        vnTable.foreach(t => commitPair(spark, codeTable, t))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -321,12 +364,15 @@ object IncrementalPq {
     probeImpl(spark, queries, table, coarse, books, k, nProbe,
       residual, filter).result
 
-  /** [[probe]]'s result plus the normalized query batch and the probed
-    * centroid set it derived — shared with [[probeRerank]] so the
-    * vector fetch prunes to exactly the lists the code scan read and
-    * the query batch is normalized ONCE per serving call. */
+  /** [[probe]]'s result plus the normalized query batch, the probed
+    * centroid set it derived, and the PAIR's vn generation when the
+    * table is pair-governed — shared with [[probeRerank]] so the
+    * vector fetch prunes to exactly the lists the code scan read, the
+    * query batch is normalized ONCE per serving call, and the re-rank
+    * fetches vectors from the SAME atomic pair the codes came from. */
   private final case class Probed(result: DataFrame, probed: Seq[Int],
-                                  qRows: Array[(Long, Array[Double])])
+                                  qRows: Array[(Long, Array[Double])],
+                                  vnGen: Option[Long])
 
   private def probeImpl(spark: SparkSession, queries: DataFrame,
                         table: String, coarse: Array[Array[Double]],
@@ -364,10 +410,16 @@ object IncrementalPq {
       (qid, s, c, math.floor(dot * 1000000.0).toLong)
     }
     val probed = probePairs.map(_._2).distinct.sorted
+    // pair-governed tables resolve through the pointer: the code scan
+    // and the re-rank's vector fetch read ONE atomic (codes, vn) pair
+    // (steady state pointer == heads → the plan is the head read)
+    val pair = graft.sources.Bucketed.readPairPointer(spark, table)
     // attr predicate lands beside the probed-centroid isin — both push
     // into the pruned scan, so non-matching postings never enter the
     // ADC sum (exact pre-filtered top-k, the FilteredAnnSpec contract)
-    val idx0 = graft.sources.Bucketed.load(spark, table)
+    val idx0 = pair
+      .map { case (gc, _) => graft.sources.Bucketed.loadAt(spark, table, gc) }
+      .getOrElse(graft.sources.Bucketed.load(spark, table))
       .filter(col("centroid").isin(probed: _*))
     val idx = filter.fold(idx0)(idx0.filter)
     val cand = idx
@@ -389,7 +441,7 @@ object IncrementalPq {
       .orderBy(col("adc_e6").desc, col("neighbor_id").asc)
     Probed(
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k),
-      probed, qRows)
+      probed, qRows, pair.map(_._2))
   }
 
   /** The full IVF-PQ serving stack: ADC shortlist from the CODE index
@@ -427,7 +479,12 @@ object IncrementalPq {
     val pp = probeImpl(spark, queries, codeTable, coarse, books,
       k = math.max(k, rerankFactor * k), nProbe, residual, filter)
     val shortlist = pp.result.select("query_id", "neighbor_id")
-    val vnIdx = graft.sources.Bucketed.load(spark, vnTable)
+    // pair-governed: fetch vectors from the SAME atomic pair the code
+    // shortlist came from — a shortlisted id always finds its vector,
+    // whatever crash window the writer died in
+    val vnIdx = pp.vnGen
+      .map(g => graft.sources.Bucketed.loadAt(spark, vnTable, g))
+      .getOrElse(graft.sources.Bucketed.load(spark, vnTable))
       .filter(col("centroid").isin(pp.probed.toIndexedSeq: _*))
       .select(col("id").as("neighbor_id"), col("vn"))
     val scored = vnIdx

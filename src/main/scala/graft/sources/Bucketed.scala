@@ -1047,6 +1047,64 @@ object Bucketed {
   def loadSnapshot(spark: SparkSession, table: String): DataFrame =
     loadAsOf(spark, table, currentGeneration(spark, table))
 
+  /** Generation `gen` as a read, planning the BEST available shape:
+    * when `gen` is the current head (the steady-state case for
+    * pair-pointer readers) this is [[load]] — the bucket-spec-
+    * preserving snapshot frame, plans identical to every head read;
+    * otherwise [[loadAsOf]]'s explicit file list (a pointer lagging
+    * its table inside a crash window — correctness over plan shape,
+    * and only until the next pair commit). */
+  def loadAt(spark: SparkSession, table: String, gen: Long): DataFrame =
+    if (gen == currentGeneration(spark, table)) load(spark, table)
+    else loadAsOf(spark, table, gen)
+
+  // ---- two-table pair pointer -----------------------------------------
+
+  private val PairName = "_graft_pair"
+  private val PairMagic = "graft-pair-v1"
+
+  /** TWO-TABLE atomic commit: one marker (a single small PUT in the
+    * OWNER table's dir) names the generation PAIR readers should
+    * serve — `(owner's generation, companion's generation)`. The two
+    * tables keep committing their own atomic generations; the pointer
+    * is what makes the PAIR flip atomically: a reader that resolves
+    * both tables through it can never observe one table's new
+    * generation with the other's old one, whatever crash interleaving
+    * the writer died in — the window the IVF-PQ codes⊆vn ordering
+    * contract and the BM25 stats generation-binding heal used to
+    * compensate for. Writers commit table A, commit table B, then
+    * write the pointer LAST; retention ≥ the write protocol's commit
+    * count per batch keeps a lagging pointer readable
+    * ([[setRetention]]; appends never delete files, so only
+    * rewrite-based maintenance needs the window). A torn pointer
+    * write parses as absent — callers fall back to head reads. */
+  private[graft] def writePairPointer(spark: SparkSession, owner: String,
+                                      ownerGen: Long,
+                                      companionGen: Long): Unit = {
+    val dir = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(owner)).location)
+    val fs = fileSystemOf(spark, dir)
+    withManifestLock(dir.toString) {
+      writeMarker(fs, dir, PairName, PairMagic, s"$ownerGen $companionGen")
+    }
+  }
+
+  /** The owner's pair pointer: (owner generation, companion
+    * generation), absent when never written or torn. */
+  private[graft] def readPairPointer(spark: SparkSession,
+                                     owner: String): Option[(Long, Long)] = {
+    val dir = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(owner)).location)
+    val fs = fileSystemOf(spark, dir)
+    readMarker(fs, dir, PairName, PairMagic).flatMap { v =>
+      v.split(" ").toSeq match {
+        case Seq(a, b) =>
+          for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
+        case _ => None
+      }
+    }
+  }
+
   /** CHANGE-DATA read: the row-level delta between two retained
     * generations, computed from ONLY the files the two manifests
     * disagree on — rows in files both generations share are provably

@@ -46,15 +46,16 @@ import org.apache.spark.sql.functions._
   *     append/delete through [[graft.sources.Bucketed.replaceAll]]'s
   *     atomic one-manifest swap — a probe must not pay an O(corpus)
   *     aggregation for two scalars. Each table's commit is atomic,
-  *     but the PAIR is not — so the stats row is SELF-VALIDATING:
-  *     `pgen` records the postings generation the row was computed
-  *     against ([[graft.sources.Bucketed.currentGeneration]]), and
-  *     [[probe]] compares it to the LIVE postings generation before
-  *     trusting N/avgdl. A crash between the two commits (the one
-  *     window the two-table family has) therefore cannot silently
-  *     serve drifted idf: the mismatch is detected and [[repairStats]]
-  *     auto-heals — one index scan recomputes the row — before any
-  *     score is produced.
+  *     and since round 12 the PAIR is too: every mutator ends with a
+  *     [[stampPair]] pointer write
+  *     ([[graft.sources.Bucketed.writePairPointer]]), and [[probe]]
+  *     resolves BOTH tables through the pointer — a crash between
+  *     the two commits leaves readers on the complete old pair,
+  *     never postings≠stats. The stats row also stays
+  *     SELF-VALIDATING (`pgen` records the postings generation it
+  *     was computed against, [[probe]] falls back to the
+  *     [[repairStats]] heal on mismatch) for pointer-less legacy
+  *     indexes.
   *
   * Determinism: the probe reuses [[Bm25]]'s exact quantized formulas
   * (ONE copy of the idf/weight arithmetic), so against the same corpus
@@ -127,6 +128,24 @@ object IncrementalBm25 {
   private def postingsGen(spark: SparkSession, name: String): Long =
     graft.sources.Bucketed.currentGeneration(spark, postingsTable(name))
 
+  /** PAIR COMMIT for the (postings, stats) pair
+    * ([[graft.sources.Bucketed.writePairPointer]], round 12): every
+    * mutator ends by stamping the pointer with the postings
+    * generation it produced and the stats generation it wrote, so a
+    * pointer-reading [[probe]] always serves ONE consistent pair —
+    * the crash window between the two tables' commits no longer
+    * surfaces as drifted idf to be detected and healed; readers stay
+    * on the complete old pair until the stamp. The generation-binding
+    * heal ([[repairStats]] on pgen mismatch) survives as the fallback
+    * for pointer-less legacy indexes and for semantic duplicates
+    * (replayed appends re-add their stats delta — a pointer cannot
+    * know that; compaction + repair still heal it). */
+  private def stampPair(spark: SparkSession, name: String,
+                        pgen: Long): Unit =
+    graft.sources.Bucketed.writePairPointer(spark, postingsTable(name),
+      pgen,
+      graft.sources.Bucketed.currentGeneration(spark, statsTable(name)))
+
   /** Per-index monitors serializing the stats read-modify-write: two
     * concurrent mutations would otherwise lose one delta (the stats
     * row is the only cross-mutation accumulator in the family).
@@ -176,6 +195,7 @@ object IncrementalBm25 {
       .as[(Long, Long)].head()
     withStatsLock(name) {
       writeStats(spark, name, n, tot, gen, fresh = false)
+      stampPair(spark, name, gen)
     }
     (n, tot)
   }
@@ -194,8 +214,13 @@ object IncrementalBm25 {
       postingsTable(name), Seq("tok"), buckets)
     val (n, tot) = batchStats(dl)
     withStatsLock(name) {
-      writeStats(spark, name, n, tot, postingsGen(spark, name),
-        fresh = true)
+      val gen = postingsGen(spark, name)
+      writeStats(spark, name, n, tot, gen, fresh = true)
+      // pair governance from birth: retention 3 keeps a lagging
+      // pointer readable across any single mutation's two commits
+      graft.sources.Bucketed.setRetention(spark, postingsTable(name), 3)
+      graft.sources.Bucketed.setRetention(spark, statsTable(name), 3)
+      stampPair(spark, name, gen)
     }
   }
 
@@ -216,8 +241,9 @@ object IncrementalBm25 {
     val (dn, dtot) = batchStats(dl)
     withStatsLock(name) {
       val (n, tot, _) = statsOf(spark, name)
-      writeStats(spark, name, n + dn, tot + dtot,
-        postingsGen(spark, name), fresh = false)
+      val gen = postingsGen(spark, name)
+      writeStats(spark, name, n + dn, tot + dtot, gen, fresh = false)
+      stampPair(spark, name, gen)
     }
   }
 
@@ -271,8 +297,10 @@ object IncrementalBm25 {
       idCol = "id")
     withStatsLock(name) {
       val (n, tot, _) = statsOf(spark, name)
+      val gen = postingsGen(spark, name)
       writeStats(spark, name, math.max(0L, n - dn), math.max(0L, tot - dtot),
-        postingsGen(spark, name), fresh = false)
+        gen, fresh = false)
+      stampPair(spark, name, gen)
     }
     nRewritten
   }
@@ -289,8 +317,9 @@ object IncrementalBm25 {
       postingsTable(name), maxFilesPerBucket)
     if (n > 0) withStatsLock(name) {
       val (nd, tot, _) = statsOf(spark, name)
-      writeStats(spark, name, nd, tot, postingsGen(spark, name),
-        fresh = false)
+      val gen = postingsGen(spark, name)
+      writeStats(spark, name, nd, tot, gen, fresh = false)
+      stampPair(spark, name, gen)
     }
     n
   }
@@ -366,10 +395,26 @@ object IncrementalBm25 {
       .dropDuplicates("query_id", "tok")
       .localCheckpoint(eager = false) // term collect + per-query fan-out
     val terms = qt.select("tok").distinct().as[String].collect().sorted
-    val (nDocs, totTok) = trustedStats(spark, name)
+    // pair-governed (the build stamps a pointer): postings and stats
+    // resolve through ONE atomic pair — a crash between the two
+    // tables' commits leaves this probe on the complete old pair,
+    // scores exact for that corpus, no drift to detect. Pointer-less
+    // legacy indexes keep the generation-binding heal.
+    val pair = graft.sources.Bucketed.readPairPointer(
+      spark, postingsTable(name))
+    val (nDocs, totTok) = pair match {
+      case Some((_, gs)) =>
+        val r = graft.sources.Bucketed.loadAt(spark, statsTable(name), gs)
+          .select("n_docs", "tot_tok").head()
+        (r.getLong(0), r.getLong(1))
+      case None => trustedStats(spark, name)
+    }
     require(nDocs > 0, "BM25 probe against an empty index")
     val avgdl = totTok.toDouble / nDocs.toDouble
-    val pruned = graft.sources.Bucketed.load(spark, postingsTable(name))
+    val pruned = pair
+      .map { case (gp, _) =>
+        graft.sources.Bucketed.loadAt(spark, postingsTable(name), gp) }
+      .getOrElse(graft.sources.Bucketed.load(spark, postingsTable(name)))
       .filter(col("tok").isin(terms.toIndexedSeq: _*))
     val tf = filter.fold(pruned)(pruned.filter)
       .select("tok", "id", "tf", "dl")

@@ -300,13 +300,18 @@ class IncrementalPqSpec extends SparkSuite {
       // tables (a redelivered batch), then the tick's compaction —
       // dedup restores the posting SET on each, so the served scores
       // return to the clean pair's (the ADC double-count window ends)
+      // each redelivered batch ends with the pair stamp, exactly like
+      // the real foreachBatch body — the pointer never lags more than
+      // one batch's commits (the commitPair retention contract)
       def replay(lo: Int, hi: Int): Unit = {
         IncrementalAnn.appendToIndex(vecs(lo, hi), tVn, 4, coarse)
         IncrementalPq.appendToIndex(vecs(lo, hi), tCodes, 4, coarse, books)
+        IncrementalPq.commitPair(spark, tCodes, tVn)
       }
       replay(100, 110); replay(100, 110)
       IncrementalPq.compactIndex(spark, tCodes, maxFilesPerBucket = 1)
       IncrementalAnn.compactIndex(spark, tVn, maxFilesPerBucket = 1)
+      IncrementalPq.commitPair(spark, tCodes, tVn)
       IncrementalPq.buildIndex(vecs(0, 110), fCodes, 4, coarse, books)
       IncrementalAnn.buildIndex(vecs(0, 110), fVn, 4, coarse)
       assert(rerankOf(tCodes, tVn) == rerankOf(fCodes, fVn),
@@ -336,6 +341,57 @@ class IncrementalPqSpec extends SparkSuite {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tPq")
       spark.sql(s"DROP TABLE IF EXISTS $tVn")
+    }
+  }
+
+  test("pair pointer: a reader never observes codes outside the committed pair at any kill point") {
+    val codeT = "graft_incpq_pair_codes"
+    val vnT = "graft_incpq_pair_vn"
+    try {
+      val corpus = vecs(0, 120)
+      IncrementalAnn.buildIndex(corpus, vnT, 4, coarse)
+      IncrementalPq.buildIndex(corpus, codeT, 4, coarse, books)
+      IncrementalPq.commitPair(spark, codeT, vnT)
+      val q = vecs(500, 505)
+      def rerank(): Set[(Long, Long, Long, Int)] =
+        IncrementalPq.probeRerank(spark, q, codeT, vnT, coarse, books,
+            k = 5, nProbe = coarse.length, rerankFactor = 4)
+          .select("query_id", "neighbor_id", "cos_e6", "rank")
+          .as[(Long, Long, Long, Int)].collect().toSet
+      val baseline = rerank()
+      assert(baseline.nonEmpty)
+      // KILL POINT 1 — vn appended, codes and pointer did not: the
+      // reader stays on the complete old pair (new vectors invisible)
+      val batch = vecs(2000, 2040)
+      IncrementalAnn.appendToIndex(batch, vnT, 4, coarse)
+      assert(rerank() == baseline,
+        "vn-only append must not surface before the pair commit")
+      // KILL POINT 2 — vn AND codes appended, pointer did not: the old
+      // pair still serves (previously the new codes would shortlist)
+      IncrementalPq.appendToIndex(batch, codeT, 4, coarse, books)
+      assert(rerank() == baseline,
+        "codes past the pointer must stay invisible — the pointer IS the commit")
+      // and every shortlisted id finds its vector: the shortlist and
+      // the re-rank read ONE pair, so the rerank output is full-k
+      assert(rerank().groupBy(_._1).forall(_._2.size == 5))
+      // the pair commit flips readers atomically to the new pair
+      IncrementalPq.commitPair(spark, codeT, vnT)
+      val after = rerank()
+      assert(after != baseline,
+        "the batch's vectors must rank after the pair commit")
+      assert(after.groupBy(_._1).forall(_._2.size == 5))
+      // replayed batch (at-least-once): duplicates land, compaction
+      // ticks + a fresh pair commit keep the pair consistent
+      IncrementalAnn.appendToIndex(batch, vnT, 4, coarse)
+      IncrementalPq.appendToIndex(batch, codeT, 4, coarse, books)
+      IncrementalPq.compactIndex(spark, codeT, maxFilesPerBucket = 1)
+      IncrementalAnn.compactIndex(spark, vnT, maxFilesPerBucket = 1)
+      IncrementalPq.commitPair(spark, codeT, vnT)
+      assert(rerank() == after,
+        "replay + compaction + commit must converge to the same pair")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $codeT")
+      spark.sql(s"DROP TABLE IF EXISTS $vnT")
     }
   }
 }

@@ -90,31 +90,88 @@ class IncrementalBm25Spec extends SparkSuite {
     } finally drop()
   }
 
-  test("a lost stats commit is detected by the generation binding and auto-healed by the probe") {
+  test("pair pointer: a crash at ANY kill point between the two tables' commits serves one consistent pair") {
     try {
       IncrementalBm25.buildIndex(docs(0, 40), name, buckets)
-      // capture the pre-append stats row, run a full append, then
-      // RESTORE the old row — byte-for-byte the state a crash between
-      // the postings commit and the stats commit leaves behind (the
-      // postings advanced a generation; the stats row still carries
-      // the pre-append values AND the pre-append generation binding)
+      val baseline = probeSet()
+      assert(baseline == batchSet(docs(0, 40)))
+      val postingsTable = s"${name}_postings"
       val statsTable = s"${name}_stats"
+      val pointer0 = graft.sources.Bucketed
+        .readPairPointer(spark, postingsTable)
+      assert(pointer0.isDefined, "buildIndex must stamp the pair pointer")
+      // KILL POINT 1 — postings committed, stats and pointer did not:
+      // run a full append, then restore BOTH the old stats row and the
+      // old pointer (byte-for-byte the state a crash right after the
+      // postings commit leaves: postings head advanced; stats and
+      // pointer still old)
       val oldRow = graft.sources.Bucketed.load(spark, statsTable)
         .select("k", "n_docs", "tot_tok", "pgen")
         .as[(Int, Long, Long, Long)].head()
       IncrementalBm25.appendToIndex(docs(40, 55), name, buckets)
+      val committed = probeSet() // the completed-append truth
+      assert(committed == batchSet(docs(0, 55)))
       graft.sources.Bucketed.replaceAll(spark, statsTable,
         Seq(oldRow).toDF("k", "n_docs", "tot_tok", "pgen"))
-      // without the binding this probe would silently score with the
-      // stale N/avgdl; with it the mismatch is detected, repairStats
-      // runs, and the scores equal the clean-pair baseline
+      graft.sources.Bucketed.writePairPointer(spark, postingsTable,
+        pointer0.get._1, pointer0.get._2)
+      // the reader must serve the complete OLD pair — the pre-append
+      // scores, exactly — never new postings with old stats
+      assert(probeSet() == baseline,
+        "a lagging pointer must serve the complete old pair")
+      // recover (the retried mutation's heal): repairStats recomputes
+      // the row from the live postings and re-stamps the pair
+      IncrementalBm25.repairStats(spark, name)
+      assert(probeSet() == committed,
+        "after the stamp the new pair serves exactly")
+      val pointer1 = graft.sources.Bucketed
+        .readPairPointer(spark, postingsTable).get
+      // KILL POINT 2 — the NEXT mutation's postings and stats both
+      // committed but its pointer stamp did not: run a full delete,
+      // then roll the pointer back ONE stamp
+      IncrementalBm25.deleteFromIndex(docs(0, 5), name, buckets)
+      val afterDelete = probeSet()
+      assert(afterDelete ==
+        batchSet(docs(0, 55).filter(col("doc_id") >= 5)))
+      graft.sources.Bucketed.writePairPointer(spark, postingsTable,
+        pointer1._1, pointer1._2)
+      assert(probeSet() == committed,
+        "the pointer, not the tables' heads, decides what readers see")
+      // the RETRIED mutation is a verified no-op on the accumulator
+      // and re-stamps the pair — readers flip to the deleted state
+      IncrementalBm25.deleteFromIndex(docs(0, 5), name, buckets)
+      assert(probeSet() == afterDelete,
+        "the retried mutation's stamp publishes the new pair")
+    } finally drop()
+  }
+
+  test("a legacy (pointer-less) index keeps the generation-binding heal") {
+    try {
+      IncrementalBm25.buildIndex(docs(0, 40), name, buckets)
+      val postingsTable = s"${name}_postings"
+      val statsTable = s"${name}_stats"
+      // make the index pointer-less (legacy layout)
+      val dir = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(postingsTable))
+          .location)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_pair"), false)
+      // stale stats row over advanced postings: the binding detects,
+      // repairStats heals, the probe scores the clean pair
+      val oldRow = graft.sources.Bucketed.load(spark, statsTable)
+        .select("k", "n_docs", "tot_tok", "pgen")
+        .as[(Int, Long, Long, Long)].head()
+      IncrementalBm25.appendToIndex(docs(40, 55), name, buckets)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_pair"), false)
+      graft.sources.Bucketed.replaceAll(spark, statsTable,
+        Seq(oldRow).toDF("k", "n_docs", "tot_tok", "pgen"))
       assert(probeSet() == batchSet(docs(0, 55)),
-        "probe must detect the stale stats row and heal before scoring")
-      // the healed row is re-bound to the live postings generation
+        "the pointer-less fallback must detect the stale row and heal")
       val pgen = graft.sources.Bucketed.load(spark, statsTable)
         .select("pgen").as[Long].head()
       assert(pgen == graft.sources.Bucketed.currentGeneration(
-        spark, s"${name}_postings"))
+        spark, postingsTable))
     } finally drop()
   }
 
