@@ -16,6 +16,62 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
+  /** Shared q173/q174 lifecycle: two governed sources (orders,
+    * customer), a delta-maintained JOIN view between them, and a
+    * per-nation ROLLUP view created at the join view's FIRST
+    * generation (so q174's refresh walks every join delta). Returns
+    * (a, b, joinView, rollup) table names; the mutations run once per
+    * dir. */
+  private def q173Tables(s: SparkSession,
+                         dir: String): (String, String, String, String) = {
+    val tag = Setup.dirTag(dir)
+    val a = s"graft_q173_a_$tag"
+    val b = s"graft_q173_b_$tag"
+    val view = s"graft_q173_view_$tag"
+    val rollup = s"graft_q174_rollup_$tag"
+    Setup.once(s"q173:$dir") {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        floor(col("o_totalprice") * 100.0).cast("long").as("v"))
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("cust"),
+        col("c_nationkey").cast("long").as("nat"),
+        floor(col("c_acctbal") * 100.0).cast("long").as("acct"))
+      graft.sources.Bucketed.save(o.filter(col("k") % 2 === 0),
+        a, Seq("k"), 8)
+      graft.sources.Bucketed.setRetention(s, a, 8)
+      graft.sources.Bucketed.save(c, b, Seq("cust"), 8)
+      graft.sources.Bucketed.setRetention(s, b, 8)
+      graft.ops.Ivm.createJoin(s, a, b, "cust", view, 8,
+        aKey = "k", bKey = "cust")
+      // the join view is a governed source in its own right: retain
+      // its delta history so the rollup view can follow it
+      graft.sources.Bucketed.setRetention(s, view, 10)
+      graft.ops.Ivm.create(s, view, rollup, 8, "nat", "v")
+      // side A: append the odd orders, then bump v for k % 9 == 0
+      graft.sources.Bucketed.save(o.filter(col("k") % 2 === 1),
+        a, Seq("k"), 8, mode = org.apache.spark.sql.SaveMode.Append)
+      graft.sources.Bucketed.mergeByKey(s, a,
+        o.filter(col("k") % 9 === 0)
+          .select(col("k"), col("cust"), (col("v") + 11L).as("v")))
+      // side B: delete customers cust % 10 == 3 (their orders leave
+      // the view), update acct for cust % 10 == 4 (v-neutral churn —
+      // the rollup must absorb the retract+insert without drift)
+      graft.sources.Bucketed.mergeByKey(s, b,
+        c.filter(col("cust") % 10 === 3)
+          .select(col("cust"), col("nat"), col("acct"),
+            lit(true).as("del")),
+        deleteCol = Some("del"))
+      graft.sources.Bucketed.mergeByKey(s, b,
+        c.filter(col("cust") % 10 === 4)
+          .select(col("cust"), col("nat"), (col("acct") + 7L).as("acct")))
+      graft.ops.Ivm.refreshJoin(s, a, b, "cust", view)
+      ()
+    }
+    (a, b, view, rollup)
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") Tables.events(s, dir) else Tables.table(s, dir, name)
 
@@ -938,48 +994,26 @@ object RelationalQueries {
     // side's bookmark advances — the view must equal the join
     // recomputed from both sources' final states (the oracle)
     "q173_join_ivm" -> ((s, dir) => {
-      val tag = Setup.dirTag(dir)
-      val a = s"graft_q173_a_$tag"
-      val b = s"graft_q173_b_$tag"
-      val view = s"graft_q173_view_$tag"
-      Setup.once(s"q173:$dir") {
-        val o = t(s, dir, "orders").select(
-          col("o_orderkey").cast("long").as("k"),
-          col("o_custkey").cast("long").as("cust"),
-          floor(col("o_totalprice") * 100.0).cast("long").as("v"))
-        val c = t(s, dir, "customer").select(
-          col("c_custkey").cast("long").as("cust"),
-          col("c_nationkey").cast("long").as("nat"),
-          floor(col("c_acctbal") * 100.0).cast("long").as("acct"))
-        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 0),
-          a, Seq("k"), 8)
-        graft.sources.Bucketed.setRetention(s, a, 8)
-        graft.sources.Bucketed.save(c, b, Seq("cust"), 8)
-        graft.sources.Bucketed.setRetention(s, b, 8)
-        graft.ops.Ivm.createJoin(s, a, b, "cust", view, 8,
-          aKey = "k", bKey = "cust")
-        // side A: append the odd orders, then bump v for k % 9 == 0
-        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 1),
-          a, Seq("k"), 8, mode = org.apache.spark.sql.SaveMode.Append)
-        graft.sources.Bucketed.mergeByKey(s, a,
-          o.filter(col("k") % 9 === 0)
-            .select(col("k"), col("cust"), (col("v") + 11L).as("v")))
-        // side B: delete customers cust % 10 == 3 (their orders leave
-        // the view), update acct for cust % 10 == 4
-        graft.sources.Bucketed.mergeByKey(s, b,
-          c.filter(col("cust") % 10 === 3)
-            .select(col("cust"), col("nat"), col("acct"),
-              lit(true).as("del")),
-          deleteCol = Some("del"))
-        graft.sources.Bucketed.mergeByKey(s, b,
-          c.filter(col("cust") % 10 === 4)
-            .select(col("cust"), col("nat"), (col("acct") + 7L).as("acct")))
-        graft.ops.Ivm.refreshJoin(s, a, b, "cust", view)
-        ()
-      }
+      val (_, _, view, _) = q173Tables(s, dir)
       graft.sources.Bucketed.load(s, view)
         .select("k", "cust", "v", "nat", "acct")
         .orderBy("k")
+    }),
+
+    // COMPOSED two-level IVM: a materialized per-nation rollup FOLLOWS
+    // the q173 JOIN VIEW (itself delta-maintained from two governed
+    // sources). The join view is a governed table like any other —
+    // the rollup was created at the view's FIRST generation (inside
+    // the shared setup, before the join deltas), so this refresh
+    // genuinely walks every join delta as exactly-once append/retract
+    // partials; repair then restores exact min/max for the groups the
+    // deltas retracted. The whole two-level pipeline must equal a
+    // plain GROUP BY over the recomputed join (the oracle)
+    "q174_composed_ivm" -> ((s, dir) => {
+      val (_, _, view, rollup) = q173Tables(s, dir)
+      graft.ops.Ivm.refresh(s, view, rollup, 8, "nat", "v")
+      graft.ops.Ivm.repair(s, view, rollup, 8, "nat", "v")
+      graft.ops.Ivm.serve(s, rollup).orderBy("g")
     }),
 
     // Incremental view maintenance: a materialized per-part rollup
@@ -1753,6 +1787,27 @@ object RelationalQueries {
         |FROM o JOIN c USING (cust)
         |WHERE cust % 10 <> 3
         |ORDER BY k""".stripMargin,
+
+    // the two-level pipeline (join view -> rollup view, both
+    // delta-maintained, rollup repaired) must equal the plain GROUP BY
+    // over the recomputed join
+    "q174_composed_ivm" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders),
+        |c AS (SELECT CAST(c_custkey AS BIGINT) AS cust,
+        |    CAST(c_nationkey AS BIGINT) AS nat
+        |  FROM customer),
+        |fin AS (SELECT CASE WHEN k % 9 = 0 THEN v + 11 ELSE v END AS v,
+        |               nat
+        |  FROM o JOIN c USING (cust) WHERE cust % 10 <> 3)
+        |SELECT nat AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(v) AS BIGINT) AS sum_q,
+        |       MIN(v) AS min_q, MAX(v) AS max_q,
+        |       CAST(floor(CAST(SUM(v) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6
+        |FROM fin GROUP BY g ORDER BY g""".stripMargin,
 
     // the metadata-first top-k must be exactly the global ORDER BY
     // LIMIT (deterministic under the id tiebreaker); pruned_any pins
