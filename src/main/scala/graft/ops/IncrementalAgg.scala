@@ -280,14 +280,18 @@ object IncrementalAgg {
     // 'file:/tmp/ckpt', and a relative spelling of the same directory
     // must all canonicalize to one owner string, or a legitimate
     // resume of the owning checkpoint fails the ownership check
-    val canon = {
-      val p = new org.apache.hadoop.fs.Path(ckpt)
+    def qualify(path: String): String = {
+      val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .makeQualified(p).toString
     }
+    val canon = qualify(ckpt)
     graft.sources.Bucketed.readMarker(fs, loc, "_graft_stream_owner",
         "graft-stream-owner-v1") match {
-      case Some(owner) => require(owner == canon,
+      // qualify the STORED owner too: a marker written before
+      // qualification (the unqualified '/tmp/ckpt' spelling) must
+      // still match its own checkpoint after an upgrade
+      case Some(owner) => require(qualify(owner) == canon,
         s"$table's stream ingest is owned by checkpoint $owner; a " +
           s"different checkpoint ($canon) would restart batch ids and " +
           "collide with committed idempotency tags — resume the owning " +

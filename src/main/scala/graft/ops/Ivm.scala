@@ -187,7 +187,7 @@ object Ivm {
       if (!retained.contains(from))
         throw new IllegalStateException(
           s"$src no longer retains generation $from — the view's " +
-            "side-$side bookmark fell behind the retention window; " +
+            s"side-$side bookmark fell behind the retention window; " +
             "recreate it")
       retained.dropWhile(_ < from).takeWhile(_ <= head)
         .sliding(2).foreach {

@@ -181,8 +181,13 @@ object IncrementalPq {
     * head reads — the pointer costs one marker read per probe. */
   def commitPair(spark: SparkSession, codeTable: String,
                  vnTable: String): (Long, Long) = {
-    graft.sources.Bucketed.setRetention(spark, codeTable, 3)
-    graft.sources.Bucketed.setRetention(spark, vnTable, 3)
+    // retention rises with the FIRST stamp only — re-writing the same
+    // marker on every streaming batch would be two wasted PUTs per
+    // batch forever
+    if (graft.sources.Bucketed.readPairPointer(spark, codeTable).isEmpty) {
+      graft.sources.Bucketed.setRetention(spark, codeTable, 3)
+      graft.sources.Bucketed.setRetention(spark, vnTable, 3)
+    }
     val gc = graft.sources.Bucketed.currentGeneration(spark, codeTable)
     val gv = graft.sources.Bucketed.currentGeneration(spark, vnTable)
     graft.sources.Bucketed.writePairPointer(spark, codeTable, gc, gv)

@@ -227,10 +227,21 @@ object Bucketed {
     val loc = new Path(meta.location)
     verifyOnce(spark, table, loc)
     val gen = verifiedGenerations.getOrDefault(loc.toString, -1L)
-    // pre-manifest table, or an append in flight (its files are
-    // legitimately unlisted until its commit): serve the dir scan
-    if (gen < 0L) spark.table(table)
-    else snapshotFrame(spark, table, meta, loc, gen)
+    if (gen >= 0L) snapshotFrame(spark, table, meta, loc, gen)
+    else {
+      // no verified head — an append is in flight (its files are
+      // legitimately unlisted until its commit) or the table was never
+      // verified this round. Still resolve through the MANIFEST when
+      // one exists: on a retention>1 table the dir holds superseded
+      // in-place-retained generations, and a dir scan would read them
+      // as live rows. Only a truly pre-manifest table gets the dir
+      // scan.
+      val fs = fileSystemOf(spark, loc)
+      withManifestLock(loc.toString) { readManifest(fs, loc) } match {
+        case Some((g, _)) => snapshotFrame(spark, table, meta, loc, g)
+        case None => spark.table(table)
+      }
+    }
   }
 
   /** The DIRECTORY-scan read (`spark.table`) behind the same
@@ -304,8 +315,16 @@ object Bucketed {
   // the key: DataFrames are session-bound (stopped sessions evicted
   // lazily, the Tables-cache pattern). Superseded generations evicted
   // on build, so growth is one frame per live table per session.
+  // Memo holders, not frames: the build lists the directory under the
+  // manifest lock — I/O that must never run inside computeIfAbsent
+  // (the map's bin lock would block unrelated tables hashing to the
+  // same bin, and it would nest the manifest lock under the bin lock —
+  // a lock-ordering edge nothing else takes).
+  private final class FrameMemo(thunk: () => DataFrame) {
+    lazy val value: DataFrame = thunk()
+  }
   private val snapshotFrames = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long), DataFrame]()
+    (SparkSession, String, Long), FrameMemo]()
 
   /** Drop cached snapshot frames for `location` — the hook for
     * schema-changing ops that do NOT advance the generation
@@ -316,7 +335,11 @@ object Bucketed {
   /** Build (or serve cached) the explicit-file-list, bucket-spec-
     * preserving frame of generation `gen`. One dir listing under the
     * manifest lock per (table, generation); hot calls are a map
-    * lookup. */
+    * lookup. The build is PINNED to `gen` even when a commit races it
+    * (the raced branch resolves that generation's own manifest), and
+    * a listed file missing from the dir fails LOUDLY — silently
+    * serving fewer files than the manifest lists would be a
+    * lost-rows read. */
   private def snapshotFrame(spark: SparkSession, table: String,
                             meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
                             loc: Path, gen: Long): DataFrame = {
@@ -326,27 +349,36 @@ object Bucketed {
       if (k._1.sparkContext.isStopped ||
           (k._2 == loc.toString && k._3 != gen)) it.remove()
     }
-    snapshotFrames.computeIfAbsent((spark, loc.toString, gen), _ => {
-      val fs = fileSystemOf(spark, loc)
-      val files = withManifestLock(loc.toString) {
-        readManifest(fs, loc) match {
-          case Some((g, names)) if g == gen =>
-            listDataFiles(fs, loc).filter(f => names(f.getPath.getName))
-          case _ => // a commit raced the lookup: resolve that gen's list
-            listDataFiles(fs, loc).filter(f =>
-              listedOf(fs, loc, table, gen)(f.getPath.getName))
+    snapshotFrames.computeIfAbsent((spark, loc.toString, gen),
+      _ => new FrameMemo(() => {
+        val fs = fileSystemOf(spark, loc)
+        val files = withManifestLock(loc.toString) {
+          val names = readManifest(fs, loc) match {
+            case Some((g, ns)) if g == gen => ns
+            case _ => listedOf(fs, loc, table, gen) // raced: pin to gen
+          }
+          val found = listDataFiles(fs, loc)
+            .filter(f => names(f.getPath.getName))
+          if (found.size != names.size) {
+            val missing = names -- found.map(_.getPath.getName)
+            throw new IllegalStateException(
+              s"$table generation $gen lists ${missing.size} file(s) " +
+                s"no longer in the directory (e.g. ${missing.head}) — " +
+                "vacuumed or deleted while resolving; retry, or enable " +
+                "retention for reads concurrent with maintenance")
+          }
+          found
         }
-      }
-      val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        new ExplicitFileIndex(files),
-        partitionSchema = new org.apache.spark.sql.types.StructType(),
-        dataSchema = meta.schema,
-        bucketSpec = meta.bucketSpec,
-        fileFormat =
-          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
-        options = meta.storage.properties)(spark)
-      spark.baseRelationToDataFrame(rel)
-    })
+        val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          new ExplicitFileIndex(files),
+          partitionSchema = new org.apache.spark.sql.types.StructType(),
+          dataSchema = meta.schema,
+          bucketSpec = meta.bucketSpec,
+          fileFormat =
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+          options = meta.storage.properties)(spark)
+        spark.baseRelationToDataFrame(rel)
+      })).value
   }
 
   /** Rewrite every bucket whose file count exceeds `maxFilesPerBucket`
@@ -524,10 +556,8 @@ object Bucketed {
       val touched = upd
         .select(pmod(hash(keys.map(col): _*), lit(n)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
-      val bucketIdOf: String => Option[Int] = name =>
-        """.*_(\d+)(?:\..*)?$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
       val oldFiles = dataFiles.filter(f =>
-        bucketIdOf(f.getPath.getName).exists(touched))
+        bucketIdOfName(f.getPath.getName).exists(touched))
       val existing =
         if (oldFiles.isEmpty)
           spark.createDataFrame(
@@ -667,12 +697,9 @@ object Bucketed {
       case Some(names) => all.filter(f => names(f.getPath.getName))
       case None => all
     }
-    // Spark's bucketed scan derives the bucket id from the trailing
-    // `_<digits>` of the file name (before the extension) — group the
-    // data files the same way; anything unparseable is left untouched
-    val bucketIdOf: String => Option[Int] = name =>
-      """.*_(\d+)(?:\..*)?$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
-    val byBucket = dataFiles.groupBy(f => bucketIdOf(f.getPath.getName))
+    // group the data files by the writer's bucket-id convention
+    // ([[bucketIdOfName]]); anything unparseable is left untouched
+    val byBucket = dataFiles.groupBy(f => bucketIdOfName(f.getPath.getName))
       .collect { case (Some(b), fsOfB) => b -> fsOfB }
     // EXPLICIT bucket targets transform even when the bucket has no
     // files yet: an additive rewrite (repairGroups/rebuildGroups
@@ -1049,14 +1076,25 @@ object Bucketed {
 
   /** Generation `gen` as a read, planning the BEST available shape:
     * when `gen` is the current head (the steady-state case for
-    * pair-pointer readers) this is [[load]] — the bucket-spec-
-    * preserving snapshot frame, plans identical to every head read;
-    * otherwise [[loadAsOf]]'s explicit file list (a pointer lagging
-    * its table inside a crash window — correctness over plan shape,
-    * and only until the next pair commit). */
-  def loadAt(spark: SparkSession, table: String, gen: Long): DataFrame =
-    if (gen == currentGeneration(spark, table)) load(spark, table)
+    * pair-pointer readers) this is the bucket-spec-preserving
+    * snapshot frame — plans identical to every head read; otherwise
+    * [[loadAsOf]]'s explicit file list (a pointer lagging its table
+    * inside a crash window — correctness over plan shape, and only
+    * until the next pair commit). NO re-resolution after the head
+    * check: the frame served is pinned to `gen` by construction
+    * ([[snapshotFrame]] resolves gen's own manifest even when a
+    * commit races the check), so a reader can never be handed a
+    * NEWER generation than it asked for — the mixed-pair window the
+    * pair pointer exists to close. */
+  def loadAt(spark: SparkSession, table: String, gen: Long): DataFrame = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val loc = new Path(meta.location)
+    verifyOnce(spark, table, loc)
+    if (verifiedGenerations.getOrDefault(loc.toString, -1L) == gen)
+      snapshotFrame(spark, table, meta, loc, gen)
     else loadAsOf(spark, table, gen)
+  }
 
   // ---- two-table pair pointer -----------------------------------------
 
@@ -1188,6 +1226,14 @@ object Bucketed {
 
   private def fileSystemOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Bucket id from a data file's name (the trailing `_<digits>`
+    * before the extension — how Spark's bucketed scan groups files).
+    * ONE copy: compaction selection, merge targeting, and the
+    * auto-maintenance file profile must all parse the convention the
+    * bucketed writer owns. */
+  private[sources] def bucketIdOfName(name: String): Option[Int] =
+    """.*_(\d+)(?:\..*)?$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
 
   private def listDataFiles(fs: FileSystem, dir: Path): Seq[FileStatus] =
     if (!fs.exists(dir)) Seq.empty

@@ -530,7 +530,17 @@ object FileStats {
       spark.read.schema(schema)
         .parquet(prefix.map(_.getPath.toString): _*)
         .orderBy(order: _*).limit(k)
-    var n = math.max(1, math.min(ordered.size, {
+    // every file with UNUSABLE stats (no stats, or a max that has no
+    // comparable key — e.g. a ±Infinity footer value the non-finite
+    // guard degraded) sorts FIRST and MUST be in every scanned prefix:
+    // treating "max unknown" like "all-null" would stop the scan while
+    // such a file may hold the true top values
+    val mustScan = ordered.segmentLength(f => statOf(f) match {
+      case Some(st) if st.allNull => false
+      case Some(ColStat(_, Some(_), _, _)) => false
+      case _ => true
+    })
+    var n = math.max(math.max(1, mustScan), math.min(ordered.size, {
       // smallest prefix whose row counts can fill k (stats-known rows)
       var acc = 0L; var i = 0
       while (i < ordered.size && acc < k) {
@@ -539,22 +549,26 @@ object FileStats {
       }
       i
     }))
+    n = math.min(ordered.size, n)
     while (n < ordered.size) {
       val prefix = ordered.take(n)
       val rows = result(prefix).select(column).collect()
       val kth = if (rows.length >= k) Option(rows.last.get(0)) else None
-      val nextMax = statOf(ordered(n)) match {
-        case Some(st) if st.allNull => None // nulls cannot beat anything
-        case Some(ColStat(_, mx, _, _)) => mx
-        case _ => Some(Right(""): Key) // unreachable (unusables sort first)
-      }
-      (kth.flatMap(toKey), nextMax) match {
-        case (Some(kv), Some(mx)) if sameDomain(kv, mx) && cmp(kv, mx) > 0 =>
-          return TopKResult(result(prefix), n, ordered.size)
-        case (_, None) => // next file is all-null: only matters if k unfilled
+      statOf(ordered(n)) match {
+        // next file provably all-null: nulls cannot beat anything —
+        // done as soon as k is filled
+        case Some(st) if st.allNull =>
           if (rows.length >= k)
             return TopKResult(result(prefix), n, ordered.size)
           else n = math.min(ordered.size, n * 2)
+        case Some(ColStat(_, Some(mx), _, _)) =>
+          kth.flatMap(toKey) match {
+            case Some(kv) if sameDomain(kv, mx) && cmp(kv, mx) > 0 =>
+              return TopKResult(result(prefix), n, ordered.size)
+            case _ => n = math.min(ordered.size, n * 2)
+          }
+        // unusable stats beyond the must-scan prefix (defensive — the
+        // ordering puts them first): never a stop, always scan on
         case _ => n = math.min(ordered.size, n * 2)
       }
     }

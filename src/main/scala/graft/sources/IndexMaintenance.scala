@@ -146,9 +146,8 @@ object IndexMaintenance {
                        skewThresholdE6: Long = 4000000L,
                        refresh: Option[() => Unit] = None): MaintenanceDecision = {
     val (_, files) = Bucketed.currentDataFiles(spark, table)
-    val bucketIdOf: String => Option[Int] = name =>
-      """.*_(\d+)(?:\..*)?$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
-    val maxFiles = files.flatMap(f => bucketIdOf(f.getPath.getName))
+    val maxFiles = files
+      .flatMap(f => Bucketed.bucketIdOfName(f.getPath.getName))
       .groupBy(identity).values.map(_.size).maxOption.getOrElse(0)
     val compacted =
       if (maxFiles > maxFilesPerBucket)

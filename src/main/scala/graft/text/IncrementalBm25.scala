@@ -141,10 +141,22 @@ object IncrementalBm25 {
     * (replayed appends re-add their stats delta — a pointer cannot
     * know that; compaction + repair still heal it). */
   private def stampPair(spark: SparkSession, name: String,
-                        pgen: Long): Unit =
+                        pgen: Long): Unit = {
+    // FIRST stamp on an index (a legacy pre-pointer build being
+    // mutated) must also raise retention: a pointer over a
+    // retention-1 table would name generations the very next commit
+    // deletes — the crash window would then fail the probe loudly
+    // where the legacy heal recovered. One marker read per mutation;
+    // the writes happen once per index.
+    if (graft.sources.Bucketed
+        .readPairPointer(spark, postingsTable(name)).isEmpty) {
+      graft.sources.Bucketed.setRetention(spark, postingsTable(name), 3)
+      graft.sources.Bucketed.setRetention(spark, statsTable(name), 3)
+    }
     graft.sources.Bucketed.writePairPointer(spark, postingsTable(name),
       pgen,
       graft.sources.Bucketed.currentGeneration(spark, statsTable(name)))
+  }
 
   /** Per-index monitors serializing the stats read-modify-write: two
     * concurrent mutations would otherwise lose one delta (the stats
@@ -216,10 +228,9 @@ object IncrementalBm25 {
     withStatsLock(name) {
       val gen = postingsGen(spark, name)
       writeStats(spark, name, n, tot, gen, fresh = true)
-      // pair governance from birth: retention 3 keeps a lagging
-      // pointer readable across any single mutation's two commits
-      graft.sources.Bucketed.setRetention(spark, postingsTable(name), 3)
-      graft.sources.Bucketed.setRetention(spark, statsTable(name), 3)
+      // pair governance from birth: the first stamp also raises
+      // retention (see [[stampPair]]) so a lagging pointer stays
+      // readable across any single mutation's two commits
       stampPair(spark, name, gen)
     }
   }

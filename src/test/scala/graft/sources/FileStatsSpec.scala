@@ -281,6 +281,29 @@ class FileStatsSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("topK scans files whose max stat is unusable (non-finite) — never mistakes them for all-null") {
+    val table = "graft_stats_topk_inf"
+    try {
+      // first commit: many finite rows (enough to fill k from one
+      // prefix); second commit: the TRUE top values, but its file's
+      // max is ±Inf → no comparable stat key → 'unknown', not 'null'
+      Bucketed.save((0 until 100).map(i => (i.toLong, i.toDouble))
+        .toDF("k", "x"), table, Seq("k"), 2)
+      Bucketed.save(
+        Seq((1000L, Double.PositiveInfinity), (1001L, 99999.0))
+          .toDF("k", "x"),
+        table, Seq("k"), 2, mode = org.apache.spark.sql.SaveMode.Append)
+      import spark.implicits._
+      val got = FileStats.topK(spark, table, "x", k = 3, tieCols = Seq("k"))
+        .rows.select("k").as[Long].collect().toSeq
+      val want = Bucketed.load(spark, table)
+        .orderBy(col("x").desc, col("k").asc).limit(3)
+        .select("k").as[Long].collect().toSeq
+      assert(got == want, s"got $got want $want")
+      assert(got.head == 1000L, "the +Inf row must rank first")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("an all-null file is provably prunable; a commit refreshes the stats") {
     val table = "graft_stats_null"
     try {
