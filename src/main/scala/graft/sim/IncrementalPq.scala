@@ -183,10 +183,11 @@ object IncrementalPq {
                  vnTable: String): (Long, Long) = {
     // retention rises with the FIRST stamp only — re-writing the same
     // marker on every streaming batch would be two wasted PUTs per
-    // batch forever
+    // batch forever — and only ever RISES: the stamp must not clobber
+    // a higher retention the operator configured
     if (graft.sources.Bucketed.readPairPointer(spark, codeTable).isEmpty) {
-      graft.sources.Bucketed.setRetention(spark, codeTable, 3)
-      graft.sources.Bucketed.setRetention(spark, vnTable, 3)
+      graft.sources.Bucketed.ensureRetentionAtLeast(spark, codeTable, 3)
+      graft.sources.Bucketed.ensureRetentionAtLeast(spark, vnTable, 3)
     }
     val gc = graft.sources.Bucketed.currentGeneration(spark, codeTable)
     val gv = graft.sources.Bucketed.currentGeneration(spark, vnTable)

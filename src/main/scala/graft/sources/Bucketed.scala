@@ -217,10 +217,11 @@ object Bucketed {
     * cache hit. The verify+reconcile pass runs once per table per
     * process; each commit advances the generation, so the next load
     * builds (and caches) the new snapshot with one dir listing under
-    * the manifest lock. A table without a manifest (pre-manifest
-    * layout), or one with an append in flight in this process, is
-    * served as the directory scan ([[loadDirect]] — the documented
-    * opt-out). */
+    * the manifest lock. With an append in flight (no verified head)
+    * the read still resolves through the manifest's last committed
+    * generation; only a table with NO manifest at all (pre-manifest
+    * layout) is served as the directory scan ([[loadDirect]] — the
+    * documented opt-out). */
   def load(spark: SparkSession, table: String): DataFrame = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
@@ -317,14 +318,9 @@ object Bucketed {
   // on build, so growth is one frame per live table per session.
   // Memo holders, not frames: the build lists the directory under the
   // manifest lock — I/O that must never run inside computeIfAbsent
-  // (the map's bin lock would block unrelated tables hashing to the
-  // same bin, and it would nest the manifest lock under the bin lock —
-  // a lock-ordering edge nothing else takes).
-  private final class FrameMemo(thunk: () => DataFrame) {
-    lazy val value: DataFrame = thunk()
-  }
+  // (see [[graft.sources.Memo]]).
   private val snapshotFrames = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long), FrameMemo]()
+    (SparkSession, String, Long), Memo[DataFrame]]()
 
   /** Drop cached snapshot frames for `location` — the hook for
     * schema-changing ops that do NOT advance the generation
@@ -343,14 +339,20 @@ object Bucketed {
   private def snapshotFrame(spark: SparkSession, table: String,
                             meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
                             loc: Path, gen: Long): DataFrame = {
+    // hot path = ONE map get; the sweep (superseded generations of
+    // this location, stopped sessions' frames) runs only on a miss —
+    // i.e. once per commit per table, not per load
+    val key = (spark, loc.toString, gen)
+    val hit = snapshotFrames.get(key)
+    if (hit != null) return hit.value
     val it = snapshotFrames.keySet.iterator
     while (it.hasNext) {
       val k = it.next()
       if (k._1.sparkContext.isStopped ||
           (k._2 == loc.toString && k._3 != gen)) it.remove()
     }
-    snapshotFrames.computeIfAbsent((spark, loc.toString, gen),
-      _ => new FrameMemo(() => {
+    snapshotFrames.computeIfAbsent(key,
+      _ => new Memo(() => {
         val fs = fileSystemOf(spark, loc)
         val files = withManifestLock(loc.toString) {
           val names = readManifest(fs, loc) match {
@@ -939,6 +941,23 @@ object Bucketed {
     readMarker(fs, dir, RetentionName, RetentionMagic)
       .flatMap(_.toLongOption).map(_.toInt).filter(_ >= 1).getOrElse(1)
 
+  /** RAISE retention to at least `n` — never lower it: protocols that
+    * need a floor (the pair pointer's lagging-reader window) must not
+    * clobber a HIGHER retention the operator configured for time
+    * travel or downstream followers. No-op (one marker read) when the
+    * setting already satisfies the floor. */
+  def ensureRetentionAtLeast(spark: SparkSession, table: String,
+                             n: Int): Unit = {
+    require(n >= 1, "retention must be >= 1 generation")
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val fs = fileSystemOf(spark, loc)
+    withManifestLock(loc.toString) {
+      if (retentionOf(fs, loc) < n)
+        writeMarker(fs, loc, RetentionName, RetentionMagic, n.toString)
+    }
+  }
+
   /** Retire superseded HOT files: with history retained they stay IN
     * PLACE — data files are immutable at immutable paths from creation
     * until they fall out of every retained generation ([[vacuumLocked]]
@@ -1173,11 +1192,14 @@ object Bucketed {
         fromOnly.exceptAll(toOnly).withColumn("change", lit("delete")))
   }
 
-  /** Drop history beyond the newest `retain` generations: delete their
-    * manifests and every retired file no kept generation lists. Hot
-    * files are never touched (the head generation is always kept).
-    * Runs under the maintenance lock — vacuum is a maintenance writer.
-    * Returns (manifests dropped, retired files deleted). */
+  /** Drop history beyond the newest `retain` VALID generations:
+    * delete their manifests and every data file (hot in-place-retired
+    * or legacy retired-dir) no kept generation lists. Kept
+    * generations' files — the head always among them — are never
+    * touched, and a table with no parseable manifest is a loud no-op
+    * for file deletion (nothing is provably dead). Runs under the
+    * maintenance lock — vacuum is a maintenance writer. Returns
+    * (manifests dropped, files deleted). */
   def vacuum(spark: SparkSession, table: String,
              retain: Int = 1): (Int, Int) = {
     require(retain >= 1, "vacuum must retain at least the head generation")
@@ -1189,19 +1211,32 @@ object Bucketed {
   }
 
   /** [[vacuum]]'s core, callers hold both locks. Bounded work: one
-    * dir listing + `retain` manifest parses. Deletes (a) manifests
-    * beyond the window, (b) legacy retired-dir files no kept
+    * dir listing + O(manifests on disk) parses. The retain window
+    * counts VALID manifests only (a torn one must not consume a slot
+    * the retention contract promised to a readable generation), and
+    * file deletion runs ONLY when at least one valid manifest is kept
+    * — with nothing parseable there is no way to prove any file dead,
+    * and deleting on an empty keep-set would wipe the live table (the
+    * torn-head / pre-manifest cases). Deletes (a) manifests — valid
+    * or torn — OLDER than the oldest kept valid generation (a torn
+    * manifest NEWER than it may be another process's in-flight
+    * commit: never touched), (b) legacy retired-dir files no kept
     * generation lists, and (c) HOT files no kept generation lists —
-    * the in-place-retired files of dropped generations (retire leaves
-    * files put; this is their collector). Hot deletion is skipped
-    * while an append is in flight in this process: an append's files
-    * are legitimately unlisted until its commit. */
+    * the in-place-retired files of dropped generations (retire
+    * leaves files put; this is their collector). Kept generations'
+    * files are never touched. Hot deletion is skipped while an
+    * append is in flight in this process: an append's files are
+    * legitimately unlisted until its commit. */
   private def vacuumLocked(fs: FileSystem, dir: Path, retain: Int): (Int, Int) = {
-    val entries = manifestEntries(fs, dir)
-    val (drop, keep) = entries.splitAt(math.max(0, entries.size - retain))
-    val kept = keep.flatMap { case (_, p) => parseManifest(fs, p) }
-      .flatten.toSet
-    drop.foreach { case (_, p) => fs.delete(p, false) }
+    val parsed = manifestEntries(fs, dir).map { case (g, p) =>
+      (g, p, parseManifest(fs, p))
+    }
+    val keep = parsed.filter(_._3.isDefined).takeRight(retain)
+    if (keep.isEmpty) return (0, 0) // nothing provable — touch nothing
+    val kept = keep.flatMap(_._3).flatten.toSet
+    val minKeptGen = keep.head._1
+    val drop = parsed.filter(_._1 < minKeptGen)
+    drop.foreach { case (_, p, _) => fs.delete(p, false) }
     var deleted = 0
     val rd = retiredDir(dir)
     if (fs.exists(rd))

@@ -84,15 +84,9 @@ object FileStats {
   // Generation-keyed: any commit invalidates by advancing the key.
   // Values are MEMO holders, not the maps themselves: the footer pass
   // is real I/O (a Spark job, or a driver pool Await) and must never
-  // run inside computeIfAbsent — holding the map's bin lock across it
-  // would block unrelated tables hashing to the same bin (and a
-  // re-entrant same-key call would deadlock). computeIfAbsent only
-  // installs the cheap holder; the work runs under the holder's own
-  // per-key lazy-val lock.
-  private final class Memo(thunk: () => Map[String, FileStat]) {
-    lazy val value: Map[String, FileStat] = thunk()
-  }
-  private val cache = new ConcurrentHashMap[(String, Long), Memo]()
+  // run inside computeIfAbsent (see [[graft.sources.Memo]]).
+  private val cache =
+    new ConcurrentHashMap[(String, Long), Memo[Map[String, FileStat]]]()
 
   /** Drop cached stats for `location` — the hook for table REPLACEMENT
     * (Bucketed.save Overwrite), which restarts generation numbering
@@ -530,6 +524,12 @@ object FileStats {
       spark.read.schema(schema)
         .parquet(prefix.map(_.getPath.toString): _*)
         .orderBy(order: _*).limit(k)
+    // the loop's stop check already collected the winning prefix's ≤k
+    // rows — serve THOSE, never re-evaluate the scan+sort (the
+    // dominant cost) a second time
+    def frameOf(rows: Array[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val colIdx = schema.fieldIndex(column)
     // every file with UNUSABLE stats (no stats, or a max that has no
     // comparable key — e.g. a ±Infinity footer value the non-finite
     // guard degraded) sorts FIRST and MUST be in every scanned prefix:
@@ -552,19 +552,19 @@ object FileStats {
     n = math.min(ordered.size, n)
     while (n < ordered.size) {
       val prefix = ordered.take(n)
-      val rows = result(prefix).select(column).collect()
-      val kth = if (rows.length >= k) Option(rows.last.get(0)) else None
+      val rows = result(prefix).collect()
+      val kth = if (rows.length >= k) Option(rows.last.get(colIdx)) else None
       statOf(ordered(n)) match {
         // next file provably all-null: nulls cannot beat anything —
         // done as soon as k is filled
         case Some(st) if st.allNull =>
           if (rows.length >= k)
-            return TopKResult(result(prefix), n, ordered.size)
+            return TopKResult(frameOf(rows), n, ordered.size)
           else n = math.min(ordered.size, n * 2)
         case Some(ColStat(_, Some(mx), _, _)) =>
           kth.flatMap(toKey) match {
             case Some(kv) if sameDomain(kv, mx) && cmp(kv, mx) > 0 =>
-              return TopKResult(result(prefix), n, ordered.size)
+              return TopKResult(frameOf(rows), n, ordered.size)
             case _ => n = math.min(ordered.size, n * 2)
           }
         // unusable stats beyond the must-scan prefix (defensive — the
@@ -572,7 +572,8 @@ object FileStats {
         case _ => n = math.min(ordered.size, n * 2)
       }
     }
-    TopKResult(result(ordered), ordered.size, ordered.size)
+    TopKResult(frameOf(result(ordered).collect()),
+      ordered.size, ordered.size)
   }
 
   private val cmpOrdering: Ordering[Key] = (a, b) => cmp(a, b)

@@ -3,6 +3,19 @@ package graft.sources
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 
+/** One-shot lazy memo holder for per-key caches whose work is real
+  * I/O: `ConcurrentHashMap.computeIfAbsent` must only install this
+  * cheap holder — running the work inside it would hold the map's bin
+  * lock across I/O (blocking unrelated keys that hash to the same
+  * bin) and nest the work's own locks under the bin lock. The work
+  * runs under the holder's lazy-val lock instead, so concurrent
+  * callers of the SAME key share one computation and other keys never
+  * wait. Shared by [[Bucketed]]'s snapshot-frame cache and
+  * [[FileStats]]' stats cache — one copy, one fix. */
+private[sources] final class Memo[A](thunk: () => A) {
+  lazy val value: A = thunk()
+}
+
 /** Shared Hadoop-FileSystem file plumbing — one implementation of the
   * scheme-agnostic (file://, hdfs://, s3a://) single-file patterns the
   * sinks use, so fixes apply everywhere at once. */

@@ -114,7 +114,7 @@ object IndexMaintenance {
   final case class MaintenanceDecision(compactedBuckets: Int,
                                        refreshed: Boolean,
                                        refreshNeeded: Boolean,
-                                       maxFilesPerBucket: Int,
+                                       measuredMaxFilesPerBucket: Int,
                                        maxLoadE6: Long)
 
   /** The AUTO-MAINTENANCE policy over the two health signals an index
@@ -159,7 +159,7 @@ object IndexMaintenance {
     if (skewed) refresh.foreach(_.apply())
     MaintenanceDecision(compacted, refreshed = skewed && refresh.isDefined,
       refreshNeeded = skewed && refresh.isEmpty,
-      maxFilesPerBucket = maxFiles, maxLoadE6 = maxLoad)
+      measuredMaxFilesPerBucket = maxFiles, maxLoadE6 = maxLoad)
   }
 
   def listLoadProfile(spark: SparkSession, table: String,

@@ -150,8 +150,10 @@ object IncrementalBm25 {
     // the writes happen once per index.
     if (graft.sources.Bucketed
         .readPairPointer(spark, postingsTable(name)).isEmpty) {
-      graft.sources.Bucketed.setRetention(spark, postingsTable(name), 3)
-      graft.sources.Bucketed.setRetention(spark, statsTable(name), 3)
+      graft.sources.Bucketed
+        .ensureRetentionAtLeast(spark, postingsTable(name), 3)
+      graft.sources.Bucketed
+        .ensureRetentionAtLeast(spark, statsTable(name), 3)
     }
     graft.sources.Bucketed.writePairPointer(spark, postingsTable(name),
       pgen,

@@ -352,6 +352,16 @@ class IncrementalPqSpec extends SparkSuite {
       IncrementalAnn.buildIndex(corpus, vnT, 4, coarse)
       IncrementalPq.buildIndex(corpus, codeT, 4, coarse, books)
       IncrementalPq.commitPair(spark, codeT, vnT)
+      // steady state (pointer == heads): the pointer-resolved probe
+      // plans EXACTLY like a head read — bucket pruning included
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val planned = IncrementalPq.probe(spark, vecs(500, 501), codeT,
+          coarse, books, k = 3, nProbe = 2)
+        val plan = planned.queryExecution.executedPlan.toString
+        assert(plan.contains("SelectedBucketsCount"),
+          s"pointer-resolved probe must keep bucket pruning:\n$plan")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
       val q = vecs(500, 505)
       def rerank(): Set[(Long, Long, Long, Int)] =
         IncrementalPq.probeRerank(spark, q, codeT, vnT, coarse, books,

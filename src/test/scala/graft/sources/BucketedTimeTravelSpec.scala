@@ -181,6 +181,41 @@ class BucketedTimeTravelSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("vacuum never deletes live files when no valid manifest is provable (torn head, pre-manifest)") {
+    val table = "graft_tt_vacsafe"
+    try {
+      mk(table, 0, 25)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val headGen = Bucketed.currentGeneration(spark, table)
+      // plant a TORN manifest ABOVE the head (a crash mid-write, or
+      // another process's in-flight commit): vacuum(retain=1) must
+      // count the retain window over VALID manifests — the old code
+      // kept only the torn entry, proved nothing, and deleted every
+      // live data file
+      val torn = new org.apache.hadoop.fs.Path(loc,
+        s"_graft_manifest.${headGen + 1}")
+      val out = fs.create(torn, true)
+      out.write("garbage\nnot a manifest".getBytes("UTF-8")); out.close()
+      val (dropped, deleted) = Bucketed.vacuum(spark, table, retain = 1)
+      assert(deleted == 0, s"no file of the valid head may die: $deleted")
+      assert(dropped == 0, "nothing older than the kept valid generation")
+      assert(fs.exists(torn),
+        "a torn manifest above the head may be an in-flight commit — untouchable")
+      assert(docsOf(Bucketed.load(spark, table)) == (0L until 25L).toSet)
+      // degenerate: NO parseable manifest at all → vacuum touches nothing
+      fs.delete(new org.apache.hadoop.fs.Path(loc,
+        s"_graft_manifest.$headGen"), false)
+      Bucketed.forgetVerified()
+      val (d2, f2) = Bucketed.vacuum(spark, table, retain = 1)
+      assert(d2 == 0 && f2 == 0, "nothing provable → nothing deleted")
+      assert(fs.listStatus(loc).count(f =>
+        f.isFile && f.getPath.getName.startsWith("part-")) > 0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("default retention (no marker) keeps delete-at-commit behavior") {
     val table = "graft_tt_default"
     try {
