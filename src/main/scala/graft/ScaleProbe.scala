@@ -438,7 +438,48 @@ object ScaleProbe {
         graft.sources.FileStats.loadBetween(spark, skipName, "t",
           220L, 260L).count()
       }
+      time("metadata_topk", f) {
+        // ORDER BY t DESC LIMIT 100 on the same three time-ordered
+        // thirds: the scan stops at the newest third's files (ties on
+        // t force its full slice, never the older thirds) — flat in f
+        // like every boundary-file read, with the first call's footer
+        // pass amortized by the sidecar
+        val r = graft.sources.FileStats.topK(spark, skipName, "t",
+          k = 100, tieCols = Seq("k"))
+        r.rows.count() + r.scannedFiles.toLong
+      }
       spark.sql(s"DROP TABLE IF EXISTS $skipName")
+
+      // JOIN-view IVM: fact-side deltas refresh at O(delta ⋈ dim) —
+      // flat in f (dim-side deltas inherently cost O(fact slice ⋈
+      // Δdim); this row measures the common fact-append/update case)
+      val jvA = s"graft_scaleprobe_jivm_a_x$f"
+      val jvB = s"graft_scaleprobe_jivm_b_x$f"
+      val jvV = s"graft_scaleprobe_jivm_v_x$f"
+      time("joinivm_build", f) {
+        val src = d.select(col("doc_id").as("k"),
+          (col("doc_id") % 64L).as("j"),
+          length(col("text")).cast("long").as("v"))
+        graft.sources.Bucketed.save(src, jvA, Seq("k"), 64)
+        graft.sources.Bucketed.setRetention(spark, jvA, 6)
+        graft.sources.Bucketed.save(
+          spark.range(64).select(col("id").as("j"),
+            (col("id") * 7L).as("w")),
+          jvB, Seq("j"), 4)
+        graft.sources.Bucketed.setRetention(spark, jvB, 6)
+        graft.ops.Ivm.createJoin(spark, jvA, jvB, "j", jvV, 64,
+          aKey = "k", bKey = "j")
+        spark.table(jvV).count()
+      }
+      time("joinivm_refresh_batch", f) {
+        val batch = replicated(1).limit(8)
+          .select(col("doc_id").as("k"), (col("doc_id") % 64L).as("j"),
+            lit(-5L).as("v"))
+        graft.sources.Bucketed.mergeByKey(spark, jvA, batch)
+        graft.ops.Ivm.refreshJoin(spark, jvA, jvB, "j", jvV)._1
+      }
+      Seq(jvV, jvB, jvA).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
 
       time("hybrid_fusion_batch", f) {
         // the q145 shape at scale: batched BM25 over the f-scaled
