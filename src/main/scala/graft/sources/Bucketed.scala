@@ -1086,12 +1086,14 @@ object Bucketed {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(paths: _*)
 
-  /** The current generation pinned as an explicit-file-list read — the
-    * snapshot-isolated alternative to [[load]] for probes that may run
-    * concurrently with maintenance commits (see [[loadAsOf]] for the
-    * exact stability contract). */
+  /** The current generation pinned as an explicit-file-list read.
+    * Since round 12 this is [[loadAt]] of the head: the common case
+    * serves the bucket-spec-preserving cached snapshot frame (plans
+    * identical to [[load]] — which is itself snapshot-resolved now),
+    * and a commit racing the head lookup degrades to the explicit
+    * [[loadAsOf]] list, still pinned to the looked-up generation. */
   def loadSnapshot(spark: SparkSession, table: String): DataFrame =
-    loadAsOf(spark, table, currentGeneration(spark, table))
+    loadAt(spark, table, currentGeneration(spark, table))
 
   /** Generation `gen` as a read, planning the BEST available shape:
     * when `gen` is the current head (the steady-state case for
