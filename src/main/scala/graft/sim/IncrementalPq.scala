@@ -181,14 +181,13 @@ object IncrementalPq {
     * head reads — the pointer costs one marker read per probe. */
   def commitPair(spark: SparkSession, codeTable: String,
                  vnTable: String): (Long, Long) = {
-    // retention rises with the FIRST stamp only — re-writing the same
-    // marker on every streaming batch would be two wasted PUTs per
-    // batch forever — and only ever RISES: the stamp must not clobber
-    // a higher retention the operator configured
-    if (graft.sources.Bucketed.readPairPointer(spark, codeTable).isEmpty) {
-      graft.sources.Bucketed.ensureRetentionAtLeast(spark, codeTable, 3)
-      graft.sources.Bucketed.ensureRetentionAtLeast(spark, vnTable, 3)
-    }
+    // the retention FLOOR is re-asserted on EVERY stamp (an operator
+    // lowering retention between stamps would otherwise strand the
+    // lagging-pointer window until a crash surfaced it); the assert
+    // only ever RAISES — two marker reads per stamp, a write only
+    // when someone actually lowered it
+    graft.sources.Bucketed.ensureRetentionAtLeast(spark, codeTable, 3)
+    graft.sources.Bucketed.ensureRetentionAtLeast(spark, vnTable, 3)
     val gc = graft.sources.Bucketed.currentGeneration(spark, codeTable)
     val gv = graft.sources.Bucketed.currentGeneration(spark, vnTable)
     graft.sources.Bucketed.writePairPointer(spark, codeTable, gc, gv)

@@ -236,7 +236,10 @@ object Bucketed {
       // one exists: on a retention>1 table the dir holds superseded
       // in-place-retained generations, and a dir scan would read them
       // as live rows. Only a truly pre-manifest table gets the dir
-      // scan.
+      // scan. Cost inside an append window: one manifest read per
+      // load (the frame itself is memo-cached per generation) — paid
+      // only while the append runs, the price of never serving its
+      // uncommitted files.
       val fs = fileSystemOf(spark, loc)
       withManifestLock(loc.toString) { readManifest(fs, loc) } match {
         case Some((g, _)) => snapshotFrame(spark, table, meta, loc, g)
@@ -1114,6 +1117,14 @@ object Bucketed {
     verifyOnce(spark, table, loc)
     if (verifiedGenerations.getOrDefault(loc.toString, -1L) == gen)
       snapshotFrame(spark, table, meta, loc, gen)
+    else if (gen == 0L &&
+        withManifestLock(loc.toString) {
+          readManifest(fileSystemOf(spark, loc), loc)
+        }.isEmpty)
+      // generation 0 of a PRE-MANIFEST table: there is no manifest to
+      // resolve — serve the dir scan load() documents for this layout
+      // (loadAsOf would throw 'no readable generation 0')
+      spark.table(table)
     else loadAsOf(spark, table, gen)
   }
 
@@ -1200,7 +1211,13 @@ object Bucketed {
     * generations' files — the head always among them — are never
     * touched, and a table with no parseable manifest is a loud no-op
     * for file deletion (nothing is provably dead). Runs under the
-    * maintenance lock — vacuum is a maintenance writer. Returns
+    * maintenance lock — vacuum IS a maintenance writer, and the
+    * single-maintenance-writer contract (object scaladoc) applies
+    * CROSS-PROCESS too: a vacuum racing another process's in-flight
+    * maintenance op can delete that op's staged-but-uncommitted
+    * files, like any reconcile (the in-flight manifest itself is
+    * never touched, but its data files are only protected by the
+    * contract, not by a lock file — deliberately). Returns
     * (manifests dropped, files deleted). */
   def vacuum(spark: SparkSession, table: String,
              retain: Int = 1): (Int, Int) = {

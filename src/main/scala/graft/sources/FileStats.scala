@@ -555,10 +555,13 @@ object FileStats {
       val rows = result(prefix).collect()
       val kth = if (rows.length >= k) Option(rows.last.get(colIdx)) else None
       statOf(ordered(n)) match {
-        // next file provably all-null: nulls cannot beat anything —
-        // done as soon as k is filled
+        // next file provably all-null: nulls cannot beat any NON-NULL
+        // value — done once k is filled AND the k-th value is
+        // non-null (a null k-th row sorts among the nulls, where an
+        // unscanned all-null file's rows could still beat it on the
+        // tiebreaker)
         case Some(st) if st.allNull =>
-          if (rows.length >= k)
+          if (rows.length >= k && rows.last.get(colIdx) != null)
             return TopKResult(frameOf(rows), n, ordered.size)
           else n = math.min(ordered.size, n * 2)
         case Some(ColStat(_, Some(mx), _, _)) =>

@@ -142,19 +142,17 @@ object IncrementalBm25 {
     * know that; compaction + repair still heal it). */
   private def stampPair(spark: SparkSession, name: String,
                         pgen: Long): Unit = {
-    // FIRST stamp on an index (a legacy pre-pointer build being
-    // mutated) must also raise retention: a pointer over a
-    // retention-1 table would name generations the very next commit
-    // deletes — the crash window would then fail the probe loudly
-    // where the legacy heal recovered. One marker read per mutation;
-    // the writes happen once per index.
-    if (graft.sources.Bucketed
-        .readPairPointer(spark, postingsTable(name)).isEmpty) {
-      graft.sources.Bucketed
-        .ensureRetentionAtLeast(spark, postingsTable(name), 3)
-      graft.sources.Bucketed
-        .ensureRetentionAtLeast(spark, statsTable(name), 3)
-    }
+    // the retention FLOOR is re-asserted on EVERY stamp: a pointer
+    // over a retention-1 table would name generations the very next
+    // commit deletes (the crash window would fail the probe loudly
+    // where the legacy heal recovered), and an operator lowering
+    // retention between stamps must be healed, not stranded. The
+    // assert only ever RAISES — two marker reads per mutation, a
+    // write only when the floor was actually broken.
+    graft.sources.Bucketed
+      .ensureRetentionAtLeast(spark, postingsTable(name), 3)
+    graft.sources.Bucketed
+      .ensureRetentionAtLeast(spark, statsTable(name), 3)
     graft.sources.Bucketed.writePairPointer(spark, postingsTable(name),
       pgen,
       graft.sources.Bucketed.currentGeneration(spark, statsTable(name)))

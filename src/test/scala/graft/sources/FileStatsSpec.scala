@@ -304,6 +304,30 @@ class FileStatsSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("topK with a NULL k-th value keeps scanning: an all-null file can still win on the tiebreaker") {
+    val table = "graft_stats_topk_nullk"
+    try {
+      // one file holds a non-null top value AND a null row (its max
+      // stat is usable); a second, all-null file holds the row that
+      // wins the null-vs-null TIEBREAK (k=1 < k=19)
+      Bucketed.save(
+        Seq((9L, Option(5.0)), (19L, Option.empty[Double]))
+          .toDF("k", "x"),
+        table, Seq("k"), 1)
+      Bucketed.save(Seq((1L, Option.empty[Double])).toDF("k", "x"),
+        table, Seq("k"), 1, mode = org.apache.spark.sql.SaveMode.Append)
+      import spark.implicits._
+      val got = FileStats.topK(spark, table, "x", k = 2, tieCols = Seq("k"))
+        .rows.select("k").as[Long].collect().toSeq
+      val want = Bucketed.load(spark, table)
+        .orderBy(col("x").desc, col("k").asc).limit(2)
+        .select("k").as[Long].collect().toSeq
+      assert(got == want, s"got $got want $want")
+      assert(got == Seq(9L, 1L),
+        "the all-null file's row must win the null tiebreak")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("an all-null file is provably prunable; a commit refreshes the stats") {
     val table = "graft_stats_null"
     try {
