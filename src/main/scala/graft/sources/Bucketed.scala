@@ -1002,6 +1002,57 @@ object Bucketed {
         .foreach(n => fs.delete(new Path(dir, n), false))
     }
 
+  /** One operator-facing snapshot of a governed table's state: the
+    * head generation, every retained generation, the retention
+    * setting, live file count/bytes (the head's manifest-listed
+    * files), files on disk NO retained generation lists (crash
+    * orphans awaiting reconcile, or another process's in-flight
+    * staging), and the pair pointer if the table governs one. */
+  final case class TableState(generation: Long, generations: Seq[Long],
+                              retention: Int, liveFiles: Int,
+                              liveBytes: Long, unreferencedFiles: Int,
+                              pairPointer: Option[(Long, Long)])
+
+  /** [[TableState]] of `table` — METADATA ONLY (one dir listing +
+    * the retained manifests' parses under the manifest lock; no data
+    * file is opened), so it is safe to poll from monitoring at any
+    * frequency. The `unreferencedFiles` count is the crash-debris
+    * signal: persistently nonzero without in-flight work means a
+    * crashed op's staging awaits the next load()/maintenance
+    * reconcile. */
+  def describe(spark: SparkSession, table: String): TableState = {
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val fs = fileSystemOf(spark, loc)
+    withManifestLock(loc.toString) {
+      val entries = manifestEntries(fs, loc)
+      val valid = entries.flatMap { case (g, p) =>
+        parseManifest(fs, p).map(g -> _)
+      }
+      val head = valid.lastOption
+      val all = listDataFiles(fs, loc)
+      val headNames = head.map(_._2).getOrElse(all.map(_.getPath.getName).toSet)
+      val referenced = valid.flatMap(_._2).toSet
+      TableState(
+        generation = head.map(_._1).getOrElse(0L),
+        generations = valid.map(_._1),
+        retention = retentionOf(fs, loc),
+        liveFiles = all.count(f => headNames(f.getPath.getName)),
+        liveBytes = all.filter(f => headNames(f.getPath.getName))
+          .map(_.getLen).sum,
+        unreferencedFiles =
+          if (valid.isEmpty) 0
+          else all.count(f => !referenced(f.getPath.getName)),
+        pairPointer = readMarker(fs, loc, PairName, PairMagic).flatMap {
+          v => v.split(" ").toSeq match {
+            case Seq(a, b) =>
+              for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
+            case _ => None
+          }
+        })
+    }
+  }
+
   /** The table's readable generations, oldest first — every manifest
     * still on disk that parses as valid. */
   def generations(spark: SparkSession, table: String): Seq[Long] = {

@@ -216,6 +216,43 @@ class BucketedTimeTravelSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("describe reports head/retained generations, live files, crash debris, and the pair pointer") {
+    val table = "graft_tt_describe"
+    try {
+      mk(table, 0, 30)
+      Bucketed.setRetention(spark, table, 4)
+      append(table, 30, 45)
+      Bucketed.rewriteAll(spark, table, _.filter(col("doc") < 10))
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val s0 = Bucketed.describe(spark, table)
+      assert(s0.generation == Bucketed.currentGeneration(spark, table))
+      assert(s0.generations == Bucketed.generations(spark, table))
+      assert(s0.retention == 4)
+      assert(s0.liveFiles ==
+        Bucketed.load(spark, table).inputFiles.length)
+      assert(s0.liveBytes > 0)
+      assert(s0.unreferencedFiles == 0, s"clean table: $s0")
+      assert(s0.pairPointer.isEmpty)
+      // crash debris (an op's uncommitted staging) surfaces in the count
+      val orphan = new org.apache.hadoop.fs.Path(loc, "part-debris-x_0.parquet")
+      val out = fs.create(orphan, true)
+      out.write(Array[Byte](1)); out.close()
+      assert(Bucketed.describe(spark, table).unreferencedFiles == 1)
+      fs.delete(orphan, false)
+      // a pair pointer surfaces verbatim
+      Bucketed.writePairPointer(spark, table, s0.generation, 7L)
+      assert(Bucketed.describe(spark, table).pairPointer
+        .contains((s0.generation, 7L)))
+      // describe is metadata-only: no footer opens
+      val before = FileStats.footerOpens.get()
+      Bucketed.describe(spark, table)
+      assert(FileStats.footerOpens.get() == before)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("default retention (no marker) keeps delete-at-commit behavior") {
     val table = "graft_tt_default"
     try {
