@@ -1043,13 +1043,8 @@ object Bucketed {
         unreferencedFiles =
           if (valid.isEmpty) 0
           else all.count(f => !referenced(f.getPath.getName)),
-        pairPointer = readMarker(fs, loc, PairName, PairMagic).flatMap {
-          v => v.split(" ").toSeq match {
-            case Seq(a, b) =>
-              for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
-            case _ => None
-          }
-        })
+        pairPointer =
+          readMarker(fs, loc, PairName, PairMagic).flatMap(parsePairValue))
     }
   }
 
@@ -1210,6 +1205,13 @@ object Bucketed {
     }
   }
 
+  private def parsePairValue(v: String): Option[(Long, Long)] =
+    v.split(" ").toSeq match {
+      case Seq(a, b) =>
+        for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
+      case _ => None
+    }
+
   /** The owner's pair pointer: (owner generation, companion
     * generation), absent when never written or torn. */
   private[graft] def readPairPointer(spark: SparkSession,
@@ -1217,13 +1219,7 @@ object Bucketed {
     val dir = new Path(spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(owner)).location)
     val fs = fileSystemOf(spark, dir)
-    readMarker(fs, dir, PairName, PairMagic).flatMap { v =>
-      v.split(" ").toSeq match {
-        case Seq(a, b) =>
-          for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
-        case _ => None
-      }
-    }
+    readMarker(fs, dir, PairName, PairMagic).flatMap(parsePairValue)
   }
 
   /** CHANGE-DATA read: the row-level delta between two retained
