@@ -246,6 +246,12 @@ class BucketedTimeTravelSpec extends SparkSuite {
       Bucketed.writePairPointer(spark, table, s0.generation, 7L)
       assert(Bucketed.describe(spark, table).pairPointer
         .contains((s0.generation, 7L)))
+      // a torn/garbage pointer value parses as ABSENT (readers fall
+      // back to head reads, never crash on it)
+      val pout = fs.create(new org.apache.hadoop.fs.Path(loc, "_graft_pair"), true)
+      pout.write("graft-pair-v1\nnot numbers\n".getBytes("UTF-8")); pout.close()
+      assert(Bucketed.describe(spark, table).pairPointer.isEmpty)
+      assert(Bucketed.readPairPointer(spark, table).isEmpty)
       // describe is metadata-only: no footer opens
       val before = FileStats.footerOpens.get()
       Bucketed.describe(spark, table)
