@@ -195,28 +195,72 @@ object IncrementalPq {
   }
 
 
+  /** Re-stamp a pair-governed code table's pointer after a
+    * SUBTRACTIVE or row-preserving single-table mutation
+    * ([[deleteFromIndex]] / [[compactIndex]]): owner side = the new
+    * code head, companion side = the generation the pointer ALREADY
+    * names, unchanged. Without this, pointer-reading probes keep
+    * serving the pre-mutation code generation (deleted vectors still
+    * returned), and three un-stamped maintenance commits push the
+    * pointer out of the retention-3 window — every probe then fails
+    * loudly until a manual [[commitPair]]. Guarded by `preGen`: the
+    * stamp happens ONLY when the pointer named the pre-mutation head,
+    * i.e. this mutation is the sole un-published change. Mid-batch
+    * (the [[streamAppend]] compaction tick) the head already carries
+    * the batch's un-stamped APPENDS — advancing the owner side there
+    * would publish new codes against the pinned old vn (codes ⊄ vn,
+    * the exact window the pointer exists to close), so the lagging
+    * pointer is left for the batch's own [[commitPair]]. Preserving
+    * the companion generation (rather than reading the vn HEAD,
+    * which would need the companion's name these ops don't take) is
+    * safe under the guard: delete and compact never ADD a code row,
+    * so (new codes, pinned vn) preserves codes ⊆ vn. No-op on
+    * pointer-less tables. */
+  private def restampOwner(spark: SparkSession, table: String,
+                           preGen: Long): Unit =
+    graft.sources.Bucketed.readPairPointer(spark, table).foreach {
+      case (go, gv) if go == preGen =>
+        graft.sources.Bucketed.writePairPointer(spark, table,
+          graft.sources.Bucketed.currentGeneration(spark, table), gv)
+      case _ => () // un-stamped appends in flight — commitPair owns it
+    }
+
   /** Remove vectors at O(touched buckets) — the
     * [[IncrementalAnn.deleteFromIndex]] doctrine: the deleted vectors
     * re-assign map-only, so the affected bucket ids are known without
     * scanning the index; only those buckets rewrite, anti-joining the
-    * ids out. Returns the number of buckets rewritten. */
+    * ids out. On a pair-governed table the pointer re-stamps to the
+    * post-delete generation ([[restampOwner]]) so probes stop serving
+    * the deleted ids; callers deleting from the SERVING PAIR should
+    * also delete from the companion vn index and finish with
+    * [[commitPair]]. Returns the number of buckets rewritten. */
   def deleteFromIndex(vecs: DataFrame, table: String, buckets: Int,
                       coarse: Array[Array[Double]],
                       books: Pq.Codebooks): Int = {
     // residual flag irrelevant here: only (centroid, id) are used, and
     // the coarse assignment is residual-independent
-    graft.sources.IndexMaintenance.deletePostings(
+    val preGen = graft.sources.Bucketed.currentGeneration(
+      vecs.sparkSession, table)
+    val n = graft.sources.IndexMaintenance.deletePostings(
       postings(vecs, coarse, books, residual = false)
         .select("centroid", "id"),
       table, buckets, bucketKeyCol = "centroid", idCol = "id")
+    restampOwner(vecs.sparkSession, table, preGen)
+    n
   }
 
   /** Periodic compaction — the code-postings table is a SET, same as
-    * the full-vector index. */
+    * the full-vector index. Pair-governed tables re-stamp the pointer
+    * ([[restampOwner]]) so compactions never strand it behind the
+    * retention window. */
   def compactIndex(spark: SparkSession, table: String,
-                   maxFilesPerBucket: Int = 4): Int =
-    graft.sources.IndexMaintenance.compactPostings(spark, table,
+                   maxFilesPerBucket: Int = 4): Int = {
+    val preGen = graft.sources.Bucketed.currentGeneration(spark, table)
+    val n = graft.sources.IndexMaintenance.compactPostings(spark, table,
       maxFilesPerBucket)
+    if (n > 0) restampOwner(spark, table, preGen)
+    n
+  }
 
   /** Codebook-drift maintenance WITHOUT a corpus re-read: re-encode the
     * ENTIRE code index under NEW codebooks from the companion

@@ -1304,6 +1304,23 @@ object Bucketed {
     val drop = parsed.filter(_._1 < minKeptGen)
     drop.foreach { case (_, p, _) => fs.delete(p, false) }
     var deleted = 0
+    // A torn manifest NEWER than the kept head may be another
+    // process's commit in flight (its staged files are already
+    // renamed into the dir, its manifest content still streaming) —
+    // the same reason the manifest itself is spared above. Sparing
+    // the manifest while sweeping its data files would turn that
+    // racing commit into a POISONED table the moment it completes
+    // (verifyOnce: "manifest lists files not on disk") instead of a
+    // clean winner; and a torn manifest cannot be parsed for the
+    // file names to exclude. Parse failure already means "possibly
+    // in-flight": skip BOTH file sweeps this pass — the torn
+    // manifest falls below the kept head at the next valid commit
+    // and the following vacuum collects normally (or it completes
+    // and its files become referenced). Deleting nothing is always
+    // safe; the debris window is one commit, not forever.
+    val headKept = keep.last._1
+    val tornNewer = parsed.exists(e => e._1 > headKept && e._3.isEmpty)
+    if (tornNewer) return (drop.size, 0)
     val rd = retiredDir(dir)
     if (fs.exists(rd))
       fs.listStatus(rd).toSeq.filter(_.isFile).foreach { f =>

@@ -479,65 +479,134 @@ object FileStats {
     }
   }
 
-  /** How [[topK]] answered: the rows, files scanned, files skipped
-    * (their footer max provably cannot reach the running top-k). */
+  /** How [[topK]] answered: the rows, files scanned, files that were
+    * candidates at all (the head generation's files minus any the
+    * optional range predicate provably pruned — `scannedFiles <
+    * totalFiles` is the "the boundary visit stopped early" pin). */
   final case class TopKResult(rows: org.apache.spark.sql.DataFrame,
                               scannedFiles: Int, totalFiles: Int)
 
-  /** Metadata-first ORDER BY `column` DESC LIMIT `k` — the pruning
+  /** Metadata-first ORDER BY `column` DESC|ASC LIMIT `k` — the pruning
     * analogue of [[minMaxWhere]] for the top-k shape every retrieval
-    * pipeline runs: files are visited in FOOTER-MAX order, and the
-    * scan STOPS as soon as the running k-th value strictly beats every
-    * unvisited file's max — on a range-clustered or append-ordered
-    * table that is the boundary file(s), whatever the table size.
-    * `tieCols` complete the ordering (ascending) so the result is
-    * deterministic under ties; the stop condition is STRICT (kth >
-    * next max) because a tie at the boundary could be beaten on the
-    * tiebreaker by an unvisited row. Conservative like every pruning
-    * here: files with unusable stats sort FIRST (always scanned),
-    * all-null files sort last and are visited only if the visited set
-    * cannot fill k rows, and the worst case degrades to the full
-    * scan's answer, never a different one. The prefix grows
+    * pipeline runs: files are visited in FOOTER-BOUNDARY order (max
+    * descending for top-k; min ascending when `ascending` — the
+    * bottom-k twin), and the scan STOPS as soon as the running k-th
+    * value strictly beats every unvisited file's boundary — on a
+    * range-clustered or append-ordered table that is the boundary
+    * file(s), whatever the table size. `range` composes a
+    * `WHERE rc BETWEEN lo AND hi` with the visit: files the range's
+    * footer stats PROVE matchless ([[splitFiles]]) never enter the
+    * visit order, and the exact predicate re-applies to every scan —
+    * the full `WHERE … ORDER BY … LIMIT k` retrieval shape with only
+    * the filtered set's boundary files read. `tieCols` complete the
+    * ordering (ascending) so the result is deterministic under ties;
+    * the stop condition is STRICT (kth beats next boundary) because a
+    * tie at the boundary could be beaten on the tiebreaker by an
+    * unvisited row. Conservative like every pruning here: files with
+    * unusable stats sort FIRST (always scanned), all-null files sort
+    * last (nulls sort last in BOTH directions — desc's Spark default,
+    * asc via NULLS LAST, matching the oracle) and are visited only if
+    * the visited set cannot fill k, and the worst case degrades to the
+    * full scan's answer, never a different one. The prefix grows
     * geometrically, so convergence costs O(log files) Spark jobs even
-    * when the layout does not cooperate. */
+    * when the layout does not cooperate.
+    *
+    * Driver safety: k ≤ `collectMax` collects the winning prefix's ≤k
+    * rows once at the stop check and SERVES them (never re-evaluating
+    * the dominant scan+sort); a larger k must not land k full rows on
+    * the driver — the stop check degrades to a three-scalar aggregate
+    * of the limited frame (count / non-null count / boundary extremum:
+    * with nulls last, the k-th row is null iff non-nulls < k, and its
+    * value otherwise IS the min (desc) / max (asc) of the k rows), and
+    * the winner is served as the DISTRIBUTED limit(k) frame — one
+    * extra evaluation of the winning scan+sort, the price of a
+    * driver-safe unbounded k. */
   def topK(spark: SparkSession, table: String, column: String, k: Int,
-           tieCols: Seq[String] = Nil): TopKResult = {
+           tieCols: Seq[String] = Nil, ascending: Boolean = false,
+           range: Option[(String, Any, Any)] = None,
+           collectMax: Int = 4096): TopKResult = {
     require(k > 0, "k must be positive")
-    import org.apache.spark.sql.functions.{asc, desc}
+    import org.apache.spark.sql.functions.{asc, asc_nulls_last, desc}
     val stats = statsOf(spark, table)
-    val (_, files) = Bucketed.currentDataFiles(spark, table)
+    val (_, allFiles) = Bucketed.currentDataFiles(spark, table)
     val schema = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table)).schema
+    val files = range match {
+      case Some((rc, lo, hi)) =>
+        val keptNames = splitFiles(spark, table, rc, lo, hi)._1
+          .map(_.getName).toSet
+        allFiles.filter(f => keptNames(f.getPath.getName))
+      case None => allFiles
+    }
+    val rangeFilter: DataFrame => DataFrame = range match {
+      case Some((rc, lo, hi)) =>
+        df => df.filter(col(rc).between(lit(lo), lit(hi)))
+      case None => identity
+    }
+    if (files.isEmpty)
+      return TopKResult(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), 0, 0)
     def statOf(f: org.apache.hadoop.fs.FileStatus): Option[ColStat] =
       stats.get(f.getPath.getName).flatMap(_.cols.get(column))
-    // visit order: unusable stats first (must scan), then max desc,
-    // all-null files last (they contribute only when k is not filled)
+    // the file-level bound the visit order and stop condition run on:
+    // the footer MAX bounds what a file can contribute to a DESC
+    // top-k, the footer MIN to an ASC bottom-k (min and max degrade
+    // to unknown INDEPENDENTLY — e.g. a +Inf max beside a finite min)
+    def boundary(st: ColStat): Option[Key] =
+      if (ascending) st.min else st.max
+    // visit order: unusable stats first (must scan), then the
+    // boundary in answer order, all-null files last (they contribute
+    // only when k is not filled)
     val ordered = files.sortBy { f =>
       statOf(f) match {
         case Some(st) if st.allNull => (2, None: Option[Key])
-        case Some(ColStat(_, Some(mx), _, _)) => (1, Some(mx))
+        case Some(st) if boundary(st).isDefined => (1, boundary(st))
         case _ => (0, None)
       }
-    }(Ordering.Tuple2(Ordering.Int, Ordering.Option(cmpOrdering.reverse)))
-    val order = desc(column) +: tieCols.map(asc)
+    }(Ordering.Tuple2(Ordering.Int, Ordering.Option(
+      if (ascending) cmpOrdering else cmpOrdering.reverse)))
+    val order = (if (ascending) asc_nulls_last(column) else desc(column)) +:
+      tieCols.map(asc)
     def result(prefix: Seq[org.apache.hadoop.fs.FileStatus]) =
-      spark.read.schema(schema)
-        .parquet(prefix.map(_.getPath.toString): _*)
+      rangeFilter(spark.read.schema(schema)
+          .parquet(prefix.map(_.getPath.toString): _*))
         .orderBy(order: _*).limit(k)
-    // the loop's stop check already collected the winning prefix's ≤k
-    // rows — serve THOSE, never re-evaluate the scan+sort (the
-    // dominant cost) a second time
     def frameOf(rows: Array[org.apache.spark.sql.Row]) =
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     val colIdx = schema.fieldIndex(column)
-    // every file with UNUSABLE stats (no stats, or a max that has no
-    // comparable key — e.g. a ±Infinity footer value the non-finite
+    // (filled k rows?, k-th row's ordering value or null, the rows
+    // when small-k collected them — see the scaladoc's driver-safety
+    // contract)
+    def checkOf(prefix: Seq[org.apache.hadoop.fs.FileStatus])
+      : (Boolean, Any, Option[Array[org.apache.spark.sql.Row]]) =
+      if (k <= collectMax) {
+        val rows = result(prefix).collect()
+        (rows.length >= k,
+          if (rows.length >= k) rows.last.get(colIdx) else null,
+          Some(rows))
+      } else {
+        import org.apache.spark.sql.functions.{count => scount,
+          max => smax, min => smin}
+        val r = result(prefix).agg(scount(lit(1)), scount(col(column)),
+          if (ascending) smax(col(column)) else smin(col(column))).head()
+        val total = r.getLong(0)
+        val nonNull = r.getLong(1)
+        (total >= k, if (total >= k && nonNull >= k) r.get(2) else null,
+          None)
+      }
+    def serve(prefix: Seq[org.apache.hadoop.fs.FileStatus],
+              collected: Option[Array[org.apache.spark.sql.Row]],
+              scanned: Int) = TopKResult(
+      collected.map(frameOf).getOrElse(result(prefix)), scanned,
+      ordered.size)
+    // every file with UNUSABLE stats (no stats, or a boundary that has
+    // no comparable key — e.g. a ±Infinity footer value the non-finite
     // guard degraded) sorts FIRST and MUST be in every scanned prefix:
-    // treating "max unknown" like "all-null" would stop the scan while
-    // such a file may hold the true top values
+    // treating "boundary unknown" like "all-null" would stop the scan
+    // while such a file may hold the true top values
     val mustScan = ordered.segmentLength(f => statOf(f) match {
       case Some(st) if st.allNull => false
-      case Some(ColStat(_, Some(_), _, _)) => false
+      case Some(st) if boundary(st).isDefined => false
       case _ => true
     })
     var n = math.max(math.max(1, mustScan), math.min(ordered.size, {
@@ -552,8 +621,7 @@ object FileStats {
     n = math.min(ordered.size, n)
     while (n < ordered.size) {
       val prefix = ordered.take(n)
-      val rows = result(prefix).collect()
-      val kth = if (rows.length >= k) Option(rows.last.get(colIdx)) else None
+      val (filled, kthValue, collected) = checkOf(prefix)
       statOf(ordered(n)) match {
         // next file provably all-null: nulls cannot beat any NON-NULL
         // value — done once k is filled AND the k-th value is
@@ -561,13 +629,15 @@ object FileStats {
         // unscanned all-null file's rows could still beat it on the
         // tiebreaker)
         case Some(st) if st.allNull =>
-          if (rows.length >= k && rows.last.get(colIdx) != null)
-            return TopKResult(frameOf(rows), n, ordered.size)
+          if (filled && kthValue != null)
+            return serve(prefix, collected, n)
           else n = math.min(ordered.size, n * 2)
-        case Some(ColStat(_, Some(mx), _, _)) =>
-          kth.flatMap(toKey) match {
-            case Some(kv) if sameDomain(kv, mx) && cmp(kv, mx) > 0 =>
-              return TopKResult(frameOf(rows), n, ordered.size)
+        case Some(st) if boundary(st).isDefined =>
+          val bd = boundary(st).get
+          Option(kthValue).flatMap(toKey) match {
+            case Some(kv) if sameDomain(kv, bd) &&
+                (if (ascending) cmp(kv, bd) < 0 else cmp(kv, bd) > 0) =>
+              return serve(prefix, collected, n)
             case _ => n = math.min(ordered.size, n * 2)
           }
         // unusable stats beyond the must-scan prefix (defensive — the
@@ -575,8 +645,10 @@ object FileStats {
         case _ => n = math.min(ordered.size, n * 2)
       }
     }
-    TopKResult(frameOf(result(ordered).collect()),
-      ordered.size, ordered.size)
+    if (k <= collectMax)
+      TopKResult(frameOf(result(ordered).collect()),
+        ordered.size, ordered.size)
+    else TopKResult(result(ordered), ordered.size, ordered.size)
   }
 
   private val cmpOrdering: Ordering[Key] = (a, b) => cmp(a, b)
@@ -662,13 +734,21 @@ object FileStats {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Persist `stats` as generation `gen`'s sidecar and drop superseded
-    * sidecars. Derived metadata: safe to overwrite (two writers write
-    * the same content for the same generation), safe to tear (the
-    * parse falls back to footer reads). */
+  /** Persist `stats` as generation `gen`'s sidecar and drop the
+    * STRICTLY-OLDER sidecars it supersedes. Derived metadata: safe to
+    * overwrite (two writers write the same content for the same
+    * generation), safe to tear (the parse falls back to footer reads).
+    * A sidecar with a HIGHER generation is never touched — and its
+    * presence skips this write entirely: a reader that resolved the
+    * manifest just before another process's commit is writing STALE
+    * derived state, and clobbering the fresher process's sidecar
+    * (there is no lock around this read-write-delete) would force its
+    * next cold start back to a full footer pass. Newest-parseable-wins
+    * on the read side makes the skipped write harmless. */
   private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
                            gen: Long, stats: Map[String, FileStat]): Unit =
     try {
+      if (sidecarEntries(fs, dir).exists(_._1 > gen)) return
       val p = new Path(dir, s"_graft_stats.$gen")
       val out = fs.create(p, true)
       try out.write(
@@ -676,7 +756,7 @@ object FileStats {
           :+ s"END ${stats.size}").mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      sidecarEntries(fs, dir).filter(_._1 != gen)
+      sidecarEntries(fs, dir).filter(_._1 < gen)
         .foreach { case (_, op) => fs.delete(op, false) }
     } catch { case scala.util.control.NonFatal(_) => () } // best-effort
 

@@ -411,6 +411,19 @@ object IncrementalBm25 {
     // tables' commits leaves this probe on the complete old pair,
     // scores exact for that corpus, no drift to detect. Pointer-less
     // legacy indexes keep the generation-binding heal.
+    //
+    // DUPLICATE-healing contract on the pointer path: a REPLAYED
+    // append lands its postings twice AND re-adds its stats delta,
+    // then stamps the pair — pointer and pgen both name the inflated
+    // state consistently, so neither the pointer nor trustedStats'
+    // pgen-mismatch heal can detect semantic duplicates (a pointer
+    // records generations, not content). Pair-governed indexes
+    // therefore rely on the periodic [[compactIndex]] (dedups the
+    // postings) + [[repairStats]] (recomputes the row from the healed
+    // postings) tick — [[streamAppend]] wires it every compactEvery
+    // batches — exactly the family's documented healing window; the
+    // legacy path's heal was never stronger for replays either (a
+    // replayed append stamps a matching pgen there too).
     val pair = graft.sources.Bucketed.readPairPointer(
       spark, postingsTable(name))
     val (nDocs, totTok) = pair match {

@@ -404,4 +404,56 @@ class IncrementalPqSpec extends SparkSuite {
       spark.sql(s"DROP TABLE IF EXISTS $vnT")
     }
   }
+
+  test("steady-state delete/compact re-stamp the pair pointer; un-stamped appends stay invisible") {
+    val codeT = "graft_incpq_restamp_codes"
+    val vnT = "graft_incpq_restamp_vn"
+    try {
+      val corpus = vecs(0, 100)
+      IncrementalAnn.buildIndex(corpus, vnT, 4, coarse)
+      IncrementalPq.buildIndex(corpus, codeT, 4, coarse, books)
+      IncrementalPq.commitPair(spark, codeT, vnT)
+      def servedIds(): Set[Long] = {
+        val (gc, _) = graft.sources.Bucketed
+          .readPairPointer(spark, codeT).get
+        graft.sources.Bucketed.loadAt(spark, codeT, gc)
+          .select("id").as[Long].collect().toSet
+      }
+      def probeOk(): Unit = assert(
+        IncrementalPq.probe(spark, vecs(500, 502), codeT, coarse, books,
+          k = 3, nProbe = coarse.length).count() > 0)
+      assert(servedIds() == (0L until 100L).toSet)
+      // a STEADY-STATE delete must advance the pointer's owner side:
+      // pre-fix, pointer-reading probes kept serving the deleted ids
+      IncrementalPq.deleteFromIndex(vecs(0, 10), codeT, 4, coarse, books)
+      assert((servedIds() & (0L until 10L).toSet).isEmpty,
+        "deleted ids still served through a stale pointer")
+      val ptr = graft.sources.Bucketed.readPairPointer(spark, codeT).get
+      assert(ptr._1 == graft.sources.Bucketed
+        .currentGeneration(spark, codeT), "owner side must be the new head")
+      // three further steady-state maintenance commits must NOT strand
+      // the pointer behind the retention-3 window (pre-fix every probe
+      // then failed loudly until a manual commitPair)
+      IncrementalPq.deleteFromIndex(vecs(10, 12), codeT, 4, coarse, books)
+      IncrementalPq.deleteFromIndex(vecs(12, 14), codeT, 4, coarse, books)
+      IncrementalPq.compactIndex(spark, codeT, maxFilesPerBucket = 1)
+      probeOk()
+      val steady = servedIds()
+      assert((steady & (0L until 14L).toSet).isEmpty)
+      // MID-BATCH guard: after an un-stamped append, a compact must
+      // NOT advance the pointer — it would publish the appended codes
+      // against the pinned old vn (codes ⊄ vn, the window the pointer
+      // closes); the lagging pointer waits for the batch's commitPair
+      IncrementalPq.appendToIndex(vecs(3000, 3030), codeT, 4, coarse,
+        books)
+      IncrementalPq.compactIndex(spark, codeT, maxFilesPerBucket = 1)
+      assert(servedIds() == steady,
+        "compact after an un-stamped append must not publish the append")
+      IncrementalPq.commitPair(spark, codeT, vnT)
+      assert((servedIds() & (3000L until 3030L).toSet).size == 30)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $codeT")
+      spark.sql(s"DROP TABLE IF EXISTS $vnT")
+    }
+  }
 }

@@ -216,6 +216,51 @@ class BucketedTimeTravelSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("vacuum spares a possibly-in-flight commit's staged files (torn manifest above the head)") {
+    val table = "graft_tt_vacinflight"
+    try {
+      mk(table, 0, 20)
+      Bucketed.setRetention(spark, table, 3)
+      append(table, 20, 30)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val headGen = Bucketed.currentGeneration(spark, table)
+      // another process's maintenance commit in flight: its staged
+      // data files are already renamed into the dir (unlisted by any
+      // valid manifest), its manifest create()d but the content still
+      // streaming (torn — no END trailer)
+      val staged = new org.apache.hadoop.fs.Path(loc,
+        "part-inflight-00000_0.parquet")
+      val so = fs.create(staged, true); so.write(Array[Byte](9)); so.close()
+      val torn = new org.apache.hadoop.fs.Path(loc,
+        s"_graft_manifest.${headGen + 1}")
+      val to = fs.create(torn, true)
+      to.write("graft-manifest-v1\npart-inflight-00000_0.parquet"
+        .getBytes("UTF-8")); to.close()
+      // pre-fix: the hot sweep deleted `staged` while sparing `torn` —
+      // the racing commit completed into a table whose manifest lists
+      // a dead file ("corrupt" at the next verify) instead of a clean
+      // winner. Parse failure means "possibly in-flight": both file
+      // sweeps must skip this pass.
+      val (_, deleted) = Bucketed.vacuum(spark, table, retain = 1)
+      assert(deleted == 0,
+        "file sweeps must skip while a torn manifest above the head exists")
+      assert(fs.exists(staged) && fs.exists(torn))
+      // the in-flight writer died for real: once nothing torn sits
+      // above the kept head, vacuum collects normally — the staged
+      // orphan AND the superseded retained files. (A load() would
+      // reconcile the orphan too; this pins VACUUM's own sweep.)
+      fs.delete(torn, false)
+      Bucketed.forgetVerified()
+      val (_, deleted2) = Bucketed.vacuum(spark, table, retain = 1)
+      assert(deleted2 > 0, "the debris window is one pass, not forever")
+      assert(!fs.exists(staged))
+      assert(docsOf(Bucketed.load(spark, table)) == (0L until 30L).toSet)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("describe reports head/retained generations, live files, crash debris, and the pair pointer") {
     val table = "graft_tt_describe"
     try {

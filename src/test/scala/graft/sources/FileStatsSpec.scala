@@ -352,4 +352,145 @@ class FileStatsSpec extends SparkSuite {
         .count() == 12)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("writeSidecar never clobbers a fresher process's sidecar (skips the stale write)") {
+    val table = "graft_stats_noclobber"
+    try {
+      mk(table)
+      FileStats.statsOf(spark, table) // stamps the head's sidecar
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val g = Bucketed.currentGeneration(spark, table)
+      def sidecar(gen: Long) =
+        new org.apache.hadoop.fs.Path(loc, s"_graft_stats.$gen")
+      // a fresher process stamped a NEWER generation's sidecar between
+      // this reader's manifest resolution and its write-behind
+      val newer = sidecar(g + 5)
+      val out = fs.create(newer, true)
+      out.write("theirs".getBytes("UTF-8")); out.close()
+      Bucketed.save(slice(300, 310), table, Seq("k"), 2,
+        mode = org.apache.spark.sql.SaveMode.Append) // head is now g+1
+      FileStats.forgetCached()
+      FileStats.statsOf(spark, table) // pre-fix: deleted `newer`
+      assert(fs.exists(newer),
+        "a newer-generation sidecar must never be deleted by a stale writer")
+      assert(!fs.exists(sidecar(g + 1)),
+        "the stale write itself is skipped — newest-parseable-wins on read")
+      assert(fs.exists(sidecar(g)),
+        "the prior sidecar survives too (nothing superseded by a skipped write)")
+      // correctness never depended on the skip: stats still answer
+      assert(FileStats.countWhere(spark, table, "v", 0L, 10000L).count == 310L)
+      // once the newer sidecar is gone, the next reader stamps
+      // normally and strictly-older sidecars drop
+      fs.delete(newer, false)
+      FileStats.forgetCached()
+      FileStats.statsOf(spark, table)
+      assert(fs.exists(sidecar(g + 1)) && !fs.exists(sidecar(g)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("ascending topK (bottom-k) visits footer-MIN order, nulls last, equals the full asc sort") {
+    val table = "graft_stats_bottomk"
+    try {
+      mk(table) // v = 3i over [0,300), appended in three time-ordered slices
+      import spark.implicits._
+      val r = FileStats.topK(spark, table, "v", k = 7,
+        tieCols = Seq("k"), ascending = true)
+      val got = r.rows.select("k", "v").as[(Long, Long)].collect().toSeq
+      val want = Bucketed.load(spark, table)
+        .orderBy(col("v").asc_nulls_last, col("k").asc)
+        .limit(7).select("k", "v").as[(Long, Long)].collect().toSeq
+      assert(got == want && got.map(_._2) == (0L until 21L by 3L))
+      assert(r.scannedFiles < r.totalFiles,
+        s"newer appends must not be read on a bottom-k: $r")
+      // an all-null file sorts LAST in ascending order too (NULLS
+      // LAST, the oracle's default) — it must not fill the bottom-k
+      Bucketed.save(
+        (1000 until 1010).map(i => (i.toLong,
+            null.asInstanceOf[java.sql.Date], s"t$i",
+            null.asInstanceOf[java.lang.Long]))
+          .toDF("k", "d", "s", "v"),
+        table, Seq("k"), 2, mode = org.apache.spark.sql.SaveMode.Append)
+      val r2 = FileStats.topK(spark, table, "v", k = 5,
+        tieCols = Seq("k"), ascending = true)
+      assert(r2.rows.select("v").as[Long].collect().toSeq
+        == (0L until 15L by 3L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("range-filtered topK visits only the filtered set's boundary files, exact predicate re-applied") {
+    val table = "graft_stats_topk_range"
+    try {
+      mk(table) // d and v both increase with i — range on d, order by v
+      import spark.implicits._
+      val lo = java.sql.Date.valueOf(
+        java.time.LocalDate.of(1994, 1, 1).plusDays(100).toString)
+      val hi = java.sql.Date.valueOf(
+        java.time.LocalDate.of(1994, 1, 1).plusDays(199).toString)
+      val r = FileStats.topK(spark, table, "v", k = 6,
+        tieCols = Seq("k"), range = Some(("d", lo, hi)))
+      val got = r.rows.select("k", "v").as[(Long, Long)].collect().toSeq
+      val want = Bucketed.load(spark, table)
+        .filter(col("d").between(lit(lo), lit(hi)))
+        .orderBy(col("v").desc, col("k").asc)
+        .limit(6).select("k", "v").as[(Long, Long)].collect().toSeq
+      assert(got == want && got.map(_._1).toSet
+        == (194L to 199L).toSet)
+      // the range's provably-matchless files never entered the visit
+      // at all: totalFiles is the FILTERED candidate set
+      val (_, allHead) = Bucketed.currentDataFiles(spark, table)
+      assert(r.totalFiles < allHead.size,
+        s"range must prune files out of the candidate set: $r vs ${allHead.size}")
+      // ascending composes with the range too (bottom-k of the band)
+      val rAsc = FileStats.topK(spark, table, "v", k = 4,
+        tieCols = Seq("k"), ascending = true, range = Some(("d", lo, hi)))
+      assert(rAsc.rows.select("k").as[Long].collect().toSeq
+        == (100L to 103L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("topK beyond collectMax never lands k rows on the driver and still stops at the boundary") {
+    val table = "graft_stats_topk_bigk"
+    try {
+      mk(table)
+      import spark.implicits._
+      // collectMax = 0 forces the distributed path at ANY k: the stop
+      // check runs as a 3-scalar aggregate and the winner serves as
+      // the distributed limit(k) frame — result and pruning identical
+      // to the collected path
+      val r = FileStats.topK(spark, table, "v", k = 7,
+        tieCols = Seq("k"), collectMax = 0)
+      val want = Bucketed.load(spark, table)
+        .orderBy(col("v").desc, col("k").asc)
+        .limit(7).select("k", "v").as[(Long, Long)].collect().toSeq
+      assert(r.rows.select("k", "v").as[(Long, Long)].collect().toSeq
+        == want)
+      assert(r.scannedFiles < r.totalFiles, s"boundary stop must hold: $r")
+      // ascending + distributed
+      val rAsc = FileStats.topK(spark, table, "v", k = 7,
+        tieCols = Seq("k"), ascending = true, collectMax = 0)
+      assert(rAsc.rows.select("v").as[Long].collect().toSeq
+        == (0L until 21L by 3L))
+      // the null-k-th guard holds in the 3-scalar check too: a null
+      // k-th row (non-nulls < k) must KEEP scanning into the all-null
+      // file that wins the tiebreak — the collected-path contract
+      spark.sql("DROP TABLE IF EXISTS graft_stats_bigk_nullk")
+      Bucketed.save(
+        Seq((9L, Option(5.0)), (19L, Option.empty[Double]))
+          .toDF("k", "x"),
+        "graft_stats_bigk_nullk", Seq("k"), 1)
+      Bucketed.save(Seq((1L, Option.empty[Double])).toDF("k", "x"),
+        "graft_stats_bigk_nullk", Seq("k"), 1,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      val gotN = FileStats.topK(spark, "graft_stats_bigk_nullk", "x",
+          k = 2, tieCols = Seq("k"), collectMax = 0)
+        .rows.select("k").as[Long].collect().toSeq
+      assert(gotN == Seq(9L, 1L), s"got $gotN")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql("DROP TABLE IF EXISTS graft_stats_bigk_nullk")
+    }
+  }
 }
