@@ -72,6 +72,30 @@ object RelationalQueries {
     (a, b, view, rollup)
   }
 
+  /** The q172/q176 shared fixture: an append-ordered governed table
+    * (three date-sliced commits) whose file placement correlates with
+    * `d` — the layout metadata-first top-k prunes on. */
+  private def q172Table(s: SparkSession, dir: String): String = {
+    val tag = Setup.dirTag(dir)
+    val name = s"graft_q172_topk_$tag"
+    Setup.once(s"q172:$dir") {
+      val li = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber"))
+          .cast("long").as("id"),
+        col("l_shipdate").as("d"),
+        floor(col("l_extendedprice") * 100.0).cast("long").as("v"))
+      graft.sources.Bucketed.save(li.filter(col("d") < "1997-01-01"),
+        name, Seq("id"), 4)
+      graft.sources.Bucketed.save(
+        li.filter(col("d") >= "1997-01-01" && col("d") < "1998-01-01"),
+        name, Seq("id"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+      graft.sources.Bucketed.save(li.filter(col("d") >= "1998-01-01"),
+        name, Seq("id"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+      ()
+    }
+    name
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") Tables.events(s, dir) else Tables.table(s, dir, name)
 
@@ -963,27 +987,74 @@ object RelationalQueries {
     // never read (pruned_any pins it), and the oracle pins the result
     // is exactly the global top-k with a deterministic tiebreaker
     "q172_metadata_topk" -> ((s, dir) => {
-      val tag = Setup.dirTag(dir)
-      val name = s"graft_q172_topk_$tag"
-      Setup.once(s"q172:$dir") {
-        val li = t(s, dir, "lineitem").select(
-          (col("l_orderkey") * 10 + col("l_linenumber"))
-            .cast("long").as("id"),
-          col("l_shipdate").as("d"),
-          floor(col("l_extendedprice") * 100.0).cast("long").as("v"))
-        graft.sources.Bucketed.save(li.filter(col("d") < "1997-01-01"),
-          name, Seq("id"), 4)
-        graft.sources.Bucketed.save(
-          li.filter(col("d") >= "1997-01-01" && col("d") < "1998-01-01"),
-          name, Seq("id"), 4, mode = org.apache.spark.sql.SaveMode.Append)
-        graft.sources.Bucketed.save(li.filter(col("d") >= "1998-01-01"),
-          name, Seq("id"), 4, mode = org.apache.spark.sql.SaveMode.Append)
-        ()
-      }
+      val name = q172Table(s, dir)
       val r = graft.sources.FileStats.topK(s, name, "d", k = 12,
         tieCols = Seq("id"))
       r.rows.select(col("id"), col("d"), col("v"))
         .withColumn("pruned_any", lit(r.scannedFiles < r.totalFiles))
+    }),
+
+    // the full retrieval shape WHERE d BETWEEN … ORDER BY d ASC
+    // LIMIT k served metadata-first: files the range's footer stats
+    // prove matchless never enter the visit (range_pruned pins it —
+    // the pre-1997 append is out of the candidate set entirely), the
+    // ascending boundary visit stops before the 1998 append's files
+    // once the k-th value beats their footer mins (pruned_any), and
+    // the rows are exactly the filtered sort's (the oracle)
+    "q176_filtered_topk" -> ((s, dir) => {
+      val name = q172Table(s, dir)
+      val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1998-06-30 00:00:00")
+      val r = graft.sources.FileStats.topK(s, name, "d", k = 12,
+        tieCols = Seq("id"), ascending = true,
+        range = Some(("d", lo, hi)))
+      val headFiles = graft.sources.Bucketed.load(s, name)
+        .inputFiles.length
+      r.rows.select(col("id"), col("d"), col("v"))
+        .withColumn("pruned_any", lit(r.scannedFiles < r.totalFiles))
+        .withColumn("range_pruned", lit(r.totalFiles < headFiles))
+    }),
+
+    // COMMIT HISTORY (the DESCRIBE HISTORY primitive): a governed
+    // table replays create → append → merge(delete) → compact, and the
+    // audit sidecar must name each generation's op with the right file
+    // deltas while time travel confirms each generation's row count —
+    // the oracle recomputes the counts from the raw predicates and
+    // pins the op/delta sequence (timestamps are wall-clock and
+    // deliberately excluded)
+    "q175_commit_history" -> ((s, dir) => {
+      import s.implicits._
+      val tag = Setup.dirTag(dir)
+      val name = s"graft_q175_hist_$tag"
+      Setup.once(s"q175:$dir") {
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("v"))
+        // repartition by the bucket key: one file per non-empty
+        // bucket, so the history's file deltas are deterministic
+        graft.sources.Bucketed.save(
+          o.filter(col("k") % 3 === 0).repartition(4, col("k")),
+          name, Seq("k"), 4)
+        graft.sources.Bucketed.setRetention(s, name, 8)
+        graft.sources.Bucketed.save(
+          o.filter(col("k") % 3 === 1).repartition(4, col("k")),
+          name, Seq("k"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, name,
+          o.filter(col("k") % 3 < 2 && col("k") % 5 === 0)
+            .select(col("k"), col("v"), lit(true).as("del")),
+          deleteCol = Some("del"))
+        graft.sources.Bucketed.compactBuckets(s, name,
+          maxFilesPerBucket = 0, dedupRows = false)
+        ()
+      }
+      val hist = graft.sources.Bucketed.history(s, name)
+        .select(col("generation").as("gen"), col("op"),
+          (col("files_added") > 0).as("grew"),
+          (col("files_removed") > 0).as("shrank"))
+      val counts = graft.sources.Bucketed.generations(s, name)
+        .map(g => (g, graft.sources.Bucketed.loadAsOf(s, name, g).count()))
+        .toDF("gen", "n_rows")
+      hist.join(counts, "gen").orderBy("gen")
     }),
 
     // JOIN-view incremental maintenance: a materialized orders⋈customer
@@ -1820,6 +1891,38 @@ object RelationalQueries {
         |  FROM lineitem)
         |SELECT id, d, v, true AS pruned_any
         |FROM li ORDER BY d DESC, id ASC LIMIT 12""".stripMargin,
+
+    // the filtered ascending top-k must be exactly the filtered sort;
+    // range_pruned pins the pre-1997 append out of the candidate set,
+    // pruned_any pins the ascending boundary stop before the 1998 files
+    "q176_filtered_topk" ->
+      """WITH li AS (SELECT
+        |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+        |    l_shipdate AS d,
+        |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v
+        |  FROM lineitem)
+        |SELECT id, d, v, true AS pruned_any, true AS range_pruned
+        |FROM li
+        |WHERE d BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+        |            AND TIMESTAMP '1998-06-30 00:00:00'
+        |ORDER BY d ASC, id ASC LIMIT 12""".stripMargin,
+
+    // the history must name each generation's op with the right file
+    // deltas, and each generation's row count (via time travel) must
+    // equal the raw predicates' counts
+    "q175_commit_history" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |c1 AS (SELECT COUNT(*) AS n FROM o WHERE k % 3 = 0),
+        |c2 AS (SELECT COUNT(*) AS n FROM o WHERE k % 3 < 2),
+        |c3 AS (SELECT COUNT(*) AS n FROM o
+        |       WHERE k % 3 < 2 AND k % 5 <> 0)
+        |SELECT CAST(1 AS BIGINT) AS gen, 'create' AS op,
+        |       true AS grew, false AS shrank,
+        |       (SELECT n FROM c1) AS n_rows
+        |UNION ALL SELECT 2, 'append', true, false, (SELECT n FROM c2)
+        |UNION ALL SELECT 3, 'merge', true, true, (SELECT n FROM c3)
+        |UNION ALL SELECT 4, 'compact', true, true, (SELECT n FROM c3)
+        |ORDER BY gen""".stripMargin,
 
     // the view must be indistinguishable from a GROUP BY over the
     // source's final state for count/sum/avg; retracted groups (any

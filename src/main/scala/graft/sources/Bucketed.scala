@@ -184,10 +184,14 @@ object Bucketed {
               verifiedGenerations.put(loc.toString, gen)
           } else {
             // fresh write into a pre-cleared dir: dir == manifest
-            val gen = writeNextManifest(fs, loc, names)
+            val gen = writeNextManifest(fs, loc, names, op = "create")
             verifiedGenerations.put(loc.toString, gen)
           }
         }
+        // commit-time sidecar stamping (opt-in, marker-gated, outside
+        // the lock): the committer footer-reads only its new files so
+        // the first reader pays zero footer opens
+        FileStats.stampIfEnabled(spark, table, loc)
       }
     } finally guard.foreach(appendEnd)
   }
@@ -430,7 +434,8 @@ object Bucketed {
                      dedupRows: Boolean = true): Int =
     rewriteCore(spark, table,
       select = _.length > maxFilesPerBucket, bucketIds = None,
-      transform = df => if (dedupRows) df.dropDuplicates() else df)
+      transform = df => if (dedupRows) df.dropDuplicates() else df,
+      op = "compact")
 
   /** [[compactBuckets]] with a caller-supplied row transform instead
     * of dropDuplicates — the merge-on-compact hook (LSM-style) for
@@ -445,7 +450,7 @@ object Bucketed {
                          transform: DataFrame => DataFrame): Int =
     rewriteCore(spark, table,
       select = _.length > maxFilesPerBucket, bucketIds = None,
-      transform = transform)
+      transform = transform, op = "compact")
 
   /** Rewrite EXACTLY the given buckets' rows through `transform`
     * (rows of other buckets are never read or touched), preserving the
@@ -464,7 +469,7 @@ object Bucketed {
                      transform: DataFrame => DataFrame): Int =
     if (bucketIds.isEmpty) 0
     else rewriteCore(spark, table, select = _ => true,
-      bucketIds = Some(bucketIds), transform = transform)
+      bucketIds = Some(bucketIds), transform = transform, op = "rewrite")
 
   /** Rewrite the WHOLE table's rows through `transform` in one job,
     * preserving the bucket spec — the full-table maintenance primitive
@@ -479,7 +484,7 @@ object Bucketed {
   def rewriteAll(spark: SparkSession, table: String,
                  transform: DataFrame => DataFrame): Int =
     rewriteCore(spark, table, select = _ => true, bucketIds = None,
-      transform = transform)
+      transform = transform, op = "rewrite")
 
   /** Replace the table's ENTIRE contents with `rows` in one staged,
     * manifest-committed generation — the maintenance primitive for
@@ -506,7 +511,8 @@ object Bucketed {
         case None => all
       }
       stageSwapCommit(spark, table, meta, dir, fs, rows, oldFiles,
-        legacyBase = oldFiles.map(_.getPath.getName).toSet, readSet)
+        legacyBase = oldFiles.map(_.getPath.getName).toSet, readSet,
+        op = "replace")
     }
 
   /** Keyed MERGE — delete-then-insert upsert in ONE atomic generation,
@@ -582,7 +588,8 @@ object Bucketed {
         .join(delKeys, keys, "left_anti")
         .unionByName(inserts)
       stageSwapCommit(spark, table, meta, dir, fs, rows, oldFiles,
-        legacyBase = dataFiles.map(_.getPath.getName).toSet, readSet)
+        legacyBase = dataFiles.map(_.getPath.getName).toSet, readSet,
+        op = "merge")
     }
 
   /** SCHEMA EVOLUTION — append a nullable column to a bucketed table
@@ -635,10 +642,11 @@ object Bucketed {
   private def rewriteCore(spark: SparkSession, table: String,
                           select: Seq[FileStatus] => Boolean,
                           bucketIds: Option[Set[Int]],
-                          transform: DataFrame => DataFrame): Int =
+                          transform: DataFrame => DataFrame,
+                          op: String): Int =
     withMaintenanceLock(spark, table) { (meta, dir, fs) =>
       rewriteLocked(spark, table, meta, dir, fs, select, bucketIds,
-        transform)
+        transform, op)
     }
 
   private def withMaintenanceLock[A](spark: SparkSession, table: String)(
@@ -689,7 +697,8 @@ object Bucketed {
                             dir: Path, fs: FileSystem,
                             select: Seq[FileStatus] => Boolean,
                             bucketIds: Option[Set[Int]],
-                            transform: DataFrame => DataFrame): Int = {
+                            transform: DataFrame => DataFrame,
+                            op: String): Int = {
     // reconcile BEFORE choosing inputs: a crashed maintenance op's
     // uncommitted staging files are on disk but unlisted, and folding
     // them into this op's read (e.g. a compaction after a crashed
@@ -737,7 +746,7 @@ object Bucketed {
         .parquet(oldFiles.map(_.getPath.toString): _*)
     val rows = transform(base)
     stageSwapCommit(spark, table, meta, dir, fs, rows, oldFiles,
-      legacyBase = dataFiles.map(_.getPath.getName).toSet, readSet)
+      legacyBase = dataFiles.map(_.getPath.getName).toSet, readSet, op)
     chosen.size
   }
 
@@ -776,7 +785,7 @@ object Bucketed {
                               dir: Path, fs: FileSystem, rows: DataFrame,
                               oldFiles: Seq[FileStatus],
                               legacyBase: Set[String],
-                              readSet: ReadSet): Int = {
+                              readSet: ReadSet, op: String): Int = {
     val bucketSpec = meta.bucketSpec.getOrElse(
       throw new IllegalArgumentException(s"$table is not bucketed"))
     val keyCols = bucketSpec.bucketColumnNames
@@ -836,7 +845,8 @@ object Bucketed {
           // retention setting without an explicit vacuum
           val retention = retentionOf(fs, dir)
           val gen = writeNextManifest(fs, dir, base -- oldNames ++ newNames,
-            pinnedGen = Some(diskGen + 1), retention = Some(retention))
+            pinnedGen = Some(diskGen + 1), retention = Some(retention),
+            op = op)
           retireFiles(fs, dir, oldNames.toSeq.sorted, retention)
           if (retention > 1) vacuumLocked(fs, dir, retention)
           verifiedGenerations.put(dir.toString, gen)
@@ -846,6 +856,7 @@ object Bucketed {
         s"DROP TABLE IF EXISTS ${staging.split('.').map(p => s"`$p`").mkString(".")}")
     // drop the cached file listing so the next scan sees the new layout
     spark.catalog.refreshTable(table)
+    FileStats.stampIfEnabled(spark, table, dir)
     nNew
   }
 
@@ -874,6 +885,91 @@ object Bucketed {
           }
         }
     }
+
+  // ---- commit history --------------------------------------------------
+
+  private val HistoryDirName = "_graft_history"
+  private val HistoryMagic = "graft-history-v1"
+
+  private def historyDir(dir: Path): Path = new Path(dir, HistoryDirName)
+
+  /** Best-effort per-commit audit record — the DESCRIBE HISTORY
+    * primitive: one tiny file per generation
+    * (`_graft_history/<gen>`: op kind, UTC timestamp, files
+    * added/removed vs the previous generation), written at each
+    * manifest commit. DERIVED metadata like the stats sidecar, never
+    * part of the commit protocol: a failed write is swallowed (the
+    * commit already succeeded), a torn record parses as absent, and
+    * nothing reads history on any hot path. The records live in a
+    * SUBDIRECTORY so the per-commit file never joins the table dir's
+    * hot listings (manifest resolution and data-file scans filter on
+    * `isFile`, so the dir costs one entry however long the history
+    * grows). History is NEVER pruned — vacuum drops generations'
+    * manifests and files, but what happened remains auditable (row
+    * deltas of a retained span stay derivable via
+    * [[diffGenerations]]). */
+  private def writeHistory(fs: FileSystem, dir: Path, gen: Long,
+                           op: String, added: Int, removed: Int): Unit =
+    try {
+      val hd = historyDir(dir)
+      if (!fs.exists(hd)) fs.mkdirs(hd)
+      val ts = java.time.Instant.now().toString
+      val out = fs.create(new Path(hd, gen.toString), true)
+      try out.write(s"$HistoryMagic\n$gen $op $ts $added $removed\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+
+  /** One parsed history record: (generation, op, committed_at ISO-8601
+    * UTC, files added, files removed). Torn or garbage records read as
+    * absent. */
+  private def parseHistory(fs: FileSystem,
+                           p: Path): Option[(Long, String, String, Int, Int)] =
+    try {
+      val in = fs.open(p)
+      val bytes =
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toSeq match {
+        case HistoryMagic +: v +: _ =>
+          v.trim.split(" ") match {
+            case Array(g, op, ts, a, r) =>
+              for {
+                gl <- g.toLongOption
+                ai <- a.toIntOption
+                ri <- r.toIntOption
+              } yield (gl, op, ts, ai, ri)
+            case _ => None
+          }
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The table's commit history, oldest first: (generation, op,
+    * committed_at, files_added, files_removed) — what each generation
+    * WAS, the first thing an operator reaches for when a table looks
+    * wrong and the natural input for retention policy. Reads the
+    * history sidecar directory (O(commits) tiny files — the audit
+    * path, not a hot one); commits that predate the history layer, or
+    * whose best-effort record failed, are simply absent. The
+    * `committed_at` column is wall-clock and therefore NOT
+    * deterministic across replays — exclude it from any
+    * determinism-checked output. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val fs = fileSystemOf(spark, loc)
+    val hd = historyDir(loc)
+    val recs =
+      if (!fs.exists(hd)) Seq.empty
+      else fs.listStatus(hd).toSeq.filter(_.isFile)
+        .flatMap(f => parseHistory(fs, f.getPath))
+        .sortBy(_._1)
+    recs.toDF("generation", "op", "committed_at", "files_added",
+      "files_removed")
+  }
 
   // ---- retention / time travel / vacuum ------------------------------
 
@@ -1007,11 +1103,22 @@ object Bucketed {
     * setting, live file count/bytes (the head's manifest-listed
     * files), files on disk NO retained generation lists (crash
     * orphans awaiting reconcile, or another process's in-flight
-    * staging), and the pair pointer if the table governs one. */
+    * staging), the pair pointer if the table governs one, the head
+    * commit's op kind + UTC timestamp (from the history sidecar —
+    * absent for pre-history commits), and `pairLag` = head generation
+    * − pointer owner generation: the monitoring hook for a writer
+    * that died inside a pair commit's window (a pointer lagging by
+    * more than the write protocol's commits-per-batch — 2 for every
+    * family here — means no [[graft.sim.IncrementalPq.commitPair]]
+    * closed the last batch; at 3+ the next probe fails the
+    * retention-3 read, so alert at 2). */
   final case class TableState(generation: Long, generations: Seq[Long],
                               retention: Int, liveFiles: Int,
                               liveBytes: Long, unreferencedFiles: Int,
-                              pairPointer: Option[(Long, Long)])
+                              pairPointer: Option[(Long, Long)],
+                              lastOp: Option[String] = None,
+                              lastCommitAt: Option[String] = None,
+                              pairLag: Option[Long] = None)
 
   /** [[TableState]] of `table` — METADATA ONLY (one dir listing +
     * the retained manifests' parses under the manifest lock; no data
@@ -1033,8 +1140,14 @@ object Bucketed {
       val all = listDataFiles(fs, loc)
       val headNames = head.map(_._2).getOrElse(all.map(_.getPath.getName).toSet)
       val referenced = valid.flatMap(_._2).toSet
+      val headGen = head.map(_._1).getOrElse(0L)
+      val pair = readMarker(fs, loc, PairName, PairMagic)
+        .flatMap(parsePairValue)
+      val headRecord = head.flatMap { case (g, _) =>
+        parseHistory(fs, new Path(historyDir(loc), g.toString))
+      }
       TableState(
-        generation = head.map(_._1).getOrElse(0L),
+        generation = headGen,
         generations = valid.map(_._1),
         retention = retentionOf(fs, loc),
         liveFiles = all.count(f => headNames(f.getPath.getName)),
@@ -1043,8 +1156,10 @@ object Bucketed {
         unreferencedFiles =
           if (valid.isEmpty) 0
           else all.count(f => !referenced(f.getPath.getName)),
-        pairPointer =
-          readMarker(fs, loc, PairName, PairMagic).flatMap(parsePairValue))
+        pairPointer = pair,
+        lastOp = headRecord.map(_._2),
+        lastCommitAt = headRecord.map(_._3),
+        pairLag = pair.map { case (go, _) => headGen - go })
     }
   }
 
@@ -1419,11 +1534,13 @@ object Bucketed {
     * (maintenance commits) the target is exact and the
     * `overwrite = false` create doubles as the listing-lag CAS
     * backstop: two processes racing the same generation → one create
-    * fails → that op aborts. */
+    * fails → that op aborts. `op` labels the commit in the table's
+    * history sidecar ([[history]]). */
   private[sources] def writeNextManifest(fs: FileSystem, dir: Path,
                                          names: Set[String],
                                          pinnedGen: Option[Long] = None,
-                                         retention: Option[Int] = None): Long = {
+                                         retention: Option[Int] = None,
+                                         op: String = "append"): Long = {
     val prev = manifestEntries(fs, dir)
     val prevMax = prev.map(_._1).maxOption.getOrElse(0L)
     Option(lastSeenGen.get(dir.toString)).map(_.longValue).foreach { known =>
@@ -1435,6 +1552,11 @@ object Bucketed {
           _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
     }
     val gen = pinnedGen.getOrElse(prevMax + 1)
+    // the previous generation's listing feeds the history record's
+    // file deltas — one extra small read per commit, the price of the
+    // audit trail (the manifest is being read for the CAS anyway on
+    // most paths)
+    val prevNames = readManifest(fs, dir).map(_._2).getOrElse(Set.empty)
     val p = new Path(dir, s"_graft_manifest.$gen")
     val out =
       try fs.create(p, false)
@@ -1449,6 +1571,9 @@ object Bucketed {
         .mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    writeHistory(fs, dir, gen, op,
+      added = (names -- prevNames).size,
+      removed = (prevNames -- names).size)
     lastSeenGen.put(dir.toString, gen)
     // delete superseded manifests beyond the retention window (and
     // ALWAYS keep the immediately-previous generation — a

@@ -162,6 +162,78 @@ object IndexMaintenance {
       measuredMaxFilesPerBucket = maxFiles, maxLoadE6 = maxLoad)
   }
 
+  /** What [[maintainTableIfNeeded]] did and what it saw: buckets
+    * compacted (0 = file counts healthy), files vacuumed + manifests
+    * dropped (0/0 = debris under the bound), whether the stats
+    * sidecar was stamped (false = it already covered the head), and
+    * the measured inputs. */
+  final case class TableMaintenanceDecision(compactedBuckets: Int,
+                                            vacuumedFiles: Int,
+                                            droppedManifests: Int,
+                                            stampedStats: Boolean,
+                                            measuredMaxFilesPerBucket: Int,
+                                            unreferencedFiles: Int)
+
+  /** [[maintainIfNeeded]]'s sibling for governed DATA tables — the
+    * policy over the health signals [[Bucketed.describe]] already
+    * measures, so a table that accumulates files per bucket and
+    * crash debris gets acted on, not just observed. Three signals,
+    * all metadata-only to MEASURE (one dir listing + manifest/sidecar
+    * parses — the decision scan is poll-safe):
+    *
+    *  1. per-bucket FILE COUNT: append-per-batch grows O(batches)
+    *     files per bucket; above `maxFilesPerBucket` the table
+    *     compacts ([[Bucketed.compactBuckets]] with `dedupRows`
+    *     OFF by default — a DATA table may hold legitimate duplicate
+    *     rows, unlike the posting families' sets);
+    *  2. UNREFERENCED files (on disk, listed by NO retained
+    *     generation — crash orphans and beyond-window retired files):
+    *     above `maxUnreferencedFiles` the table vacuums AT ITS OWN
+    *     retention setting, so promised time-travel history is never
+    *     shortened by the policy — only true debris dies;
+    *  3. stats SIDECAR lag: a sidecar behind the head means the next
+    *     cold reader pays the new files' footer opens; stamping
+    *     ([[FileStats.statsOf]]) moves that onto this maintenance
+    *     pass. Tables with commit-time stamping enabled
+    *     ([[FileStats.enableCommitStamping]]) are always current and
+    *     no-op here.
+    *
+    * A healthy table is a no-op on all three. Single-maintenance-
+    * writer contract applies (compaction and vacuum are maintenance
+    * ops): run this from the process that owns the table's
+    * maintenance. */
+  def maintainTableIfNeeded(spark: SparkSession, table: String,
+                            maxFilesPerBucket: Int = 4,
+                            maxUnreferencedFiles: Int = 64,
+                            dedupRows: Boolean = false): TableMaintenanceDecision = {
+    val st = Bucketed.describe(spark, table)
+    val (_, files) = Bucketed.currentDataFiles(spark, table)
+    val maxFiles = files
+      .flatMap(f => Bucketed.bucketIdOfName(f.getPath.getName))
+      .groupBy(identity).values.map(_.size).maxOption.getOrElse(0)
+    // vacuum BEFORE compacting: the compaction's own reconcile pass
+    // would silently consume the measured debris, and the explicit
+    // vacuum is what also collects beyond-window retired files
+    val (dropped, vacuumed) =
+      if (st.unreferencedFiles > maxUnreferencedFiles)
+        Bucketed.vacuum(spark, table, retain = st.retention)
+      else (0, 0)
+    val compacted =
+      if (maxFiles > maxFilesPerBucket)
+        Bucketed.compactBuckets(spark, table, maxFilesPerBucket,
+          dedupRows)
+      else 0
+    // a compaction/vacuum above advanced or cleaned the head — the
+    // lag check runs against the CURRENT head either way (statsOf
+    // resolves it freshly)
+    val lagging = !FileStats.sidecarGeneration(spark, table)
+      .contains(Bucketed.currentGeneration(spark, table))
+    if (lagging) { FileStats.statsOf(spark, table); () }
+    TableMaintenanceDecision(compacted, vacuumed, dropped,
+      stampedStats = lagging, measuredMaxFilesPerBucket = maxFiles,
+      unreferencedFiles = st.unreferencedFiles)
+  }
+
   def listLoadProfile(spark: SparkSession, table: String,
                       keyCol: String = "centroid"): DataFrame = {
     val counts = Bucketed.load(spark, table)

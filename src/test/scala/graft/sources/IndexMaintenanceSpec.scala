@@ -96,6 +96,55 @@ class IndexMaintenanceSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("maintainTableIfNeeded: a churned data table compacts, vacuums debris, stamps stats; a healthy one no-ops") {
+    import org.apache.spark.sql.functions.col
+    val table = "graft_idxmaint_datatbl"
+    try {
+      def rows(lo: Int, hi: Int) =
+        (lo until hi).map(i => (i.toLong, i.toLong * 3)).toDF("k", "v")
+      // churn: three appends → 3 files per bucket; plant crash debris
+      Bucketed.save(rows(0, 40).repartition(2, col("k")),
+        table, Seq("k"), 2)
+      Bucketed.setRetention(spark, table, 2)
+      Bucketed.save(rows(40, 80).repartition(2, col("k")), table,
+        Seq("k"), 2, mode = org.apache.spark.sql.SaveMode.Append)
+      Bucketed.save(rows(80, 120).repartition(2, col("k")), table,
+        Seq("k"), 2, mode = org.apache.spark.sql.SaveMode.Append)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val debris = new org.apache.hadoop.fs.Path(loc,
+        "part-debris-00000_0.parquet")
+      val o = fs.create(debris, true); o.write(Array[Byte](1)); o.close()
+      val d = IndexMaintenance.maintainTableIfNeeded(spark, table,
+        maxFilesPerBucket = 2, maxUnreferencedFiles = 0)
+      assert(d.measuredMaxFilesPerBucket == 3 && d.compactedBuckets == 2,
+        s"$d")
+      assert(d.unreferencedFiles >= 1 && d.vacuumedFiles >= 1, s"$d")
+      assert(!fs.exists(debris), "debris must be vacuumed")
+      assert(d.stampedStats, "no sidecar existed — the pass stamps one")
+      assert(Bucketed.load(spark, table).count() == 120,
+        "maintenance must not change the data")
+      // vacuum ran AT the table's retention: the previous generation
+      // stays time-travel readable
+      val gens = Bucketed.generations(spark, table)
+      assert(gens.size == 2, s"retention-2 history must survive: $gens")
+      assert(Bucketed.loadAsOf(spark, table, gens.head).count() > 0)
+      // a healthy table no-ops on every signal — and the decision
+      // scan opens zero footers (metadata + the already-current sidecar)
+      FileStats.forgetCached()
+      val before = FileStats.footerOpens.get()
+      val d2 = IndexMaintenance.maintainTableIfNeeded(spark, table,
+        maxFilesPerBucket = 2, maxUnreferencedFiles = 0)
+      assert(d2 == IndexMaintenance.TableMaintenanceDecision(
+        0, 0, 0, stampedStats = false, measuredMaxFilesPerBucket = 1,
+        unreferencedFiles = 0), s"$d2")
+      assert(FileStats.footerOpens.get() == before,
+        "the healthy decision scan must be metadata-only")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("load profile plan: one partial-agg shuffle + broadcast fold, no window") {
     val table = "graft_idxmaint_plan_idx"
     try {
