@@ -448,6 +448,27 @@ object ScaleProbe {
           k = 100, tieCols = Seq("k"))
         r.rows.count() + r.scannedFiles.toLong
       }
+      time("filtered_topk", f) {
+        // WHERE t in the middle third ORDER BY t ASC LIMIT 100: the
+        // range pruning drops 2/3 of the candidate files before the
+        // ascending boundary visit — the full retrieval shape, still
+        // boundary-file cost at every factor
+        val r = graft.sources.FileStats.topK(spark, skipName, "t",
+          k = 100, tieCols = Seq("k"), ascending = true,
+          range = Some(("t", 100L, 199L)))
+        r.rows.count() + r.scannedFiles.toLong
+      }
+      time("maintain_table_decision", f) {
+        // governed-table auto-maintenance on a HEALTHY table: the
+        // decision scan is one dir listing + manifest/sidecar parses
+        // (the sidecar is current after the topk calls above) — zero
+        // data reads, poll-safe at any frequency and any factor. The
+        // threshold is set above this fixture's per-bucket file count
+        // so the row measures the DECISION, not a compaction.
+        val d0 = graft.sources.IndexMaintenance.maintainTableIfNeeded(
+          spark, skipName, maxFilesPerBucket = 1000)
+        (d0.compactedBuckets + d0.vacuumedFiles).toLong
+      }
       spark.sql(s"DROP TABLE IF EXISTS $skipName")
 
       // JOIN-view IVM: fact-side deltas refresh at O(delta ⋈ dim) —
@@ -478,7 +499,47 @@ object ScaleProbe {
         graft.sources.Bucketed.mergeByKey(spark, jvA, batch)
         graft.ops.Ivm.refreshJoin(spark, jvA, jvB, "j", jvV)._1
       }
-      Seq(jvV, jvB, jvA).foreach(t =>
+      // SINGLE-view join+agg IVM over the same sources: a fact batch
+      // lands as two exactly-once partial appends over delta ⋈ dim —
+      // O(batch), flat in f, where the q173+q174 composition would
+      // maintain two tables for the same rollup
+      val jgV = s"graft_scaleprobe_jagg_v_x$f"
+      time("joinagg_build", f) {
+        graft.ops.Ivm.createJoinAgg(spark, jvA, jvB, "j", jgV, 16,
+          "w", "v")
+        graft.ops.Ivm.serve(spark, jgV).count()
+      }
+      time("joinagg_fact_batch", f) {
+        val batch = replicated(1).limit(8)
+          .select(col("doc_id").as("k"), (col("doc_id") % 64L).as("j"),
+            lit(-9L).as("v"))
+        graft.sources.Bucketed.mergeByKey(spark, jvA, batch)
+        graft.ops.Ivm.refreshJoinAgg(spark, jvA, jvB, "j", jgV, 16,
+          "w", "v")._1
+      }
+      spark.sql(s"DROP TABLE IF EXISTS ${jgV}_partials")
+      // LEFT-OUTER join view: the fact case refreshes like the inner
+      // view (delta ⋈ dim); the DIM-side delta is the outer family's
+      // scaling question — its null-extension recompute reads the
+      // fact side SEMI-JOINED to the pair's changed join values, so
+      // cost follows the touched values' fact slice (1/64 here), not
+      // the whole table
+      val ojV = s"graft_scaleprobe_oivm_v_x$f"
+      time("outerivm_build", f) {
+        graft.ops.Ivm.createJoinLeft(spark, jvA, jvB, "j", ojV, 64,
+          aKey = "k")
+        spark.table(ojV).count()
+      }
+      time("outerivm_dim_delta", f) {
+        // one dim row deletes → its join value's groups recompute
+        // null-extended (the 1→0 transition at scale)
+        graft.sources.Bucketed.mergeByKey(spark, jvB,
+          spark.range(1).select(lit(5L).as("j"), lit(0L).as("w"),
+            lit(true).as("del")),
+          deleteCol = Some("del"))
+        graft.ops.Ivm.refreshJoinLeft(spark, jvA, jvB, "j", ojV)._2
+      }
+      Seq(ojV, jvV, jvB, jvA).foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
 
       time("hybrid_fusion_batch", f) {

@@ -213,6 +213,248 @@ object Ivm {
     (ha, hb)
   }
 
+  // ---- LEFT-OUTER join-view maintenance --------------------------------
+
+  /** Materialize `a LEFT JOIN b ON on` over both sources' current
+    * heads, keyed (bucketed) by `aKey` — the A side's UNIQUE row key.
+    * Unlike [[createJoin]]'s (aKey, bKey) row keys, an outer view's
+    * natural unit is the A-ROW GROUP: every A row contributes exactly
+    * one group (its matches, or its single null-extended row), the
+    * group key is never null (a null bKey could not merge), and
+    * [[Bucketed.mergeByKey]]'s group-wise replace is EXACTLY the
+    * apply primitive null-extension maintenance needs — a group whose
+    * B side appears (null-extended → matched), grows, shrinks, or
+    * vanishes (matched → null-extended) is simply rewritten whole.
+    * Column names of the two sides must be disjoint apart from `on`.
+    * Both sources must retain generations back to their bookmarks.
+    * Returns (genA, genB). */
+  def createJoinLeft(spark: SparkSession, a: String, b: String,
+                     on: String, view: String, buckets: Int,
+                     aKey: String): (Long, Long) = {
+    val ga = Bucketed.currentGeneration(spark, a)
+    val gb = Bucketed.currentGeneration(spark, b)
+    Bucketed.save(
+      Bucketed.loadAsOf(spark, a, ga)
+        .join(Bucketed.loadAsOf(spark, b, gb), Seq(on), "left"),
+      view, Seq(aKey), buckets)
+    writeJoinBookmark(spark, view, 'a', ga)
+    writeJoinBookmark(spark, view, 'b', gb)
+    (ga, gb)
+  }
+
+  /** Bring the left-outer view up to both sources' heads. Phase 1
+    * folds ΔA one consecutive generation pair at a time against B AS
+    * THE VIEW HOLDS IT (the side-b bookmark): deleted A rows delete
+    * their groups, inserted A rows insert their freshly-joined groups
+    * (LEFT join — a partnerless insert lands null-extended), an
+    * updated A row is delete+insert and replaces its group. Phase 2
+    * folds ΔB: for each pair, the delta's DISTINCT join values name
+    * exactly the A-row groups whose B side changed — those groups
+    * recompute from A_head (semi-joined to the bounded value set)
+    * against B pinned at the pair's upper generation and group-replace
+    * atomically. This is where null-extension transitions land
+    * WITHOUT any 0↔1-partner bookkeeping: a join value gaining its
+    * first B row recomputes its groups matched, one losing its last
+    * recomputes them null-extended — the recompute IS the transition.
+    *
+    * Cost: phase 2 reads A semi-joined to the pair's join values
+    * (pushdown-pruned, but an A-side scan shape — the price of
+    * null-extension correctness; the INNER view's [[refreshJoin]]
+    * stays pure-delta). Crash-exactness without tags: every group
+    * recompute is idempotent (group-wise replace on aKey), pair spans
+    * are immutable, phase-1's partner re-pins to the view's actual
+    * side-b bookmark on retry — a retry after a crash at ANY point
+    * converges to exactly A_head LEFT JOIN B_head. Sources must
+    * retain back to the bookmarks. Returns (headA, headB). */
+  def refreshJoinLeft(spark: SparkSession, a: String, b: String,
+                      on: String, view: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.lit
+    val viewSchema = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(view)).schema
+    val viewCols = viewSchema.fieldNames.toSeq
+    def walk(src: String, side: Char)(
+        applyPair: (Long, Long) => Unit): Long = {
+      val from = joinBookmark(spark, view, side).getOrElse(
+        throw new IllegalStateException(
+          s"$view has no side-$side bookmark — createJoinLeft it first"))
+      val head = Bucketed.currentGeneration(spark, src)
+      if (head == from) return head
+      require(head > from,
+        s"$view's side-$side bookmark $from is ahead of $src's head " +
+          s"$head — the source was rebuilt; recreate the view")
+      val retained = Bucketed.generations(spark, src)
+      if (!retained.contains(from))
+        throw new IllegalStateException(
+          s"$src no longer retains generation $from — the view's " +
+            s"side-$side bookmark fell behind the retention window; " +
+            "recreate it")
+      retained.dropWhile(_ < from).takeWhile(_ <= head)
+        .sliding(2).foreach {
+          case Seq(x, y) =>
+            applyPair(x, y)
+            writeJoinBookmark(spark, view, side, y)
+          case _ => ()
+        }
+      head
+    }
+    // phase 1: ΔA against B AS THE VIEW HOLDS IT (side-b bookmark)
+    val gb0 = joinBookmark(spark, view, 'b').getOrElse(
+      throw new IllegalStateException(
+        s"$view has no side-b bookmark — createJoinLeft it first"))
+    val ha = walk(a, 'a') { (x, y) =>
+      val delta = Bucketed.diffGenerations(spark, a, x, y)
+        .localCheckpoint(eager = false) // feeds deletes AND inserts
+      val aCols = delta.columns.toSet
+      // a deleted A row deletes its whole group: only the key matters
+      // to the merge, the B side null-fills to the view's shape
+      val deletes = delta.filter(col("change") === "delete")
+        .select(viewSchema.fields.map(f =>
+          if (aCols(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        .withColumn("change", lit("delete"))
+      val inserts = delta.filter(col("change") === "insert")
+        .drop("change")
+        .join(Bucketed.loadAsOf(spark, b, gb0), Seq(on), "left")
+        .select(viewCols.map(col): _*)
+        .withColumn("change", lit("insert"))
+      Bucketed.applyChanges(spark, view, deletes.unionByName(inserts))
+      ()
+    }
+    // phase 2: ΔB's join values name the groups to recompute against
+    // the pair's upper B generation and the caught-up A head
+    walk(b, 'b') { (x, y) =>
+      val touched = Bucketed.diffGenerations(spark, b, x, y)
+        .select(on).distinct()
+      val groups = Bucketed.loadAsOf(spark, a, ha)
+        .join(touched, Seq(on), "left_semi")
+        .join(Bucketed.loadAsOf(spark, b, y), Seq(on), "left")
+        .select(viewCols.map(col): _*)
+      // pure group upsert: every touched aKey gets a fresh group (an
+      // A row always yields >= 1 left-join row), vanished B partners
+      // land as the group's null-extended row
+      Bucketed.mergeByKey(spark, view, groups)
+      ()
+    }
+    (ha, Bucketed.currentGeneration(spark, b))
+  }
+
+  // ---- single-view JOIN + AGGREGATE maintenance ------------------------
+
+  /** Materialize `SELECT g, count, sum, … FROM a JOIN b ON on GROUP BY
+    * g` in ONE maintained view — where [[createJoin]]+[[create]] costs
+    * two materialized tables and two maintenance passes, the join
+    * delta feeds the aggregate partials DIRECTLY: ΔV of the inner
+    * join (the [[refreshJoin]] decomposition ΔA⋈B_old ∪ A_new⋈ΔB)
+    * lands as [[IncrementalAgg.append]]/[[IncrementalAgg.retract]]
+    * partials, each generation-pair half exactly-once under its
+    * derived tag. The view is an [[IncrementalAgg]] index: serve /
+    * consolidate / repair all carry over. `valueCol` pre-quantized
+    * long (the house sum doctrine); both bookmarks live on the
+    * partials table. Returns (genA, genB). */
+  def createJoinAgg(spark: SparkSession, a: String, b: String,
+                    on: String, view: String, buckets: Int,
+                    groupCol: String, valueCol: String): (Long, Long) = {
+    val ga = Bucketed.currentGeneration(spark, a)
+    val gb = Bucketed.currentGeneration(spark, b)
+    IncrementalAgg.buildIndex(
+      Bucketed.loadAsOf(spark, a, ga)
+        .join(Bucketed.loadAsOf(spark, b, gb), on)
+        .select(col(groupCol), col(valueCol)),
+      view, buckets, groupCol, valueCol)
+    val partials = s"${view}_partials"
+    writeJoinBookmark(spark, partials, 'a', ga)
+    writeJoinBookmark(spark, partials, 'b', gb)
+    (ga, gb)
+  }
+
+  /** Bring the join+agg view up to both sources' heads: per side, per
+    * consecutive generation pair, the pair's delta joins the pinned
+    * partner (side-b bookmark for phase 1, the phase-1 A head for
+    * phase 2 — the [[refreshJoin]] decomposition, so ΔA⋈ΔB needs no
+    * separate pass) and its insert/delete halves land as exactly-once
+    * append/retract partials (tags `jagg<side>-<x>-<y>-i/-d`), the
+    * side's bookmark advancing after each pair. A crash between the
+    * two halves heals on retry through the sentinel tags — the
+    * [[refresh]] doctrine, now over a two-source delta. Serving
+    * inherits [[IncrementalAgg.serve]]: count/sum/avg exact
+    * immediately, retracted groups' min/max null until
+    * [[repairJoinAgg]]. Returns (headA, headB). */
+  def refreshJoinAgg(spark: SparkSession, a: String, b: String,
+                     on: String, view: String, buckets: Int,
+                     groupCol: String, valueCol: String): (Long, Long) = {
+    val partials = s"${view}_partials"
+    def walk(src: String, side: Char,
+             partnerOf: Long => DataFrame): Long = {
+      val from = joinBookmark(spark, partials, side).getOrElse(
+        throw new IllegalStateException(
+          s"$view has no side-$side bookmark — createJoinAgg it first"))
+      val head = Bucketed.currentGeneration(spark, src)
+      if (head == from) return head
+      require(head > from,
+        s"$view's side-$side bookmark $from is ahead of $src's head " +
+          s"$head — the source was rebuilt; recreate the view")
+      val retained = Bucketed.generations(spark, src)
+      if (!retained.contains(from))
+        throw new IllegalStateException(
+          s"$src no longer retains generation $from — the view's " +
+            s"side-$side bookmark fell behind the retention window; " +
+            "recreate it")
+      retained.dropWhile(_ < from).takeWhile(_ <= head)
+        .sliding(2).foreach {
+          case Seq(x, y) =>
+            val dV = Bucketed.diffGenerations(spark, src, x, y)
+              .join(partnerOf(y), on)
+              .select(col(groupCol), col(valueCol), col("change"))
+              .localCheckpoint(eager = false) // one eval, both halves
+            IncrementalAgg.append(
+              dV.filter(col("change") === "insert")
+                .select(col(groupCol), col(valueCol)),
+              view, buckets, groupCol, valueCol, s"jagg$side-$x-$y-i")
+            IncrementalAgg.retract(
+              dV.filter(col("change") === "delete")
+                .select(col(groupCol), col(valueCol)),
+              view, buckets, groupCol, valueCol, s"jagg$side-$x-$y-d")
+            writeJoinBookmark(spark, partials, side, y)
+          case _ => ()
+        }
+      head
+    }
+    val gb0 = joinBookmark(spark, partials, 'b').getOrElse(
+      throw new IllegalStateException(
+        s"$view has no side-b bookmark — createJoinAgg it first"))
+    val ha = walk(a, 'a', _ => Bucketed.loadAsOf(spark, b, gb0))
+    val hb = walk(b, 'b', _ => Bucketed.loadAsOf(spark, a, ha))
+    (ha, hb)
+  }
+
+  /** [[repair]]'s join+agg twin: recompute the retracted groups'
+    * partials from the CURRENT join (one semi-joined pass over
+    * a ⋈ b, rewritten at O(touched buckets)). Requires both bookmarks
+    * caught up to their sources' heads. Returns buckets rewritten. */
+  def repairJoinAgg(spark: SparkSession, a: String, b: String,
+                    on: String, view: String, buckets: Int,
+                    groupCol: String, valueCol: String): Int = {
+    val partials = s"${view}_partials"
+    for ((src, side) <- Seq((a, 'a'), (b, 'b'))) {
+      val bm = joinBookmark(spark, partials, side).getOrElse(
+        throw new IllegalStateException(s"$view has no side-$side bookmark"))
+      val head = Bucketed.currentGeneration(spark, src)
+      require(bm == head,
+        s"$view's side-$side bookmark is at $bm but $src is at $head — " +
+          "refresh before repairing")
+    }
+    val retracted = Bucketed.load(spark, partials)
+      .filter(!org.apache.spark.sql.functions.col("is_tag"))
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.sum("retr").as("r"))
+      .filter(org.apache.spark.sql.functions.col("r") > 0)
+      .select("g")
+    IncrementalAgg.repairGroups(spark, view, buckets,
+      Bucketed.load(spark, a).join(Bucketed.load(spark, b), on)
+        .select(col(groupCol), col(valueCol)),
+      groupCol, valueCol, retracted)
+  }
+
   /** Restore exact min/max for every group the deltas retracted: the
     * retracted groups are read from the view's own partials
     * (`retr > 0` — no side ledger), and their partials are recomputed

@@ -22,13 +22,14 @@ object RelationalQueries {
     * generation (so q174's refresh walks every join delta). Returns
     * (a, b, joinView, rollup) table names; the mutations run once per
     * dir. */
-  private def q173Tables(s: SparkSession,
-                         dir: String): (String, String, String, String) = {
+  private def q173Tables(s: SparkSession, dir: String)
+      : (String, String, String, String, String) = {
     val tag = Setup.dirTag(dir)
     val a = s"graft_q173_a_$tag"
     val b = s"graft_q173_b_$tag"
     val view = s"graft_q173_view_$tag"
     val rollup = s"graft_q174_rollup_$tag"
+    val jagg = s"graft_q178_jagg_$tag"
     Setup.once(s"q173:$dir") {
       val o = t(s, dir, "orders").select(
         col("o_orderkey").cast("long").as("k"),
@@ -49,6 +50,11 @@ object RelationalQueries {
       // its delta history so the rollup view can follow it
       graft.sources.Bucketed.setRetention(s, view, 10)
       graft.ops.Ivm.create(s, view, rollup, 8, "nat", "v")
+      // the SINGLE-view join+agg twin over the same two sources (same
+      // initial generations — no commit since createJoin): q178 pins
+      // that one maintained view computes what the q173+q174
+      // two-table composition computes
+      graft.ops.Ivm.createJoinAgg(s, a, b, "cust", jagg, 8, "nat", "v")
       // side A: append the odd orders, then bump v for k % 9 == 0
       graft.sources.Bucketed.save(o.filter(col("k") % 2 === 1),
         a, Seq("k"), 8, mode = org.apache.spark.sql.SaveMode.Append)
@@ -69,7 +75,7 @@ object RelationalQueries {
       graft.ops.Ivm.refreshJoin(s, a, b, "cust", view)
       ()
     }
-    (a, b, view, rollup)
+    (a, b, view, rollup, jagg)
   }
 
   /** The q172/q176 shared fixture: an append-ordered governed table
@@ -1065,7 +1071,7 @@ object RelationalQueries {
     // side's bookmark advances — the view must equal the join
     // recomputed from both sources' final states (the oracle)
     "q173_join_ivm" -> ((s, dir) => {
-      val (_, _, view, _) = q173Tables(s, dir)
+      val (_, _, view, _, _) = q173Tables(s, dir)
       graft.sources.Bucketed.load(s, view)
         .select("k", "cust", "v", "nat", "acct")
         .orderBy("k")
@@ -1081,10 +1087,82 @@ object RelationalQueries {
     // deltas retracted. The whole two-level pipeline must equal a
     // plain GROUP BY over the recomputed join (the oracle)
     "q174_composed_ivm" -> ((s, dir) => {
-      val (_, _, view, rollup) = q173Tables(s, dir)
+      val (_, _, view, rollup, _) = q173Tables(s, dir)
       graft.ops.Ivm.refresh(s, view, rollup, 8, "nat", "v")
       graft.ops.Ivm.repair(s, view, rollup, 8, "nat", "v")
       graft.ops.Ivm.serve(s, rollup).orderBy("g")
+    }),
+
+    // SINGLE-view join+agg IVM: the GROUP-BY-over-join maintained in
+    // ONE view — each side's generation-pair delta joins the pinned
+    // partner and lands as exactly-once append/retract partials, so
+    // the q173+q174 two-table composition collapses to one
+    // materialized table and one maintenance pass. After the
+    // join-aware repair the view must equal the plain GROUP BY over
+    // the recomputed join — the same oracle the two-level pipeline
+    // answers to
+    "q178_joinagg_ivm" -> ((s, dir) => {
+      val (a, b, _, _, jagg) = q173Tables(s, dir)
+      graft.ops.Ivm.refreshJoinAgg(s, a, b, "cust", jagg, 8, "nat", "v")
+      graft.ops.Ivm.repairJoinAgg(s, a, b, "cust", jagg, 8, "nat", "v")
+      graft.ops.Ivm.serve(s, jagg).orderBy("g")
+    }),
+
+    // LEFT-OUTER join view: orders LEFT JOIN customer maintained
+    // through 0→1 partners (the initially-missing cust%7=2 customers
+    // append in — their orders flip from null-extended to matched),
+    // 1→0 partners (cust%10=3 customers delete — their orders flip
+    // BACK to null-extended, never disappear), value churn on both
+    // sides, and A-side appends/updates — the view must equal the
+    // left join recomputed from both final states (the oracle's LEFT
+    // JOIN, null extension included)
+    "q177_outer_join_ivm" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val a = s"graft_q177_a_$tag"
+      val b = s"graft_q177_b_$tag"
+      val view = s"graft_q177_view_$tag"
+      Setup.once(s"q177:$dir") {
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("cust"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("v"))
+        val c = t(s, dir, "customer").select(
+          col("c_custkey").cast("long").as("cust"),
+          col("c_nationkey").cast("long").as("nat"),
+          floor(col("c_acctbal") * 100.0).cast("long").as("acct"))
+        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 0),
+          a, Seq("k"), 8)
+        graft.sources.Bucketed.setRetention(s, a, 8)
+        graft.sources.Bucketed.save(c.filter(col("cust") % 7 =!= 2),
+          b, Seq("cust"), 8)
+        graft.sources.Bucketed.setRetention(s, b, 8)
+        graft.ops.Ivm.createJoinLeft(s, a, b, "cust", view, 8,
+          aKey = "k")
+        // side A: append the odd orders, bump v for k % 9 == 0
+        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 1),
+          a, Seq("k"), 8, mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, a,
+          o.filter(col("k") % 9 === 0)
+            .select(col("k"), col("cust"), (col("v") + 11L).as("v")))
+        // side B: 0→1 (the missing customers arrive), 1→0 (delete),
+        // v-neutral attr churn
+        graft.sources.Bucketed.save(c.filter(col("cust") % 7 === 2),
+          b, Seq("cust"), 8,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, b,
+          c.filter(col("cust") % 10 === 3)
+            .select(col("cust"), col("nat"), col("acct"),
+              lit(true).as("del")),
+          deleteCol = Some("del"))
+        graft.sources.Bucketed.mergeByKey(s, b,
+          c.filter(col("cust") % 10 === 4)
+            .select(col("cust"), col("nat"), (col("acct") + 7L).as("acct")))
+        graft.ops.Ivm.refreshJoinLeft(s, a, b, "cust", view)
+        ()
+      }
+      graft.sources.Bucketed.load(s, view)
+        .select("k", "cust", "v", "nat", "acct")
+        .orderBy("k")
     }),
 
     // Incremental view maintenance: a materialized per-part rollup
@@ -1858,6 +1936,48 @@ object RelationalQueries {
         |FROM o JOIN c USING (cust)
         |WHERE cust % 10 <> 3
         |ORDER BY k""".stripMargin,
+
+    // the maintained left-outer view must equal the LEFT JOIN
+    // recomputed from both final states — deleted customers' orders
+    // null-extended, late-arriving customers' orders matched
+    "q177_outer_join_ivm" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders),
+        |c AS (SELECT CAST(c_custkey AS BIGINT) AS cust,
+        |    CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(floor(c_acctbal * 100.0) AS BIGINT) AS acct
+        |  FROM customer),
+        |cc AS (SELECT cust, nat,
+        |    CASE WHEN cust % 10 = 4 THEN acct + 7 ELSE acct END AS acct
+        |  FROM c WHERE cust % 10 <> 3)
+        |SELECT k, cust,
+        |       CASE WHEN k % 9 = 0 THEN v + 11 ELSE v END AS v,
+        |       nat, acct
+        |FROM o LEFT JOIN cc USING (cust)
+        |ORDER BY k""".stripMargin,
+
+    // the SINGLE maintained join+agg view answers to the same truth
+    // as the q174 two-level composition: the plain GROUP BY over the
+    // recomputed join, exact extrema after the join-aware repair
+    "q178_joinagg_ivm" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders),
+        |c AS (SELECT CAST(c_custkey AS BIGINT) AS cust,
+        |    CAST(c_nationkey AS BIGINT) AS nat
+        |  FROM customer),
+        |fin AS (SELECT CASE WHEN k % 9 = 0 THEN v + 11 ELSE v END AS v,
+        |               nat
+        |  FROM o JOIN c USING (cust) WHERE cust % 10 <> 3)
+        |SELECT nat AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(v) AS BIGINT) AS sum_q,
+        |       MIN(v) AS min_q, MAX(v) AS max_q,
+        |       CAST(floor(CAST(SUM(v) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6
+        |FROM fin GROUP BY g ORDER BY g""".stripMargin,
 
     // the two-level pipeline (join view -> rollup view, both
     // delta-maintained, rollup repaired) must equal the plain GROUP BY

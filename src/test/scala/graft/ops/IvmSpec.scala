@@ -230,4 +230,229 @@ class IvmSpec extends SparkSuite {
       Seq(a, b, view).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("refreshJoin kill-points: crash between phase-1 pairs and between apply and bookmark converge") {
+    val a = "graft_jivm_ka"; val b = "graft_jivm_kb"
+    val view = "graft_jivm_kview"
+    try {
+      mkJoinSources(a, b)
+      Ivm.createJoin(spark, a, b, "j", view, 4, aKey = "id", bKey = "j")
+      val a1 = Bucketed.currentGeneration(spark, a)
+      val b1 = Bucketed.currentGeneration(spark, b)
+      // two a-side commits and one b-side commit pending
+      Bucketed.mergeByKey(spark, a,
+        Seq((3L, 3L, 333L)).toDF("id", "j", "v"))
+      val a2 = Bucketed.currentGeneration(spark, a)
+      Bucketed.mergeByKey(spark, a,
+        Seq((4L, 2L, 444L)).toDF("id", "j", "v"))
+      Bucketed.mergeByKey(spark, b,
+        Seq((2L, "mid2")).toDF("j", "nm"))
+      // KILL POINT 1 — crash BETWEEN phase-1 pairs: pair (a1,a2)
+      // applied against B at the view's side-b bookmark AND its
+      // bookmark written; pair (a2,a3) never ran. (This replicates
+      // exactly what refreshJoin's phase 1 does per pair.)
+      val dV1 = Bucketed.diffGenerations(spark, a, a1, a2)
+        .join(Bucketed.loadAsOf(spark, b, b1), "j")
+        .select(Seq("id", "j", "v", "nm", "change").map(col): _*)
+      Bucketed.applyChanges(spark, view, dV1)
+      Ivm.writeJoinBookmark(spark, view, 'a', a2)
+      // the source world keeps moving before the retry
+      Bucketed.mergeByKey(spark, b,
+        Seq((5L, "late5")).toDF("j", "nm"))
+      // retry: phase 1 re-pins its partner to the view's ACTUAL
+      // side-b bookmark (still b1 — the scaladoc's crash analysis),
+      // folds the remaining ΔA, then phase 2 catches B up to head
+      Ivm.refreshJoin(spark, a, b, "j", view)
+      assert(joinServed(view) == joinTruth(a, b))
+      // KILL POINT 2 — crash between a phase-1 APPLY and its bookmark
+      // write: the delta landed, the bookmark did not
+      Bucketed.mergeByKey(spark, a,
+        Seq((6L, 6L, 666L)).toDF("id", "j", "v"))
+      val aPre = Bucketed.currentGeneration(spark, a)
+      Bucketed.mergeByKey(spark, a,
+        Seq((10L, 3L, 1010L)).toDF("id", "j", "v"))
+      val bNow = Bucketed.currentGeneration(spark, b)
+      val dV2 = Bucketed.diffGenerations(spark, a, aPre,
+          Bucketed.currentGeneration(spark, a))
+        .join(Bucketed.loadAsOf(spark, b, bNow), "j")
+        .select(Seq("id", "j", "v", "nm", "change").map(col): _*)
+      Bucketed.applyChanges(spark, view, dV2)
+      // bookmark NOT written — the retry re-applies the same pair,
+      // idempotent by the view's (aKey, bKey) delete-then-insert
+      Ivm.refreshJoin(spark, a, b, "j", view)
+      assert(joinServed(view) == joinTruth(a, b))
+    } finally {
+      Seq(a, b, view).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  // ---- LEFT-OUTER join-view maintenance --------------------------------
+
+  private def mkOuterSources(a: String, b: String): Unit = {
+    // j values 0..9 on the A side; B covers only 0..4 — j 5..9 start
+    // null-extended
+    Bucketed.save((0 until 60).map(i => (i.toLong, i % 10L, i * 10L))
+      .toDF("id", "j", "v"), a, Seq("id"), 4)
+    Bucketed.setRetention(spark, a, 10)
+    Bucketed.save((0 until 5).map(c => (c.toLong, s"name$c"))
+      .toDF("j", "nm"), b, Seq("j"), 4)
+    Bucketed.setRetention(spark, b, 10)
+  }
+
+  private def outerTruth(a: String, b: String) =
+    Bucketed.load(spark, a)
+      .join(Bucketed.load(spark, b), Seq("j"), "left")
+      .select("id", "j", "v", "nm")
+      .as[(Long, Long, Long, Option[String])].collect().toSet
+
+  private def outerServed(view: String) =
+    Bucketed.load(spark, view).select("id", "j", "v", "nm")
+      .as[(Long, Long, Long, Option[String])].collect().toSet
+
+  test("left-outer view: null-extension appears and retracts as the inner side loses/gains partners") {
+    val a = "graft_oivm_a"; val b = "graft_oivm_b"
+    val view = "graft_oivm_view"
+    try {
+      mkOuterSources(a, b)
+      Ivm.createJoinLeft(spark, a, b, "j", view, 4, aKey = "id")
+      assert(outerServed(view) == outerTruth(a, b))
+      assert(outerServed(view).exists(_._4.isEmpty),
+        "j 5..9 must start null-extended")
+      // 0→1 partners: j=7 gains its first B row — its A rows flip
+      // from null-extended to matched
+      Bucketed.save(Seq((7L, "late7")).toDF("j", "nm"), b, Seq("j"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      // 1→0 partners: j=2 loses its only B row — its A rows flip back
+      // to null-extended
+      Bucketed.mergeByKey(spark, b,
+        Seq((2L, "x", true)).toDF("j", "nm", "del"),
+        deleteCol = Some("del"))
+      // group GROWTH: j=3 gains a second B row (two matches per A row)
+      Bucketed.save(Seq((3L, "also3")).toDF("j", "nm"), b, Seq("j"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      // A side: append (some to matched j, some to bare j), value
+      // update, join-key move INTO a bare j, delete
+      Bucketed.save((100 until 120).map(i => (i.toLong, i % 10L, i * 10L))
+        .toDF("id", "j", "v"), a, Seq("id"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Bucketed.mergeByKey(spark, a,
+        Seq((1L, 1L, 11111L)).toDF("id", "j", "v"))
+      Bucketed.mergeByKey(spark, a,
+        Seq((4L, 8L, 40L)).toDF("id", "j", "v")) // j 4→8 (bare)
+      Bucketed.mergeByKey(spark, a,
+        Seq((9L, 9L, 0L, true)).toDF("id", "j", "v", "del"),
+        deleteCol = Some("del"))
+      Ivm.refreshJoinLeft(spark, a, b, "j", view)
+      assert(outerServed(view) == outerTruth(a, b))
+      val srv = outerServed(view)
+      assert(srv.exists(r => r._2 == 7L && r._4.contains("late7")))
+      assert(srv.filter(_._2 == 2L).forall(_._4.isEmpty))
+      assert(srv.count(_._1 == 3L) == 2, "id 3 must hold TWO match rows")
+      // replayed refresh: no-op
+      Ivm.refreshJoinLeft(spark, a, b, "j", view)
+      assert(outerServed(view) == outerTruth(a, b))
+    } finally {
+      Seq(a, b, view).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("left-outer kill-points: a re-applied transition pair and a lost bookmark both converge") {
+    val a = "graft_oivm_ka"; val b = "graft_oivm_kb"
+    val view = "graft_oivm_kview"
+    try {
+      mkOuterSources(a, b)
+      Ivm.createJoinLeft(spark, a, b, "j", view, 4, aKey = "id")
+      val b1 = Bucketed.currentGeneration(spark, b)
+      // a 1→0 transition (delete j=1's row) and a 0→1 transition
+      // (j=6 gains its first row) in two separate b generations
+      Bucketed.mergeByKey(spark, b,
+        Seq((1L, "x", true)).toDF("j", "nm", "del"),
+        deleteCol = Some("del"))
+      Bucketed.save(Seq((6L, "new6")).toDF("j", "nm"), b, Seq("j"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Ivm.refreshJoinLeft(spark, a, b, "j", view)
+      assert(outerServed(view) == outerTruth(a, b))
+      // crash between apply and bookmark, REPLAYED ACROSS BOTH
+      // transitions: roll the side-b bookmark back and refresh — the
+      // group recomputes are idempotent, so re-running the
+      // null-extension flips must not duplicate or drop rows
+      Ivm.writeJoinBookmark(spark, view, 'b', b1)
+      Ivm.refreshJoinLeft(spark, a, b, "j", view)
+      assert(outerServed(view) == outerTruth(a, b))
+      // and with the world moving between crash and retry
+      Bucketed.mergeByKey(spark, a,
+        Seq((11L, 6L, 1100L)).toDF("id", "j", "v"))
+      Ivm.writeJoinBookmark(spark, view, 'b', b1)
+      Ivm.refreshJoinLeft(spark, a, b, "j", view)
+      assert(outerServed(view) == outerTruth(a, b))
+    } finally {
+      Seq(a, b, view).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  // ---- single-view join+agg maintenance --------------------------------
+
+  private def jaggTruth(a: String, b: String) =
+    Bucketed.load(spark, a).join(Bucketed.load(spark, b), "j")
+      .groupBy("nm")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_q"))
+      .select("nm", "n", "sum_q")
+      .as[(String, Long, Long)].collect().toSet
+
+  private def jaggServed(view: String) =
+    Ivm.serve(spark, view).select("g", "n", "sum_q")
+      .as[(String, Long, Long)].collect().toSet
+
+  test("join+agg single view follows both sides; repair restores exact extrema; replay is a no-op") {
+    val a = "graft_jagg_a"; val b = "graft_jagg_b"
+    val view = "graft_jagg_view"
+    try {
+      mkJoinSources(a, b)
+      Ivm.createJoinAgg(spark, a, b, "j", view, 4, "nm", "v")
+      assert(jaggServed(view) == jaggTruth(a, b))
+      // side A: append + update + join-key move + delete; side B:
+      // rename a dim (moves its groups' rows to a new group) + delete
+      Bucketed.save((100 until 130).map(i => (i.toLong, i % 7L, i * 10L))
+        .toDF("id", "j", "v"), a, Seq("id"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Bucketed.mergeByKey(spark, a,
+        Seq((3L, 3L, 99999L)).toDF("id", "j", "v"))
+      Bucketed.mergeByKey(spark, a,
+        Seq((5L, 6L, 50L)).toDF("id", "j", "v"))
+      Bucketed.mergeByKey(spark, a,
+        Seq((8L, 1L, 0L, true)).toDF("id", "j", "v", "del"),
+        deleteCol = Some("del"))
+      Bucketed.mergeByKey(spark, b,
+        Seq((2L, "renamed2")).toDF("j", "nm"))
+      Bucketed.mergeByKey(spark, b,
+        Seq((4L, "x", true)).toDF("j", "nm", "del"),
+        deleteCol = Some("del"))
+      Ivm.refreshJoinAgg(spark, a, b, "j", view, 4, "nm", "v")
+      assert(jaggServed(view) == jaggTruth(a, b))
+      // retracted groups serve null extrema until the join-aware repair
+      val mm = Ivm.serve(spark, view)
+        .select("g", "min_q").as[(String, Option[Long])].collect().toMap
+      assert(mm.values.exists(_.isEmpty))
+      assert(Ivm.repairJoinAgg(spark, a, b, "j", view, 4, "nm", "v") > 0)
+      val exact = Bucketed.load(spark, a).join(Bucketed.load(spark, b), "j")
+        .groupBy("nm")
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_q"),
+          min("v").as("min_q"), max("v").as("max_q"))
+        .select("nm", "n", "sum_q", "min_q", "max_q")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val got = Ivm.serve(spark, view)
+        .select("g", "n", "sum_q", "min_q", "max_q")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got == exact)
+      // replay: a rolled-back bookmark re-walks pairs whose tags are
+      // already committed — exactly-once makes it a strict no-op
+      Ivm.writeJoinBookmark(spark, s"${view}_partials", 'b',
+        Bucketed.generations(spark, b).head)
+      Ivm.refreshJoinAgg(spark, a, b, "j", view, 4, "nm", "v")
+      assert(jaggServed(view) == jaggTruth(a, b))
+    } finally {
+      Seq(a, b, view, s"${view}_partials").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
