@@ -122,6 +122,52 @@ object Ivm {
       gen.toString)
   }
 
+  private def clearJoinBookmark(spark: SparkSession, view: String,
+                                side: Char): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(view)).location)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, syncName(side)), false)
+    ()
+  }
+
+  /** ONE copy of the per-side bookmark walk every join-view family
+    * runs ([[refreshJoin]], [[refreshJoinLeft]], [[refreshJoinAgg]]):
+    * read the side's bookmark off `bookmarkTable`, validate head /
+    * rebuild / retention, then apply each CONSECUTIVE retained
+    * generation pair via `applyPair(x, y)` and advance the bookmark
+    * after each pair. Returns the source's head. A walk-contract fix
+    * (the retention check, the pair iteration) lands here for all
+    * three families at once. */
+  private def walkPairs(spark: SparkSession, src: String, side: Char,
+                        bookmarkTable: String, view: String,
+                        createHint: String)(
+                        applyPair: (Long, Long) => Unit): Long = {
+    val from = joinBookmark(spark, bookmarkTable, side).getOrElse(
+      throw new IllegalStateException(
+        s"$view has no side-$side bookmark — $createHint it first"))
+    val head = Bucketed.currentGeneration(spark, src)
+    if (head == from) return head
+    require(head > from,
+      s"$view's side-$side bookmark $from is ahead of $src's head " +
+        s"$head — the source was rebuilt; recreate the view")
+    val retained = Bucketed.generations(spark, src)
+    if (!retained.contains(from))
+      throw new IllegalStateException(
+        s"$src no longer retains generation $from — the view's " +
+          s"side-$side bookmark fell behind the retention window; " +
+          "recreate it")
+    retained.dropWhile(_ < from).takeWhile(_ <= head)
+      .sliding(2).foreach {
+        case Seq(x, y) =>
+          applyPair(x, y)
+          writeJoinBookmark(spark, bookmarkTable, side, y)
+        case _ => ()
+      }
+    head
+  }
+
   /** Materialize the two-table equi-join `a ⋈_on b` over both sources'
     * current heads and bookmark BOTH generations on the view (one
     * durable marker per side). `aKey`/`bKey` are the sides' UNIQUE row
@@ -173,43 +219,21 @@ object Ivm {
     val viewCols = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(view))
       .schema.fieldNames.toSeq
-    def advance(src: String, side: Char,
-                partnerOf: Unit => DataFrame): Long = {
-      val from = joinBookmark(spark, view, side).getOrElse(
-        throw new IllegalStateException(
-          s"$view has no side-$side bookmark — createJoin it first"))
-      val head = Bucketed.currentGeneration(spark, src)
-      if (head == from) return head
-      require(head > from,
-        s"$view's side-$side bookmark $from is ahead of $src's head " +
-          s"$head — the source was rebuilt; recreate the view")
-      val retained = Bucketed.generations(spark, src)
-      if (!retained.contains(from))
-        throw new IllegalStateException(
-          s"$src no longer retains generation $from — the view's " +
-            s"side-$side bookmark fell behind the retention window; " +
-            "recreate it")
-      retained.dropWhile(_ < from).takeWhile(_ <= head)
-        .sliding(2).foreach {
-          case Seq(x, y) =>
-            val delta = Bucketed.diffGenerations(spark, src, x, y)
-            val dV = delta.join(partnerOf(()), on)
-              .select((viewCols :+ "change").map(col): _*)
-            Bucketed.applyChanges(spark, view, dV)
-            writeJoinBookmark(spark, view, side, y)
-          case _ => ()
-        }
-      head
-    }
+    def advance(src: String, side: Char, partner: DataFrame): Long =
+      walkPairs(spark, src, side, view, view, "createJoin") { (x, y) =>
+        val delta = Bucketed.diffGenerations(spark, src, x, y)
+        val dV = delta.join(partner, on)
+          .select((viewCols :+ "change").map(col): _*)
+        Bucketed.applyChanges(spark, view, dV)
+        ()
+      }
     // phase 1: fold ΔA against B AS THE VIEW HOLDS IT (side-b bookmark)
     val gb0 = joinBookmark(spark, view, 'b').getOrElse(
       throw new IllegalStateException(
         s"$view has no side-b bookmark — createJoin it first"))
-    val ha = advance(a, 'a',
-      _ => Bucketed.loadAsOf(spark, b, gb0))
+    val ha = advance(a, 'a', Bucketed.loadAsOf(spark, b, gb0))
     // phase 2: fold ΔB against the caught-up A head
-    val hb = advance(b, 'b',
-      _ => Bucketed.loadAsOf(spark, a, ha))
+    val hb = advance(b, 'b', Bucketed.loadAsOf(spark, a, ha))
     (ha, hb)
   }
 
@@ -273,30 +297,8 @@ object Ivm {
       spark.sessionState.sqlParser.parseTableIdentifier(view)).schema
     val viewCols = viewSchema.fieldNames.toSeq
     def walk(src: String, side: Char)(
-        applyPair: (Long, Long) => Unit): Long = {
-      val from = joinBookmark(spark, view, side).getOrElse(
-        throw new IllegalStateException(
-          s"$view has no side-$side bookmark — createJoinLeft it first"))
-      val head = Bucketed.currentGeneration(spark, src)
-      if (head == from) return head
-      require(head > from,
-        s"$view's side-$side bookmark $from is ahead of $src's head " +
-          s"$head — the source was rebuilt; recreate the view")
-      val retained = Bucketed.generations(spark, src)
-      if (!retained.contains(from))
-        throw new IllegalStateException(
-          s"$src no longer retains generation $from — the view's " +
-            s"side-$side bookmark fell behind the retention window; " +
-            "recreate it")
-      retained.dropWhile(_ < from).takeWhile(_ <= head)
-        .sliding(2).foreach {
-          case Seq(x, y) =>
-            applyPair(x, y)
-            writeJoinBookmark(spark, view, side, y)
-          case _ => ()
-        }
-      head
-    }
+        applyPair: (Long, Long) => Unit): Long =
+      walkPairs(spark, src, side, view, view, "createJoinLeft")(applyPair)
     // phase 1: ΔA against B AS THE VIEW HOLDS IT (side-b bookmark)
     val gb0 = joinBookmark(spark, view, 'b').getOrElse(
       throw new IllegalStateException(
@@ -369,61 +371,72 @@ object Ivm {
 
   /** Bring the join+agg view up to both sources' heads: per side, per
     * consecutive generation pair, the pair's delta joins the pinned
-    * partner (side-b bookmark for phase 1, the phase-1 A head for
-    * phase 2 — the [[refreshJoin]] decomposition, so ΔA⋈ΔB needs no
-    * separate pass) and its insert/delete halves land as exactly-once
-    * append/retract partials (tags `jagg<side>-<x>-<y>-i/-d`), the
-    * side's bookmark advancing after each pair. A crash between the
-    * two halves heals on retry through the sentinel tags — the
-    * [[refresh]] doctrine, now over a two-source delta. Serving
-    * inherits [[IncrementalAgg.serve]]: count/sum/avg exact
-    * immediately, retracted groups' min/max null until
-    * [[repairJoinAgg]]. Returns (headA, headB). */
+    * partner (side-b bookmark for phase 1, the DURABLY-PINNED phase-1
+    * A head for phase 2 — the [[refreshJoin]] decomposition, so ΔA⋈ΔB
+    * needs no separate pass) and its insert/delete halves land as
+    * exactly-once append/retract partials (tags
+    * `jagg<side>-<x>-<y>-i/-d`), the side's bookmark advancing after
+    * each pair.
+    *
+    * WHY phase 2's A pin is a durable marker (`_graft_jsync_p` beside
+    * the bookmarks), unlike [[refreshJoin]]'s in-memory head: the agg
+    * families apply via TAG-SKIP, not idempotent re-apply. A phase-2
+    * half committed against A@pa and then crashed-before-bookmark
+    * would, under a fresh in-memory pin pa′ > pa, be SKIPPED by its
+    * tag while phase 1 had folded ΔA(pa→pa′) against the STALE side-b
+    * bookmark — the ΔA⋈ΔB term would be lost forever (review catch,
+    * round 13). With the pin durable, a retry FIRST finishes the
+    * crashed phase 2 under the ORIGINAL pin (tags skip exactly the
+    * halves that already landed — bit-identical deltas, since the pin
+    * names the same A generation), clears the pin, and only then runs
+    * phase 1 — whose side-b bookmark is now caught up, so the new ΔA
+    * folds against the B state the view actually holds. A TORN pin
+    * write parses as absent, which is safe: the writer only proceeds
+    * to phase 2 after its pin PUT returned, so a torn pin proves no
+    * phase-2 tag was committed under it. The pinned A generation must
+    * stay retained until the pin clears (the bookmark retention
+    * contract; behind the window the recovery fails loudly).
+    *
+    * A crash between the two halves of one pair heals on retry
+    * through the sentinel tags — the [[refresh]] doctrine, now over a
+    * two-source delta. Serving inherits [[IncrementalAgg.serve]]:
+    * count/sum/avg exact immediately, retracted groups' min/max null
+    * until [[repairJoinAgg]]. Returns (headA, headB). */
   def refreshJoinAgg(spark: SparkSession, a: String, b: String,
                      on: String, view: String, buckets: Int,
                      groupCol: String, valueCol: String): (Long, Long) = {
     val partials = s"${view}_partials"
-    def walk(src: String, side: Char,
-             partnerOf: Long => DataFrame): Long = {
-      val from = joinBookmark(spark, partials, side).getOrElse(
-        throw new IllegalStateException(
-          s"$view has no side-$side bookmark — createJoinAgg it first"))
-      val head = Bucketed.currentGeneration(spark, src)
-      if (head == from) return head
-      require(head > from,
-        s"$view's side-$side bookmark $from is ahead of $src's head " +
-          s"$head — the source was rebuilt; recreate the view")
-      val retained = Bucketed.generations(spark, src)
-      if (!retained.contains(from))
-        throw new IllegalStateException(
-          s"$src no longer retains generation $from — the view's " +
-            s"side-$side bookmark fell behind the retention window; " +
-            "recreate it")
-      retained.dropWhile(_ < from).takeWhile(_ <= head)
-        .sliding(2).foreach {
-          case Seq(x, y) =>
-            val dV = Bucketed.diffGenerations(spark, src, x, y)
-              .join(partnerOf(y), on)
-              .select(col(groupCol), col(valueCol), col("change"))
-              .localCheckpoint(eager = false) // one eval, both halves
-            IncrementalAgg.append(
-              dV.filter(col("change") === "insert")
-                .select(col(groupCol), col(valueCol)),
-              view, buckets, groupCol, valueCol, s"jagg$side-$x-$y-i")
-            IncrementalAgg.retract(
-              dV.filter(col("change") === "delete")
-                .select(col(groupCol), col(valueCol)),
-              view, buckets, groupCol, valueCol, s"jagg$side-$x-$y-d")
-            writeJoinBookmark(spark, partials, side, y)
-          case _ => ()
-        }
-      head
+    def walk(src: String, side: Char, partner: DataFrame): Long =
+      walkPairs(spark, src, side, partials, view, "createJoinAgg") {
+        (x, y) =>
+          val dV = Bucketed.diffGenerations(spark, src, x, y)
+            .join(partner, on)
+            .select(col(groupCol), col(valueCol), col("change"))
+            .localCheckpoint(eager = false) // one eval, both halves
+          IncrementalAgg.append(
+            dV.filter(col("change") === "insert")
+              .select(col(groupCol), col(valueCol)),
+            view, buckets, groupCol, valueCol, s"jagg$side-$x-$y-i")
+          IncrementalAgg.retract(
+            dV.filter(col("change") === "delete")
+              .select(col(groupCol), col(valueCol)),
+            view, buckets, groupCol, valueCol, s"jagg$side-$x-$y-d")
+          ()
+      }
+    // recovery: a durable pin means a phase 2 crashed mid-flight —
+    // finish it under the ORIGINAL A pin before anything else (see
+    // the scaladoc's lost-ΔA⋈ΔB analysis)
+    joinBookmark(spark, partials, 'p').foreach { pa =>
+      walk(b, 'b', Bucketed.loadAsOf(spark, a, pa))
+      clearJoinBookmark(spark, partials, 'p')
     }
     val gb0 = joinBookmark(spark, partials, 'b').getOrElse(
       throw new IllegalStateException(
         s"$view has no side-b bookmark — createJoinAgg it first"))
-    val ha = walk(a, 'a', _ => Bucketed.loadAsOf(spark, b, gb0))
-    val hb = walk(b, 'b', _ => Bucketed.loadAsOf(spark, a, ha))
+    val ha = walk(a, 'a', Bucketed.loadAsOf(spark, b, gb0))
+    writeJoinBookmark(spark, partials, 'p', ha)
+    val hb = walk(b, 'b', Bucketed.loadAsOf(spark, a, ha))
+    clearJoinBookmark(spark, partials, 'p')
     (ha, hb)
   }
 

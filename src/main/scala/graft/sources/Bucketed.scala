@@ -170,7 +170,8 @@ object Bucketed {
             // union-add: a concurrent append's files may appear in
             // this listing diff too — adding them twice is idempotent
             val base = readManifest(fs, loc).map(_._2).getOrElse(beforeNames)
-            val gen = writeNextManifest(fs, loc, base ++ (names -- beforeNames))
+            val gen = writeNextManifest(fs, loc, base ++ (names -- beforeNames),
+              prevNames = Some(base))
             // verified only if the PRE-append dir carried no unlisted
             // orphans (an append into a crashed-and-never-reloaded
             // table must not mark the orphans clean — the next load's
@@ -184,7 +185,8 @@ object Bucketed {
               verifiedGenerations.put(loc.toString, gen)
           } else {
             // fresh write into a pre-cleared dir: dir == manifest
-            val gen = writeNextManifest(fs, loc, names, op = "create")
+            val gen = writeNextManifest(fs, loc, names, op = "create",
+              prevNames = Some(Set.empty))
             verifiedGenerations.put(loc.toString, gen)
           }
         }
@@ -846,7 +848,7 @@ object Bucketed {
           val retention = retentionOf(fs, dir)
           val gen = writeNextManifest(fs, dir, base -- oldNames ++ newNames,
             pinnedGen = Some(diskGen + 1), retention = Some(retention),
-            op = op)
+            op = op, prevNames = Some(base))
           retireFiles(fs, dir, oldNames.toSeq.sorted, retention)
           if (retention > 1) vacuumLocked(fs, dir, retention)
           verifiedGenerations.put(dir.toString, gen)
@@ -1535,12 +1537,16 @@ object Bucketed {
     * `overwrite = false` create doubles as the listing-lag CAS
     * backstop: two processes racing the same generation → one create
     * fails → that op aborts. `op` labels the commit in the table's
-    * history sidecar ([[history]]). */
+    * history sidecar ([[history]]); `prevNames` is the previous
+    * generation's listing when the caller already holds it (every
+    * commit path does — passing it avoids a second manifest
+    * read+parse per commit purely for the history file deltas). */
   private[sources] def writeNextManifest(fs: FileSystem, dir: Path,
                                          names: Set[String],
                                          pinnedGen: Option[Long] = None,
                                          retention: Option[Int] = None,
-                                         op: String = "append"): Long = {
+                                         op: String = "append",
+                                         prevNames: Option[Set[String]] = None): Long = {
     val prev = manifestEntries(fs, dir)
     val prevMax = prev.map(_._1).maxOption.getOrElse(0L)
     Option(lastSeenGen.get(dir.toString)).map(_.longValue).foreach { known =>
@@ -1553,10 +1559,10 @@ object Bucketed {
     }
     val gen = pinnedGen.getOrElse(prevMax + 1)
     // the previous generation's listing feeds the history record's
-    // file deltas — one extra small read per commit, the price of the
-    // audit trail (the manifest is being read for the CAS anyway on
-    // most paths)
-    val prevNames = readManifest(fs, dir).map(_._2).getOrElse(Set.empty)
+    // file deltas — callers pass what they already read; only a
+    // caller without it pays the extra manifest parse
+    val prevSet = prevNames.getOrElse(
+      readManifest(fs, dir).map(_._2).getOrElse(Set.empty))
     val p = new Path(dir, s"_graft_manifest.$gen")
     val out =
       try fs.create(p, false)
@@ -1572,8 +1578,8 @@ object Bucketed {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     writeHistory(fs, dir, gen, op,
-      added = (names -- prevNames).size,
-      removed = (prevNames -- names).size)
+      added = (names -- prevSet).size,
+      removed = (prevSet -- names).size)
     lastSeenGen.put(dir.toString, gen)
     // delete superseded manifests beyond the retention window (and
     // ALWAYS keep the immediately-previous generation — a

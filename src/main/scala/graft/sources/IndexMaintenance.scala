@@ -207,7 +207,12 @@ object IndexMaintenance {
                             maxUnreferencedFiles: Int = 64,
                             dedupRows: Boolean = false): TableMaintenanceDecision = {
     val st = Bucketed.describe(spark, table)
-    val (_, files) = Bucketed.currentDataFiles(spark, table)
+    // ONE file listing serves both the bucket-profile signal and the
+    // head generation the lag check compares against (describe cannot
+    // expose per-bucket file names); sidecarGeneration adds one
+    // sidecar-name listing — the healthy-path decision scan is those
+    // two resolutions, nothing per-file
+    val (head0, files) = Bucketed.currentDataFiles(spark, table)
     val maxFiles = files
       .flatMap(f => Bucketed.bucketIdOfName(f.getPath.getName))
       .groupBy(identity).values.map(_.size).maxOption.getOrElse(0)
@@ -223,11 +228,15 @@ object IndexMaintenance {
         Bucketed.compactBuckets(spark, table, maxFilesPerBucket,
           dedupRows)
       else 0
-    // a compaction/vacuum above advanced or cleaned the head — the
-    // lag check runs against the CURRENT head either way (statsOf
-    // resolves it freshly)
-    val lagging = !FileStats.sidecarGeneration(spark, table)
-      .contains(Bucketed.currentGeneration(spark, table))
+    // the lag check runs against the CURRENT head: re-resolved only
+    // when an op above actually advanced it, otherwise the listing
+    // already read serves
+    val head =
+      if (compacted > 0 || vacuumed > 0)
+        Bucketed.currentGeneration(spark, table)
+      else head0
+    val lagging =
+      !FileStats.sidecarGeneration(spark, table).contains(head)
     if (lagging) { FileStats.statsOf(spark, table); () }
     TableMaintenanceDecision(compacted, vacuumed, dropped,
       stampedStats = lagging, measuredMaxFilesPerBucket = maxFiles,

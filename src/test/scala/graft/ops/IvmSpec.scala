@@ -455,4 +455,41 @@ class IvmSpec extends SparkSuite {
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("join+agg heals a crashed phase 2 even when A moves before the retry (durable pin)") {
+    val a = "graft_jagg_pa"; val b = "graft_jagg_pb"
+    val view = "graft_jagg_pview"
+    try {
+      mkJoinSources(a, b)
+      Ivm.createJoinAgg(spark, a, b, "j", view, 4, "nm", "v")
+      Bucketed.mergeByKey(spark, b,
+        Seq((2L, "renamed2")).toDF("j", "nm"))
+      Ivm.refreshJoinAgg(spark, a, b, "j", view, 4, "nm", "v")
+      // simulate "phase-2 halves committed, crash before the side-b
+      // bookmark write": roll the bookmark back one b generation and
+      // restore the pin the crashed refresh had written (the A head
+      // its tags were computed against)
+      val bGens = Bucketed.generations(spark, b)
+      Ivm.writeJoinBookmark(spark, s"${view}_partials", 'b',
+        bGens(bGens.size - 2))
+      Ivm.writeJoinBookmark(spark, s"${view}_partials", 'p',
+        Bucketed.currentGeneration(spark, a))
+      // A moves before the retry: a new fact row joining the CHANGED
+      // dim — the review's lost-ΔA⋈ΔB scenario. Without the durable
+      // pin, the retry's phase 1 would fold this row against the
+      // rolled-back B state (old dim name) while the tag-skipped
+      // phase 2 never re-joins it — the renamed group stays short
+      // forever.
+      Bucketed.mergeByKey(spark, a,
+        Seq((200L, 2L, 5000L)).toDF("id", "j", "v"))
+      Ivm.refreshJoinAgg(spark, a, b, "j", view, 4, "nm", "v")
+      assert(jaggServed(view) == jaggTruth(a, b))
+      // the pin is cleared on completion: a further refresh is a no-op
+      Ivm.refreshJoinAgg(spark, a, b, "j", view, 4, "nm", "v")
+      assert(jaggServed(view) == jaggTruth(a, b))
+    } finally {
+      Seq(a, b, view, s"${view}_partials").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

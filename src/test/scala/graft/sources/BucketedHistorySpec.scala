@@ -90,6 +90,8 @@ class BucketedHistorySpec extends SparkSuite {
     try {
       Bucketed.save(rows(0, 10), table, Seq("k"), 2)
       Bucketed.setRetention(spark, table, 4)
+      // no pointer → no lag to monitor
+      assert(Bucketed.describe(spark, table).pairLag.isEmpty)
       val g = Bucketed.currentGeneration(spark, table)
       Bucketed.writePairPointer(spark, table, g, 1L)
       assert(Bucketed.describe(spark, table).pairLag.contains(0L))
@@ -102,9 +104,6 @@ class BucketedHistorySpec extends SparkSuite {
       val st = Bucketed.describe(spark, table)
       assert(st.pairLag.contains(2L),
         s"head − pointer owner must surface as lag: $st")
-      // no pointer → no lag to monitor
-      assert(Bucketed.describe(spark, "graft_hist_pairlag").pairPointer
-        .isDefined)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }
