@@ -340,6 +340,111 @@ object Ivm {
     (ha, Bucketed.currentGeneration(spark, b))
   }
 
+  // ---- FULL-OUTER join-view maintenance --------------------------------
+
+  private def orphanTable(view: String) = s"${view}_orphans"
+
+  /** Materialize `a FULL JOIN b ON on` as TWO maintained governed
+    * tables under one view name: the [[createJoinLeft]] A-keyed left
+    * part, plus an ORPHANS table (`<view>_orphans`, keyed by `bKey`)
+    * holding exactly the B rows whose join value has NO A row — the
+    * B-side null extension the left view cannot carry (a partnerless
+    * B row has no aKey to group under). [[serveJoinFull]] unions the
+    * two, null-extending the orphans to the view's shape. Both tables
+    * carry their own side bookmarks and refresh from the same source
+    * deltas. Returns (genA, genB). */
+  def createJoinFull(spark: SparkSession, a: String, b: String,
+                     on: String, view: String, buckets: Int,
+                     aKey: String, bKey: String): (Long, Long) = {
+    val (ga, gb) = createJoinLeft(spark, a, b, on, view, buckets, aKey)
+    val orphans = orphanTable(view)
+    Bucketed.save(
+      Bucketed.loadAsOf(spark, b, gb).join(
+        Bucketed.loadAsOf(spark, a, ga).select(on).distinct(),
+        Seq(on), "left_anti"),
+      orphans, Seq(bKey), buckets)
+    writeJoinBookmark(spark, orphans, 'a', ga)
+    writeJoinBookmark(spark, orphans, 'b', gb)
+    (ga, gb)
+  }
+
+  /** Bring the full-outer view up to both sources' heads: the left
+    * part refreshes via [[refreshJoinLeft]]; the orphans table then
+    * walks the same deltas on its OWN bookmarks, recomputing orphan
+    * membership for exactly the TOUCHED join values — a value gaining
+    * its first A row retracts its orphans, one losing its last A row
+    * (or gaining partnerless B rows) inserts them. Per pair the
+    * update set is `B@pin` semi-joined to the touched values, each
+    * row flagged for deletion iff its value HAS an A row at the
+    * pinned A state (plus, on B-side pairs, the pair's deleted B rows
+    * flagged — a vanished B row's orphan must die, and it is absent
+    * from B@pin so the membership recompute alone would never name
+    * it); one [[Bucketed.mergeByKey]] group-replace applies it
+    * atomically. Every apply is idempotent and the pins re-derive
+    * from the bookmarks, so any crash point converges on retry — the
+    * [[refreshJoinLeft]] doctrine on the mirrored side. Cost per
+    * pair: the touched values' slices of both sources,
+    * semi-join-pruned. Returns (headA, headB). */
+  def refreshJoinFull(spark: SparkSession, a: String, b: String,
+                      on: String, view: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val (ha, hb) = refreshJoinLeft(spark, a, b, on, view)
+    val orphans = orphanTable(view)
+    def orphanUpdates(touched: DataFrame, bState: DataFrame,
+                      aState: DataFrame): DataFrame =
+      bState.join(touched, Seq(on), "left_semi")
+        .join(aState.select(on).distinct()
+            .withColumn("_has_a", lit(true)),
+          Seq(on), "left")
+        .withColumn("_del", coalesce(col("_has_a"), lit(false)))
+        .drop("_has_a")
+    // side a: membership flips from ΔA's values, B as the orphans
+    // table holds it (its own side-b bookmark)
+    val gbO = joinBookmark(spark, orphans, 'b').getOrElse(
+      throw new IllegalStateException(
+        s"$view has no orphan-side-b bookmark — createJoinFull it first"))
+    walkPairs(spark, a, 'a', orphans, view, "createJoinFull") { (x, y) =>
+      val touched = Bucketed.diffGenerations(spark, a, x, y)
+        .select(on).distinct()
+      Bucketed.mergeByKey(spark, orphans,
+        orphanUpdates(touched, Bucketed.loadAsOf(spark, b, gbO),
+          Bucketed.loadAsOf(spark, a, y)),
+        deleteCol = Some("_del"))
+      ()
+    }
+    // side b: membership recomputes from B@y against the caught-up A
+    // head, with the pair's deleted B rows explicitly flagged
+    walkPairs(spark, b, 'b', orphans, view, "createJoinFull") { (x, y) =>
+      val delta = Bucketed.diffGenerations(spark, b, x, y)
+        .localCheckpoint(eager = false) // feeds touched AND deletes
+      val touched = delta.select(on).distinct()
+      val updates = orphanUpdates(touched,
+        Bucketed.loadAsOf(spark, b, y),
+        Bucketed.loadAsOf(spark, a, ha))
+      val deletes = delta.filter(col("change") === "delete")
+        .drop("change").withColumn("_del", lit(true))
+      Bucketed.mergeByKey(spark, orphans,
+        updates.unionByName(deletes), deleteCol = Some("_del"))
+      ()
+    }
+    (ha, hb)
+  }
+
+  /** The full-outer view's rows: the left part ∪ the orphans
+    * null-extended to the view's shape (the join column and B's
+    * columns carry through; A's columns null-fill). */
+  def serveJoinFull(spark: SparkSession, view: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val left = Bucketed.load(spark, view)
+    val schema = left.schema
+    val orphans = Bucketed.load(spark, orphanTable(view))
+    val oCols = orphans.columns.toSet
+    left.unionByName(
+      orphans.select(schema.fields.map(f =>
+        if (oCols(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
+  }
+
   // ---- single-view JOIN + AGGREGATE maintenance ------------------------
 
   /** Materialize `SELECT g, count, sum, … FROM a JOIN b ON on GROUP BY

@@ -78,6 +78,75 @@ object RelationalQueries {
     (a, b, view, rollup, jagg)
   }
 
+  /** The q177/q179 shared fixture: orders/customer governed sources
+    * churned on both sides, a LEFT-outer view (q177) and a FULL-outer
+    * view + orphans pair (q179) following them. The full view is
+    * created at the same initial generations (no commit between the
+    * two creates), so its refresh genuinely walks every delta. */
+  private def q177Tables(s: SparkSession, dir: String)
+      : (String, String, String, String) = {
+    val tag = Setup.dirTag(dir)
+    val a = s"graft_q177_a_$tag"
+    val b = s"graft_q177_b_$tag"
+    val view = s"graft_q177_view_$tag"
+    val full = s"graft_q179_full_$tag"
+    Setup.once(s"q177:$dir") {
+      // cust % 11 == 5 customers NEVER order (the testdata references
+      // every customer, so the B-side null extension must be carved
+      // out); cust % 13 == 6 customers lose ALL their orders
+      // mid-stream — the 1→0 A-presence transition that turns their
+      // B rows into full-view orphans
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        floor(col("o_totalprice") * 100.0).cast("long").as("v"))
+        .filter(col("cust") % 11 =!= 5)
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("cust"),
+        col("c_nationkey").cast("long").as("nat"),
+        floor(col("c_acctbal") * 100.0).cast("long").as("acct"))
+      graft.sources.Bucketed.save(o.filter(col("k") % 2 === 0),
+        a, Seq("k"), 8)
+      graft.sources.Bucketed.setRetention(s, a, 8)
+      graft.sources.Bucketed.save(c.filter(col("cust") % 7 =!= 2),
+        b, Seq("cust"), 8)
+      graft.sources.Bucketed.setRetention(s, b, 8)
+      graft.ops.Ivm.createJoinLeft(s, a, b, "cust", view, 8,
+        aKey = "k")
+      graft.ops.Ivm.createJoinFull(s, a, b, "cust", full, 8,
+        aKey = "k", bKey = "cust")
+      // side A: append the odd orders (customers whose orders are all
+      // odd transition 0→1 — their create-time orphans retract), bump
+      // v for k % 9 == 0, then delete every order of cust % 13 == 6
+      // (the 1→0 transition)
+      graft.sources.Bucketed.save(o.filter(col("k") % 2 === 1),
+        a, Seq("k"), 8, mode = org.apache.spark.sql.SaveMode.Append)
+      graft.sources.Bucketed.mergeByKey(s, a,
+        o.filter(col("k") % 9 === 0)
+          .select(col("k"), col("cust"), (col("v") + 11L).as("v")))
+      graft.sources.Bucketed.mergeByKey(s, a,
+        o.filter(col("cust") % 13 === 6)
+          .select(col("k"), col("cust"), col("v"), lit(true).as("del")),
+        deleteCol = Some("del"))
+      // side B: 0→1 (the missing customers arrive), 1→0 (delete),
+      // v-neutral attr churn
+      graft.sources.Bucketed.save(c.filter(col("cust") % 7 === 2),
+        b, Seq("cust"), 8,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      graft.sources.Bucketed.mergeByKey(s, b,
+        c.filter(col("cust") % 10 === 3)
+          .select(col("cust"), col("nat"), col("acct"),
+            lit(true).as("del")),
+        deleteCol = Some("del"))
+      graft.sources.Bucketed.mergeByKey(s, b,
+        c.filter(col("cust") % 10 === 4)
+          .select(col("cust"), col("nat"), (col("acct") + 7L).as("acct")))
+      graft.ops.Ivm.refreshJoinLeft(s, a, b, "cust", view)
+      ()
+    }
+    (a, b, view, full)
+  }
+
   /** The q172/q176 shared fixture: an append-ordered governed table
     * (three date-sliced commits) whose file placement correlates with
     * `d` — the layout metadata-first top-k prunes on. */
@@ -1117,52 +1186,27 @@ object RelationalQueries {
     // left join recomputed from both final states (the oracle's LEFT
     // JOIN, null extension included)
     "q177_outer_join_ivm" -> ((s, dir) => {
-      val tag = Setup.dirTag(dir)
-      val a = s"graft_q177_a_$tag"
-      val b = s"graft_q177_b_$tag"
-      val view = s"graft_q177_view_$tag"
-      Setup.once(s"q177:$dir") {
-        val o = t(s, dir, "orders").select(
-          col("o_orderkey").cast("long").as("k"),
-          col("o_custkey").cast("long").as("cust"),
-          floor(col("o_totalprice") * 100.0).cast("long").as("v"))
-        val c = t(s, dir, "customer").select(
-          col("c_custkey").cast("long").as("cust"),
-          col("c_nationkey").cast("long").as("nat"),
-          floor(col("c_acctbal") * 100.0).cast("long").as("acct"))
-        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 0),
-          a, Seq("k"), 8)
-        graft.sources.Bucketed.setRetention(s, a, 8)
-        graft.sources.Bucketed.save(c.filter(col("cust") % 7 =!= 2),
-          b, Seq("cust"), 8)
-        graft.sources.Bucketed.setRetention(s, b, 8)
-        graft.ops.Ivm.createJoinLeft(s, a, b, "cust", view, 8,
-          aKey = "k")
-        // side A: append the odd orders, bump v for k % 9 == 0
-        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 1),
-          a, Seq("k"), 8, mode = org.apache.spark.sql.SaveMode.Append)
-        graft.sources.Bucketed.mergeByKey(s, a,
-          o.filter(col("k") % 9 === 0)
-            .select(col("k"), col("cust"), (col("v") + 11L).as("v")))
-        // side B: 0→1 (the missing customers arrive), 1→0 (delete),
-        // v-neutral attr churn
-        graft.sources.Bucketed.save(c.filter(col("cust") % 7 === 2),
-          b, Seq("cust"), 8,
-          mode = org.apache.spark.sql.SaveMode.Append)
-        graft.sources.Bucketed.mergeByKey(s, b,
-          c.filter(col("cust") % 10 === 3)
-            .select(col("cust"), col("nat"), col("acct"),
-              lit(true).as("del")),
-          deleteCol = Some("del"))
-        graft.sources.Bucketed.mergeByKey(s, b,
-          c.filter(col("cust") % 10 === 4)
-            .select(col("cust"), col("nat"), (col("acct") + 7L).as("acct")))
-        graft.ops.Ivm.refreshJoinLeft(s, a, b, "cust", view)
-        ()
-      }
+      val (_, _, view, _) = q177Tables(s, dir)
       graft.sources.Bucketed.load(s, view)
         .select("k", "cust", "v", "nat", "acct")
         .orderBy("k")
+    }),
+
+    // FULL-OUTER join view over the same churned sources: beside
+    // q177's left part, an ORPHANS table (keyed by the customer key)
+    // holds exactly the customers with NO orders — appearing when a
+    // value loses its last order, retracting when a previously
+    // orderless customer's first order arrives, following B-side
+    // churn — and the served union must equal the FULL JOIN
+    // recomputed from both final states (the oracle; ~1/3 of TPC-H
+    // customers are orderless, so the B-side null extension is a
+    // first-class slice of the answer)
+    "q179_full_outer_ivm" -> ((s, dir) => {
+      val (a, b, _, full) = q177Tables(s, dir)
+      graft.ops.Ivm.refreshJoinFull(s, a, b, "cust", full)
+      graft.ops.Ivm.serveJoinFull(s, full)
+        .select("k", "cust", "v", "nat", "acct")
+        .orderBy("cust", "k")
     }),
 
     // Incremental view maintenance: a materialized per-part rollup
@@ -1944,7 +1988,9 @@ object RelationalQueries {
       """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
         |    CAST(o_custkey AS BIGINT) AS cust,
         |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
-        |  FROM orders),
+        |  FROM orders
+        |  WHERE CAST(o_custkey AS BIGINT) % 11 <> 5
+        |    AND CAST(o_custkey AS BIGINT) % 13 <> 6),
         |c AS (SELECT CAST(c_custkey AS BIGINT) AS cust,
         |    CAST(c_nationkey AS BIGINT) AS nat,
         |    CAST(floor(c_acctbal * 100.0) AS BIGINT) AS acct
@@ -1957,6 +2003,31 @@ object RelationalQueries {
         |       nat, acct
         |FROM o LEFT JOIN cc USING (cust)
         |ORDER BY k""".stripMargin,
+
+    // the maintained full-outer pair (left part ∪ orphans) must equal
+    // the FULL JOIN recomputed from both final states — orderless
+    // customers null-extended on the B side, deleted customers'
+    // orders null-extended on the A side
+    "q179_full_outer_ivm" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE CAST(o_custkey AS BIGINT) % 11 <> 5
+        |    AND CAST(o_custkey AS BIGINT) % 13 <> 6),
+        |c AS (SELECT CAST(c_custkey AS BIGINT) AS cust,
+        |    CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(floor(c_acctbal * 100.0) AS BIGINT) AS acct
+        |  FROM customer),
+        |oo AS (SELECT k, cust,
+        |    CASE WHEN k % 9 = 0 THEN v + 11 ELSE v END AS v
+        |  FROM o),
+        |cc AS (SELECT cust, nat,
+        |    CASE WHEN cust % 10 = 4 THEN acct + 7 ELSE acct END AS acct
+        |  FROM c WHERE cust % 10 <> 3)
+        |SELECT k, cust, v, nat, acct
+        |FROM oo FULL JOIN cc USING (cust)
+        |ORDER BY cust, k""".stripMargin,
 
     // the SINGLE maintained join+agg view answers to the same truth
     // as the q174 two-level composition: the plain GROUP BY over the

@@ -390,6 +390,77 @@ class IvmSpec extends SparkSuite {
     }
   }
 
+  test("full-outer view: B-side orphans appear and retract as join values lose/gain A rows") {
+    val a = "graft_fivm_a"; val b = "graft_fivm_b"
+    val view = "graft_fivm_view"
+    try {
+      Bucketed.save((0 until 60).map(i => (i.toLong, i % 10L, i * 10L))
+        .toDF("id", "j", "v"), a, Seq("id"), 4)
+      Bucketed.setRetention(spark, a, 10)
+      Bucketed.save(
+        ((0 until 5).map(c => (c.toLong, s"name$c")) :+ ((12L, "orph12")))
+          .toDF("j", "nm"), b, Seq("j"), 4)
+      Bucketed.setRetention(spark, b, 10)
+      Ivm.createJoinFull(spark, a, b, "j", view, 4,
+        aKey = "id", bKey = "j")
+      def truth = Bucketed.load(spark, a)
+        .join(Bucketed.load(spark, b), Seq("j"), "full")
+        .select("id", "j", "v", "nm")
+        .as[(Option[Long], Long, Option[Long], Option[String])]
+        .collect().toSet
+      def served = Ivm.serveJoinFull(spark, view)
+        .select("id", "j", "v", "nm")
+        .as[(Option[Long], Long, Option[Long], Option[String])]
+        .collect().toSet
+      assert(served == truth)
+      assert(served.exists(r => r._1.isEmpty && r._2 == 12L),
+        "the create-time partnerless B row must serve null-extended")
+      val gbAfterCreate = Bucketed.currentGeneration(spark, b)
+      // B side: new partnerless rows arrive → orphans appear
+      Bucketed.save(Seq((20L, "orph20"), (21L, "orph21")).toDF("j", "nm"),
+        b, Seq("j"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+      // A side: delete ALL A rows of j=3 → B's j=3 row becomes an
+      // orphan (the 1→0 A-presence transition)
+      Bucketed.mergeByKey(spark, a,
+        (0 until 60).filter(_ % 10 == 3)
+          .map(i => (i.toLong, 3L, 0L, true)).toDF("id", "j", "v", "del"),
+        deleteCol = Some("del"))
+      // A side: a row arrives for j=20 → that orphan retracts (0→1)
+      Bucketed.mergeByKey(spark, a,
+        Seq((100L, 20L, 1000L)).toDF("id", "j", "v"))
+      // B churn: rename one orphan, delete a matched B row entirely
+      Bucketed.mergeByKey(spark, b,
+        Seq((12L, "renamed12")).toDF("j", "nm"))
+      Bucketed.mergeByKey(spark, b,
+        Seq((2L, "x", true)).toDF("j", "nm", "del"),
+        deleteCol = Some("del"))
+      Ivm.refreshJoinFull(spark, a, b, "j", view)
+      assert(served == truth)
+      val srv = served
+      assert(srv.exists(r => r._1.isEmpty && r._2 == 3L),
+        "j=3 lost its last A row — its B row must orphan")
+      assert(srv.exists(r => r._1.contains(100L) &&
+        r._4.contains("orph20")), "j=20's orphan must retract to matched")
+      assert(srv.exists(r => r._1.isEmpty && r._4.contains("orph21")))
+      assert(srv.exists(r => r._1.isEmpty && r._4.contains("renamed12")))
+      assert(srv.filter(_._2 == 2L).forall(_._4.isEmpty),
+        "the deleted B row's A rows fall back to null-extended")
+      // replayed refresh: no-op
+      Ivm.refreshJoinFull(spark, a, b, "j", view)
+      assert(served == truth)
+      // kill-point: crash between an orphan apply and its bookmark —
+      // roll the orphans' side-b bookmark back and refresh; the
+      // membership recomputes are idempotent group-replaces
+      Ivm.writeJoinBookmark(spark, s"${view}_orphans", 'b',
+        gbAfterCreate)
+      Ivm.refreshJoinFull(spark, a, b, "j", view)
+      assert(served == truth)
+    } finally {
+      Seq(a, b, view, s"${view}_orphans").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   // ---- single-view join+agg maintenance --------------------------------
 
   private def jaggTruth(a: String, b: String) =
