@@ -142,12 +142,18 @@ object Ivm {
     * three families at once. */
   private def walkPairs(spark: SparkSession, src: String, side: Char,
                         bookmarkTable: String, view: String,
-                        createHint: String)(
+                        createHint: String,
+                        cap: Option[Long] = None)(
                         applyPair: (Long, Long) => Unit): Long = {
     val from = joinBookmark(spark, bookmarkTable, side).getOrElse(
       throw new IllegalStateException(
         s"$view has no side-$side bookmark — $createHint it first"))
-    val head = Bucketed.currentGeneration(spark, src)
+    // `cap` bounds the walk below the source's live head — the
+    // two-table lockstep device ([[refreshJoinFull]]): a commit
+    // landing between the left part's refresh and the orphans' walk
+    // must fold NEXT refresh for both tables, not for one of them
+    val head = cap.fold(Bucketed.currentGeneration(spark, src))(c =>
+      math.min(Bucketed.currentGeneration(spark, src), c))
     if (head == from) return head
     require(head > from,
       s"$view's side-$side bookmark $from is ahead of $src's head " +
@@ -306,13 +312,10 @@ object Ivm {
     val ha = walk(a, 'a') { (x, y) =>
       val delta = Bucketed.diffGenerations(spark, a, x, y)
         .localCheckpoint(eager = false) // feeds deletes AND inserts
-      val aCols = delta.columns.toSet
       // a deleted A row deletes its whole group: only the key matters
       // to the merge, the B side null-fills to the view's shape
-      val deletes = delta.filter(col("change") === "delete")
-        .select(viewSchema.fields.map(f =>
-          if (aCols(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      val deletes = conformTo(viewSchema,
+        delta.filter(col("change") === "delete").drop("change"))
         .withColumn("change", lit("delete"))
       val inserts = delta.filter(col("change") === "insert")
         .drop("change")
@@ -390,10 +393,15 @@ object Ivm {
     import org.apache.spark.sql.functions.{coalesce, lit}
     val (ha, hb) = refreshJoinLeft(spark, a, b, on, view)
     val orphans = orphanTable(view)
+    // touched-value membership recompute: B@pin rows of the touched
+    // values, each flagged by A-presence at the pinned A state — the
+    // A side PRUNED to the touched values first (a per-pair full-A
+    // distinct would contradict the cost contract)
     def orphanUpdates(touched: DataFrame, bState: DataFrame,
                       aState: DataFrame): DataFrame =
       bState.join(touched, Seq(on), "left_semi")
-        .join(aState.select(on).distinct()
+        .join(aState.join(touched, Seq(on), "left_semi")
+            .select(on).distinct()
             .withColumn("_has_a", lit(true)),
           Seq(on), "left")
         .withColumn("_del", coalesce(col("_has_a"), lit(false)))
@@ -403,46 +411,72 @@ object Ivm {
     val gbO = joinBookmark(spark, orphans, 'b').getOrElse(
       throw new IllegalStateException(
         s"$view has no orphan-side-b bookmark — createJoinFull it first"))
-    walkPairs(spark, a, 'a', orphans, view, "createJoinFull") { (x, y) =>
-      val touched = Bucketed.diffGenerations(spark, a, x, y)
-        .select(on).distinct()
-      Bucketed.mergeByKey(spark, orphans,
-        orphanUpdates(touched, Bucketed.loadAsOf(spark, b, gbO),
-          Bucketed.loadAsOf(spark, a, y)),
-        deleteCol = Some("_del"))
-      ()
+    // CAPPED at the A head the left part just folded: an A commit
+    // landing between the two refreshes would otherwise let this walk
+    // fold (and bookmark) a generation the side-b pin below predates
+    // — its orphan retractions would resurrect and the next refresh,
+    // starting past the bookmark, would never revisit them (review
+    // catch, round 13); capped, the racing commit folds NEXT refresh
+    // for both tables in lockstep
+    val haO = walkPairs(spark, a, 'a', orphans, view, "createJoinFull",
+      cap = Some(ha)) {
+      (x, y) =>
+        val touched = Bucketed.diffGenerations(spark, a, x, y)
+          .select(on).distinct()
+        Bucketed.mergeByKey(spark, orphans,
+          orphanUpdates(touched, Bucketed.loadAsOf(spark, b, gbO),
+            Bucketed.loadAsOf(spark, a, y)),
+          deleteCol = Some("_del"))
+        ()
     }
-    // side b: membership recomputes from B@y against the caught-up A
-    // head, with the pair's deleted B rows explicitly flagged
-    walkPairs(spark, b, 'b', orphans, view, "createJoinFull") { (x, y) =>
+    // side b: membership recomputes from B@y against the A state the
+    // orphans have folded, with the pair's deleted B rows explicitly
+    // flagged (absent from B@y — membership alone never names them)
+    // and NULL-join-value inserts kept directly: a null value never
+    // equi-joins, so such a B row is an orphan BY DEFINITION (create's
+    // left_anti keeps it; the semi-join membership path would drop it
+    // — review catch, round 13) and A-side changes can never flip it
+    walkPairs(spark, b, 'b', orphans, view, "createJoinFull",
+      cap = Some(hb)) { (x, y) =>
       val delta = Bucketed.diffGenerations(spark, b, x, y)
-        .localCheckpoint(eager = false) // feeds touched AND deletes
+        .localCheckpoint(eager = false) // feeds touched + deletes + nulls
       val touched = delta.select(on).distinct()
       val updates = orphanUpdates(touched,
         Bucketed.loadAsOf(spark, b, y),
-        Bucketed.loadAsOf(spark, a, ha))
+        Bucketed.loadAsOf(spark, a, haO))
+      val nullRows = delta
+        .filter(col("change") === "insert" && col(on).isNull)
+        .drop("change").withColumn("_del", lit(false))
       val deletes = delta.filter(col("change") === "delete")
         .drop("change").withColumn("_del", lit(true))
       Bucketed.mergeByKey(spark, orphans,
-        updates.unionByName(deletes), deleteCol = Some("_del"))
+        updates.unionByName(nullRows).unionByName(deletes),
+        deleteCol = Some("_del"))
       ()
     }
-    (ha, hb)
+    (haO, hb)
+  }
+
+  /** Conform `df` to `schema`'s shape: columns it carries pass
+    * through, the rest null-fill with the right types — ONE copy of
+    * the null-extension projection ([[refreshJoinLeft]]'s phase-1
+    * deletes, [[serveJoinFull]]'s orphan extension). */
+  private def conformTo(schema: org.apache.spark.sql.types.StructType,
+                        df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val have = df.columns.toSet
+    df.select(schema.fields.map(f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
 
   /** The full-outer view's rows: the left part ∪ the orphans
     * null-extended to the view's shape (the join column and B's
     * columns carry through; A's columns null-fill). */
   def serveJoinFull(spark: SparkSession, view: String): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     val left = Bucketed.load(spark, view)
-    val schema = left.schema
-    val orphans = Bucketed.load(spark, orphanTable(view))
-    val oCols = orphans.columns.toSet
     left.unionByName(
-      orphans.select(schema.fields.map(f =>
-        if (oCols(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
+      conformTo(left.schema, Bucketed.load(spark, orphanTable(view))))
   }
 
   // ---- single-view JOIN + AGGREGATE maintenance ------------------------

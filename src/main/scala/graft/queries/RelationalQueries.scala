@@ -1198,9 +1198,11 @@ object RelationalQueries {
     // value loses its last order, retracting when a previously
     // orderless customer's first order arrives, following B-side
     // churn — and the served union must equal the FULL JOIN
-    // recomputed from both final states (the oracle; ~1/3 of TPC-H
-    // customers are orderless, so the B-side null extension is a
-    // first-class slice of the answer)
+    // recomputed from both final states (the oracle). NOTE: this
+    // repo's testdata references EVERY customer from orders, so the
+    // fixture's cust % 11 == 5 carve-out and % 13 == 6 delete-all
+    // transition are what populate the B-side null extension (23
+    // orphan rows at sf0.001) — do not remove them as redundant.
     "q179_full_outer_ivm" -> ((s, dir) => {
       val (a, b, _, full) = q177Tables(s, dir)
       graft.ops.Ivm.refreshJoinFull(s, a, b, "cust", full)

@@ -461,6 +461,55 @@ class IvmSpec extends SparkSuite {
     }
   }
 
+  test("full-outer view: NULL join values stay orphans by definition (never equi-join)") {
+    // bKey must differ from the join column here: a B row with a null
+    // JOIN value is legal (it simply never matches), but the merge
+    // KEY stays non-null — the bucket-key contract everywhere
+    val a = "graft_fivm_na"; val b = "graft_fivm_nb"
+    val view = "graft_fivm_nview"
+    try {
+      Bucketed.save(Seq((1L, 10L, 100L), (2L, 11L, 200L))
+        .toDF("id", "j", "v"), a, Seq("id"), 2)
+      Bucketed.setRetention(spark, a, 10)
+      Bucketed.save(
+        Seq((1L, Option(10L), "m10"), (2L, Option.empty[Long], "null0"))
+          .toDF("bid", "j", "nm"), b, Seq("bid"), 2)
+      Bucketed.setRetention(spark, b, 10)
+      Ivm.createJoinFull(spark, a, b, "j", view, 2,
+        aKey = "id", bKey = "bid")
+      def served = Ivm.serveJoinFull(spark, view)
+        .select("id", "nm").as[(Option[Long], Option[String])]
+        .collect().toSet
+      assert(served.contains((None, Some("null0"))),
+        "the create-time null-join B row must serve null-extended")
+      // a null-join row ARRIVING through refresh must serve too — the
+      // semi-join membership path alone would silently drop it
+      // (create and refresh must agree; review catch, round 13)
+      Bucketed.save(
+        Seq((3L, Option.empty[Long], "null1")).toDF("bid", "j", "nm"),
+        b, Seq("bid"), 2, mode = org.apache.spark.sql.SaveMode.Append)
+      Ivm.refreshJoinFull(spark, a, b, "j", view)
+      assert(served.contains((None, Some("null1"))))
+      assert(served.contains((None, Some("null0"))))
+      assert(served.contains((Some(1L), Some("m10"))))
+      // and a deleted null-join row leaves (keyed by its non-null bid)
+      Bucketed.mergeByKey(spark, b,
+        Seq((2L, Option.empty[Long], "x", true))
+          .toDF("bid", "j", "nm", "del"),
+        deleteCol = Some("del"))
+      Ivm.refreshJoinFull(spark, a, b, "j", view)
+      assert(!served.exists(_._2.contains("null0")))
+      assert(served.contains((None, Some("null1"))))
+      // replay: no-op
+      Ivm.refreshJoinFull(spark, a, b, "j", view)
+      assert(!served.exists(_._2.contains("null0")) &&
+        served.contains((None, Some("null1"))))
+    } finally {
+      Seq(a, b, view, s"${view}_orphans").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   // ---- single-view join+agg maintenance --------------------------------
 
   private def jaggTruth(a: String, b: String) =
