@@ -215,7 +215,17 @@ object IncrementalPq {
     * which would need the companion's name these ops don't take) is
     * safe under the guard: delete and compact never ADD a code row,
     * so (new codes, pinned vn) preserves codes ⊆ vn. No-op on
-    * pointer-less tables. */
+    * pointer-less tables.
+    *
+    * RECOVERY: a crash BETWEEN the mutation's commit and this
+    * re-stamp leaves the pointer lagging with `go != preGen` on every
+    * later call — indistinguishable, from the pointer alone, from the
+    * mid-batch un-stamped-appends case, so this guard deliberately
+    * never self-heals it (advancing the owner side mid-batch would
+    * publish codes ⊄ vn). The repair is [[commitPair]] — safe exactly
+    * when no batch is in flight, which is the caller's knowledge, not
+    * the pointer's; retention 3 keeps the lagging pointer readable
+    * until then. Documented at both call sites. */
   private def restampOwner(spark: SparkSession, table: String,
                            preGen: Long): Unit =
     graft.sources.Bucketed.readPairPointer(spark, table).foreach {
@@ -233,7 +243,12 @@ object IncrementalPq {
     * post-delete generation ([[restampOwner]]) so probes stop serving
     * the deleted ids; callers deleting from the SERVING PAIR should
     * also delete from the companion vn index and finish with
-    * [[commitPair]]. Returns the number of buckets rewritten. */
+    * [[commitPair]]. If this process crashes between the delete's
+    * commit and its re-stamp, the pointer stays lagging (the
+    * [[restampOwner]] guard cannot tell a crashed re-stamp from a
+    * mid-batch tick) — run [[commitPair]] once no batch is in flight
+    * to repair; retention 3 keeps probes serveable meanwhile.
+    * Returns the number of buckets rewritten. */
   def deleteFromIndex(vecs: DataFrame, table: String, buckets: Int,
                       coarse: Array[Array[Double]],
                       books: Pq.Codebooks): Int = {
@@ -252,7 +267,10 @@ object IncrementalPq {
   /** Periodic compaction — the code-postings table is a SET, same as
     * the full-vector index. Pair-governed tables re-stamp the pointer
     * ([[restampOwner]]) so compactions never strand it behind the
-    * retention window. */
+    * retention window. A crash between the compaction's commit and
+    * the re-stamp leaves the pointer lagging permanently (the guard
+    * cannot distinguish it from a mid-batch tick) — repair with
+    * [[commitPair]] once no batch is in flight. */
   def compactIndex(spark: SparkSession, table: String,
                    maxFilesPerBucket: Int = 4): Int = {
     val preGen = graft.sources.Bucketed.currentGeneration(spark, table)

@@ -1431,13 +1431,22 @@ object Bucketed {
     // clean winner; and a torn manifest cannot be parsed for the
     // file names to exclude. Parse failure already means "possibly
     // in-flight": skip BOTH file sweeps this pass — the torn
-    // manifest falls below the kept head at the next valid commit
+    // manifest falls below the kept WINDOW as valid commits land
     // and the following vacuum collects normally (or it completes
     // and its files become referenced). Deleting nothing is always
-    // safe; the debris window is one commit, not forever.
-    val headKept = keep.last._1
-    val tornNewer = parsed.exists(e => e._1 > headKept && e._3.isEmpty)
-    if (tornNewer) return (drop.size, 0)
+    // safe; the debris window is bounded by the retention depth.
+    //
+    // ">= minKeptGen", NOT "> headKept": writeNextManifest numbers
+    // the next generation from ALL manifest names (torn included),
+    // so a LATER writer can commit gen torn+1 while the torn
+    // manifest is still streaming — the kept head then EXCEEDS the
+    // torn gen and a head-only check would sweep the in-flight
+    // commit's already-renamed data files (ADVICE, round 13). Any
+    // unparseable manifest the drop pass above did not delete is
+    // possibly in flight.
+    val tornPossiblyInFlight =
+      parsed.exists(e => e._1 >= minKeptGen && e._3.isEmpty)
+    if (tornPossiblyInFlight) return (drop.size, 0)
     val rd = retiredDir(dir)
     if (fs.exists(rd))
       fs.listStatus(rd).toSeq.filter(_.isFile).foreach { f =>

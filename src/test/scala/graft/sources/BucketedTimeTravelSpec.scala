@@ -261,6 +261,52 @@ class BucketedTimeTravelSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("vacuum spares an in-flight commit outrun by a later writer (torn manifest BELOW the kept head)") {
+    val table = "graft_tt_vacoutrun"
+    try {
+      mk(table, 0, 20)
+      Bucketed.setRetention(spark, table, 3)
+      append(table, 20, 30)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val headGen = Bucketed.currentGeneration(spark, table)
+      // a maintenance commit in flight: staged file renamed in,
+      // manifest still streaming (torn) at headGen+1 ...
+      val staged = new org.apache.hadoop.fs.Path(loc,
+        "part-inflight-00000_0.parquet")
+      val so = fs.create(staged, true); so.write(Array[Byte](9)); so.close()
+      val torn = new org.apache.hadoop.fs.Path(loc,
+        s"_graft_manifest.${headGen + 1}")
+      val to = fs.create(torn, true)
+      to.write("graft-manifest-v1\npart-inflight-00000_0.parquet"
+        .getBytes("UTF-8")); to.close()
+      // ... and a LATER writer (numbering from ALL manifest names,
+      // torn included) commits a VALID generation at headGen+2 while
+      // the torn one still streams. The kept head now EXCEEDS the
+      // torn gen — the old "torn strictly newer than the kept head"
+      // guard missed this and swept the in-flight commit's files
+      // (ADVICE, round 13). Any unparseable manifest >= the oldest
+      // kept valid generation is possibly in flight.
+      val planted = Bucketed.plantForeignCommit(spark, table)
+      assert(planted == headGen + 2)
+      Bucketed.forgetVerified()
+      val (_, deleted) = Bucketed.vacuum(spark, table, retain = 2)
+      assert(deleted == 0,
+        "file sweeps must skip while a torn manifest sits inside the kept window")
+      assert(fs.exists(staged) && fs.exists(torn))
+      // the in-flight writer died for real: once the torn manifest is
+      // gone, vacuum collects normally
+      fs.delete(torn, false)
+      Bucketed.forgetVerified()
+      val (_, deleted2) = Bucketed.vacuum(spark, table, retain = 2)
+      assert(deleted2 > 0)
+      assert(!fs.exists(staged))
+      assert(docsOf(Bucketed.load(spark, table)) == (0L until 30L).toSet)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("describe reports head/retained generations, live files, crash debris, and the pair pointer") {
     val table = "graft_tt_describe"
     try {
