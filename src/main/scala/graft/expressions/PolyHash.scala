@@ -79,6 +79,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_e6"),
       new ExpressionInfo(classOf[DotE6].getName, "graft_dot_e6"),
       (children: Seq[Expression]) => DotE6(children.head, children(1))))
+    // SQL surface for the governed-table layer: time travel + history
+    // as table-valued functions (resolved at analysis time to the
+    // manifest-pinned snapshot plans the Scala API builds)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table"),
+      new ExpressionInfo(graft.sources.GovernedSql.getClass.getName,
+        "graft_table"),
+      (children: Seq[Expression]) =>
+        graft.sources.GovernedSql.tablePlan(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_as_of"),
+      new ExpressionInfo(graft.sources.GovernedSql.getClass.getName,
+        "graft_as_of"),
+      (children: Seq[Expression]) =>
+        graft.sources.GovernedSql.asOfPlan(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo(graft.sources.GovernedSql.getClass.getName,
+        "graft_history"),
+      (children: Seq[Expression]) =>
+        graft.sources.GovernedSql.historyPlan(children)))
     // whole-operator tier: the native as-of join (§2.12 ladder step c)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     // and its optimizer integration: predicate pushdown through the

@@ -909,7 +909,8 @@ object Bucketed {
     * grows). History is NEVER pruned — vacuum drops generations'
     * manifests and files, but what happened remains auditable (row
     * deltas of a retained span stay derivable via
-    * [[diffGenerations]]). */
+    * [[diffGenerations]]); [[foldHistory]] keeps the record COUNT
+    * bounded by folding the per-commit files into one, losslessly. */
   private def writeHistory(fs: FileSystem, dir: Path, gen: Long,
                            op: String, added: Int, removed: Int): Unit =
     try {
@@ -960,17 +961,107 @@ object Bucketed {
     * determinism-checked output. */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
+    historyRecords(spark, table)
+      .toDF("generation", "op", "committed_at", "files_added",
+        "files_removed")
+  }
+
+  private def historyRecords(spark: SparkSession, table: String)
+      : Seq[(Long, String, String, Int, Int)] = {
     val loc = new Path(spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
     val fs = fileSystemOf(spark, loc)
     val hd = historyDir(loc)
-    val recs =
-      if (!fs.exists(hd)) Seq.empty
-      else fs.listStatus(hd).toSeq.filter(_.isFile)
+    if (!fs.exists(hd)) Seq.empty
+    else {
+      val all = fs.listStatus(hd).toSeq.filter(_.isFile)
+      val folded = all
+        .filter(_.getPath.getName.startsWith(FoldedHistoryPrefix))
+        .flatMap(f => parseFoldedHistory(fs, f.getPath))
+      val loose = all
+        .filter(_.getPath.getName.toLongOption.isDefined)
         .flatMap(f => parseHistory(fs, f.getPath))
+      // per-generation dedup (a crash between a fold's write and its
+      // deletes leaves both copies); LOOSE wins — on a replaced table
+      // generations restart and the loose record is the newer truth
+      (folded ++ loose).map(r => r._1 -> r).toMap.values.toSeq
         .sortBy(_._1)
-    recs.toDF("generation", "op", "committed_at", "files_added",
-      "files_removed")
+    }
+  }
+
+  private val FoldedHistoryPrefix = "folded-"
+
+  /** One folded file's records: magic line + one record line per
+    * generation ([[parseHistory]]'s line format). A torn trailing
+    * line parses as absent; a file without the magic reads empty —
+    * either way the fold that wrote it deletes its inputs only after
+    * a successful close, so the records survive somewhere. */
+  private def parseFoldedHistory(fs: FileSystem, p: Path)
+      : Seq[(Long, String, String, Int, Int)] =
+    try {
+      val in = fs.open(p)
+      val bytes =
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toSeq match {
+        case HistoryMagic +: lines =>
+          lines.flatMap(_.trim.split(" ") match {
+            case Array(g, op, ts, a, r) =>
+              for {
+                gl <- g.toLongOption
+                ai <- a.toIntOption
+                ri <- r.toIntOption
+              } yield (gl, op, ts, ai, ri)
+            case _ => None
+          })
+        case _ => Seq.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** Fold the loose per-commit history records into ONE folded file
+    * so the audit dir's file count stays bounded on run-forever
+    * tables (without folding it grows one tiny file per commit,
+    * forever): all loose records EXCEPT the newest — [[describe]]'s
+    * head-record read stays a single named-file open — merge with any
+    * existing folded file and rewrite as `folded-<maxGen>`, then the
+    * folded inputs delete. No-op (one dir listing) while at most
+    * `ifMoreThan` loose files exist. Crash-safe the audit way: a
+    * crash between the folded write and the input deletes leaves
+    * duplicates that [[history]] dedups by generation; a torn folded
+    * write leaves the inputs in place (they delete only after a
+    * successful close). Lossless — [[history]] serves folded + loose
+    * identically. Returns the number of records folded (0 = no-op). */
+  def foldHistory(spark: SparkSession, table: String,
+                  ifMoreThan: Int = 0): Int = {
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val fs = fileSystemOf(spark, loc)
+    val hd = historyDir(loc)
+    if (!fs.exists(hd)) return 0
+    val all = fs.listStatus(hd).toSeq.filter(_.isFile)
+    val loose = all
+      .filter(_.getPath.getName.toLongOption.isDefined)
+      .sortBy(_.getPath.getName.toLong)
+    if (loose.size <= math.max(ifMoreThan, 1)) return 0
+    val foldable = loose.dropRight(1) // the head record stays loose
+    val oldFolded = all
+      .filter(_.getPath.getName.startsWith(FoldedHistoryPrefix))
+    val recs = (oldFolded.flatMap(f => parseFoldedHistory(fs, f.getPath))
+      ++ foldable.flatMap(f => parseHistory(fs, f.getPath)))
+      .map(r => r._1 -> r).toMap.values.toSeq.sortBy(_._1)
+    if (recs.isEmpty) return 0
+    val target = new Path(hd, s"$FoldedHistoryPrefix${recs.map(_._1).max}")
+    val out = fs.create(target, true)
+    try out.write((HistoryMagic +: recs.map { case (g, op, ts, a, r) =>
+      s"$g $op $ts $a $r" }).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // only what this fold READ is deleted — a record committed after
+    // the listing stays loose for the next fold
+    (oldFolded.map(_.getPath).filterNot(_ == target) ++
+      foldable.map(_.getPath)).foreach(p => fs.delete(p, false))
+    recs.size
   }
 
   // ---- retention / time travel / vacuum ------------------------------

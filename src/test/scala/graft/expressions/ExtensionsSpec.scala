@@ -44,4 +44,38 @@ class ExtensionsSpec extends graft.SparkSuite {
       .collect().head
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("governance TVFs: graft_table / graft_as_of / graft_history resolve from SQL to the pinned plans") {
+    val table = "graft_ext_tvf"
+    try {
+      graft.sources.Bucketed.save(
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table, Seq("k"), 2)
+      graft.sources.Bucketed.setRetention(spark, table, 4)
+      graft.sources.Bucketed.save(Seq((3L, "c")).toDF("k", "v"),
+        table, Seq("k"), 2, mode = org.apache.spark.sql.SaveMode.Append)
+      // head snapshot and a pinned generation, from plain SQL
+      assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$table')")
+        .collect().head.getLong(0) == 3)
+      assert(spark.sql(s"SELECT count(*) AS n FROM graft_as_of('$table', 1)")
+        .collect().head.getLong(0) == 2)
+      // the TVF is the manifest-pinned relation, not a dir scan: a
+      // filter over it pushes down into the parquet scan
+      val df = spark.sql(
+        s"SELECT v FROM graft_table('$table') WHERE k = 2")
+      assert(df.collect().map(_.getString(0)).toSeq == Seq("b"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,2"),
+        s"filter must reach the scan:\n$plan")
+      // history from SQL, same rows as the Scala API
+      val h = spark.sql(s"SELECT generation, op FROM " +
+        s"graft_history('$table') ORDER BY generation")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(h == Seq((1L, "create"), (2L, "append")), s"got $h")
+      // plans are built at analysis time: non-literal args error
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_as_of('$table', 1 + 1)")
+      }
+      assert(e.getMessage.contains("graft_as_of"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

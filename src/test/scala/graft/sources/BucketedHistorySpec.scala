@@ -106,4 +106,55 @@ class BucketedHistorySpec extends SparkSuite {
         s"head − pointer owner must surface as lag: $st")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("foldHistory bounds the audit dir losslessly; re-folds merge; the crash window dedups") {
+    val table = "graft_hist_fold"
+    try {
+      Bucketed.save(rows(0, 10), table, Seq("k"), 2)
+      Bucketed.setRetention(spark, table, 2)
+      for (i <- 0 until 24)
+        Bucketed.save(rows(10 + i, 11 + i), table, Seq("k"), 2,
+          mode = org.apache.spark.sql.SaveMode.Append)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hd = new org.apache.hadoop.fs.Path(loc, "_graft_history")
+      def auditFiles = fs.listStatus(hd).count(_.isFile)
+      def hist = Bucketed.history(spark, table)
+        .as[(Long, String, String, Int, Int)].collect().toSeq
+      val before = hist
+      assert(before.size == 25 && auditFiles == 25)
+      // under the bound: one listing, nothing moves
+      assert(Bucketed.foldHistory(spark, table, ifMoreThan = 32) == 0)
+      assert(auditFiles == 25)
+      // fold: everything but the head record → folded + 1 loose file
+      assert(Bucketed.foldHistory(spark, table, ifMoreThan = 8) == 24)
+      assert(auditFiles == 2, s"expected folded + head loose, got $auditFiles")
+      assert(hist == before, "folding must be lossless, order included")
+      // describe's head-record read stays a single named-file open
+      assert(Bucketed.describe(spark, table).lastOp.contains("append"))
+      // more commits, re-fold: the old folded file merges into the new
+      for (i <- 24 until 28)
+        Bucketed.save(rows(10 + i, 11 + i), table, Seq("k"), 2,
+          mode = org.apache.spark.sql.SaveMode.Append)
+      assert(Bucketed.foldHistory(spark, table, ifMoreThan = 1) == 28)
+      assert(auditFiles == 2)
+      assert(hist.size == 29 && hist.map(_._1) == (1L to 29L))
+      // the crash window (fold wrote, deletes didn't run) leaves a
+      // generation both folded and loose — history dedups by gen
+      val dup = hist.find(_._1 == 5L).get
+      val out = fs.create(new org.apache.hadoop.fs.Path(hd, "5"), true)
+      out.write(s"graft-history-v1\n${dup._1} ${dup._2} ${dup._3} ${dup._4} ${dup._5}\n"
+        .getBytes("UTF-8")); out.close()
+      assert(hist.size == 29, "duplicate folded+loose record must dedup")
+      // a torn folded file contributes its parseable prefix, no crash
+      val torn = fs.create(
+        new org.apache.hadoop.fs.Path(hd, "folded-999"), true)
+      torn.write("graft-history-v1\n999 append".getBytes("UTF-8"))
+      torn.close()
+      assert(hist.size == 29,
+        "torn folded line must read as absent, not crash")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
