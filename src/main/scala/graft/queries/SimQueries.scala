@@ -824,6 +824,87 @@ object SimQueries {
         .select(col("query_id"), col("doc_id"), col("rrf_e6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Index as a MAINTAINED VIEW of a governed corpus table (the
+    // round-14 follower tier): seed a governed table with 3/4 of the
+    // corpus, build the BM25 index bound to it
+    // (createFromSource), then churn the SOURCE — append the last
+    // quarter, mergeByKey-update the %10==1 docs (text gains a
+    // ' spark' token), keyed-delete the %9==0 slice — and propagate
+    // with ONE refreshFromSource call (per-pair delete-then-append,
+    // intent-scrub exactly-once; no dual-writing). The probe must be
+    // indistinguishable from a fresh build on the final corpus: the
+    // oracle scores the churned corpus directly (the q147 CTEs over a
+    // derived docs relation)
+    "q180_bm25_follower" -> ((s, dir) => {
+      import s.implicits._
+      val d = graft.sources.Tables.table(s, dir, "documents")
+      val tag = Setup.dirTag(dir)
+      val src = s"graft_q180_corpus_$tag"
+      val name = s"graft_q180_bm25_$tag"
+      Setup.once(s"q180:$dir") {
+        val docs = d.select(col("doc_id"), col("text"))
+        graft.sources.Bucketed.save(docs.filter(col("doc_id") % 4 =!= 0),
+          src, Seq("doc_id"), 8)
+        graft.sources.Bucketed.setRetention(s, src, 10)
+        graft.text.IncrementalBm25.createFromSource(s, src, name,
+          buckets = 8)
+        graft.sources.Bucketed.save(docs.filter(col("doc_id") % 4 === 0),
+          src, Seq("doc_id"), 8,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, src,
+          docs.filter(col("doc_id") % 10 === 1)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" spark")).as("text")))
+        graft.sources.Bucketed.mergeByKey(s, src,
+          docs.filter(col("doc_id") % 9 === 0)
+            .withColumn("del", lit(true)),
+          deleteCol = Some("del"))
+        graft.text.IncrementalBm25.refreshFromSource(s, src, name,
+          buckets = 8)
+      }
+      val qterms = hybridQueryTerms.toDF("query_id", "terms")
+      graft.text.IncrementalBm25.probe(s, qterms, name, k = 10)
+        .select(col("query_id"), col("doc_id"), col("score_e6"),
+          col("n_terms"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // The vector-tier follower (q180's doctrine for ANN): a governed
+    // (id, vec) table churns — append the %4==0 slice, keyed-delete
+    // the %6==0 slice — and the inverted-list index follows via
+    // refreshFromSource only. Probe parity with a fresh build on the
+    // final state is oracle-checked with the pinned codebook (the
+    // q131/q134 CTEs, index side = the churned survivors)
+    "q181_ann_follower" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tag = Setup.dirTag(dir)
+      val src = s"graft_q181_vecs_$tag"
+      val table = s"graft_q181_idx_$tag"
+      val cents = graft.sim.Pinned.ivfCentroids()
+      Setup.once(s"q181:$dir") {
+        val corpus = e.filter(col("id") % 5 =!= 0)
+        graft.sources.Bucketed.save(corpus.filter(col("id") % 4 =!= 0),
+          src, Seq("id"), 8)
+        graft.sources.Bucketed.setRetention(s, src, 10)
+        graft.sim.IncrementalAnn.createFromSource(s, src, table,
+          buckets = 8, cents)
+        graft.sources.Bucketed.save(corpus.filter(col("id") % 4 === 0),
+          src, Seq("id"), 8,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, src,
+          corpus.filter(col("id") % 6 === 0)
+            .withColumn("del", lit(true)),
+          deleteCol = Some("del"))
+        graft.sim.IncrementalAnn.refreshFromSource(s, src, table,
+          buckets = 8, cents)
+      }
+      graft.sim.IncrementalAnn.probe(s, e.filter(col("id") % 5 === 0),
+          table, cents, k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   private val dotSql =
@@ -1391,6 +1472,57 @@ object SimQueries {
          |  FROM bmq)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
+    // follower replay: the q147 scoring CTEs over the CHURNED corpus's
+    // final state as a derived relation — update = ' spark' suffix on
+    // the %10==1 docs, delete = the %9==0 slice gone; the index
+    // maintained only through refreshFromSource must score exactly
+    // this corpus (N/avgdl included)
+    "q180_bm25_follower" ->
+      (s"""WITH q180docs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 1 THEN text || ' spark'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 9 <> 0),
+         |${bm25BatchCtesOver("q180docs", "TRUE").stripPrefix("WITH ")},
+         |""".stripMargin +
+       """bmq AS (SELECT qt.query_id, w.doc_id,
+         |          CAST(SUM(w_e6) AS BIGINT) AS score_e6,
+         |          CAST(COUNT(*) AS BIGINT) AS n_terms
+         |        FROM w JOIN qt USING (tok) GROUP BY qt.query_id, w.doc_id)
+         |SELECT query_id, doc_id, score_e6, n_terms, rank FROM (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_e6,
+         |         n_terms,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM bmq)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // ANN-follower replay: q131's probe with the index side = the
+    // churned survivors (seed %4<>0 plus appended %4==0, minus the
+    // deleted %6==0 slice — net: id%5<>0 AND id%6<>0)
+    "q181_ann_follower" ->
+      s"""$pinnedAssignCte,
+         |pr AS (SELECT id AS query_id, c AS centroid FROM (
+         |         SELECT id, c, row_number() OVER (PARTITION BY id
+         |                          ORDER BY dot DESC, c) AS rn
+         |         FROM sc WHERE id % 5 = 0)
+         |       WHERE rn <= 4),
+         |qn AS (SELECT pr.query_id, pr.centroid, vn.vn AS qv
+         |       FROM pr JOIN vn ON vn.id = pr.query_id),
+         |idx AS (SELECT asg.id AS neighbor_id, asg.centroid, vn.vn AS cv
+         |        FROM asg JOIN vn USING (id)
+         |        WHERE asg.id % 5 <> 0 AND asg.id % 6 <> 0),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(floor($dotSql * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM qn JOIN idx USING (centroid))
+         |SELECT query_id, neighbor_id, cos_e6, rank FROM (
+         |  SELECT query_id, neighbor_id, cos_e6,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     // indexed-hybrid replay: the shared batched-BM25 CTEs + the
     // parameterized IVF-PQ rerank CTEs (queries id IN (3,7,11),
     // whole-table index side — self excluded by the cand CTE), fused
@@ -1774,21 +1906,28 @@ object SimQueries {
     * SCORED docs (the filtered-retrieval replay: df counts surviving
     * docs) while N/avgdl stay corpus-global — exactly
     * [[graft.text.IncrementalBm25.probe]]'s filter semantics. */
-  private def bm25BatchCtesWhere(docSel: String): String = {
+  private def bm25BatchCtesWhere(docSel: String): String =
+    bm25BatchCtesOver("documents", docSel)
+
+  /** [[bm25BatchCtesWhere]] generalized over the DOCS relation — the
+    * follower oracle (q180) scores a DERIVED corpus CTE (the churned
+    * final state) with the same arithmetic; dl/stats/tf all read
+    * `docsRel`, so N and avgdl reflect the relation scored. */
+  private def bm25BatchCtesOver(docsRel: String, docSel: String): String = {
     val words = TextQueries.Sql.words
     val qtValues = hybridQueryTerms
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
       .mkString(", ")
     s"""WITH qt(query_id, tok) AS (VALUES $qtValues),
        |dl AS (
-       |  SELECT doc_id, CAST(len($words) AS BIGINT) AS dl FROM documents),
+       |  SELECT doc_id, CAST(len($words) AS BIGINT) AS dl FROM $docsRel),
        |stats AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
        |  FROM dl),
        |tf AS (
        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-       |  FROM (SELECT doc_id, unnest($words) AS tok FROM documents
+       |  FROM (SELECT doc_id, unnest($words) AS tok FROM $docsRel
        |        WHERE $docSel)
        |  WHERE tok IN (SELECT DISTINCT tok FROM qt)
        |  GROUP BY doc_id, tok),

@@ -133,6 +133,47 @@ object IncrementalAnn {
       assignedVectors(vecs, cents).select("centroid", "id"),
       table, buckets, bucketKeyCol = "centroid", idCol = "id")
 
+  /** Build the index over governed `source`'s current head (rows
+    * shaped like every build corpus: id + vec [+ attrs]) and bind the
+    * index as its FOLLOWER — the maintained-view create for the
+    * vector tier. Returns the bookmarked generation. */
+  def createFromSource(spark: SparkSession, source: String,
+                       table: String, buckets: Int,
+                       cents: Array[Array[Double]],
+                       attrCols: Seq[String] = Nil): Long = {
+    val gen = graft.sources.Bucketed.currentGeneration(spark, source)
+    buildIndex(graft.sources.Bucketed.loadAsOf(spark, source, gen),
+      table, buckets, cents, attrCols)
+    graft.sources.IndexMaintenance.bindFollower(spark, table, gen)
+    gen
+  }
+
+  /** Bring the index up to its governed source table's head — the
+    * [[graft.sources.IndexMaintenance.refreshFromSource]] protocol
+    * with this family's primitives: pair deletes →
+    * [[deleteFromIndex]] (map-only re-assignment names the buckets —
+    * idempotent anti-join), pair inserts → [[appendToIndex]], and the
+    * crash-retry scrub = delete BOTH halves by content (assignment is
+    * deterministic per vector, so the scrub names exactly the
+    * partially-appended postings' buckets; no side state to repair).
+    * `cents`/`attrCols` must match the build's. Returns the fold
+    * head. */
+  def refreshFromSource(spark: SparkSession, source: String,
+                        table: String, buckets: Int,
+                        cents: Array[Array[Double]],
+                        attrCols: Seq[String] = Nil): Long =
+    graft.sources.IndexMaintenance.refreshFromSource(spark, source,
+      table, graft.sources.IndexMaintenance.FollowerHooks(
+        applyDeletes = d =>
+          { deleteFromIndex(d, table, buckets, cents); () },
+        applyInserts = i => appendToIndex(i, table, buckets, cents,
+          attrCols),
+        scrubPair = (d, i) => {
+          deleteFromIndex(d, table, buckets, cents)
+          deleteFromIndex(i, table, buckets, cents)
+          ()
+        }))
+
   /** Re-key every posting of the index against a NEW codebook in ONE
     * full-table rewrite job — the codebook-refresh primitive. An index
     * that runs forever with a frozen codebook degrades: as the corpus

@@ -165,14 +165,24 @@ object IndexMaintenance {
   /** What [[maintainTableIfNeeded]] did and what it saw: buckets
     * compacted (0 = file counts healthy), files vacuumed + manifests
     * dropped (0/0 = debris under the bound), whether the stats
-    * sidecar was stamped (false = it already covered the head), and
-    * the measured inputs. */
+    * sidecar was stamped (false = it already covered the head), the
+    * measured inputs, plus the history-driven outputs: commits the
+    * history showed since the last policy vacuum, history records
+    * folded this pass, and `pairRefreshNeeded` — the table's pair
+    * pointer lags its head by the alert bound or more (a writer died
+    * inside a pair commit's window; run the family's commitPair once
+    * no batch is in flight — the policy only ever SURFACES this, the
+    * pointer cannot tell a crashed re-stamp from an in-flight
+    * batch). */
   final case class TableMaintenanceDecision(compactedBuckets: Int,
                                             vacuumedFiles: Int,
                                             droppedManifests: Int,
                                             stampedStats: Boolean,
                                             measuredMaxFilesPerBucket: Int,
-                                            unreferencedFiles: Int)
+                                            unreferencedFiles: Int,
+                                            commitsSinceVacuum: Long = 0L,
+                                            historyFolded: Int = 0,
+                                            pairRefreshNeeded: Boolean = false)
 
   /** [[maintainIfNeeded]]'s sibling for governed DATA tables — the
     * policy over the health signals [[Bucketed.describe]] already
@@ -198,14 +208,40 @@ object IndexMaintenance {
     *     ([[FileStats.enableCommitStamping]]) are always current and
     *     no-op here.
     *
-    * A healthy table is a no-op on all three. Single-maintenance-
+    * Plus three HISTORY-DRIVEN signals (round 14 — the policy reads
+    * [[Bucketed.history]] and [[Bucketed.describe]]'s pairLag and
+    * ACTS, closing the "observability exists but cadence is manual"
+    * gap):
+    *
+    *  4. commit CADENCE: a `_graft_maint` marker remembers the head
+    *     generation at the last policy vacuum; once the history shows
+    *     `vacuumEveryCommits` commits past it the table vacuums (at
+    *     its own retention) even below the debris bound — retired
+    *     in-place files of long-running tables collect on a bounded
+    *     cadence instead of waiting for the debris count to spike.
+    *     The vacuum itself keeps every safety guard (torn-newer-
+    *     manifest in-flight skip, valid-manifests-only window);
+    *  5. history FOLDING: more than `maxLooseHistory` loose audit
+    *     records fold into one file ([[Bucketed.foldHistory]]) so the
+    *     audit dir stays bounded on run-forever tables;
+    *  6. pair-pointer LAG: `pairLag >= pairLagAlert` (default 2 — at
+    *     3+ probes start failing the retention-3 read) surfaces as
+    *     `pairRefreshNeeded`. Surfaced, never auto-fixed: the pointer
+    *     alone cannot distinguish a crashed re-stamp from an
+    *     in-flight batch, so only a caller that KNOWS no batch is in
+    *     flight may run the family's commitPair.
+    *
+    * A healthy table is a no-op on all six. Single-maintenance-
     * writer contract applies (compaction and vacuum are maintenance
     * ops): run this from the process that owns the table's
     * maintenance. */
   def maintainTableIfNeeded(spark: SparkSession, table: String,
                             maxFilesPerBucket: Int = 4,
                             maxUnreferencedFiles: Int = 64,
-                            dedupRows: Boolean = false): TableMaintenanceDecision = {
+                            dedupRows: Boolean = false,
+                            vacuumEveryCommits: Long = 32L,
+                            maxLooseHistory: Int = 32,
+                            pairLagAlert: Long = 2L): TableMaintenanceDecision = {
     val st = Bucketed.describe(spark, table)
     // ONE file listing serves both the bucket-profile signal and the
     // head generation the lag check compares against (describe cannot
@@ -216,13 +252,30 @@ object IndexMaintenance {
     val maxFiles = files
       .flatMap(f => Bucketed.bucketIdOfName(f.getPath.getName))
       .groupBy(identity).values.map(_.size).maxOption.getOrElse(0)
+    // the cadence signal: commits the history shows past the head
+    // generation the last policy vacuum stamped (first run counts the
+    // whole history — a long-lived table gets its first sweep now)
+    val lastMaint = Follow.readBookmark(spark, table, MaintName,
+      MaintMagic).getOrElse(Long.MinValue)
+    val commitsSince = Bucketed.history(spark, table)
+      .filter(col("generation") > lastMaint).count()
     // vacuum BEFORE compacting: the compaction's own reconcile pass
     // would silently consume the measured debris, and the explicit
     // vacuum is what also collects beyond-window retired files
     val (dropped, vacuumed) =
-      if (st.unreferencedFiles > maxUnreferencedFiles)
-        Bucketed.vacuum(spark, table, retain = st.retention)
-      else (0, 0)
+      if (st.unreferencedFiles > maxUnreferencedFiles ||
+          commitsSince >= vacuumEveryCommits) {
+        val r = Bucketed.vacuum(spark, table, retain = st.retention)
+        // the marker advances even when the sweep was skipped (torn
+        // newer manifest): the guard's debris collects one commit
+        // later via the debris signal — re-vacuuming every pass until
+        // then would just re-pay the decision scan
+        Follow.writeBookmark(spark, table, MaintName, MaintMagic,
+          st.generation)
+        r
+      } else (0, 0)
+    val folded = Bucketed.foldHistory(spark, table,
+      ifMoreThan = maxLooseHistory)
     val compacted =
       if (maxFiles > maxFilesPerBucket)
         Bucketed.compactBuckets(spark, table, maxFilesPerBucket,
@@ -240,7 +293,103 @@ object IndexMaintenance {
     if (lagging) { FileStats.statsOf(spark, table); () }
     TableMaintenanceDecision(compacted, vacuumed, dropped,
       stampedStats = lagging, measuredMaxFilesPerBucket = maxFiles,
-      unreferencedFiles = st.unreferencedFiles)
+      unreferencedFiles = st.unreferencedFiles,
+      commitsSinceVacuum = commitsSince, historyFolded = folded,
+      pairRefreshNeeded = st.pairLag.exists(_ >= pairLagAlert))
+  }
+
+  private val MaintName = "_graft_maint"
+  private val MaintMagic = "graft-maint-v1"
+
+  // ---- indexes as maintained views of governed tables ------------------
+
+  private val FollowMagic = "graft-follow-v1"
+  private val FollowBookmark = "_graft_follow_src"
+  private val FollowIntent = "_graft_follow_intent"
+
+  /** A family's three apply primitives, as [[refreshFromSource]]
+    * needs them. `applyDeletes` MUST be idempotent (every family's
+    * deleteFromIndex is: content-derived buckets, anti-join by id,
+    * verified stats retreat). `applyInserts` may be plain append —
+    * the intent-scrub protocol makes its replay exact. `scrubPair`
+    * runs ONLY on a crash retry whose intent tag matches the pair:
+    * it must remove BOTH the pair's deleted rows' postings and any
+    * partially-appended insert postings, then restore exact side
+    * state (BM25: repairStats) — cost on the crash path only. */
+  final case class FollowerHooks(applyDeletes: DataFrame => Unit,
+                                 applyInserts: DataFrame => Unit,
+                                 scrubPair: (DataFrame, DataFrame) => Unit)
+
+  /** Bind `host` (an index's governed postings table) as a FOLLOWER
+    * of governed `source` at `gen` — written by the family's
+    * create-from-source wrapper right after its fresh build. */
+  def bindFollower(spark: SparkSession, host: String, gen: Long): Unit =
+    Follow.writeBookmark(spark, host, FollowBookmark, FollowMagic, gen)
+
+  /** The follower's current bookmark (observability + specs). */
+  def followerBookmark(spark: SparkSession,
+                       host: String): Option[Long] =
+    Follow.readBookmark(spark, host, FollowBookmark, FollowMagic)
+
+  /** Bring an index up to its governed SOURCE table's head — the
+    * changed-only propagation the view families already have
+    * ([[graft.ops.Ivm]]), applied to the index tier: a `mergeByKey` /
+    * append / keyed delete on a governed corpus table propagates to
+    * its BM25/ANN/band indexes through ONE call, instead of the
+    * caller dual-writing every index (the bug class the view layer
+    * eliminated for aggregates and joins). Per consecutive retained
+    * generation pair ([[Follow.walkPairs]] — bookmark after each
+    * pair): the pair's delta splits into delete rows (old content)
+    * and insert rows (new content); deletes apply first (an updated
+    * key arrives as delete+insert — old postings must leave before
+    * new ones land), inserts append after.
+    *
+    * EXACTLY-ONCE per pair via the INTENT-SCRUB protocol, because the
+    * families' appends are not idempotent (a replayed append lands
+    * duplicate postings and double-counted stats): a durable intent
+    * tag (`x-y`) is written AFTER the pair's deletes and BEFORE its
+    * append; the bookmark advances after the append. A retry that
+    * finds the CURRENT pair's tag knows the append may have landed
+    * and scrubs first (`scrubPair`: delete the pair's insert ids by
+    * their content-derived buckets — removing any partial append —
+    * re-apply the deletes, restore exact side state), then re-appends.
+    * A stale tag from an EARLIER pair (crash between bookmark write
+    * and tag clear) never matches the current pair and is simply
+    * overwritten. Steady-state cost is therefore PURE DELTA (deletes'
+    * touched buckets + the append); the scrub only ever runs on a
+    * genuine crash retry. Torn tag writes parse as absent — safe,
+    * because the writer only appends after its tag PUT returned, so a
+    * torn tag proves no append was committed under it.
+    *
+    * Single-maintenance-writer contract applies (this IS index
+    * maintenance). The source must retain generations back to the
+    * bookmark. `host` is ONE governed postings table — the wired
+    * families are BM25, ANN, and the MinHash band index; the
+    * PAIR-GOVERNED family ([[graft.sim.IncrementalPq]]'s codes+vn
+    * twin tables) is deliberately NOT a follower: its batch protocol
+    * must end with commitPair across both tables, which this
+    * single-host walk cannot express — use its streamAppend path.
+    * Returns the fold head. Reference: changed-only propagation,
+    * razu/edepot.py:87-106. */
+  def refreshFromSource(spark: SparkSession, source: String,
+                        host: String, hooks: FollowerHooks): Long = {
+    val head = Follow.walkPairs(spark, source, host, FollowBookmark,
+      FollowMagic, s"index $host", "bind/create-from-source") { (x, y) =>
+      val delta = Bucketed.diffGenerations(spark, source, x, y)
+        .localCheckpoint(eager = false) // one eval feeds both halves
+      val dels = delta.filter(col("change") === "delete").drop("change")
+      val ins = delta.filter(col("change") === "insert").drop("change")
+      val pairTag = s"$x-$y"
+      if (Follow.readTag(spark, host, FollowIntent, FollowMagic)
+            .contains(pairTag))
+        hooks.scrubPair(dels, ins)
+      else if (!dels.isEmpty) hooks.applyDeletes(dels)
+      Follow.writeTag(spark, host, FollowIntent, FollowMagic, pairTag)
+      if (!ins.isEmpty) hooks.applyInserts(ins)
+    }
+    // hygiene only — a stale tag never matches a later pair
+    Follow.clearTag(spark, host, FollowIntent)
+    head
   }
 
   def listLoadProfile(spark: SparkSession, table: String,

@@ -316,6 +316,53 @@ object IncrementalBm25 {
     nRewritten
   }
 
+  /** Build the index over governed `source`'s current head and bind
+    * the index as its FOLLOWER ([[refreshFromSource]]) — the
+    * maintained-view create for the retrieval tier. Returns the
+    * bookmarked generation. */
+  def createFromSource(spark: SparkSession, source: String,
+                       name: String, buckets: Int,
+                       textCol: String = "text",
+                       idCol: String = "doc_id",
+                       attrCols: Seq[String] = Nil): Long = {
+    val gen = graft.sources.Bucketed.currentGeneration(spark, source)
+    buildIndex(graft.sources.Bucketed.loadAsOf(spark, source, gen),
+      name, buckets, textCol, idCol, attrCols)
+    graft.sources.IndexMaintenance.bindFollower(spark,
+      postingsTable(name), gen)
+    gen
+  }
+
+  /** Bring the index up to its governed source table's head — the
+    * [[graft.sources.IndexMaintenance.refreshFromSource]] protocol
+    * with this family's primitives: pair deletes →
+    * [[deleteFromIndex]] (old content names the buckets; verified
+    * stats retreat — idempotent), pair inserts → [[appendToIndex]],
+    * and the crash-retry scrub = delete the pair's BOTH halves by
+    * content then [[repairStats]] (exact stats from the healed
+    * postings, whatever the partial append left). A corpus
+    * `mergeByKey` update (delete+insert in one delta) therefore
+    * replaces the doc's postings and keeps n_docs/avgdl exact.
+    * `textCol`/`idCol`/`attrCols` must match the build's. Returns the
+    * fold head. */
+  def refreshFromSource(spark: SparkSession, source: String,
+                        name: String, buckets: Int,
+                        textCol: String = "text",
+                        idCol: String = "doc_id",
+                        attrCols: Seq[String] = Nil): Long =
+    graft.sources.IndexMaintenance.refreshFromSource(spark, source,
+      postingsTable(name), graft.sources.IndexMaintenance.FollowerHooks(
+        applyDeletes = d =>
+          { deleteFromIndex(d, name, buckets, textCol, idCol); () },
+        applyInserts = i =>
+          appendToIndex(i, name, buckets, textCol, idCol, attrCols),
+        scrubPair = (d, i) => {
+          deleteFromIndex(d, name, buckets, textCol, idCol)
+          deleteFromIndex(i, name, buckets, textCol, idCol)
+          repairStats(spark, name)
+          ()
+        }))
+
   /** Periodic compaction — postings are a SET, and dedup-on-rewrite
     * also heals append-replay duplicates (which here would inflate
     * df). A non-trivial compaction advances the postings generation,

@@ -98,6 +98,54 @@ object IncrementalDedup {
       bandsOf(docs, textCol, idCol, k, numHashes, bands),
       table, buckets, bucketKeyCol = "bkey", idCol = "doc")
 
+  /** Build the band index over governed `source`'s current head and
+    * bind it as its FOLLOWER ([[refreshFromSource]]) — the
+    * maintained-view create for the near-dup tier. Untagged layout:
+    * the cross-batch re-arrival guard is the STREAM gate's concern; a
+    * followed index's provenance is its source's generations. Returns
+    * the bookmarked generation. */
+  def createFromSource(spark: SparkSession, source: String,
+                       table: String, buckets: Int,
+                       textCol: String = "text",
+                       idCol: String = "doc_id", k: Int = 3,
+                       numHashes: Int = 16, bands: Int = 4): Long = {
+    val gen = graft.sources.Bucketed.currentGeneration(spark, source)
+    buildIndex(graft.sources.Bucketed.loadAsOf(spark, source, gen),
+      table, buckets, textCol, idCol, k, numHashes, bands)
+    graft.sources.IndexMaintenance.bindFollower(spark, table, gen)
+    gen
+  }
+
+  /** Bring the band index up to its governed source table's head —
+    * the [[graft.sources.IndexMaintenance.refreshFromSource]]
+    * protocol with this family's primitives: pair deletes →
+    * [[deleteFromIndex]] (band keys recomputed from content name the
+    * buckets — idempotent anti-join), pair inserts →
+    * [[appendToIndex]], and the crash-retry scrub = delete BOTH
+    * halves by content (band assignment is deterministic per text, so
+    * the scrub names exactly the partially-appended rows' buckets; no
+    * side state to repair). Signature params must match the build's.
+    * Returns the fold head. */
+  def refreshFromSource(spark: SparkSession, source: String,
+                        table: String, buckets: Int,
+                        textCol: String = "text",
+                        idCol: String = "doc_id", k: Int = 3,
+                        numHashes: Int = 16, bands: Int = 4): Long =
+    graft.sources.IndexMaintenance.refreshFromSource(spark, source,
+      table, graft.sources.IndexMaintenance.FollowerHooks(
+        applyDeletes = d =>
+          { deleteFromIndex(d, table, buckets, textCol, idCol, k,
+              numHashes, bands); () },
+        applyInserts = i => appendToIndex(i, table, buckets, textCol,
+          idCol, k, numHashes, bands),
+        scrubPair = (d, i) => {
+          deleteFromIndex(d, table, buckets, textCol, idCol, k,
+            numHashes, bands)
+          deleteFromIndex(i, table, buckets, textCol, idCol, k,
+            numHashes, bands)
+          ()
+        }))
+
   /** Candidate (new_doc, corpus_doc) near-dup pairs of a new shard
     * against the persisted index — WITHOUT rescanning or re-signing the
     * corpus. When the shard's distinct bkey count is at most

@@ -139,9 +139,85 @@ class IndexMaintenanceSpec extends SparkSuite {
         maxFilesPerBucket = 2, maxUnreferencedFiles = 0)
       assert(d2 == IndexMaintenance.TableMaintenanceDecision(
         0, 0, 0, stampedStats = false, measuredMaxFilesPerBucket = 1,
-        unreferencedFiles = 0), s"$d2")
+        unreferencedFiles = 0,
+        // the first pass's compaction committed AFTER its vacuum
+        // stamped the maint marker — one commit on the cadence clock,
+        // far under the bound
+        commitsSinceVacuum = 1), s"$d2")
       assert(FileStats.footerOpens.get() == before,
         "the healthy decision scan must be metadata-only")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("history-driven policy: cadence vacuum honors the in-flight guard; pairLag trips the signal; history folds") {
+    import org.apache.spark.sql.functions.col
+    val table = "graft_idxmaint_policy"
+    try {
+      def rows(lo: Int, hi: Int) =
+        (lo until hi).map(i => (i.toLong, i.toLong * 3)).toDF("k", "v")
+      Bucketed.save(rows(0, 40).repartition(2, col("k")),
+        table, Seq("k"), 2)
+      Bucketed.setRetention(spark, table, 2)
+      // merge churn: each commit rewrites buckets, retiring the old
+      // files IN PLACE — beyond-window debris the cadence collects
+      for (i <- 0 until 6)
+        Bucketed.mergeByKey(spark, table,
+          rows(i * 5, (i + 1) * 5).withColumn("v", col("v") + 1))
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // commits reconcile their own debris, so plant some crash
+      // debris AFTER the last commit — what a died writer leaves
+      val debris = new org.apache.hadoop.fs.Path(loc,
+        "part-policydebris-00000_0.parquet")
+      val po = fs.create(debris, true)
+      po.write(Array[Byte](1)); po.close()
+      assert(Bucketed.describe(spark, table).unreferencedFiles > 0,
+        "fixture: unreferenced debris must exist")
+      // a TORN manifest newer than the head = possibly another
+      // process's in-flight commit whose files are already renamed
+      // in: the cadence-triggered vacuum must NOT sweep
+      val head = Bucketed.currentGeneration(spark, table)
+      val torn = new org.apache.hadoop.fs.Path(loc,
+        s"_graft_manifest.${head + 1}")
+      val o = fs.create(torn, true)
+      o.write("graft-manifest-v1\npart-inflight".getBytes("UTF-8"))
+      o.close()
+      val d = IndexMaintenance.maintainTableIfNeeded(spark, table,
+        maxFilesPerBucket = 99, maxUnreferencedFiles = 999999,
+        vacuumEveryCommits = 5)
+      assert(d.commitsSinceVacuum >= 5, s"$d")
+      assert(d.vacuumedFiles == 0,
+        s"sweep must skip while a possibly-in-flight commit exists: $d")
+      assert(Bucketed.describe(spark, table).unreferencedFiles > 0,
+        "the guarded sweep must leave the debris in place")
+      // guard gone → the debris signal collects on the next pass
+      // (the cadence marker already advanced — no thrash)
+      fs.delete(torn, false)
+      Bucketed.forgetVerified()
+      val d2 = IndexMaintenance.maintainTableIfNeeded(spark, table,
+        maxFilesPerBucket = 99, maxUnreferencedFiles = 0,
+        vacuumEveryCommits = 999)
+      assert(d2.commitsSinceVacuum < 5, s"marker must have advanced: $d2")
+      assert(d2.vacuumedFiles > 0, s"$d2")
+      assert(Bucketed.load(spark, table).count() == 40,
+        "policy maintenance must never change the data")
+      // a pair pointer lagging the head by >= 2 surfaces (never fixed:
+      // only a caller that knows no batch is in flight may commitPair)
+      Bucketed.writePairPointer(spark, table,
+        Bucketed.currentGeneration(spark, table) - 2, 1L)
+      val d3 = IndexMaintenance.maintainTableIfNeeded(spark, table,
+        maxFilesPerBucket = 99, maxUnreferencedFiles = 999999,
+        vacuumEveryCommits = 999)
+      assert(d3.pairRefreshNeeded, s"$d3")
+      // history folding rides the same pass
+      val d4 = IndexMaintenance.maintainTableIfNeeded(spark, table,
+        maxFilesPerBucket = 99, maxUnreferencedFiles = 999999,
+        vacuumEveryCommits = 999, maxLooseHistory = 2)
+      assert(d4.historyFolded > 0, s"$d4")
+      assert(Bucketed.history(spark, table).count() >= 7,
+        "folded history must stay complete")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
