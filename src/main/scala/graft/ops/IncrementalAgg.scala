@@ -163,9 +163,15 @@ object IncrementalAgg {
       .localCheckpoint(eager = false) // feeds bucket-id collect + joins
     val bIds = g.select(pmod(hash(col("g")), lit(buckets)).cast("int").as("p"))
       .distinct().as[Int].collect().toSet
+    // group matches are NULL-SAFE (<=>): the left-outer join+agg
+    // views carry a real NULL group (partnerless rows under a B-side
+    // groupCol) that a plain equi-join would silently never repair.
+    // Sentinel rows (g null, is_tag) are therefore kept EXPLICITLY —
+    // before null-safety they survived because null never equi-joined
+    val gg = broadcast(g.withColumnRenamed("g", "_rg"))
     val fresh = raw
       .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
-      .join(broadcast(g), Seq("g"), "left_semi")
+      .join(gg, col("g") <=> col("_rg"), "left_semi")
       .groupBy("g")
       .agg(count(lit(1)).cast("long").as("cnt"),
         coalesce(sum("v"), lit(0L)).as("sum_q"),
@@ -174,7 +180,9 @@ object IncrementalAgg {
         col("min_q"), col("max_q"), lit(0L).as("retr"),
         lit(false).as("is_tag"))
     graft.sources.Bucketed.rewriteBuckets(spark, partialsTable(name), bIds,
-      rows => rows.join(broadcast(g), Seq("g"), "left_anti")
+      rows => rows.filter(col("is_tag"))
+        .unionByName(rows.filter(!col("is_tag"))
+          .join(gg, col("g") <=> col("_rg"), "left_anti"))
         .unionByName(fresh).select(cols.map(col): _*))
   }
 
@@ -220,6 +228,185 @@ object IncrementalAgg {
         when(col("retr") === 0, col("rmax")).as("max_q"),
         floor(col("sum_q").cast("double") * lit(1000000.0)
           / col("n").cast("double")).cast("long").as("avg_e6"))
+  }
+
+  // ---- MULTI-MEASURE partials ------------------------------------------
+  //
+  // One maintained view serving count / sum / min / max / avg of N
+  // measures at once — the common reporting shape that previously cost
+  // one view PER measure. Same layout doctrine as the single-measure
+  // family (partials bucketed+sorted on g, sentinel-tagged
+  // exactly-once, retraction with null extrema until repair), with the
+  // measure columns WIDE: s_i / mn_i / mx_i per measure index i (the
+  // view's creation fixes the measure ORDER; names are positional so a
+  // source-column rename cannot silently reshape the stored schema).
+
+  private def colsMulti(n: Int): Seq[String] =
+    Seq("g", "b", "cnt", "retr", "is_tag") ++
+      (0 until n).flatMap(i => Seq(s"s_$i", s"mn_$i", s"mx_$i"))
+
+  /** One partial row per group of `batch`, N measures wide — one
+    * partial-agg shuffle over the batch only. Each `valueCols` entry
+    * must already be a LONG-castable quantized measure. */
+  private def partialsOfMulti(batch: DataFrame, groupCol: String,
+                              valueCols: Seq[String], tag: String,
+                              negate: Boolean): DataFrame = {
+    require(valueCols.nonEmpty, "at least one measure")
+    val vs = valueCols.zipWithIndex
+    val p = batch
+      .select(col(groupCol).as("g") +:
+        vs.map { case (c, i) => col(c).cast("long").as(s"v_$i") }: _*)
+      .groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n"),
+        vs.flatMap { case (_, i) =>
+          Seq(coalesce(sum(s"v_$i"), lit(0L)).as(s"sr_$i"),
+            min(s"v_$i").as(s"mnr_$i"), max(s"v_$i").as(s"mxr_$i"))
+        }: _*)
+    val data =
+      if (negate)
+        p.select(col("g") +: lit(tag).as("b") +: (-col("n")).as("cnt") +:
+          col("n").as("retr") +: lit(false).as("is_tag") +:
+          vs.flatMap { case (_, i) =>
+            Seq((-col(s"sr_$i")).as(s"s_$i"),
+              lit(null).cast("long").as(s"mn_$i"),
+              lit(null).cast("long").as(s"mx_$i"))
+          }: _*)
+      else
+        p.select(col("g") +: lit(tag).as("b") +: col("n").as("cnt") +:
+          lit(0L).as("retr") +: lit(false).as("is_tag") +:
+          vs.flatMap { case (_, i) =>
+            Seq(col(s"sr_$i").as(s"s_$i"), col(s"mnr_$i").as(s"mn_$i"),
+              col(s"mxr_$i").as(s"mx_$i"))
+          }: _*)
+    graft.sources.IndexMaintenance.withSentinel(data, tag)
+      .select(colsMulti(valueCols.size).map(col): _*)
+  }
+
+  /** (Re)build the N-measure index from `base` — one partial-agg
+    * shuffle + one bucket write, O(base). */
+  def buildIndexMulti(base: DataFrame, name: String, buckets: Int,
+                      groupCol: String, valueCols: Seq[String],
+                      tag: String = "b0"): Unit =
+    graft.sources.Bucketed.save(
+      partialsOfMulti(base, groupCol, valueCols, tag, negate = false),
+      partialsTable(name), Seq("g"), buckets)
+
+  /** Append batch `tag`'s N-measure partials — exactly-once under
+    * replay (the sentinel contract). */
+  def appendMulti(batch: DataFrame, name: String, buckets: Int,
+                  groupCol: String, valueCols: Seq[String],
+                  tag: String): Boolean = {
+    val spark = batch.sparkSession
+    if (tagApplied(spark, name, tag)) false
+    else {
+      graft.sources.Bucketed.save(
+        partialsOfMulti(batch, groupCol, valueCols, tag, negate = false),
+        partialsTable(name), Seq("g"), buckets, mode = SaveMode.Append)
+      true
+    }
+  }
+
+  /** Retract batch `tag`'s rows: count/sum/avg of EVERY measure stay
+    * exact immediately; the touched groups' extrema serve null until
+    * [[repairGroupsMulti]]. */
+  def retractMulti(batch: DataFrame, name: String, buckets: Int,
+                   groupCol: String, valueCols: Seq[String],
+                   tag: String): Boolean = {
+    val spark = batch.sparkSession
+    if (tagApplied(spark, name, tag)) false
+    else {
+      graft.sources.Bucketed.save(
+        partialsOfMulti(batch, groupCol, valueCols, tag, negate = true),
+        partialsTable(name), Seq("g"), buckets, mode = SaveMode.Append)
+      true
+    }
+  }
+
+  /** [[repairGroups]]' N-measure twin — same null-safe group match,
+    * same O(touched buckets) rewrite, all measures recomputed in the
+    * one pass. */
+  def repairGroupsMulti(spark: SparkSession, name: String, buckets: Int,
+                        raw: DataFrame, groupCol: String,
+                        valueCols: Seq[String],
+                        groups: DataFrame): Int = {
+    import spark.implicits._
+    val vs = valueCols.zipWithIndex
+    val g = groups.select(col(groups.columns.head).as("g")).distinct()
+      .localCheckpoint(eager = false)
+    val bIds = g.select(pmod(hash(col("g")), lit(buckets)).cast("int").as("p"))
+      .distinct().as[Int].collect().toSet
+    val gg = broadcast(g.withColumnRenamed("g", "_rg"))
+    val fresh = raw
+      .select(col(groupCol).as("g") +:
+        vs.map { case (c, i) => col(c).cast("long").as(s"v_$i") }: _*)
+      .join(gg, col("g") <=> col("_rg"), "left_semi")
+      .groupBy("g")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        vs.flatMap { case (_, i) =>
+          Seq(coalesce(sum(s"v_$i"), lit(0L)).as(s"s_$i"),
+            min(s"v_$i").as(s"mn_$i"), max(s"v_$i").as(s"mx_$i"))
+        }: _*)
+      .select(col("g") +: lit("_").as("b") +: col("cnt") +:
+        lit(0L).as("retr") +: lit(false).as("is_tag") +:
+        vs.flatMap { case (_, i) =>
+          Seq(col(s"s_$i"), col(s"mn_$i"), col(s"mx_$i")) }: _*)
+    graft.sources.Bucketed.rewriteBuckets(spark, partialsTable(name), bIds,
+      rows => rows.filter(col("is_tag"))
+        .unionByName(rows.filter(!col("is_tag"))
+          .join(gg, col("g") <=> col("_rg"), "left_anti"))
+        .unionByName(fresh)
+        .select(colsMulti(valueCols.size).map(col): _*))
+  }
+
+  /** Merge each oversized bucket's data rows to ONE row per group —
+    * [[consolidate]]'s N-measure twin; the measure count reads off
+    * the stored schema. Returns buckets rewritten. */
+  def consolidateMulti(spark: SparkSession, name: String,
+                       maxFilesPerBucket: Int = 4): Int =
+    graft.sources.Bucketed.compactBucketsWith(spark, partialsTable(name),
+      maxFilesPerBucket, rows => {
+        val n = rows.columns.count(_.startsWith("s_"))
+        val tags = rows.filter(col("is_tag")).dropDuplicates("b")
+        val data = rows.filter(!col("is_tag"))
+          .groupBy("g")
+          .agg(sum("cnt").as("cnt"),
+            sum("retr").as("retr") +:
+              (0 until n).flatMap(i =>
+                Seq(sum(s"s_$i").as(s"s_$i"), min(s"mn_$i").as(s"mn_$i"),
+                  max(s"mx_$i").as(s"mx_$i"))): _*)
+          .select(col("g") +: lit("_").as("b") +: col("cnt") +:
+            col("retr") +: lit(false).as("is_tag") +:
+            (0 until n).flatMap(i =>
+              Seq(col(s"s_$i"), col(s"mn_$i"), col(s"mx_$i"))): _*)
+        data.unionByName(tags).select(colsMulti(n).map(col): _*)
+      })
+
+  /** The N-measure materialized aggregate: (g, n, then per measure i
+    * sum_q_i / min_q_i / max_q_i / avg_e6_i) — groups with
+    * outstanding retractions serve null extrema for EVERY measure
+    * (one retr counter guards all; a retracted row touched them
+    * all). */
+  def serveMulti(spark: SparkSession, name: String,
+                 filter: Option[Column] = None): DataFrame = {
+    val all = graft.sources.Bucketed.load(spark, partialsTable(name))
+      .filter(!col("is_tag"))
+    val n = all.columns.count(_.startsWith("s_"))
+    filter.fold(all)(all.filter)
+      .groupBy("g")
+      .agg(sum("cnt").as("n"),
+        sum("retr").as("retr") +:
+          (0 until n).flatMap(i =>
+            Seq(sum(s"s_$i").as(s"s_$i"), min(s"mn_$i").as(s"rmn_$i"),
+              max(s"mx_$i").as(s"rmx_$i"))): _*)
+      .filter(col("n") > 0)
+      .select(col("g") +: col("n") +:
+        (0 until n).flatMap(i => Seq(
+          col(s"s_$i").as(s"sum_q_$i"),
+          when(col("retr") === 0, col(s"rmn_$i")).as(s"min_q_$i"),
+          when(col("retr") === 0, col(s"rmx_$i")).as(s"max_q_$i"),
+          floor(col(s"s_$i").cast("double") * lit(1000000.0)
+            / col("n").cast("double")).cast("long")
+            .as(s"avg_e6_$i"))): _*)
   }
 
   /** Continuous maintenance under a stream — the

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.sources.{Bucketed, Replication}
 
@@ -97,82 +97,130 @@ object Ivm {
   def serve(spark: SparkSession, view: String): DataFrame =
     IncrementalAgg.serve(spark, view)
 
+  // ---- MULTI-MEASURE source-following view -----------------------------
+
+  /** [[create]]'s N-measure twin: ONE maintained view serving
+    * count/sum/min/max/avg of SEVERAL quantized measures (the common
+    * reporting shape — previously one view per measure). Same walk,
+    * same exactly-once tags, one partials table
+    * ([[IncrementalAgg.buildIndexMulti]]'s wide positional layout:
+    * the `valueCols` ORDER at create time fixes the measure
+    * indexes). */
+  def createMulti(spark: SparkSession, source: String, view: String,
+                  buckets: Int, groupCol: String,
+                  valueCols: Seq[String]): Long = {
+    val gen = Bucketed.currentGeneration(spark, source)
+    IncrementalAgg.buildIndexMulti(
+      Bucketed.loadAsOf(spark, source, gen).select(
+        (groupCol +: valueCols).map(col): _*),
+      view, buckets, groupCol, valueCols)
+    Replication.writeBookmark(spark, s"${view}_partials", gen)
+    gen
+  }
+
+  /** [[refresh]]'s N-measure twin — identical walk and crash
+    * doctrine, every measure folded in the one pair delta. The
+    * `valueCols` must match the create's, in order. */
+  def refreshMulti(spark: SparkSession, source: String, view: String,
+                   buckets: Int, groupCol: String,
+                   valueCols: Seq[String]): Long = {
+    val partials = s"${view}_partials"
+    val from = Replication.bookmark(spark, partials).getOrElse(
+      throw new IllegalStateException(
+        s"$view has no bookmark — create it from $source first"))
+    val head = Bucketed.currentGeneration(spark, source)
+    if (head == from) return from
+    require(head > from,
+      s"$view's bookmark $from is ahead of $source's head $head — " +
+        "the source was rebuilt; recreate the view")
+    val retained = Bucketed.generations(spark, source)
+    if (!retained.contains(from))
+      throw new IllegalStateException(
+        s"$source no longer retains generation $from — the view's " +
+          "bookmark fell behind the retention window; recreate it")
+    val sel = (groupCol +: valueCols).map(col)
+    retained.dropWhile(_ < from).takeWhile(_ <= head)
+      .sliding(2).foreach {
+        case Seq(a, b) =>
+          val diff = Bucketed.diffGenerations(spark, source, a, b)
+            .localCheckpoint(eager = false) // one eval feeds both halves
+          IncrementalAgg.appendMulti(
+            diff.filter(col("change") === "insert").select(sel: _*),
+            view, buckets, groupCol, valueCols, s"ivmm-$a-$b-i")
+          IncrementalAgg.retractMulti(
+            diff.filter(col("change") === "delete").select(sel: _*),
+            view, buckets, groupCol, valueCols, s"ivmm-$a-$b-d")
+          Replication.writeBookmark(spark, partials, b)
+        case _ => ()
+      }
+    head
+  }
+
+  /** [[repair]]'s N-measure twin — all measures' extrema restored in
+    * the one touched-bucket pass. Requires the view caught up. */
+  def repairMulti(spark: SparkSession, source: String, view: String,
+                  buckets: Int, groupCol: String,
+                  valueCols: Seq[String]): Int = {
+    val partials = s"${view}_partials"
+    val from = Replication.bookmark(spark, partials).getOrElse(
+      throw new IllegalStateException(s"$view has no bookmark"))
+    val head = Bucketed.currentGeneration(spark, source)
+    require(from == head,
+      s"$view is at generation $from but $source is at $head — " +
+        "refresh before repairing")
+    val retracted = Bucketed.load(spark, partials)
+      .filter(!col("is_tag"))
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.sum("retr").as("r"))
+      .filter(col("r") > 0)
+      .select("g")
+    IncrementalAgg.repairGroupsMulti(spark, view, buckets,
+      Bucketed.load(spark, source).select(
+        (groupCol +: valueCols).map(col): _*),
+      groupCol, valueCols, retracted)
+  }
+
+  /** The multi-measure view's rollup — [[IncrementalAgg.serveMulti]]. */
+  def serveMulti(spark: SparkSession, view: String): DataFrame =
+    IncrementalAgg.serveMulti(spark, view)
+
   // ---- JOIN-view maintenance ------------------------------------------
 
   private val JoinSyncMagic = "graft-jsync-v1"
   private def syncName(side: Char) = s"_graft_jsync_$side"
 
-  private def joinBookmark(spark: SparkSession, view: String,
-                           side: Char): Option[Long] = {
-    val dir = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(view)).location)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Bucketed.readMarker(fs, dir, syncName(side), JoinSyncMagic)
-      .flatMap(_.toLongOption)
-  }
+  private[ops] def joinBookmark(spark: SparkSession, view: String,
+                                side: Char): Option[Long] =
+    graft.sources.Follow.readBookmark(spark, view, syncName(side),
+      JoinSyncMagic)
 
   private[ops] def writeJoinBookmark(spark: SparkSession, view: String,
-                                     side: Char, gen: Long): Unit = {
-    val dir = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(view)).location)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Bucketed.writeMarker(fs, dir, syncName(side), JoinSyncMagic,
-      gen.toString)
-  }
+                                     side: Char, gen: Long): Unit =
+    graft.sources.Follow.writeBookmark(spark, view, syncName(side),
+      JoinSyncMagic, gen)
 
   private def clearJoinBookmark(spark: SparkSession, view: String,
-                                side: Char): Unit = {
-    val dir = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(view)).location)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir, syncName(side)), false)
-    ()
-  }
+                                side: Char): Unit =
+    graft.sources.Follow.clearTag(spark, view, syncName(side))
 
-  /** ONE copy of the per-side bookmark walk every join-view family
-    * runs ([[refreshJoin]], [[refreshJoinLeft]], [[refreshJoinAgg]]):
-    * read the side's bookmark off `bookmarkTable`, validate head /
-    * rebuild / retention, then apply each CONSECUTIVE retained
-    * generation pair via `applyPair(x, y)` and advance the bookmark
-    * after each pair. Returns the source's head. A walk-contract fix
-    * (the retention check, the pair iteration) lands here for all
-    * three families at once. */
+  /** The per-side bookmark walk every join-view family runs
+    * ([[refreshJoin]], [[refreshJoinLeft]], [[refreshJoinAgg]]) — one
+    * delegation to the follower core
+    * ([[graft.sources.Follow.walkPairs]], where the walk contract
+    * lives for the view AND index families since round 14), binding
+    * the jsync marker name for `side`. `cap` bounds the walk below
+    * the source's live head — the two-table lockstep device
+    * ([[refreshJoinFull]]): a commit landing between the left part's
+    * refresh and the orphans' walk must fold NEXT refresh for both
+    * tables, not for one of them. */
   private def walkPairs(spark: SparkSession, src: String, side: Char,
                         bookmarkTable: String, view: String,
                         createHint: String,
                         cap: Option[Long] = None)(
-                        applyPair: (Long, Long) => Unit): Long = {
-    val from = joinBookmark(spark, bookmarkTable, side).getOrElse(
-      throw new IllegalStateException(
-        s"$view has no side-$side bookmark — $createHint it first"))
-    // `cap` bounds the walk below the source's live head — the
-    // two-table lockstep device ([[refreshJoinFull]]): a commit
-    // landing between the left part's refresh and the orphans' walk
-    // must fold NEXT refresh for both tables, not for one of them
-    val head = cap.fold(Bucketed.currentGeneration(spark, src))(c =>
-      math.min(Bucketed.currentGeneration(spark, src), c))
-    if (head == from) return head
-    require(head > from,
-      s"$view's side-$side bookmark $from is ahead of $src's head " +
-        s"$head — the source was rebuilt; recreate the view")
-    val retained = Bucketed.generations(spark, src)
-    if (!retained.contains(from))
-      throw new IllegalStateException(
-        s"$src no longer retains generation $from — the view's " +
-          s"side-$side bookmark fell behind the retention window; " +
-          "recreate it")
-    retained.dropWhile(_ < from).takeWhile(_ <= head)
-      .sliding(2).foreach {
-        case Seq(x, y) =>
-          applyPair(x, y)
-          writeJoinBookmark(spark, bookmarkTable, side, y)
-        case _ => ()
-      }
-    head
-  }
+                        applyPair: (Long, Long) => Unit): Long =
+    graft.sources.Follow.walkPairs(spark, src, bookmarkTable,
+      syncName(side), JoinSyncMagic, s"$view (side $side)",
+      createHint, cap)(applyPair)
 
   /** Materialize the two-table equi-join `a ⋈_on b` over both sources'
     * current heads and bookmark BOTH generations on the view (one
@@ -326,8 +374,12 @@ object Ivm {
       ()
     }
     // phase 2: ΔB's join values name the groups to recompute against
-    // the pair's upper B generation and the caught-up A head
-    walk(b, 'b') { (x, y) =>
+    // the pair's upper B generation and the caught-up A head. The
+    // walk's OWN fold head is the return value (never a re-read live
+    // head): refreshJoinFull uses it as the orphans' lockstep cap, and
+    // a B commit landing between this walk and a re-read would let the
+    // orphans fold a B generation the left part has not
+    val hb = walk(b, 'b') { (x, y) =>
       val touched = Bucketed.diffGenerations(spark, b, x, y)
         .select(on).distinct()
       val groups = Bucketed.loadAsOf(spark, a, ha)
@@ -340,8 +392,16 @@ object Ivm {
       Bucketed.mergeByKey(spark, view, groups)
       ()
     }
-    (ha, Bucketed.currentGeneration(spark, b))
+    afterPhase2Walk()
+    (ha, hb)
   }
+
+  /** Test hook: runs between [[refreshJoinLeft]]'s phase-2 walk and
+    * its return — the window where a racing B commit previously
+    * leaked into the returned head via a live re-read, letting
+    * [[refreshJoinFull]]'s orphans walk fold past the left part's
+    * lockstep (ADVICE, round 13). */
+  private[ops] var afterPhase2Walk: () => Unit = () => ()
 
   // ---- FULL-OUTER join-view maintenance --------------------------------
 
@@ -479,6 +539,111 @@ object Ivm {
       conformTo(left.schema, Bucketed.load(spark, orphanTable(view))))
   }
 
+  // ---- rollup FOLLOWING the full-outer pair ----------------------------
+
+  /** A materialized aggregate following the FULL-OUTER view's two
+    * governed tables (left part + orphans) as ONE logical source —
+    * what [[create]] is to a single table, for the pair
+    * [[serveJoinFull]] unions: `SELECT g, aggs FROM (left ∪
+    * null-extended orphans) GROUP BY g` stays maintained while
+    * [[refreshJoinFull]] churns both tables. Orphan rows null-fill
+    * the columns they lack (an A-side `valueCol` contributes null —
+    * counted, not summed; a B-side `groupCol` carries through), the
+    * exact FULL JOIN aggregation semantics. Both tables must retain
+    * generations back to the bookmarks ([[Bucketed.setRetention]] on
+    * the view AND `<view>_orphans`). Returns (genLeft, genOrphans). */
+  def createOverFull(spark: SparkSession, fullView: String,
+                     rollup: String, buckets: Int, groupCol: String,
+                     valueCol: String): (Long, Long) = {
+    val orphans = orphanTable(fullView)
+    val gl = Bucketed.currentGeneration(spark, fullView)
+    val go = Bucketed.currentGeneration(spark, orphans)
+    val leftSchema = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(fullView)).schema
+    val base = Bucketed.loadAsOf(spark, fullView, gl)
+      .select(col(groupCol), col(valueCol))
+      .unionByName(
+        conformTo(leftSchema, Bucketed.loadAsOf(spark, orphans, go))
+          .select(col(groupCol), col(valueCol)))
+    IncrementalAgg.buildIndex(base, rollup, buckets, groupCol, valueCol)
+    val partials = s"${rollup}_partials"
+    writeJoinBookmark(spark, partials, 'l', gl)
+    writeJoinBookmark(spark, partials, 'o', go)
+    (gl, go)
+  }
+
+  /** Bring the pair rollup up to both tables' heads: each table walks
+    * its own bookmark ([[refresh]]'s doctrine twice), pair deltas
+    * landing as exactly-once append/retract partials — orphan deltas
+    * null-fill to the left part's shape first, so a customer flipping
+    * between matched and orphaned retracts from one table's fold and
+    * appends in the other's, meeting in the same group. Call after
+    * [[refreshJoinFull]] for a state consistent with
+    * [[serveJoinFull]]; a refresh racing the view's own folds the
+    * remainder next time — each side is individually exact. Pure
+    * delta on both tables: O(changed files), never the A-scan the
+    * outer row views pay. Returns (headLeft, headOrphans). */
+  def refreshOverFull(spark: SparkSession, fullView: String,
+                      rollup: String, buckets: Int, groupCol: String,
+                      valueCol: String): (Long, Long) = {
+    val partials = s"${rollup}_partials"
+    val leftSchema = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(fullView)).schema
+    val typeOf = leftSchema.fields.map(f => f.name -> f.dataType).toMap
+    def advance(src: String, side: Char): Long =
+      walkPairs(spark, src, side, partials, rollup, "createOverFull") {
+        (x, y) =>
+          val delta = Bucketed.diffGenerations(spark, src, x, y)
+            .localCheckpoint(eager = false) // one eval, both halves
+          val have = delta.columns.toSet
+          val sel = delta.select(
+            Seq(groupCol, valueCol).map(c =>
+              if (have(c)) col(c)
+              else lit(null).cast(typeOf(c)).as(c)) :+ col("change"): _*)
+          IncrementalAgg.append(
+            sel.filter(col("change") === "insert")
+              .select(col(groupCol), col(valueCol)),
+            rollup, buckets, groupCol, valueCol, s"ivf$side-$x-$y-i")
+          IncrementalAgg.retract(
+            sel.filter(col("change") === "delete")
+              .select(col(groupCol), col(valueCol)),
+            rollup, buckets, groupCol, valueCol, s"ivf$side-$x-$y-d")
+          ()
+      }
+    val hl = advance(fullView, 'l')
+    val ho = advance(orphanTable(fullView), 'o')
+    (hl, ho)
+  }
+
+  /** [[repair]]'s pair-rollup twin: retracted groups recompute from
+    * the CURRENT served union ([[serveJoinFull]]) — the NULL group
+    * repairs like any other (null-safe group match). Requires both
+    * bookmarks caught up to their tables' heads. Returns buckets
+    * rewritten. */
+  def repairOverFull(spark: SparkSession, fullView: String,
+                     rollup: String, buckets: Int, groupCol: String,
+                     valueCol: String): Int = {
+    val partials = s"${rollup}_partials"
+    for ((src, side) <- Seq((fullView, 'l'), (orphanTable(fullView), 'o'))) {
+      val bm = joinBookmark(spark, partials, side).getOrElse(
+        throw new IllegalStateException(
+          s"$rollup has no side-$side bookmark"))
+      val head = Bucketed.currentGeneration(spark, src)
+      require(bm == head,
+        s"$rollup's side-$side bookmark is at $bm but $src is at " +
+          s"$head — refresh before repairing")
+    }
+    val retracted = Bucketed.load(spark, partials)
+      .filter(!col("is_tag"))
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.sum("retr").as("r"))
+      .filter(col("r") > 0)
+      .select("g")
+    IncrementalAgg.repairGroups(spark, rollup, buckets,
+      serveJoinFull(spark, fullView).select(col(groupCol), col(valueCol)),
+      groupCol, valueCol, retracted)
+  }
+
   // ---- single-view JOIN + AGGREGATE maintenance ------------------------
 
   /** Materialize `SELECT g, count, sum, … FROM a JOIN b ON on GROUP BY
@@ -577,6 +742,138 @@ object Ivm {
     val hb = walk(b, 'b', Bucketed.loadAsOf(spark, a, ha))
     clearJoinBookmark(spark, partials, 'p')
     (ha, hb)
+  }
+
+  // ---- single-view LEFT-OUTER join + aggregate -------------------------
+
+  /** [[createJoinAgg]]'s LEFT-outer twin: `SELECT g, aggs FROM a LEFT
+    * JOIN b ON on GROUP BY g` in ONE maintained view. Null extension
+    * is first-class: an A row with no partner contributes ONE row
+    * with B's columns null — a B-side `groupCol` groups it under the
+    * NULL group (a real group, served and maintained like any other),
+    * a B-side `valueCol` contributes null (count counts the row,
+    * sum/min/max skip it — [[IncrementalAgg]]'s house semantics).
+    * Returns (genA, genB). */
+  def createJoinAggLeft(spark: SparkSession, a: String, b: String,
+                        on: String, view: String, buckets: Int,
+                        groupCol: String, valueCol: String): (Long, Long) = {
+    val ga = Bucketed.currentGeneration(spark, a)
+    val gb = Bucketed.currentGeneration(spark, b)
+    IncrementalAgg.buildIndex(
+      Bucketed.loadAsOf(spark, a, ga)
+        .join(Bucketed.loadAsOf(spark, b, gb), Seq(on), "left")
+        .select(col(groupCol), col(valueCol)),
+      view, buckets, groupCol, valueCol)
+    val partials = s"${view}_partials"
+    writeJoinBookmark(spark, partials, 'a', ga)
+    writeJoinBookmark(spark, partials, 'b', gb)
+    (ga, gb)
+  }
+
+  /** Bring the left-outer join+agg view up to both sources' heads.
+    * Phase 1 folds ΔA per pair as a pure delta: the pair's rows LEFT
+    * JOIN B at the side-b bookmark (a partnerless insert lands
+    * null-extended, a partnerless delete retracts its null-extended
+    * row) and land as exactly-once append/retract partials. Phase 2
+    * folds ΔB per pair by GROUP-RECOMPUTE over the pair's touched
+    * join values — the [[refreshJoinLeft]] doctrine feeding partials
+    * instead of row groups: the touched values' A slice LEFT JOINs
+    * B@x (retract: exactly what the view absorbed for those values)
+    * and B@y (append: their new truth), so the 0↔1 partner
+    * transitions ARE the recompute, no transition ledger. NULL-valued
+    * ΔB rows never equi-join and are skipped. Phase 2's A pin is the
+    * DURABLE `_graft_jsync_p` marker with recovery-first retry — the
+    * [[refreshJoinAgg]] lost-ΔA⋈ΔB doctrine verbatim (both phases
+    * apply via tag-skip). Cost: phase 2 reads A semi-joined to the
+    * pair's join values (pushdown-pruned — the refreshJoinLeft
+    * phase-2 scan shape, the honest price of null-extension
+    * correctness; phase 1 stays pure-delta). Serving inherits
+    * [[IncrementalAgg.serve]]; [[repairJoinAggLeft]] restores exact
+    * extrema, null group included. Returns (headA, headB). */
+  def refreshJoinAggLeft(spark: SparkSession, a: String, b: String,
+                         on: String, view: String, buckets: Int,
+                         groupCol: String,
+                         valueCol: String): (Long, Long) = {
+    val partials = s"${view}_partials"
+    def phase2(pin: Long): Long =
+      walkPairs(spark, b, 'b', partials, view, "createJoinAggLeft") {
+        (x, y) =>
+          val touched = Bucketed.diffGenerations(spark, b, x, y)
+            .filter(col(on).isNotNull).select(on).distinct()
+            .localCheckpoint(eager = false) // feeds three semi-joins
+          val aT = Bucketed.loadAsOf(spark, a, pin)
+            .join(touched, Seq(on), "left_semi")
+            .localCheckpoint(eager = false) // feeds both halves
+          def slice(bGen: Long) = aT.join(
+            Bucketed.loadAsOf(spark, b, bGen)
+              .join(touched, Seq(on), "left_semi"),
+            Seq(on), "left").select(col(groupCol), col(valueCol))
+          IncrementalAgg.append(slice(y), view, buckets, groupCol,
+            valueCol, s"jaL-b-$x-$y-i")
+          IncrementalAgg.retract(slice(x), view, buckets, groupCol,
+            valueCol, s"jaL-b-$x-$y-d")
+          ()
+      }
+    // recovery: a durable pin means a phase 2 crashed mid-flight —
+    // finish it under the ORIGINAL A pin before anything else
+    joinBookmark(spark, partials, 'p').foreach { pa =>
+      phase2(pa)
+      clearJoinBookmark(spark, partials, 'p')
+    }
+    val gb0 = joinBookmark(spark, partials, 'b').getOrElse(
+      throw new IllegalStateException(
+        s"$view has no side-b bookmark — createJoinAggLeft it first"))
+    val ha = walkPairs(spark, a, 'a', partials, view,
+      "createJoinAggLeft") { (x, y) =>
+      val dV = Bucketed.diffGenerations(spark, a, x, y)
+        .join(Bucketed.loadAsOf(spark, b, gb0), Seq(on), "left")
+        .select(col(groupCol), col(valueCol), col("change"))
+        .localCheckpoint(eager = false) // one eval, both halves
+      IncrementalAgg.append(
+        dV.filter(col("change") === "insert")
+          .select(col(groupCol), col(valueCol)),
+        view, buckets, groupCol, valueCol, s"jaL-a-$x-$y-i")
+      IncrementalAgg.retract(
+        dV.filter(col("change") === "delete")
+          .select(col(groupCol), col(valueCol)),
+        view, buckets, groupCol, valueCol, s"jaL-a-$x-$y-d")
+      ()
+    }
+    writeJoinBookmark(spark, partials, 'p', ha)
+    val hb = phase2(ha)
+    clearJoinBookmark(spark, partials, 'p')
+    (ha, hb)
+  }
+
+  /** [[repairJoinAgg]]'s left-outer twin: recompute the retracted
+    * groups' partials from the CURRENT left join — the NULL group
+    * (partnerless A rows under a B-side groupCol) repairs like any
+    * other ([[IncrementalAgg.repairGroups]]' null-safe group match).
+    * Requires both bookmarks caught up. Returns buckets rewritten. */
+  def repairJoinAggLeft(spark: SparkSession, a: String, b: String,
+                        on: String, view: String, buckets: Int,
+                        groupCol: String, valueCol: String): Int = {
+    val partials = s"${view}_partials"
+    for ((src, side) <- Seq((a, 'a'), (b, 'b'))) {
+      val bm = joinBookmark(spark, partials, side).getOrElse(
+        throw new IllegalStateException(
+          s"$view has no side-$side bookmark"))
+      val head = Bucketed.currentGeneration(spark, src)
+      require(bm == head,
+        s"$view's side-$side bookmark is at $bm but $src is at $head — " +
+          "refresh before repairing")
+    }
+    val retracted = Bucketed.load(spark, partials)
+      .filter(!org.apache.spark.sql.functions.col("is_tag"))
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.sum("retr").as("r"))
+      .filter(org.apache.spark.sql.functions.col("r") > 0)
+      .select("g")
+    IncrementalAgg.repairGroups(spark, view, buckets,
+      Bucketed.load(spark, a)
+        .join(Bucketed.load(spark, b), Seq(on), "left")
+        .select(col(groupCol), col(valueCol)),
+      groupCol, valueCol, retracted)
   }
 
   /** [[repair]]'s join+agg twin: recompute the retracted groups'

@@ -83,13 +83,37 @@ object RelationalQueries {
     * view + orphans pair (q179) following them. The full view is
     * created at the same initial generations (no commit between the
     * two creates), so its refresh genuinely walks every delta. */
+  /** The q157/q185 shared fixture: a retention-3 governed table built
+    * from the even-orderkey half, then the odd half appended — two
+    * retained generations for time travel, reached by the Scala API
+    * (q157) and by the SQL TVFs (q185). */
+  private def q157Table(s: SparkSession, dir: String): String = {
+    val tag = Setup.dirTag(dir)
+    val name = s"graft_q157_tt_$tag"
+    Setup.once(s"q157:$dir") {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("rf"), col("l_orderkey").as("ok"),
+        floor(col("l_extendedprice") * 100.0).cast("long").as("c"))
+      graft.sources.Bucketed.save(li.filter(col("ok") % 2 === 0),
+        name, Seq("rf"), 4)
+      graft.sources.Bucketed.setRetention(s, name, 3)
+      graft.sources.Bucketed.save(li.filter(col("ok") % 2 === 1),
+        name, Seq("rf"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      ()
+    }
+    name
+  }
+
   private def q177Tables(s: SparkSession, dir: String)
-      : (String, String, String, String) = {
+      : (String, String, String, String, String, String) = {
     val tag = Setup.dirTag(dir)
     val a = s"graft_q177_a_$tag"
     val b = s"graft_q177_b_$tag"
     val view = s"graft_q177_view_$tag"
     val full = s"graft_q179_full_$tag"
+    val jaggL = s"graft_q182_jaggl_$tag"
+    val roll = s"graft_q184_roll_$tag"
     Setup.once(s"q177:$dir") {
       // cust % 11 == 5 customers NEVER order (the testdata references
       // every customer, so the B-side null extension must be carved
@@ -115,6 +139,18 @@ object RelationalQueries {
         aKey = "k")
       graft.ops.Ivm.createJoinFull(s, a, b, "cust", full, 8,
         aKey = "k", bKey = "cust")
+      // the pair rollup follows the FULL view's two tables from their
+      // initial generations — q184's refreshOverFull later walks every
+      // merge refreshJoinFull lands on them, so both must retain back
+      // to these bookmarks
+      graft.sources.Bucketed.setRetention(s, full, 32)
+      graft.sources.Bucketed.setRetention(s, s"${full}_orphans", 32)
+      graft.ops.Ivm.createOverFull(s, full, roll, 8, "nat", "v")
+      // the LEFT-outer join+agg single view over the same initial
+      // generations: per-nation rollup of orders LEFT JOIN customer —
+      // partnerless orders aggregate under the NULL nation group
+      graft.ops.Ivm.createJoinAggLeft(s, a, b, "cust", jaggL, 8,
+        "nat", "v")
       // side A: append the odd orders (customers whose orders are all
       // odd transition 0→1 — their create-time orphans retract), bump
       // v for k % 9 == 0, then delete every order of cust % 13 == 6
@@ -144,7 +180,7 @@ object RelationalQueries {
       graft.ops.Ivm.refreshJoinLeft(s, a, b, "cust", view)
       ()
     }
-    (a, b, view, full)
+    (a, b, view, full, jaggL, roll)
   }
 
   /** The q172/q176 shared fixture: an append-ordered governed table
@@ -670,20 +706,7 @@ object RelationalQueries {
     // snapshot is the exact pre-append state. The oracle recomputes
     // the two states from the raw splits
     "q157_time_travel" -> ((s, dir) => {
-      val tag = Setup.dirTag(dir)
-      val name = s"graft_q157_tt_$tag"
-      Setup.once(s"q157:$dir") {
-        val li = t(s, dir, "lineitem").select(
-          col("l_returnflag").as("rf"), col("l_orderkey").as("ok"),
-          floor(col("l_extendedprice") * 100.0).cast("long").as("c"))
-        graft.sources.Bucketed.save(li.filter(col("ok") % 2 === 0),
-          name, Seq("rf"), 4)
-        graft.sources.Bucketed.setRetention(s, name, 3)
-        graft.sources.Bucketed.save(li.filter(col("ok") % 2 === 1),
-          name, Seq("rf"), 4,
-          mode = org.apache.spark.sql.SaveMode.Append)
-        ()
-      }
+      val name = q157Table(s, dir)
       val gens = graft.sources.Bucketed.generations(s, name)
       def agg(df: DataFrame, label: String) = df.groupBy("rf")
         .agg(sum("c").as("sum_q"), count(lit(1)).as("n"))
@@ -1186,7 +1209,7 @@ object RelationalQueries {
     // left join recomputed from both final states (the oracle's LEFT
     // JOIN, null extension included)
     "q177_outer_join_ivm" -> ((s, dir) => {
-      val (_, _, view, _) = q177Tables(s, dir)
+      val (_, _, view, _, _, _) = q177Tables(s, dir)
       graft.sources.Bucketed.load(s, view)
         .select("k", "cust", "v", "nat", "acct")
         .orderBy("k")
@@ -1204,11 +1227,27 @@ object RelationalQueries {
     // transition are what populate the B-side null extension (23
     // orphan rows at sf0.001) — do not remove them as redundant.
     "q179_full_outer_ivm" -> ((s, dir) => {
-      val (a, b, _, full) = q177Tables(s, dir)
+      val (a, b, _, full, _, _) = q177Tables(s, dir)
       graft.ops.Ivm.refreshJoinFull(s, a, b, "cust", full)
       graft.ops.Ivm.serveJoinFull(s, full)
         .select("k", "cust", "v", "nat", "acct")
         .orderBy("cust", "k")
+    }),
+
+    // LEFT-OUTER join+agg in ONE maintained view: GROUP BY nation
+    // over orders LEFT JOIN customer, maintained through the q177
+    // churn — 0→1 partner transitions move orders OUT of the NULL
+    // group into their nation, 1→0 transitions move them back, and
+    // the phase-2 group-recompute feeding exactly-once partials IS
+    // the transition. After the left-aware repair (null group
+    // included) the view must equal the plain LEFT JOIN GROUP BY
+    "q182_joinagg_left_ivm" -> ((s, dir) => {
+      val (a, b, _, _, jaggL, _) = q177Tables(s, dir)
+      graft.ops.Ivm.refreshJoinAggLeft(s, a, b, "cust", jaggL, 8,
+        "nat", "v")
+      graft.ops.Ivm.repairJoinAggLeft(s, a, b, "cust", jaggL, 8,
+        "nat", "v")
+      graft.ops.Ivm.serve(s, jaggL).orderBy("g")
     }),
 
     // Incremental view maintenance: a materialized per-part rollup
@@ -1275,6 +1314,85 @@ object RelationalQueries {
         ()
       }
       graft.ops.Ivm.serve(s, view).orderBy("g")
+    }),
+
+    // MULTI-MEASURE IVM: one maintained view serves count / sum / min
+    // / max / avg of SEVERAL measures at once (the common reporting
+    // shape that previously cost one view per measure) — price and
+    // quantity here, churned through append + keyed update + keyed
+    // delete, delta-refreshed, then repaired to exact extrema for
+    // EVERY measure in one touched-bucket pass
+    "q183_multi_measure_ivm" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val src = s"graft_q183_src_$tag"
+      val view = s"graft_q183_view_$tag"
+      Setup.once(s"q183:$dir") {
+        val li = t(s, dir, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber"))
+            .cast("long").as("id"),
+          col("l_partkey").cast("long").as("g"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("v0"),
+          floor(col("l_quantity") * 100.0).cast("long").as("v1"))
+        graft.sources.Bucketed.save(
+          li.filter(col("id") % 2 === 0), src, Seq("id"), 8)
+        graft.sources.Bucketed.setRetention(s, src, 8)
+        graft.ops.Ivm.createMulti(s, src, view, 8, "g",
+          Seq("v0", "v1"))
+        graft.sources.Bucketed.save(
+          li.filter(col("id") % 2 === 1), src, Seq("id"), 8,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, src,
+          li.filter(col("id") % 17 === 3)
+            .select(col("id"), col("g"), (col("v0") + 7L).as("v0"),
+              col("v1")))
+        graft.sources.Bucketed.mergeByKey(s, src,
+          li.filter(col("id") % 13 === 2)
+            .select(col("id"), col("g"), col("v0"), col("v1"),
+              lit(true).as("del")),
+          deleteCol = Some("del"))
+        graft.ops.Ivm.refreshMulti(s, src, view, 8, "g",
+          Seq("v0", "v1"))
+        graft.ops.Ivm.repairMulti(s, src, view, 8, "g",
+          Seq("v0", "v1"))
+        ()
+      }
+      graft.ops.Ivm.serveMulti(s, view).orderBy("g")
+    }),
+
+    // Rollup FOLLOWING the full-outer pair: a materialized per-nation
+    // aggregate tracks q179's maintained FULL JOIN as ONE logical
+    // source (left part + orphans, each walking its own bookmark,
+    // pure O(changed files) deltas on both) — matched↔orphan flips
+    // retract from one table's fold and append in the other's,
+    // meeting in the same group; orphan rows contribute a real nation
+    // group with a null measure (counted, not summed), partnerless
+    // orders aggregate under the NULL group. After repair (null-safe
+    // group match) the rollup equals the plain FULL JOIN GROUP BY
+    "q184_full_pair_rollup" -> ((s, dir) => {
+      val (a, b, _, full, _, roll) = q177Tables(s, dir)
+      graft.ops.Ivm.refreshJoinFull(s, a, b, "cust", full)
+      graft.ops.Ivm.refreshOverFull(s, full, roll, 8, "nat", "v")
+      graft.ops.Ivm.repairOverFull(s, full, roll, 8, "nat", "v")
+      graft.ops.Ivm.serve(s, roll).orderBy("g")
+    }),
+
+    // Governance from plain SQL: the graft_as_of / graft_table TVFs
+    // (SparkSessionExtensions.injectTableFunction) resolve at analysis
+    // time to the SAME manifest-pinned snapshot relations the Scala
+    // API builds — q157's time-travel answer, reached without a line
+    // of Scala, filters/projections still pushing into the scan
+    "q185_sql_time_travel" -> ((s, dir) => {
+      val name = q157Table(s, dir)
+      val g1 = graft.sources.Bucketed.generations(s, name).head
+      s.sql(
+        s"""SELECT 'g1' AS snapshot, rf, CAST(SUM(c) AS BIGINT) AS sum_q,
+           |       COUNT(*) AS n
+           |FROM graft_as_of('$name', $g1) GROUP BY rf
+           |UNION ALL
+           |SELECT 'head' AS snapshot, rf, CAST(SUM(c) AS BIGINT) AS sum_q,
+           |       COUNT(*) AS n
+           |FROM graft_table('$name') GROUP BY rf
+           |ORDER BY snapshot, rf""".stripMargin)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2031,6 +2149,31 @@ object RelationalQueries {
         |FROM oo FULL JOIN cc USING (cust)
         |ORDER BY cust, k""".stripMargin,
 
+    // the single maintained LEFT-outer join+agg view must equal the
+    // plain LEFT JOIN GROUP BY over both final states — the NULL
+    // nation group (orders of deleted / never-present customers)
+    // first-class, exact extrema after the left-aware repair
+    "q182_joinagg_left_ivm" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE CAST(o_custkey AS BIGINT) % 11 <> 5
+        |    AND CAST(o_custkey AS BIGINT) % 13 <> 6),
+        |c AS (SELECT CAST(c_custkey AS BIGINT) AS cust,
+        |    CAST(c_nationkey AS BIGINT) AS nat
+        |  FROM customer),
+        |cc AS (SELECT cust, nat FROM c WHERE cust % 10 <> 3),
+        |fin AS (SELECT CASE WHEN k % 9 = 0 THEN v + 11 ELSE v END AS v,
+        |               nat
+        |  FROM o LEFT JOIN cc USING (cust))
+        |SELECT nat AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(v) AS BIGINT) AS sum_q,
+        |       MIN(v) AS min_q, MAX(v) AS max_q,
+        |       CAST(floor(CAST(SUM(v) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6
+        |FROM fin GROUP BY g ORDER BY g""".stripMargin,
+
     // the SINGLE maintained join+agg view answers to the same truth
     // as the q174 two-level composition: the plain GROUP BY over the
     // recomputed join, exact extrema after the join-aware repair
@@ -2151,5 +2294,69 @@ object RelationalQueries {
         |       MIN(v) AS min_q, MAX(v) AS max_q,
         |       CAST(floor(CAST(SUM(v) AS DOUBLE) * 1000000.0
         |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6
-        |FROM fin GROUP BY g ORDER BY g""".stripMargin)
+        |FROM fin GROUP BY g ORDER BY g""".stripMargin,
+
+    // one multi-measure maintained view = the plain two-measure GROUP
+    // BY over the churned source's final state (repairMulti restores
+    // exact extrema for both measures, so no retraction CASE)
+    "q183_multi_measure_ivm" ->
+      """WITH li AS (SELECT
+        |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+        |    CAST(l_partkey AS BIGINT) AS g,
+        |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v0,
+        |    CAST(floor(l_quantity * 100.0) AS BIGINT) AS v1
+        |  FROM lineitem),
+        |fin AS (SELECT g,
+        |    CASE WHEN id % 17 = 3 THEN v0 + 7 ELSE v0 END AS v0, v1
+        |  FROM li WHERE id % 13 <> 2)
+        |SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(v0) AS BIGINT) AS sum_q_0,
+        |       MIN(v0) AS min_q_0, MAX(v0) AS max_q_0,
+        |       CAST(floor(CAST(SUM(v0) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6_0,
+        |       CAST(SUM(v1) AS BIGINT) AS sum_q_1,
+        |       MIN(v1) AS min_q_1, MAX(v1) AS max_q_1,
+        |       CAST(floor(CAST(SUM(v1) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6_1
+        |FROM fin GROUP BY g ORDER BY g""".stripMargin,
+
+    // the pair rollup equals the plain FULL JOIN GROUP BY over both
+    // final states: the NULL group holds partnerless orders, orphaned
+    // customers count into their nation with a null measure (COUNT
+    // counts them, SUM skips them — COALESCE matches the view's
+    // sum-partials identity of 0 for all-null groups)
+    "q184_full_pair_rollup" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE CAST(o_custkey AS BIGINT) % 11 <> 5
+        |    AND CAST(o_custkey AS BIGINT) % 13 <> 6),
+        |ob AS (SELECT cust,
+        |    CASE WHEN k % 9 = 0 THEN v + 11 ELSE v END AS v
+        |  FROM o),
+        |cc AS (SELECT CAST(c_custkey AS BIGINT) AS cust,
+        |    CAST(c_nationkey AS BIGINT) AS nat
+        |  FROM customer WHERE CAST(c_custkey AS BIGINT) % 10 <> 3),
+        |fin AS (SELECT v, nat FROM ob FULL JOIN cc USING (cust))
+        |SELECT nat AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sum_q,
+        |       MIN(v) AS min_q, MAX(v) AS max_q,
+        |       CAST(floor(CAST(COALESCE(SUM(v), 0) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6
+        |FROM fin GROUP BY g ORDER BY g""".stripMargin,
+
+    // the SQL TVF answers to the same truth as q157's Scala API
+    "q185_sql_time_travel" ->
+      """WITH v AS (SELECT l_returnflag AS rf, l_orderkey AS ok,
+        |                  CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS c
+        |           FROM lineitem)
+        |SELECT 'g1' AS snapshot, rf, CAST(SUM(c) AS BIGINT) AS sum_q,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM v WHERE ok % 2 = 0 GROUP BY rf
+        |UNION ALL
+        |SELECT 'head' AS snapshot, rf, CAST(SUM(c) AS BIGINT) AS sum_q,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM v GROUP BY rf
+        |ORDER BY snapshot, rf""".stripMargin)
 }

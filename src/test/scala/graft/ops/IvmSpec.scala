@@ -510,6 +510,66 @@ class IvmSpec extends SparkSuite {
     }
   }
 
+  test("full-outer lockstep survives a B commit racing the left part's phase-2 walk") {
+    // the ADVICE(r13) race: refreshJoinLeft used to RE-READ B's live
+    // head for its return value; a B commit landing between the
+    // phase-2 walk and the re-read handed refreshJoinFull an orphan
+    // cap the left part had NOT folded — the orphans table folded and
+    // bookmarked ahead, serveJoinFull mixed two B states until the
+    // next refresh. Fixed: the walk's own fold head is the return.
+    val a = "graft_fivm_ra"; val b = "graft_fivm_rb"
+    val view = "graft_fivm_rview"
+    try {
+      mkOuterSources(a, b)
+      Ivm.createJoinFull(spark, a, b, "j", view, 4,
+        aKey = "id", bKey = "j")
+      // real deltas on both sides so both walks actually fold
+      Bucketed.save(Seq((7L, "late7")).toDF("j", "nm"), b, Seq("j"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Bucketed.mergeByKey(spark, a,
+        Seq((3L, 3L, 0L, true)).toDF("id", "j", "v", "del"),
+        deleteCol = Some("del"))
+      // the racing commit: lands the instant the phase-2 walk is done
+      var planted = -1L
+      Ivm.afterPhase2Walk = () => {
+        planted = Bucketed.plantForeignCommit(spark, b)
+      }
+      val (_, hb) =
+        try Ivm.refreshJoinFull(spark, a, b, "j", view)
+        finally Ivm.afterPhase2Walk = () => ()
+      assert(planted > hb,
+        "fixture: the racing commit must postdate the returned head")
+      // LOCKSTEP: the orphans' side-b bookmark must equal the left
+      // part's — the racing generation folds NEXT refresh for BOTH
+      val leftB = Ivm.joinBookmark(spark, view, 'b')
+      val orphB = Ivm.joinBookmark(spark, s"${view}_orphans", 'b')
+      assert(leftB.contains(hb), s"left part must hold $hb, got $leftB")
+      assert(orphB == leftB,
+        s"orphans folded past the left part: $orphB vs $leftB")
+      // and the next refresh folds the planted generation for both,
+      // still serving the exact FULL JOIN
+      graft.sources.Bucketed.forgetVerified()
+      Ivm.refreshJoinFull(spark, a, b, "j", view)
+      assert(Ivm.joinBookmark(spark, view, 'b').contains(planted))
+      assert(Ivm.joinBookmark(spark, s"${view}_orphans", 'b')
+        .contains(planted))
+      val truth = Bucketed.load(spark, a)
+        .join(Bucketed.load(spark, b), Seq("j"), "full")
+        .select("id", "j", "v", "nm")
+        .as[(Option[Long], Long, Option[Long], Option[String])]
+        .collect().toSet
+      val srv = Ivm.serveJoinFull(spark, view)
+        .select("id", "j", "v", "nm")
+        .as[(Option[Long], Long, Option[Long], Option[String])]
+        .collect().toSet
+      assert(srv == truth)
+    } finally {
+      Ivm.afterPhase2Walk = () => ()
+      Seq(a, b, view, s"${view}_orphans").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   // ---- single-view join+agg maintenance --------------------------------
 
   private def jaggTruth(a: String, b: String) =
@@ -576,6 +636,108 @@ class IvmSpec extends SparkSuite {
     }
   }
 
+  // ---- single-view LEFT-outer join+agg ---------------------------------
+
+  private def jaggLeftTruth(a: String, b: String) =
+    Bucketed.load(spark, a)
+      .join(Bucketed.load(spark, b), Seq("j"), "left")
+      .groupBy("nm")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_q"))
+      .select("nm", "n", "sum_q")
+      .as[(Option[String], Long, Long)].collect().toSet
+
+  private def jaggLeftServed(view: String) =
+    Ivm.serve(spark, view).select("g", "n", "sum_q")
+      .as[(Option[String], Long, Long)].collect().toSet
+
+  test("left join+agg view: the NULL group absorbs 0↔1 partner transitions; repair exact incl. null group") {
+    val a = "graft_jaggl_a"; val b = "graft_jaggl_b"
+    val view = "graft_jaggl_view"
+    try {
+      mkOuterSources(a, b) // A has j 0..9, B covers 0..4: j 5..9 start
+                           // in the NULL group
+      Ivm.createJoinAggLeft(spark, a, b, "j", view, 4, "nm", "v")
+      assert(jaggLeftServed(view) == jaggLeftTruth(a, b))
+      assert(jaggLeftServed(view).exists(_._1.isEmpty),
+        "partnerless rows must serve under the NULL group")
+      // 0→1: j=7 gains its first B row (its rows LEAVE the null
+      // group); 1→0: j=2 loses its B row (its rows ENTER it); plus
+      // A-side append/update/delete and a B-side rename
+      Bucketed.save(Seq((7L, "late7")).toDF("j", "nm"), b, Seq("j"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Bucketed.mergeByKey(spark, b,
+        Seq((2L, "x", true)).toDF("j", "nm", "del"),
+        deleteCol = Some("del"))
+      Bucketed.mergeByKey(spark, b,
+        Seq((3L, "renamed3")).toDF("j", "nm"))
+      Bucketed.save((100 until 120).map(i => (i.toLong, i % 10L, i * 10L))
+        .toDF("id", "j", "v"), a, Seq("id"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Bucketed.mergeByKey(spark, a,
+        Seq((1L, 1L, 11111L)).toDF("id", "j", "v"))
+      Bucketed.mergeByKey(spark, a,
+        Seq((9L, 9L, 0L, true)).toDF("id", "j", "v", "del"),
+        deleteCol = Some("del"))
+      Ivm.refreshJoinAggLeft(spark, a, b, "j", view, 4, "nm", "v")
+      assert(jaggLeftServed(view) == jaggLeftTruth(a, b))
+      assert(jaggLeftServed(view).exists(r =>
+        r._1.contains("late7")), "j=7's rows must now group matched")
+      // repair restores exact extrema INCLUDING the null group (the
+      // null-safe group match — a plain equi-join would skip it)
+      assert(Ivm.repairJoinAggLeft(spark, a, b, "j", view, 4,
+        "nm", "v") > 0)
+      val exact = Bucketed.load(spark, a)
+        .join(Bucketed.load(spark, b), Seq("j"), "left")
+        .groupBy("nm")
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_q"),
+          min("v").as("min_q"), max("v").as("max_q"))
+        .select("nm", "n", "sum_q", "min_q", "max_q")
+        .as[(Option[String], Long, Long, Long, Long)].collect().toSet
+      val got = Ivm.serve(spark, view)
+        .select("g", "n", "sum_q", "min_q", "max_q")
+        .as[(Option[String], Long, Long, Long, Long)].collect().toSet
+      assert(got == exact,
+        "post-repair the view must be exact, null group included")
+      // replay: rolled-back bookmark → tags skip, strict no-op
+      Ivm.writeJoinBookmark(spark, s"${view}_partials", 'b',
+        Bucketed.generations(spark, b).head)
+      Ivm.refreshJoinAggLeft(spark, a, b, "j", view, 4, "nm", "v")
+      assert(jaggLeftServed(view) == jaggLeftTruth(a, b))
+    } finally {
+      Seq(a, b, view, s"${view}_partials").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("left join+agg heals a crashed phase 2 even when A moves before the retry (durable pin)") {
+    val a = "graft_jaggl_pa"; val b = "graft_jaggl_pb"
+    val view = "graft_jaggl_pview"
+    try {
+      mkOuterSources(a, b)
+      Ivm.createJoinAggLeft(spark, a, b, "j", view, 4, "nm", "v")
+      Bucketed.mergeByKey(spark, b,
+        Seq((2L, "renamed2")).toDF("j", "nm"))
+      Ivm.refreshJoinAggLeft(spark, a, b, "j", view, 4, "nm", "v")
+      // phase-2 halves committed, crash before the side-b bookmark:
+      // roll back + restore the durable pin, then move A with a row
+      // that joins the changed dim (the lost-ΔA⋈ΔB scenario)
+      val bGens = Bucketed.generations(spark, b)
+      Ivm.writeJoinBookmark(spark, s"${view}_partials", 'b',
+        bGens(bGens.size - 2))
+      Ivm.writeJoinBookmark(spark, s"${view}_partials", 'p',
+        Bucketed.currentGeneration(spark, a))
+      Bucketed.mergeByKey(spark, a,
+        Seq((200L, 2L, 5000L)).toDF("id", "j", "v"))
+      Ivm.refreshJoinAggLeft(spark, a, b, "j", view, 4, "nm", "v")
+      assert(jaggLeftServed(view) == jaggLeftTruth(a, b))
+      Ivm.refreshJoinAggLeft(spark, a, b, "j", view, 4, "nm", "v")
+      assert(jaggLeftServed(view) == jaggLeftTruth(a, b))
+    } finally {
+      Seq(a, b, view, s"${view}_partials").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("join+agg heals a crashed phase 2 even when A moves before the retry (durable pin)") {
     val a = "graft_jagg_pa"; val b = "graft_jagg_pb"
     val view = "graft_jagg_pview"
@@ -610,6 +772,134 @@ class IvmSpec extends SparkSuite {
     } finally {
       Seq(a, b, view, s"${view}_partials").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  // ---- multi-measure view ----------------------------------------------
+
+  test("multi-measure view: one view serves both measures through churn; repair exact; replay no-op") {
+    val table = "graft_ivmm_src"; val view = "graft_ivmm_view"
+    def truthM = Bucketed.load(spark, table).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s0"), sum("w").as("s1"))
+      .select("g", "n", "s0", "s1")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def servedM = Ivm.serveMulti(spark, view)
+      .select("g", "n", "sum_q_0", "sum_q_1")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    try {
+      Bucketed.save((0 until 60).map(i => (i.toLong, i % 5L, i.toLong,
+        i * 3L)).toDF("id", "g", "v", "w"), table, Seq("id"), 4)
+      Bucketed.setRetention(spark, table, 10)
+      Ivm.createMulti(spark, table, view, 4, "g", Seq("v", "w"))
+      assert(servedM == truthM)
+      // append, keyed update (bumps ONE measure), keyed delete
+      Bucketed.save((60 until 80).map(i => (i.toLong, i % 5L, i.toLong,
+        i * 3L)).toDF("id", "g", "v", "w"), table, Seq("id"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Bucketed.mergeByKey(spark, table,
+        Seq((7L, 2L, 700L, 21L)).toDF("id", "g", "v", "w"))
+      Bucketed.mergeByKey(spark, table,
+        Seq((8L, 3L, 0L, 0L, true)).toDF("id", "g", "v", "w", "del"),
+        deleteCol = Some("del"))
+      Ivm.refreshMulti(spark, table, view, 4, "g", Seq("v", "w"))
+      assert(servedM == truthM)
+      // retraction-touched groups serve null extrema for EVERY measure
+      // until repair; after repair both measures' extrema are exact
+      val touched = Ivm.serveMulti(spark, view)
+        .filter(col("g").isin(2L, 3L))
+        .select("min_q_0", "max_q_1")
+        .as[(Option[Long], Option[Long])].collect()
+      assert(touched.forall(t => t._1.isEmpty && t._2.isEmpty),
+        "retracted groups must serve null extrema for all measures")
+      assert(Ivm.repairMulti(spark, table, view, 4, "g",
+        Seq("v", "w")) > 0)
+      val exact = Bucketed.load(spark, table).groupBy("g")
+        .agg(min("v").as("m0"), max("v").as("x0"),
+          min("w").as("m1"), max("w").as("x1"))
+        .select("g", "m0", "x0", "m1", "x1")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val got = Ivm.serveMulti(spark, view)
+        .select("g", "min_q_0", "max_q_0", "min_q_1", "max_q_1")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == exact)
+      // replay: rolled-back bookmark → tags skip, strict no-op
+      graft.sources.Replication.writeBookmark(spark,
+        s"${view}_partials", Bucketed.generations(spark, table).head)
+      Ivm.refreshMulti(spark, table, view, 4, "g", Seq("v", "w"))
+      assert(servedM == truthM)
+    } finally {
+      Seq(table, view, s"${view}_partials").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  // ---- rollup following the full-outer pair ----------------------------
+
+  test("pair rollup follows the full view through matched↔orphan flips; repair exact incl. null group") {
+    val a = "graft_ivfr_a"; val b = "graft_ivfr_b"
+    val full = "graft_ivfr_full"; val roll = "graft_ivfr_roll"
+    def truthR = Bucketed.load(spark, a)
+      .join(Bucketed.load(spark, b), Seq("j"), "full")
+      .groupBy("nm")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("v"), lit(0L)).as("sum_q"))
+      .select("nm", "n", "sum_q")
+      .as[(Option[String], Long, Long)].collect().toSet
+    def servedR = Ivm.serve(spark, roll).select("g", "n", "sum_q")
+      .as[(Option[String], Long, Long)].collect().toSet
+    try {
+      mkOuterSources(a, b)
+      Ivm.createJoinFull(spark, a, b, "j", full, 4,
+        aKey = "id", bKey = "j")
+      Bucketed.setRetention(spark, full, 16)
+      Bucketed.setRetention(spark, s"${full}_orphans", 16)
+      Ivm.createOverFull(spark, full, roll, 4, "nm", "v")
+      assert(servedR == truthR)
+      // churn: a B row arrives matched (j=7 — A covers 0..9), one
+      // arrives a real orphan (j=55), ALL A rows of j=3 are deleted
+      // (its B row flips matched→orphan), B's j=2 row is deleted
+      // (its A rows flip into the NULL group), plus A appends
+      Bucketed.save(Seq((7L, "late7"), (55L, "orphan55"))
+        .toDF("j", "nm"), b, Seq("j"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Bucketed.mergeByKey(spark, a,
+        (0 until 60).filter(_ % 10 == 3).map(i =>
+          (i.toLong, 3L, 0L, true)).toDF("id", "j", "v", "del"),
+        deleteCol = Some("del"))
+      Bucketed.mergeByKey(spark, b,
+        Seq((2L, "x", true)).toDF("j", "nm", "del"),
+        deleteCol = Some("del"))
+      Bucketed.save((100 until 110).filter(_ % 10 != 3)
+        .map(i => (i.toLong, i % 10L, i * 10L)).toDF("id", "j", "v"),
+        a, Seq("id"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Ivm.refreshJoinFull(spark, a, b, "j", full)
+      Ivm.refreshOverFull(spark, full, roll, 4, "nm", "v")
+      assert(servedR == truthR)
+      assert(servedR.exists(r => r._1.contains("name3") && r._2 == 1L),
+        "j=3's B row must have flipped to a counted orphan (n=1, null v)")
+      // repair: extrema exact, the NULL group (partnerless A rows)
+      // repaired like any other via the null-safe group match
+      assert(Ivm.repairOverFull(spark, full, roll, 4, "nm", "v") > 0)
+      val exact = Bucketed.load(spark, a)
+        .join(Bucketed.load(spark, b), Seq("j"), "full")
+        .groupBy("nm")
+        .agg(min("v").as("mn"), max("v").as("mx"))
+        .select("nm", "mn", "mx")
+        .as[(Option[String], Option[Long], Option[Long])].collect().toSet
+      val got = Ivm.serve(spark, roll)
+        .select("g", "min_q", "max_q")
+        .as[(Option[String], Option[Long], Option[Long])].collect().toSet
+      assert(got == exact)
+      // replay: both bookmarks rolled back → tags skip, strict no-op
+      for ((t, side) <- Seq((full, 'l'), (s"${full}_orphans", 'o')))
+        Ivm.writeJoinBookmark(spark, s"${roll}_partials", side,
+          Bucketed.generations(spark, t).head)
+      Ivm.refreshOverFull(spark, full, roll, 4, "nm", "v")
+      assert(servedR == truthR)
+    } finally {
+      Seq(a, b, full, s"${full}_orphans", roll, s"${roll}_partials")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 }
