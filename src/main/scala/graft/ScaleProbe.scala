@@ -539,7 +539,109 @@ object ScaleProbe {
           deleteCol = Some("del"))
         graft.ops.Ivm.refreshJoinLeft(spark, jvA, jvB, "j", ojV)._2
       }
-      Seq(ojV, jvV, jvB, jvA).foreach(t =>
+      // round 14: LEFT-outer join+agg single view — a fact batch is
+      // PURE delta (phase 1: ΔA LEFT JOIN the pinned dim → two
+      // exactly-once partial appends); flat in f like joinagg
+      val jglV = s"graft_scaleprobe_jaggl_v_x$f"
+      time("joinaggleft_build", f) {
+        graft.ops.Ivm.createJoinAggLeft(spark, jvA, jvB, "j", jglV,
+          16, "w", "v")
+        graft.ops.Ivm.serve(spark, jglV).count()
+      }
+      time("joinaggleft_fact_batch", f) {
+        val batch = replicated(1).limit(8)
+          .select(col("doc_id").as("k"), (col("doc_id") % 64L).as("j"),
+            lit(-7L).as("v"))
+        graft.sources.Bucketed.mergeByKey(spark, jvA, batch)
+        graft.ops.Ivm.refreshJoinAggLeft(spark, jvA, jvB, "j", jglV,
+          16, "w", "v")._1
+      }
+      spark.sql(s"DROP TABLE IF EXISTS ${jglV}_partials")
+      // round 14: FULL-outer view + the rollup FOLLOWING the pair as
+      // one logical source — a fact batch folds the view (pure delta)
+      // and the rollup reads the two tables' generation deltas
+      // (O(changed files) each, never the A-scan the row views pay on
+      // dim deltas); flat in f
+      val fvV = s"graft_scaleprobe_fivm_v_x$f"
+      val fvR = s"graft_scaleprobe_fivm_r_x$f"
+      time("fullivm_build", f) {
+        graft.ops.Ivm.createJoinFull(spark, jvA, jvB, "j", fvV, 64,
+          aKey = "k", bKey = "j")
+        graft.sources.Bucketed.setRetention(spark, fvV, 6)
+        graft.sources.Bucketed.setRetention(spark, s"${fvV}_orphans", 6)
+        graft.ops.Ivm.createOverFull(spark, fvV, fvR, 16, "w", "v")
+        spark.table(fvV).count()
+      }
+      time("full_pair_rollup_batch", f) {
+        val batch = replicated(1).limit(8)
+          .select(col("doc_id").as("k"), (col("doc_id") % 64L).as("j"),
+            lit(-3L).as("v"))
+        graft.sources.Bucketed.mergeByKey(spark, jvA, batch)
+        graft.ops.Ivm.refreshJoinFull(spark, jvA, jvB, "j", fvV)
+        graft.ops.Ivm.refreshOverFull(spark, fvV, fvR, 16, "w", "v")._1
+      }
+      Seq(s"${fvR}_partials", s"${fvV}_orphans", fvV, ojV, jvV, jvB,
+        jvA).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+      // round 14: multi-measure maintained view — one partials table
+      // serves N measures; a fixed batch refresh folds every measure
+      // in the one pair delta (flat in f)
+      val mmName = s"graft_scaleprobe_mm_x$f"
+      val mmV = s"graft_scaleprobe_mmv_x$f"
+      time("multimeasure_build", f) {
+        val src = d.select(col("doc_id").as("k"),
+          pmod(col("doc_id"), lit(4096)).as("g"),
+          length(col("text")).cast("long").as("v0"),
+          (col("doc_id") % 997L).as("v1"))
+        graft.sources.Bucketed.save(src, mmName, Seq("k"), 64)
+        graft.sources.Bucketed.setRetention(spark, mmName, 6)
+        graft.ops.Ivm.createMulti(spark, mmName, mmV, 16, "g",
+          Seq("v0", "v1"))
+        graft.ops.Ivm.serveMulti(spark, mmV).count()
+      }
+      time("multimeasure_refresh", f) {
+        val batch = replicated(1).limit(8)
+          .select(col("doc_id").as("k"),
+            pmod(col("doc_id"), lit(4096)).as("g"),
+            lit(-1L).as("v0"), lit(2L).as("v1"))
+        graft.sources.Bucketed.mergeByKey(spark, mmName, batch)
+        graft.ops.Ivm.refreshMulti(spark, mmName, mmV, 16, "g",
+          Seq("v0", "v1"))
+      }
+      Seq(s"${mmV}_partials", mmName).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+      // round 14: index as a maintained view of a governed corpus —
+      // one refreshFromSource propagates a corpus churn (append +
+      // keyed delete, two generation pairs) into the BM25 index at
+      // O(delta) per pair: the batch tokenizes, the deletes rewrite
+      // their content-derived buckets, existing postings never read.
+      // Flat in f (the build converts the corpus once, like
+      // incbm25_index_build)
+      val folSrc = s"graft_scaleprobe_folsrc_x$f"
+      val folIdx = s"graft_scaleprobe_folidx_x$f"
+      time("follower_bind_build", f) {
+        graft.sources.Bucketed.save(d.select(col("doc_id"), col("text")),
+          folSrc, Seq("doc_id"), 32)
+        graft.sources.Bucketed.setRetention(spark, folSrc, 6)
+        graft.text.IncrementalBm25.createFromSource(spark, folSrc,
+          folIdx, buckets = 32)
+        spark.table(s"${folIdx}_postings").count()
+      }
+      time("follower_refresh_batch", f) {
+        val add = replicated(1).limit(250)
+          .select((col("doc_id") + lit(92000000L)).as("doc_id"),
+            col("text"))
+        graft.sources.Bucketed.save(add, folSrc, Seq("doc_id"), 32,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(spark, folSrc,
+          replicated(1).limit(50)
+            .select(col("doc_id"), col("text"), lit(true).as("del")),
+          deleteCol = Some("del"))
+        graft.text.IncrementalBm25.refreshFromSource(spark, folSrc,
+          folIdx, buckets = 32)
+      }
+      Seq(s"${folIdx}_postings", s"${folIdx}_stats", folSrc).foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
 
       time("hybrid_fusion_batch", f) {
