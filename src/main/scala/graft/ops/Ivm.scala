@@ -93,6 +93,18 @@ object Ivm {
     head
   }
 
+  /** The groups the view's own partials mark as carrying outstanding
+    * retractions (`retr > 0`, tag rows excluded) — ONE copy of the
+    * retraction-ledger read every repair variant starts from. */
+  private def retractedGroups(spark: SparkSession,
+                              partials: String): DataFrame =
+    Bucketed.load(spark, partials)
+      .filter(!col("is_tag"))
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.sum("retr").as("r"))
+      .filter(col("r") > 0)
+      .select("g")
+
   /** The view's current rollup — [[IncrementalAgg.serve]]. */
   def serve(spark: SparkSession, view: String): DataFrame =
     IncrementalAgg.serve(spark, view)
@@ -168,12 +180,7 @@ object Ivm {
     require(from == head,
       s"$view is at generation $from but $source is at $head — " +
         "refresh before repairing")
-    val retracted = Bucketed.load(spark, partials)
-      .filter(!col("is_tag"))
-      .groupBy("g")
-      .agg(org.apache.spark.sql.functions.sum("retr").as("r"))
-      .filter(col("r") > 0)
-      .select("g")
+    val retracted = retractedGroups(spark, partials)
     IncrementalAgg.repairGroupsMulti(spark, view, buckets,
       Bucketed.load(spark, source).select(
         (groupCol +: valueCols).map(col): _*),
@@ -633,12 +640,7 @@ object Ivm {
         s"$rollup's side-$side bookmark is at $bm but $src is at " +
           s"$head — refresh before repairing")
     }
-    val retracted = Bucketed.load(spark, partials)
-      .filter(!col("is_tag"))
-      .groupBy("g")
-      .agg(org.apache.spark.sql.functions.sum("retr").as("r"))
-      .filter(col("r") > 0)
-      .select("g")
+    val retracted = retractedGroups(spark, partials)
     IncrementalAgg.repairGroups(spark, rollup, buckets,
       serveJoinFull(spark, fullView).select(col(groupCol), col(valueCol)),
       groupCol, valueCol, retracted)
@@ -863,12 +865,7 @@ object Ivm {
         s"$view's side-$side bookmark is at $bm but $src is at $head — " +
           "refresh before repairing")
     }
-    val retracted = Bucketed.load(spark, partials)
-      .filter(!org.apache.spark.sql.functions.col("is_tag"))
-      .groupBy("g")
-      .agg(org.apache.spark.sql.functions.sum("retr").as("r"))
-      .filter(org.apache.spark.sql.functions.col("r") > 0)
-      .select("g")
+    val retracted = retractedGroups(spark, partials)
     IncrementalAgg.repairGroups(spark, view, buckets,
       Bucketed.load(spark, a)
         .join(Bucketed.load(spark, b), Seq(on), "left")
@@ -892,12 +889,7 @@ object Ivm {
         s"$view's side-$side bookmark is at $bm but $src is at $head — " +
           "refresh before repairing")
     }
-    val retracted = Bucketed.load(spark, partials)
-      .filter(!org.apache.spark.sql.functions.col("is_tag"))
-      .groupBy("g")
-      .agg(org.apache.spark.sql.functions.sum("retr").as("r"))
-      .filter(org.apache.spark.sql.functions.col("r") > 0)
-      .select("g")
+    val retracted = retractedGroups(spark, partials)
     IncrementalAgg.repairGroups(spark, view, buckets,
       Bucketed.load(spark, a).join(Bucketed.load(spark, b), on)
         .select(col(groupCol), col(valueCol)),
@@ -923,12 +915,7 @@ object Ivm {
     require(from == head,
       s"$view is at generation $from but $source is at $head — " +
         "refresh before repairing")
-    val retracted = Bucketed.load(spark, partials)
-      .filter(!org.apache.spark.sql.functions.col("is_tag"))
-      .groupBy("g")
-      .agg(org.apache.spark.sql.functions.sum("retr").as("r"))
-      .filter(org.apache.spark.sql.functions.col("r") > 0)
-      .select("g")
+    val retracted = retractedGroups(spark, partials)
     IncrementalAgg.repairGroups(spark, view, buckets,
       Bucketed.load(spark, source).select(col(groupCol), col(valueCol)),
       groupCol, valueCol, retracted)

@@ -966,7 +966,7 @@ object Bucketed {
         "files_removed")
   }
 
-  private def historyRecords(spark: SparkSession, table: String)
+  private[sources] def historyRecords(spark: SparkSession, table: String)
       : Seq[(Long, String, String, Int, Int)] = {
     val loc = new Path(spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
@@ -1024,7 +1024,9 @@ object Bucketed {
     * tables (without folding it grows one tiny file per commit,
     * forever): all loose records EXCEPT the newest — [[describe]]'s
     * head-record read stays a single named-file open — merge with any
-    * existing folded file and rewrite as `folded-<maxGen>`, then the
+    * existing folded file into a FRESH `folded-<maxGen>[.n]` file (an
+    * existing folded name is never truncated: after a crash
+    * mid-delete it can hold the ONLY copy of early records), then the
     * folded inputs delete. No-op (one dir listing) while at most
     * `ifMoreThan` loose files exist. Crash-safe the audit way: a
     * crash between the folded write and the input deletes leaves
@@ -1051,8 +1053,15 @@ object Bucketed {
       ++ foldable.flatMap(f => parseHistory(fs, f.getPath)))
       .map(r => r._1 -> r).toMap.values.toSeq.sortBy(_._1)
     if (recs.isEmpty) return 0
-    val target = new Path(hd, s"$FoldedHistoryPrefix${recs.map(_._1).max}")
-    val out = fs.create(target, true)
+    // NEVER reuse an existing folded file's name: after a crash
+    // mid-delete the old folded file can hold the ONLY copy of early
+    // records, and create(overwrite) would truncate it before the new
+    // content lands — a torn rewrite then loses them forever. A fresh
+    // name keeps every existing copy intact until the new file closed.
+    val base = s"$FoldedHistoryPrefix${recs.map(_._1).max}"
+    val target = (Iterator(base) ++ Iterator.from(1).map(i => s"$base.$i"))
+      .map(n => new Path(hd, n)).find(p => !fs.exists(p)).get
+    val out = fs.create(target, false)
     try out.write((HistoryMagic +: recs.map { case (g, op, ts, a, r) =>
       s"$g $op $ts $a $r" }).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))

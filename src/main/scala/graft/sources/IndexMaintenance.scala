@@ -254,11 +254,13 @@ object IndexMaintenance {
       .groupBy(identity).values.map(_.size).maxOption.getOrElse(0)
     // the cadence signal: commits the history shows past the head
     // generation the last policy vacuum stamped (first run counts the
-    // whole history — a long-lived table gets its first sweep now)
+    // whole history — a long-lived table gets its first sweep now).
+    // Driver-side off the parsed records: the decision scan must stay
+    // cheap enough to poll — no Spark job for a count of tiny files
     val lastMaint = Follow.readBookmark(spark, table, MaintName,
       MaintMagic).getOrElse(Long.MinValue)
-    val commitsSince = Bucketed.history(spark, table)
-      .filter(col("generation") > lastMaint).count()
+    val commitsSince = Bucketed.historyRecords(spark, table)
+      .count(_._1 > lastMaint).toLong
     // vacuum BEFORE compacting: the compaction's own reconcile pass
     // would silently consume the measured debris, and the explicit
     // vacuum is what also collects beyond-window retired files
@@ -330,6 +332,19 @@ object IndexMaintenance {
   def followerBookmark(spark: SparkSession,
                        host: String): Option[Long] =
     Follow.readBookmark(spark, host, FollowBookmark, FollowMagic)
+
+  /** How many generations `host`'s bookmark lags `source`'s head —
+    * the follower tier's pairLag analogue: 0 = caught up, n > 0 = n
+    * unpropagated source commits (run the family's
+    * refreshFromSource), None = not a bound follower. Two marker/
+    * manifest reads, no data touched — poll-safe. A monitoring loop
+    * alerts when the lag approaches the SOURCE's retention setting:
+    * behind the window the refresh fails loudly and the index must
+    * rebuild. */
+  def followerLag(spark: SparkSession, source: String,
+                  host: String): Option[Long] =
+    followerBookmark(spark, host)
+      .map(bm => Bucketed.currentGeneration(spark, source) - bm)
 
   /** Bring an index up to its governed SOURCE table's head — the
     * changed-only propagation the view families already have

@@ -155,6 +155,14 @@ class BucketedHistorySpec extends SparkSuite {
       torn.close()
       assert(hist.size == 29,
         "torn folded line must read as absent, not crash")
+      // re-folding the crash-window state (a folded file whose max
+      // generation the new fold REPRODUCES) must never truncate it in
+      // place — the old file can hold the only copy of early records;
+      // the fold writes a fresh name and converges losslessly
+      assert(Bucketed.foldHistory(spark, table, ifMoreThan = 1) > 0)
+      assert(hist.size == 29 && hist.map(_._1) == (1L to 29L),
+        "collision fold must preserve every record")
+      assert(auditFiles == 2, s"folded + head loose, got $auditFiles")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }

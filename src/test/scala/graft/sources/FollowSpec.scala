@@ -85,12 +85,24 @@ class FollowSpec extends SparkSuite {
       assert(bmProbe(name) == bmProbe(fresh),
         "a followed index must probe identically to a fresh build " +
           "on the final corpus (scores carry n_docs/avgdl)")
-      // caught up: a replayed refresh is a no-op
+      // caught up: a replayed refresh is a no-op, lag reads 0
       graft.text.IncrementalBm25.refreshFromSource(spark, src, name,
         buckets = 4)
       assert(bmProbe(name) == bmProbe(fresh))
       assert(IndexMaintenance.followerBookmark(spark, s"${name}_postings")
         .contains(Bucketed.currentGeneration(spark, src)))
+      assert(IndexMaintenance.followerLag(spark, src,
+        s"${name}_postings").contains(0L))
+      // an unpropagated source commit shows as lag 1 (the monitoring
+      // signal: refreshFromSource owed), and propagation clears it
+      Bucketed.mergeByKey(spark, src,
+        Seq((3L, "scan scan merge")).toDF("doc_id", "text"))
+      assert(IndexMaintenance.followerLag(spark, src,
+        s"${name}_postings").contains(1L))
+      graft.text.IncrementalBm25.refreshFromSource(spark, src, name,
+        buckets = 4)
+      assert(IndexMaintenance.followerLag(spark, src,
+        s"${name}_postings").contains(0L))
     } finally Seq(src, s"${name}_postings", s"${name}_stats",
       s"${fresh}_postings", s"${fresh}_stats")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
