@@ -100,6 +100,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_history"),
       (children: Seq[Expression]) =>
         graft.sources.GovernedSql.historyPlan(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(graft.sources.GovernedSql.getClass.getName,
+        "graft_changes"),
+      (children: Seq[Expression]) =>
+        graft.sources.GovernedSql.changesPlan(children)))
     // whole-operator tier: the native as-of join (§2.12 ladder step c)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     // and its optimizer integration: predicate pushdown through the

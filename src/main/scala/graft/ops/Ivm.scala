@@ -710,40 +710,126 @@ object Ivm {
     * until [[repairJoinAgg]]. Returns (headA, headB). */
   def refreshJoinAgg(spark: SparkSession, a: String, b: String,
                      on: String, view: String, buckets: Int,
-                     groupCol: String, valueCol: String): (Long, Long) = {
+                     groupCol: String, valueCol: String): (Long, Long) =
+    refreshJoinAggCore(spark, a, b, on, view, "createJoinAgg") {
+      (dV0, tag) =>
+        val dV = dV0.select(col(groupCol), col(valueCol), col("change"))
+          .localCheckpoint(eager = false) // one eval, both halves
+        IncrementalAgg.append(
+          dV.filter(col("change") === "insert")
+            .select(col(groupCol), col(valueCol)),
+          view, buckets, groupCol, valueCol, s"$tag-i")
+        IncrementalAgg.retract(
+          dV.filter(col("change") === "delete")
+            .select(col(groupCol), col(valueCol)),
+          view, buckets, groupCol, valueCol, s"$tag-d")
+        ()
+    }
+
+  /** The two-phase pinned walk [[refreshJoinAgg]] and
+    * [[refreshJoinAggMulti]] share — the durable-pin recovery
+    * protocol lives ONCE here; `applyDelta` lands one pair's joined
+    * delta (columns: the join's, plus `change`) as that family's
+    * exactly-once partials under the given `jagg<side>-<x>-<y>` tag
+    * prefix. */
+  private def refreshJoinAggCore(spark: SparkSession, a: String,
+                                 b: String, on: String, view: String,
+                                 createHint: String)(
+                                 applyDelta: (DataFrame, String) => Unit)
+      : (Long, Long) = {
     val partials = s"${view}_partials"
     def walk(src: String, side: Char, partner: DataFrame): Long =
-      walkPairs(spark, src, side, partials, view, "createJoinAgg") {
+      walkPairs(spark, src, side, partials, view, createHint) {
         (x, y) =>
-          val dV = Bucketed.diffGenerations(spark, src, x, y)
-            .join(partner, on)
-            .select(col(groupCol), col(valueCol), col("change"))
-            .localCheckpoint(eager = false) // one eval, both halves
-          IncrementalAgg.append(
-            dV.filter(col("change") === "insert")
-              .select(col(groupCol), col(valueCol)),
-            view, buckets, groupCol, valueCol, s"jagg$side-$x-$y-i")
-          IncrementalAgg.retract(
-            dV.filter(col("change") === "delete")
-              .select(col(groupCol), col(valueCol)),
-            view, buckets, groupCol, valueCol, s"jagg$side-$x-$y-d")
-          ()
+          applyDelta(
+            Bucketed.diffGenerations(spark, src, x, y).join(partner, on),
+            s"jagg$side-$x-$y")
       }
     // recovery: a durable pin means a phase 2 crashed mid-flight —
     // finish it under the ORIGINAL A pin before anything else (see
-    // the scaladoc's lost-ΔA⋈ΔB analysis)
+    // refreshJoinAgg's scaladoc: the lost-ΔA⋈ΔB analysis)
     joinBookmark(spark, partials, 'p').foreach { pa =>
       walk(b, 'b', Bucketed.loadAsOf(spark, a, pa))
       clearJoinBookmark(spark, partials, 'p')
     }
     val gb0 = joinBookmark(spark, partials, 'b').getOrElse(
       throw new IllegalStateException(
-        s"$view has no side-b bookmark — createJoinAgg it first"))
+        s"$view has no side-b bookmark — $createHint it first"))
     val ha = walk(a, 'a', Bucketed.loadAsOf(spark, b, gb0))
     writeJoinBookmark(spark, partials, 'p', ha)
     val hb = walk(b, 'b', Bucketed.loadAsOf(spark, a, ha))
     clearJoinBookmark(spark, partials, 'p')
     (ha, hb)
+  }
+
+  // ---- single-view JOIN + aggregate, N measures ------------------------
+
+  /** [[createJoinAgg]]'s N-measure twin: `SELECT g, count, and per
+    * measure sum/min/max/avg FROM a JOIN b ON on GROUP BY g` in ONE
+    * maintained view — the reporting shape over a join that
+    * previously cost one join+agg view per measure. The `valueCols`
+    * order fixes the wide partials layout
+    * ([[IncrementalAgg.buildIndexMulti]]). Returns (genA, genB). */
+  def createJoinAggMulti(spark: SparkSession, a: String, b: String,
+                         on: String, view: String, buckets: Int,
+                         groupCol: String,
+                         valueCols: Seq[String]): (Long, Long) = {
+    val ga = Bucketed.currentGeneration(spark, a)
+    val gb = Bucketed.currentGeneration(spark, b)
+    IncrementalAgg.buildIndexMulti(
+      Bucketed.loadAsOf(spark, a, ga)
+        .join(Bucketed.loadAsOf(spark, b, gb), on)
+        .select((groupCol +: valueCols).map(col): _*),
+      view, buckets, groupCol, valueCols)
+    val partials = s"${view}_partials"
+    writeJoinBookmark(spark, partials, 'a', ga)
+    writeJoinBookmark(spark, partials, 'b', gb)
+    (ga, gb)
+  }
+
+  /** [[refreshJoinAgg]]'s N-measure twin — the same two-phase pinned
+    * walk and crash doctrine ([[refreshJoinAggCore]]), every measure
+    * folded in each pair's one joined delta. `valueCols` must match
+    * the create's, in order. Returns (headA, headB). */
+  def refreshJoinAggMulti(spark: SparkSession, a: String, b: String,
+                          on: String, view: String, buckets: Int,
+                          groupCol: String,
+                          valueCols: Seq[String]): (Long, Long) =
+    refreshJoinAggCore(spark, a, b, on, view, "createJoinAggMulti") {
+      (dV0, tag) =>
+        val sel = (groupCol +: valueCols).map(col)
+        val dV = dV0.select(sel :+ col("change"): _*)
+          .localCheckpoint(eager = false) // one eval, both halves
+        IncrementalAgg.appendMulti(
+          dV.filter(col("change") === "insert").select(sel: _*),
+          view, buckets, groupCol, valueCols, s"$tag-i")
+        IncrementalAgg.retractMulti(
+          dV.filter(col("change") === "delete").select(sel: _*),
+          view, buckets, groupCol, valueCols, s"$tag-d")
+        ()
+    }
+
+  /** [[repairJoinAgg]]'s N-measure twin: every measure's extrema
+    * restored in the one touched-bucket pass over the CURRENT join.
+    * Requires both bookmarks caught up. Returns buckets rewritten. */
+  def repairJoinAggMulti(spark: SparkSession, a: String, b: String,
+                         on: String, view: String, buckets: Int,
+                         groupCol: String,
+                         valueCols: Seq[String]): Int = {
+    val partials = s"${view}_partials"
+    for ((src, side) <- Seq((a, 'a'), (b, 'b'))) {
+      val bm = joinBookmark(spark, partials, side).getOrElse(
+        throw new IllegalStateException(
+          s"$view has no side-$side bookmark"))
+      val head = Bucketed.currentGeneration(spark, src)
+      require(bm == head,
+        s"$view's side-$side bookmark is at $bm but $src is at $head — " +
+          "refresh before repairing")
+    }
+    IncrementalAgg.repairGroupsMulti(spark, view, buckets,
+      Bucketed.load(spark, a).join(Bucketed.load(spark, b), on)
+        .select((groupCol +: valueCols).map(col): _*),
+      groupCol, valueCols, retractedGroups(spark, partials))
   }
 
   // ---- single-view LEFT-OUTER join + aggregate -------------------------

@@ -83,6 +83,30 @@ object RelationalQueries {
     * view + orphans pair (q179) following them. The full view is
     * created at the same initial generations (no commit between the
     * two creates), so its refresh genuinely walks every delta. */
+  /** The q158/q187 shared fixture: a retention-5 governed table built
+    * from the even-orderkey half (g1), the odd half appended, then
+    * the 'R' rows rewritten away (g3) — the CDC span the diff reads,
+    * reached by the Scala API (q158) and the SQL TVF (q187). */
+  private def q158Table(s: SparkSession, dir: String): String = {
+    val tag = Setup.dirTag(dir)
+    val name = s"graft_q158_cdc_$tag"
+    Setup.once(s"q158:$dir") {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("rf"), col("l_orderkey").as("ok"),
+        floor(col("l_extendedprice") * 100.0).cast("long").as("c"))
+      graft.sources.Bucketed.save(li.filter(col("ok") % 2 === 0),
+        name, Seq("rf"), 4)
+      graft.sources.Bucketed.setRetention(s, name, 5)
+      graft.sources.Bucketed.save(li.filter(col("ok") % 2 === 1),
+        name, Seq("rf"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      graft.sources.Bucketed.rewriteAll(s, name,
+        _.filter(col("rf") =!= "R"))
+      ()
+    }
+    name
+  }
+
   /** The q157/q185 shared fixture: a retention-3 governed table built
     * from the even-orderkey half, then the odd half appended — two
     * retained generations for time travel, reached by the Scala API
@@ -725,22 +749,7 @@ object RelationalQueries {
     // recomputes the multiset delta from the raw predicates: inserts =
     // odd ∧ not-R, deletes = even ∧ R
     "q158_generation_diff" -> ((s, dir) => {
-      val tag = Setup.dirTag(dir)
-      val name = s"graft_q158_cdc_$tag"
-      Setup.once(s"q158:$dir") {
-        val li = t(s, dir, "lineitem").select(
-          col("l_returnflag").as("rf"), col("l_orderkey").as("ok"),
-          floor(col("l_extendedprice") * 100.0).cast("long").as("c"))
-        graft.sources.Bucketed.save(li.filter(col("ok") % 2 === 0),
-          name, Seq("rf"), 4)
-        graft.sources.Bucketed.setRetention(s, name, 5)
-        graft.sources.Bucketed.save(li.filter(col("ok") % 2 === 1),
-          name, Seq("rf"), 4,
-          mode = org.apache.spark.sql.SaveMode.Append)
-        graft.sources.Bucketed.rewriteAll(s, name,
-          _.filter(col("rf") =!= "R"))
-        ()
-      }
+      val name = q158Table(s, dir)
       val gens = graft.sources.Bucketed.generations(s, name)
       graft.sources.Bucketed.diffGenerations(s, name, gens.head, gens.last)
         .select("change", "rf", "ok", "c")
@@ -1393,6 +1402,65 @@ object RelationalQueries {
            |       COUNT(*) AS n
            |FROM graft_table('$name') GROUP BY rf
            |ORDER BY snapshot, rf""".stripMargin)
+    }),
+
+    // Multi-measure JOIN+AGG in one maintained view: per-nation count
+    // + sum/min/max/avg of BOTH order value and a second measure,
+    // over orders JOIN customer, maintained through fact appends, a
+    // fact value bump, and a dim delete (its customers' orders leave
+    // every measure's fold at once) — the q178 two-phase pinned walk
+    // with the q183 wide partials, repaired to exact extrema for
+    // every measure in one pass
+    "q186_joinagg_multi_ivm" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val a = s"graft_q186_a_$tag"
+      val b = s"graft_q186_b_$tag"
+      val view = s"graft_q186_view_$tag"
+      Setup.once(s"q186:$dir") {
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("cust"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("v"),
+          (col("o_orderkey") % 97).cast("long").as("w"))
+        val c = t(s, dir, "customer").select(
+          col("c_custkey").cast("long").as("cust"),
+          col("c_nationkey").cast("long").as("nat"))
+        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 0),
+          a, Seq("k"), 8)
+        graft.sources.Bucketed.setRetention(s, a, 8)
+        graft.sources.Bucketed.save(c, b, Seq("cust"), 8)
+        graft.sources.Bucketed.setRetention(s, b, 8)
+        graft.ops.Ivm.createJoinAggMulti(s, a, b, "cust", view, 8,
+          "nat", Seq("v", "w"))
+        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 1),
+          a, Seq("k"), 8, mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, a,
+          o.filter(col("k") % 9 === 0)
+            .select(col("k"), col("cust"), (col("v") + 11L).as("v"),
+              col("w")))
+        graft.sources.Bucketed.mergeByKey(s, b,
+          c.filter(col("cust") % 10 === 3)
+            .select(col("cust"), col("nat"), lit(true).as("del")),
+          deleteCol = Some("del"))
+        graft.ops.Ivm.refreshJoinAggMulti(s, a, b, "cust", view, 8,
+          "nat", Seq("v", "w"))
+        graft.ops.Ivm.repairJoinAggMulti(s, a, b, "cust", view, 8,
+          "nat", Seq("v", "w"))
+        ()
+      }
+      graft.ops.Ivm.serveMulti(s, view).orderBy("g")
+    }),
+
+    // CDC from plain SQL: the graft_changes TVF resolves at analysis
+    // time to diffGenerations' changed-files-only delta plan — q158's
+    // answer without a line of Scala
+    "q187_sql_generation_diff" -> ((s, dir) => {
+      val name = q158Table(s, dir)
+      val gens = graft.sources.Bucketed.generations(s, name)
+      s.sql(
+        s"""SELECT change, rf, ok, c
+           |FROM graft_changes('$name', ${gens.head}, ${gens.last})
+           |ORDER BY change, ok, rf, c""".stripMargin)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2358,5 +2426,43 @@ object RelationalQueries {
         |SELECT 'head' AS snapshot, rf, CAST(SUM(c) AS BIGINT) AS sum_q,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM v GROUP BY rf
-        |ORDER BY snapshot, rf""".stripMargin)
+        |ORDER BY snapshot, rf""".stripMargin,
+
+    // the single multi-measure join+agg view equals the two-measure
+    // GROUP BY over the recomputed join (exact extrema post-repair)
+    "q186_joinagg_multi_ivm" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v,
+        |    CAST(o_orderkey % 97 AS BIGINT) AS w
+        |  FROM orders),
+        |c AS (SELECT CAST(c_custkey AS BIGINT) AS cust,
+        |    CAST(c_nationkey AS BIGINT) AS nat
+        |  FROM customer WHERE CAST(c_custkey AS BIGINT) % 10 <> 3),
+        |fin AS (SELECT CASE WHEN k % 9 = 0 THEN v + 11 ELSE v END AS v,
+        |               w, nat
+        |  FROM o JOIN c USING (cust))
+        |SELECT nat AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(v) AS BIGINT) AS sum_q_0,
+        |       MIN(v) AS min_q_0, MAX(v) AS max_q_0,
+        |       CAST(floor(CAST(SUM(v) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6_0,
+        |       CAST(SUM(w) AS BIGINT) AS sum_q_1,
+        |       MIN(w) AS min_q_1, MAX(w) AS max_q_1,
+        |       CAST(floor(CAST(SUM(w) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6_1
+        |FROM fin GROUP BY g ORDER BY g""".stripMargin,
+
+    // the SQL CDC TVF answers to q158's oracle: the multiset delta
+    // from the raw predicates (g1 = even half; g3 = minus 'R' rows)
+    "q187_sql_generation_diff" ->
+      """WITH v AS (SELECT l_returnflag AS rf, l_orderkey AS ok,
+        |                  CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS c
+        |           FROM lineitem)
+        |SELECT 'insert' AS change, rf, ok, c FROM v
+        |WHERE ok % 2 = 1 AND rf <> 'R'
+        |UNION ALL
+        |SELECT 'delete' AS change, rf, ok, c FROM v
+        |WHERE ok % 2 = 0 AND rf = 'R'
+        |ORDER BY change, ok, rf, c""".stripMargin)
 }

@@ -79,4 +79,18 @@ object GovernedSql {
     Bucketed.history(SparkSession.active,
       litString(args, 0, "graft_history")).queryExecution.logical
   }
+
+  /** `graft_changes('t', x, y)` — the row-level CDC delta between two
+    * retained generations ([[Bucketed.diffGenerations]]: `change` ∈
+    * insert|delete plus the table's columns, read from ONLY the files
+    * the two manifests disagree on — shared files are provably
+    * unchanged and never opened). */
+  def changesPlan(args: Seq[Expression]): LogicalPlan = {
+    arity(args, 3, "graft_changes",
+      "graft_changes('table', fromGeneration, toGeneration)")
+    Bucketed.diffGenerations(SparkSession.active,
+      litString(args, 0, "graft_changes"),
+      litLong(args, 1, "graft_changes"),
+      litLong(args, 2, "graft_changes")).queryExecution.logical
+  }
 }

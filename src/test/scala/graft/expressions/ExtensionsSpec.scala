@@ -71,6 +71,11 @@ class ExtensionsSpec extends graft.SparkSuite {
         s"graft_history('$table') ORDER BY generation")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(h == Seq((1L, "create"), (2L, "append")), s"got $h")
+      // CDC from SQL: the g1→g2 delta is exactly the appended row
+      val ch = spark.sql(s"SELECT change, k FROM " +
+        s"graft_changes('$table', 1, 2) ORDER BY change, k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(ch == Seq(("insert", 3L)), s"got $ch")
       // plans are built at analysis time: non-literal args error
       val e = intercept[Exception] {
         spark.sql(s"SELECT * FROM graft_as_of('$table', 1 + 1)")

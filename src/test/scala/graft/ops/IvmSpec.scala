@@ -636,6 +636,70 @@ class IvmSpec extends SparkSuite {
     }
   }
 
+  test("multi-measure join+agg view: both measures follow both sides; repair exact; replay no-op") {
+    val a = "graft_jaggm_a"; val b = "graft_jaggm_b"
+    val view = "graft_jaggm_view"
+    def truthM = Bucketed.load(spark, a)
+      .join(Bucketed.load(spark, b), "j")
+      .groupBy("nm")
+      .agg(count(lit(1)).as("n"), sum("v").as("s0"), sum("id").as("s1"))
+      .select("nm", "n", "s0", "s1")
+      .as[(String, Long, Long, Long)].collect().toSet
+    def servedM = Ivm.serveMulti(spark, view)
+      .select("g", "n", "sum_q_0", "sum_q_1")
+      .as[(String, Long, Long, Long)].collect().toSet
+    try {
+      mkJoinSources(a, b)
+      Ivm.createJoinAggMulti(spark, a, b, "j", view, 4, "nm",
+        Seq("v", "id"))
+      assert(servedM == truthM)
+      // fact append + update + delete; dim rename (moves BOTH
+      // measures' rows across groups) + delete
+      Bucketed.save((100 until 130).map(i => (i.toLong, i % 7L, i * 10L))
+        .toDF("id", "j", "v"), a, Seq("id"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Bucketed.mergeByKey(spark, a,
+        Seq((3L, 3L, 99999L)).toDF("id", "j", "v"))
+      Bucketed.mergeByKey(spark, a,
+        Seq((8L, 1L, 0L, true)).toDF("id", "j", "v", "del"),
+        deleteCol = Some("del"))
+      Bucketed.mergeByKey(spark, b,
+        Seq((2L, "renamed2")).toDF("j", "nm"))
+      Bucketed.mergeByKey(spark, b,
+        Seq((4L, "x", true)).toDF("j", "nm", "del"),
+        deleteCol = Some("del"))
+      Ivm.refreshJoinAggMulti(spark, a, b, "j", view, 4, "nm",
+        Seq("v", "id"))
+      assert(servedM == truthM)
+      // retraction-touched groups serve null extrema for EVERY
+      // measure; the join-aware multi repair restores all of them
+      assert(Ivm.serveMulti(spark, view).select("min_q_1")
+        .as[Option[Long]].collect().exists(_.isEmpty))
+      assert(Ivm.repairJoinAggMulti(spark, a, b, "j", view, 4, "nm",
+        Seq("v", "id")) > 0)
+      val exact = Bucketed.load(spark, a)
+        .join(Bucketed.load(spark, b), "j")
+        .groupBy("nm")
+        .agg(min("v").as("m0"), max("v").as("x0"),
+          min("id").as("m1"), max("id").as("x1"))
+        .select("nm", "m0", "x0", "m1", "x1")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val got = Ivm.serveMulti(spark, view)
+        .select("g", "min_q_0", "max_q_0", "min_q_1", "max_q_1")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got == exact)
+      // replay: rolled-back bookmark → tags skip, strict no-op
+      Ivm.writeJoinBookmark(spark, s"${view}_partials", 'b',
+        Bucketed.generations(spark, b).head)
+      Ivm.refreshJoinAggMulti(spark, a, b, "j", view, 4, "nm",
+        Seq("v", "id"))
+      assert(servedM == truthM)
+    } finally {
+      Seq(a, b, view, s"${view}_partials").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   // ---- single-view LEFT-outer join+agg ---------------------------------
 
   private def jaggLeftTruth(a: String, b: String) =
