@@ -93,6 +93,23 @@ object Ivm {
     head
   }
 
+  /** Require every (source, side) bookmark on `partials` caught up to
+    * its source's head — the repair families' shared precondition
+    * (repairing against an unapplied head would fold deltas in ahead
+    * of their exactly-once application). ONE copy of the contract. */
+  private def requireCaughtUp(spark: SparkSession, partials: String,
+                              view: String,
+                              sides: Seq[(String, Char)]): Unit =
+    for ((src, side) <- sides) {
+      val bm = joinBookmark(spark, partials, side).getOrElse(
+        throw new IllegalStateException(
+          s"$view has no side-$side bookmark"))
+      val head = Bucketed.currentGeneration(spark, src)
+      require(bm == head,
+        s"$view's side-$side bookmark is at $bm but $src is at $head — " +
+          "refresh before repairing")
+    }
+
   /** The groups the view's own partials mark as carrying outstanding
     * retractions (`retr > 0`, tag rows excluded) — ONE copy of the
     * retraction-ledger read every repair variant starts from. */
@@ -631,15 +648,8 @@ object Ivm {
                      rollup: String, buckets: Int, groupCol: String,
                      valueCol: String): Int = {
     val partials = s"${rollup}_partials"
-    for ((src, side) <- Seq((fullView, 'l'), (orphanTable(fullView), 'o'))) {
-      val bm = joinBookmark(spark, partials, side).getOrElse(
-        throw new IllegalStateException(
-          s"$rollup has no side-$side bookmark"))
-      val head = Bucketed.currentGeneration(spark, src)
-      require(bm == head,
-        s"$rollup's side-$side bookmark is at $bm but $src is at " +
-          s"$head — refresh before repairing")
-    }
+    requireCaughtUp(spark, partials, rollup,
+      Seq((fullView, 'l'), (orphanTable(fullView), 'o')))
     val retracted = retractedGroups(spark, partials)
     IncrementalAgg.repairGroups(spark, rollup, buckets,
       serveJoinFull(spark, fullView).select(col(groupCol), col(valueCol)),
@@ -817,15 +827,7 @@ object Ivm {
                          groupCol: String,
                          valueCols: Seq[String]): Int = {
     val partials = s"${view}_partials"
-    for ((src, side) <- Seq((a, 'a'), (b, 'b'))) {
-      val bm = joinBookmark(spark, partials, side).getOrElse(
-        throw new IllegalStateException(
-          s"$view has no side-$side bookmark"))
-      val head = Bucketed.currentGeneration(spark, src)
-      require(bm == head,
-        s"$view's side-$side bookmark is at $bm but $src is at $head — " +
-          "refresh before repairing")
-    }
+    requireCaughtUp(spark, partials, view, Seq((a, 'a'), (b, 'b')))
     IncrementalAgg.repairGroupsMulti(spark, view, buckets,
       Bucketed.load(spark, a).join(Bucketed.load(spark, b), on)
         .select((groupCol +: valueCols).map(col): _*),
@@ -942,15 +944,7 @@ object Ivm {
                         on: String, view: String, buckets: Int,
                         groupCol: String, valueCol: String): Int = {
     val partials = s"${view}_partials"
-    for ((src, side) <- Seq((a, 'a'), (b, 'b'))) {
-      val bm = joinBookmark(spark, partials, side).getOrElse(
-        throw new IllegalStateException(
-          s"$view has no side-$side bookmark"))
-      val head = Bucketed.currentGeneration(spark, src)
-      require(bm == head,
-        s"$view's side-$side bookmark is at $bm but $src is at $head — " +
-          "refresh before repairing")
-    }
+    requireCaughtUp(spark, partials, view, Seq((a, 'a'), (b, 'b')))
     val retracted = retractedGroups(spark, partials)
     IncrementalAgg.repairGroups(spark, view, buckets,
       Bucketed.load(spark, a)
@@ -967,14 +961,7 @@ object Ivm {
                     on: String, view: String, buckets: Int,
                     groupCol: String, valueCol: String): Int = {
     val partials = s"${view}_partials"
-    for ((src, side) <- Seq((a, 'a'), (b, 'b'))) {
-      val bm = joinBookmark(spark, partials, side).getOrElse(
-        throw new IllegalStateException(s"$view has no side-$side bookmark"))
-      val head = Bucketed.currentGeneration(spark, src)
-      require(bm == head,
-        s"$view's side-$side bookmark is at $bm but $src is at $head — " +
-          "refresh before repairing")
-    }
+    requireCaughtUp(spark, partials, view, Seq((a, 'a'), (b, 'b')))
     val retracted = retractedGroups(spark, partials)
     IncrementalAgg.repairGroups(spark, view, buckets,
       Bucketed.load(spark, a).join(Bucketed.load(spark, b), on)

@@ -15,6 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_table('corpus')           -- head snapshot
   *   SELECT * FROM graft_as_of('corpus', 3)        -- generation pin
   *   SELECT * FROM graft_history('corpus')         -- DESCRIBE HISTORY
+  *   SELECT * FROM graft_changes('corpus', 3, 5)   -- row-level CDC
   * }}}
   *
   * Each TVF resolves AT ANALYSIS TIME to the exact plan the Scala API
@@ -26,7 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * push down into the parquet scan like any table, and joins on the
   * bucket key keep the shuffle-free bucketed plan. `graft_history`
   * resolves to the audit records as a local relation (tiny, driver-
-  * side by design — the audit path, not a data path).
+  * side by design — the audit path, not a data path); `graft_changes`
+  * resolves to [[Bucketed.diffGenerations]]' changed-files-only CDC
+  * delta between two retained generations.
   *
   * Arguments must be LITERALS (table name; generation number): the
   * plan is built during analysis, before any row exists — a
