@@ -609,34 +609,111 @@ object Ivm {
     * outer row views pay. Returns (headLeft, headOrphans). */
   def refreshOverFull(spark: SparkSession, fullView: String,
                       rollup: String, buckets: Int, groupCol: String,
-                      valueCol: String): (Long, Long) = {
+                      valueCol: String): (Long, Long) =
+    overFullCore(spark, fullView, rollup, "createOverFull",
+      Seq(groupCol, valueCol))(
+      (batch, tag) => { IncrementalAgg.append(batch, rollup, buckets,
+        groupCol, valueCol, tag); () },
+      (batch, tag) => { IncrementalAgg.retract(batch, rollup, buckets,
+        groupCol, valueCol, tag); () })
+
+  /** The two-table pair walk [[refreshOverFull]] and
+    * [[refreshOverFullMulti]] share — each table walks its own
+    * bookmark, pair deltas null-filled to the left part's shape (an
+    * orphan delta lacks the A-side columns; the left part lacks
+    * nothing), handed to `appendBatch`/`retractBatch` already
+    * selected to `cols`. */
+  private def overFullCore(spark: SparkSession, fullView: String,
+                           rollup: String, createHint: String,
+                           cols: Seq[String])(
+                           appendBatch: (DataFrame, String) => Unit,
+                           retractBatch: (DataFrame, String) => Unit)
+      : (Long, Long) = {
     val partials = s"${rollup}_partials"
     val leftSchema = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(fullView)).schema
     val typeOf = leftSchema.fields.map(f => f.name -> f.dataType).toMap
+    val selCols = cols.map(col)
     def advance(src: String, side: Char): Long =
-      walkPairs(spark, src, side, partials, rollup, "createOverFull") {
+      walkPairs(spark, src, side, partials, rollup, createHint) {
         (x, y) =>
           val delta = Bucketed.diffGenerations(spark, src, x, y)
             .localCheckpoint(eager = false) // one eval, both halves
           val have = delta.columns.toSet
           val sel = delta.select(
-            Seq(groupCol, valueCol).map(c =>
+            cols.map(c =>
               if (have(c)) col(c)
               else lit(null).cast(typeOf(c)).as(c)) :+ col("change"): _*)
-          IncrementalAgg.append(
-            sel.filter(col("change") === "insert")
-              .select(col(groupCol), col(valueCol)),
-            rollup, buckets, groupCol, valueCol, s"ivf$side-$x-$y-i")
-          IncrementalAgg.retract(
-            sel.filter(col("change") === "delete")
-              .select(col(groupCol), col(valueCol)),
-            rollup, buckets, groupCol, valueCol, s"ivf$side-$x-$y-d")
+          appendBatch(
+            sel.filter(col("change") === "insert").select(selCols: _*),
+            s"ivf$side-$x-$y-i")
+          retractBatch(
+            sel.filter(col("change") === "delete").select(selCols: _*),
+            s"ivf$side-$x-$y-d")
           ()
       }
     val hl = advance(fullView, 'l')
     val ho = advance(orphanTable(fullView), 'o')
     (hl, ho)
+  }
+
+  /** [[createOverFull]]'s N-measure twin: one pair-following rollup
+    * serving count and per-measure sum/min/max/avg over the FULL
+    * JOIN — measures may come from EITHER side (an A-side measure is
+    * null on orphan rows, a B-side measure null on partnerless-A
+    * rows; counted, not summed, both ways). Returns (genLeft,
+    * genOrphans). */
+  def createOverFullMulti(spark: SparkSession, fullView: String,
+                          rollup: String, buckets: Int,
+                          groupCol: String,
+                          valueCols: Seq[String]): (Long, Long) = {
+    val orphans = orphanTable(fullView)
+    val gl = Bucketed.currentGeneration(spark, fullView)
+    val go = Bucketed.currentGeneration(spark, orphans)
+    val leftSchema = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(fullView)).schema
+    val sel = (groupCol +: valueCols).map(col)
+    val base = Bucketed.loadAsOf(spark, fullView, gl).select(sel: _*)
+      .unionByName(
+        conformTo(leftSchema, Bucketed.loadAsOf(spark, orphans, go))
+          .select(sel: _*))
+    IncrementalAgg.buildIndexMulti(base, rollup, buckets, groupCol,
+      valueCols)
+    val partials = s"${rollup}_partials"
+    writeJoinBookmark(spark, partials, 'l', gl)
+    writeJoinBookmark(spark, partials, 'o', go)
+    (gl, go)
+  }
+
+  /** [[refreshOverFull]]'s N-measure twin — the same two-bookmark
+    * pair walk ([[overFullCore]]), every measure folded in each
+    * table's delta. `valueCols` must match the create's, in order.
+    * Returns (headLeft, headOrphans). */
+  def refreshOverFullMulti(spark: SparkSession, fullView: String,
+                           rollup: String, buckets: Int,
+                           groupCol: String,
+                           valueCols: Seq[String]): (Long, Long) =
+    overFullCore(spark, fullView, rollup, "createOverFullMulti",
+      groupCol +: valueCols)(
+      (batch, tag) => { IncrementalAgg.appendMulti(batch, rollup,
+        buckets, groupCol, valueCols, tag); () },
+      (batch, tag) => { IncrementalAgg.retractMulti(batch, rollup,
+        buckets, groupCol, valueCols, tag); () })
+
+  /** [[repairOverFull]]'s N-measure twin — every measure's extrema
+    * restored from the CURRENT served union, NULL group included.
+    * Returns buckets rewritten. */
+  def repairOverFullMulti(spark: SparkSession, fullView: String,
+                          rollup: String, buckets: Int,
+                          groupCol: String,
+                          valueCols: Seq[String]): Int = {
+    val partials = s"${rollup}_partials"
+    requireCaughtUp(spark, partials, rollup,
+      Seq((fullView, 'l'), (orphanTable(fullView), 'o')))
+    IncrementalAgg.repairGroupsMulti(spark, rollup, buckets,
+      serveJoinFull(spark, fullView)
+        .select((groupCol +: valueCols).map(col): _*),
+      groupCol, valueCols, retractedGroups(spark, partials))
   }
 
   /** [[repair]]'s pair-rollup twin: retracted groups recompute from
@@ -883,10 +960,29 @@ object Ivm {
   def refreshJoinAggLeft(spark: SparkSession, a: String, b: String,
                          on: String, view: String, buckets: Int,
                          groupCol: String,
-                         valueCol: String): (Long, Long) = {
+                         valueCol: String): (Long, Long) =
+    joinAggLeftCore(spark, a, b, on, view, "createJoinAggLeft",
+      Seq(groupCol, valueCol))(
+      (batch, tag) => { IncrementalAgg.append(batch, view, buckets,
+        groupCol, valueCol, tag); () },
+      (batch, tag) => { IncrementalAgg.retract(batch, view, buckets,
+        groupCol, valueCol, tag); () })
+
+  /** The two-phase left-outer walk [[refreshJoinAggLeft]] and
+    * [[refreshJoinAggLeftMulti]] share — the group-recompute phase 2
+    * under the durable A pin lives ONCE here; `appendBatch` /
+    * `retractBatch` land a batch already selected to `cols` as that
+    * family's exactly-once partials under the given tag. */
+  private def joinAggLeftCore(spark: SparkSession, a: String,
+                              b: String, on: String, view: String,
+                              createHint: String, cols: Seq[String])(
+                              appendBatch: (DataFrame, String) => Unit,
+                              retractBatch: (DataFrame, String) => Unit)
+      : (Long, Long) = {
     val partials = s"${view}_partials"
+    val sel = cols.map(col)
     def phase2(pin: Long): Long =
-      walkPairs(spark, b, 'b', partials, view, "createJoinAggLeft") {
+      walkPairs(spark, b, 'b', partials, view, createHint) {
         (x, y) =>
           val touched = Bucketed.diffGenerations(spark, b, x, y)
             .filter(col(on).isNotNull).select(on).distinct()
@@ -897,11 +993,9 @@ object Ivm {
           def slice(bGen: Long) = aT.join(
             Bucketed.loadAsOf(spark, b, bGen)
               .join(touched, Seq(on), "left_semi"),
-            Seq(on), "left").select(col(groupCol), col(valueCol))
-          IncrementalAgg.append(slice(y), view, buckets, groupCol,
-            valueCol, s"jaL-b-$x-$y-i")
-          IncrementalAgg.retract(slice(x), view, buckets, groupCol,
-            valueCol, s"jaL-b-$x-$y-d")
+            Seq(on), "left").select(sel: _*)
+          appendBatch(slice(y), s"jaL-b-$x-$y-i")
+          retractBatch(slice(x), s"jaL-b-$x-$y-d")
           ()
       }
     // recovery: a durable pin means a phase 2 crashed mid-flight —
@@ -912,27 +1006,80 @@ object Ivm {
     }
     val gb0 = joinBookmark(spark, partials, 'b').getOrElse(
       throw new IllegalStateException(
-        s"$view has no side-b bookmark — createJoinAggLeft it first"))
-    val ha = walkPairs(spark, a, 'a', partials, view,
-      "createJoinAggLeft") { (x, y) =>
-      val dV = Bucketed.diffGenerations(spark, a, x, y)
-        .join(Bucketed.loadAsOf(spark, b, gb0), Seq(on), "left")
-        .select(col(groupCol), col(valueCol), col("change"))
-        .localCheckpoint(eager = false) // one eval, both halves
-      IncrementalAgg.append(
-        dV.filter(col("change") === "insert")
-          .select(col(groupCol), col(valueCol)),
-        view, buckets, groupCol, valueCol, s"jaL-a-$x-$y-i")
-      IncrementalAgg.retract(
-        dV.filter(col("change") === "delete")
-          .select(col(groupCol), col(valueCol)),
-        view, buckets, groupCol, valueCol, s"jaL-a-$x-$y-d")
-      ()
+        s"$view has no side-b bookmark — $createHint it first"))
+    val ha = walkPairs(spark, a, 'a', partials, view, createHint) {
+      (x, y) =>
+        val dV = Bucketed.diffGenerations(spark, a, x, y)
+          .join(Bucketed.loadAsOf(spark, b, gb0), Seq(on), "left")
+          .select(sel :+ col("change"): _*)
+          .localCheckpoint(eager = false) // one eval, both halves
+        appendBatch(
+          dV.filter(col("change") === "insert").select(sel: _*),
+          s"jaL-a-$x-$y-i")
+        retractBatch(
+          dV.filter(col("change") === "delete").select(sel: _*),
+          s"jaL-a-$x-$y-d")
+        ()
     }
     writeJoinBookmark(spark, partials, 'p', ha)
     val hb = phase2(ha)
     clearJoinBookmark(spark, partials, 'p')
     (ha, hb)
+  }
+
+  // ---- single-view LEFT-OUTER join + aggregate, N measures -------------
+
+  /** [[createJoinAggLeft]]'s N-measure twin: `SELECT g, count, and
+    * per measure sum/min/max/avg FROM a LEFT JOIN b ON on GROUP BY g`
+    * in ONE maintained view — null extension first-class for EVERY
+    * measure (a B-side measure contributes null on partnerless rows:
+    * counted, not summed). Returns (genA, genB). */
+  def createJoinAggLeftMulti(spark: SparkSession, a: String, b: String,
+                             on: String, view: String, buckets: Int,
+                             groupCol: String,
+                             valueCols: Seq[String]): (Long, Long) = {
+    val ga = Bucketed.currentGeneration(spark, a)
+    val gb = Bucketed.currentGeneration(spark, b)
+    IncrementalAgg.buildIndexMulti(
+      Bucketed.loadAsOf(spark, a, ga)
+        .join(Bucketed.loadAsOf(spark, b, gb), Seq(on), "left")
+        .select((groupCol +: valueCols).map(col): _*),
+      view, buckets, groupCol, valueCols)
+    val partials = s"${view}_partials"
+    writeJoinBookmark(spark, partials, 'a', ga)
+    writeJoinBookmark(spark, partials, 'b', gb)
+    (ga, gb)
+  }
+
+  /** [[refreshJoinAggLeft]]'s N-measure twin — the same two-phase
+    * walk, durable pin, and 0↔1-transition-by-recompute doctrine
+    * ([[joinAggLeftCore]]), every measure folded in each slice.
+    * `valueCols` must match the create's, in order. */
+  def refreshJoinAggLeftMulti(spark: SparkSession, a: String,
+                              b: String, on: String, view: String,
+                              buckets: Int, groupCol: String,
+                              valueCols: Seq[String]): (Long, Long) =
+    joinAggLeftCore(spark, a, b, on, view, "createJoinAggLeftMulti",
+      groupCol +: valueCols)(
+      (batch, tag) => { IncrementalAgg.appendMulti(batch, view,
+        buckets, groupCol, valueCols, tag); () },
+      (batch, tag) => { IncrementalAgg.retractMulti(batch, view,
+        buckets, groupCol, valueCols, tag); () })
+
+  /** [[repairJoinAggLeft]]'s N-measure twin — every measure's extrema
+    * restored from the CURRENT left join, NULL group included.
+    * Returns buckets rewritten. */
+  def repairJoinAggLeftMulti(spark: SparkSession, a: String,
+                             b: String, on: String, view: String,
+                             buckets: Int, groupCol: String,
+                             valueCols: Seq[String]): Int = {
+    val partials = s"${view}_partials"
+    requireCaughtUp(spark, partials, view, Seq((a, 'a'), (b, 'b')))
+    IncrementalAgg.repairGroupsMulti(spark, view, buckets,
+      Bucketed.load(spark, a)
+        .join(Bucketed.load(spark, b), Seq(on), "left")
+        .select((groupCol +: valueCols).map(col): _*),
+      groupCol, valueCols, retractedGroups(spark, partials))
   }
 
   /** [[repairJoinAgg]]'s left-outer twin: recompute the retracted

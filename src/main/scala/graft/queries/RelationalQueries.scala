@@ -130,7 +130,7 @@ object RelationalQueries {
   }
 
   private def q177Tables(s: SparkSession, dir: String)
-      : (String, String, String, String, String, String) = {
+      : (String, String, String, String, String, String, String) = {
     val tag = Setup.dirTag(dir)
     val a = s"graft_q177_a_$tag"
     val b = s"graft_q177_b_$tag"
@@ -138,6 +138,7 @@ object RelationalQueries {
     val full = s"graft_q179_full_$tag"
     val jaggL = s"graft_q182_jaggl_$tag"
     val roll = s"graft_q184_roll_$tag"
+    val roll2 = s"graft_q189_roll2_$tag"
     Setup.once(s"q177:$dir") {
       // cust % 11 == 5 customers NEVER order (the testdata references
       // every customer, so the B-side null extension must be carved
@@ -170,6 +171,12 @@ object RelationalQueries {
       graft.sources.Bucketed.setRetention(s, full, 32)
       graft.sources.Bucketed.setRetention(s, s"${full}_orphans", 32)
       graft.ops.Ivm.createOverFull(s, full, roll, 8, "nat", "v")
+      // the N-measure pair rollup beside it: one A-side measure (v —
+      // null on orphan rows) and one B-side (acct — null on
+      // partnerless orders), so q189 exercises BOTH null-fill
+      // directions of the pair walk
+      graft.ops.Ivm.createOverFullMulti(s, full, roll2, 8, "nat",
+        Seq("v", "acct"))
       // the LEFT-outer join+agg single view over the same initial
       // generations: per-nation rollup of orders LEFT JOIN customer —
       // partnerless orders aggregate under the NULL nation group
@@ -204,7 +211,7 @@ object RelationalQueries {
       graft.ops.Ivm.refreshJoinLeft(s, a, b, "cust", view)
       ()
     }
-    (a, b, view, full, jaggL, roll)
+    (a, b, view, full, jaggL, roll, roll2)
   }
 
   /** The q172/q176 shared fixture: an append-ordered governed table
@@ -1218,7 +1225,7 @@ object RelationalQueries {
     // left join recomputed from both final states (the oracle's LEFT
     // JOIN, null extension included)
     "q177_outer_join_ivm" -> ((s, dir) => {
-      val (_, _, view, _, _, _) = q177Tables(s, dir)
+      val (_, _, view, _, _, _, _) = q177Tables(s, dir)
       graft.sources.Bucketed.load(s, view)
         .select("k", "cust", "v", "nat", "acct")
         .orderBy("k")
@@ -1236,7 +1243,7 @@ object RelationalQueries {
     // transition are what populate the B-side null extension (23
     // orphan rows at sf0.001) — do not remove them as redundant.
     "q179_full_outer_ivm" -> ((s, dir) => {
-      val (a, b, _, full, _, _) = q177Tables(s, dir)
+      val (a, b, _, full, _, _, _) = q177Tables(s, dir)
       graft.ops.Ivm.refreshJoinFull(s, a, b, "cust", full)
       graft.ops.Ivm.serveJoinFull(s, full)
         .select("k", "cust", "v", "nat", "acct")
@@ -1251,7 +1258,7 @@ object RelationalQueries {
     // the transition. After the left-aware repair (null group
     // included) the view must equal the plain LEFT JOIN GROUP BY
     "q182_joinagg_left_ivm" -> ((s, dir) => {
-      val (a, b, _, _, jaggL, _) = q177Tables(s, dir)
+      val (a, b, _, _, jaggL, _, _) = q177Tables(s, dir)
       graft.ops.Ivm.refreshJoinAggLeft(s, a, b, "cust", jaggL, 8,
         "nat", "v")
       graft.ops.Ivm.repairJoinAggLeft(s, a, b, "cust", jaggL, 8,
@@ -1378,7 +1385,7 @@ object RelationalQueries {
     // orders aggregate under the NULL group. After repair (null-safe
     // group match) the rollup equals the plain FULL JOIN GROUP BY
     "q184_full_pair_rollup" -> ((s, dir) => {
-      val (a, b, _, full, _, roll) = q177Tables(s, dir)
+      val (a, b, _, full, _, roll, _) = q177Tables(s, dir)
       graft.ops.Ivm.refreshJoinFull(s, a, b, "cust", full)
       graft.ops.Ivm.refreshOverFull(s, full, roll, 8, "nat", "v")
       graft.ops.Ivm.repairOverFull(s, full, roll, 8, "nat", "v")
@@ -1449,6 +1456,73 @@ object RelationalQueries {
         ()
       }
       graft.ops.Ivm.serveMulti(s, view).orderBy("g")
+    }),
+
+    // Multi-measure LEFT-outer join+agg in ONE maintained view: the
+    // q182 null-extension doctrine (NULL nation group first-class,
+    // phase-2 group recompute IS the 0↔1 transition) carrying TWO
+    // measures — order value and a second A-side measure — through
+    // customer arrivals (0→1), deletions (1→0), and a fact value
+    // bump; after the multi repair every measure's extrema are exact,
+    // null group included
+    "q188_joinagg_left_multi" -> ((s, dir) => {
+      val tag = Setup.dirTag(dir)
+      val a = s"graft_q188_a_$tag"
+      val b = s"graft_q188_b_$tag"
+      val view = s"graft_q188_view_$tag"
+      Setup.once(s"q188:$dir") {
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("cust"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("v"),
+          (col("o_orderkey") % 89).cast("long").as("w"))
+        val c = t(s, dir, "customer").select(
+          col("c_custkey").cast("long").as("cust"),
+          col("c_nationkey").cast("long").as("nat"))
+        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 0),
+          a, Seq("k"), 8)
+        graft.sources.Bucketed.setRetention(s, a, 8)
+        graft.sources.Bucketed.save(c.filter(col("cust") % 7 =!= 2),
+          b, Seq("cust"), 8)
+        graft.sources.Bucketed.setRetention(s, b, 8)
+        graft.ops.Ivm.createJoinAggLeftMulti(s, a, b, "cust", view, 8,
+          "nat", Seq("v", "w"))
+        graft.sources.Bucketed.save(o.filter(col("k") % 2 === 1),
+          a, Seq("k"), 8, mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, a,
+          o.filter(col("k") % 9 === 0)
+            .select(col("k"), col("cust"), (col("v") + 11L).as("v"),
+              col("w")))
+        graft.sources.Bucketed.save(c.filter(col("cust") % 7 === 2),
+          b, Seq("cust"), 8,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Bucketed.mergeByKey(s, b,
+          c.filter(col("cust") % 10 === 3)
+            .select(col("cust"), col("nat"), lit(true).as("del")),
+          deleteCol = Some("del"))
+        graft.ops.Ivm.refreshJoinAggLeftMulti(s, a, b, "cust", view,
+          8, "nat", Seq("v", "w"))
+        graft.ops.Ivm.repairJoinAggLeftMulti(s, a, b, "cust", view,
+          8, "nat", Seq("v", "w"))
+        ()
+      }
+      graft.ops.Ivm.serveMulti(s, view).orderBy("g")
+    }),
+
+    // Multi-measure rollup FOLLOWING the full-outer pair: the q184
+    // pair walk carrying one A-side measure (v — null on orphan
+    // rows) AND one B-side measure (acct — null on partnerless
+    // orders), both null-fill directions folded per table delta;
+    // after the multi repair the rollup equals the two-measure FULL
+    // JOIN GROUP BY
+    "q189_full_pair_multi" -> ((s, dir) => {
+      val (a, b, _, full, _, _, roll2) = q177Tables(s, dir)
+      graft.ops.Ivm.refreshJoinFull(s, a, b, "cust", full)
+      graft.ops.Ivm.refreshOverFullMulti(s, full, roll2, 8, "nat",
+        Seq("v", "acct"))
+      graft.ops.Ivm.repairOverFullMulti(s, full, roll2, 8, "nat",
+        Seq("v", "acct"))
+      graft.ops.Ivm.serveMulti(s, roll2).orderBy("g")
     }),
 
     // CDC from plain SQL: the graft_changes TVF resolves at analysis
@@ -2450,6 +2524,64 @@ object RelationalQueries {
         |       CAST(SUM(w) AS BIGINT) AS sum_q_1,
         |       MIN(w) AS min_q_1, MAX(w) AS max_q_1,
         |       CAST(floor(CAST(SUM(w) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6_1
+        |FROM fin GROUP BY g ORDER BY g""".stripMargin,
+
+    // one multi-measure LEFT-outer join+agg view = the two-measure
+    // LEFT JOIN GROUP BY over both final states, NULL group included
+    "q188_joinagg_left_multi" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v,
+        |    CAST(o_orderkey % 89 AS BIGINT) AS w
+        |  FROM orders),
+        |cc AS (SELECT CAST(c_custkey AS BIGINT) AS cust,
+        |    CAST(c_nationkey AS BIGINT) AS nat
+        |  FROM customer WHERE CAST(c_custkey AS BIGINT) % 10 <> 3),
+        |fin AS (SELECT CASE WHEN k % 9 = 0 THEN v + 11 ELSE v END AS v,
+        |               w, nat
+        |  FROM o LEFT JOIN cc USING (cust))
+        |SELECT nat AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(v) AS BIGINT) AS sum_q_0,
+        |       MIN(v) AS min_q_0, MAX(v) AS max_q_0,
+        |       CAST(floor(CAST(SUM(v) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6_0,
+        |       CAST(SUM(w) AS BIGINT) AS sum_q_1,
+        |       MIN(w) AS min_q_1, MAX(w) AS max_q_1,
+        |       CAST(floor(CAST(SUM(w) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6_1
+        |FROM fin GROUP BY g ORDER BY g""".stripMargin,
+
+    // the multi-measure pair rollup = the two-measure FULL JOIN GROUP
+    // BY: v is A-side (null on orphaned customers), acct is B-side
+    // (null on partnerless orders) — COALESCE matches the view's
+    // sum-partials identity of 0 for all-null groups, both measures
+    "q189_full_pair_multi" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE CAST(o_custkey AS BIGINT) % 11 <> 5
+        |    AND CAST(o_custkey AS BIGINT) % 13 <> 6),
+        |ob AS (SELECT cust,
+        |    CASE WHEN k % 9 = 0 THEN v + 11 ELSE v END AS v
+        |  FROM o),
+        |cc AS (SELECT cust, nat,
+        |    CASE WHEN cust % 10 = 4 THEN acct + 7 ELSE acct END AS acct
+        |  FROM (SELECT CAST(c_custkey AS BIGINT) AS cust,
+        |          CAST(c_nationkey AS BIGINT) AS nat,
+        |          CAST(floor(c_acctbal * 100.0) AS BIGINT) AS acct
+        |        FROM customer)
+        |  WHERE cust % 10 <> 3),
+        |fin AS (SELECT v, nat, acct FROM ob FULL JOIN cc USING (cust))
+        |SELECT nat AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sum_q_0,
+        |       MIN(v) AS min_q_0, MAX(v) AS max_q_0,
+        |       CAST(floor(CAST(COALESCE(SUM(v), 0) AS DOUBLE) * 1000000.0
+        |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6_0,
+        |       CAST(COALESCE(SUM(acct), 0) AS BIGINT) AS sum_q_1,
+        |       MIN(acct) AS min_q_1, MAX(acct) AS max_q_1,
+        |       CAST(floor(CAST(COALESCE(SUM(acct), 0) AS DOUBLE) * 1000000.0
         |            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_e6_1
         |FROM fin GROUP BY g ORDER BY g""".stripMargin,
 

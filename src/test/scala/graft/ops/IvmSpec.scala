@@ -897,6 +897,138 @@ class IvmSpec extends SparkSuite {
     }
   }
 
+  test("multi-measure left join+agg view: A-side and B-side measures through 0↔1 transitions; repair exact") {
+    val a = "graft_jagglm_a"; val b = "graft_jagglm_b"
+    val view = "graft_jagglm_view"
+    def truthM = Bucketed.load(spark, a)
+      .join(Bucketed.load(spark, b), Seq("j"), "left")
+      .groupBy("nm")
+      .agg(count(lit(1)).as("n"), sum("v").as("s0"),
+        coalesce(sum("bw"), lit(0L)).as("s1"))
+      .select("nm", "n", "s0", "s1")
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    def servedM = Ivm.serveMulti(spark, view)
+      .select("g", "n", "sum_q_0", "sum_q_1")
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    try {
+      // B carries a NUMERIC measure too: partnerless A rows take null
+      // for it (counted, not summed) — the measure-level null
+      // extension beside the group-level one
+      Bucketed.save((0 until 60).map(i => (i.toLong, i % 10L, i * 10L))
+        .toDF("id", "j", "v"), a, Seq("id"), 4)
+      Bucketed.setRetention(spark, a, 10)
+      Bucketed.save((0 until 5).map(c => (c.toLong, s"name$c", c * 100L))
+        .toDF("j", "nm", "bw"), b, Seq("j"), 4)
+      Bucketed.setRetention(spark, b, 10)
+      Ivm.createJoinAggLeftMulti(spark, a, b, "j", view, 4, "nm",
+        Seq("v", "bw"))
+      assert(servedM == truthM)
+      assert(servedM.exists(_._1.isEmpty),
+        "partnerless rows must serve under the NULL group")
+      // 0→1 (j=7 gains a partner: its rows leave the NULL group and
+      // gain a bw), 1→0 (j=2 loses its partner), fact churn
+      Bucketed.save(Seq((7L, "late7", 700L)).toDF("j", "nm", "bw"),
+        b, Seq("j"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+      Bucketed.mergeByKey(spark, b,
+        Seq((2L, "x", 0L, true)).toDF("j", "nm", "bw", "del"),
+        deleteCol = Some("del"))
+      Bucketed.save((100 until 120).map(i => (i.toLong, i % 10L,
+        i * 10L)).toDF("id", "j", "v"), a, Seq("id"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Bucketed.mergeByKey(spark, a,
+        Seq((9L, 9L, 0L, true)).toDF("id", "j", "v", "del"),
+        deleteCol = Some("del"))
+      Ivm.refreshJoinAggLeftMulti(spark, a, b, "j", view, 4, "nm",
+        Seq("v", "bw"))
+      assert(servedM == truthM)
+      assert(Ivm.repairJoinAggLeftMulti(spark, a, b, "j", view, 4,
+        "nm", Seq("v", "bw")) > 0)
+      val exact = Bucketed.load(spark, a)
+        .join(Bucketed.load(spark, b), Seq("j"), "left")
+        .groupBy("nm")
+        .agg(min("v").as("m0"), max("v").as("x0"),
+          min("bw").as("m1"), max("bw").as("x1"))
+        .select("nm", "m0", "x0", "m1", "x1")
+        .as[(Option[String], Option[Long], Option[Long], Option[Long],
+          Option[Long])].collect().toSet
+      val got = Ivm.serveMulti(spark, view)
+        .select("g", "min_q_0", "max_q_0", "min_q_1", "max_q_1")
+        .as[(Option[String], Option[Long], Option[Long], Option[Long],
+          Option[Long])].collect().toSet
+      assert(got == exact,
+        "post-repair exact for both measures, null group included")
+      // replay: rolled-back bookmark → tags skip, strict no-op
+      Ivm.writeJoinBookmark(spark, s"${view}_partials", 'b',
+        Bucketed.generations(spark, b).head)
+      Ivm.refreshJoinAggLeftMulti(spark, a, b, "j", view, 4, "nm",
+        Seq("v", "bw"))
+      assert(servedM == truthM)
+    } finally {
+      Seq(a, b, view, s"${view}_partials").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("multi-measure pair rollup: both null-fill directions fold through matched↔orphan flips") {
+    val a = "graft_ivfrm_a"; val b = "graft_ivfrm_b"
+    val full = "graft_ivfrm_full"; val roll = "graft_ivfrm_roll"
+    def truthR = Bucketed.load(spark, a)
+      .join(Bucketed.load(spark, b), Seq("j"), "full")
+      .groupBy("nm")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("v"), lit(0L)).as("s0"),
+        coalesce(sum("bw"), lit(0L)).as("s1"))
+      .select("nm", "n", "s0", "s1")
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    def servedR = Ivm.serveMulti(spark, roll)
+      .select("g", "n", "sum_q_0", "sum_q_1")
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    try {
+      Bucketed.save((0 until 60).map(i => (i.toLong, i % 10L, i * 10L))
+        .toDF("id", "j", "v"), a, Seq("id"), 4)
+      Bucketed.setRetention(spark, a, 10)
+      Bucketed.save((0 until 5).map(c => (c.toLong, s"name$c", c * 100L))
+        .toDF("j", "nm", "bw"), b, Seq("j"), 4)
+      Bucketed.setRetention(spark, b, 10)
+      Ivm.createJoinFull(spark, a, b, "j", full, 4,
+        aKey = "id", bKey = "j")
+      Bucketed.setRetention(spark, full, 16)
+      Bucketed.setRetention(spark, s"${full}_orphans", 16)
+      Ivm.createOverFullMulti(spark, full, roll, 4, "nm",
+        Seq("v", "bw"))
+      assert(servedR == truthR)
+      // an orphan arrives (j=55: bw real, v null), a matched B row
+      // flips to orphan (delete ALL A rows of j=3), a B row deletes
+      // (its A rows flip to the NULL group), plus A appends
+      Bucketed.save(Seq((55L, "orphan55", 5500L))
+        .toDF("j", "nm", "bw"), b, Seq("j"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Bucketed.mergeByKey(spark, a,
+        (0 until 60).filter(_ % 10 == 3).map(i =>
+          (i.toLong, 3L, 0L, true)).toDF("id", "j", "v", "del"),
+        deleteCol = Some("del"))
+      Bucketed.mergeByKey(spark, b,
+        Seq((2L, "x", 0L, true)).toDF("j", "nm", "bw", "del"),
+        deleteCol = Some("del"))
+      Bucketed.save((100 until 110).filter(_ % 10 != 3)
+        .map(i => (i.toLong, i % 10L, i * 10L)).toDF("id", "j", "v"),
+        a, Seq("id"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Ivm.refreshJoinFull(spark, a, b, "j", full)
+      Ivm.refreshOverFullMulti(spark, full, roll, 4, "nm",
+        Seq("v", "bw"))
+      assert(servedR == truthR)
+      assert(servedR.exists(r => r._1.contains("name3") && r._2 == 1L),
+        "j=3's B row must count as an orphan: n=1, v-fold 0, bw real")
+      assert(Ivm.repairOverFullMulti(spark, full, roll, 4, "nm",
+        Seq("v", "bw")) > 0)
+      assert(servedR == truthR)
+    } finally {
+      Seq(a, b, full, s"${full}_orphans", roll, s"${roll}_partials")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   // ---- rollup following the full-outer pair ----------------------------
 
   test("pair rollup follows the full view through matched↔orphan flips; repair exact incl. null group") {
