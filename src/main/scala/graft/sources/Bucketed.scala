@@ -150,12 +150,30 @@ object Bucketed {
     guard.foreach { l => verifiedGenerations.remove(l); appendBegin(l) }
     try {
       val sort = if (sortCols.nonEmpty) sortCols else keys
+      // Cluster rows by the bucket function BEFORE the bucketed write
+      // (guide §6 / Iceberg write.distribution-mode=hash): Spark's
+      // bucketBy writer emits one file per (task × bucket-present), so
+      // an un-clustered write fans out up to tasks×buckets small files
+      // PER COMMIT — the append-heavy index families were measured at
+      // ~283 files after one q151 fixture run, and every later read,
+      // footer stamp, manifest listing and compaction pays for them.
+      // repartition(buckets, keys) uses the SAME HashPartitioning
+      // (pmod(murmur3, n)) as the bucket-id assignment, so each task
+      // holds exactly one bucket: one file per non-empty bucket per
+      // commit, the layout stageSwapCommit already enforces for
+      // maintenance rewrites. Row sets (and therefore every query
+      // result) are unchanged; a caller's own repartition collapses
+      // into this one (CollapseRepartition).
+      val clustered = {
+        import org.apache.spark.sql.functions.col
+        df.repartition(buckets, keys.map(col): _*)
+      }
       // writeOptions reach the parquet writer (e.g.
       // `parquet.bloom.filter.enabled#col` for [[FileStats.loadEquals]]
       // pruning) AND persist as table storage properties, so
       // maintenance rewrites ([[stageSwapCommit]]) re-apply them — a
       // compacted or merged file keeps its blooms
-      df.write.mode(mode)
+      clustered.write.mode(mode)
         .options(writeOptions)
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(sort.head, sort.tail: _*)

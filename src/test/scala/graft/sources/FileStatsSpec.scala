@@ -80,7 +80,16 @@ class FileStatsSpec extends SparkSuite {
   test("countWhere answers covered files from metadata and scans only the boundary") {
     val table = "graft_stats_count"
     try {
-      mk(table) // three appends: v spans [0,300), [300,600), [600,900)
+      // six 50-row appends (finer than mk's three): since save() clusters
+      // to one file per bucket per commit, the 3-append layout leaves the
+      // [150,750] range with MORE boundary files than interior ones and
+      // the boundary-only assertion below loses its discrimination — the
+      // finer commit cadence restores interior-majority coverage while
+      // testing the same metadata-vs-scan split
+      for (j <- 0 until 6)
+        Bucketed.save(slice(j * 50, (j + 1) * 50), table, Seq("k"), 2,
+          mode = if (j == 0) org.apache.spark.sql.SaveMode.Overwrite
+                 else org.apache.spark.sql.SaveMode.Append)
       // range [150, 750): append 1 partially covered (scan), append 2
       // fully covered (metadata), append 3 partially covered (scan)
       val r = FileStats.countWhere(spark, table, "v", 150L, 750L)
