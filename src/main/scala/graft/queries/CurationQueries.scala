@@ -307,36 +307,36 @@ object CurationQueries {
       val base = graft.streaming.Streaming.scratchBase.resolve(
         s"graft-q136-${System.nanoTime()}").toString
       val d = docs(s, dir).select("source", "doc_id", "n_chars")
-      for (j <- 0 to 2) {
-        val stage = s"$base/stage$j"
-        d.filter(pmod(col("doc_id"), lit(3)) === j)
-          .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dest = new java.io.File(s"$base/src", s"f$j.parquet")
-        dest.getParentFile.mkdirs()
-        java.nio.file.Files.copy(part.toPath, dest.toPath)
-        require(dest.setLastModified(1000000L * (j + 1)))
-      }
+      // staged source files: fixture INPUT, shared across executions
+      // (Setup.stageOnce); the stream, its state, checkpoint and
+      // outputs below stay per-execution
+      val src = Setup.stageOnce("q136", dir,
+        (0 to 2).map(j => d.filter(pmod(col("doc_id"), lit(3)) === j)))
       val stream = graft.streaming.Streaming.quantileSketchStream(
-        graft.streaming.Streaming.fileStream(s, s"$base/src",
+        graft.streaming.Streaming.fileStream(s, src,
           maxFilesPerTrigger = Some(1)),
         "source", "doc_id", "n_chars", qs = Seq(0.25, 0.5, 0.75), k = 64)
-      val q = stream.toDF().writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], id: Long) =>
-          b.withColumn("batch", lit(id))
-            .coalesce(1).write.mode("overwrite").parquet(s"$base/out/b=$id")
-          ()
-        }
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory(
-            graft.streaming.Streaming.scratchBase, "graft-ckpt-q136")
-            .toString)
-        .start()
-      q.awaitTermination()
+      // state partitions sized to the stream's state volume (a handful
+      // of source groups × a 64-entry sketch), the q37/q61/q66/q109
+      // setting — NOT the session's batch shuffle width: every state
+      // partition pays store open/commit on every micro-batch
+      graft.streaming.Streaming.withStatePartitions(s, Some(8)) {
+        val q = stream.toDF().writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], id: Long) =>
+            b.withColumn("batch", lit(id))
+              .coalesce(1).write.mode("overwrite").parquet(s"$base/out/b=$id")
+            ()
+          }
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(
+              graft.streaming.Streaming.scratchBase, "graft-ckpt-q136")
+              .toString)
+          .start()
+        q.awaitTermination()
+      }
       val w = Window.partitionBy("group", "q_e4")
         .orderBy(col("batch").desc)
       s.read.parquet(s"$base/out")

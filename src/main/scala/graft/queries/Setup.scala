@@ -31,4 +31,41 @@ private[queries] object Setup {
       catch { case e: Throwable => done.remove(key); throw e }
     }
   }
+
+  /** Stage the streaming fixtures' SOURCE files once per (query, dir):
+    * each part writes as a single parquet file `f<i>.parquet` with an
+    * ascending pinned mtime (the file-stream arrival order), under a
+    * process-stable scratch dir. The staged files are read-only stream
+    * INPUTS — fixture setup, the q123/q128 amortization doctrine — so
+    * repeat executions share them while the operators under measurement
+    * (gates, ingest, index commits: each execution's own fresh tables,
+    * checkpoints and outputs) still run in full every time. Returns the
+    * source dir to stream from. */
+  def stageOnce(key: String, dir: String,
+                parts: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val base = graft.streaming.Streaming.scratchBase
+      .resolve(s"graft-stage-$key-${dirTag(dir)}").toString
+    once(s"stage:$key:$dir") {
+      val root = new java.io.File(base)
+      if (root.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }
+      parts.zipWithIndex.foreach { case (p, j) =>
+        val stage = s"$base/stage$j"
+        p.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/src", s"f$j.parquet")
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        require(dest.setLastModified(1000000L * (j + 1)),
+          s"setLastModified failed for $dest")
+      }
+    }
+    s"$base/src"
+  }
 }

@@ -312,19 +312,13 @@ object SimQueries {
         s"graft-q132-${System.nanoTime()}").toString
       val stream = e.filter(col("id") % 4 === 0)
         .withColumn("b", pmod(floor(col("id") / 4), lit(4)))
-      for (j <- 0 to 3) {
-        val stage = s"$base/stage$j"
-        stream.filter(col("b") === j).drop("b")
-          .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dest = new java.io.File(s"$base/src", s"f$j.parquet")
-        dest.getParentFile.mkdirs()
-        java.nio.file.Files.copy(part.toPath, dest.toPath)
-        require(dest.setLastModified(1000000L * (j + 1)))
-      }
+      // staged source files: fixture INPUT, shared across executions
+      // (Setup.stageOnce); the index, gate state and outputs below stay
+      // per-execution — the gate still mutates a fresh index every run
+      val src = Setup.stageOnce("q132", dir,
+        (0 to 3).map(j => stream.filter(col("b") === j).drop("b")))
       graft.sim.IncrementalAnn.streamNovel(
-          graft.streaming.Streaming.fileStream(s, s"$base/src",
+          graft.streaming.Streaming.fileStream(s, src,
             maxFilesPerTrigger = Some(1)),
           table, buckets = 8, cents, s"$base/out",
           thresholdE6 = 330000L, nProbe = 4, compactEvery = 4)
@@ -731,23 +725,16 @@ object SimQueries {
       graft.sim.IncrementalAnn.buildIndex(
         idx.filter(pmod(col("id"), lit(2)) === 1), vn, buckets = 8,
         cents)
-      val base = graft.streaming.Streaming.scratchBase.resolve(
-        s"graft-q151-${System.nanoTime()}").toString
       val stream = idx.filter(pmod(col("id"), lit(2)) === 0)
         .withColumn("b", pmod(floor(col("id") / 2), lit(4)))
-      for (j <- 0 to 3) {
-        val stage = s"$base/stage$j"
-        stream.filter(col("b") === j).drop("b")
-          .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dest = new java.io.File(s"$base/src", s"f$j.parquet")
-        dest.getParentFile.mkdirs()
-        java.nio.file.Files.copy(part.toPath, dest.toPath)
-        require(dest.setLastModified(1000000L * (j + 1)))
-      }
+      // staged source files: fixture INPUT, shared across executions
+      // (Setup.stageOnce); the serving pair, its commits, compaction
+      // ticks and checkpoint below stay per-execution (fresh rebuild —
+      // the re-execution-idempotence contract is unchanged)
+      val src = Setup.stageOnce("q151", dir,
+        (0 to 3).map(j => stream.filter(col("b") === j).drop("b")))
       graft.sim.IncrementalPq.streamAppend(
-        graft.streaming.Streaming.fileStream(s, s"$base/src",
+        graft.streaming.Streaming.fileStream(s, src,
           maxFilesPerTrigger = Some(1)),
         codes, buckets = 8, cents, books, vnTable = Some(vn),
         compactEvery = 2)

@@ -470,23 +470,17 @@ object TextQueries {
         s"graft-q130-${System.nanoTime()}").toString
       val stream = d.filter(col("doc_id") % 3 === 0)
         .withColumn("b", pmod(floor(col("doc_id") / 3), lit(4)))
-      for (j <- 0 to 3) {
-        val stage = s"$base/stage$j"
-        stream.filter(col("b") === j).drop("b")
-          .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dest = new java.io.File(s"$base/src", s"f$j.parquet")
-        dest.getParentFile.mkdirs()
-        java.nio.file.Files.copy(part.toPath, dest.toPath)
-        require(dest.setLastModified(1000000L * (j + 1)))
-      }
+      // staged source files: fixture INPUT, shared across executions
+      // (Setup.stageOnce); the index, gate state and outputs below stay
+      // per-execution — the gate still mutates a fresh index every run
+      val src = Setup.stageOnce("q130", dir,
+        (0 to 3).map(j => stream.filter(col("b") === j).drop("b")))
       // compactEvery=4 → the 4-batch run compacts once, so the bench
       // number reflects the steady state (gate + amortized periodic
       // compaction), not a compaction-free honeymoon; output is
       // unaffected — the rewrite preserves the band set
       graft.text.IncrementalDedup.streamNovel(
-          graft.streaming.Streaming.fileStream(s, s"$base/src",
+          graft.streaming.Streaming.fileStream(s, src,
             maxFilesPerTrigger = Some(1)),
           table, buckets = 8, s"$base/out", compactEvery = 4)
         .select(col("doc_id"), col("source"), col("n_chars"))

@@ -352,15 +352,7 @@ object Streaming {
                       statePartitions: Option[Int] = None): DataFrame = {
     val spark = stream.sparkSession
     val base = scratchBase
-    // The override is session-scoped while the query drains (Spark locks
-    // shuffle.partitions into the stream at start(), there is no
-    // per-query knob) — callers composing OTHER work on the same session
-    // concurrently should not pass statePartitions. Restore an UNSET
-    // key by unsetting, not by writing the default back as explicit.
-    val key = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.getOption(key)
-    statePartitions.foreach(n => spark.conf.set(key, n.toString))
-    try {
+    withStatePartitions(spark, statePartitions) {
       val q = stream.writeStream
         .format("memory")
         .queryName(name)
@@ -371,11 +363,35 @@ object Streaming {
             .toString)
         .start()
       q.awaitTermination()
-    } finally if (statePartitions.nonEmpty) prevParts match {
+    }
+    spark.table(name)
+  }
+
+  /** Size the stateful-operator partitioning for a stream started inside
+    * `body` — the shared mechanism behind [[runAvailableNow]]'s
+    * `statePartitions`, exposed for callers that own their writeStream
+    * (foreachBatch sinks). Spark locks `spark.sql.shuffle.partitions`
+    * into the checkpoint at `start()` and there is no per-query knob;
+    * unlike batch plans — where AQE coalesces oversized shuffles —
+    * every state partition carries per-batch store open/commit
+    * overhead on EVERY micro-batch forever, so the count must be sized
+    * to the state volume explicitly (measured locally: a 3-batch
+    * flatMapGroupsWithState stream over sf0.1 drops from ~3.3 s to
+    * ~0.7 s per batch going from 32 to 4 state partitions). The
+    * override is session-scoped while `body` runs — callers composing
+    * OTHER work on the same session concurrently should pass None.
+    * Restores an UNSET key by unsetting, not by writing the default
+    * back as explicit. */
+  def withStatePartitions[A](spark: SparkSession, statePartitions: Option[Int])
+                            (body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.getOption(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try body
+    finally if (statePartitions.nonEmpty) prevParts match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
-    spark.table(name)
   }
 
   /** One emitted heavy-hitter candidate: the state group it lives in,
