@@ -198,7 +198,17 @@ object Bench {
     val jvmJson = jvmSnaps.mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":3,"agg":"min","interleaved":true,"floor_per_pass_sec":$floorsJson,"jvm_per_pass":$jvmJson,"ref20_sec":${f"$ref20Total%.3f"},"ref20_n":${results.count(r => ref20(r._1))},"outlier_retry_above_sec":$outlierFloorSec,"outlier_retry_rounds":$round,"sf":"$sfDir"}"""
-    println(json)
+    // stdout gets a SLIM line (~250 bytes): the harness that launches
+    // this main captures only a bounded tail of stdout, and since the
+    // per-query dict grew past ~5 KB the full line truncated mid-object
+    // there and stopped parsing (two rounds of round-over-round
+    // comparisons lost). The FULL record — per-query seconds, floor
+    // probes, JVM telemetry — is unchanged and lands in
+    // bench_result.json beside the repo; nothing is dropped, only
+    // split. Same timing methodology, same fields otherwise.
+    val slim =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"runs":3,"agg":"min","interleaved":true,"ref20_sec":${f"$ref20Total%.3f"},"ref20_n":${results.count(r => ref20(r._1))},"sf":"$sfDir"}"""
+    println(slim)
     Files.writeString(Paths.get("bench_result.json"), json)
     spark.stop()
     // A broken query must fail any scripted gate, not just appear in the

@@ -507,13 +507,18 @@ object IncrementalAnn {
         // one OVERWRITTEN dir per batch id — the q130 at-least-once
         // doctrine; gateBatch's self-exclusion + symmetric in-batch
         // rule make the replayed kept set identical
-        val (kept, metrics) = gateBatchFull(batch.toDF(), table,
-          buckets, bc.value, thresholdE6, nProbe,
-          withMetrics = metricsDir.isDefined,
-          reArrivalGuard = if (dropReArrivals) Some(id) else None,
-          attrCols = attrCols)
-        kept.select(col("id"), col("centroid"))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        val (kept, metrics) =
+          graft.sources.Bucketed.profPhase(s"vgate-batch $id gate+append") {
+            gateBatchFull(batch.toDF(), table,
+              buckets, bc.value, thresholdE6, nProbe,
+              withMetrics = metricsDir.isDefined,
+              reArrivalGuard = if (dropReArrivals) Some(id) else None,
+              attrCols = attrCols)
+          }
+        graft.sources.Bucketed.profPhase(s"vgate-batch $id out") {
+          kept.select(col("id"), col("centroid"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
         // opt-in observability, same shape + pre-append semantics as
         // the text gate's (IncrementalDedup.streamNovel), folded
         // periodically so the log stays bounded (GateMetricsLog)

@@ -365,17 +365,24 @@ object IncrementalPq {
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.Bucketed.profPhase(s"pq-batch $id") {
         val spark = batch.sparkSession
         vnTable.foreach(t => IncrementalAnn.appendToIndex(
           batch.toDF(), t, buckets, coarse, attrCols))
         appendToIndex(batch.toDF(), codeTable, buckets, coarse, books,
           residual, attrCols)
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
-          compactIndex(spark, codeTable, maxFilesPerBucket)
-          vnTable.foreach(t =>
-            IncrementalAnn.compactIndex(spark, t, maxFilesPerBucket))
+          graft.sources.Bucketed.profPhase(s"pq-batch $id compact") {
+            compactIndex(spark, codeTable, maxFilesPerBucket)
+            vnTable.foreach(t =>
+              IncrementalAnn.compactIndex(spark, t, maxFilesPerBucket))
+          }
         }
-        vnTable.foreach(t => commitPair(spark, codeTable, t))
+        vnTable.foreach(t =>
+          graft.sources.Bucketed.profPhase(s"pq-batch $id commitPair") {
+            commitPair(spark, codeTable, t)
+          })
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -89,6 +89,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketed {
 
+  /** Commit-path phase timing to stderr, gated by GRAFT_PROF=1 — the
+    * measurement hook behind the per-governed-commit cost numbers in
+    * the optimization notes. Zero work when the env var is unset. */
+  private val profEnabled = sys.env.get("GRAFT_PROF").contains("1")
+  private[graft] def profPhase[A](tag: String)(body: => A): A =
+    if (!profEnabled) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"[prof] $tag ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+    }
+
   /** Save `df` as a bucketed, sorted managed table (default database).
     * `buckets` should be sized so a bucket of the LARGER recurring join
     * side fits an executor core's working set.
@@ -105,7 +118,7 @@ object Bucketed {
     val spark = df.sparkSession
     // destructive pre-clear ONLY under Overwrite — Append/Ignore/
     // ErrorIfExists must keep their SaveMode contracts
-    if (mode == SaveMode.Overwrite) {
+    if (mode == SaveMode.Overwrite) profPhase(s"save($table,$mode) preclear") {
       // qualified names: quote each part separately (one backtick pair
       // around `db.tbl` makes it a single identifier) and resolve the
       // orphan location from the DATABASE's catalog location — the
@@ -141,15 +154,33 @@ object Bucketed {
     // the append commit adds (post-write listing − pre-write listing)
     // to the manifest; capture the pre-write listing while the table
     // still has only its committed files
-    val beforeNames: Set[String] =
+    val beforeNames: Set[String] = profPhase(s"save($table,$mode) prelist") {
       if (mode == SaveMode.Append && existedBefore) {
         val loc = locOf
         dataFileNames(fileSystemOf(spark, loc), loc)
       } else Set.empty
+    }
     val guard = if (existedBefore) Some(locOf.toString) else None
     guard.foreach { l => verifiedGenerations.remove(l); appendBegin(l) }
     try {
       val sort = if (sortCols.nonEmpty) sortCols else keys
+      if (mode == SaveMode.Append && existedBefore) {
+        // DIRECT append (round 15): an append into an existing bucketed
+        // table bypasses `saveAsTable` entirely — the catalog entry,
+        // schema and bucket spec already exist, and the measured cost
+        // of the `saveAsTable` machinery (DDL resolution, insert
+        // command, relation-cache refresh) was ~100–150 ms of the
+        // ~430 ms a few-hundred-row append paid, pure fixed cost per
+        // micro-batch commit. The batch is clustered and written as
+        // plain parquet to a staging subdir, each file is renamed into
+        // the table dir under Spark's own bucketed-file naming (the
+        // clustering makes partition index == bucket id, so the name
+        // is derivable), and the manifest commit adds the EXACT staged
+        // names — no listing diff needed. Same rows, same layout, same
+        // generation sequence as the saveAsTable path it replaces.
+        appendDirect(spark, table, df, keys, buckets, sort, writeOptions,
+          beforeNames)
+      } else {
       // Cluster rows by the bucket function BEFORE the bucketed write
       // (guide §6 / Iceberg write.distribution-mode=hash): Spark's
       // bucketBy writer emits one file per (task × bucket-present), so
@@ -173,47 +204,145 @@ object Bucketed {
       // pruning) AND persist as table storage properties, so
       // maintenance rewrites ([[stageSwapCommit]]) re-apply them — a
       // compacted or merged file keeps its blooms
-      clustered.write.mode(mode)
-        .options(writeOptions)
-        .bucketBy(buckets, keys.head, keys.tail: _*)
-        .sortBy(sort.head, sort.tail: _*)
-        .format("parquet")
-        .saveAsTable(table)
+      profPhase(s"save($table,$mode) write") {
+        clustered.write.mode(mode)
+          .options(writeOptions)
+          .bucketBy(buckets, keys.head, keys.tail: _*)
+          .sortBy(sort.head, sort.tail: _*)
+          .format("parquet")
+          .saveAsTable(table)
+      }
       if (!(mode == SaveMode.Ignore && existedBefore)) {
         val loc = locOf
         val fs = fileSystemOf(spark, loc)
-        withManifestLock(loc.toString) {
+        profPhase(s"save($table,$mode) commit") { withManifestLock(loc.toString) {
           val names = dataFileNames(fs, loc)
-          if (mode == SaveMode.Append && existedBefore) {
-            // union-add: a concurrent append's files may appear in
-            // this listing diff too — adding them twice is idempotent
-            val base = readManifest(fs, loc).map(_._2).getOrElse(beforeNames)
-            val gen = writeNextManifest(fs, loc, base ++ (names -- beforeNames),
-              prevNames = Some(base))
-            // verified only if the PRE-append dir carried no unlisted
-            // orphans (an append into a crashed-and-never-reloaded
-            // table must not mark the orphans clean — the next load's
-            // recovery pass reconciles them). Files an older RETAINED
-            // generation lists are in-place-retired history, not
-            // orphans.
-            val unexplained = beforeNames -- base
-            if (unexplained.isEmpty ||
-                (retentionOf(fs, loc) > 1 &&
-                  (unexplained -- retainedElsewhere(fs, loc, gen)).isEmpty))
-              verifiedGenerations.put(loc.toString, gen)
-          } else {
-            // fresh write into a pre-cleared dir: dir == manifest
-            val gen = writeNextManifest(fs, loc, names, op = "create",
-              prevNames = Some(Set.empty))
-            verifiedGenerations.put(loc.toString, gen)
-          }
-        }
+          // every mode reaching here wrote into a fresh or pre-cleared
+          // dir (appends into an EXISTING table take [[appendDirect]];
+          // an Append that CREATED the table is a create, as before):
+          // dir == manifest
+          val gen = writeNextManifest(fs, loc, names, op = "create",
+            prevNames = Some(Set.empty))
+          verifiedGenerations.put(loc.toString, gen)
+        } }
         // commit-time sidecar stamping (opt-in, marker-gated, outside
         // the lock): the committer footer-reads only its new files so
         // the first reader pays zero footer opens
-        FileStats.stampIfEnabled(spark, table, loc)
+        profPhase(s"save($table,$mode) stamp") {
+          FileStats.stampIfEnabled(spark, table, loc)
+        }
+      }
       }
     } finally guard.foreach(appendEnd)
+  }
+
+  /** Staged plain-parquet file name → the same name under Spark's
+    * BUCKETED naming convention (`part-<task>-<uuid>_<bucket>.c000.*`,
+    * the `_<bucket>` suffix `BucketingUtils.getBucketId` and
+    * [[bucketIdOfName]] both parse). Valid ONLY for a write that was
+    * `repartition(buckets, bucketKeys)`-clustered first: that uses the
+    * exact bucket-id function (`pmod(murmur3, n)` —
+    * `HashPartitioning.partitionIdExpression`), so the task/partition
+    * index in the staged name IS the file's bucket id. */
+  private val StagedPartName = """^part-(\d+)-(.*?)-(c\d+)(\..*)?$""".r
+  private[sources] def bucketedName(staged: String): String =
+    staged match {
+      case StagedPartName(idx, uid, c, ext) =>
+        s"part-$idx-${uid}_$idx.$c${Option(ext).getOrElse("")}"
+      case _ => throw new IllegalStateException(
+        s"unexpected staged data file name: $staged")
+    }
+
+  /** Write `df` bucket-clustered and sorted as plain parquet into a
+    * staging subdir of `dir`, then rename each committed file to its
+    * bucketed name — the shared write half of [[appendDirect]] and
+    * [[stageSwapCommit]]. With `renameInto = Some(dir)` the files move
+    * straight into the table dir (append path — unlisted, so invisible
+    * until the manifest commit); with None they stay in the staging
+    * dir under their bucketed names (rewrite path — the CAS-checked
+    * commit renames them under the manifest lock). Returns the
+    * bucketed names with their current paths. The caller owns deleting
+    * `stage`. */
+  private def writeClustered(df: DataFrame, schema: org.apache.spark.sql.types.StructType,
+                             keys: Seq[String], buckets: Int,
+                             sort: Seq[String],
+                             writeOptions: Map[String, String],
+                             fs: FileSystem, stage: Path,
+                             renameInto: Option[Path]): Seq[(String, Path)] = {
+    import org.apache.spark.sql.functions.col
+    val aligned = df.select(
+      schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    val clustered = aligned.repartition(buckets, keys.map(col): _*)
+      .sortWithinPartitions(sort.map(col): _*)
+    profPhase(s"writeClustered(${stage.getName}) write") {
+      clustered.write.mode("overwrite").options(writeOptions)
+        .parquet(stage.toString)
+    }
+    fs.listStatus(stage).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map { f =>
+        val name = bucketedName(f.getPath.getName)
+        val to = new Path(renameInto.getOrElse(stage), name)
+        require(fs.rename(f.getPath, to), s"rename to $to failed")
+        name -> to
+      }
+  }
+
+  /** [[save]]'s Append fast path into an EXISTING table — plain
+    * clustered parquet write + bucketed rename + manifest commit with
+    * the exact staged names. Crash behavior is the append contract
+    * unchanged: files land in the dir UNLISTED (invisible to every
+    * manifest-resolved read) and join the manifest in one atomic
+    * generation create; a crash before the commit leaves them as
+    * reconcilable orphans, the old generation served. */
+  private def appendDirect(spark: SparkSession, table: String,
+                           df: DataFrame, keys: Seq[String], buckets: Int,
+                           sort: Seq[String],
+                           writeOptions: Map[String, String],
+                           beforeNames: Set[String]): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table is not bucketed"))
+    require(spec.numBuckets == buckets && spec.bucketColumnNames == keys,
+      s"append bucket spec (${keys.mkString(",")} x $buckets) does not " +
+        s"match $table's (${spec.bucketColumnNames.mkString(",")} x " +
+        s"${spec.numBuckets})")
+    // by-name append against the table's schema — the same resolution
+    // (and the same mismatch error) the saveAsTable path enforced
+    require(df.columns.toSet == meta.schema.fieldNames.toSet,
+      s"append columns [${df.columns.sorted.mkString(",")}] do not match " +
+        s"$table's schema [${meta.schema.fieldNames.sorted.mkString(",")}]")
+    val loc = new Path(meta.location)
+    val fs = fileSystemOf(spark, loc)
+    val stage = new Path(loc,
+      s"_graft_append_stage-${java.util.UUID.randomUUID()}")
+    try {
+      val newNames = writeClustered(df, meta.schema, keys, buckets, sort,
+        writeOptions, fs, stage, renameInto = Some(loc)).map(_._1).toSet
+      profPhase(s"save($table,Append) commit") {
+        withManifestLock(loc.toString) {
+          val base = readManifest(fs, loc).map(_._2).getOrElse(beforeNames)
+          val gen = writeNextManifest(fs, loc, base ++ newNames,
+            prevNames = Some(base))
+          // verified only if the PRE-append dir carried no unlisted
+          // orphans (an append into a crashed-and-never-reloaded table
+          // must not mark the orphans clean — the next load's recovery
+          // pass reconciles them). Files an older RETAINED generation
+          // lists are in-place-retired history, not orphans.
+          val unexplained = beforeNames -- base
+          if (unexplained.isEmpty ||
+              (retentionOf(fs, loc) > 1 &&
+                (unexplained -- retainedElsewhere(fs, loc, gen)).isEmpty))
+            verifiedGenerations.put(loc.toString, gen)
+        }
+      }
+      // saveAsTable refreshed the catalog relation cache as a side
+      // effect; the direct path must too, or a dir-scan reader
+      // ([[loadDirect]] / spark.table) would keep a stale file listing
+      spark.catalog.refreshTable(table)
+      FileStats.stampIfEnabled(spark, table, loc)
+    } finally { fs.delete(stage, true); () }
   }
 
   /** The table as a DataFrame, SNAPSHOT-resolved through its
@@ -299,6 +428,7 @@ object Bucketed {
     if (!verifiedGenerations.containsKey(loc.toString)) {
       val fs = fileSystemOf(spark, loc)
       withManifestLock(loc.toString) {
+        if (!appendInFlight(loc.toString)) sweepStageDirs(fs, loc)
         for ((gen, listed) <- readManifest(fs, loc)) {
           val onDisk = dataFileNames(fs, loc)
           val missing = listed -- onDisk
@@ -808,22 +938,29 @@ object Bucketed {
                               readSet: ReadSet, op: String): Int = {
     val bucketSpec = meta.bucketSpec.getOrElse(
       throw new IllegalArgumentException(s"$table is not bucketed"))
-    val keyCols = bucketSpec.bucketColumnNames
-      .map(org.apache.spark.sql.functions.col)
-    val staging = s"${table}__rewrite"
     // carry the table's parquet writer options (bloom filters etc.)
     // into the staging write: a maintenance rewrite must not silently
     // strip the file features reads prune on
     val parquetOpts = meta.storage.properties
       .filter { case (k, _) => k.startsWith("parquet.") }
-    save(rows.repartition(bucketSpec.numBuckets, keyCols: _*),
-      staging, bucketSpec.bucketColumnNames, bucketSpec.numBuckets,
-      sortCols = bucketSpec.sortColumnNames, writeOptions = parquetOpts)
+    // DIRECT staging write (round 15): the new generation's rows are
+    // clustered and written as plain parquet into a staging SUBDIR of
+    // the table dir, then renamed under Spark's bucketed naming —
+    // replacing the former `<table>__rewrite` staging TABLE, whose
+    // catalog lifecycle (create + saveAsTable + drop, plus the staging
+    // table's own manifest commit) was ~200 ms of pure fixed cost per
+    // rewrite on top of the identical data write. Same clustering
+    // (partition index == bucket id), same sort, same one-manifest-PUT
+    // commit, same crash windows: staged files stay invisible until
+    // the rename+commit below.
+    val stage = new Path(dir,
+      s"_graft_rewrite_stage-${java.util.UUID.randomUUID()}")
     val nNew =
-      try {
-        val stagingDir = new Path(spark.sessionState.catalog.getTableMetadata(
-          spark.sessionState.sqlParser.parseTableIdentifier(staging)).location)
-        val newFiles = listDataFiles(fs, stagingDir)
+      try profPhase(s"swap($table) rename+commit") {
+        val newFiles = writeClustered(rows, meta.schema,
+          bucketSpec.bucketColumnNames, bucketSpec.numBuckets,
+          bucketSpec.sortColumnNames, parquetOpts, fs, stage,
+          renameInto = None)
         // renames, commit, AND old-file deletes all inside the manifest
         // lock: staged files are therefore never visible-but-unlisted
         // to another lock-holder (a cold-cache load's reconcile pass
@@ -852,12 +989,12 @@ object Bucketed {
                 "concurrent maintenance writer committed first; the " +
                 "table still serves the winner's generation (this " +
                 "op's staging is dropped — nothing was renamed in)")
-          newFiles.foreach { f =>
-            val target = new Path(dir, f.getPath.getName)
-            require(fs.rename(f.getPath, target), s"rename to $target failed")
+          newFiles.foreach { case (name, from) =>
+            val target = new Path(dir, name)
+            require(fs.rename(from, target), s"rename to $target failed")
           }
           val oldNames = oldFiles.map(_.getPath.getName).toSet
-          val newNames = newFiles.map(_.getPath.getName).toSet
+          val newNames = newFiles.map(_._1).toSet
           val base = readManifest(fs, dir).map(_._2).getOrElse(legacyBase)
           // superseded files retire (move) instead of dying when the
           // table retains history; generations that fell out of the
@@ -872,11 +1009,12 @@ object Bucketed {
           verifiedGenerations.put(dir.toString, gen)
         }
         newFiles.size
-      } finally spark.sql(
-        s"DROP TABLE IF EXISTS ${staging.split('.').map(p => s"`$p`").mkString(".")}")
+      } finally { fs.delete(stage, true); () }
     // drop the cached file listing so the next scan sees the new layout
-    spark.catalog.refreshTable(table)
-    FileStats.stampIfEnabled(spark, table, dir)
+    profPhase(s"swap($table) refresh+stamp") {
+      spark.catalog.refreshTable(table)
+      FileStats.stampIfEnabled(spark, table, dir)
+    }
     nNew
   }
 
@@ -895,7 +1033,8 @@ object Bucketed {
   private def reconcileOrphans(spark: SparkSession, table: String,
                                dir: Path, fs: FileSystem): Unit =
     withManifestLock(dir.toString) {
-      if (!appendInFlight(dir.toString))
+      if (!appendInFlight(dir.toString)) {
+        sweepStageDirs(fs, dir)
         for ((gen, names) <- readManifest(fs, dir)) {
           val extra = listDataFiles(fs, dir)
             .filterNot(f => names(f.getPath.getName))
@@ -904,7 +1043,24 @@ object Bucketed {
             spark.catalog.refreshTable(table)
           }
         }
+      }
     }
+
+  /** Delete staging SUBDIRS a crashed direct write left behind — the
+    * subdir analogue of the unlisted-part-file orphans (staged files
+    * live in `_graft_*_stage-<uuid>` dirs until their commit renames
+    * them into place, so a crash strands the whole dir). Swept only
+    * where orphan files are swept: under the manifest lock with no
+    * in-process append in flight; cross-process the single-writer /
+    * single-maintenance-writer contracts apply, exactly as for file
+    * orphans. */
+  private def sweepStageDirs(fs: FileSystem, dir: Path): Unit =
+    if (fs.exists(dir))
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory &&
+          (s.getPath.getName.startsWith("_graft_rewrite_stage-") ||
+            s.getPath.getName.startsWith("_graft_append_stage-")))
+        .foreach(s => fs.delete(s.getPath, true))
 
   // ---- commit history --------------------------------------------------
 

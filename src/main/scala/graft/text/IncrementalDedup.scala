@@ -351,11 +351,16 @@ object IncrementalDedup {
         // would duplicate its kept docs (the index re-append is
         // harmless — duplicate band rows produce the same matches,
         // and the next compaction pass dedups them away)
-        val (kept, metrics) = gateBatchFull(batch.toDF(),
-          table, buckets, textCol, idCol, k, numHashes, bands,
-          withMetrics = metricsDir.isDefined,
-          reArrivalGuard = if (dropReArrivals) Some(id) else None)
-        kept.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        val (kept, metrics) =
+          graft.sources.Bucketed.profPhase(s"gate-batch $id gate+append") {
+            gateBatchFull(batch.toDF(),
+              table, buckets, textCol, idCol, k, numHashes, bands,
+              withMetrics = metricsDir.isDefined,
+              reArrivalGuard = if (dropReArrivals) Some(id) else None)
+          }
+        graft.sources.Bucketed.profPhase(s"gate-batch $id out") {
+          kept.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
         // OPT-IN per-batch gate metrics (the run-forever operator's
         // observability), overwritten per batch id so replays stay
         // idempotent, periodically folded so the log's own file count
@@ -371,8 +376,10 @@ object IncrementalDedup {
         // O(batches). Verdict-neutral: compaction preserves the band
         // SET, so it can run between any two batches.
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
-          graft.sources.IndexMaintenance.compactPostings(spark, table,
-            maxFilesPerBucket)
+          graft.sources.Bucketed.profPhase(s"gate-batch $id compact") {
+            graft.sources.IndexMaintenance.compactPostings(spark, table,
+              maxFilesPerBucket)
+          }
           metricsDir.foreach(m =>
             graft.streaming.GateMetricsLog.compact(spark, m, id))
         }
