@@ -146,6 +146,30 @@ object ScaleProbe {
         graft.text.IncrementalDedup.gateBatch(batch, idxTable, 32,
           "text", "doc_id", 3, 16, 4).count()
       }
+      time("clustered_append_split", f) {
+        // the oversized-append guard (save()'s write-parallelism
+        // contract): a bulk append f× the seed, written with
+        // appendSubSplits = f, lands as f clustered waves — per-task
+        // (= per-file) input stays ~the seed's bucket size however
+        // large the batch grows — committed as ONE atomic generation
+        // of f files per bucket. `rows` reports the table's data-file
+        // count: 8 seed files + 8·f wave files.
+        val splitName = s"graft_scaleprobe_split_x$f"
+        val seed = replicated(1).select(col("doc_id").as("k"),
+          length(col("text")).cast("long").as("v"))
+        graft.sources.Bucketed.save(seed, splitName, Seq("k"), 8)
+        val bulk = replicated(f).select(
+          (col("doc_id") + lit(60000000L)).as("k"),
+          length(col("text")).cast("long").as("v"))
+        graft.sources.Bucketed.save(bulk, splitName, Seq("k"), 8,
+          mode = org.apache.spark.sql.SaveMode.Append,
+          appendSubSplits = f)
+        val n = graft.sources.Bucketed.load(spark, splitName).count()
+        assert(n > 0)
+        val files = spark.table(splitName).inputFiles.length.toLong
+        spark.sql(s"DROP TABLE IF EXISTS $splitName")
+        files
+      }
       time("compact_buckets", f) {
         // maintenance pass after the build + gate appends: rewrites
         // every bucket over the file bound into one sorted file — the

@@ -38,28 +38,33 @@ object Ivm {
     * generation. `groupCol`/`valueCol` name the source columns
     * (value pre-quantized long — the house sum doctrine). */
   def create(spark: SparkSession, source: String, view: String,
-             buckets: Int, groupCol: String, valueCol: String): Long = {
+             buckets: Int, groupCol: String, valueCol: String): Long =
+    createSourceCore(spark, source, view)(head =>
+      IncrementalAgg.buildIndex(
+        head.select(col(groupCol), col(valueCol)),
+        view, buckets, groupCol, valueCol))
+
+  /** ONE copy of the source-view create protocol (the single/multi
+    * twins' shared shell — COVERAGE's deferred fold, round 15): pin
+    * the source head, hand it to the family's build, bookmark the
+    * pinned generation. */
+  private def createSourceCore(spark: SparkSession, source: String,
+                               view: String)(
+      build: DataFrame => Unit): Long = {
     val gen = Bucketed.currentGeneration(spark, source)
-    IncrementalAgg.buildIndex(
-      Bucketed.loadAsOf(spark, source, gen).select(
-        col(groupCol), col(valueCol)),
-      view, buckets, groupCol, valueCol)
+    build(Bucketed.loadAsOf(spark, source, gen))
     Replication.writeBookmark(spark, s"${view}_partials", gen)
     gen
   }
 
-  /** Bring the view up to `source`'s head, one CONSECUTIVE generation
-    * pair at a time — each pair's delta applied as one append + one
-    * retract (each exactly-once under its `ivm-<a>-<b>` tag), the
-    * bookmark advancing after each pair. Consecutive pairs, not one
-    * net diff, is what makes retry safe: a (from, head) span RESHAPES
-    * if the source commits between a crash and the retry, and the
-    * reshaped span's fresh tag would re-apply the crashed span's
-    * already-landed partials — per-pair spans are immutable, so a
-    * replayed pair finds its sentinels and skips exactly. No-op when
-    * caught up. Returns the new bookmark. */
-  def refresh(spark: SparkSession, source: String, view: String,
-              buckets: Int, groupCol: String, valueCol: String): Long = {
+  /** ONE copy of the source-view refresh walk (single/multi twins'
+    * shared core): bookmark/rebuild/retention checks, then per
+    * consecutive retained generation pair hand the pair's delta to the
+    * family's exactly-once apply and advance the bookmark. The
+    * consecutive-pairs crash doctrine is documented on [[refresh]]. */
+  private def refreshSourceCore(spark: SparkSession, source: String,
+                                view: String)(
+      applyPair: (Long, Long, DataFrame) => Unit): Long = {
     val partials = s"${view}_partials"
     val from = Replication.bookmark(spark, partials).getOrElse(
       throw new IllegalStateException(
@@ -79,19 +84,52 @@ object Ivm {
         case Seq(a, b) =>
           val diff = Bucketed.diffGenerations(spark, source, a, b)
             .localCheckpoint(eager = false) // one eval feeds both halves
-          IncrementalAgg.append(
-            diff.filter(col("change") === "insert")
-              .select(col(groupCol), col(valueCol)),
-            view, buckets, groupCol, valueCol, s"ivm-$a-$b-i")
-          IncrementalAgg.retract(
-            diff.filter(col("change") === "delete")
-              .select(col(groupCol), col(valueCol)),
-            view, buckets, groupCol, valueCol, s"ivm-$a-$b-d")
+          applyPair(a, b, diff)
           Replication.writeBookmark(spark, partials, b)
         case _ => ()
       }
     head
   }
+
+  /** ONE copy of the source-view repair precondition + recompute shell
+    * (single/multi twins): caught-up check, then the family recomputes
+    * the retraction-ledger groups from the source's current head. */
+  private def repairSourceCore(spark: SparkSession, source: String,
+                               view: String)(
+      recompute: (DataFrame, DataFrame) => Int): Int = {
+    val partials = s"${view}_partials"
+    val from = Replication.bookmark(spark, partials).getOrElse(
+      throw new IllegalStateException(s"$view has no bookmark"))
+    val head = Bucketed.currentGeneration(spark, source)
+    require(from == head,
+      s"$view is at generation $from but $source is at $head — " +
+        "refresh before repairing")
+    recompute(Bucketed.load(spark, source),
+      retractedGroups(spark, partials))
+  }
+
+  /** Bring the view up to `source`'s head, one CONSECUTIVE generation
+    * pair at a time — each pair's delta applied as one append + one
+    * retract (each exactly-once under its `ivm-<a>-<b>` tag), the
+    * bookmark advancing after each pair. Consecutive pairs, not one
+    * net diff, is what makes retry safe: a (from, head) span RESHAPES
+    * if the source commits between a crash and the retry, and the
+    * reshaped span's fresh tag would re-apply the crashed span's
+    * already-landed partials — per-pair spans are immutable, so a
+    * replayed pair finds its sentinels and skips exactly. No-op when
+    * caught up. Returns the new bookmark. */
+  def refresh(spark: SparkSession, source: String, view: String,
+              buckets: Int, groupCol: String, valueCol: String): Long =
+    refreshSourceCore(spark, source, view) { (a, b, diff) =>
+      IncrementalAgg.append(
+        diff.filter(col("change") === "insert")
+          .select(col(groupCol), col(valueCol)),
+        view, buckets, groupCol, valueCol, s"ivm-$a-$b-i")
+      IncrementalAgg.retract(
+        diff.filter(col("change") === "delete")
+          .select(col(groupCol), col(valueCol)),
+        view, buckets, groupCol, valueCol, s"ivm-$a-$b-d")
+    }
 
   /** Require every (source, side) bookmark on `partials` caught up to
     * its source's head — the repair families' shared precondition
@@ -137,72 +175,40 @@ object Ivm {
     * indexes). */
   def createMulti(spark: SparkSession, source: String, view: String,
                   buckets: Int, groupCol: String,
-                  valueCols: Seq[String]): Long = {
-    val gen = Bucketed.currentGeneration(spark, source)
-    IncrementalAgg.buildIndexMulti(
-      Bucketed.loadAsOf(spark, source, gen).select(
-        (groupCol +: valueCols).map(col): _*),
-      view, buckets, groupCol, valueCols)
-    Replication.writeBookmark(spark, s"${view}_partials", gen)
-    gen
-  }
+                  valueCols: Seq[String]): Long =
+    createSourceCore(spark, source, view)(head =>
+      IncrementalAgg.buildIndexMulti(
+        head.select((groupCol +: valueCols).map(col): _*),
+        view, buckets, groupCol, valueCols))
 
-  /** [[refresh]]'s N-measure twin — identical walk and crash
-    * doctrine, every measure folded in the one pair delta. The
-    * `valueCols` must match the create's, in order. */
+  /** [[refresh]]'s N-measure twin — the same walk and crash doctrine
+    * ([[refreshSourceCore]]), every measure folded in the one pair
+    * delta. The `valueCols` must match the create's, in order. */
   def refreshMulti(spark: SparkSession, source: String, view: String,
                    buckets: Int, groupCol: String,
                    valueCols: Seq[String]): Long = {
-    val partials = s"${view}_partials"
-    val from = Replication.bookmark(spark, partials).getOrElse(
-      throw new IllegalStateException(
-        s"$view has no bookmark — create it from $source first"))
-    val head = Bucketed.currentGeneration(spark, source)
-    if (head == from) return from
-    require(head > from,
-      s"$view's bookmark $from is ahead of $source's head $head — " +
-        "the source was rebuilt; recreate the view")
-    val retained = Bucketed.generations(spark, source)
-    if (!retained.contains(from))
-      throw new IllegalStateException(
-        s"$source no longer retains generation $from — the view's " +
-          "bookmark fell behind the retention window; recreate it")
     val sel = (groupCol +: valueCols).map(col)
-    retained.dropWhile(_ < from).takeWhile(_ <= head)
-      .sliding(2).foreach {
-        case Seq(a, b) =>
-          val diff = Bucketed.diffGenerations(spark, source, a, b)
-            .localCheckpoint(eager = false) // one eval feeds both halves
-          IncrementalAgg.appendMulti(
-            diff.filter(col("change") === "insert").select(sel: _*),
-            view, buckets, groupCol, valueCols, s"ivmm-$a-$b-i")
-          IncrementalAgg.retractMulti(
-            diff.filter(col("change") === "delete").select(sel: _*),
-            view, buckets, groupCol, valueCols, s"ivmm-$a-$b-d")
-          Replication.writeBookmark(spark, partials, b)
-        case _ => ()
-      }
-    head
+    refreshSourceCore(spark, source, view) { (a, b, diff) =>
+      IncrementalAgg.appendMulti(
+        diff.filter(col("change") === "insert").select(sel: _*),
+        view, buckets, groupCol, valueCols, s"ivmm-$a-$b-i")
+      IncrementalAgg.retractMulti(
+        diff.filter(col("change") === "delete").select(sel: _*),
+        view, buckets, groupCol, valueCols, s"ivmm-$a-$b-d")
+    }
   }
 
   /** [[repair]]'s N-measure twin — all measures' extrema restored in
-    * the one touched-bucket pass. Requires the view caught up. */
+    * the one touched-bucket pass ([[repairSourceCore]]). Requires the
+    * view caught up. */
   def repairMulti(spark: SparkSession, source: String, view: String,
                   buckets: Int, groupCol: String,
-                  valueCols: Seq[String]): Int = {
-    val partials = s"${view}_partials"
-    val from = Replication.bookmark(spark, partials).getOrElse(
-      throw new IllegalStateException(s"$view has no bookmark"))
-    val head = Bucketed.currentGeneration(spark, source)
-    require(from == head,
-      s"$view is at generation $from but $source is at $head — " +
-        "refresh before repairing")
-    val retracted = retractedGroups(spark, partials)
-    IncrementalAgg.repairGroupsMulti(spark, view, buckets,
-      Bucketed.load(spark, source).select(
-        (groupCol +: valueCols).map(col): _*),
-      groupCol, valueCols, retracted)
-  }
+                  valueCols: Seq[String]): Int =
+    repairSourceCore(spark, source, view) { (head, retracted) =>
+      IncrementalAgg.repairGroupsMulti(spark, view, buckets,
+        head.select((groupCol +: valueCols).map(col): _*),
+        groupCol, valueCols, retracted)
+    }
 
   /** The multi-measure view's rollup — [[IncrementalAgg.serveMulti]]. */
   def serveMulti(spark: SparkSession, view: String): DataFrame =
@@ -1127,17 +1133,10 @@ object Ivm {
     * unapplied deltas into the repaired groups ahead of their
     * exactly-once application. Returns buckets rewritten. */
   def repair(spark: SparkSession, source: String, view: String,
-             buckets: Int, groupCol: String, valueCol: String): Int = {
-    val partials = s"${view}_partials"
-    val from = Replication.bookmark(spark, partials).getOrElse(
-      throw new IllegalStateException(s"$view has no bookmark"))
-    val head = Bucketed.currentGeneration(spark, source)
-    require(from == head,
-      s"$view is at generation $from but $source is at $head — " +
-        "refresh before repairing")
-    val retracted = retractedGroups(spark, partials)
-    IncrementalAgg.repairGroups(spark, view, buckets,
-      Bucketed.load(spark, source).select(col(groupCol), col(valueCol)),
-      groupCol, valueCol, retracted)
-  }
+             buckets: Int, groupCol: String, valueCol: String): Int =
+    repairSourceCore(spark, source, view) { (head, retracted) =>
+      IncrementalAgg.repairGroups(spark, view, buckets,
+        head.select(col(groupCol), col(valueCol)),
+        groupCol, valueCol, retracted)
+    }
 }

@@ -11,6 +11,11 @@ package graft.queries
 private[queries] object Setup {
   private val done =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // per-key latches: once() must not hold a GLOBAL monitor while a
+  // build runs multi-second Spark jobs — unrelated keys' first
+  // executions would serialize behind it (ADVICE r14)
+  private val latches = new java.util.concurrent.ConcurrentHashMap[
+    String, Object]()
 
   /** Collision-resistant table-name tag for a data dir. Queries that
     * fold the dir into a persisted TABLE NAME must not use
@@ -23,12 +28,15 @@ private[queries] object Setup {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map(b => f"$b%02x").mkString
-  def once(key: String)(f: => Unit): Unit = synchronized {
-    if (done.add(key)) {
-      // un-mark on failure: a half-written table must be rebuilt by the
-      // next execution, not silently read
-      try f
-      catch { case e: Throwable => done.remove(key); throw e }
+  def once(key: String)(f: => Unit): Unit = {
+    val latch = latches.computeIfAbsent(key, _ => new Object)
+    latch.synchronized {
+      if (done.add(key)) {
+        // un-mark on failure: a half-written table must be rebuilt by
+        // the next execution, not silently read
+        try f
+        catch { case e: Throwable => done.remove(key); throw e }
+      }
     }
   }
 
@@ -43,8 +51,15 @@ private[queries] object Setup {
     * source dir to stream from. */
   def stageOnce(key: String, dir: String,
                 parts: Seq[org.apache.spark.sql.DataFrame]): String = {
+    // pid in the path (ADVICE r14): the memo is per-JVM, so a SECOND
+    // graft process staging the same (query, dir) would otherwise
+    // delete-and-rewrite the directory while this process's file
+    // stream is mid-read; a process-unique dir restores the isolation
+    // the old per-execution nanoTime paths had, while the per-process
+    // sharing (the whole point of stageOnce) is untouched
     val base = graft.streaming.Streaming.scratchBase
-      .resolve(s"graft-stage-$key-${dirTag(dir)}").toString
+      .resolve(s"graft-stage-$key-${dirTag(dir)}-" +
+        ProcessHandle.current().pid().toString).toString
     once(s"stage:$key:$dir") {
       val root = new java.io.File(base)
       if (root.exists()) {

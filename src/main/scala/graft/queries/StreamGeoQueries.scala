@@ -93,20 +93,28 @@ object StreamGeoQueries {
     // aware — independent of batch boundaries and file order). The
     // final table must equal the batch "latest event per user" oracle
     "q93_stream_upsert" -> ((s, dir) => {
-      // tmpfs scratch: the 4-file source, the merge target, and its
-      // staging dir are all run-scoped — on RAM the per-batch
-      // read-merge-swap cycle stops paying disk latency 4 times over
+      // tmpfs scratch: the merge target and its staging dir are
+      // run-scoped — on RAM the per-batch read-merge-swap cycle stops
+      // paying disk latency 4 times over. The 4-file SOURCE is fixture
+      // INPUT, staged once per process (Setup.stageOnce, the
+      // q130/q132/q151 doctrine — round 15): split deterministically on
+      // event_id instead of round-robin repartition(4), which both
+      // makes the staged files reproducible and drops the per-execution
+      // source rewrite; the merge target, checkpoints and every batch's
+      // rewrite stay per-execution, and the sink's recency-aware merge
+      // is batch-boundary- and file-order-independent by contract, so
+      // the declared result is unchanged on any split
+      val events = graft.sources.Tables.events(s, dir)
+      val src = Setup.stageOnce("q93", dir,
+        (0 to 3).map(j => events.filter(pmod(col("event_id"), lit(4)) === j)))
       val base = Streaming.scratchBase.resolve(
         s"graft-q93-${System.getProperty("user.name", "u")}").toString
-      graft.sources.Tables.events(s, dir)
-        .repartition(4)
-        .write.mode("overwrite").parquet(s"$base/src")
       // nBuckets sized to the target per the sink's contract (150
       // distinct users at this scale — 4 buckets keeps the per-batch
       // bucket-dir FS overhead proportionate; the pruning win is
       // invariant to the count)
       Streaming.upsertAvailableNow(
-          Streaming.fileStream(s, s"$base/src", maxFilesPerTrigger = Some(1)),
+          Streaming.fileStream(s, src, maxFilesPerTrigger = Some(1)),
           s"$base/target",
           keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
           nBuckets = 4)

@@ -433,9 +433,13 @@ object IncrementalAnn {
     val inBatch = asg.join(probes, Seq("centroid"))
       .filter(col("id") =!= col("query_id") && cos >= thresholdE6)
       .select(greatest(col("id"), col("query_id")).as("__drop"))
+    // no distinct() on the union feeding the anti-join (round 15): the
+    // anti join ignores right-side duplicates, and the distinct was a
+    // per-micro-batch aggregation exchange; the opt-in metrics below
+    // keep their distinct counts
     val kept = batch
       .withColumn("id", col("id").cast("long"))
-      .join(idxHit.unionByName(inBatch).distinct()
+      .join(idxHit.unionByName(inBatch)
           .select(col("__drop").as("id")),
         Seq("id"), "left_anti")
       .localCheckpoint(eager = false) // read for append AND for output

@@ -373,9 +373,22 @@ object IncrementalPq {
           residual, attrCols)
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           graft.sources.Bucketed.profPhase(s"pq-batch $id compact") {
-            compactIndex(spark, codeTable, maxFilesPerBucket)
-            vnTable.foreach(t =>
-              IncrementalAnn.compactIndex(spark, t, maxFilesPerBucket))
+            // the two tables' compactions are independent row-preserving
+            // maintenance ops on DISJOINT tables with no ordering
+            // contract between them (the pair pointer is untouched
+            // mid-batch either way — restampOwner no-ops while the
+            // batch's appends are un-stamped, and a crash between the
+            // two compactions leaves the lagging pointer readable under
+            // retention 3 exactly as the sequential order did), so they
+            // overlap their per-job fixed costs (guide §2.6)
+            vnTable match {
+              case Some(t) => graft.ops.Par.both(
+                { compactIndex(spark, codeTable, maxFilesPerBucket); () },
+                { IncrementalAnn.compactIndex(spark, t, maxFilesPerBucket); () })
+              case None =>
+                compactIndex(spark, codeTable, maxFilesPerBucket)
+            }
+            ()
           }
         }
         vnTable.foreach(t =>

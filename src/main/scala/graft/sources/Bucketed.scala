@@ -106,6 +106,22 @@ object Bucketed {
     * `buckets` should be sized so a bucket of the LARGER recurring join
     * side fits an executor core's working set.
     *
+    * WRITE-PARALLELISM CONTRACT (the hash-clustered write): every
+    * commit clusters its rows by the bucket function, so one commit's
+    * write runs in AT MOST `buckets` tasks and each task sorts
+    * ~batch/buckets rows (the sort spills gracefully, but spill is
+    * slow). `buckets` is sized to the TABLE's recurring-join working
+    * set, so a commit whose batch is a small fraction of the table is
+    * automatically fine; a BULK append far larger than table/buckets
+    * per bucket should pass `appendSubSplits` =
+    * ceil(batchBytes / (buckets × targetTaskBytes)): the batch then
+    * writes as that many clustered sub-waves — per-task input bounded
+    * at batch/(buckets × subSplits) — committed as ONE atomic
+    * generation with subSplits files per touched bucket (the next
+    * compaction restores one file per bucket). Ignored (must be 1
+    * makes no sense) outside the existing-table Append path; creates
+    * size `buckets` to the full table by contract.
+    *
     * A previous SESSION's managed-table location can survive in the
     * warehouse dir while the (in-memory) catalog entry did not —
     * SaveMode.Overwrite only clears locations the catalog knows about,
@@ -114,8 +130,29 @@ object Bucketed {
   def save(df: DataFrame, table: String, keys: Seq[String],
            buckets: Int, mode: SaveMode = SaveMode.Overwrite,
            sortCols: Seq[String] = Nil,
-           writeOptions: Map[String, String] = Map.empty): Unit = {
+           writeOptions: Map[String, String] = Map.empty,
+           appendSubSplits: Int = 1): Unit = {
+    require(appendSubSplits >= 1, "appendSubSplits must be >= 1")
     val spark = df.sparkSession
+    // malformed names fail loudly BEFORE any catalog/path work: one
+    // backtick pair around `db.tbl` would read as a single identifier,
+    // and a >2-part name can't resolve an orphan location
+    if (mode == SaveMode.Overwrite) {
+      val parts = table.split('.')
+      require(parts.length <= 2 && parts.forall(p => p.nonEmpty && !p.contains("`")),
+        s"expected an unqualified or db-qualified table name, got: $table")
+    }
+    // Overwrite of an EXISTING table whose schema/bucket spec/options
+    // all match the request replaces CONTENTS in place (direct write +
+    // fresh generation-1 manifest) and skips the DROP TABLE + delete +
+    // saveAsTable DDL round-trip — ~120 ms of pure catalog fixed cost
+    // per rebuild, paid by every fixture that rebuilds its index each
+    // execution. Identical observable state: same rows, same layout,
+    // generation numbering restarted, every per-location cache
+    // invalidated. Any mismatch falls through to the full drop+create.
+    if (mode == SaveMode.Overwrite &&
+        overwriteInPlace(spark, table, df, keys, buckets,
+          if (sortCols.nonEmpty) sortCols else keys, writeOptions)) return
     // destructive pre-clear ONLY under Overwrite — Append/Ignore/
     // ErrorIfExists must keep their SaveMode contracts
     if (mode == SaveMode.Overwrite) profPhase(s"save($table,$mode) preclear") {
@@ -179,7 +216,7 @@ object Bucketed {
         // names — no listing diff needed. Same rows, same layout, same
         // generation sequence as the saveAsTable path it replaces.
         appendDirect(spark, table, df, keys, buckets, sort, writeOptions,
-          beforeNames)
+          beforeNames, appendSubSplits)
       } else {
       // Cluster rows by the bucket function BEFORE the bucketed write
       // (guide §6 / Iceberg write.distribution-mode=hash): Spark's
@@ -288,6 +325,65 @@ object Bucketed {
       }
   }
 
+  /** [[save]]'s Overwrite fast path: when the existing table's
+    * provider, bucket spec, column names+types (nullability-insensitive
+    * — the write aligns/casts to the CATALOG schema either way) and
+    * requested writer options already match, replace the table's
+    * CONTENTS without touching the catalog: clear the dir (data,
+    * manifests, history, markers — the same reset the drop+delete path
+    * produced, so generation numbering restarts at 1), direct-write the
+    * clustered rows, commit a fresh `create` manifest. Returns false —
+    * caller falls back to the full drop+recreate — on any mismatch. */
+  private def overwriteInPlace(spark: SparkSession, table: String,
+                               df: DataFrame, keys: Seq[String],
+                               buckets: Int, sort: Seq[String],
+                               writeOptions: Map[String, String]): Boolean = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    if (!spark.sessionState.catalog.tableExists(ident)) return false
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val compatible =
+      meta.provider.exists(_.equalsIgnoreCase("parquet")) &&
+        meta.bucketSpec.exists(s => s.numBuckets == buckets &&
+          s.bucketColumnNames == keys && s.sortColumnNames == sort) &&
+        meta.schema.fields.toSeq.map(f => (f.name, f.dataType.catalogString)) ==
+          df.schema.fields.toSeq.map(f => (f.name, f.dataType.catalogString)) &&
+        writeOptions.forall { case (k, v) =>
+          meta.storage.properties.get(k).contains(v) }
+    if (!compatible) return false
+    profPhase(s"save($table,Overwrite) in-place") {
+      val loc = new Path(meta.location)
+      val fs = fileSystemOf(spark, loc)
+      // cache hygiene identical to the drop path: the replace restarts
+      // generation numbering, so stale per-(location, generation)
+      // entries would serve the dead table's state under colliding keys
+      verifiedGenerations.remove(loc.toString)
+      lastSeenGen.remove(loc.toString)
+      invalidateSnapshots(loc.toString)
+      FileStats.invalidate(loc.toString)
+      appendBegin(loc.toString)
+      try {
+        if (fs.exists(loc))
+          fs.listStatus(loc).foreach(s => fs.delete(s.getPath, true))
+        else fs.mkdirs(loc)
+        val stage = new Path(loc,
+          s"_graft_append_stage-${java.util.UUID.randomUUID()}")
+        try {
+          val newNames = writeClustered(df, meta.schema, keys, buckets,
+            sort, writeOptions, fs, stage, renameInto = Some(loc))
+            .map(_._1).toSet
+          withManifestLock(loc.toString) {
+            val gen = writeNextManifest(fs, loc, newNames, op = "create",
+              prevNames = Some(Set.empty))
+            verifiedGenerations.put(loc.toString, gen)
+          }
+          spark.catalog.refreshTable(table)
+          FileStats.stampIfEnabled(spark, table, loc)
+        } finally { fs.delete(stage, true); () }
+      } finally appendEnd(loc.toString)
+    }
+    true
+  }
+
   /** [[save]]'s Append fast path into an EXISTING table — plain
     * clustered parquet write + bucketed rename + manifest commit with
     * the exact staged names. Crash behavior is the append contract
@@ -299,7 +395,8 @@ object Bucketed {
                            df: DataFrame, keys: Seq[String], buckets: Int,
                            sort: Seq[String],
                            writeOptions: Map[String, String],
-                           beforeNames: Set[String]): Unit = {
+                           beforeNames: Set[String],
+                           subSplits: Int = 1): Unit = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(
@@ -318,8 +415,25 @@ object Bucketed {
     val stage = new Path(loc,
       s"_graft_append_stage-${java.util.UUID.randomUUID()}")
     try {
-      val newNames = writeClustered(df, meta.schema, keys, buckets, sort,
-        writeOptions, fs, stage, renameInto = Some(loc)).map(_._1).toSet
+      // subSplits > 1 = the oversized-append split (see [[save]]'s
+      // write-parallelism contract): the batch is sliced by a
+      // deterministic hash of the bucket keys into subSplits clustered
+      // sub-writes — each wave's tasks sort 1/subSplits of the batch —
+      // all committed below as ONE atomic generation
+      val newNames =
+        (0 until subSplits).flatMap { i =>
+          val slice =
+            if (subSplits == 1) df
+            else {
+              import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+              df.filter(pmod(xxhash64(keys.map(col): _*),
+                lit(subSplits.toLong)) === i.toLong)
+            }
+          val waveStage =
+            if (subSplits == 1) stage else new Path(stage, s"wave$i")
+          writeClustered(slice, meta.schema, keys, buckets, sort,
+            writeOptions, fs, waveStage, renameInto = Some(loc))
+        }.map(_._1).toSet
       profPhase(s"save($table,Append) commit") {
         withManifestLock(loc.toString) {
           val base = readManifest(fs, loc).map(_._2).getOrElse(beforeNames)

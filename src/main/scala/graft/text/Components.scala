@@ -78,18 +78,25 @@ object Components {
     // reliable checkpoint() + a checkpoint dir — same shape, same cost
     // profile (one materialization per round, which the convergence
     // check needs anyway).
+    // LAZY checkpoint + checksum-as-materializer (round 15): each
+    // round's edge set still materializes exactly once (the convergence
+    // checksum is the action that computes it), but as ONE job instead
+    // of the former two (eager checkpoint job, then a separate checksum
+    // job over the cache) — per-round fixed job cost halves, same
+    // rounds, same results. The lineage truncation the checkpoint
+    // exists for is unchanged.
     var edges = pairs
       .select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prev = checksum(edges)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val cur = checksum(next)
       edges.unpersist()
       edges = next

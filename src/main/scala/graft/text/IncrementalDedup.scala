@@ -275,13 +275,18 @@ object IncrementalDedup {
       case Some(bid) => idx("doc") =!= nb("doc") || idx("batch") =!= lit(bid)
       case None => idx("doc") =!= nb("doc")
     }
+    // NO distinct() on the drop sets (round 15): they feed a left-anti
+    // join, whose semantics ignore right-side duplicates — each
+    // distinct was a full aggregation exchange paid per micro-batch
+    // for nothing. The opt-in metrics below apply distinct themselves
+    // (their counts are defined over distinct hit docs, unchanged).
     val idxHit = idx.join(nb, idx("bkey") === nb("bkey") && ownExcl)
-      .select(nb("doc").as(idCol)).distinct()
+      .select(nb("doc").as(idCol))
     val a = nb.select(col("bkey"), col("doc").as("__a"))
     val b = nb.select(col("bkey"), col("doc").as("__b"))
     val internalHit = a.join(b, Seq("bkey"))
       .filter(col("__a") < col("__b"))
-      .select(col("__b").as(idCol)).distinct()
+      .select(col("__b").as(idCol))
     val kept = batch
       .withColumn(idCol, col(idCol).cast("long"))
       .join(idxHit.unionByName(internalHit), Seq(idCol), "left_anti")
@@ -292,7 +297,7 @@ object IncrementalDedup {
     val metrics =
       if (withMetrics)
         Some(GateMetrics(batch.count(), kept.count(),
-          idxHit.count(), internalHit.count()))
+          idxHit.distinct().count(), internalHit.distinct().count()))
       else None
     val keptBands = nb.join(kept.select(col(idCol).as("doc")), Seq("doc"))
       .select(col("bkey"), col("doc"))

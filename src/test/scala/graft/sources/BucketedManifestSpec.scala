@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions.col
 
 /** The generation-manifest commit: a maintenance swap is ONE
   * atomically-created manifest file, so every crash window serves a
@@ -32,6 +33,43 @@ class BucketedManifestSpec extends SparkSuite {
       java.nio.file.Files.copy(f.toPath, orphan.toPath)
       orphan.getName
     }
+  }
+
+  test("split append: same rows, one atomic generation, subSplits files per bucket") {
+    val table = "graft_manifest_split_append"
+    try {
+      val seed = (0 until 64).map(i => (s"k${i % 17}", i.toLong))
+      Bucketed.save(seed.toDF("bkey", "doc"), table, Seq("bkey"), 4)
+      val g1 = Bucketed.currentGeneration(spark, table)
+      val batch = (100 until 400).map(i => (s"k${i % 17}", i.toLong))
+      Bucketed.save(batch.toDF("bkey", "doc"), table, Seq("bkey"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append, appendSubSplits = 3)
+      // ONE generation advance for the whole split batch (atomicity)
+      assert(Bucketed.currentGeneration(spark, table) == g1 + 1)
+      // same row multiset as a plain append would land
+      assert(Bucketed.load(spark, table).as[(String, Long)].collect()
+        .sorted.toSeq == (seed ++ batch).sorted)
+      // per bucket: 1 seed file + at most subSplits wave files, every
+      // name carrying a parseable bucket id
+      val byBucket = dataFiles(table)
+        .map(f => Bucketed.bucketIdOfName(f.getName))
+      assert(byBucket.forall(_.isDefined), s"unparseable bucket names")
+      assert(byBucket.groupBy(identity).values.map(_.size).max <= 4)
+      // the split batch still serves the co-located join plan (the
+      // bucket contract survives multi-file buckets); pin the
+      // sort-merge shape the way BucketedSpec does
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val joined = Bucketed.load(spark, table)
+          .join(Bucketed.load(spark, table)
+            .select(col("bkey"), col("doc").as("doc2")), "bkey")
+        assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"))
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
   test("crash between staging and the manifest commit: old generation served, orphans reconciled") {

@@ -90,8 +90,9 @@ class FileStatsSpec extends SparkSuite {
         Bucketed.save(slice(j * 50, (j + 1) * 50), table, Seq("k"), 2,
           mode = if (j == 0) org.apache.spark.sql.SaveMode.Overwrite
                  else org.apache.spark.sql.SaveMode.Append)
-      // range [150, 750): append 1 partially covered (scan), append 2
-      // fully covered (metadata), append 3 partially covered (scan)
+      // range [150, 750] over v = 3k: commit 0 (v 0..147) prunes,
+      // commits 1-4 (v 150..747) are fully covered (metadata), commit 5
+      // (v 750..897) is the boundary and scans
       val r = FileStats.countWhere(spark, table, "v", 150L, 750L)
       assert(r.count == (50 until 251).size.toLong,
         s"v=3i in [150,750] → i in [50,250]: $r")
